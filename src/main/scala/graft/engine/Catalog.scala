@@ -1,0 +1,45 @@
+package graft.engine
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Registration + persistence (SURVEY.md §2 Tier A8).
+  *
+  * The reference registers every uploaded file as the fixed table
+  * `data_table` inside a per-file DuckDB database `data_{stem}.duckdb`
+  * (/root/reference/doc.py:112–119). Spark-native analog:
+  *  - session visibility = `createOrReplaceTempView("data_table")`,
+  *  - durability          = parquet directory `data_{stem}.parquet`
+  *    (columnar like the .duckdb file, but splittable/distributed).
+  */
+object Catalog {
+  val TableName = "data_table"
+
+  def register(df: DataFrame, name: String = TableName): Unit =
+    df.createOrReplaceTempView(name)
+
+  /** Persist next to the source file, like doc.py:113–114's db_path. */
+  def persistPath(sourcePath: String): String = {
+    val p = java.nio.file.Paths.get(sourcePath)
+    val stem = Option(p.getFileName).map(_.toString.replaceAll("\\.[^.]*$", "")).getOrElse("data")
+    val dir = Option(p.getParent).map(_.toString).getOrElse(".")
+    s"$dir/data_$stem.parquet"
+  }
+
+  def persist(df: DataFrame, sourcePath: String): String = {
+    val path = persistPath(sourcePath)
+    df.write.mode("overwrite").parquet(path)
+    path
+  }
+
+  def loadPersisted(spark: SparkSession, sourcePath: String): DataFrame =
+    spark.read.parquet(persistPath(sourcePath))
+
+  /** Full ingest→profile→register pipeline (analyze_file analog,
+    * doc.py:86–131): returns the profile used for NL→SQL grounding.
+    */
+  def analyzeFile(spark: SparkSession, path: String): DataInfo = {
+    val df = Ingest.load(spark, path)
+    register(df)
+    Profile(df)
+  }
+}

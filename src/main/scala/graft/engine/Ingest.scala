@@ -1,0 +1,96 @@
+package graft.engine
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multi-format ingestion → DataFrame (SURVEY.md §2 Tier A1–A6).
+  *
+  * Mirrors the reference's format surface (/root/reference/doc.py:16–83):
+  * parquet, csv, json (three-tier fallback), xlsx/xls — but re-expressed on
+  * Spark readers so ingestion is distributed wherever the format allows:
+  *
+  *  - CSV/Parquet/JSONL: `spark.read`, fully parallel, schema inferred
+  *    (pandas-inference analog, doc.py:41–49).
+  *  - JSON top-level array / single object: `multiLine` Spark reader —
+  *    still distributed per-file (doc.py:52–65 analog).
+  *  - JSON dict-of-lists: transposed to columns with arrays_zip+explode
+  *    (doc.py:69–71 analog) — the explode is distributed; only the
+  *    single-row array parse is per-file.
+  *  - xlsx: no Spark builtin and no POI offline; a minimal driver-side
+  *    zip+XML parser (Xlsx.scala). The reference itself is driver-side
+  *    pandas with a 16 MB upload cap (/root/reference/app.py:20), so this
+  *    matches the reference's scale envelope; large tabular data arrives
+  *    as parquet/csv in practice.
+  *
+  * Unsupported extensions / unparseable shapes throw
+  * IllegalArgumentException (ValueError analog, doc.py:32,76).
+  */
+object Ingest {
+  val SupportedExtensions: Set[String] = Set("parquet", "csv", "xlsx", "xls", "json")
+
+  private def extension(path: String): String = {
+    val i = path.lastIndexOf('.')
+    if (i < 0) "" else path.substring(i + 1).toLowerCase
+  }
+
+  /** Format-dispatching loader (doc.py:16–83 analog). */
+  def load(spark: SparkSession, path: String): DataFrame = {
+    val df = extension(path) match {
+      case "parquet"        => parquet(spark, path)
+      case "csv"            => csv(spark, path)
+      case "json"           => json(spark, path)
+      case "xlsx" | "xls"   => Xlsx.read(spark, path)
+      case other =>
+        throw new IllegalArgumentException(s"Unsupported file type: .$other " +
+          s"(supported: ${SupportedExtensions.mkString(", ")})")
+    }
+    if (df.isEmpty)
+      throw new IllegalArgumentException("File contains no data") // doc.py:78–79 analog
+    df
+  }
+
+  def parquet(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(path)
+
+  /** Header + type inference, like pandas.read_csv (doc.py:45–46). */
+  def csv(spark: SparkSession, path: String): DataFrame =
+    spark.read
+      .option("header", "true")
+      .option("inferSchema", "true")
+      .csv(path)
+
+  /** Three-tier JSON fallback (doc.py:52–76 analog):
+    * tier 1 — JSON-lines (distributed `spark.read.json`);
+    * tier 2 — top-level array or single object (`multiLine` reader);
+    * tier 3 — dict-of-lists → transpose to columns.
+    * A scalar/unusable document throws (doc.py:76 analog).
+    */
+  def json(spark: SparkSession, path: String): DataFrame = {
+    def corrupt(df: DataFrame): Boolean =
+      df.columns.isEmpty || df.columns.sameElements(Array("_corrupt_record"))
+
+    val jsonl = spark.read.json(path)
+    if (!corrupt(jsonl)) return jsonl
+
+    val multi = spark.read.option("multiLine", "true").json(path)
+    if (corrupt(multi))
+      throw new IllegalArgumentException(s"Unsupported JSON shape in $path")
+
+    // dict-of-lists: multiLine parse yields exactly one row whose columns
+    // are all arrays → transpose arrays to rows (doc.py:69–71 analog).
+    val allArrays = multi.schema.fields.nonEmpty &&
+      multi.schema.fields.forall(_.dataType.typeName == "array")
+    if (allArrays && multi.count() == 1) transposeArrayRow(multi)
+    else multi
+  }
+
+  /** One row of N equal-length arrays → N columns × len rows.
+    * arrays_zip + explode keeps the transpose inside the plan (no
+    * driver-side materialization of the values).
+    */
+  private def transposeArrayRow(df: DataFrame): DataFrame = {
+    val cols = df.columns
+    val zipped = df.select(explode(arrays_zip(cols.map(col).toIndexedSeq: _*)).as("r"))
+    zipped.select(cols.map(c => col(s"r.$c").as(c)).toIndexedSeq: _*)
+  }
+}

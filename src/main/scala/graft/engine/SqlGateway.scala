@@ -1,0 +1,49 @@
+package graft.engine
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.plans.logical.{Command, InsertIntoStatement, LogicalPlan}
+
+/** Safe SQL execution gateway (SURVEY.md §2 Tier A9/A10).
+  *
+  * The reference strips markdown fences off LLM output
+  * (/root/reference/doc.py:217–223) and *promises* SELECT-only via the
+  * prompt (doc.py:187) — a promise, not an enforcement. Here the gate is
+  * structural: the statement is parsed with Catalyst's SQL parser and the
+  * logical plan is rejected if it contains any command/DML node, then
+  * executed with `spark.sql` (Catalyst replaces DuckDB end-to-end,
+  * doc.py:240–243 analog).
+  */
+object SqlGateway {
+
+  /** ```sql fences + whitespace stripping (doc.py:217–223 analog). */
+  def sanitize(raw: String): String = {
+    var s = raw.trim
+    if (s.startsWith("```sql")) s = s.substring(6)
+    else if (s.startsWith("```")) s = s.substring(3)
+    if (s.endsWith("```")) s = s.substring(0, s.length - 3)
+    s.trim
+  }
+
+  /** Structural SELECT-only enforcement: walk the parsed plan and reject
+    * commands (DDL: CREATE/DROP/ALTER/…) and DML (INSERT/UPDATE/MERGE).
+    * Subqueries/CTEs/set-ops all parse to non-Command query plans and pass.
+    */
+  def validate(spark: SparkSession, sql: String): LogicalPlan = {
+    val plan = spark.sessionState.sqlParser.parsePlan(sql)
+    val offending = plan.collectFirst {
+      case c: Command               => c.nodeName
+      case i: InsertIntoStatement   => i.nodeName
+    }
+    offending.foreach { node =>
+      throw new SecurityException(s"Only SELECT queries are allowed; rejected $node")
+    }
+    plan
+  }
+
+  /** sanitize → validate → execute. */
+  def run(spark: SparkSession, rawSql: String): DataFrame = {
+    val sql = sanitize(rawSql)
+    validate(spark, sql)
+    spark.sql(sql)
+  }
+}

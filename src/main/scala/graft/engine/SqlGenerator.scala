@@ -1,0 +1,65 @@
+package graft.engine
+
+/** NL→SQL generation seam (SURVEY.md §2 Tier A13).
+  *
+  * The reference calls Gemini with a schema-grounded prompt
+  * (/root/reference/doc.py:172–205). This environment is zero-egress, so
+  * the generator is a trait: the *prompt contract* (fixed table name,
+  * SELECT-only, dialect pin, schema + head-rows grounding) is ported, the
+  * transport is pluggable, and the default implementation is a
+  * deterministic stub covering the reference's documented example
+  * questions (/root/reference/WEB_APP_README.md:107–119 shapes).
+  */
+trait SqlGenerator {
+  def generate(question: String, info: DataInfo): String
+}
+
+object SqlGenerator {
+
+  /** Schema-grounded prompt (doc.py:174–190 analog, dialect = Spark SQL). */
+  def buildPrompt(question: String, info: DataInfo): String = {
+    val cols = info.columns.map(c => s"  - $c: ${info.dtypes.getOrElse(c, "string")}").mkString("\n")
+    val head = info.head.take(3).map(_.toString).mkString("\n")
+    s"""You are a SQL generation assistant. Generate ONE Spark SQL query.
+       |Rules:
+       |  - The table name is fixed: '${Catalog.TableName}'.
+       |  - Only SELECT statements are allowed (no DDL/DML).
+       |  - The SQL must be valid Spark SQL.
+       |  - Return only the SQL, no explanation.
+       |Table: ${Catalog.TableName} (${info.rowCount} rows, ${info.columnCount} columns)
+       |Columns:
+       |$cols
+       |Sample rows:
+       |$head
+       |Question: $question
+       |""".stripMargin
+  }
+
+  /** Deterministic keyword-routed stub for the zero-egress environment.
+    * Shapes mirror the reference's acceptance questions; fallback mirrors
+    * doc.py:188's `SELECT *` default.
+    */
+  object Stub extends SqlGenerator {
+    def generate(question: String, info: DataInfo): String = {
+      val q = question.toLowerCase
+      val t = Catalog.TableName
+      def has(c: String) = info.columns.contains(c)
+      if ((q.contains("销售额") || q.contains("revenue") || q.contains("top")) && has("price") && has("quantity"))
+        s"SELECT product_name, SUM(price * quantity) AS total_revenue FROM $t GROUP BY product_name ORDER BY total_revenue DESC LIMIT 5"
+      else if ((q.contains("城市") || q.contains("city")) && has("customer_city"))
+        s"SELECT customer_city, SUM(price * quantity) AS total_sales FROM $t GROUP BY customer_city ORDER BY total_sales DESC"
+      else if ((q.contains("数量") || q.contains("quantity")) && has("quantity"))
+        s"SELECT * FROM $t WHERE quantity > 2"
+      else if ((q.contains("佣金") || q.contains("commission")) && has("commission_rate"))
+        s"SELECT sales_rep, AVG(commission_rate) AS avg_commission FROM $t GROUP BY sales_rep ORDER BY avg_commission DESC"
+      else if (q.contains("品牌") && has("brand"))
+        s"SELECT brand, COUNT(*) AS n FROM $t GROUP BY brand ORDER BY n DESC"
+      else if (q.contains("评分") && has("rating"))
+        s"SELECT * FROM $t WHERE rating > 4.5"
+      else if (q.contains("库存") && has("stock"))
+        s"SELECT * FROM $t WHERE stock < 30"
+      else
+        s"SELECT * FROM $t LIMIT 10" // doc.py:188 fallback analog
+    }
+  }
+}

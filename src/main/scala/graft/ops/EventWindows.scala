@@ -1,0 +1,112 @@
+package graft.ops
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import Tables._
+
+/** Time-window aggregation over the events table — the *batch twins* of
+  * the Structured Streaming pipelines in graft.streaming (SURVEY.md §2
+  * "Streaming"): tumbling, sliding, session windows, and time-bucketed
+  * dedup. The streaming equivalents are validated against these in
+  * StreamingSpec (batch–stream equivalence), and these in turn are
+  * validated against DuckDB time_bucket/window-function oracles.
+  *
+  * events.ts is parquet timestamp[ns]; Spark reads µs, DuckDB ns — every
+  * output formats timestamps at second granularity, where both agree.
+  */
+object EventWindows {
+
+  val queries: Seq[OpQuery] = Seq(
+
+    OpQuery("q_events_tumbling",
+      s"""SELECT strftime(time_bucket(INTERVAL '1 hour', ts), '%Y-%m-%d %H:%M:%S') AS wstart,
+         |       event_type,
+         |       CAST(COUNT(*) AS BIGINT) AS n,
+         |       ${oSum("value")} AS sum_value
+         |FROM events
+         |GROUP BY time_bucket(INTERVAL '1 hour', ts), event_type
+         |ORDER BY wstart, event_type""".stripMargin) { (s, d) =>
+      events(s, d)
+        .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+        .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
+        .select(date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss").as("wstart"),
+          col("event_type"), col("n"), col("sum_value"))
+        .orderBy("wstart", "event_type")
+    },
+
+    // Sliding 1h window every 15min: each event belongs to 4 windows.
+    // DuckDB twin materializes the 4 offsets explicitly — the same
+    // expansion Spark's window() performs internally.
+    OpQuery("q_events_sliding",
+      s"""SELECT strftime(time_bucket(INTERVAL '15 minutes', ts) - k * INTERVAL '15 minutes',
+         |                '%Y-%m-%d %H:%M:%S') AS wstart,
+         |       CAST(COUNT(*) AS BIGINT) AS n,
+         |       ${oSum("value")} AS sum_value
+         |FROM events, (VALUES (0), (1), (2), (3)) o(k)
+         |GROUP BY 1 ORDER BY wstart""".stripMargin) { (s, d) =>
+      events(s, d)
+        .groupBy(window(col("ts"), "1 hour", "15 minutes").as("w"))
+        .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
+        .select(date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss").as("wstart"),
+          col("n"), col("sum_value"))
+        .orderBy("wstart")
+    },
+
+    // Session windows (30-minute gap) per user. DuckDB twin is the
+    // classic lag/cumulative-sum sessionization; Spark uses the native
+    // session_window operator — semantics coincide (new session when the
+    // gap since the previous event is ≥ 30 minutes).
+    OpQuery("q_events_session",
+      """WITH marks AS (
+        |  SELECT user_id, ts,
+        |         CASE WHEN lag(ts) OVER w IS NULL
+        |               OR ts - lag(ts) OVER w >= INTERVAL '30 minutes'
+        |              THEN 1 ELSE 0 END AS brk
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |sessions AS (
+        |  SELECT user_id, ts,
+        |         SUM(brk) OVER (PARTITION BY user_id ORDER BY ts
+        |                        ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM marks)
+        |SELECT user_id,
+        |       strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+        |       CAST(COUNT(*) AS BIGINT) AS n_events
+        |FROM sessions GROUP BY user_id, sid
+        |ORDER BY user_id, session_start""".stripMargin) { (s, d) =>
+      events(s, d)
+        .groupBy(session_window(col("ts"), "30 minutes").as("w"), col("user_id"))
+        .agg(count(lit(1)).as("n_events"))
+        .select(col("user_id"),
+          date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss").as("session_start"),
+          col("n_events"))
+        .orderBy("user_id", "session_start")
+    },
+
+    // Time-bucketed dedup — the batch twin of
+    // dropDuplicatesWithinWatermark: one row per (user, type, minute).
+    OpQuery("q_events_dedup",
+      """SELECT DISTINCT user_id, event_type,
+        |       strftime(time_bucket(INTERVAL '1 minute', ts), '%Y-%m-%d %H:%M:%S') AS minute
+        |FROM events ORDER BY user_id, event_type, minute""".stripMargin) { (s, d) =>
+      events(s, d)
+        .select(col("user_id"), col("event_type"),
+          date_format(date_trunc("minute", col("ts")), "yyyy-MM-dd HH:mm:ss").as("minute"))
+        .distinct()
+        .orderBy("user_id", "event_type", "minute")
+    },
+
+    // Top event bursts: largest 1-minute counts — tumbling window + topk.
+    OpQuery("q_events_bursts",
+      """SELECT strftime(time_bucket(INTERVAL '1 minute', ts), '%Y-%m-%d %H:%M:%S') AS minute,
+        |       CAST(COUNT(*) AS BIGINT) AS n
+        |FROM events GROUP BY 1
+        |ORDER BY n DESC, minute LIMIT 10""".stripMargin) { (s, d) =>
+      events(s, d)
+        .groupBy(date_format(date_trunc("minute", col("ts")), "yyyy-MM-dd HH:mm:ss").as("minute"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("minute"))
+        .limit(10)
+    }
+  )
+}

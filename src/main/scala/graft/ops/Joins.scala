@@ -1,0 +1,191 @@
+package graft.ops
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import Tables._
+
+/** Join family (SURVEY.md §2 Tier B "Joins"): inner/left/semi/anti, cross,
+  * theta/range, multi-way star joins, derived-table joins, and an as-of
+  * join emulation.
+  *
+  * Scale discipline: dimension tables (region/nation/supplier/customer at
+  * star-schema ratios) are broadcast explicitly; fact-fact joins shuffle on
+  * their keys and rely on AQE for skew. Nothing here collects to the
+  * driver.
+  */
+object Joins {
+
+  val queries: Seq[OpQuery] = Seq(
+
+    // Fact⋈fact equi-join, aggregated: shuffle on l_orderkey/o_orderkey.
+    OpQuery("q_join_inner",
+      s"""SELECT o_orderpriority,
+         |       CAST(COUNT(*) AS BIGINT) AS n_items,
+         |       ${oSum6("l_extendedprice * (1 - l_discount)")} AS revenue
+         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         |WHERE o_orderstatus = 'F'
+         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin) { (s, d) =>
+      lineitem(s, d)
+        .select(col("l_orderkey"),
+          (col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("rev"))
+        .join(orders(s, d).filter(col("o_orderstatus") === "F")
+          .select("o_orderkey", "o_orderpriority"),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n_items"), dsum6(col("rev")).as("revenue"))
+        .orderBy("o_orderpriority")
+    },
+
+    // Left outer join preserving customers with zero orders.
+    OpQuery("q_join_left",
+      """SELECT c_custkey, CAST(COUNT(o_orderkey) AS BIGINT) AS n_orders
+        |FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        |GROUP BY c_custkey ORDER BY c_custkey""".stripMargin) { (s, d) =>
+      customer(s, d).select("c_custkey")
+        .join(orders(s, d).select("o_custkey", "o_orderkey"),
+          col("c_custkey") === col("o_custkey"), "left")
+        .groupBy("c_custkey")
+        .agg(count(col("o_orderkey")).as("n_orders"))
+        .orderBy("c_custkey")
+    },
+
+    OpQuery("q_join_semi",
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders
+        |              WHERE o_custkey = c_custkey AND o_orderstatus = 'O')
+        |ORDER BY c_custkey""".stripMargin) { (s, d) =>
+      customer(s, d)
+        .join(orders(s, d).filter(col("o_orderstatus") === "O").select("o_custkey"),
+          col("c_custkey") === col("o_custkey"), "left_semi")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")
+    },
+
+    OpQuery("q_join_anti",
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders
+        |                  WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+        |ORDER BY c_custkey""".stripMargin) { (s, d) =>
+      customer(s, d)
+        .join(orders(s, d).filter(col("o_orderpriority") === "1-URGENT").select("o_custkey"),
+          col("c_custkey") === col("o_custkey"), "left_anti")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")
+    },
+
+    OpQuery("q_join_cross",
+      """SELECT r_name, n_name FROM region CROSS JOIN nation
+        |ORDER BY r_name, n_name""".stripMargin) { (s, d) =>
+      region(s, d).select("r_name")
+        .crossJoin(nation(s, d).select("n_name"))
+        .orderBy("r_name", "n_name")
+    },
+
+    // Equi-key + theta residual: planned as a hash join with a post-filter,
+    // not a nested loop — the shape that survives scale-up.
+    OpQuery("q_join_theta",
+      """SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n_late
+        |FROM lineitem JOIN orders
+        |  ON l_orderkey = o_orderkey
+        | AND l_shipdate > o_orderdate + INTERVAL 100 DAY
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin) { (s, d) =>
+      lineitem(s, d).select("l_orderkey", "l_shipdate")
+        .join(orders(s, d).select("o_orderkey", "o_orderdate", "o_orderstatus"),
+          col("l_orderkey") === col("o_orderkey") &&
+            col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 100 DAY"))
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n_late"))
+        .orderBy("o_orderstatus")
+    },
+
+    // Pure range (non-equi) join: broadcast nested loop against the small
+    // side, aggregated to a per-supplier count.
+    OpQuery("q_join_range",
+      """SELECT s_suppkey, CAST(COUNT(*) AS BIGINT) AS n_cust
+        |FROM supplier JOIN customer
+        |  ON c_acctbal BETWEEN s_acctbal - 500 AND s_acctbal + 500
+        |GROUP BY s_suppkey ORDER BY s_suppkey""".stripMargin) { (s, d) =>
+      customer(s, d).select("c_acctbal")
+        .join(broadcast(supplier(s, d).select("s_suppkey", "s_acctbal")),
+          col("c_acctbal").between(col("s_acctbal") - 500, col("s_acctbal") + 500))
+        .groupBy("s_suppkey")
+        .agg(count(lit(1)).as("n_cust"))
+        .orderBy("s_suppkey")
+    },
+
+    // TPC-H Q5 shape: one fact-fact shuffle join + broadcast star dims.
+    OpQuery("q_join_multiway",
+      s"""SELECT n_name, ${oSum6("l_extendedprice * (1 - l_discount)")} AS revenue
+         |FROM customer
+         |JOIN orders   ON c_custkey = o_custkey
+         |JOIN lineitem ON l_orderkey = o_orderkey
+         |JOIN nation   ON c_nationkey = n_nationkey
+         |JOIN region   ON n_regionkey = r_regionkey
+         |WHERE r_name = 'ASIA'
+         |GROUP BY n_name ORDER BY revenue DESC, n_name""".stripMargin) { (s, d) =>
+      val asiaNations = nation(s, d)
+        .join(broadcast(region(s, d).filter(col("r_name") === "ASIA").select("r_regionkey")),
+          col("n_regionkey") === col("r_regionkey"))
+        .select("n_nationkey", "n_name")
+      val cust = customer(s, d).select("c_custkey", "c_nationkey")
+        .join(broadcast(asiaNations), col("c_nationkey") === col("n_nationkey"))
+        .select("c_custkey", "n_name")
+      orders(s, d).select("o_orderkey", "o_custkey")
+        .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+        .join(lineitem(s, d).select(col("l_orderkey"),
+            (col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("rev")),
+          col("o_orderkey") === col("l_orderkey"))
+        .groupBy("n_name")
+        .agg(dsum6(col("rev")).as("revenue"))
+        .orderBy(col("revenue").desc, col("n_name"))
+    },
+
+    // Join against a derived aggregate (the reference's session-list shape,
+    // /root/reference/database.py:217–232: join on per-group MAX).
+    OpQuery("q_join_derived",
+      """SELECT o.o_custkey,
+        |       strftime(m.max_date, '%Y-%m-%d') AS last_order_day,
+        |       CAST(MAX(o.o_orderkey) AS BIGINT) AS last_orderkey
+        |FROM orders o
+        |JOIN (SELECT o_custkey AS k, MAX(o_orderdate) AS max_date
+        |      FROM orders GROUP BY o_custkey) m
+        |  ON o.o_custkey = m.k AND o.o_orderdate = m.max_date
+        |GROUP BY o.o_custkey, m.max_date
+        |ORDER BY o.o_custkey""".stripMargin) { (s, d) =>
+      val o = orders(s, d).select("o_custkey", "o_orderkey", "o_orderdate")
+      val m = o.groupBy(col("o_custkey").as("k")).agg(max(col("o_orderdate")).as("max_date"))
+      o.join(m, col("o_custkey") === col("k") && col("o_orderdate") === col("max_date"))
+        .groupBy(col("o_custkey"), col("max_date"))
+        .agg(max(col("o_orderkey")).as("last_orderkey"))
+        .select(col("o_custkey"),
+          date_format(col("max_date"), "yyyy-MM-dd").as("last_order_day"),
+          col("last_orderkey"))
+        .orderBy("o_custkey")
+    },
+
+    // As-of join (DuckDB ASOF JOIN; SURVEY.md §2): for each event, the most
+    // recent order of the same user at or before the event time. Spark has
+    // no builtin — emulated as equi-join + per-event window top-1. The
+    // matched *date* (not an arbitrary tied key) is output so ties are
+    // deterministic, matching ASOF semantics on both engines.
+    OpQuery("q_asof_join",
+      """SELECT e.event_id, strftime(o.o_orderdate, '%Y-%m-%d') AS asof_day
+        |FROM events e
+        |ASOF LEFT JOIN orders o
+        |  ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
+        |ORDER BY e.event_id""".stripMargin) { (s, d) =>
+      val e = events(s, d).select("event_id", "user_id", "ts")
+      val o = orders(s, d).select("o_custkey", "o_orderdate")
+      val joined = e.join(broadcast(o),
+        col("user_id") === col("o_custkey") && col("ts") >= col("o_orderdate"), "left")
+      val w = Window.partitionBy(col("event_id")).orderBy(col("o_orderdate").desc_nulls_last)
+      joined
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("event_id"), date_format(col("o_orderdate"), "yyyy-MM-dd").as("asof_day"))
+        .orderBy("event_id")
+    }
+  )
+}

@@ -1,0 +1,406 @@
+package graft.ops
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import Tables._
+
+/** Tier-B relational surface: scan/filter/project, aggregation, sort /
+  * top-k, set ops, subqueries (SURVEY.md §2 Tier B).
+  *
+  * Every query is a declarative DataFrame program — Catalyst handles
+  * pushdown/pruning/agg placement — and ends in a total ORDER BY so the
+  * output hash-compares deterministically against the DuckDB oracle.
+  * Scale notes are on the individual queries where the plan shape matters.
+  */
+object Relational {
+
+  val queries: Seq[OpQuery] = Seq(
+
+    // -- scan / projection -------------------------------------------------
+    // Projection reaches the parquet scan (ReadSchema prunes to 4 columns).
+    OpQuery("q_scan_project",
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin) { (s, d) =>
+      lineitem(s, d)
+        .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
+        .orderBy("l_orderkey", "l_linenumber")
+    },
+
+    // -- filters (pushed to the scan: PushedFilters in explain) ------------
+    OpQuery("q_filter_compare",
+      """SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
+        |WHERE l_quantity > 45 ORDER BY l_orderkey, l_linenumber""".stripMargin) { (s, d) =>
+      lineitem(s, d)
+        .filter(col("l_quantity") > 45)
+        .select("l_orderkey", "l_linenumber", "l_quantity")
+        .orderBy("l_orderkey", "l_linenumber")
+    },
+
+    OpQuery("q_filter_string_eq",
+      """SELECT o_orderkey, o_totalprice FROM orders
+        |WHERE o_orderstatus = 'F' AND o_orderpriority = '1-URGENT'
+        |ORDER BY o_orderkey""".stripMargin) { (s, d) =>
+      orders(s, d)
+        .filter(col("o_orderstatus") === "F" && col("o_orderpriority") === "1-URGENT")
+        .select("o_orderkey", "o_totalprice")
+        .orderBy("o_orderkey")
+    },
+
+    OpQuery("q_filter_date_range",
+      """SELECT l_orderkey, l_linenumber, strftime(l_shipdate, '%Y-%m-%d') AS ship_day
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin) { (s, d) =>
+      lineitem(s, d)
+        .filter(col("l_shipdate") >= to_timestamp(lit("1996-01-01")) &&
+                col("l_shipdate") < to_timestamp(lit("1997-01-01")))
+        .select(col("l_orderkey"), col("l_linenumber"),
+          date_format(col("l_shipdate"), "yyyy-MM-dd").as("ship_day"))
+        .orderBy("l_orderkey", "l_linenumber")
+    },
+
+    OpQuery("q_filter_compound",
+      """SELECT l_orderkey, l_linenumber FROM lineitem
+        |WHERE (l_returnflag = 'A' OR l_returnflag = 'R')
+        |  AND NOT (l_linestatus = 'O')
+        |  AND l_quantity IN (1, 2, 3)
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin) { (s, d) =>
+      lineitem(s, d)
+        .filter((col("l_returnflag") === "A" || col("l_returnflag") === "R") &&
+                !(col("l_linestatus") === "O") &&
+                col("l_quantity").isin(1, 2, 3))
+        .select("l_orderkey", "l_linenumber")
+        .orderBy("l_orderkey", "l_linenumber")
+    },
+
+    OpQuery("q_filter_like",
+      """SELECT p_partkey, p_name, p_type FROM part
+        |WHERE p_name LIKE '%widget%' AND p_type LIKE 'PRO%'
+        |ORDER BY p_partkey""".stripMargin) { (s, d) =>
+      part(s, d)
+        .filter(col("p_name").like("%widget%") && col("p_type").like("PRO%"))
+        .select("p_partkey", "p_name", "p_type")
+        .orderBy("p_partkey")
+    },
+
+    // The testdata has no physical nulls, so nulls are *derived* with
+    // NULLIF and then filtered with IS NULL / handled with COALESCE.
+    OpQuery("q_filter_null",
+      """SELECT o_orderkey, COALESCE(NULLIF(o_orderstatus, 'P'), 'PENDING') AS status
+        |FROM orders WHERE NULLIF(o_orderstatus, 'P') IS NULL
+        |ORDER BY o_orderkey""".stripMargin) { (s, d) =>
+      orders(s, d)
+        .select(col("o_orderkey"),
+          coalesce(expr("nullif(o_orderstatus, 'P')"), lit("PENDING")).as("status"),
+          expr("nullif(o_orderstatus, 'P')").as("n"))
+        .filter(col("n").isNull)
+        .select("o_orderkey", "status")
+        .orderBy("o_orderkey")
+    },
+
+    OpQuery("q_distinct",
+      """SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin) { (s, d) =>
+      lineitem(s, d)
+        .select("l_returnflag", "l_linestatus")
+        .distinct()
+        .orderBy("l_returnflag", "l_linestatus")
+    },
+
+    // Per-row IEEE arithmetic is bit-deterministic given the same
+    // association order, so no rounding is needed here.
+    OpQuery("q_proj_arithmetic",
+      """SELECT l_orderkey, l_linenumber,
+        |       l_extendedprice * (1 - l_discount) * (1 + l_tax) AS charge
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin) { (s, d) =>
+      lineitem(s, d)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          (col("l_extendedprice") * (lit(1.0) - col("l_discount")) * (lit(1.0) + col("l_tax"))).as("charge"))
+        .orderBy("l_orderkey", "l_linenumber")
+    },
+
+    OpQuery("q_case_when",
+      """SELECT o_orderkey,
+        |       CASE WHEN o_totalprice > 300000 THEN 'big'
+        |            WHEN o_totalprice > 150000 THEN 'mid'
+        |            ELSE 'small' END AS bucket
+        |FROM orders ORDER BY o_orderkey""".stripMargin) { (s, d) =>
+      orders(s, d)
+        .select(col("o_orderkey"),
+          when(col("o_totalprice") > 300000, "big")
+            .when(col("o_totalprice") > 150000, "mid")
+            .otherwise("small").as("bucket"))
+        .orderBy("o_orderkey")
+    },
+
+    // -- aggregation -------------------------------------------------------
+    OpQuery("q_agg_global",
+      s"""SELECT CAST(COUNT(*) AS BIGINT) AS cnt,
+         |       ${oSum("o_totalprice")} AS sum_price,
+         |       MIN(o_totalprice) AS min_price,
+         |       MAX(o_totalprice) AS max_price,
+         |       ${oAvg("o_totalprice")} AS avg_price
+         |FROM orders""".stripMargin) { (s, d) =>
+      orders(s, d).agg(
+        count(lit(1)).as("cnt"),
+        dsum(col("o_totalprice")).as("sum_price"),
+        min(col("o_totalprice")).as("min_price"),
+        max(col("o_totalprice")).as("max_price"),
+        (dsum(col("o_totalprice")) / count(lit(1))).as("avg_price"))
+    },
+
+    // TPC-H Q1 shape: partial (map-side) aggregation then a 6-group final —
+    // the canonical shuffle-light aggregate; survives any scale-up because
+    // the shuffle carries only |groups| × partial-state rows.
+    OpQuery("q_agg_group",
+      s"""SELECT l_returnflag, l_linestatus,
+         |       ${oSum("l_quantity")} AS sum_qty,
+         |       ${oSum("l_extendedprice")} AS sum_base_price,
+         |       ${oSum6("l_extendedprice * (1 - l_discount)")} AS sum_disc_price,
+         |       ${oSum6("l_extendedprice * (1 - l_discount) * (1 + l_tax)")} AS sum_charge,
+         |       ${oSum("l_quantity")} / COUNT(*) AS avg_qty,
+         |       ${oSum("l_extendedprice")} / COUNT(*) AS avg_price,
+         |       ${oSum("l_discount")} / COUNT(*) AS avg_disc,
+         |       CAST(COUNT(*) AS BIGINT) AS count_order
+         |FROM lineitem
+         |WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+         |GROUP BY l_returnflag, l_linestatus
+         |ORDER BY l_returnflag, l_linestatus""".stripMargin) { (s, d) =>
+      val disc  = col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+      val charge = disc * (lit(1.0) + col("l_tax"))
+      lineitem(s, d)
+        .filter(col("l_shipdate") <= to_timestamp(lit("1998-09-02")))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          dsum(col("l_quantity")).as("sum_qty"),
+          dsum(col("l_extendedprice")).as("sum_base_price"),
+          dsum6(disc).as("sum_disc_price"),
+          dsum6(charge).as("sum_charge"),
+          (dsum(col("l_quantity")) / count(lit(1))).as("avg_qty"),
+          (dsum(col("l_extendedprice")) / count(lit(1))).as("avg_price"),
+          (dsum(col("l_discount")) / count(lit(1))).as("avg_disc"),
+          count(lit(1)).as("count_order"))
+        .orderBy("l_returnflag", "l_linestatus")
+    },
+
+    OpQuery("q_agg_multigroup",
+      s"""SELECT o_orderstatus, o_orderpriority,
+         |       CAST(COUNT(*) AS BIGINT) AS n_orders,
+         |       ${oSum("o_totalprice")} AS sum_price
+         |FROM orders GROUP BY o_orderstatus, o_orderpriority
+         |ORDER BY o_orderstatus, o_orderpriority""".stripMargin) { (s, d) =>
+      orders(s, d)
+        .groupBy("o_orderstatus", "o_orderpriority")
+        .agg(count(lit(1)).as("n_orders"), dsum(col("o_totalprice")).as("sum_price"))
+        .orderBy("o_orderstatus", "o_orderpriority")
+    },
+
+    OpQuery("q_agg_having",
+      s"""SELECT l_suppkey, ${oSum("l_quantity")} AS sum_qty
+         |FROM lineitem GROUP BY l_suppkey
+         |HAVING ${oSum("l_quantity")} > 10000
+         |ORDER BY l_suppkey""".stripMargin) { (s, d) =>
+      lineitem(s, d)
+        .groupBy("l_suppkey")
+        .agg(dsum(col("l_quantity")).as("sum_qty"))
+        .filter(col("sum_qty") > 10000)
+        .orderBy("l_suppkey")
+    },
+
+    OpQuery("q_agg_count_distinct",
+      """SELECT l_returnflag,
+        |       CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS n_supp,
+        |       CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n_orders
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin) { (s, d) =>
+      lineitem(s, d)
+        .groupBy("l_returnflag")
+        .agg(countDistinct(col("l_suppkey")).as("n_supp"),
+             countDistinct(col("l_orderkey")).as("n_orders"))
+        .orderBy("l_returnflag")
+    },
+
+    // HLL sketches differ across engines → rows-only check. At 100 TB this
+    // (not exact COUNT DISTINCT) is the operator you actually run.
+    OpQuery.noOracle("q_agg_approx_distinct") { (s, d) =>
+      lineitem(s, d)
+        .groupBy("l_returnflag")
+        .agg(approx_count_distinct(col("l_orderkey")).as("approx_orders"))
+        .orderBy("l_returnflag")
+    },
+
+    OpQuery("q_agg_stats",
+      """SELECT l_returnflag,
+        |       ROUND(stddev_samp(l_discount), 6) AS sd_disc,
+        |       ROUND(var_samp(l_discount), 6) AS var_disc,
+        |       median(l_quantity) AS med_qty,
+        |       ROUND(quantile_cont(l_extendedprice, 0.9), 4) AS p90_price
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin) { (s, d) =>
+      lineitem(s, d)
+        .groupBy("l_returnflag")
+        .agg(
+          round(stddev_samp(col("l_discount")), 6).as("sd_disc"),
+          round(var_samp(col("l_discount")), 6).as("var_disc"),
+          median(col("l_quantity")).as("med_qty"),
+          round(expr("percentile(l_extendedprice, 0.9)"), 4).as("p90_price"))
+        .orderBy("l_returnflag")
+    },
+
+    // -- grouping sets / rollup / cube ------------------------------------
+    OpQuery("q_rollup",
+      s"""SELECT l_returnflag, l_linestatus,
+         |       CAST(COUNT(*) AS BIGINT) AS cnt, ${oSum("l_quantity")} AS sum_qty
+         |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+         |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin) { (s, d) =>
+      lineitem(s, d)
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(count(lit(1)).as("cnt"), dsum(col("l_quantity")).as("sum_qty"))
+        .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
+    },
+
+    OpQuery("q_cube",
+      s"""SELECT l_returnflag, l_linestatus,
+         |       CAST(COUNT(*) AS BIGINT) AS cnt, ${oSum("l_quantity")} AS sum_qty
+         |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+         |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin) { (s, d) =>
+      lineitem(s, d)
+        .cube("l_returnflag", "l_linestatus")
+        .agg(count(lit(1)).as("cnt"), dsum(col("l_quantity")).as("sum_qty"))
+        .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
+    },
+
+    OpQuery("q_grouping_sets",
+      s"""SELECT l_returnflag, l_linestatus,
+         |       CAST(GROUPING(l_returnflag) AS INT) AS g_rf,
+         |       CAST(GROUPING(l_linestatus) AS INT) AS g_ls,
+         |       CAST(COUNT(*) AS BIGINT) AS cnt, ${oSum("l_quantity")} AS sum_qty
+         |FROM lineitem
+         |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+         |ORDER BY g_rf, g_ls, l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin) { (s, d) =>
+      lineitem(s, d).createOrReplaceTempView("graft_li_gs")
+      s.sql(
+        s"""SELECT l_returnflag, l_linestatus,
+           |       CAST(GROUPING(l_returnflag) AS INT) AS g_rf,
+           |       CAST(GROUPING(l_linestatus) AS INT) AS g_ls,
+           |       CAST(COUNT(*) AS BIGINT) AS cnt,
+           |       CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty
+           |FROM graft_li_gs
+           |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+           |ORDER BY g_rf, g_ls, l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin)
+    },
+
+    // -- sort / top-k ------------------------------------------------------
+    OpQuery("q_sort_multikey",
+      """SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+        |ORDER BY o_orderstatus ASC, o_totalprice DESC, o_orderkey ASC""".stripMargin) { (s, d) =>
+      orders(s, d)
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+        .orderBy(col("o_orderstatus").asc, col("o_totalprice").desc, col("o_orderkey").asc)
+    },
+
+    // ORDER BY + LIMIT plans as TakeOrderedAndProject: per-partition top-k
+    // then a k-row driver merge — no global sort at any scale.
+    OpQuery("q_topk",
+      """SELECT o_orderkey, o_totalprice FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""".stripMargin) { (s, d) =>
+      orders(s, d)
+        .select("o_orderkey", "o_totalprice")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .limit(10)
+    },
+
+    // -- set operations ----------------------------------------------------
+    OpQuery("q_union_all",
+      """SELECT o_orderkey, 'high' AS tag FROM orders WHERE o_totalprice > 400000
+        |UNION ALL
+        |SELECT o_orderkey, 'urgent' AS tag FROM orders WHERE o_orderpriority = '1-URGENT'
+        |ORDER BY o_orderkey, tag""".stripMargin) { (s, d) =>
+      val o = orders(s, d)
+      o.filter(col("o_totalprice") > 400000).select(col("o_orderkey"), lit("high").as("tag"))
+        .unionAll(
+          o.filter(col("o_orderpriority") === "1-URGENT").select(col("o_orderkey"), lit("urgent").as("tag")))
+        .orderBy("o_orderkey", "tag")
+    },
+
+    OpQuery("q_union_distinct",
+      """SELECT o_custkey AS custkey FROM orders WHERE o_totalprice > 300000
+        |UNION
+        |SELECT c_custkey AS custkey FROM customer WHERE c_acctbal < 0
+        |ORDER BY custkey""".stripMargin) { (s, d) =>
+      orders(s, d).filter(col("o_totalprice") > 300000).select(col("o_custkey").as("custkey"))
+        .union(customer(s, d).filter(col("c_acctbal") < 0).select(col("c_custkey").as("custkey")))
+        .distinct()
+        .orderBy("custkey")
+    },
+
+    OpQuery("q_intersect",
+      """SELECT o_custkey AS custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+        |INTERSECT
+        |SELECT o_custkey AS custkey FROM orders WHERE o_totalprice > 200000
+        |ORDER BY custkey""".stripMargin) { (s, d) =>
+      val o = orders(s, d)
+      o.filter(col("o_orderpriority") === "1-URGENT").select(col("o_custkey").as("custkey"))
+        .intersect(o.filter(col("o_totalprice") > 200000).select(col("o_custkey").as("custkey")))
+        .orderBy("custkey")
+    },
+
+    OpQuery("q_except",
+      """SELECT c_custkey AS custkey FROM customer
+        |EXCEPT
+        |SELECT o_custkey AS custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+        |ORDER BY custkey""".stripMargin) { (s, d) =>
+      customer(s, d).select(col("c_custkey").as("custkey"))
+        .except(orders(s, d).filter(col("o_orderpriority") === "1-URGENT")
+          .select(col("o_custkey").as("custkey")))
+        .orderBy("custkey")
+    },
+
+    // -- subqueries / CTE --------------------------------------------------
+    // Scalar subquery = broadcast of a 1-row aggregate; the decimal-exact
+    // average keeps the filter boundary identical on both engines.
+    OpQuery("q_subquery_scalar",
+      s"""SELECT o_orderkey, o_totalprice FROM orders
+         |WHERE o_totalprice > (SELECT ${oAvg("o_totalprice")} FROM orders)
+         |ORDER BY o_orderkey""".stripMargin) { (s, d) =>
+      val o = orders(s, d)
+      val avgDf = o.agg((dsum(col("o_totalprice")) / count(lit(1))).as("avg_tp"))
+      o.select("o_orderkey", "o_totalprice")
+        .crossJoin(broadcast(avgDf))
+        .filter(col("o_totalprice") > col("avg_tp"))
+        .select("o_orderkey", "o_totalprice")
+        .orderBy("o_orderkey")
+    },
+
+    OpQuery("q_subquery_in",
+      """SELECT o_orderkey, o_custkey FROM orders
+        |WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')
+        |ORDER BY o_orderkey""".stripMargin) { (s, d) =>
+      orders(s, d)
+        .join(broadcast(customer(s, d).filter(col("c_mktsegment") === "BUILDING")
+          .select(col("c_custkey"))), col("o_custkey") === col("c_custkey"), "left_semi")
+        .select("o_orderkey", "o_custkey")
+        .orderBy("o_orderkey")
+    },
+
+    // TPC-H Q15 shape: CTE reused twice (revenue per supplier + its max).
+    OpQuery("q_cte_maxrev",
+      s"""WITH rev AS (
+         |  SELECT l_suppkey, ${oSum6("l_extendedprice * (1 - l_discount)")} AS total_rev
+         |  FROM lineitem GROUP BY l_suppkey)
+         |SELECT s_suppkey, s_name, total_rev
+         |FROM supplier JOIN rev ON s_suppkey = l_suppkey
+         |WHERE total_rev = (SELECT MAX(total_rev) FROM rev)
+         |ORDER BY s_suppkey""".stripMargin) { (s, d) =>
+      val rev = lineitem(s, d)
+        .groupBy("l_suppkey")
+        .agg(dsum6(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("total_rev"))
+      val maxRev = rev.agg(max(col("total_rev")).as("max_rev"))
+      supplier(s, d)
+        .join(rev, col("s_suppkey") === col("l_suppkey"))
+        .crossJoin(broadcast(maxRev))
+        .filter(col("total_rev") === col("max_rev"))
+        .select("s_suppkey", "s_name", "total_rev")
+        .orderBy("s_suppkey")
+    }
+  )
+}

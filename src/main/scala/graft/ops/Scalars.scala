@@ -1,0 +1,157 @@
+package graft.ops
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import Tables._
+
+/** Scalar-function families (SURVEY.md §2 Tier B "Scalar functions"):
+  * date/time, string, math, casts, JSON extraction, array/higher-order
+  * functions, and UNNEST/explode.
+  *
+  * Dialect divergences handled per SURVEY §7.4: DuckDB `strftime` ↔ Spark
+  * `date_format`; DuckDB `json_extract_string` ↔ Spark `get_json_object`;
+  * DuckDB list_* ↔ Spark higher-order array functions; DuckDB `ceil`
+  * returns DOUBLE while Spark returns BIGINT (both sides cast explicitly);
+  * DuckDB's `dayofweek` is 0=Sunday while Spark's is 1=Sunday (aligned by
+  * arithmetic).
+  */
+object Scalars {
+
+  val queries: Seq[OpQuery] = Seq(
+
+    OpQuery("q_scalar_date",
+      """SELECT o_orderkey,
+        |       CAST(year(o_orderdate) AS INT)    AS y,
+        |       CAST(month(o_orderdate) AS INT)   AS m,
+        |       CAST(day(o_orderdate) AS INT)     AS dom,
+        |       CAST(quarter(o_orderdate) AS INT) AS q,
+        |       CAST(dayofweek(o_orderdate) AS INT) AS dow,
+        |       strftime(o_orderdate, '%Y-%m')    AS ym,
+        |       strftime(date_trunc('month', o_orderdate), '%Y-%m-%d') AS month_start
+        |FROM orders ORDER BY o_orderkey""".stripMargin) { (s, d) =>
+      orders(s, d).select(
+        col("o_orderkey"),
+        year(col("o_orderdate")).as("y"),
+        month(col("o_orderdate")).as("m"),
+        dayofmonth(col("o_orderdate")).as("dom"),
+        quarter(col("o_orderdate")).as("q"),
+        (dayofweek(col("o_orderdate")) - 1).as("dow"), // Spark 1=Sun → DuckDB 0=Sun
+        date_format(col("o_orderdate"), "yyyy-MM").as("ym"),
+        date_format(date_trunc("month", col("o_orderdate")), "yyyy-MM-dd").as("month_start"))
+        .orderBy("o_orderkey")
+    },
+
+    OpQuery("q_scalar_string",
+      """SELECT c_custkey,
+        |       lower(c_name)                    AS lo,
+        |       upper(c_mktsegment)              AS up,
+        |       substring(c_name, 10, 9)         AS tail9,
+        |       concat(c_mktsegment, '-', c_name) AS joined,
+        |       trim(concat(' ', c_name, ' '))   AS trimmed,
+        |       CAST(length(c_name) AS INT)      AS name_len,
+        |       replace(c_name, 'Customer', 'C') AS short_name,
+        |       lpad(CAST(c_custkey AS VARCHAR), 8, '0') AS padded
+        |FROM customer ORDER BY c_custkey""".stripMargin) { (s, d) =>
+      customer(s, d).select(
+        col("c_custkey"),
+        lower(col("c_name")).as("lo"),
+        upper(col("c_mktsegment")).as("up"),
+        substring(col("c_name"), 10, 9).as("tail9"),
+        concat(col("c_mktsegment"), lit("-"), col("c_name")).as("joined"),
+        trim(concat(lit(" "), col("c_name"), lit(" "))).as("trimmed"),
+        length(col("c_name")).as("name_len"),
+        regexp_replace(col("c_name"), "Customer", "C").as("short_name"),
+        lpad(col("c_custkey").cast("string"), 8, "0").as("padded"))
+        .orderBy("c_custkey")
+    },
+
+    OpQuery("q_scalar_math",
+      """SELECT c_custkey,
+        |       abs(c_acctbal)                    AS abs_bal,
+        |       CAST(ceil(c_acctbal) AS BIGINT)   AS ceil_bal,
+        |       CAST(floor(c_acctbal) AS BIGINT)  AS floor_bal,
+        |       ROUND(sqrt(abs(c_acctbal)), 6)    AS sqrt_bal,
+        |       ROUND(ln(abs(c_acctbal) + 1), 6)  AS ln_bal,
+        |       ROUND(power(c_acctbal, 2), 4)     AS sq_bal,
+        |       CAST(c_custkey % 7 AS BIGINT)     AS mod7
+        |FROM customer ORDER BY c_custkey""".stripMargin) { (s, d) =>
+      customer(s, d).select(
+        col("c_custkey"),
+        abs(col("c_acctbal")).as("abs_bal"),
+        ceil(col("c_acctbal")).as("ceil_bal"),
+        floor(col("c_acctbal")).as("floor_bal"),
+        round(sqrt(abs(col("c_acctbal"))), 6).as("sqrt_bal"),
+        round(log(abs(col("c_acctbal")) + 1), 6).as("ln_bal"),
+        round(pow(col("c_acctbal"), 2), 4).as("sq_bal"),
+        (col("c_custkey") % 7).as("mod7"))
+        .orderBy("c_custkey")
+    },
+
+    OpQuery("q_scalar_cast",
+      """SELECT l_orderkey, l_linenumber,
+        |       CAST(l_linenumber AS VARCHAR)          AS ln_str,
+        |       CAST(CAST(l_quantity AS BIGINT) AS VARCHAR) AS qty_str,
+        |       CAST(CAST(l_quantity AS DECIMAL(10,2)) AS VARCHAR) AS qty_dec_str,
+        |       strftime(CAST(strftime(l_shipdate, '%Y-%m-%d') AS DATE), '%Y-%m-%d') AS ship_day,
+        |       CAST('42' AS BIGINT)                   AS answer
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin) { (s, d) =>
+      lineitem(s, d).select(
+        col("l_orderkey"), col("l_linenumber"),
+        col("l_linenumber").cast("string").as("ln_str"),
+        col("l_quantity").cast("long").cast("string").as("qty_str"),
+        col("l_quantity").cast(DecimalType(10, 2)).cast("string").as("qty_dec_str"),
+        date_format(to_date(date_format(col("l_shipdate"), "yyyy-MM-dd")), "yyyy-MM-dd").as("ship_day"),
+        lit("42").cast("long").as("answer"))
+        .orderBy("l_orderkey", "l_linenumber")
+    },
+
+    OpQuery("q_json_extract",
+      """SELECT event_id,
+        |       json_extract_string(props, '$.k') AS k_str,
+        |       CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_num
+        |FROM events ORDER BY event_id""".stripMargin) { (s, d) =>
+      events(s, d).select(
+        col("event_id"),
+        get_json_object(col("props"), "$.k").as("k_str"),
+        get_json_object(col("props"), "$.k").cast("long").as("k_num"))
+        .orderBy("event_id")
+    },
+
+    // Higher-order array functions over the embedding column. The fold is
+    // explicitly double-typed; DuckDB's twin folds the same element order.
+    OpQuery("q_array_ops",
+      """SELECT vec_id,
+        |       CAST(len(embedding) AS INT) AS dim,
+        |       CAST(embedding[1] AS DOUBLE) AS first_elem,
+        |       ROUND(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE))), 4) AS vec_sum,
+        |       ROUND(list_max(list_transform(embedding, x -> CAST(x AS DOUBLE))), 6) AS vec_max
+        |FROM embeddings ORDER BY vec_id""".stripMargin) { (s, d) =>
+      embeddings(s, d).select(
+        col("vec_id"),
+        size(col("embedding")).as("dim"),
+        element_at(col("embedding"), 1).cast("double").as("first_elem"),
+        round(aggregate(transform(col("embedding"), x => x.cast("double")),
+          lit(0.0), (acc, x) => acc + x), 4).as("vec_sum"),
+        round(array_max(transform(col("embedding"), x => x.cast("double"))), 6).as("vec_max"))
+        .orderBy("vec_id")
+    },
+
+    // UNNEST / explode: token frequency over documents (LATERAL-style
+    // table generation + re-aggregation).
+    OpQuery("q_explode_tokens",
+      """SELECT token, CAST(COUNT(*) AS BIGINT) AS n
+        |FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents) t
+        |WHERE token <> ''
+        |GROUP BY token ORDER BY n DESC, token LIMIT 25""".stripMargin) { (s, d) =>
+      documents(s, d)
+        .select(explode(split(col("text"), " ")).as("token"))
+        .filter(col("token") =!= "")
+        .groupBy("token")
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("token"))
+        .limit(25)
+    }
+  )
+}

@@ -1,0 +1,74 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Testdata table loaders + shared determinism helpers.
+  *
+  * Every operator query must hash-match a DuckDB oracle running on the
+  * same parquet (driver contract, Verify.scala). Floating-point
+  * aggregation order differs between engines (Spark partial aggregates in
+  * parallel; DuckDB sums sequentially), so money-style SUM/AVG go through
+  * exact DECIMAL accumulation and only the final value is cast back to
+  * DOUBLE — bit-identical on both engines, order-independent, and still
+  * cheap (decimal sum is codegen'd; at 100 TB it is the same shuffle
+  * shape as a double sum).
+  */
+object Tables {
+  def t(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  def region(s: SparkSession, d: String): DataFrame    = t(s, d, "region")
+  def nation(s: SparkSession, d: String): DataFrame    = t(s, d, "nation")
+  def customer(s: SparkSession, d: String): DataFrame  = t(s, d, "customer")
+  def supplier(s: SparkSession, d: String): DataFrame  = t(s, d, "supplier")
+  def part(s: SparkSession, d: String): DataFrame      = t(s, d, "part")
+  def orders(s: SparkSession, d: String): DataFrame    = t(s, d, "orders")
+  def lineitem(s: SparkSession, d: String): DataFrame  = t(s, d, "lineitem")
+  /** events.ts is parquet TIMESTAMP(NANOS), which Spark's TimestampType
+    * (µs) refuses outright — read it as raw nanos and truncate to µs.
+    * Integer `div` keeps full precision (ns epoch values exceed 2^53, so
+    * double division would corrupt them). All event queries emit
+    * second-granularity timestamps, where µs-Spark and ns-DuckDB agree.
+    */
+  def events(s: SparkSession, d: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    t(s, d, "events").withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
+  def documents(s: SparkSession, d: String): DataFrame = t(s, d, "documents")
+  def embeddings(s: SparkSession, d: String): DataFrame = t(s, d, "embeddings")
+
+  // ---- determinism helpers (Spark side) -------------------------------
+  /** Exact decimal image of a ~2-dp money double. */
+  def dec(c: Column): Column = c.cast(DecimalType(18, 4))
+  /** Exact decimal image of a product of ≤3 clean-decimal doubles: the true
+    * value has ≤6 decimal places, so rounding the double product to 6 dp
+    * recovers it exactly on both engines. */
+  def dec6(c: Column): Column = c.cast(DecimalType(18, 6))
+  /** Order-independent SUM(double) with an exact decimal accumulator. */
+  def dsum(c: Column): Column = sum(dec(c)).cast("double")
+  def dsum6(c: Column): Column = sum(dec6(c)).cast("double")
+
+  // ---- determinism helpers (oracle side, ANSI/DuckDB SQL) --------------
+  /** SQL twin of [[dsum]]. */
+  def oSum(e: String): String = s"CAST(SUM(CAST($e AS DECIMAL(18,4))) AS DOUBLE)"
+  def oSum6(e: String): String = s"CAST(SUM(CAST($e AS DECIMAL(18,6))) AS DOUBLE)"
+  /** SQL twin of the decimal-exact average. */
+  def oAvg(e: String): String = s"CAST(SUM(CAST($e AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*)"
+}
+
+/** A named operator query + its DuckDB oracle (None → driver runs the
+  * weaker rows-only check; used for ops whose semantics are not
+  * SQL-expressible, e.g. MinHash with Spark's murmur3). */
+final case class OpQuery(
+    name: String,
+    run: (SparkSession, String) => DataFrame,
+    oracle: Option[String])
+
+object OpQuery {
+  def apply(name: String, oracle: String)(run: (SparkSession, String) => DataFrame): OpQuery =
+    OpQuery(name, run, Some(oracle))
+  def noOracle(name: String)(run: (SparkSession, String) => DataFrame): OpQuery =
+    OpQuery(name, run, None)
+}

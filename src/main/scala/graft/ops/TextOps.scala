@@ -1,0 +1,153 @@
+package graft.ops
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import Tables._
+
+/** Text-analysis operators for training-data pipelines (north-star scope,
+  * SURVEY.md §2): token statistics, quality scoring, language-ID
+  * heuristics, and document fingerprinting. All pure column expressions
+  * (codegen'd, no UDFs), each with an ANSI-SQL oracle twin.
+  */
+object TextOps {
+
+  private val Stopwords = Seq("the", "a", "of", "and", "to", "in")
+
+  val queries: Seq[OpQuery] = Seq(
+
+    // Per-document stats: token count, average token length, stopword
+    // ratio. Integer-derived doubles → identical on both engines.
+    OpQuery("q_text_stats",
+      s"""SELECT doc_id,
+         |       CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+         |       CAST(length(replace(text, ' ', '')) AS DOUBLE)
+         |         / len(string_split(text, ' ')) AS avg_tok_len,
+         |       CAST(len(list_filter(string_split(text, ' '),
+         |                x -> x IN (${Stopwords.map(w => s"'$w'").mkString(", ")}))) AS DOUBLE)
+         |         / len(string_split(text, ' ')) AS stopword_ratio
+         |FROM documents ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val toks = split(col("text"), " ")
+      documents(s, d)
+        .select(col("doc_id"),
+          size(toks).cast("long").as("n_tokens"),
+          (length(regexp_replace(col("text"), " ", "")).cast("double") / size(toks)).as("avg_tok_len"),
+          (size(filter(toks, x => x.isInCollection(Stopwords))).cast("double") / size(toks)).as("stopword_ratio"))
+        .orderBy("doc_id")
+    },
+
+    // Quality score: length/structure heuristic in [0,1] — short docs,
+    // over-long tokens, and low stopword density are penalized.
+    OpQuery("q_text_quality",
+      s"""SELECT doc_id,
+         |       ROUND(
+         |         0.4 * LEAST(CAST(len(string_split(text, ' ')) AS DOUBLE) / 50, 1.0)
+         |       + 0.3 * (CASE WHEN CAST(length(replace(text, ' ', '')) AS DOUBLE)
+         |                          / len(string_split(text, ' ')) BETWEEN 3 AND 10
+         |                     THEN 1.0 ELSE 0.0 END)
+         |       + 0.3 * LEAST(CAST(len(list_filter(string_split(text, ' '),
+         |                x -> x IN (${Stopwords.map(w => s"'$w'").mkString(", ")}))) AS DOUBLE)
+         |         / len(string_split(text, ' ')) * 5, 1.0), 6) AS quality
+         |FROM documents ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val toks = split(col("text"), " ")
+      val nTok = size(toks).cast("double")
+      val avgLen = length(regexp_replace(col("text"), " ", "")).cast("double") / size(toks)
+      val stopRatio = size(filter(toks, x => x.isInCollection(Stopwords))).cast("double") / size(toks)
+      documents(s, d)
+        .select(col("doc_id"),
+          round(lit(0.4) * least(nTok / 50, lit(1.0))
+            + lit(0.3) * when(avgLen.between(3, 10), 1.0).otherwise(0.0)
+            + lit(0.3) * least(stopRatio * 5, lit(1.0)), 6).as("quality"))
+        .orderBy("doc_id")
+    },
+
+    // Language-ID heuristic: printable-ASCII ratio routes CJK/other
+    // scripts, then tiny stopword probes split the Latin languages.
+    OpQuery("q_text_langid",
+      """SELECT doc_id, lang AS lang_declared,
+        |       CASE
+        |         WHEN CAST(length(regexp_replace(text, '[ -~]', '', 'g')) AS DOUBLE)
+        |              / length(text) > 0.3 THEN 'non_latin'
+        |         WHEN contains(' ' || text || ' ', ' the ')
+        |           OR contains(' ' || text || ' ', ' of ')  THEN 'en'
+        |         WHEN contains(' ' || text || ' ', ' der ')
+        |           OR contains(' ' || text || ' ', ' und ') THEN 'de'
+        |         WHEN contains(' ' || text || ' ', ' le ')
+        |           OR contains(' ' || text || ' ', ' la ')  THEN 'fr'
+        |         WHEN contains(' ' || text || ' ', ' el ')
+        |           OR contains(' ' || text || ' ', ' los ') THEN 'es'
+        |         ELSE 'unk' END AS lang_detected
+        |FROM documents ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val padded = concat(lit(" "), col("text"), lit(" "))
+      def has(w: String) = padded.contains(s" $w ")
+      documents(s, d)
+        .select(col("doc_id"), col("lang").as("lang_declared"),
+          when(length(regexp_replace(col("text"), "[ -~]", "")).cast("double") / length(col("text")) > 0.3, "non_latin")
+            .when(has("the") || has("of"), "en")
+            .when(has("der") || has("und"), "de")
+            .when(has("le") || has("la"), "fr")
+            .when(has("el") || has("los"), "es")
+            .otherwise("unk").as("lang_detected"))
+        .orderBy("doc_id")
+    },
+
+    // Corpus token accounting per language.
+    OpQuery("q_text_token_stats",
+      """SELECT lang,
+        |       CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |       CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS total_tokens,
+        |       CAST(SUM(len(string_split(text, ' '))) AS DOUBLE) / COUNT(*) AS avg_tokens,
+        |       CAST(MAX(n_chars) AS BIGINT) AS max_chars
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin) { (s, d) =>
+      val nTok = size(split(col("text"), " ")).cast("long")
+      documents(s, d)
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(nTok).as("total_tokens"),
+          (sum(nTok).cast("double") / count(lit(1))).as("avg_tokens"),
+          max(col("n_chars")).as("max_chars"))
+        .orderBy("lang")
+    },
+
+    // Content-defined fingerprint: md5 of the sorted distinct token set
+    // (OpenRefine-style key collision fingerprinting) — catches reordered
+    // / re-whitespaced duplicates. md5 is bit-identical across engines.
+    OpQuery("q_text_fingerprint",
+      """SELECT CAST(MIN(doc_id) AS BIGINT) AS keep_id,
+        |       CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |       fp
+        |FROM (SELECT doc_id,
+        |             md5(array_to_string(list_sort(list_distinct(
+        |                 string_split(lower(text), ' '))), ' ')) AS fp
+        |      FROM documents) t
+        |GROUP BY fp ORDER BY keep_id""".stripMargin) { (s, d) =>
+      documents(s, d)
+        .select(col("doc_id"),
+          md5(concat_ws(" ",
+            array_sort(array_distinct(split(lower(col("text")), " "))))).as("fp"))
+        .groupBy("fp")
+        .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_docs"))
+        .select("keep_id", "n_docs", "fp")
+        .orderBy("keep_id")
+    },
+
+    // Rolling-hash n-char fingerprints (winnowing-style document
+    // sketches): min-k of 16-char window hashes. Hash = md5 prefix → no
+    // engine-specific hash functions, still oracle-checkable.
+    OpQuery("q_text_charngram_sketch",
+      """SELECT doc_id,
+        |       MIN(md5(substring(text, i, 16))) AS min_gram_hash
+        |FROM documents, UNNEST(range(1, length(text) - 14)) AS u(i)
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, d) =>
+      documents(s, d)
+        .select(col("doc_id"),
+          explode(expr(
+            """CASE WHEN length(text) >= 16
+              |     THEN transform(sequence(1, length(text) - 15), i -> substring(text, i, 16))
+              |     ELSE array() END""".stripMargin)).as("gram"))
+        .groupBy("doc_id")
+        .agg(min(md5(col("gram"))).as("min_gram_hash"))
+        .orderBy("doc_id")
+    }
+  )
+}

@@ -1,0 +1,132 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.functions._
+
+import Tables._
+
+/** Similarity search over the `embedding: array<float>` column
+  * (north-star scope, SURVEY.md §2): brute-force cosine top-k as the
+  * exact baseline, and a random-hyperplane LSH bucketed variant as the
+  * scale path.
+  *
+  * All arithmetic uses codegen'd higher-order array functions
+  * (zip_with/aggregate) — no UDFs in the hot path. The LSH hyperplanes
+  * are derived from xxhash64 so they are deterministic across runs and
+  * executors without shipping a random matrix.
+  */
+object VectorOps {
+
+  /** Double dot product of two array<double> columns (left fold, same
+    * element order as the DuckDB list twin). */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  /** Deterministic pseudo-random ±1 hyperplane component for plane `p`,
+    * dimension `i`: parity of xxhash64(p, i). */
+  private def planeComponent(p: Int, i: Column): Column =
+    when(xxhash64(lit(p), i).bitwiseAND(1) === 1, lit(1.0)).otherwise(lit(-1.0))
+
+  /** Sign bit of (v · plane_p) — one LSH bit per hyperplane. */
+  private def lshBit(v: Column, p: Int): Column = {
+    val proj = aggregate(
+      zip_with(v, transform(sequence(lit(0), size(v) - 1), i => planeComponent(p, i)),
+        (x, h) => x * h),
+      lit(0.0), (acc, x) => acc + x)
+    when(proj >= 0, lit(1L << p)).otherwise(0L)
+  }
+
+  /** Random-hyperplane signature (default 8 bits) of an array<double> column. */
+  def lshSignature(v: Column, bits: Int = 8): Column =
+    (0 until bits).map(p => lshBit(v, p)).reduce(_ + _)
+
+  val queries: Seq[OpQuery] = Seq(
+
+    // Brute-force cosine top-k against the min-vec_id query vector — the
+    // exact baseline. One broadcast of the (1-row) query vector, one scan:
+    // the shape that survives any scale-up of the corpus side.
+    OpQuery("q_sim_cosine_topk",
+      """WITH q AS (SELECT embedding AS qv FROM embeddings
+        |           WHERE vec_id = (SELECT MIN(vec_id) FROM embeddings)),
+        |scored AS (
+        |  SELECT e.vec_id,
+        |         ROUND(
+        |           list_dot_product(list_transform(e.embedding, x -> CAST(x AS DOUBLE)),
+        |                            list_transform(q.qv, x -> CAST(x AS DOUBLE)))
+        |           / (sqrt(list_dot_product(list_transform(e.embedding, x -> CAST(x AS DOUBLE)),
+        |                                    list_transform(e.embedding, x -> CAST(x AS DOUBLE))))
+        |            * sqrt(list_dot_product(list_transform(q.qv, x -> CAST(x AS DOUBLE)),
+        |                                    list_transform(q.qv, x -> CAST(x AS DOUBLE))))), 6) AS cos_sim
+        |  FROM embeddings e CROSS JOIN q
+        |  WHERE e.vec_id <> (SELECT MIN(vec_id) FROM embeddings))
+        |SELECT vec_id, cos_sim FROM scored
+        |ORDER BY cos_sim DESC, vec_id LIMIT 10""".stripMargin) { (s, d) =>
+      val e = embeddings(s, d)
+        .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("v"))
+      val minId = e.agg(min(col("vec_id")).as("min_id"))
+      val q = e.join(broadcast(minId), col("vec_id") === col("min_id"))
+        .select(col("v").as("qv"), col("min_id"))
+      e.crossJoin(broadcast(q))
+        .filter(col("vec_id") =!= col("min_id"))
+        .select(col("vec_id"),
+          round(dot(col("v"), col("qv")) /
+            (sqrt(dot(col("v"), col("v"))) * sqrt(dot(col("qv"), col("qv")))), 6).as("cos_sim"))
+        .orderBy(col("cos_sim").desc, col("vec_id"))
+        .limit(10)
+    },
+
+    // ANN via random-hyperplane LSH: candidates = same 8-bit bucket as
+    // the query vector, then exact cosine only on candidates. Bucket join
+    // replaces the full scan — the IVF-style scale path. Deterministic but
+    // hash-based → rows-only driver check; recall vs brute force is
+    // asserted in the ScalaTest spec.
+    OpQuery.noOracle("q_sim_ann_lsh") { (s, d) =>
+      val e = embeddings(s, d)
+        .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("v"))
+        .withColumn("bucket", lshSignature(col("v")))
+      val minId = e.agg(min(col("vec_id")).as("min_id"))
+      val q = e.join(broadcast(minId), col("vec_id") === col("min_id"))
+        .select(col("v").as("qv"), col("bucket").as("qbucket"), col("min_id"))
+      e.join(broadcast(q), col("bucket") === col("qbucket") && col("vec_id") =!= col("min_id"))
+        .select(col("vec_id"),
+          round(dot(col("v"), col("qv")) /
+            (sqrt(dot(col("v"), col("v"))) * sqrt(dot(col("qv"), col("qv")))), 6).as("cos_sim"))
+        .orderBy(col("cos_sim").desc, col("vec_id"))
+        .limit(10)
+    },
+
+    // k-NN per label centroid: per-group mean vector (element-wise), then
+    // each vector's cosine to its own label centroid — array aggregation
+    // via explode/posexplode + re-assembly, all relational.
+    OpQuery("q_sim_centroid_dist",
+      """WITH ex AS (
+        |  SELECT label, vec_id, i AS dim, CAST(embedding[i] AS DOUBLE) AS x
+        |  FROM embeddings, UNNEST(range(1, len(embedding) + 1)) AS u(i)),
+        |cent AS (
+        |  SELECT label, dim, CAST(SUM(CAST(x AS DECIMAL(20,8))) AS DOUBLE) / COUNT(*) AS c
+        |  FROM ex GROUP BY label, dim),
+        |dots AS (
+        |  SELECT ex.label, ex.vec_id,
+        |         SUM(ex.x * cent.c)  AS dxc,
+        |         SUM(ex.x * ex.x)    AS dxx,
+        |         SUM(cent.c * cent.c) AS dcc
+        |  FROM ex JOIN cent ON ex.label = cent.label AND ex.dim = cent.dim
+        |  GROUP BY ex.label, ex.vec_id)
+        |SELECT label, vec_id, ROUND(dxc / (sqrt(dxx) * sqrt(dcc)), 4) AS cos_to_centroid
+        |FROM dots ORDER BY label, vec_id""".stripMargin) { (s, d) =>
+      val ex = embeddings(s, d)
+        .select(col("label"), col("vec_id"), posexplode(col("embedding")).as(Seq("p", "xf")))
+        .select(col("label"), col("vec_id"), (col("p") + 1).as("dim"), col("xf").cast("double").as("x"))
+      val cent = ex.groupBy("label", "dim")
+        .agg((sum(col("x").cast("decimal(20,8)")).cast("double") / count(lit(1))).as("c"))
+      val dots = ex.join(cent, Seq("label", "dim"))
+        .groupBy("label", "vec_id")
+        .agg(sum(col("x") * col("c")).as("dxc"),
+             sum(col("x") * col("x")).as("dxx"),
+             sum(col("c") * col("c")).as("dcc"))
+      dots.select(col("label"), col("vec_id"),
+          round(col("dxc") / (sqrt(col("dxx")) * sqrt(col("dcc"))), 4).as("cos_to_centroid"))
+        .orderBy("label", "vec_id")
+    }
+  )
+}

@@ -1,0 +1,147 @@
+package graft.ops
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import Tables._
+
+/** Window-function family (SURVEY.md §2 Tier B "Window functions"):
+  * ranking, lag/lead, running/moving frames, ntile, first/last value,
+  * top-N per group.
+  *
+  * Every window ORDER BY includes a unique tie-break key so both engines
+  * rank identically. Running double sums are order-identical on both
+  * engines (same sequential fold), so they need no rounding; frame
+  * averages are rounded defensively.
+  */
+object Windows {
+
+  val queries: Seq[OpQuery] = Seq(
+
+    OpQuery("q_window_rank",
+      """SELECT o_orderkey, o_orderstatus,
+        |       CAST(row_number() OVER w AS BIGINT) AS rn,
+        |       CAST(rank()       OVER w AS BIGINT) AS rk,
+        |       CAST(dense_rank() OVER w AS BIGINT) AS drk
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice DESC, o_orderkey)
+        |ORDER BY o_orderstatus, rn""".stripMargin) { (s, d) =>
+      val w = Window.partitionBy(col("o_orderstatus"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      orders(s, d)
+        .select(col("o_orderkey"), col("o_orderstatus"),
+          row_number().over(w).cast("long").as("rn"),
+          rank().over(w).cast("long").as("rk"),
+          dense_rank().over(w).cast("long").as("drk"))
+        .orderBy("o_orderstatus", "rn")
+    },
+
+    OpQuery("q_window_lag_lead",
+      """SELECT event_id,
+        |       lag(value)  OVER w AS prev_value,
+        |       lead(value) OVER w AS next_value
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY event_id)
+        |ORDER BY event_id""".stripMargin) { (s, d) =>
+      val w = Window.partitionBy(col("user_id")).orderBy(col("event_id"))
+      events(s, d)
+        .select(col("event_id"),
+          lag(col("value"), 1).over(w).as("prev_value"),
+          lead(col("value"), 1).over(w).as("next_value"))
+        .orderBy("event_id")
+    },
+
+    // Decimal accumulation: DuckDB evaluates windowed SUMs with segment
+    // trees (different double-addition order than Spark's running fold),
+    // so an exact decimal accumulator is the only order-independent twin.
+    OpQuery("q_window_running",
+      """SELECT event_id,
+        |       CAST(sum(CAST(value AS DECIMAL(18,4))) OVER w AS DOUBLE) AS running_sum,
+        |       CAST(count(*) OVER w AS BIGINT) AS running_n
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY event_id
+        |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |ORDER BY event_id""".stripMargin) { (s, d) =>
+      val w = Window.partitionBy(col("user_id")).orderBy(col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      events(s, d)
+        .select(col("event_id"),
+          sum(dec(col("value"))).over(w).cast("double").as("running_sum"),
+          count(lit(1)).over(w).as("running_n"))
+        .orderBy("event_id")
+    },
+
+    OpQuery("q_window_moving_avg",
+      """SELECT event_id,
+        |       CAST(sum(CAST(value AS DECIMAL(18,4))) OVER w AS DOUBLE)
+        |         / count(*) OVER w AS mavg
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY event_id
+        |             ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+        |ORDER BY event_id""".stripMargin) { (s, d) =>
+      val w = Window.partitionBy(col("user_id")).orderBy(col("event_id"))
+        .rowsBetween(-6, Window.currentRow)
+      events(s, d)
+        .select(col("event_id"),
+          (sum(dec(col("value"))).over(w).cast("double") / count(lit(1)).over(w)).as("mavg"))
+        .orderBy("event_id")
+    },
+
+    OpQuery("q_window_ntile",
+      """SELECT o_orderkey, CAST(ntile(4) OVER (ORDER BY o_totalprice, o_orderkey) AS BIGINT) AS quartile
+        |FROM orders ORDER BY o_orderkey""".stripMargin) { (s, d) =>
+      val w = Window.orderBy(col("o_totalprice"), col("o_orderkey"))
+      orders(s, d)
+        .select(col("o_orderkey"), ntile(4).over(w).cast("long").as("quartile"))
+        .orderBy("o_orderkey")
+    },
+
+    OpQuery("q_window_first_last",
+      """SELECT event_id,
+        |       first_value(value) OVER w AS first_v,
+        |       last_value(value)  OVER w AS last_v
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY event_id
+        |             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        |ORDER BY event_id""".stripMargin) { (s, d) =>
+      val w = Window.partitionBy(col("user_id")).orderBy(col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      events(s, d)
+        .select(col("event_id"),
+          first(col("value")).over(w).as("first_v"),
+          last(col("value")).over(w).as("last_v"))
+        .orderBy("event_id")
+    },
+
+    // Top-N per group: rank inside the partition, then filter — the
+    // standard distributed replacement for per-group ORDER BY ... LIMIT.
+    OpQuery("q_topn_per_group",
+      """SELECT * FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |         CAST(row_number() OVER (PARTITION BY o_custkey
+        |                                 ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) AS rn
+        |  FROM orders) t
+        |WHERE rn <= 3 ORDER BY o_custkey, rn""".stripMargin) { (s, d) =>
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      orders(s, d)
+        .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+          row_number().over(w).cast("long").as("rn"))
+        .filter(col("rn") <= 3)
+        .orderBy("o_custkey", "rn")
+    },
+
+    // RANGE frame on a numeric (integer) ordering key.
+    OpQuery("q_window_range_frame",
+      s"""SELECT o_orderkey,
+         |       CAST(count(*) OVER (ORDER BY o_orderkey
+         |                        RANGE BETWEEN 1000 PRECEDING AND CURRENT ROW) AS BIGINT) AS n_close
+         |FROM orders ORDER BY o_orderkey""".stripMargin) { (s, d) =>
+      val w = Window.orderBy(col("o_orderkey")).rangeBetween(-1000L, Window.currentRow)
+      orders(s, d)
+        .select(col("o_orderkey"), count(lit(1)).over(w).as("n_close"))
+        .orderBy("o_orderkey")
+    }
+  )
+}
