@@ -44,10 +44,10 @@ object SqlGenerator {
       val q = question.toLowerCase
       val t = Catalog.TableName
       def has(c: String) = info.columns.contains(c)
-      if ((q.contains("销售额") || q.contains("revenue") || q.contains("top")) && has("price") && has("quantity"))
-        s"SELECT product_name, SUM(price * quantity) AS total_revenue FROM $t GROUP BY product_name ORDER BY total_revenue DESC LIMIT 5"
-      else if ((q.contains("城市") || q.contains("city")) && has("customer_city"))
+      if ((q.contains("城市") || q.contains("city")) && has("customer_city"))
         s"SELECT customer_city, SUM(price * quantity) AS total_sales FROM $t GROUP BY customer_city ORDER BY total_sales DESC"
+      else if ((q.contains("销售额") || q.contains("revenue") || q.contains("top")) && has("price") && has("quantity"))
+        s"SELECT product_name, SUM(price * quantity) AS total_revenue FROM $t GROUP BY product_name ORDER BY total_revenue DESC LIMIT 5"
       else if ((q.contains("数量") || q.contains("quantity")) && has("quantity"))
         s"SELECT * FROM $t WHERE quantity > 2"
       else if ((q.contains("佣金") || q.contains("commission")) && has("commission_rate"))

@@ -111,7 +111,7 @@ object Xlsx {
   }
 
   /** "BC12" → 0-based column index 54. */
-  private[engine] def colIndex(ref: String): Int = {
+  private[graft] def colIndex(ref: String): Int = {
     val letters = ref.takeWhile(_.isLetter)
     if (letters.isEmpty) 0
     else letters.foldLeft(0)((acc, ch) => acc * 26 + (ch.toUpper - 'A' + 1)) - 1

@@ -51,7 +51,8 @@ object Multimodal {
   /** STUB frame sampler: every k-th 256-byte block as one "frame". */
   def fakeFrameSample(bin: Column, stride: Int): Column =
     transform(
-      sequence(lit(0), greatest((octet_length(bin) / (256 * stride)) - 1, lit(0))),
+      sequence(lit(0L),
+        greatest((octet_length(bin) / (256 * stride)).cast("long") - 1, lit(0L))),
       i => substring(bin, (i * 256 * stride + 1).cast("int"), lit(256)))
 
   /** documents.text reinterpreted as a binary payload column — the

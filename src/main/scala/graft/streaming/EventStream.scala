@@ -1,0 +1,107 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.types._
+
+/** Structured Streaming pipelines over the events table (SURVEY.md §2
+  * "Streaming" — the reference lists real-time sources only as roadmap,
+  * README.md:109–116; this is the Spark-native realization).
+  *
+  * Each transform takes any events DataFrame — batch or streaming — so
+  * the same code path is validated two ways:
+  *  - batch:   EventWindows queries (DuckDB oracle, driver t2),
+  *  - stream:  StreamingSpec runs them via readStream + memory sink and
+  *             asserts equality with the batch result (SURVEY.md §5.2-5).
+  *
+  * Watermarks bound state: at production scale the tumbling/sliding
+  * aggregations keep only in-watermark windows in the state store, and
+  * dropDuplicatesWithinWatermark evicts seen-keys as event time advances.
+  */
+object EventStream {
+
+  /** Parquet schema for the streaming reader: ts is declared LongType
+    * because the file carries TIMESTAMP(NANOS) (see Tables.events). */
+  val rawSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", LongType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  /** File-based streaming source over a testdata directory. */
+  def source(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.readStream
+      .schema(rawSchema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(dir)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
+
+  /** Tumbling 1-hour counts per event type (watermarked). */
+  def tumbling(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss").as("wstart"),
+        col("event_type"), col("n"))
+
+  /** Sliding 1-hour window every 15 minutes. */
+  def sliding(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 hour", "15 minutes").as("w"))
+      .agg(count(lit(1)).as("n"))
+      .select(date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss").as("wstart"), col("n"))
+
+  /** Session windows with a 30-minute gap per user. */
+  def sessions(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(session_window(col("ts"), "30 minutes").as("w"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"),
+        date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss").as("session_start"),
+        col("n_events"))
+
+  /** Watermarked stream dedup on (user, type, minute) — the streaming
+    * twin of EventWindows.q_events_dedup. */
+  def dedup(events: DataFrame): DataFrame =
+    events
+      .withColumn("minute", date_trunc("minute", col("ts")))
+      .withWatermark("minute", "10 minutes")
+      .dropDuplicatesWithinWatermark("user_id", "event_type", "minute")
+      .select(col("user_id"), col("event_type"),
+        date_format(col("minute"), "yyyy-MM-dd HH:mm:ss").as("minute"))
+
+  // -- custom stateful operator ------------------------------------------
+
+  case class EventRow(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
+      event_type: String, value: Double)
+  case class UserRunning(user_id: Long, n_events: Long, total_value: Double)
+
+  /** Custom per-key state: running event count + value sum per user via
+    * flatMapGroupsWithState — the KeyValueGroupedDataset escape hatch for
+    * semantics windows can't express. Update-mode output: one row per
+    * user per trigger. */
+  def runningTotals(events: Dataset[EventRow]): Dataset[UserRunning] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[UserRunning, UserRunning](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (uid: Long, rows: Iterator[EventRow], state: GroupState[UserRunning]) =>
+          val prev = state.getOption.getOrElse(UserRunning(uid, 0L, 0.0))
+          var n = prev.n_events
+          var tot = prev.total_value
+          rows.foreach { r => n += 1; tot += r.value }
+          val next = UserRunning(uid, n, tot)
+          state.update(next)
+          Iterator(next)
+      }
+  }
+}

@@ -1,0 +1,56 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+import graft.ops._
+
+/** Semantics of the hash-based (no-oracle) near-dup and ANN operators,
+  * validated against their exact counterparts. */
+class DedupVectorSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  private def q(name: String) = SparkEntry.queries(name)(spark, TestSpark.Sf)
+
+  test("minhash near-dups are a subset of exact jaccard pairs (verified candidates)") {
+    val exact = q("q_dedup_ngram_jaccard")
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val mh = q("q_dedup_minhash")
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(mh.subsetOf(exact), s"minhash produced non-near-dup pairs: ${mh -- exact}")
+    // LSH with 4 bands × 4 rows at J≥0.5 should catch most true pairs
+    if (exact.nonEmpty) {
+      val recall = mh.intersect(exact).size.toDouble / exact.size
+      assert(recall >= 0.5, s"minhash recall $recall too low (${mh.size}/${exact.size})")
+    }
+  }
+
+  test("simhash near-dup pairs have symmetric small hamming distance") {
+    val rows = q("q_dedup_simhash").collect()
+    assert(rows.forall(_.getAs[Number](2).longValue <= 3))
+    val pairs = rows.map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.forall { case (a, b) => a < b })
+    assert(pairs.distinct.length == pairs.length)
+  }
+
+  test("LSH ANN cosines agree with brute force for shared candidates") {
+    val brute = q("q_sim_cosine_topk").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val ann = q("q_sim_ann_lsh").collect().map(r => r.getLong(0) -> r.getDouble(1))
+    ann.foreach { case (id, cos) =>
+      brute.get(id).foreach(b => assert(math.abs(b - cos) < 1e-9))
+    }
+  }
+
+  test("brute-force top-k is ordered and within [-1, 1]") {
+    val sims = q("q_sim_cosine_topk").collect().map(_.getDouble(1))
+    assert(sims.length == 10)
+    assert(sims.sameElements(sims.sorted.reverse))
+    assert(sims.forall(s => s >= -1.0 && s <= 1.0))
+  }
+
+  test("exact dedup keeps one representative per distinct text") {
+    val docs = ops.Tables.documents(spark, TestSpark.Sf)
+    val distinctTexts = docs.select("text").distinct().count()
+    assert(q("q_dedup_exact").count() == distinctTexts)
+  }
+}

@@ -1,0 +1,188 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.engine._
+
+/** Tier-A engine shell: ingestion tiers, profile, gateway, rendering,
+  * NL-stub (SURVEY.md §5.2-2/3). */
+class EngineSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  // --- reference-parity: flagship golden (README.md:61–77 analog) -------
+  test("flagship query over sample_sales_data.csv answers 王红 / 7729.62") {
+    val df = Ingest.load(spark, TestSpark.resource("sample_sales_data.csv"))
+    assert(df.count() == 40 && df.columns.length == 11)
+    Catalog.register(df)
+    val r = SqlGateway.run(spark,
+      """SELECT sales_rep, ROUND(SUM(price * quantity), 2) AS total_sales
+        |FROM data_table GROUP BY sales_rep ORDER BY total_sales DESC LIMIT 1""".stripMargin)
+      .collect()
+    assert(r.length == 1)
+    assert(r(0).getString(0) == "王红")
+    assert(math.abs(r(0).getDouble(1) - 7729.62) < 1e-9)
+  }
+
+  test("profile mirrors data_info: counts, dtypes, head-5") {
+    val df = Ingest.load(spark, TestSpark.resource("sample_sales_data.csv"))
+    val info = Profile(df)
+    assert(info.rowCount == 40 && info.columnCount == 11)
+    assert(info.dtypes("price") == "double" && info.dtypes("product_name") == "string")
+    assert(info.head.length == 5 && info.head.head.contains("sales_rep"))
+  }
+
+  // --- JSON three-tier loader (doc.py:52–76 analog) ---------------------
+  test("json tier 1: JSONL") {
+    val p = Files.createTempFile("t1", ".json")
+    Files.writeString(p, """{"a": 1, "b": "x"}
+                           |{"a": 2, "b": "y"}""".stripMargin)
+    val df = Ingest.json(spark, p.toString)
+    assert(df.count() == 2 && df.columns.sorted.sameElements(Array("a", "b")))
+  }
+
+  test("json tier 2: top-level array (sample_products.json)") {
+    val df = Ingest.load(spark, TestSpark.resource("sample_products.json"))
+    assert(df.count() == 10)
+    assert(df.columns.contains("brand") && df.columns.contains("rating"))
+  }
+
+  test("json tier 3a: dict-of-lists transposes to columns") {
+    val p = Files.createTempFile("t3a", ".json")
+    Files.writeString(p, """{
+                           |  "name": ["a", "b", "c"],
+                           |  "score": [1, 2, 3]
+                           |}""".stripMargin)
+    val df = Ingest.json(spark, p.toString)
+    assert(df.count() == 3)
+    assert(df.columns.sorted.sameElements(Array("name", "score")))
+    assert(df.filter(df("name") === "b").select("score").collect()(0).getLong(0) == 2L)
+  }
+
+  test("json tier 3b: single object becomes one row") {
+    val p = Files.createTempFile("t3b", ".json")
+    Files.writeString(p, """{
+                           |  "name": "solo",
+                           |  "score": 9
+                           |}""".stripMargin)
+    val df = Ingest.json(spark, p.toString)
+    assert(df.count() == 1 && df.columns.length == 2)
+  }
+
+  test("json scalar shape rejected") {
+    val p = Files.createTempFile("bad", ".json")
+    Files.writeString(p, "42")
+    intercept[IllegalArgumentException](Ingest.json(spark, p.toString))
+  }
+
+  test("unsupported extension and empty file rejected") {
+    intercept[IllegalArgumentException](Ingest.load(spark, "/tmp/nope.txt"))
+    val p = Files.createTempFile("empty", ".csv")
+    Files.writeString(p, "a,b\n")
+    intercept[IllegalArgumentException](Ingest.load(spark, p.toString))
+  }
+
+  // --- xlsx reader ------------------------------------------------------
+  test("xlsx minimal OOXML roundtrip") {
+    val path = XlsxFixture.write()
+    val df = Xlsx.read(spark, path)
+    assert(df.columns.sameElements(Array("name", "qty", "price")))
+    val rows = df.orderBy("qty").collect()
+    assert(rows.length == 2)
+    assert(rows(0).getString(0) == "widget" && rows(0).getLong(1) == 2L
+      && rows(0).getDouble(2) == 1.5)
+    assert(rows(1).getString(0) == "bolt 螺栓")
+  }
+
+  test("xlsx column letter math") {
+    assert(Xlsx.colIndex("A1") == 0 && Xlsx.colIndex("Z9") == 25
+      && Xlsx.colIndex("AA3") == 26 && Xlsx.colIndex("BC12") == 54)
+  }
+
+  // --- gateway ----------------------------------------------------------
+  test("gateway strips markdown fences (doc.py:217–223 analog)") {
+    assert(SqlGateway.sanitize("```sql\nSELECT 1\n```") == "SELECT 1")
+    assert(SqlGateway.sanitize("```\nSELECT 2\n```") == "SELECT 2")
+    assert(SqlGateway.sanitize("  SELECT 3  ") == "SELECT 3")
+  }
+
+  test("gateway rejects DDL/DML, allows query shapes") {
+    for (bad <- Seq(
+      "INSERT INTO t VALUES (1)",
+      "DROP TABLE data_table",
+      "CREATE TABLE x (a INT)",
+      "UPDATE data_table SET a = 1",
+      "DELETE FROM data_table"))
+      intercept[SecurityException](SqlGateway.validate(spark, bad))
+    for (ok <- Seq(
+      "SELECT 1",
+      "WITH t AS (SELECT 1 AS a) SELECT * FROM t",
+      "SELECT 1 UNION ALL SELECT 2",
+      "SELECT * FROM (SELECT 1) WHERE 1 IN (SELECT 1)"))
+      SqlGateway.validate(spark, ok)
+  }
+
+  // --- results / markdown (app.py:81–99 analog) -------------------------
+  test("markdown formatting rules") {
+    assert(Results.formatCell(null) == "null")
+    assert(Results.formatCell(3.14159) == "3.14")
+    assert(Results.formatCell(1234567L) == "1,234,567")
+    assert(Results.formatCell("x" * 60) == "x" * 50 + "...")
+    val r = QueryResult(Seq("a"), (1 to 15).map(i => Seq[Any](i)), 15)
+    val md = Results.toMarkdown(r)
+    assert(md.linesIterator.count(_.startsWith("|")) == 12) // header+sep+10
+    assert(md.contains("showing first 10 of 15 rows"))
+  }
+
+  // --- NL stub (CJK routing must happen in-JVM: CLI args mangle CJK) ----
+  test("NL stub routes the documented question shapes") {
+    val df = Ingest.load(spark, TestSpark.resource("sample_sales_data.csv"))
+    val info = Profile(df)
+    val sql = SqlGenerator.Stub.generate("每个城市的销售额", info)
+    assert(sql.contains("customer_city") && sql.toUpperCase.contains("GROUP BY"))
+    assert(SqlGenerator.Stub.generate("数量超过2的订单", info).contains("quantity > 2"))
+    // fallback mirrors doc.py:188
+    assert(SqlGenerator.Stub.generate("unrelated?", info).startsWith("SELECT *"))
+    // generated SQL passes the gateway and runs
+    Catalog.register(df)
+    assert(SqlGateway.run(spark, sql).count() > 0)
+  }
+
+  test("catalog persist/load roundtrip") {
+    val df = Ingest.load(spark, TestSpark.resource("sample_sales_data.csv"))
+    val dir = Files.createTempDirectory("persist").toString
+    val src = s"$dir/sales.csv"
+    Files.copy(Paths.get(TestSpark.resource("sample_sales_data.csv")), Paths.get(src))
+    val path = Catalog.persist(df, src)
+    assert(path == s"$dir/data_sales.parquet")
+    assert(Catalog.loadPersisted(spark, src).count() == 40)
+  }
+}
+
+/** Builds a tiny hand-rolled .xlsx (zip + OOXML) — shared strings,
+  * inline numbers, a CJK cell — without any Excel library. */
+object XlsxFixture {
+  def write(): String = {
+    import java.util.zip.{ZipEntry, ZipOutputStream}
+    val path = Files.createTempFile("fixture", ".xlsx")
+    val zos = new ZipOutputStream(Files.newOutputStream(path))
+    def entry(name: String, content: String): Unit = {
+      zos.putNextEntry(new ZipEntry(name))
+      zos.write(content.getBytes("UTF-8"))
+      zos.closeEntry()
+    }
+    entry("[Content_Types].xml",
+      """<?xml version="1.0"?><Types xmlns="http://schemas.openxmlformats.org/package/2006/content-types"/>""")
+    entry("xl/sharedStrings.xml",
+      """<?xml version="1.0"?><sst><si><t>name</t></si><si><t>qty</t></si><si><t>price</t></si><si><t>widget</t></si><si><t>bolt 螺栓</t></si></sst>""")
+    entry("xl/worksheets/sheet1.xml",
+      """<?xml version="1.0"?><worksheet><sheetData>
+        |<row r="1"><c r="A1" t="s"><v>0</v></c><c r="B1" t="s"><v>1</v></c><c r="C1" t="s"><v>2</v></c></row>
+        |<row r="2"><c r="A2" t="s"><v>3</v></c><c r="B2"><v>2</v></c><c r="C2"><v>1.5</v></c></row>
+        |<row r="3"><c r="A3" t="s"><v>4</v></c><c r="B3"><v>7</v></c><c r="C3"><v>19.25</v></c></row>
+        |</sheetData></worksheet>""".stripMargin)
+    zos.close()
+    path.toString
+  }
+}

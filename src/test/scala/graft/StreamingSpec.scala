@@ -1,0 +1,75 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.ops.Tables
+import graft.streaming.EventStream
+
+/** Batch–stream equivalence (SURVEY.md §5.2-5): each Structured
+  * Streaming pipeline, run over the events parquet with a memory sink
+  * until exhausted, must equal the same transform applied in batch. */
+class StreamingSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  private var n = 0
+  /** Run a streaming transform to completion, return the sink contents. */
+  private def runStream(f: DataFrame => DataFrame, mode: String): DataFrame = {
+    n += 1
+    val name = s"sink_$n"
+    val q = f(EventStream.source(spark, TestSpark.Sf))
+      .writeStream.format("memory").queryName(name).outputMode(mode).start()
+    q.processAllAvailable()
+    q.stop()
+    spark.table(name)
+  }
+
+  private def batchEvents = Tables.events(spark, TestSpark.Sf)
+
+  private def assertSameRows(a: DataFrame, b: DataFrame): Unit = {
+    val sa = a.collect().map(_.toString).sorted.toSeq
+    val sb = b.collect().map(_.toString).sorted.toSeq
+    assert(sa == sb, s"stream vs batch mismatch: ${sa.size} vs ${sb.size} rows")
+  }
+
+  test("tumbling window: stream == batch") {
+    val streamed = runStream(EventStream.tumbling, "complete")
+    assertSameRows(streamed, EventStream.tumbling(batchEvents))
+  }
+
+  test("sliding window: stream == batch") {
+    val streamed = runStream(EventStream.sliding, "complete")
+    assertSameRows(streamed, EventStream.sliding(batchEvents))
+  }
+
+  test("session windows: stream == batch") {
+    val streamed = runStream(EventStream.sessions, "complete")
+    assertSameRows(streamed, EventStream.sessions(batchEvents))
+  }
+
+  test("stream dedup matches batch distinct on (user, type, minute)") {
+    val streamed = runStream(EventStream.dedup, "append")
+    val batch = batchEvents
+      .select(col("user_id"), col("event_type"),
+        date_format(date_trunc("minute", col("ts")), "yyyy-MM-dd HH:mm:ss").as("minute"))
+      .distinct()
+    assertSameRows(streamed, batch)
+  }
+
+  test("flatMapGroupsWithState running totals converge to batch totals") {
+    import spark.implicits._
+    val src = EventStream.source(spark, TestSpark.Sf)
+      .select($"event_id", $"ts", $"user_id", $"event_type", $"value")
+      .as[EventStream.EventRow]
+    val q = EventStream.runningTotals(src)
+      .writeStream.format("memory").queryName("running_sink").outputMode("update").start()
+    q.processAllAvailable()
+    q.stop()
+    // last emitted state per user == batch aggregate
+    val finalState = spark.table("running_sink")
+      .groupBy("user_id").agg(max("n_events").as("n_events"))
+    val batch = batchEvents.groupBy("user_id").agg(count(lit(1)).as("n_events"))
+    assertSameRows(finalState, batch)
+  }
+}
