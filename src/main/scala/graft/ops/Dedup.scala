@@ -30,19 +30,33 @@ object Dedup {
   val Bands = 4        // LSH bands (NumPerm / Bands rows per band)
 
   /** Word 3-gram shingles, one row per (doc_id, distinct shingle).
-    * The expression form is mirrored verbatim in the DuckDB oracles. */
-  private[ops] def shingleTable(docs: DataFrame): DataFrame =
-    docs
-      .withColumn("toks", split(col("text"), " "))
-      .withColumn("sh", expr(
-        """CASE WHEN size(toks) >= 3
-          |     THEN transform(sequence(1, size(toks) - 2),
-          |                    i -> concat(element_at(toks, i), ' ',
-          |                                element_at(toks, i + 1), ' ',
-          |                                element_at(toks, i + 2)))
-          |     ELSE array() END""".stripMargin))
-      .select(col("doc_id"), explode(col("sh")).as("shingle"))
-      .distinct()
+    *
+    * Construction is slice+zip_with rather than an indexed transform:
+    * an `element_at(toks, i)` lambda gets `split()` inlined per *element*
+    * after projection collapse (~3 splits per shingle), while the three
+    * slices evaluate `split()` a constant number of times per *row*.
+    * Per-doc dedup is array_distinct (no shuffle; identical to a global
+    * DISTINCT because the key is (doc_id, shingle)).
+    *
+    * The result is cache()d: every consumer (df-pruning, both join
+    * sides, per-doc counts, MinHash signatures) re-reads the
+    * materialized shingles instead of recomputing the explode — the
+    * "materialized CTE" a single-node engine gets for free from its CTE
+    * execution. One cache entry is shared across the dedup queries
+    * (CacheManager dedups by plan). */
+  private[graft] def shingleTable(docs: DataFrame): DataFrame = {
+    val toks = split(col("text"), " ")
+    val n = size(toks)
+    def pair(x: Column, y: Column) = concat(x, lit(" "), y)
+    val sh = zip_with(
+      zip_with(slice(toks, lit(1), n - 2), slice(toks, lit(2), n - 2), pair),
+      slice(toks, lit(3), n - 2), pair)
+    val df = docs
+      .select(col("doc_id"),
+        explode(when(n >= 3, array_distinct(sh)).otherwise(array())).as("shingle"))
+    df.cache()
+    df
+  }
 
   /** SQL twin of [[shingleTable]] (DuckDB lateral unnest over an index
     * range; range(1, n-1) is end-exclusive = Spark's sequence(1, n-2)). */
@@ -52,18 +66,33 @@ object Dedup {
       |FROM (SELECT doc_id, string_split(text, ' ') AS ts FROM documents) t,
       |     UNNEST(range(1, len(ts) - 1)) AS u(i)""".stripMargin
 
-  /** Exact Jaccard pairs over a candidate-pair table via inverted-index
-    * join with df-pruning. Returns (id_a, id_b, jac). */
-  private[ops] def jaccardPairs(sh: DataFrame, dfCap: Int): DataFrame = {
+  /** Exact Jaccard pairs via inverted-index self-join with df-pruning.
+    * When `candidates` is given (MinHash path), the shingle stream is
+    * first semi-joined down to candidate documents so the pair join costs
+    * O(candidate shingles²-per-bucket), not O(all co-shingle pairs).
+    * Returns (id_a, id_b, jac). */
+  private[graft] def jaccardPairs(sh: DataFrame, dfCap: Int,
+      candidates: Option[DataFrame] = None): DataFrame = {
     val pruned = sh.join(
       sh.groupBy("shingle").agg(count(lit(1)).as("df")).filter(col("df") <= dfCap)
         .select("shingle"),
       Seq("shingle"), "left_semi")
+    // n_sh counts are over the full pruned corpus (same denominator as
+    // the exact path), regardless of candidate restriction.
     val counts = pruned.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
-    val a = pruned.select(col("doc_id").as("id_a"), col("shingle"))
-    val b = pruned.select(col("doc_id").as("id_b"), col("shingle"))
-    val inter = a.join(b, Seq("shingle")).filter(col("id_a") < col("id_b"))
-      .groupBy("id_a", "id_b").agg(count(lit(1)).as("inter"))
+    def restrict(df: DataFrame, side: String): DataFrame = candidates match {
+      case Some(p) => df.join(
+        broadcast(p.select(col(side).as("doc_id")).distinct()), Seq("doc_id"), "left_semi")
+      case None => df
+    }
+    val a = restrict(pruned, "id_a").select(col("doc_id").as("id_a"), col("shingle"))
+    val b = restrict(pruned, "id_b").select(col("doc_id").as("id_b"), col("shingle"))
+    val inter0 = a.join(b, Seq("shingle")).filter(col("id_a") < col("id_b"))
+    val interC = candidates match {
+      case Some(p) => inter0.join(broadcast(p), Seq("id_a", "id_b"), "left_semi")
+      case None => inter0
+    }
+    val inter = interC.groupBy("id_a", "id_b").agg(count(lit(1)).as("inter"))
     inter
       .join(counts.select(col("doc_id").as("id_a"), col("n_sh").as("na")), Seq("id_a"))
       .join(counts.select(col("doc_id").as("id_b"), col("n_sh").as("nb")), Seq("id_b"))
@@ -130,7 +159,10 @@ object Dedup {
     OpQuery.noOracle("q_dedup_minhash") { (s, d) =>
       val sh = shingleTable(documents(s, d))
       val sigCols = (0 until NumPerm).map(j => min(xxhash64(col("shingle"), lit(j))).as(s"s$j"))
-      val sigs = sh.groupBy("doc_id").agg(sigCols.head, sigCols.tail: _*)
+      // one signature row per doc; cached — the banding union and both
+      // sides of the bucket self-join re-read it instead of re-running
+      // the 16-hash aggregation
+      val sigs = sh.groupBy("doc_id").agg(sigCols.head, sigCols.tail: _*).cache()
       val rowsPerBand = NumPerm / Bands
       val banded = (0 until Bands).map { b =>
         val cols = (b * rowsPerBand until (b + 1) * rowsPerBand).map(j => col(s"s$j"))
@@ -141,9 +173,10 @@ object Dedup {
             col("x.doc_id") < col("y.doc_id"))
         .select(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"))
         .distinct()
-      // verify candidates with exact Jaccard (semi-join restriction)
-      jaccardPairs(sh, DfCap)
-        .join(candidates, Seq("id_a", "id_b"), "left_semi")
+        .cache() // reused three times inside the restricted Jaccard verify
+      // verify only the candidates with exact Jaccard (restriction is
+      // pushed into the inverted-index join, not applied after it)
+      jaccardPairs(sh, DfCap, Some(candidates))
         .filter(col("jac") >= JaccardThreshold)
         .orderBy("id_a", "id_b")
     },
@@ -153,16 +186,30 @@ object Dedup {
     // distance 3 must agree on ≥1 of 4 chunks).
     OpQuery.noOracle("q_dedup_simhash") { (s, d) =>
       val toks = documents(s, d)
-        .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
-        .filter(col("tok") =!= "").distinct()
-        .withColumn("h", xxhash64(col("tok")))
-      val bitSums = (0 until 64).map { i =>
-        sum(when(shiftright(col("h"), i).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"b$i")
-      }
-      val sig = toks.groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
         .select(col("doc_id"),
-          (0 until 64).map(i => when(col(s"b$i") > 0, lit(1L << i)).otherwise(0L))
-            .reduce(_ + _).as("simhash"))
+          explode(array_distinct(split(col("text"), " "))).as("tok"))
+        .filter(col("tok") =!= "")
+        .withColumn("h", xxhash64(col("tok")))
+      // 64 per-bit popcounts packed 4-per-long (16-bit saturating-free
+      // slots: per-doc token counts are far below 2^16, so slot sums
+      // never carry). 16 narrow aggregates instead of 64 keeps the
+      // generated aggregation code JIT-compilable.
+      val packedSums = (0 until 16).map { j =>
+        sum((0 until 4).map { k =>
+          shiftleft(shiftright(col("h"), 4 * j + k).bitwiseAND(1), 16 * k)
+        }.reduce(_ + _)).as(s"p$j")
+      }
+      val nTok = count(lit(1)).as("n_tok")
+      // cached: the 4-chunk union and both self-join sides re-read it
+      val sig = toks.groupBy("doc_id").agg(packedSums.head, packedSums.tail :+ nTok: _*)
+        .select(col("doc_id"),
+          (0 until 64).map { i =>
+            val (j, k) = (i / 4, i % 4)
+            val ones = shiftright(col(s"p$j"), 16 * k).bitwiseAND(0xFFFFL)
+            // majority bit: set when ones > n_tok/2 (i.e. 2*ones > n_tok)
+            when(ones * 2 > col("n_tok"), lit(1L << i)).otherwise(0L)
+          }.reduce(_ + _).as("simhash"))
+        .cache()
       val chunked = (0 until 4).map { c =>
         sig.select(col("doc_id"), col("simhash"), lit(c).as("chunk"),
           shiftright(col("simhash"), c * 16).bitwiseAND(0xFFFFL).as("ckey"))
@@ -199,8 +246,7 @@ object Dedup {
         |                                  list_transform(b.embedding, x -> CAST(x AS DOUBLE))))), 6) >= 0.3
         |ORDER BY id_a, id_b""".stripMargin) { (s, d) =>
       val e = embeddings(s, d)
-        .select(col("vec_id"), col("label"),
-          transform(col("embedding"), x => x.cast("double")).as("v"))
+        .select(col("vec_id"), col("label"), col("embedding").as("v"))
         .withColumn("norm", sqrt(VectorOps.dot(col("v"), col("v"))))
       val cos = round(
         VectorOps.dot(col("a.v"), col("b.v")) / (col("a.norm") * col("b.norm")), 6)

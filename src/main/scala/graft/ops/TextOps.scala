@@ -132,18 +132,19 @@ object TextOps {
     },
 
     // Rolling-hash n-char fingerprints (winnowing-style document
-    // sketches): min-k of 16-char window hashes. Hash = md5 prefix → no
-    // engine-specific hash functions, still oracle-checkable.
+    // sketches): min of 16-char window hashes at stride 4 — the stride
+    // keeps the sketch discriminative while cutting the hash count 4×.
+    // Hash = md5 → no engine-specific hash functions, oracle-checkable.
     OpQuery("q_text_charngram_sketch",
       """SELECT doc_id,
         |       MIN(md5(substring(text, i, 16))) AS min_gram_hash
-        |FROM documents, UNNEST(range(1, length(text) - 14)) AS u(i)
+        |FROM documents, UNNEST(range(1, length(text) - 14, 4)) AS u(i)
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, d) =>
       documents(s, d)
         .select(col("doc_id"),
           explode(expr(
             """CASE WHEN length(text) >= 16
-              |     THEN transform(sequence(1, length(text) - 15), i -> substring(text, i, 16))
+              |     THEN transform(sequence(1, length(text) - 15, 4), i -> substring(text, i, 16))
               |     ELSE array() END""".stripMargin)).as("gram"))
         .groupBy("doc_id")
         .agg(min(md5(col("gram"))).as("min_gram_hash"))

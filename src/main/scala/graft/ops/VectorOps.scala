@@ -17,10 +17,11 @@ import Tables._
   */
 object VectorOps {
 
-  /** Double dot product of two array<double> columns (left fold, same
-    * element order as the DuckDB list twin). */
+  /** Double dot product over array<float>/array<double> columns — a
+    * codegen'd Catalyst expression (graft.functions.DotProduct); same
+    * left-fold accumulation as the DuckDB list twin. */
   def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+    graft.functions.VectorExprs.dot_product(a, b)
 
   /** Deterministic pseudo-random ±1 hyperplane component for plane `p`,
     * dimension `i`: parity of xxhash64(p, i). */
@@ -62,7 +63,7 @@ object VectorOps {
         |SELECT vec_id, cos_sim FROM scored
         |ORDER BY cos_sim DESC, vec_id LIMIT 10""".stripMargin) { (s, d) =>
       val e = embeddings(s, d)
-        .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("v"))
+        .select(col("vec_id"), col("embedding").as("v"))
       val minId = e.agg(min(col("vec_id")).as("min_id"))
       val q = e.join(broadcast(minId), col("vec_id") === col("min_id"))
         .select(col("v").as("qv"), col("min_id"))
@@ -84,6 +85,7 @@ object VectorOps {
       val e = embeddings(s, d)
         .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("v"))
         .withColumn("bucket", lshSignature(col("v")))
+        .cache() // reused as corpus side and query side of the bucket join
       val minId = e.agg(min(col("vec_id")).as("min_id"))
       val q = e.join(broadcast(minId), col("vec_id") === col("min_id"))
         .select(col("v").as("qv"), col("bucket").as("qbucket"), col("min_id"))

@@ -1,0 +1,83 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.ops.Tables._
+
+/** Dev-only micro-probe: isolates where bench time goes (decimal agg vs
+  * double agg, scan cost, shuffle width). Not part of the driver contract.
+  */
+object Probe {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    def time(name: String)(f: => Unit): Unit = {
+      val t0 = System.nanoTime()
+      f
+      println(f"$name%-28s ${(System.nanoTime() - t0) / 1e9}%.3f s")
+    }
+
+    val li = lineitem(spark, sfDir)
+    time("warm scan count")(li.count())
+    time("scan count again")(li.count())
+
+    val disc = col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+    time("q1 double sums") {
+      li.groupBy("l_returnflag", "l_linestatus")
+        .agg(sum(col("l_quantity")), sum(col("l_extendedprice")), sum(disc),
+          avg(col("l_quantity")), count(lit(1)))
+        .write.format("noop").mode("overwrite").save()
+    }
+    time("q1 decimal sums") {
+      li.groupBy("l_returnflag", "l_linestatus")
+        .agg(dsum(col("l_quantity")), dsum(col("l_extendedprice")), dsum6(disc),
+          (dsum(col("l_quantity")) / count(lit(1))), count(lit(1)))
+        .write.format("noop").mode("overwrite").save()
+    }
+    time("q1 decimal full (as in q_agg_group)") {
+      graft.SparkEntry.queries("q_agg_group")(spark, sfDir)
+        .write.format("noop").mode("overwrite").save()
+    }
+    time("count distinct x2") {
+      li.groupBy("l_returnflag")
+        .agg(countDistinct(col("l_suppkey")), countDistinct(col("l_orderkey")))
+        .write.format("noop").mode("overwrite").save()
+    }
+    import graft.ops.Dedup
+    val docs = documents(spark, sfDir)
+    time("shingleTable count") {
+      println("  rows=" + Dedup.shingleTable(docs).count())
+    }
+    time("shingleTable count again") {
+      println("  rows=" + Dedup.shingleTable(docs).count())
+    }
+    val sh = Dedup.shingleTable(docs)
+    time("df-prune + pair join count") {
+      val pruned = sh.join(
+        sh.groupBy("shingle").agg(count(lit(1)).as("df")).filter(col("df") <= 50)
+          .select("shingle"), Seq("shingle"), "left_semi")
+      val a = pruned.select(col("doc_id").as("id_a"), col("shingle"))
+      val b = pruned.select(col("doc_id").as("id_b"), col("shingle"))
+      println("  pairs=" + a.join(b, Seq("shingle")).filter(col("id_a") < col("id_b")).count())
+    }
+    time("ngram_jaccard full") {
+      graft.SparkEntry.queries("q_dedup_ngram_jaccard")(spark, sfDir)
+        .write.format("noop").mode("overwrite").save()
+    }
+    time("minhash") {
+      graft.SparkEntry.queries("q_dedup_minhash")(spark, sfDir)
+        .write.format("noop").mode("overwrite").save()
+    }
+    spark.stop()
+  }
+}
