@@ -1,0 +1,38 @@
+package graft.functions
+
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+/** SparkSessionExtensions hook registering the engine's custom Catalyst
+  * expressions as SQL functions, so the SELECT-only gateway surface
+  * (SqlGateway / spark.sql) can call them by name — the Spark-native
+  * realization of the reference's "custom functions" roadmap item
+  * (/root/reference/README.md:112).
+  *
+  * Usage: SparkSession.builder().withExtensions(new GraftExtensions) —
+  * wired in engine.Session.local; [[GraftExtensions.register]] installs
+  * the same functions on an existing session (Verify/Bench sessions the
+  * driver builds without extensions).
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  def apply(e: SparkSessionExtensions): Unit = {
+    e.injectFunction(GraftExtensions.dotProduct)
+  }
+}
+
+object GraftExtensions {
+  private def info(name: String, usage: String) =
+    new ExpressionInfo("graft.functions", null, name, usage, "", "", "", "", "", "", "scala_udf")
+
+  val dotProduct: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("dot_product"),
+    info("dot_product", "dot_product(a, b) - double dot product of two float/double arrays"),
+    (exprs: Seq[Expression]) => DotProduct(exprs(0), exprs(1)))
+
+  /** Register on an already-built session (idempotent). */
+  def register(spark: SparkSession): Unit = {
+    val (id, i, builder) = dotProduct
+    spark.sessionState.functionRegistry.registerFunction(id, i, builder)
+  }
+}

@@ -166,25 +166,23 @@ object Joins {
     },
 
     // As-of join (DuckDB ASOF JOIN; SURVEY.md §2): for each event, the most
-    // recent order of the same user at or before the event time. Spark has
-    // no builtin — emulated as equi-join + per-event window top-1. The
-    // matched *date* (not an arbitrary tied key) is output so ties are
-    // deterministic, matching ASOF semantics on both engines.
+    // recent order of the same user at or before the event time. Uses the
+    // merge formulation in graft.ops.AsOf — one shuffle by key + one sort
+    // of |events| + |orders|, no per-key pair explosion (the shape an
+    // as-of join must have at 100 TB).
     OpQuery("q_asof_join",
       """SELECT e.event_id, strftime(o.o_orderdate, '%Y-%m-%d') AS asof_day
         |FROM events e
         |ASOF LEFT JOIN orders o
         |  ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
         |ORDER BY e.event_id""".stripMargin) { (s, d) =>
-      val e = events(s, d).select("event_id", "user_id", "ts")
-      val o = orders(s, d).select("o_custkey", "o_orderdate")
-      val joined = e.join(broadcast(o),
-        col("user_id") === col("o_custkey") && col("ts") >= col("o_orderdate"), "left")
-      val w = Window.partitionBy(col("event_id")).orderBy(col("o_orderdate").desc_nulls_last)
-      joined
-        .withColumn("rn", row_number().over(w))
-        .filter(col("rn") === 1)
-        .select(col("event_id"), date_format(col("o_orderdate"), "yyyy-MM-dd").as("asof_day"))
+      AsOf.asofJoin(
+        events(s, d).select("event_id", "user_id", "ts"),
+        orders(s, d).select("o_custkey", "o_orderdate"),
+        leftKey = "user_id", rightKey = "o_custkey",
+        leftTime = "ts", rightTime = "o_orderdate",
+        rightValue = "o_orderdate", outName = "asof_ts")
+        .select(col("event_id"), date_format(col("asof_ts"), "yyyy-MM-dd").as("asof_day"))
         .orderBy("event_id")
     }
   )

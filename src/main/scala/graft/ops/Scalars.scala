@@ -138,6 +138,31 @@ object Scalars {
         .orderBy("vec_id")
     },
 
+    // Typed Aggregator (udaf) — geometric mean, oracle twin exp(avg(ln)).
+    // The reference lists custom functions only as roadmap; this is the
+    // Spark-native UDAF tier (graft.functions.Udfs).
+    OpQuery("q_udaf_geomean",
+      """SELECT l_returnflag, ROUND(exp(avg(ln(l_quantity))), 6) AS geo_qty
+        |FROM lineitem WHERE l_quantity > 0
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin) { (s, d) =>
+      graft.functions.Udfs.register(s)
+      lineitem(s, d).filter(col("l_quantity") > 0).createOrReplaceTempView("graft_li_gm")
+      s.sql(
+        """SELECT l_returnflag, ROUND(geo_mean(l_quantity), 6) AS geo_qty
+          |FROM graft_li_gm GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)
+    },
+
+    // Scalar UDF — vowel density, oracle twin via regexp_replace count.
+    OpQuery("q_udf_vowel_density",
+      """SELECT doc_id,
+        |       CAST(length(text) - length(regexp_replace(text, '[aeiouAEIOU]', '', 'g')) AS DOUBLE)
+        |         / length(text) AS vd
+        |FROM documents ORDER BY doc_id""".stripMargin) { (s, d) =>
+      graft.functions.Udfs.register(s)
+      documents(s, d).createOrReplaceTempView("graft_docs_vd")
+      s.sql("SELECT doc_id, vowel_density(text) AS vd FROM graft_docs_vd ORDER BY doc_id")
+    },
+
     // UNNEST / explode: token frequency over documents (LATERAL-style
     // table generation + re-aggregation).
     OpQuery("q_explode_tokens",

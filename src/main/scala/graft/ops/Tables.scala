@@ -25,7 +25,9 @@ object Tables {
     * the data being resident. */
   def t(spark: SparkSession, dir: String, name: String): DataFrame = {
     val df = spark.read.parquet(s"$dir/$name.parquet")
-    df.cache()
+    // kill-switch: -Dgraft.no.cache=1 (PlanAudit uses it so parquet-scan
+    // pushdown is visible instead of InMemoryTableScan pushdown)
+    if (!sys.props.contains("graft.no.cache")) df.cache()
     df
   }
 

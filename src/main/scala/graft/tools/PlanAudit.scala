@@ -1,0 +1,73 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+
+/** Dev tool: dump formatted physical plans for representative queries
+  * and check the plan properties the 100 TB design depends on
+  * (SURVEY.md §4.2): filter/projection pushdown into the parquet scan,
+  * broadcast of star dimensions, TakeOrderedAndProject for top-k,
+  * partial aggregation, no cartesian products where a hash join belongs.
+  *
+  * Usage: runMain graft.tools.PlanAudit [sfDir] — prints PASS/FAIL per
+  * property plus the plans (redirect to PLANS.md).
+  */
+object PlanAudit {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
+    sys.props("graft.no.cache") = "1"
+    val spark = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    def plan(name: String): String = {
+      val df = graft.SparkEntry.queries(name)(spark, sfDir)
+      df.queryExecution.explainString(org.apache.spark.sql.execution.FormattedMode)
+    }
+
+    case class Check(query: String, property: String, test: String => Boolean)
+    val checks = Seq(
+      Check("q_filter_compare", "filter pushed to parquet scan",
+        p => p.contains("PushedFilters") && p.contains("GreaterThan(l_quantity")),
+      Check("q_scan_project", "column pruning (4-col ReadSchema)",
+        p => p.contains("l_extendedprice") && !p.contains("l_comment") &&
+          "ReadSchema.*l_quantity".r.findFirstIn(p).isDefined),
+      Check("q_topk", "top-k plans as TakeOrderedAndProject",
+        p => p.contains("TakeOrderedAndProject")),
+      Check("q_join_multiway", "star dims broadcast",
+        p => p.contains("BroadcastHashJoin")),
+      Check("q_join_multiway", "no cartesian in star join",
+        p => !p.contains("CartesianProduct")),
+      Check("q_agg_group", "partial aggregation (two-phase hash agg)",
+        p => "HashAggregate".r.findAllIn(p).length >= 2),
+      Check("q_join_semi", "semi join planned as such",
+        p => p.contains("LeftSemi")),
+      Check("q_asof_join", "as-of = single shuffle window, no NL join",
+        p => !p.contains("BroadcastNestedLoopJoin") && p.contains("Window")),
+      Check("q_sim_cosine_topk", "cosine top-k: broadcast + TakeOrdered",
+        p => p.contains("TakeOrderedAndProject")),
+      Check("q_events_tumbling", "windowed agg is partial-final",
+        p => "HashAggregate".r.findAllIn(p).length >= 2)
+    )
+
+    val plans = scala.collection.mutable.LinkedHashMap[String, String]()
+    def planOf(q: String) = plans.getOrElseUpdate(q, plan(q))
+
+    var failed = 0
+    checks.foreach { c =>
+      val ok = try c.test(planOf(c.query)) catch { case _: Throwable => false }
+      if (!ok) failed += 1
+      println(s"${if (ok) "PASS" else "FAIL"}  ${c.query}: ${c.property}")
+    }
+    println(s"\n== $failed failing checks ==\n")
+    plans.foreach { case (q, p) =>
+      println(s"\n### $q\n")
+      println(p.linesIterator.take(60).mkString("\n"))
+    }
+    spark.stop()
+    if (failed > 0) sys.exit(1)
+  }
+}

@@ -149,6 +149,19 @@ class EngineSpec extends AnyFunSuite {
     assert(SqlGateway.run(spark, sql).count() > 0)
   }
 
+  test("custom SQL functions: dot_product expression + geo_mean udaf") {
+    graft.functions.GraftExtensions.register(spark)
+    graft.functions.Udfs.register(spark)
+    val d = spark.sql(
+      "SELECT dot_product(array(1.0D, 2.0D), array(3.0D, 4.0D)) AS d").collect()(0).getDouble(0)
+    assert(d == 11.0)
+    val g = spark.sql(
+      "SELECT geo_mean(x) FROM VALUES (2.0), (8.0) AS t(x)").collect()(0).getDouble(0)
+    assert(math.abs(g - 4.0) < 1e-9)
+    assert(graft.functions.Udfs.vowelDensity("aeiou") == 1.0)
+    assert(graft.functions.Udfs.vowelDensity("xyz") == 0.0)
+  }
+
   test("catalog persist/load roundtrip") {
     val df = Ingest.load(spark, TestSpark.resource("sample_sales_data.csv"))
     val dir = Files.createTempDirectory("persist").toString
