@@ -75,6 +75,53 @@ object Joins {
         .orderBy("c_custkey")
     },
 
+    // Full outer: customers with no urgent orders and urgent orders with
+    // no customer row survive with nulls on the missing side.
+    OpQuery("q_join_full",
+      """SELECT COALESCE(c_custkey, -1) AS custkey,
+        |       CAST(COUNT(o_orderkey) AS BIGINT) AS n_urgent,
+        |       CASE WHEN c_custkey IS NULL THEN 'orphan_order'
+        |            WHEN COUNT(o_orderkey) = 0 THEN 'no_urgent' ELSE 'matched' END AS side
+        |FROM customer FULL OUTER JOIN
+        |     (SELECT o_orderkey, o_custkey FROM orders WHERE o_orderpriority = '1-URGENT') o
+        |  ON c_custkey = o_custkey
+        |GROUP BY c_custkey ORDER BY custkey""".stripMargin) { (s, d) =>
+      val o = orders(s, d).filter(col("o_orderpriority") === "1-URGENT")
+        .select("o_orderkey", "o_custkey")
+      customer(s, d).select("c_custkey")
+        .join(o, col("c_custkey") === col("o_custkey"), "full_outer")
+        .groupBy("c_custkey")
+        .agg(count(col("o_orderkey")).as("n_urgent"))
+        .select(coalesce(col("c_custkey"), lit(-1L)).as("custkey"),
+          col("n_urgent"),
+          when(col("c_custkey").isNull, "orphan_order")
+            .when(col("n_urgent") === 0, "no_urgent")
+            .otherwise("matched").as("side"))
+        .orderBy("custkey")
+    },
+
+    // Self-join (the one multi-table shape the reference's single-table
+    // model admits, SURVEY.md §2 "Joins"): consecutive-order gaps would
+    // use a window; the *pair* formulation exercises the self-join path.
+    OpQuery("q_join_self",
+      """SELECT o1.o_custkey,
+        |       CAST(COUNT(*) AS BIGINT) AS n_pairs_30d
+        |FROM orders o1 JOIN orders o2
+        |  ON o1.o_custkey = o2.o_custkey
+        | AND o1.o_orderkey < o2.o_orderkey
+        | AND o2.o_orderdate BETWEEN o1.o_orderdate AND o1.o_orderdate + INTERVAL 30 DAY
+        |GROUP BY o1.o_custkey ORDER BY o1.o_custkey""".stripMargin) { (s, d) =>
+      val o = orders(s, d).select("o_orderkey", "o_custkey", "o_orderdate")
+      o.as("o1").join(o.as("o2"),
+          col("o1.o_custkey") === col("o2.o_custkey") &&
+            col("o1.o_orderkey") < col("o2.o_orderkey") &&
+            col("o2.o_orderdate").between(col("o1.o_orderdate"),
+              col("o1.o_orderdate") + expr("INTERVAL 30 DAY")))
+        .groupBy(col("o1.o_custkey").as("o_custkey"))
+        .agg(count(lit(1)).as("n_pairs_30d"))
+        .orderBy("o_custkey")
+    },
+
     OpQuery("q_join_cross",
       """SELECT r_name, n_name FROM region CROSS JOIN nation
         |ORDER BY r_name, n_name""".stripMargin) { (s, d) =>

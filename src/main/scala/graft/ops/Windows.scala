@@ -37,6 +37,24 @@ object Windows {
         .orderBy("o_orderstatus", "rn")
     },
 
+    // Distribution functions; pr/cd are exact rational ratios of row
+    // counts computed identically by both engines.
+    OpQuery("q_window_percent_rank",
+      """SELECT o_orderkey,
+        |       percent_rank() OVER w AS pr,
+        |       cume_dist()    OVER w AS cd
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice, o_orderkey)
+        |ORDER BY o_orderkey""".stripMargin) { (s, d) =>
+      val w = Window.partitionBy(col("o_orderstatus"))
+        .orderBy(col("o_totalprice"), col("o_orderkey"))
+      orders(s, d)
+        .select(col("o_orderkey"),
+          percent_rank().over(w).as("pr"),
+          cume_dist().over(w).as("cd"))
+        .orderBy("o_orderkey")
+    },
+
     OpQuery("q_window_lag_lead",
       """SELECT event_id,
         |       lag(value)  OVER w AS prev_value,
