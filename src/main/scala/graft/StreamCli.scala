@@ -7,7 +7,7 @@ import graft.streaming.EventStream
   * over a testdata directory's events.parquet (file-source stream, memory
   * sink, drained to completion) and prints the first rows.
   *
-  * Usage: runMain graft.StreamCli <tumbling|sliding|session|dedup> <sfDir>
+  * Usage: runMain graft.StreamCli <tumbling|sliding|session|dedup|join> <sfDir>
   */
 object StreamCli {
   def main(args: Array[String]): Unit = {
@@ -18,6 +18,7 @@ object StreamCli {
       case "sliding"  => (EventStream.sliding _, "complete")
       case "session"  => (EventStream.sessions _, "complete")
       case "dedup"    => (EventStream.dedup _, "append")
+      case "join"     => (EventStream.viewToPurchase _, "append")
       case other      => throw new IllegalArgumentException(s"unknown pipeline: $other")
     }
     val q = transform(EventStream.source(spark, args(1)))

@@ -1,0 +1,119 @@
+package graft.ops
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import Tables._
+
+/** Composite analytics queries — TPC-H-shaped multi-operator pipelines
+  * (SURVEY.md §2's query classes 统计/筛选/分组/时间/排名/关联 composed the
+  * way the reference's NL questions actually compose them). Each stacks
+  * several operator families (filter + multi-join + agg + sort + limit)
+  * so the oracle checks whole-plan interactions, not single operators.
+  */
+object Analytics {
+
+  val queries: Seq[OpQuery] = Seq(
+
+    // TPC-H Q3 shape: segment filter + 2 joins + grouped revenue + top-10.
+    OpQuery("q_tpch_q3_shape",
+      s"""SELECT l_orderkey,
+         |       ${oSum6("l_extendedprice * (1 - l_discount)")} AS revenue,
+         |       strftime(o_orderdate, '%Y-%m-%d') AS orderdate
+         |FROM customer JOIN orders ON c_custkey = o_custkey
+         |              JOIN lineitem ON l_orderkey = o_orderkey
+         |WHERE c_mktsegment = 'BUILDING'
+         |  AND o_orderdate < TIMESTAMP '1998-01-01'
+         |  AND l_shipdate  > TIMESTAMP '1998-01-01'
+         |GROUP BY l_orderkey, o_orderdate
+         |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin) { (s, d) =>
+      val cust = customer(s, d).filter(col("c_mktsegment") === "BUILDING").select("c_custkey")
+      val ord = orders(s, d)
+        .filter(col("o_orderdate") < to_timestamp(lit("1998-01-01")))
+        .select("o_orderkey", "o_custkey", "o_orderdate")
+      val li = lineitem(s, d)
+        .filter(col("l_shipdate") > to_timestamp(lit("1998-01-01")))
+        .select(col("l_orderkey"),
+          (col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("rev"))
+      ord.join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+        .join(li, col("o_orderkey") === col("l_orderkey"))
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(dsum6(col("rev")).as("revenue"))
+        .select(col("l_orderkey"), col("revenue"),
+          date_format(col("o_orderdate"), "yyyy-MM-dd").as("orderdate"))
+        .orderBy(col("revenue").desc, col("l_orderkey"))
+        .limit(10)
+    },
+
+    // TPC-H Q18 shape: HAVING-subquery membership + re-join + top-k —
+    // large-quantity orders with their customers.
+    OpQuery("q_tpch_q18_shape",
+      s"""SELECT c_custkey, o_orderkey, ${oSum("l_quantity")} AS total_qty
+         |FROM customer JOIN orders ON c_custkey = o_custkey
+         |              JOIN lineitem ON o_orderkey = l_orderkey
+         |WHERE o_orderkey IN (
+         |  SELECT l_orderkey FROM lineitem
+         |  GROUP BY l_orderkey HAVING SUM(CAST(l_quantity AS DECIMAL(18,4))) > 120)
+         |GROUP BY c_custkey, o_orderkey
+         |ORDER BY total_qty DESC, o_orderkey LIMIT 20""".stripMargin) { (s, d) =>
+      val li = lineitem(s, d).select("l_orderkey", "l_quantity")
+      val big = li.groupBy("l_orderkey")
+        .agg(sum(dec(col("l_quantity"))).as("sq"))
+        .filter(col("sq") > 120)
+        .select(col("l_orderkey").as("big_orderkey"))
+      orders(s, d).select("o_orderkey", "o_custkey")
+        .join(big, col("o_orderkey") === col("big_orderkey"), "left_semi")
+        .join(customer(s, d).select("c_custkey"), col("o_custkey") === col("c_custkey"))
+        .join(li, col("o_orderkey") === col("l_orderkey"))
+        .groupBy("c_custkey", "o_orderkey")
+        .agg(dsum(col("l_quantity")).as("total_qty"))
+        .orderBy(col("total_qty").desc, col("o_orderkey"))
+        .limit(20)
+    },
+
+    // TPC-H Q10 shape: returned-item revenue per customer+nation, top-20.
+    OpQuery("q_tpch_q10_shape",
+      s"""SELECT c_custkey, n_name,
+         |       ${oSum6("l_extendedprice * (1 - l_discount)")} AS revenue
+         |FROM customer JOIN orders   ON c_custkey = o_custkey
+         |              JOIN lineitem ON l_orderkey = o_orderkey
+         |              JOIN nation   ON c_nationkey = n_nationkey
+         |WHERE l_returnflag = 'R'
+         |GROUP BY c_custkey, n_name
+         |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin) { (s, d) =>
+      val li = lineitem(s, d).filter(col("l_returnflag") === "R")
+        .select(col("l_orderkey"),
+          (col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("rev"))
+      orders(s, d).select("o_orderkey", "o_custkey")
+        .join(li, col("o_orderkey") === col("l_orderkey"))
+        .join(broadcast(customer(s, d).select("c_custkey", "c_nationkey")),
+          col("o_custkey") === col("c_custkey"))
+        .join(broadcast(nation(s, d).select("n_nationkey", "n_name")),
+          col("c_nationkey") === col("n_nationkey"))
+        .groupBy("c_custkey", "n_name")
+        .agg(dsum6(col("rev")).as("revenue"))
+        .orderBy(col("revenue").desc, col("c_custkey"))
+        .limit(20)
+    },
+
+    // Funnel over events: per-user ordered event-type sequence —
+    // conversion counting with window + aggregation over sequences.
+    OpQuery("q_events_funnel",
+      """WITH seq AS (
+        |  SELECT user_id, event_type, ts,
+        |         min(CASE WHEN event_type = 'view' THEN ts END)
+        |           OVER (PARTITION BY user_id) AS first_view
+        |  FROM events)
+        |SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) AS converted_users
+        |FROM seq
+        |WHERE event_type = 'purchase' AND first_view IS NOT NULL AND ts > first_view""".stripMargin) { (s, d) =>
+      val w = org.apache.spark.sql.expressions.Window.partitionBy(col("user_id"))
+      events(s, d)
+        .select(col("user_id"), col("event_type"), col("ts"),
+          min(when(col("event_type") === "view", col("ts"))).over(w).as("first_view"))
+        .filter(col("event_type") === "purchase" &&
+          col("first_view").isNotNull && col("ts") > col("first_view"))
+        .agg(countDistinct(col("user_id")).as("converted_users"))
+    }
+  )
+}

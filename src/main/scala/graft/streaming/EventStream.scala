@@ -78,6 +78,27 @@ object EventStream {
       .select(col("user_id"), col("event_type"),
         date_format(col("minute"), "yyyy-MM-dd HH:mm:ss").as("minute"))
 
+  /** Stream-stream interval self-join: views paired with purchases by
+    * the same user within the following hour. Watermarks on both sides
+    * bound the join state retention — the canonical streaming-join shape
+    * (state is evicted once event time passes view_ts + 1h + watermark).
+    */
+  def viewToPurchase(events: DataFrame): DataFrame = {
+    val views = events.filter(col("event_type") === "view")
+      .select(col("user_id"), col("ts").as("view_ts"))
+      .withWatermark("view_ts", "1 hour")
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts").as("purchase_ts"))
+      .withWatermark("purchase_ts", "1 hour")
+    views.join(purchases,
+      col("user_id") === col("p_user") &&
+        col("purchase_ts") >= col("view_ts") &&
+        col("purchase_ts") <= col("view_ts") + expr("INTERVAL 1 HOUR"))
+      .select(col("user_id"),
+        date_format(col("view_ts"), "yyyy-MM-dd HH:mm:ss").as("view_time"),
+        date_format(col("purchase_ts"), "yyyy-MM-dd HH:mm:ss").as("purchase_time"))
+  }
+
   // -- custom stateful operator ------------------------------------------
 
   case class EventRow(event_id: Long, ts: java.sql.Timestamp, user_id: Long,

@@ -57,6 +57,11 @@ class StreamingSpec extends AnyFunSuite {
     assertSameRows(streamed, batch)
   }
 
+  test("stream-stream interval self-join == batch join") {
+    val streamed = runStream(EventStream.viewToPurchase, "append")
+    assertSameRows(streamed, EventStream.viewToPurchase(batchEvents))
+  }
+
   test("flatMapGroupsWithState running totals converge to batch totals") {
     import spark.implicits._
     val src = EventStream.source(spark, TestSpark.Sf)
