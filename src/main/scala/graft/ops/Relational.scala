@@ -55,9 +55,10 @@ object Relational {
       lineitem(s, d)
         .filter(col("l_shipdate") >= to_timestamp(lit("1996-01-01")) &&
                 col("l_shipdate") < to_timestamp(lit("1997-01-01")))
+        .select("l_orderkey", "l_linenumber", "l_shipdate")
+        .orderBy("l_orderkey", "l_linenumber")
         .select(col("l_orderkey"), col("l_linenumber"),
           date_format(col("l_shipdate"), "yyyy-MM-dd").as("ship_day"))
-        .orderBy("l_orderkey", "l_linenumber")
     },
 
     OpQuery("q_filter_compound",
@@ -115,9 +116,10 @@ object Relational {
         |       l_extendedprice * (1 - l_discount) * (1 + l_tax) AS charge
         |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin) { (s, d) =>
       lineitem(s, d)
+        .select("l_orderkey", "l_linenumber", "l_extendedprice", "l_discount", "l_tax")
+        .orderBy("l_orderkey", "l_linenumber")
         .select(col("l_orderkey"), col("l_linenumber"),
           (col("l_extendedprice") * (lit(1.0) - col("l_discount")) * (lit(1.0) + col("l_tax"))).as("charge"))
-        .orderBy("l_orderkey", "l_linenumber")
     },
 
     OpQuery("q_case_when",

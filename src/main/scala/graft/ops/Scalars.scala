@@ -31,7 +31,9 @@ object Scalars {
         |       strftime(o_orderdate, '%Y-%m')    AS ym,
         |       strftime(date_trunc('month', o_orderdate), '%Y-%m-%d') AS month_start
         |FROM orders ORDER BY o_orderkey""".stripMargin) { (s, d) =>
-      orders(s, d).select(
+      orders(s, d).select("o_orderkey", "o_orderdate")
+        .orderBy("o_orderkey")
+        .select(
         col("o_orderkey"),
         year(col("o_orderdate")).as("y"),
         month(col("o_orderdate")).as("m"),
@@ -40,7 +42,6 @@ object Scalars {
         (dayofweek(col("o_orderdate")) - 1).as("dow"), // Spark 1=Sun → DuckDB 0=Sun
         date_format(col("o_orderdate"), "yyyy-MM").as("ym"),
         date_format(date_trunc("month", col("o_orderdate")), "yyyy-MM-dd").as("month_start"))
-        .orderBy("o_orderkey")
     },
 
     OpQuery("q_scalar_string",
@@ -54,7 +55,9 @@ object Scalars {
         |       replace(c_name, 'Customer', 'C') AS short_name,
         |       lpad(CAST(c_custkey AS VARCHAR), 8, '0') AS padded
         |FROM customer ORDER BY c_custkey""".stripMargin) { (s, d) =>
-      customer(s, d).select(
+      customer(s, d).select("c_custkey", "c_name", "c_mktsegment")
+        .orderBy("c_custkey")
+        .select(
         col("c_custkey"),
         lower(col("c_name")).as("lo"),
         upper(col("c_mktsegment")).as("up"),
@@ -64,7 +67,6 @@ object Scalars {
         length(col("c_name")).as("name_len"),
         regexp_replace(col("c_name"), "Customer", "C").as("short_name"),
         lpad(col("c_custkey").cast("string"), 8, "0").as("padded"))
-        .orderBy("c_custkey")
     },
 
     OpQuery("q_scalar_math",
@@ -77,7 +79,9 @@ object Scalars {
         |       ROUND(power(c_acctbal, 2), 4)     AS sq_bal,
         |       CAST(c_custkey % 7 AS BIGINT)     AS mod7
         |FROM customer ORDER BY c_custkey""".stripMargin) { (s, d) =>
-      customer(s, d).select(
+      customer(s, d).select("c_custkey", "c_acctbal")
+        .orderBy("c_custkey")
+        .select(
         col("c_custkey"),
         abs(col("c_acctbal")).as("abs_bal"),
         ceil(col("c_acctbal")).as("ceil_bal"),
@@ -86,7 +90,6 @@ object Scalars {
         round(log(abs(col("c_acctbal")) + 1), 6).as("ln_bal"),
         round(pow(col("c_acctbal"), 2), 4).as("sq_bal"),
         (col("c_custkey") % 7).as("mod7"))
-        .orderBy("c_custkey")
     },
 
     OpQuery("q_scalar_cast",
@@ -97,14 +100,16 @@ object Scalars {
         |       strftime(CAST(strftime(l_shipdate, '%Y-%m-%d') AS DATE), '%Y-%m-%d') AS ship_day,
         |       CAST('42' AS BIGINT)                   AS answer
         |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin) { (s, d) =>
-      lineitem(s, d).select(
+      lineitem(s, d)
+        .select("l_orderkey", "l_linenumber", "l_quantity", "l_shipdate")
+        .orderBy("l_orderkey", "l_linenumber")
+        .select(
         col("l_orderkey"), col("l_linenumber"),
         col("l_linenumber").cast("string").as("ln_str"),
         col("l_quantity").cast("long").cast("string").as("qty_str"),
         col("l_quantity").cast(DecimalType(10, 2)).cast("string").as("qty_dec_str"),
         date_format(to_date(date_format(col("l_shipdate"), "yyyy-MM-dd")), "yyyy-MM-dd").as("ship_day"),
         lit("42").cast("long").as("answer"))
-        .orderBy("l_orderkey", "l_linenumber")
     },
 
     OpQuery("q_json_extract",
@@ -112,11 +117,12 @@ object Scalars {
         |       json_extract_string(props, '$.k') AS k_str,
         |       CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_num
         |FROM events ORDER BY event_id""".stripMargin) { (s, d) =>
-      events(s, d).select(
+      events(s, d).select("event_id", "props")
+        .orderBy("event_id")
+        .select(
         col("event_id"),
         get_json_object(col("props"), "$.k").as("k_str"),
         get_json_object(col("props"), "$.k").cast("long").as("k_num"))
-        .orderBy("event_id")
     },
 
     // Higher-order array functions over the embedding column. The fold is

@@ -78,6 +78,24 @@ object Probe {
       graft.SparkEntry.queries("q_dedup_minhash")(spark, sfDir)
         .write.format("noop").mode("overwrite").save()
     }
+
+    // project-before-sort vs sort-before-project for derived columns
+    import org.apache.spark.sql.types.DecimalType
+    def derived(df: org.apache.spark.sql.DataFrame) = df.select(
+      col("l_orderkey"), col("l_linenumber"),
+      col("l_linenumber").cast("string").as("ln_str"),
+      col("l_quantity").cast("long").cast("string").as("qty_str"),
+      col("l_quantity").cast(DecimalType(10, 2)).cast("string").as("qty_dec_str"),
+      date_format(to_date(date_format(col("l_shipdate"), "yyyy-MM-dd")), "yyyy-MM-dd").as("ship_day"))
+    time("project then sort") {
+      derived(li).orderBy("l_orderkey", "l_linenumber")
+        .write.format("noop").mode("overwrite").save()
+    }
+    time("sort then project") {
+      derived(li.select("l_orderkey", "l_linenumber", "l_quantity", "l_shipdate")
+        .orderBy("l_orderkey", "l_linenumber"))
+        .write.format("noop").mode("overwrite").save()
+    }
     spark.stop()
   }
 }
