@@ -24,6 +24,12 @@ object Bench {
       .config("spark.sql.shuffle.partitions", shufflePartitions)
       .config("spark.sql.adaptive.enabled", aqe)
       .config("spark.sql.session.timeZone", "UTC")
+      // constraint propagation is O(constraints²) optimizer time — real
+      // cost on 85 small plans, no benefit at these sizes
+      .config("spark.sql.constraintPropagation.enabled", "false")
+      // range-sort boundary sampling re-executes the sort child; fewer
+      // samples per partition cost nothing at 16 partitions
+      .config("spark.sql.execution.rangeExchange.sampleSizePerPartition", "20")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")

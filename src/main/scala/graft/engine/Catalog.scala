@@ -34,6 +34,19 @@ object Catalog {
   def loadPersisted(spark: SparkSession, sourcePath: String): DataFrame =
     spark.read.parquet(persistPath(sourcePath))
 
+  /** Bucketed + sorted persistence: tables bucketed on their join key
+    * with the same bucket count join WITHOUT a shuffle (no Exchange in
+    * the plan) — the co-located-join layout a 100 TB fact/fact join
+    * needs. Catalog-table form because bucketing metadata lives in the
+    * table catalog, not the parquet files. */
+  def bucketedPersist(df: DataFrame, table: String, bucketCol: String,
+      buckets: Int): Unit =
+    df.write.mode("overwrite")
+      .bucketBy(buckets, bucketCol)
+      .sortBy(bucketCol)
+      .format("parquet")
+      .saveAsTable(table)
+
   /** Full ingest→profile→register pipeline (analyze_file analog,
     * doc.py:86–131): returns the profile used for NL→SQL grounding.
     */
