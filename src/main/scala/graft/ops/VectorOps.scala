@@ -41,7 +41,53 @@ object VectorOps {
   def lshSignature(v: Column, bits: Int = 8): Column =
     (0 until bits).map(p => lshBit(v, p)).reduce(_ + _)
 
+  /** IVF (inverted-file) ANN: a KMeans coarse quantizer partitions the
+    * corpus into nList cluster cells; a query probes only the nProbe
+    * nearest cells and scores exactly within them. The 100 TB shape:
+    * the corpus is partitioned by cell id, a query touches nProbe/nList
+    * of the data. Deterministic via fixed seed.
+    * Returns (assigned corpus with `cell`, centroid array). */
+  def ivfIndex(e: org.apache.spark.sql.DataFrame, nList: Int):
+      (org.apache.spark.sql.DataFrame, Array[Array[Double]]) = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val withVec = e.withColumn("fv",
+      array_to_vector(transform(col("v"), x => x.cast("double"))))
+    val model = new KMeans().setK(nList).setSeed(42L).setMaxIter(10)
+      .setFeaturesCol("fv").setPredictionCol("cell")
+      .fit(withVec)
+    (model.transform(withVec).drop("fv"), model.clusterCenters.map(_.toArray))
+  }
+
   val queries: Seq[OpQuery] = Seq(
+
+    // IVF ANN: probe the 4 nearest of 16 KMeans cells, exact cosine
+    // inside them. Rows-only (KMeans has no SQL twin); recall and score
+    // agreement vs brute force are asserted in DedupVectorSpec.
+    OpQuery.noOracle("q_sim_ivf") { (s, d) =>
+      val e = embeddings(s, d).select(col("vec_id"), col("embedding").as("v"))
+      val (assigned, centers) = ivfIndex(e, nList = 16)
+      val cached = assigned.cache()
+      val qRow = cached.orderBy("vec_id").limit(1)
+        .select("v", "cell", "vec_id").collect()(0)
+      val qv = qRow.getSeq[Float](0).map(_.toDouble).toArray
+      val qid = qRow.getLong(2)
+      def cos(c: Array[Double]): Double = {
+        val dot = c.zip(qv).map { case (a, b) => a * b }.sum
+        dot / (math.sqrt(c.map(x => x * x).sum) * math.sqrt(qv.map(x => x * x).sum))
+      }
+      val probeCells = centers.zipWithIndex.sortBy { case (c, _) => -cos(c) }
+        .take(4).map(_._2).toSeq
+      val qLit = typedLit(qv.toSeq)
+      val qNorm = math.sqrt(qv.map(x => x * x).sum)
+      cached
+        .filter(col("cell").isin(probeCells: _*) && col("vec_id") =!= qid)
+        .select(col("vec_id"),
+          round(dot(col("v"), qLit) /
+            (sqrt(dot(col("v"), col("v"))) * lit(qNorm)), 6).as("cos_sim"))
+        .orderBy(col("cos_sim").desc, col("vec_id"))
+        .limit(10)
+    },
 
     // Brute-force cosine top-k against the min-vec_id query vector — the
     // exact baseline. One broadcast of the (1-row) query vector, one scan:

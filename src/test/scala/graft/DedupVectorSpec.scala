@@ -48,6 +48,30 @@ class DedupVectorSpec extends AnyFunSuite {
     assert(sims.forall(s => s >= -1.0 && s <= 1.0))
   }
 
+  test("IVF ANN: scores agree with brute force; recall is nontrivial") {
+    val brute = q("q_sim_cosine_topk").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val ivf = q("q_sim_ivf").collect().map(r => r.getLong(0) -> r.getDouble(1))
+    assert(ivf.nonEmpty)
+    ivf.foreach { case (id, cos) =>
+      brute.get(id).foreach(b => assert(math.abs(b - cos) < 1e-9,
+        s"IVF score for $id diverges: $cos vs $b"))
+    }
+    val recall = ivf.count { case (id, _) => brute.contains(id) }.toDouble / brute.size
+    assert(recall >= 0.2, s"IVF recall@10 = $recall (4/16 cells probed)")
+  }
+
+  test("salted join is row-identical to the plain equi-join") {
+    val li = ops.Tables.lineitem(spark, TestSpark.Sf).select("l_orderkey", "l_quantity", "l_linenumber")
+    val o = ops.Tables.orders(spark, TestSpark.Sf).select("o_orderkey", "o_orderstatus")
+    val plain = li.join(o, col("l_orderkey") === col("o_orderkey"))
+      .collect().map(_.toString).sorted.toSeq
+    val salted = ops.Skew.saltedJoin(li, o, "l_orderkey", "o_orderkey", "l_linenumber", 8)
+      .select(li.columns.map(col) ++ o.columns.map(col): _*)
+      .collect().map(_.toString).sorted.toSeq
+    assert(salted == plain)
+  }
+
   test("exact dedup keeps one representative per distinct text") {
     val docs = ops.Tables.documents(spark, TestSpark.Sf)
     val distinctTexts = docs.select("text").distinct().count()
