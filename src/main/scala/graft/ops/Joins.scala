@@ -122,6 +122,21 @@ object Joins {
         .orderBy("o_custkey")
     },
 
+    // Salted join (Skew.saltedJoin) — same result as the plain join, so
+    // the plain join IS the oracle; exercises the skew-mitigation path.
+    OpQuery("q_join_salted",
+      """SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin) { (s, d) =>
+      Skew.saltedJoin(
+          lineitem(s, d).select("l_orderkey", "l_linenumber"),
+          orders(s, d).select("o_orderkey", "o_orderstatus"),
+          "l_orderkey", "o_orderkey", "l_linenumber", salts = 8)
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n"))
+        .orderBy("o_orderstatus")
+    },
+
     OpQuery("q_join_cross",
       """SELECT r_name, n_name FROM region CROSS JOIN nation
         |ORDER BY r_name, n_name""".stripMargin) { (s, d) =>

@@ -231,6 +231,16 @@ object Relational {
         .orderBy("l_returnflag")
     },
 
+    // Greenwald-Khanna approximate quantiles — the sketch twin of
+    // q_agg_stats' exact percentile (engine-specific sketch → rows-only).
+    OpQuery.noOracle("q_agg_approx_quantile") { (s, d) =>
+      lineitem(s, d)
+        .groupBy("l_returnflag")
+        .agg(percentile_approx(col("l_extendedprice"), lit(0.5), lit(1000)).as("p50"),
+             percentile_approx(col("l_extendedprice"), lit(0.99), lit(1000)).as("p99"))
+        .orderBy("l_returnflag")
+    },
+
     OpQuery("q_agg_stats",
       """SELECT l_returnflag,
         |       ROUND(stddev_samp(l_discount), 6) AS sd_disc,

@@ -99,6 +99,21 @@ object EventStream {
         date_format(col("purchase_ts"), "yyyy-MM-dd HH:mm:ss").as("purchase_time"))
   }
 
+  /** foreachBatch sink: per-microbatch custom logic with exactly-once
+    * batch ids — here appending hourly aggregates to a parquet table,
+    * the standard "stream into a lakehouse table" shape. Returns the
+    * started query; caller stops it. */
+  def tumblingToParquet(events: DataFrame, outDir: String,
+      checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+    tumbling(events).writeStream
+      .outputMode("complete")
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        batch.withColumn("batch_id", lit(batchId))
+          .write.mode("overwrite").parquet(outDir)
+      }
+      .start()
+
   // -- custom stateful operator ------------------------------------------
 
   case class EventRow(event_id: Long, ts: java.sql.Timestamp, user_id: Long,

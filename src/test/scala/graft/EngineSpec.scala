@@ -113,14 +113,25 @@ class EngineSpec extends AnyFunSuite {
       "DROP TABLE data_table",
       "CREATE TABLE x (a INT)",
       "UPDATE data_table SET a = 1",
-      "DELETE FROM data_table"))
+      "DELETE FROM data_table",
+      "SET spark.sql.shuffle.partitions=1",
+      "CREATE OR REPLACE TEMP VIEW v AS SELECT 1"))
       intercept[SecurityException](SqlGateway.validate(spark, bad))
+    // multi-statement injection does not parse as a single plan
+    intercept[Exception](SqlGateway.validate(spark, "SELECT 1; DROP TABLE data_table"))
     for (ok <- Seq(
       "SELECT 1",
       "WITH t AS (SELECT 1 AS a) SELECT * FROM t",
       "SELECT 1 UNION ALL SELECT 2",
       "SELECT * FROM (SELECT 1) WHERE 1 IN (SELECT 1)"))
       SqlGateway.validate(spark, ok)
+  }
+
+  test("gateway supports direct file scans (read_csv_auto analog)") {
+    val n = SqlGateway.run(spark,
+      "SELECT count(*) AS n FROM parquet.`/root/testdata/sf0.001/region.parquet`")
+      .collect()(0).getLong(0)
+    assert(n == 5)
   }
 
   // --- results / markdown (app.py:81–99 analog) -------------------------

@@ -62,6 +62,20 @@ class StreamingSpec extends AnyFunSuite {
     assertSameRows(streamed, EventStream.viewToPurchase(batchEvents))
   }
 
+  test("foreachBatch parquet sink lands the tumbling aggregate") {
+    val out = java.nio.file.Files.createTempDirectory("fb_out").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("fb_ckpt").toString
+    val q = EventStream.tumblingToParquet(
+      EventStream.source(spark, TestSpark.Sf), out, ckpt)
+    q.processAllAvailable()
+    q.stop()
+    val landed = spark.read.parquet(out)
+    assert(landed.columns.contains("batch_id"))
+    val batch = EventStream.tumbling(batchEvents)
+    assert(landed.drop("batch_id").collect().map(_.toString).sorted.toSeq ==
+      batch.collect().map(_.toString).sorted.toSeq)
+  }
+
   test("flatMapGroupsWithState running totals converge to batch totals") {
     import spark.implicits._
     val src = EventStream.source(spark, TestSpark.Sf)
