@@ -34,6 +34,13 @@ object Catalog {
   def loadPersisted(spark: SparkSession, sourcePath: String): DataFrame =
     spark.read.parquet(persistPath(sourcePath))
 
+  /** Hive-style partitioned persistence: one directory per value of the
+    * partition column, so filters on it prune whole directories at scan
+    * time (PartitionFilters in the plan) — the layout that turns a
+    * 100 TB scan into a per-partition read. */
+  def partitionedPersist(df: DataFrame, path: String, partitionCol: String): Unit =
+    df.write.mode("overwrite").partitionBy(partitionCol).parquet(path)
+
   /** Bucketed + sorted persistence: tables bucketed on their join key
     * with the same bucket count join WITHOUT a shuffle (no Exchange in
     * the plan) — the co-located-join layout a 100 TB fact/fact join

@@ -258,6 +258,37 @@ object Relational {
         .orderBy("l_returnflag")
     },
 
+    // Pivot: one column per l_linestatus value. The oracle is the
+    // portable FILTERed-aggregate form (identical semantics; DuckDB's
+    // PIVOT syntax would work too but binds column names dynamically).
+    OpQuery("q_pivot",
+      s"""SELECT l_returnflag,
+         |       CAST(COUNT(*) FILTER (WHERE l_linestatus = 'F') AS BIGINT) AS F,
+         |       CAST(COUNT(*) FILTER (WHERE l_linestatus = 'O') AS BIGINT) AS O,
+         |       ${oSum("l_quantity")} AS sum_qty
+         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin) { (s, d) =>
+      val pivoted = lineitem(s, d)
+        .groupBy("l_returnflag")
+        .pivot("l_linestatus", Seq("F", "O"))
+        .agg(count(lit(1)))
+        .na.fill(0L, Seq("F", "O"))
+      val qty = lineitem(s, d).groupBy("l_returnflag")
+        .agg(dsum(col("l_quantity")).as("sum_qty"))
+      pivoted.join(qty, Seq("l_returnflag"))
+        .select("l_returnflag", "F", "O", "sum_qty")
+        .orderBy("l_returnflag")
+    },
+
+    // Bernoulli sampling with a fixed seed — deterministic within Spark
+    // (per input split), not reproducible cross-engine → rows-only.
+    OpQuery.noOracle("q_sample") { (s, d) =>
+      lineitem(s, d)
+        .sample(withReplacement = false, fraction = 0.05, seed = 42L)
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"))
+        .orderBy("l_returnflag")
+    },
+
     // -- grouping sets / rollup / cube ------------------------------------
     OpQuery("q_rollup",
       s"""SELECT l_returnflag, l_linestatus,

@@ -12,6 +12,19 @@ import graft.ops.Tables
 class BucketingSpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
 
+  test("partitioned persistence prunes partitions at scan time") {
+    val dir = java.nio.file.Files.createTempDirectory("part").toString + "/orders_p"
+    Catalog.partitionedPersist(
+      Tables.orders(spark, TestSpark.Sf).select("o_orderkey", "o_totalprice", "o_orderstatus"),
+      dir, "o_orderstatus")
+    val scan = spark.read.parquet(dir).filter(col("o_orderstatus") === "F")
+    val plan = scan.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") &&
+      plan.contains("o_orderstatus"), s"expected partition pruning:\n$plan")
+    assert(scan.count() ==
+      Tables.orders(spark, TestSpark.Sf).filter(col("o_orderstatus") === "F").count())
+  }
+
   test("bucketed fact/fact join plans without any shuffle") {
     Catalog.bucketedPersist(
       Tables.orders(spark, TestSpark.Sf).select("o_orderkey", "o_orderstatus"),
