@@ -144,6 +144,47 @@ object Scalars {
         .orderBy("vec_id")
     },
 
+    OpQuery("q_scalar_regex",
+      """SELECT c_custkey,
+        |       regexp_extract(c_name, '([0-9]+)', 1) AS digits,
+        |       CAST(regexp_extract(c_name, '([0-9]+)', 1) AS BIGINT) AS digits_num,
+        |       CASE WHEN regexp_matches(c_name, '^Customer#') THEN 1 ELSE 0 END AS well_formed
+        |FROM customer ORDER BY c_custkey""".stripMargin) { (s, d) =>
+      customer(s, d).select("c_custkey", "c_name")
+        .orderBy("c_custkey")
+        .select(col("c_custkey"),
+          regexp_extract(col("c_name"), "([0-9]+)", 1).as("digits"),
+          regexp_extract(col("c_name"), "([0-9]+)", 1).cast("long").as("digits_num"),
+          when(col("c_name").rlike("^Customer#"), 1).otherwise(0).as("well_formed"))
+    },
+
+    // Ordered string aggregation (listagg ↔ string_agg).
+    OpQuery("q_agg_stringagg",
+      """SELECT r_name, string_agg(n_name, ',' ORDER BY n_name) AS nations
+        |FROM nation JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name ORDER BY r_name""".stripMargin) { (s, d) =>
+      nation(s, d)
+        .join(broadcast(region(s, d)), col("n_regionkey") === col("r_regionkey"))
+        .createOrReplaceTempView("graft_nr_sa")
+      s.sql(
+        """SELECT r_name,
+          |       listagg(n_name, ',') WITHIN GROUP (ORDER BY n_name) AS nations
+          |FROM graft_nr_sa GROUP BY r_name ORDER BY r_name""".stripMargin)
+    },
+
+    // Correlation / covariance aggregates.
+    OpQuery("q_agg_corr",
+      """SELECT l_returnflag,
+        |       ROUND(corr(l_quantity, l_extendedprice), 6) AS qty_price_corr,
+        |       ROUND(covar_samp(l_quantity, l_discount), 6) AS qty_disc_covar
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin) { (s, d) =>
+      lineitem(s, d)
+        .groupBy("l_returnflag")
+        .agg(round(corr(col("l_quantity"), col("l_extendedprice")), 6).as("qty_price_corr"),
+             round(covar_samp(col("l_quantity"), col("l_discount")), 6).as("qty_disc_covar"))
+        .orderBy("l_returnflag")
+    },
+
     // Typed Aggregator (udaf) — geometric mean, oracle twin exp(avg(ln)).
     // The reference lists custom functions only as roadmap; this is the
     // Spark-native UDAF tier (graft.functions.Udfs).
