@@ -150,6 +150,23 @@ object Windows {
         .orderBy("o_custkey", "rn")
     },
 
+    // Time-based RANGE frame: events in the trailing 10 minutes per
+    // user. Both engines order by second-truncated epoch so the ns/µs
+    // precision difference cannot move frame boundaries.
+    OpQuery("q_window_time_range",
+      """SELECT event_id,
+        |       CAST(count(*) OVER (PARTITION BY user_id
+        |                           ORDER BY CAST(epoch(time_bucket(INTERVAL '1 second', ts)) AS BIGINT)
+        |                           RANGE BETWEEN 600 PRECEDING AND CURRENT ROW) AS BIGINT) AS n_10min
+        |FROM events ORDER BY event_id""".stripMargin) { (s, d) =>
+      val sec = unix_seconds(date_trunc("second", col("ts")))
+      val w = Window.partitionBy(col("user_id")).orderBy(sec)
+        .rangeBetween(-600L, Window.currentRow)
+      events(s, d)
+        .select(col("event_id"), count(lit(1)).over(w).as("n_10min"))
+        .orderBy("event_id")
+    },
+
     // RANGE frame on a numeric (integer) ordering key.
     OpQuery("q_window_range_frame",
       s"""SELECT o_orderkey,

@@ -1,0 +1,108 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalacheck.Gen
+import org.apache.spark.sql.functions._
+
+import graft.engine.Results
+
+/** Property-based checks (SURVEY.md §5.2-4): the markdown formatter is
+  * total under arbitrary cell values; top-k ≡ sort-then-take; dedup is
+  * idempotent; the as-of join equals its naive per-row definition;
+  * salting never changes join results. */
+class PropertySpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  /** Deterministic ScalaCheck sampling (no scalatestplus bridge in the
+    * offline cache): N draws from fixed seeds. */
+  private def samples[T](g: Gen[T], n: Int = 30): Seq[T] = {
+    val params = Gen.Parameters.default
+    (1 to n).flatMap(i => g.apply(params, org.scalacheck.rng.Seed(i.toLong)))
+  }
+  private def forAll[T](g: Gen[T], n: Int = 30)(f: T => Unit): Unit =
+    samples(g, n).foreach(f)
+
+  test("markdown formatter is total and respects the display rules") {
+    val cell: Gen[Any] = Gen.oneOf(
+      Gen.const(null),
+      Gen.double.map(d => d: Any),
+      Gen.long.map(l => l: Any),
+      Gen.chooseNum(-1000000, 1000000).map(i => i: Any),
+      Gen.asciiPrintableStr.map(s => s: Any),
+      Gen.listOf(Gen.alphaChar).map(_.mkString * 3).map(s => s: Any))
+    forAll(cell) { v =>
+      val out = Results.formatCell(v)
+      assert(out != null)
+      v match {
+        case null => assert(out == "null")
+        case s: String if s.length > Results.StringCap =>
+          assert(out.length == Results.StringCap + 3 && out.endsWith("..."))
+        case d: Double if !d.isNaN && !d.isInfinite =>
+          assert(out.matches("-?[0-9,]*\\.[0-9]{2}"))
+        case _ => ()
+      }
+    }
+  }
+
+  test("top-k (orderBy+limit) ≡ sort-then-take") {
+    forAll(Gen.zip(Gen.listOfN(60, Gen.chooseNum(-1000, 1000)), Gen.chooseNum(1, 20)), 10) {
+      case (xs: List[Int], k: Int) =>
+        val df = xs.zipWithIndex.toDF("x", "id")
+        val topk = df.orderBy(col("x").desc, col("id")).limit(k)
+          .collect().map(r => (r.getInt(0), r.getInt(1))).toSeq
+        val naive = xs.zipWithIndex.sortBy { case (x, id) => (-x, id) }.take(k)
+        assert(topk == naive)
+    }
+  }
+
+  test("exact dedup is idempotent and keeps one row per key") {
+    forAll(Gen.listOfN(50, Gen.chooseNum(0, 9)), 10) { keys: List[Int] =>
+      if (keys.nonEmpty) {
+        val df = keys.zipWithIndex.toDF("k", "id")
+        val once = df.groupBy("k").agg(min("id").as("keep"))
+        assert(once.count() == keys.distinct.size)
+        val twice = once.groupBy("k").agg(min("keep").as("keep"))
+        assert(twice.collect().map(_.toString).sorted.toSeq ==
+          once.collect().map(_.toString).sorted.toSeq)
+      }
+    }
+  }
+
+  test("as-of join equals the naive per-row definition") {
+    val gen = for {
+      lefts  <- Gen.listOfN(25, Gen.zip(Gen.chooseNum(0, 3), Gen.chooseNum(0L, 1000L)))
+      rights <- Gen.listOfN(15, Gen.zip(Gen.chooseNum(0, 3), Gen.chooseNum(0L, 1000L)))
+    } yield (lefts, rights)
+    forAll(gen, 10) { case (lefts, rights) =>
+      val l = lefts.zipWithIndex.map { case ((k, t), i) =>
+        (i.toLong, k.toLong, new java.sql.Timestamp(t * 1000000L)) }
+        .toDF("lid", "k", "lt")
+      val r = rights.map { case (k, t) =>
+        (k.toLong, new java.sql.Timestamp(t * 1000000L)) }.toDF("rk", "rt")
+      val got = ops.AsOf.asofJoin(l, r, "k", "rk", "lt", "rt", "rt", "matched")
+        .collect().map(row => row.getAs[Long]("lid") ->
+          Option(row.getAs[java.sql.Timestamp]("matched"))).toMap
+      lefts.zipWithIndex.foreach { case ((k, t), i) =>
+        val expect = rights.filter { case (rk, rt) => rk == k && rt <= t }
+          .map(_._2).sorted.lastOption
+          .map(ts => new java.sql.Timestamp(ts * 1000000L))
+        assert(got(i.toLong) == expect,
+          s"left $i (k=$k, t=$t): got ${got(i.toLong)}, want $expect")
+      }
+    }
+  }
+
+  test("salted join result is independent of the salt count") {
+    forAll(Gen.chooseNum(1, 16), 6) { salts: Int =>
+      val l = Seq((1L, 10), (1L, 20), (2L, 30), (3L, 40)).toDF("k", "v")
+      val r = Seq((1L, "a"), (2L, "b"), (2L, "c")).toDF("rk", "w")
+      val plain = l.join(r, col("k") === col("rk"))
+        .collect().map(_.toString).sorted.toSeq
+      val salted = ops.Skew.saltedJoin(l, r, "k", "rk", "v", salts)
+        .select(col("k"), col("v"), col("rk"), col("w"))
+        .collect().map(_.toString).sorted.toSeq
+      assert(salted == plain)
+    }
+  }
+}
