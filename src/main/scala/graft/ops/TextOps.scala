@@ -109,6 +109,23 @@ object TextOps {
         .orderBy("lang")
     },
 
+    // BPE-style pre-tokenization (GPT-2-ish regex: leading-space word /
+    // number / punctuation-run classes) — the token accounting an LLM
+    // data pipeline actually needs, vs naive whitespace splitting.
+    // Same RE2/Java-compatible pattern on both engines.
+    OpQuery("q_text_bpe_tokens",
+      """SELECT doc_id,
+        |       CAST(len(regexp_extract_all(text, ' ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 ]+')) AS BIGINT) AS n_bpe_tokens,
+        |       CAST(len(string_split(text, ' ')) AS BIGINT) AS n_ws_tokens
+        |FROM documents ORDER BY doc_id""".stripMargin) { (s, d) =>
+      documents(s, d).select("doc_id", "text")
+        .orderBy("doc_id")
+        .select(col("doc_id"),
+          size(regexp_extract_all(col("text"),
+            lit(" ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 ]+"), lit(0))).cast("long").as("n_bpe_tokens"),
+          size(split(col("text"), " ")).cast("long").as("n_ws_tokens"))
+    },
+
     // Content-defined fingerprint: md5 of the sorted distinct token set
     // (OpenRefine-style key collision fingerprinting) — catches reordered
     // / re-whitespaced duplicates. md5 is bit-identical across engines.
