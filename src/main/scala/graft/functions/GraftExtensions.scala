@@ -18,6 +18,7 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   def apply(e: SparkSessionExtensions): Unit = {
     e.injectFunction(GraftExtensions.dotProduct)
+    e.injectFunction(GraftExtensions.cosineSim)
   }
 }
 
@@ -30,9 +31,14 @@ object GraftExtensions {
     info("dot_product", "dot_product(a, b) - double dot product of two float/double arrays"),
     (exprs: Seq[Expression]) => DotProduct(exprs(0), exprs(1)))
 
+  val cosineSim: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("cosine_sim"),
+    info("cosine_sim", "cosine_sim(a, b) - fused cosine similarity of two float/double arrays"),
+    (exprs: Seq[Expression]) => CosineSim(exprs(0), exprs(1)))
+
   /** Register on an already-built session (idempotent). */
-  def register(spark: SparkSession): Unit = {
-    val (id, i, builder) = dotProduct
-    spark.sessionState.functionRegistry.registerFunction(id, i, builder)
-  }
+  def register(spark: SparkSession): Unit =
+    Seq(dotProduct, cosineSim).foreach { case (id, i, builder) =>
+      spark.sessionState.functionRegistry.registerFunction(id, i, builder)
+    }
 }

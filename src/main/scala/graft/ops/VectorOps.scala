@@ -83,8 +83,7 @@ object VectorOps {
       cached
         .filter(col("cell").isin(probeCells: _*) && col("vec_id") =!= qid)
         .select(col("vec_id"),
-          round(dot(col("v"), qLit) /
-            (sqrt(dot(col("v"), col("v"))) * lit(qNorm)), 6).as("cos_sim"))
+          round(graft.functions.CosineSim.cosine_sim(col("v"), qLit), 6).as("cos_sim"))
         .orderBy(col("cos_sim").desc, col("vec_id"))
         .limit(10)
     },
@@ -116,8 +115,7 @@ object VectorOps {
       e.crossJoin(broadcast(q))
         .filter(col("vec_id") =!= col("min_id"))
         .select(col("vec_id"),
-          round(dot(col("v"), col("qv")) /
-            (sqrt(dot(col("v"), col("v"))) * sqrt(dot(col("qv"), col("qv")))), 6).as("cos_sim"))
+          round(graft.functions.CosineSim.cosine_sim(col("v"), col("qv")), 6).as("cos_sim"))
         .orderBy(col("cos_sim").desc, col("vec_id"))
         .limit(10)
     },
@@ -137,8 +135,7 @@ object VectorOps {
         .select(col("v").as("qv"), col("bucket").as("qbucket"), col("min_id"))
       e.join(broadcast(q), col("bucket") === col("qbucket") && col("vec_id") =!= col("min_id"))
         .select(col("vec_id"),
-          round(dot(col("v"), col("qv")) /
-            (sqrt(dot(col("v"), col("v"))) * sqrt(dot(col("qv"), col("qv")))), 6).as("cos_sim"))
+          round(graft.functions.CosineSim.cosine_sim(col("v"), col("qv")), 6).as("cos_sim"))
         .orderBy(col("cos_sim").desc, col("vec_id"))
         .limit(10)
     },

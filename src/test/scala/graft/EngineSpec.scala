@@ -166,6 +166,12 @@ class EngineSpec extends AnyFunSuite {
     val d = spark.sql(
       "SELECT dot_product(array(1.0D, 2.0D), array(3.0D, 4.0D)) AS d").collect()(0).getDouble(0)
     assert(d == 11.0)
+    val c = spark.sql(
+      "SELECT cosine_sim(array(1.0D, 0.0D), array(1.0D, 0.0D)) AS c").collect()(0).getDouble(0)
+    assert(math.abs(c - 1.0) < 1e-12)
+    val orth = spark.sql(
+      "SELECT cosine_sim(array(1.0D, 0.0D), array(0.0D, 1.0D)) AS c").collect()(0).getDouble(0)
+    assert(math.abs(orth) < 1e-12)
     val g = spark.sql(
       "SELECT geo_mean(x) FROM VALUES (2.0), (8.0) AS t(x)").collect()(0).getDouble(0)
     assert(math.abs(g - 4.0) < 1e-9)
