@@ -70,7 +70,13 @@ object Ingest {
       df.columns.isEmpty || df.columns.sameElements(Array("_corrupt_record"))
 
     val jsonl = spark.read.json(path)
-    if (!corrupt(jsonl)) return jsonl
+    if (!corrupt(jsonl)) {
+      // partially-malformed JSONL: keep the good rows (DROPMALFORMED),
+      // instead of surfacing a _corrupt_record column to the profile
+      return if (jsonl.columns.contains("_corrupt_record"))
+        spark.read.option("mode", "DROPMALFORMED").json(path)
+      else jsonl
+    }
 
     val multi = spark.read.option("multiLine", "true").json(path)
     if (corrupt(multi))

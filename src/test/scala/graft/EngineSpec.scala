@@ -70,6 +70,16 @@ class EngineSpec extends AnyFunSuite {
     assert(df.count() == 1 && df.columns.length == 2)
   }
 
+  test("json tier 1: partially-malformed JSONL keeps the good rows") {
+    val p = Files.createTempFile("t1bad", ".json")
+    Files.writeString(p, """{"a": 1, "b": "x"}
+                           |not json at all
+                           |{"a": 3, "b": "z"}""".stripMargin)
+    val df = Ingest.json(spark, p.toString)
+    assert(!df.columns.contains("_corrupt_record"))
+    assert(df.count() == 2)
+  }
+
   test("json scalar shape rejected") {
     val p = Files.createTempFile("bad", ".json")
     Files.writeString(p, "42")

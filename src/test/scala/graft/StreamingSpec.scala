@@ -76,6 +76,40 @@ class StreamingSpec extends AnyFunSuite {
       batch.collect().map(_.toString).sorted.toSeq)
   }
 
+  test("watermark drops late events in append-mode aggregation") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[(java.sql.Timestamp, String)]
+    val agg = mem.toDF().toDF("ts", "event_type")
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(date_format(col("w.start"), "HH:mm").as("wstart"), col("event_type"), col("n"))
+    val q = agg.writeStream.format("memory").queryName("late_sink")
+      .outputMode("append").start()
+    def ts(s: String) = java.sql.Timestamp.valueOf(s"2024-01-01 $s")
+    // batch 1: two events in hour 10
+    mem.addData((ts("10:05:00"), "a"), (ts("10:20:00"), "a"))
+    q.processAllAvailable()
+    // batch 2: advance event time far past hour 10 + watermark → closes it
+    mem.addData((ts("13:00:00"), "b"))
+    q.processAllAvailable()
+    // batch 3: a LATE event for hour 10 — behind the watermark, dropped
+    mem.addData((ts("10:40:00"), "a"))
+    q.processAllAvailable()
+    // batch 4: advance again so any (incorrectly kept) state would emit
+    mem.addData((ts("16:00:00"), "b"))
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("late_sink").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    // hour-10 window emitted exactly once with the 2 on-time events
+    assert(rows.contains(("10:00", "a", 2L)), s"got $rows")
+    assert(!rows.contains(("10:00", "a", 3L)) && !rows.contains(("10:00", "a", 1L)),
+      s"late event should be dropped: $rows")
+  }
+
   test("flatMapGroupsWithState running totals converge to batch totals") {
     import spark.implicits._
     val src = EventStream.source(spark, TestSpark.Sf)
