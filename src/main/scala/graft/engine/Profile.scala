@@ -28,4 +28,26 @@ object Profile {
     }
     DataInfo(df.count(), names.length, names, dtypes, head)
   }
+
+  /** Per-column (null_count, approx_distinct) — beyond the reference's
+    * data_info, the stats a data-pipeline profile needs. Computed in ONE
+    * aggregation pass regardless of column count (2·N agg expressions,
+    * map-side combined), so it scales like a single groupBy. */
+  case class ColumnStats(nullCount: Long, approxDistinct: Long)
+
+  def extended(df: DataFrame): Map[String, ColumnStats] = {
+    import org.apache.spark.sql.functions._
+    val names = df.columns.toSeq
+    if (names.isEmpty) return Map.empty
+    val aggs = names.flatMap { c =>
+      Seq(sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"__n_$c"),
+          approx_count_distinct(col(c)).as(s"__d_$c"))
+    }
+    val row = df.agg(aggs.head, aggs.tail: _*).collect()(0)
+    names.map { c =>
+      c -> ColumnStats(
+        Option(row.getAs[Any](s"__n_$c")).fold(0L)(_.asInstanceOf[Number].longValue),
+        row.getAs[Long](s"__d_$c"))
+    }.toMap
+  }
 }

@@ -99,6 +99,17 @@ object EventStream {
         date_format(col("purchase_ts"), "yyyy-MM-dd HH:mm:ss").as("purchase_time"))
   }
 
+  /** Stream-static join: the event stream enriched against a static
+    * dimension table (broadcast per micro-batch, no streaming state) —
+    * the standard "stream + reference data" shape. */
+  def enriched(events: DataFrame, customers: DataFrame): DataFrame =
+    events
+      .join(org.apache.spark.sql.functions.broadcast(
+        customers.select(col("c_custkey"), col("c_mktsegment"))),
+        col("user_id") === col("c_custkey"), "left")
+      .groupBy(coalesce(col("c_mktsegment"), lit("unknown")).as("segment"))
+      .agg(count(lit(1)).as("n"))
+
   /** foreachBatch sink: per-microbatch custom logic with exactly-once
     * batch ids — here appending hourly aggregates to a parquet table,
     * the standard "stream into a lakehouse table" shape. Returns the

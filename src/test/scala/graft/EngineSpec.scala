@@ -33,6 +33,15 @@ class EngineSpec extends AnyFunSuite {
     assert(info.head.length == 5 && info.head.head.contains("sales_rep"))
   }
 
+  test("extended profile: one-pass null + distinct counts") {
+    import spark.implicits._
+    val df = Seq((1, Some("a")), (2, None), (3, Some("a")), (4, Some("b")))
+      .toDF("id", "v")
+    val stats = Profile.extended(df)
+    assert(stats("id").nullCount == 0 && stats("v").nullCount == 1)
+    assert(stats("id").approxDistinct == 4 && stats("v").approxDistinct == 2)
+  }
+
   // --- JSON three-tier loader (doc.py:52–76 analog) ---------------------
   test("json tier 1: JSONL") {
     val p = Files.createTempFile("t1", ".json")

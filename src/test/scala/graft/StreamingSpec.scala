@@ -76,6 +76,12 @@ class StreamingSpec extends AnyFunSuite {
       batch.collect().map(_.toString).sorted.toSeq)
   }
 
+  test("stream-static join: stream enriched against customer dim == batch") {
+    val cust = Tables.customer(spark, TestSpark.Sf)
+    val streamed = runStream(EventStream.enriched(_, cust), "complete")
+    assertSameRows(streamed, EventStream.enriched(batchEvents, cust))
+  }
+
   test("watermark drops late events in append-mode aggregation") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import spark.implicits._
