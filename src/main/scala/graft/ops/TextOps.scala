@@ -109,6 +109,32 @@ object TextOps {
         .orderBy("lang")
     },
 
+    // Fuzzy string matching: near-identical part names by edit distance,
+    // blocked on (first word, length bucket) to avoid the full cross
+    // product — the standard blocking+verify shape for fuzzy joins.
+    OpQuery("q_fuzzy_match",
+      """WITH names AS (SELECT DISTINCT p_name FROM part)
+        |SELECT a.p_name AS name_a, b.p_name AS name_b,
+        |       CAST(levenshtein(a.p_name, b.p_name) AS INT) AS dist
+        |FROM names a JOIN names b
+        |  ON string_split(a.p_name, ' ')[1] = string_split(b.p_name, ' ')[1]
+        | AND abs(length(a.p_name) - length(b.p_name)) <= 2
+        | AND a.p_name < b.p_name
+        |WHERE levenshtein(a.p_name, b.p_name) <= 3
+        |ORDER BY name_a, name_b""".stripMargin) { (s, d) =>
+      val names = part(s, d).select("p_name").distinct()
+      val a = names.select(col("p_name").as("name_a"),
+        element_at(split(col("p_name"), " "), 1).as("w_a"), length(col("p_name")).as("len_a"))
+      val b = names.select(col("p_name").as("name_b"),
+        element_at(split(col("p_name"), " "), 1).as("w_b"), length(col("p_name")).as("len_b"))
+      a.join(b, col("w_a") === col("w_b") &&
+          abs(col("len_a") - col("len_b")) <= 2 && col("name_a") < col("name_b"))
+        .select(col("name_a"), col("name_b"),
+          levenshtein(col("name_a"), col("name_b")).as("dist"))
+        .filter(col("dist") <= 3)
+        .orderBy("name_a", "name_b")
+    },
+
     // BPE-style pre-tokenization (GPT-2-ish regex: leading-space word /
     // number / punctuation-run classes) — the token accounting an LLM
     // data pipeline actually needs, vs naive whitespace splitting.
