@@ -120,11 +120,13 @@ object VectorOps {
         .limit(10)
     },
 
-    // ANN via random-hyperplane LSH: candidates = same 8-bit bucket as
-    // the query vector, then exact cosine only on candidates. Bucket join
-    // replaces the full scan — the IVF-style scale path. Deterministic but
-    // hash-based → rows-only driver check; recall vs brute force is
-    // asserted in the ScalaTest spec.
+    // ANN via random-hyperplane LSH with multi-probe: candidates = the
+    // query's 8-bit bucket plus all buckets at Hamming distance 1 (a
+    // flipped sign bit is the likeliest quantization error), then exact
+    // cosine only on candidates. Bucket probing replaces the full scan —
+    // the IVF-style scale path. Deterministic but hash-based →
+    // rows-only driver check; recall vs brute force is asserted in the
+    // ScalaTest spec.
     OpQuery.noOracle("q_sim_ann_lsh") { (s, d) =>
       val e = embeddings(s, d)
         .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("v"))
@@ -133,7 +135,11 @@ object VectorOps {
       val minId = e.agg(min(col("vec_id")).as("min_id"))
       val q = e.join(broadcast(minId), col("vec_id") === col("min_id"))
         .select(col("v").as("qv"), col("bucket").as("qbucket"), col("min_id"))
-      e.join(broadcast(q), col("bucket") === col("qbucket") && col("vec_id") =!= col("min_id"))
+        .withColumn("probes",
+          array((col("qbucket") +: (0 until 8).map(i =>
+            col("qbucket").bitwiseXOR(lit(1L << i)))): _*))
+      e.join(broadcast(q),
+          array_contains(col("probes"), col("bucket")) && col("vec_id") =!= col("min_id"))
         .select(col("vec_id"),
           round(graft.functions.CosineSim.cosine_sim(col("v"), col("qv")), 6).as("cos_sim"))
         .orderBy(col("cos_sim").desc, col("vec_id"))
