@@ -96,6 +96,74 @@ object Analytics {
         .limit(20)
     },
 
+    // The engine's reason to exist, end to end: training-data curation —
+    // quality gate → language filter → fingerprint dedup (keep the
+    // earliest doc per canonical token set) → per-language corpus stats.
+    OpQuery("q_pipeline_corpus",
+      s"""WITH scored AS (
+         |  SELECT doc_id, lang, text,
+         |         0.4 * LEAST(CAST(len(string_split(text, ' ')) AS DOUBLE) / 50, 1.0)
+         |       + 0.3 * (CASE WHEN CAST(length(replace(text, ' ', '')) AS DOUBLE)
+         |                          / len(string_split(text, ' ')) BETWEEN 3 AND 10
+         |                     THEN 1.0 ELSE 0.0 END)
+         |       + 0.3 * LEAST(CAST(len(list_filter(string_split(text, ' '),
+         |                x -> x IN ('the', 'a', 'of', 'and', 'to', 'in'))) AS DOUBLE)
+         |         / len(string_split(text, ' ')) * 5, 1.0) AS quality
+         |  FROM documents),
+         |gated AS (
+         |  SELECT doc_id, lang, text FROM scored
+         |  WHERE quality >= 0.5 AND lang IN ('en', 'de', 'fr')),
+         |deduped AS (
+         |  SELECT MIN(doc_id) AS keep_id, lang,
+         |         md5(array_to_string(list_sort(list_distinct(
+         |             string_split(lower(text), ' '))), ' ')) AS fp
+         |  FROM gated GROUP BY lang, fp)
+         |SELECT lang,
+         |       CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |       CAST(MIN(keep_id) AS BIGINT) AS first_doc
+         |FROM deduped GROUP BY lang ORDER BY lang""".stripMargin) { (s, d) =>
+      val toks = split(col("text"), " ")
+      val quality =
+        lit(0.4) * least(size(toks).cast("double") / 50, lit(1.0)) +
+        lit(0.3) * when((length(regexp_replace(col("text"), " ", "")).cast("double") / size(toks))
+          .between(3, 10), 1.0).otherwise(0.0) +
+        lit(0.3) * least(size(filter(toks,
+          x => x.isInCollection(Seq("the", "a", "of", "and", "to", "in")))).cast("double")
+            / size(toks) * 5, lit(1.0))
+      documents(s, d)
+        .withColumn("quality", quality)
+        .filter(col("quality") >= 0.5 && col("lang").isin("en", "de", "fr"))
+        .withColumn("fp", md5(concat_ws(" ",
+          array_sort(array_distinct(split(lower(col("text")), " "))))))
+        .groupBy("lang", "fp")
+        .agg(min(col("doc_id")).as("keep_id"))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"), min(col("keep_id")).as("first_doc"))
+        .orderBy("lang")
+    },
+
+    // Anomaly detection (the reference blog's 金额异常高 scenario,
+    // SURVEY.md §2 [blog:177]): events whose value exceeds the per-type
+    // mean by 3 sample standard deviations.
+    OpQuery("q_events_anomaly",
+      """WITH stats AS (
+        |  SELECT event_type,
+        |         avg(value) AS mu,
+        |         stddev_samp(value) AS sigma
+        |  FROM events GROUP BY event_type)
+        |SELECT e.event_id, e.event_type
+        |FROM events e JOIN stats s ON e.event_type = s.event_type
+        |WHERE e.value > s.mu + 3 * s.sigma
+        |ORDER BY e.event_id""".stripMargin) { (s, d) =>
+      val ev = events(s, d)
+      val stats = ev.groupBy(col("event_type").as("t"))
+        .agg(avg(col("value")).as("mu"), stddev_samp(col("value")).as("sigma"))
+      ev.join(broadcast(stats), col("event_type") === col("t"))
+        .filter(col("value") > col("mu") + lit(3) * col("sigma"))
+        .select("event_id", "event_type")
+        .orderBy("event_id")
+    },
+
     // Funnel over events: per-user ordered event-type sequence —
     // conversion counting with window + aggregation over sequences.
     OpQuery("q_events_funnel",
