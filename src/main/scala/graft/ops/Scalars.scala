@@ -112,6 +112,42 @@ object Scalars {
         lit("42").cast("long").as("answer"))
     },
 
+    // Struct construction/field access + map literal/lookup (the nested
+    // types the reference's flat model never exercises but DuckDB's
+    // grammar includes; Spark: named_struct/map ↔ DuckDB: struct_pack/MAP).
+    OpQuery("q_struct_map",
+      """SELECT o_orderkey,
+        |       struct_pack(s := o_orderstatus, p := o_totalprice).s AS st,
+        |       struct_pack(s := o_orderstatus, p := o_totalprice).p AS price,
+        |       MAP {'status': o_orderstatus}['status'][1] AS mv
+        |FROM orders ORDER BY o_orderkey""".stripMargin) { (s, d) =>
+      orders(s, d).select("o_orderkey", "o_orderstatus", "o_totalprice")
+        .orderBy("o_orderkey")
+        .select(col("o_orderkey"),
+          struct(col("o_orderstatus").as("s"), col("o_totalprice").as("p")).getField("s").as("st"),
+          struct(col("o_orderstatus").as("s"), col("o_totalprice").as("p")).getField("p").as("price"),
+          element_at(map(lit("status"), col("o_orderstatus")), "status").as("mv"))
+    },
+
+    // Bitwise scalar ops (AND/OR/XOR/shifts/popcount).
+    OpQuery("q_scalar_bits",
+      """SELECT l_orderkey, l_linenumber,
+        |       CAST(l_orderkey & 255 AS BIGINT)  AS low_byte,
+        |       CAST(l_orderkey | 7 AS BIGINT)    AS with_bits,
+        |       CAST(xor(l_orderkey, 42) AS BIGINT) AS xored,
+        |       CAST(l_orderkey << 2 AS BIGINT)   AS shifted,
+        |       CAST(bit_count(l_orderkey) AS INT) AS pop
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin) { (s, d) =>
+      lineitem(s, d).select("l_orderkey", "l_linenumber")
+        .orderBy("l_orderkey", "l_linenumber")
+        .select(col("l_orderkey"), col("l_linenumber"),
+          col("l_orderkey").bitwiseAND(255).as("low_byte"),
+          col("l_orderkey").bitwiseOR(7).as("with_bits"),
+          col("l_orderkey").bitwiseXOR(42).as("xored"),
+          shiftleft(col("l_orderkey"), 2).as("shifted"),
+          bit_count(col("l_orderkey")).as("pop"))
+    },
+
     OpQuery("q_json_extract",
       """SELECT event_id,
         |       json_extract_string(props, '$.k') AS k_str,
