@@ -44,6 +44,40 @@ object Scalars {
         date_format(date_trunc("month", col("o_orderdate")), "yyyy-MM-dd").as("month_start"))
     },
 
+    // Date arithmetic: day difference, interval shift, truncation round trip.
+    OpQuery("q_scalar_date_arith",
+      """SELECT o_orderkey,
+        |       CAST(date_diff('day', TIMESTAMP '1995-01-01', o_orderdate) AS INT) AS days_since,
+        |       strftime(o_orderdate + INTERVAL 90 DAY, '%Y-%m-%d') AS due_day,
+        |       strftime(o_orderdate - INTERVAL 1 MONTH, '%Y-%m-%d') AS month_before
+        |FROM orders ORDER BY o_orderkey""".stripMargin) { (s, d) =>
+      orders(s, d).select("o_orderkey", "o_orderdate")
+        .orderBy("o_orderkey")
+        .select(col("o_orderkey"),
+          datediff(to_date(col("o_orderdate")), to_date(lit("1995-01-01"))).as("days_since"),
+          date_format(col("o_orderdate") + expr("INTERVAL 90 DAY"), "yyyy-MM-dd").as("due_day"),
+          date_format(col("o_orderdate") - expr("INTERVAL 1 MONTH"), "yyyy-MM-dd").as("month_before"))
+    },
+
+    // String predicates + split_part.
+    OpQuery("q_scalar_string_predicates",
+      """SELECT p_partkey,
+        |       CASE WHEN starts_with(p_name, 'large') THEN 1 ELSE 0 END AS is_large,
+        |       CASE WHEN ends_with(p_name, 'widget') THEN 1 ELSE 0 END AS is_widget,
+        |       split_part(p_name, ' ', 1) AS first_word,
+        |       split_part(p_name, ' ', 2) AS second_word,
+        |       CAST(strpos(p_name, 'o') AS INT) AS first_o
+        |FROM part ORDER BY p_partkey""".stripMargin) { (s, d) =>
+      part(s, d).select("p_partkey", "p_name")
+        .orderBy("p_partkey")
+        .select(col("p_partkey"),
+          when(col("p_name").startsWith("large"), 1).otherwise(0).as("is_large"),
+          when(col("p_name").endsWith("widget"), 1).otherwise(0).as("is_widget"),
+          expr("split_part(p_name, ' ', 1)").as("first_word"),
+          expr("split_part(p_name, ' ', 2)").as("second_word"),
+          instr(col("p_name"), "o").as("first_o"))
+    },
+
     OpQuery("q_scalar_string",
       """SELECT c_custkey,
         |       lower(c_name)                    AS lo,
