@@ -425,6 +425,54 @@ object Relational {
         .orderBy("o_orderkey")
     },
 
+    // Scalar subquery in the SELECT clause: each order's share of total.
+    OpQuery("q_subquery_select",
+      s"""SELECT o_orderkey,
+         |       o_totalprice / (SELECT ${oSum("o_totalprice")} FROM orders) AS share
+         |FROM orders ORDER BY o_orderkey""".stripMargin) { (s, d) =>
+      val o = orders(s, d)
+      val total = o.agg(dsum(col("o_totalprice")).as("total"))
+      o.select("o_orderkey", "o_totalprice")
+        .crossJoin(broadcast(total))
+        .select(col("o_orderkey"), (col("o_totalprice") / col("total")).as("share"))
+        .orderBy("o_orderkey")
+    },
+
+    // Multiset set-ops: duplicates preserved per bag semantics.
+    OpQuery("q_intersect_all",
+      """SELECT o_custkey AS custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+        |INTERSECT ALL
+        |SELECT o_custkey AS custkey FROM orders WHERE o_totalprice > 100000
+        |ORDER BY custkey""".stripMargin) { (s, d) =>
+      val o = orders(s, d)
+      o.filter(col("o_orderpriority") === "1-URGENT").select(col("o_custkey").as("custkey"))
+        .intersectAll(o.filter(col("o_totalprice") > 100000).select(col("o_custkey").as("custkey")))
+        .orderBy("custkey")
+    },
+
+    OpQuery("q_except_all",
+      """SELECT o_custkey AS custkey FROM orders WHERE o_totalprice > 100000
+        |EXCEPT ALL
+        |SELECT o_custkey AS custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+        |ORDER BY custkey""".stripMargin) { (s, d) =>
+      val o = orders(s, d)
+      o.filter(col("o_totalprice") > 100000).select(col("o_custkey").as("custkey"))
+        .exceptAll(o.filter(col("o_orderpriority") === "1-URGENT").select(col("o_custkey").as("custkey")))
+        .orderBy("custkey")
+    },
+
+    // Grouping by a computed expression (price bucket).
+    OpQuery("q_agg_group_expr",
+      s"""SELECT CAST(floor(o_totalprice / 50000) AS BIGINT) AS bucket,
+         |       CAST(COUNT(*) AS BIGINT) AS n,
+         |       ${oSum("o_totalprice")} AS sum_price
+         |FROM orders GROUP BY 1 ORDER BY bucket""".stripMargin) { (s, d) =>
+      orders(s, d)
+        .groupBy(floor(col("o_totalprice") / 50000).as("bucket"))
+        .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("sum_price"))
+        .orderBy("bucket")
+    },
+
     // TPC-H Q15 shape: CTE reused twice (revenue per supplier + its max).
     OpQuery("q_cte_maxrev",
       s"""WITH rev AS (
