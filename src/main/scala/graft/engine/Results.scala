@@ -26,13 +26,18 @@ object Results {
     QueryResult(df.columns.toSeq, rows, n)
   }
 
+  // Locale.ROOT pins '.'-decimal and ','-grouping regardless of the
+  // JVM default locale (the reference's display rules are fixed).
+  private def fmt(pattern: String, v: Any): String =
+    String.format(java.util.Locale.ROOT, pattern, v.asInstanceOf[AnyRef])
+
   def formatCell(v: Any): String = v match {
     case null                   => "null"
-    case d: Double              => f"$d%.2f"
-    case f: Float               => f"${f.toDouble}%.2f"
-    case d: java.math.BigDecimal => f"${d.doubleValue()}%.2f"
-    case i: Int                 => f"$i%,d"
-    case l: Long                => f"$l%,d"
+    case d: Double              => fmt("%.2f", d)
+    case f: Float               => fmt("%.2f", f.toDouble)
+    case d: java.math.BigDecimal => fmt("%.2f", d.doubleValue())
+    case i: Int                 => fmt("%,d", i)
+    case l: Long                => fmt("%,d", l)
     case s: String              => if (s.length > StringCap) s.take(StringCap) + "..." else s
     case other                  => other.toString
   }

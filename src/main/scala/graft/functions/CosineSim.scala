@@ -11,12 +11,16 @@ import org.apache.spark.sql.types._
   * of three DotProduct traversals — the same IEEE operations the
   * composed form performs, just without re-reading the arrays. Inputs
   * array<float> or array<double>; result double in [-1, 1] (NaN when a
-  * norm is zero, matching the composed division).
+  * norm is zero, matching the composed division). Null propagation
+  * matches the composed form too: mismatched lengths or a null element
+  * yield null, never a silent truncation.
   */
 case class CosineSim(left: Expression, right: Expression)
     extends BinaryExpression {
 
   override def dataType: DataType = DoubleType
+
+  override def nullable: Boolean = true
 
   override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
     def ok(e: Expression) = e.dataType match {
@@ -34,15 +38,22 @@ case class CosineSim(left: Expression, right: Expression)
   private def elemIsFloat(e: Expression): Boolean =
     e.dataType.asInstanceOf[ArrayType].elementType == FloatType
 
+  private def mayHaveNullElems(e: Expression): Boolean =
+    e.dataType.asInstanceOf[ArrayType].containsNull
+
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    val n = x.numElements()
+    if (y.numElements() != n) return null
     val xf = elemIsFloat(left)
     val yf = elemIsFloat(right)
+    val xN = mayHaveNullElems(left)
+    val yN = mayHaveNullElems(right)
     var ab = 0.0; var aa = 0.0; var bb = 0.0
     var i = 0
     while (i < n) {
+      if ((xN && x.isNullAt(i)) || (yN && y.isNullAt(i))) return null
       val xv = if (xf) x.getFloat(i).toDouble else x.getDouble(i)
       val yv = if (yf) y.getFloat(i).toDouble else y.getDouble(i)
       ab += xv * yv; aa += xv * xv; bb += yv * yv
@@ -62,15 +73,29 @@ case class CosineSim(left: Expression, right: Expression)
       val bb = ctx.freshName("bb")
       val xv = ctx.freshName("xv")
       val yv = ctx.freshName("yv")
+      // element null checks compiled away when containsNull=false
+      val nullCheck =
+        if (mayHaveNullElems(left) || mayHaveNullElems(right)) {
+          val xc = if (mayHaveNullElems(left)) s"$x.isNullAt($i)" else "false"
+          val yc = if (mayHaveNullElems(right)) s"$y.isNullAt($i)" else "false"
+          s"if ($xc || $yc) { ${ev.isNull} = true; break; }"
+        } else ""
       s"""
-         |int $n = java.lang.Math.min($x.numElements(), $y.numElements());
-         |double $ab = 0.0; double $aa = 0.0; double $bb = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  double $xv = (double) $x.$xGet($i);
-         |  double $yv = (double) $y.$yGet($i);
-         |  $ab += $xv * $yv; $aa += $xv * $xv; $bb += $yv * $yv;
+         |int $n = $x.numElements();
+         |if ($y.numElements() != $n) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double $ab = 0.0; double $aa = 0.0; double $bb = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    $nullCheck
+         |    double $xv = (double) $x.$xGet($i);
+         |    double $yv = (double) $y.$yGet($i);
+         |    $ab += $xv * $yv; $aa += $xv * $xv; $bb += $yv * $yv;
+         |  }
+         |  if (!${ev.isNull}) {
+         |    ${ev.value} = $ab / (java.lang.Math.sqrt($aa) * java.lang.Math.sqrt($bb));
+         |  }
          |}
-         |${ev.value} = $ab / (java.lang.Math.sqrt($aa) * java.lang.Math.sqrt($bb));
        """.stripMargin
     })
   }

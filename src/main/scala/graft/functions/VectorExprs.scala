@@ -15,12 +15,16 @@ import org.apache.spark.sql.types._
   * DotProduct accumulates in double over array<float> or array<double>
   * inputs — numerically identical to the higher-order
   * `aggregate(zip_with(a,b,*),0d,+)` left fold it replaces, so the
-  * DuckDB oracle twins are unchanged.
+  * DuckDB oracle twins are unchanged. Null propagation also matches the
+  * composed form: mismatched array lengths (zip_with pads with null) or
+  * a null element both yield a null result, never a silent truncation.
   */
 case class DotProduct(left: Expression, right: Expression)
     extends BinaryExpression {
 
   override def dataType: DataType = DoubleType
+
+  override def nullable: Boolean = true
 
   override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
     def ok(e: Expression) = e.dataType match {
@@ -38,15 +42,22 @@ case class DotProduct(left: Expression, right: Expression)
   private def elemIsFloat(e: Expression): Boolean =
     e.dataType.asInstanceOf[ArrayType].elementType == FloatType
 
+  private def mayHaveNullElems(e: Expression): Boolean =
+    e.dataType.asInstanceOf[ArrayType].containsNull
+
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    val n = x.numElements()
+    if (y.numElements() != n) return null
     val xf = elemIsFloat(left)
     val yf = elemIsFloat(right)
+    val xN = mayHaveNullElems(left)
+    val yN = mayHaveNullElems(right)
     var acc = 0.0
     var i = 0
     while (i < n) {
+      if ((xN && x.isNullAt(i)) || (yN && y.isNullAt(i))) return null
       val xv = if (xf) x.getFloat(i).toDouble else x.getDouble(i)
       val yv = if (yf) y.getFloat(i).toDouble else y.getDouble(i)
       acc += xv * yv
@@ -61,13 +72,27 @@ case class DotProduct(left: Expression, right: Expression)
     nullSafeCodeGen(ctx, ev, (x, y) => {
       val i = ctx.freshName("i")
       val n = ctx.freshName("n")
+      val acc = ctx.freshName("acc")
+      // element null checks compiled away when the schema says
+      // containsNull=false — the hot embedding path stays branch-free
+      val nullCheck =
+        if (mayHaveNullElems(left) || mayHaveNullElems(right)) {
+          val xc = if (mayHaveNullElems(left)) s"$x.isNullAt($i)" else "false"
+          val yc = if (mayHaveNullElems(right)) s"$y.isNullAt($i)" else "false"
+          s"if ($xc || $yc) { ${ev.isNull} = true; break; }"
+        } else ""
       s"""
-         |int $n = java.lang.Math.min($x.numElements(), $y.numElements());
-         |double ${ev.value}_acc = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  ${ev.value}_acc += ((double) $x.$xGet($i)) * ((double) $y.$yGet($i));
+         |int $n = $x.numElements();
+         |if ($y.numElements() != $n) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double $acc = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    $nullCheck
+         |    $acc += ((double) $x.$xGet($i)) * ((double) $y.$yGet($i));
+         |  }
+         |  if (!${ev.isNull}) { ${ev.value} = $acc; }
          |}
-         |${ev.value} = ${ev.value}_acc;
        """.stripMargin
     })
   }

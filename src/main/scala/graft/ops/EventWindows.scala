@@ -59,14 +59,14 @@ object EventWindows {
     // gap since the previous event is ≥ 30 minutes).
     OpQuery("q_events_session",
       """WITH marks AS (
-        |  SELECT user_id, ts,
+        |  SELECT user_id, ts, event_id,
         |         CASE WHEN lag(ts) OVER w IS NULL
         |               OR ts - lag(ts) OVER w >= INTERVAL '30 minutes'
         |              THEN 1 ELSE 0 END AS brk
         |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
         |sessions AS (
         |  SELECT user_id, ts,
-        |         SUM(brk) OVER (PARTITION BY user_id ORDER BY ts
+        |         SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
         |                        ROWS UNBOUNDED PRECEDING) AS sid
         |  FROM marks)
         |SELECT user_id,
