@@ -66,38 +66,133 @@ object Dedup {
       |FROM (SELECT doc_id, string_split(text, ' ') AS ts FROM documents) t,
       |     UNNEST(range(1, len(ts) - 1)) AS u(i)""".stripMargin
 
-  /** Exact Jaccard pairs via inverted-index self-join with df-pruning.
+  /** Exact Jaccard pairs via per-shingle posting lists with df-pruning.
+    *
+    * Stop-shingles (df > dfCap) are removed with a broadcast anti-join —
+    * the *stop* set is tiny even at 100 TB (frequent shingles are few),
+    * whereas semi-joining on the retained set would shuffle the full
+    * stream, and collecting before pruning would buffer unbounded
+    * posting lists. Co-occurring pairs are then expanded *map-side* from
+    * each sorted posting list (bounded by C(dfCap,2) per shingle)
+    * instead of a shuffled inverted-index self-join — two fewer shuffles
+    * of the shingle stream — and the final denominator joins broadcast
+    * the small per-doc count table (with AQE off a plain join here
+    * becomes a sort-merge join over the full pair stream).
+    *
     * When `candidates` is given (MinHash path), the shingle stream is
-    * first semi-joined down to candidate documents so the pair join costs
-    * O(candidate shingles²-per-bucket), not O(all co-shingle pairs).
-    * Returns (id_a, id_b, jac). */
+    * first semi-joined down to candidate *documents* (broadcast — the
+    * LSH bucketing makes that set small relative to the corpus), so the
+    * pair expansion runs over candidate postings only; the pair stream
+    * is then semi-joined to candidate pairs. Denominators (n_sh) always
+    * come from the full pruned corpus. Returns (id_a, id_b, jac). */
   private[graft] def jaccardPairs(sh: DataFrame, dfCap: Int,
       candidates: Option[DataFrame] = None): DataFrame = {
-    val pruned = sh.join(
-      sh.groupBy("shingle").agg(count(lit(1)).as("df")).filter(col("df") <= dfCap)
-        .select("shingle"),
-      Seq("shingle"), "left_semi")
+    val stop = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
+      .filter(col("df") > dfCap).select("shingle")
+    // cache(): the exact-Jaccard and MinHash-verify paths build this
+    // exact plan (CacheManager matches by plan), and each path reads it
+    // from several broadcast subqueries — one materialization serves all.
+    val pruned = sh.join(broadcast(stop), Seq("shingle"), "left_anti").cache()
     // n_sh counts are over the full pruned corpus (same denominator as
     // the exact path), regardless of candidate restriction.
-    val counts = pruned.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
-    def restrict(df: DataFrame, side: String): DataFrame = candidates match {
-      case Some(p) => df.join(
-        broadcast(p.select(col(side).as("doc_id")).distinct()), Seq("doc_id"), "left_semi")
-      case None => df
+    val counts = pruned.groupBy("doc_id").agg(count(lit(1)).as("n_sh")).cache()
+    val pairSource = candidates match {
+      case Some(p) =>
+        val candDocs = p.select(explode(array(col("id_a"), col("id_b"))).as("doc_id")).distinct()
+        pruned.join(broadcast(candDocs), Seq("doc_id"), "left_semi")
+      case None => pruned
     }
-    val a = restrict(pruned, "id_a").select(col("doc_id").as("id_a"), col("shingle"))
-    val b = restrict(pruned, "id_b").select(col("doc_id").as("id_b"), col("shingle"))
-    val inter0 = a.join(b, Seq("shingle")).filter(col("id_a") < col("id_b"))
-    val interC = candidates match {
-      case Some(p) => inter0.join(broadcast(p), Seq("id_a", "id_b"), "left_semi")
-      case None => inter0
+    val lists = pairSource.groupBy("shingle")
+      .agg(array_sort(collect_list(col("doc_id"))).as("ids"))
+    // all i<j combinations of the sorted posting list
+    val pairsOf = flatten(transform(col("ids"), (x, i) =>
+      transform(slice(col("ids"), i + lit(2), size(col("ids"))),
+        y => struct(x.as("id_a"), y.as("id_b")))))
+    val pairs0 = lists.select(explode(pairsOf).as("p")).select(col("p.id_a"), col("p.id_b"))
+    val pairs = candidates match {
+      case Some(p) => pairs0.join(broadcast(p), Seq("id_a", "id_b"), "left_semi")
+      case None => pairs0
     }
-    val inter = interC.groupBy("id_a", "id_b").agg(count(lit(1)).as("inter"))
+    val inter = pairs.groupBy("id_a", "id_b").agg(count(lit(1)).as("inter"))
     inter
-      .join(counts.select(col("doc_id").as("id_a"), col("n_sh").as("na")), Seq("id_a"))
-      .join(counts.select(col("doc_id").as("id_b"), col("n_sh").as("nb")), Seq("id_b"))
+      .join(broadcast(counts.select(col("doc_id").as("id_a"), col("n_sh").as("na"))), Seq("id_a"))
+      .join(broadcast(counts.select(col("doc_id").as("id_b"), col("n_sh").as("nb"))), Seq("id_b"))
       .select(col("id_a"), col("id_b"),
         (col("inter").cast("double") / (col("na") + col("nb") - col("inter"))).as("jac"))
+  }
+
+  /** DuckDB twin of q_dedup_minhash: identical md5-derived permutation
+    * hashes ('b:shingle' salted md5, 8-hex-char chunks → 32-bit ints),
+    * banded candidate join, exact-Jaccard verify. Spark's conv(hex,16,10)
+    * and DuckDB's CAST('0x…' AS BIGINT) parse the same chunk to the same
+    * value, so the candidate sets agree exactly. */
+  private val minhashOracle: String = {
+    val rowsPerBand = NumPerm / Bands
+    val hv = (0 until NumPerm).map { j =>
+      s"CAST('0x' || substr(md5('${j / 4}:' || shingle), ${(j % 4) * 8 + 1}, 8) AS BIGINT) AS h$j"
+    }.mkString(",\n       ")
+    val sigs = (0 until NumPerm).map(j => s"MIN(h$j) AS s$j").mkString(", ")
+    val bandRows = (0 until Bands).map { b =>
+      val ks = (0 until rowsPerBand).map(r => s"s${b * rowsPerBand + r} AS k$r").mkString(", ")
+      s"SELECT doc_id, $b AS band, $ks FROM sig"
+    }.mkString("\n  UNION ALL ")
+    val bandEq = (0 until rowsPerBand).map(r => s"x.k$r = y.k$r").mkString(" AND ")
+    s"""WITH sh AS ($oracleShingles),
+       |hv AS (SELECT doc_id,
+       |       $hv
+       |  FROM sh),
+       |sig AS (SELECT doc_id, $sigs FROM hv GROUP BY doc_id),
+       |bands AS (
+       |  $bandRows),
+       |cand AS (
+       |  SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+       |  FROM bands x JOIN bands y
+       |    ON x.band = y.band AND $bandEq AND x.doc_id < y.doc_id),
+       |pruned AS (
+       |  SELECT * FROM sh WHERE shingle IN (
+       |    SELECT shingle FROM sh GROUP BY shingle HAVING COUNT(*) <= $DfCap)),
+       |cnt AS (SELECT doc_id, COUNT(*) AS n_sh FROM pruned GROUP BY doc_id),
+       |inter AS (
+       |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
+       |  FROM pruned a JOIN pruned b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+       |  JOIN cand c ON c.id_a = a.doc_id AND c.id_b = b.doc_id
+       |  GROUP BY a.doc_id, b.doc_id)
+       |SELECT id_a, id_b,
+       |       CAST(inter AS DOUBLE) / (ca.n_sh + cb.n_sh - inter) AS jac
+       |FROM inter
+       |JOIN cnt ca ON id_a = ca.doc_id
+       |JOIN cnt cb ON id_b = cb.doc_id
+       |WHERE CAST(inter AS DOUBLE) / (ca.n_sh + cb.n_sh - inter) >= $JaccardThreshold
+       |ORDER BY id_a, id_b""".stripMargin
+  }
+
+  /** DuckDB twin of q_dedup_simhash: same md5-derived 60-bit token
+    * hashes, per-bit majority vote, 15-bit chunk blocking, Hamming ≤ 3. */
+  private val simhashOracle: String = {
+    val bitSums = (0 until 60).map(i => s"SUM((h >> $i) & 1) AS b$i").mkString(",\n         ")
+    val sigExpr = (0 until 60)
+      .map(i => s"(CASE WHEN 2*b$i > n_tok THEN (CAST(1 AS BIGINT) << $i) ELSE 0 END)")
+      .mkString(" +\n         ")
+    s"""WITH toks AS (
+       |  SELECT DISTINCT doc_id, tok FROM (
+       |    SELECT doc_id, UNNEST(string_split(text, ' ')) AS tok FROM documents) t
+       |  WHERE tok <> ''),
+       |hv AS (SELECT doc_id, CAST('0x' || substr(md5(tok), 1, 15) AS BIGINT) AS h FROM toks),
+       |bits AS (SELECT doc_id, COUNT(*) AS n_tok,
+       |         $bitSums
+       |  FROM hv GROUP BY doc_id),
+       |sig AS (SELECT doc_id,
+       |         $sigExpr AS simhash
+       |  FROM bits),
+       |chunks AS (
+       |  SELECT doc_id, simhash, c, (simhash >> (15*c)) & 32767 AS ckey
+       |  FROM sig, UNNEST(range(0, 4)) AS u(c))
+       |SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b,
+       |       CAST(bit_count(xor(x.simhash, y.simhash)) AS BIGINT) AS hamming
+       |FROM chunks x JOIN chunks y
+       |  ON x.c = y.c AND x.ckey = y.ckey AND x.doc_id < y.doc_id
+       |WHERE bit_count(xor(x.simhash, y.simhash)) <= 3
+       |ORDER BY id_a, id_b""".stripMargin
   }
 
   val queries: Seq[OpQuery] = Seq(
@@ -153,48 +248,58 @@ object Dedup {
         .orderBy("id_a", "id_b")
     },
 
-    // MinHash + banded LSH: approximate near-dup at scale. Spark's
-    // xxhash64 has no DuckDB twin → rows-only driver check; the ScalaTest
-    // spec validates candidate recall against exact Jaccard instead.
-    OpQuery.noOracle("q_dedup_minhash") { (s, d) =>
+    // MinHash + banded LSH: approximate near-dup at scale. Permutation
+    // hashes are md5-derived (4 salted md5 calls → 4×32-bit chunks each =
+    // NumPerm values) so DuckDB computes bit-identical signatures →
+    // full oracle check (round 1 used xxhash64, which has no DuckDB twin
+    // and forced a weaker rows-only check).
+    OpQuery("q_dedup_minhash", minhashOracle) { (s, d) =>
       val sh = shingleTable(documents(s, d))
-      val sigCols = (0 until NumPerm).map(j => min(xxhash64(col("shingle"), lit(j))).as(s"s$j"))
-      // one signature row per doc; cached — the banding union and both
-      // sides of the bucket self-join re-read it instead of re-running
-      // the 16-hash aggregation
+      // 4 salted md5 per shingle; chunk j/4,j%4 → permutation hash j.
+      // Each md5 is computed once per row (subexpression elimination)
+      // and sliced four times.
+      def h(j: Int): Column =
+        conv(substring(md5(concat(lit(s"${j / 4}:"), col("shingle"))),
+          (j % 4) * 8 + 1, 8), 16, 10).cast("long")
+      val sigCols = (0 until NumPerm).map(j => min(h(j)).as(s"s$j"))
+      // one signature row per doc; cached — the banding union re-reads
+      // it instead of re-running the 16-hash aggregation
       val sigs = sh.groupBy("doc_id").agg(sigCols.head, sigCols.tail: _*).cache()
       val rowsPerBand = NumPerm / Bands
-      val banded = (0 until Bands).map { b =>
-        val cols = (b * rowsPerBand until (b + 1) * rowsPerBand).map(j => col(s"s$j"))
-        sigs.select(col("doc_id"), lit(b).as("band"), xxhash64(cols: _*).as("bkey"))
+      def bandSide(idName: String) = (0 until Bands).map { b =>
+        val ks = (0 until rowsPerBand).map(r => col(s"s${b * rowsPerBand + r}").as(s"k$r"))
+        sigs.select(col("doc_id").as(idName) +: lit(b).as("band") +: ks: _*)
       }.reduce(_ unionAll _)
-      val candidates = banded.as("x").join(banded.as("y"),
-          col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey") &&
-            col("x.doc_id") < col("y.doc_id"))
-        .select(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"))
+      val candidates = bandSide("id_a").join(bandSide("id_b"),
+          Seq("band") ++ (0 until rowsPerBand).map(r => s"k$r"))
+        .filter(col("id_a") < col("id_b"))
+        .select("id_a", "id_b")
         .distinct()
-        .cache() // reused three times inside the restricted Jaccard verify
+        .cache() // reused by the restricted Jaccard verify
       // verify only the candidates with exact Jaccard (restriction is
-      // pushed into the inverted-index join, not applied after it)
+      // pushed into the pair stream, not applied after it)
       jaccardPairs(sh, DfCap, Some(candidates))
         .filter(col("jac") >= JaccardThreshold)
         .orderBy("id_a", "id_b")
     },
 
-    // SimHash: 64-bit signature from unigram hashes; near-dups = pairs
-    // with Hamming distance ≤ 3, blocked on 16-bit chunks (a pair within
-    // distance 3 must agree on ≥1 of 4 chunks).
-    OpQuery.noOracle("q_dedup_simhash") { (s, d) =>
+    // SimHash: 60-bit signature from unigram hashes (60 bits = 15 hex
+    // chars of md5 → one portable hex→int conversion per token, and the
+    // sign bit stays clear in both engines); near-dups = pairs with
+    // Hamming distance ≤ 3, blocked on 15-bit chunks (a pair within
+    // distance 3 must agree on ≥1 of 4 chunks). md5-derived bits give
+    // DuckDB bit-identical signatures → full oracle check.
+    OpQuery("q_dedup_simhash", simhashOracle) { (s, d) =>
       val toks = documents(s, d)
         .select(col("doc_id"),
           explode(array_distinct(split(col("text"), " "))).as("tok"))
         .filter(col("tok") =!= "")
-        .withColumn("h", xxhash64(col("tok")))
-      // 64 per-bit popcounts packed 4-per-long (16-bit saturating-free
+        .withColumn("h", conv(substring(md5(col("tok")), 1, 15), 16, 10).cast("long"))
+      // 60 per-bit popcounts packed 4-per-long (16-bit saturating-free
       // slots: per-doc token counts are far below 2^16, so slot sums
-      // never carry). 16 narrow aggregates instead of 64 keeps the
+      // never carry). 15 narrow aggregates instead of 60 keeps the
       // generated aggregation code JIT-compilable.
-      val packedSums = (0 until 16).map { j =>
+      val packedSums = (0 until 15).map { j =>
         sum((0 until 4).map { k =>
           shiftleft(shiftright(col("h"), 4 * j + k).bitwiseAND(1), 16 * k)
         }.reduce(_ + _)).as(s"p$j")
@@ -203,7 +308,7 @@ object Dedup {
       // cached: the 4-chunk union and both self-join sides re-read it
       val sig = toks.groupBy("doc_id").agg(packedSums.head, packedSums.tail :+ nTok: _*)
         .select(col("doc_id"),
-          (0 until 64).map { i =>
+          (0 until 60).map { i =>
             val (j, k) = (i / 4, i % 4)
             val ones = shiftright(col(s"p$j"), 16 * k).bitwiseAND(0xFFFFL)
             // majority bit: set when ones > n_tok/2 (i.e. 2*ones > n_tok)
@@ -212,13 +317,13 @@ object Dedup {
         .cache()
       val chunked = (0 until 4).map { c =>
         sig.select(col("doc_id"), col("simhash"), lit(c).as("chunk"),
-          shiftright(col("simhash"), c * 16).bitwiseAND(0xFFFFL).as("ckey"))
+          shiftright(col("simhash"), c * 15).bitwiseAND(0x7FFFL).as("ckey"))
       }.reduce(_ unionAll _)
       chunked.as("x").join(chunked.as("y"),
           col("x.chunk") === col("y.chunk") && col("x.ckey") === col("y.ckey") &&
             col("x.doc_id") < col("y.doc_id"))
         .select(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"),
-          bit_count(col("x.simhash").bitwiseXOR(col("y.simhash"))).as("hamming"))
+          bit_count(col("x.simhash").bitwiseXOR(col("y.simhash"))).cast("long").as("hamming"))
         .distinct()
         .filter(col("hamming") <= 3)
         .orderBy("id_a", "id_b")

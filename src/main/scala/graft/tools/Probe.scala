@@ -78,6 +78,29 @@ object Probe {
       graft.SparkEntry.queries("q_dedup_minhash")(spark, sfDir)
         .write.format("noop").mode("overwrite").save()
     }
+    // minhash component breakdown (mirrors the query internals)
+    locally {
+      val sh2 = Dedup.shingleTable(docs)
+      def h(j: Int) =
+        conv(substring(md5(concat(lit(s"${j / 4}:"), col("shingle"))),
+          (j % 4) * 8 + 1, 8), 16, 10).cast("long")
+      val sigCols = (0 until 16).map(j => min(h(j)).as(s"s$j"))
+      val sigs = sh2.groupBy("doc_id").agg(sigCols.head, sigCols.tail: _*).cache()
+      time("  mh sigs materialize")(sigs.count())
+      def bandSide(idName: String) = (0 until 4).map { b =>
+        val ks = (0 until 4).map(r => col(s"s${b * 4 + r}").as(s"k$r"))
+        sigs.select(col("doc_id").as(idName) +: lit(b).as("band") +: ks: _*)
+      }.reduce(_ unionAll _)
+      val cand = bandSide("id_a").join(bandSide("id_b"),
+          Seq("band") ++ (0 until 4).map(r => s"k$r"))
+        .filter(col("id_a") < col("id_b")).select("id_a", "id_b").distinct().cache()
+      time("  mh candidates")(println("  cand=" + cand.count()))
+      time("  mh verify") {
+        Dedup.jaccardPairs(sh2, 50, Some(cand))
+          .filter(col("jac") >= 0.5).orderBy("id_a", "id_b")
+          .write.format("noop").mode("overwrite").save()
+      }
+    }
 
     // project-before-sort vs sort-before-project for derived columns
     import org.apache.spark.sql.types.DecimalType
