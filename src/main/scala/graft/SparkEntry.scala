@@ -26,7 +26,8 @@ object SparkEntry {
   val all: Seq[OpQuery] =
     Relational.queries ++ Joins.queries ++ Windows.queries ++ Scalars.queries ++
       Dedup.queries ++ TextOps.queries ++ VectorOps.queries ++
-      EventWindows.queries ++ Multimodal.queries ++ Analytics.queries
+      EventWindows.queries ++ Multimodal.queries ++ Analytics.queries ++
+      Corpus.queries
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * TPC-H Q5 shape: star joins + broadcast dims + grouped revenue. */

@@ -1,0 +1,154 @@
+package graft.ops
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import Tables._
+
+/** Training-corpus preparation operators (north-star scope, SURVEY.md §2
+  * "LLM-data-pipeline"): deterministic stratified sampling, PII-style
+  * redaction, fixed-width chunking, vocabulary building, and a
+  * decimal-exact regression aggregate.
+  *
+  * Scale design notes:
+  *  - The stratified sample is *hash-based* (md5 of the row key), not
+  *    rand()-based: the same row is always in or out, the sample is
+  *    reproducible across engines/runs/retries (DuckDB computes the
+  *    identical predicate → full oracle check), and at 100 TB the filter
+  *    is embarrassingly parallel with no RNG-state coordination.
+  *  - Chunking and vocabulary are single explode + aggregation shapes —
+  *    one shuffle each, map-side combine does the heavy lifting.
+  *  - The regression aggregate accumulates its five moments in exact
+  *    DECIMAL (order-independent) and applies the closed-form OLS
+  *    formulas on the final doubles in a fixed association order, so the
+  *    result is bit-identical to the sequential oracle.
+  */
+object Corpus {
+
+  val queries: Seq[OpQuery] = Seq(
+
+    // Deterministic hash-stratified sampling: per-stratum rates
+    // (A: 5 %, N: 10 %, R: 20 %) decided by md5(row key) mod 100.
+    OpQuery("q_sample_stratified",
+      s"""WITH sampled AS (
+         |  SELECT l_returnflag, l_quantity
+         |  FROM lineitem
+         |  WHERE CAST('0x' || substr(md5(l_orderkey || ':' || l_linenumber), 1, 8) AS BIGINT) % 100
+         |        < CASE l_returnflag WHEN 'A' THEN 5 WHEN 'N' THEN 10 ELSE 20 END)
+         |SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n_sampled,
+         |       ${oSum("l_quantity")} AS sum_qty
+         |FROM sampled GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin) { (s, d) =>
+      val h = conv(substring(md5(
+        concat_ws(":", col("l_orderkey"), col("l_linenumber"))), 1, 8), 16, 10)
+        .cast("long") % 100
+      val rate = when(col("l_returnflag") === "A", 5)
+        .when(col("l_returnflag") === "N", 10).otherwise(20)
+      lineitem(s, d).filter(h < rate)
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n_sampled"), dsum(col("l_quantity")).as("sum_qty"))
+        .orderBy("l_returnflag")
+    },
+
+    // PII-style redaction: mask digit runs in customer names, count the
+    // masked characters (the audit column a redaction pipeline keeps).
+    OpQuery("q_pii_redact",
+      """SELECT c_custkey,
+        |       regexp_replace(c_name, '[0-9]+', '<ID>', 'g') AS redacted,
+        |       CAST(length(c_name) - length(regexp_replace(c_name, '[0-9]', '', 'g')) AS BIGINT) AS n_masked
+        |FROM customer ORDER BY c_custkey""".stripMargin) { (s, d) =>
+      customer(s, d).select(col("c_custkey"),
+          regexp_replace(col("c_name"), "[0-9]+", "<ID>").as("redacted"),
+          (length(col("c_name")) -
+            length(regexp_replace(col("c_name"), "[0-9]", ""))).cast("long").as("n_masked"))
+        .orderBy("c_custkey")
+    },
+
+    // Fixed-width chunking with overlap (50-char windows, stride 40) —
+    // the document → training-sample splitter. One explode, no shuffle
+    // until the output sort.
+    OpQuery("q_chunk_split",
+      """SELECT doc_id, CAST(i AS BIGINT) AS chunk_id,
+        |       substr(text, i*40 + 1, 50) AS chunk
+        |FROM documents, UNNEST(range(0, (length(text) - 1) // 40 + 1)) AS u(i)
+        |ORDER BY doc_id, chunk_id""".stripMargin) { (s, d) =>
+      documents(s, d)
+        .select(col("doc_id"), col("text"),
+          explode(sequence(lit(0),
+            floor((length(col("text")) - 1) / lit(40)).cast("int"))).as("cid"))
+        .select(col("doc_id"), col("cid").cast("long").as("chunk_id"),
+          col("text").substr(col("cid") * 40 + 1, lit(50)).as("chunk"))
+        .orderBy("doc_id", "chunk_id")
+    },
+
+    // Vocabulary builder: corpus-wide token counts, rank, top 100.
+    OpQuery("q_vocab_topk",
+      """WITH toks AS (
+        |  SELECT UNNEST(string_split(text, ' ')) AS tok FROM documents),
+        |counts AS (
+        |  SELECT tok, CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM toks WHERE tok <> '' GROUP BY tok)
+        |SELECT tok, n, CAST(RANK() OVER (ORDER BY n DESC, tok) AS BIGINT) AS r
+        |FROM counts ORDER BY r LIMIT 100""".stripMargin) { (s, d) =>
+      documents(s, d)
+        .select(explode(split(col("text"), " ")).as("tok"))
+        .filter(col("tok") =!= "")
+        .groupBy("tok").agg(count(lit(1)).as("n"))
+        .withColumn("r", rank().over(Window.orderBy(col("n").desc, col("tok"))).cast("long"))
+        .orderBy("r").limit(100)
+    },
+
+    // Per-group OLS regression (slope/intercept/R²) from decimal-exact
+    // moments; the closed forms are applied to the final doubles in the
+    // same association order on both engines.
+    OpQuery("q_agg_regression",
+      s"""WITH m AS (
+        |  SELECT l_returnflag,
+        |         CAST(COUNT(*) AS DOUBLE) AS n,
+        |         CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sx,
+        |         CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sy,
+        |         ${oSum6("l_quantity * l_extendedprice")} AS sxy,
+        |         ${oSum6("l_quantity * l_quantity")} AS sxx,
+        |         ${oSum6("l_extendedprice * l_extendedprice")} AS syy
+        |  FROM lineitem GROUP BY l_returnflag)
+        |SELECT l_returnflag,
+        |       (n*sxy - sx*sy) / (n*sxx - sx*sx) AS slope,
+        |       (sy - (n*sxy - sx*sy) / (n*sxx - sx*sx) * sx) / n AS intercept,
+        |       ROUND(((n*sxy - sx*sy) * (n*sxy - sx*sy)) / ((n*sxx - sx*sx) * (n*syy - sy*sy)), 12) AS r2
+        |FROM m ORDER BY l_returnflag""".stripMargin) { (s, d) =>
+      val q = col("l_quantity")
+      val p = col("l_extendedprice")
+      val m = lineitem(s, d).groupBy("l_returnflag").agg(
+        count(lit(1)).cast("double").as("n"),
+        dsum(q).as("sx"),
+        dsum(p).as("sy"),
+        dsum6(q * p).as("sxy"),
+        dsum6(q * q).as("sxx"),
+        dsum6(p * p).as("syy"))
+      val num = col("n") * col("sxy") - col("sx") * col("sy")
+      val den = col("n") * col("sxx") - col("sx") * col("sx")
+      m.select(col("l_returnflag"),
+          (num / den).as("slope"),
+          ((col("sy") - num / den * col("sx")) / col("n")).as("intercept"),
+          // rounded to 12 dp: the quotient's two big-magnitude operands
+          // can differ by 1 ulp across engines (C++ fp-contraction in the
+          // a*b - c*d subtractions; JVM doubles never fuse)
+          round((num * num) / (den * (col("n") * col("syy") - col("sy") * col("sy"))), 12).as("r2"))
+        .orderBy("l_returnflag")
+    },
+
+    // Unpivot / melt — wide metrics to long (Spark's native unpivot
+    // operator; the oracle is the portable UNION ALL formulation).
+    OpQuery("q_unpivot",
+      """SELECT p_partkey, 'p_retailprice' AS metric, p_retailprice AS value FROM part
+        |UNION ALL
+        |SELECT p_partkey, 'p_size', CAST(p_size AS DOUBLE) FROM part
+        |ORDER BY p_partkey, metric""".stripMargin) { (s, d) =>
+      part(s, d)
+        .select(col("p_partkey"), col("p_retailprice"), col("p_size").cast("double").as("p_size"))
+        .unpivot(Array(col("p_partkey")),
+          Array(col("p_retailprice"), col("p_size")), "metric", "value")
+        .orderBy("p_partkey", "metric")
+    }
+  )
+}

@@ -121,6 +121,45 @@ object Dedup {
         (col("inter").cast("double") / (col("na") + col("nb") - col("inter"))).as("jac"))
   }
 
+  /** Shared oracle CTE block: shingles → df-pruned postings → per-doc
+    * counts → pairwise intersection → Jaccard (`jacp(id_a, id_b, jac)`).
+    * Reused by the exact-Jaccard and connected-components oracles. */
+  private val jaccardCtes =
+    s"""sh AS ($oracleShingles),
+       |pruned AS (
+       |  SELECT * FROM sh WHERE shingle IN (
+       |    SELECT shingle FROM sh GROUP BY shingle HAVING COUNT(*) <= $DfCap)),
+       |cnt AS (SELECT doc_id, COUNT(*) AS n_sh FROM pruned GROUP BY doc_id),
+       |inter AS (
+       |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
+       |  FROM pruned a JOIN pruned b
+       |    ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+       |  GROUP BY a.doc_id, b.doc_id),
+       |jacp AS (
+       |  SELECT id_a, id_b,
+       |         CAST(inter AS DOUBLE) / (ca.n_sh + cb.n_sh - inter) AS jac
+       |  FROM inter
+       |  JOIN cnt ca ON id_a = ca.doc_id
+       |  JOIN cnt cb ON id_b = cb.doc_id)""".stripMargin
+
+  /** DuckDB twin of q_dedup_cluster: the Jaccard dup pairs as an edge
+    * list, transitive closure via a recursive CTE, cluster id = smallest
+    * reachable doc_id (docs with no dup edge form singleton clusters). */
+  private val clusterOracle =
+    s"""WITH RECURSIVE $jaccardCtes,
+       |pairs AS (SELECT id_a, id_b FROM jacp WHERE jac >= $JaccardThreshold),
+       |edges AS (
+       |  SELECT id_a AS src, id_b AS dst FROM pairs
+       |  UNION ALL SELECT id_b, id_a FROM pairs),
+       |reach(src, dst) AS (
+       |  SELECT src, dst FROM edges
+       |  UNION
+       |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src)
+       |SELECT d.doc_id,
+       |       COALESCE(LEAST(d.doc_id, MIN(r.dst)), d.doc_id) AS cluster_id
+       |FROM documents d LEFT JOIN reach r ON r.src = d.doc_id
+       |GROUP BY d.doc_id ORDER BY d.doc_id""".stripMargin
+
   /** DuckDB twin of q_dedup_minhash: identical md5-derived permutation
     * hashes ('b:shingle' salted md5, 8-hex-char chunks → 32-bit ints),
     * banded candidate join, exact-Jaccard verify. Spark's conv(hex,16,10)
@@ -225,22 +264,9 @@ object Dedup {
     // Exact near-dup detection: word-3-gram Jaccard ≥ 0.5 via
     // inverted-index join + df-pruning (cap mirrored in the oracle).
     OpQuery("q_dedup_ngram_jaccard",
-      s"""WITH sh AS ($oracleShingles),
-         |pruned AS (
-         |  SELECT * FROM sh WHERE shingle IN (
-         |    SELECT shingle FROM sh GROUP BY shingle HAVING COUNT(*) <= $DfCap)),
-         |cnt AS (SELECT doc_id, COUNT(*) AS n_sh FROM pruned GROUP BY doc_id),
-         |inter AS (
-         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
-         |  FROM pruned a JOIN pruned b
-         |    ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-         |  GROUP BY a.doc_id, b.doc_id)
-         |SELECT id_a, id_b,
-         |       CAST(inter AS DOUBLE) / (ca.n_sh + cb.n_sh - inter) AS jac
-         |FROM inter
-         |JOIN cnt ca ON id_a = ca.doc_id
-         |JOIN cnt cb ON id_b = cb.doc_id
-         |WHERE CAST(inter AS DOUBLE) / (ca.n_sh + cb.n_sh - inter) >= $JaccardThreshold
+      s"""WITH $jaccardCtes
+         |SELECT id_a, id_b, jac FROM jacp
+         |WHERE jac >= $JaccardThreshold
          |ORDER BY id_a, id_b""".stripMargin) { (s, d) =>
       val sh = shingleTable(documents(s, d))
       jaccardPairs(sh, DfCap)
@@ -327,6 +353,51 @@ object Dedup {
         .distinct()
         .filter(col("hamming") <= 3)
         .orderBy("id_a", "id_b")
+    },
+
+    // Near-dup clustering: connected components over the Jaccard dup
+    // graph, cluster id = smallest doc_id in the component (the doc a
+    // dedup pipeline keeps). Spark has no recursive CTE; the component
+    // labels are computed by iterative min-label propagation — one
+    // broadcast-join + aggregate per round, O(diameter) rounds (dup
+    // clusters are shallow), the same shape GraphX's connected
+    // components uses. The driver loop only *schedules* rounds and
+    // checks a convergence bit; all data stays distributed.
+    OpQuery("q_dedup_cluster", clusterOracle) { (s, d) =>
+      val docs = documents(s, d).select(col("doc_id"))
+      val sh = shingleTable(documents(s, d))
+      val dupPairs = jaccardPairs(sh, DfCap)
+        .filter(col("jac") >= JaccardThreshold).select("id_a", "id_b")
+      val edges = dupPairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+        .unionAll(dupPairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+        .cache()
+      var labels = edges.select(col("src").as("doc_id")).distinct()
+        .select(col("doc_id"), col("doc_id").as("lbl")).cache()
+      // Σlbl strictly decreases every round until the fixpoint, so an
+      // unchanged sum IS convergence — one scan per round instead of a
+      // changed-rows join. The nbrMin side is the per-round aggregate
+      // (≤ one row per dup-edge doc) — broadcast keeps the round at a
+      // single shuffle; at a scale where the dup subgraph outgrows a
+      // broadcast, drop the hint and let AQE pick the join.
+      var prevSum = labels.agg(sum(col("lbl"))).head.getLong(0)
+      var converged = false
+      var round = 0
+      while (!converged && round < 25) {
+        val nbrMin = edges.join(labels.withColumnRenamed("doc_id", "src"), Seq("src"))
+          .groupBy(col("dst").as("doc_id")).agg(min(col("lbl")).as("nlbl"))
+        val next = labels.join(broadcast(nbrMin), Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            least(col("lbl"), coalesce(col("nlbl"), col("lbl"))).as("lbl"))
+          .cache()
+        val s = next.agg(sum(col("lbl"))).head.getLong(0)
+        converged = s == prevSum
+        prevSum = s
+        labels = next
+        round += 1
+      }
+      docs.join(labels, Seq("doc_id"), "left")
+        .select(col("doc_id"), coalesce(col("lbl"), col("doc_id")).as("cluster_id"))
+        .orderBy("doc_id")
     },
 
     // Embedding near-dup: cosine ≥ 0.3 within label blocks (the testdata embeddings are near-orthogonal, so the threshold is set where candidate pairs exist) (IVF-style

@@ -96,6 +96,43 @@ object EventWindows {
         .orderBy("user_id", "event_type", "minute")
     },
 
+    // Time-series gap fill: per-user hourly grid from first to last
+    // event, missing hours forward-filled with the last observed hourly
+    // max. The IGNORE NULLS-free formulation (a running count of
+    // non-null observations defines fill groups, then a per-group MAX)
+    // is expressible identically on both engines.
+    OpQuery("q_events_gapfill",
+      s"""WITH hourly AS (
+         |  SELECT user_id, time_bucket(INTERVAL '1 hour', ts) AS h,
+         |         MAX(value) AS mx, CAST(COUNT(*) AS BIGINT) AS n
+         |  FROM events GROUP BY 1, 2),
+         |spans AS (SELECT user_id, MIN(h) AS h0, MAX(h) AS h1 FROM hourly GROUP BY user_id),
+         |grid AS (
+         |  SELECT user_id, UNNEST(generate_series(h0, h1, INTERVAL 1 HOUR)) AS h FROM spans),
+         |joined AS (
+         |  SELECT g.user_id, g.h, hr.mx, COALESCE(hr.n, 0) AS n_events,
+         |         COUNT(hr.mx) OVER (PARTITION BY g.user_id ORDER BY g.h) AS grp
+         |  FROM grid g LEFT JOIN hourly hr ON g.user_id = hr.user_id AND g.h = hr.h)
+         |SELECT user_id, strftime(h, '%Y-%m-%d %H:%M:%S') AS hour, n_events,
+         |       MAX(mx) OVER (PARTITION BY user_id, grp) AS filled_value
+         |FROM joined ORDER BY user_id, hour""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val hourly = events(s, d)
+        .groupBy(col("user_id"), date_trunc("hour", col("ts")).as("h"))
+        .agg(max(col("value")).as("mx"), count(lit(1)).as("n"))
+      val spans = hourly.groupBy("user_id").agg(min("h").as("h0"), max("h").as("h1"))
+      val grid = spans.select(col("user_id"),
+        explode(sequence(col("h0"), col("h1"), expr("interval 1 hour"))).as("h"))
+      val joined = grid.join(hourly, Seq("user_id", "h"), "left")
+        .withColumn("n_events", coalesce(col("n"), lit(0L)))
+        .withColumn("grp",
+          count(col("mx")).over(Window.partitionBy("user_id").orderBy("h")))
+      joined.select(col("user_id"),
+          date_format(col("h"), "yyyy-MM-dd HH:mm:ss").as("hour"), col("n_events"),
+          max(col("mx")).over(Window.partitionBy("user_id", "grp")).as("filled_value"))
+        .orderBy("user_id", "hour")
+    },
+
     // Top event bursts: largest 1-minute counts — tumbling window + topk.
     OpQuery("q_events_bursts",
       """SELECT strftime(time_bucket(INTERVAL '1 minute', ts), '%Y-%m-%d %H:%M:%S') AS minute,
