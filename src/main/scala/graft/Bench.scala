@@ -28,7 +28,8 @@ object Bench {
     * landing at the tail of the 8 concurrent streams. Ranked by measured
     * sf0.1 latency; unlisted queries follow alphabetically. */
   private val heavyFirst = Seq(
-    "q_dedup_minhash", "q_dedup_ngram_jaccard", "q_dedup_simhash",
+    "q_dedup_minhash", "q_dedup_cluster", "q_dedup_ngram_jaccard",
+    "q_dedup_simhash", "q_agg_regression", "q_events_gapfill",
     "q_dedup_canonical", "q_sim_ivf", "q_cube", "q_events_anomaly",
     "q_agg_group", "q_cte_maxrev", "q_agg_stats", "q_distinct",
     "q_events_session", "q_events_sliding", "q_events_tumbling",
@@ -110,19 +111,36 @@ object Bench {
     val wall = (System.nanoTime() - wall0) / 1e9
     val failed = results.collect { case (n, _, false) => n }
     val okLatency = results.collect { case (n, dt, true) => n -> dt }.toMap
+    // Locale.ROOT: the f-interpolator honors the JVM default locale, so a
+    // comma-decimal locale would emit invalid JSON (same bug class fixed
+    // in Results.formatCell).
+    def num(v: Double): String = String.format(java.util.Locale.ROOT, "%.3f",
+      v.asInstanceOf[AnyRef])
     def jmap(entries: Seq[(String, Double)]): String =
-      entries.map { case (k, v) => "\"" + k + f"\":$v%.3f" }.mkString("{", ",", "}")
+      entries.map { case (k, v) => "\"" + k + "\":" + num(v) }.mkString("{", ",", "}")
     val sum = okLatency.values.sum
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
+    // Solo re-runs of the 3 slowest concurrent-phase queries: under 12
+    // concurrent streams a heavy query's recorded latency includes
+    // machine contention (round 2: 70 s recorded vs 3.5 s real). The solo
+    // numbers make that skew visible in the artifact itself.
+    val solo = results.filter(_._3).sortBy(-_._2).take(3).map { case (n, _, _) =>
+      val fn = SparkEntry.queries(n)
+      val t0 = System.nanoTime()
+      try { fn(spark, sfDir).write.format("noop").mode("overwrite").save() }
+      catch { case _: Throwable => () }
+      n -> (System.nanoTime() - t0) / 1e9
+    }
+    val soloJson = jmap(solo)
     // full map → file (too long for one safely-parseable stdout line)
     val full = jmap(results.map(r => r._1 -> r._2).sortBy(_._1))
     try {
       val w = new java.io.PrintWriter("bench_full.json")
-      try w.println(f"""{"wall_sec":$wall%.3f,"parallelism":$par,"sf":"$sfDir","failed":$failedJson,"queries":$full}""")
+      try w.println(s"""{"wall_sec":${num(wall)},"parallelism":$par,"sf":"$sfDir","failed":$failedJson,"solo_rerun":$soloJson,"queries":$full}""")
       finally w.close()
     } catch { case _: Throwable => () }
     val head = jmap(headline.flatMap(n => okLatency.get(n).map(n -> _)))
-    val line = f"""{"metric":"total","value":$wall%.3f,"unit":"sec","queries":$head,"sf":"$sfDir","sum_sec":$sum%.3f,"parallelism":$par,"n_queries":${results.size},"n_failed":${failed.size},"failed":$failedJson}"""
+    val line = s"""{"metric":"total","value":${num(wall)},"unit":"sec","queries":$head,"sf":"$sfDir","sum_sec":${num(sum)},"parallelism":$par,"n_queries":${results.size},"n_failed":${failed.size},"failed":$failedJson,"solo_rerun":$soloJson}"""
     println(line)
     spark.stop()
     // re-print after spark.stop(): guarantees the JSON is the last

@@ -70,12 +70,16 @@ object Corpus {
     OpQuery("q_chunk_split",
       """SELECT doc_id, CAST(i AS BIGINT) AS chunk_id,
         |       substr(text, i*40 + 1, 50) AS chunk
-        |FROM documents, UNNEST(range(0, (length(text) - 1) // 40 + 1)) AS u(i)
+        |FROM documents, UNNEST(range(0, greatest(1, (length(text) - 1) // 40 + 1))) AS u(i)
         |ORDER BY doc_id, chunk_id""".stripMargin) { (s, d) =>
+      // greatest(0, …) clamps the empty-text case: without it Spark's
+      // sequence(0, -1) emits a descending [0, -1] (two bogus chunks)
+      // while range(0, 0) emits none — both sides now emit exactly one
+      // (empty) chunk for an empty document.
       documents(s, d)
         .select(col("doc_id"), col("text"),
           explode(sequence(lit(0),
-            floor((length(col("text")) - 1) / lit(40)).cast("int"))).as("cid"))
+            greatest(lit(0), floor((length(col("text")) - 1) / lit(40))).cast("int"))).as("cid"))
         .select(col("doc_id"), col("cid").cast("long").as("chunk_id"),
           col("text").substr(col("cid") * 40 + 1, lit(50)).as("chunk"))
         .orderBy("doc_id", "chunk_id")
@@ -98,42 +102,25 @@ object Corpus {
         .orderBy("r").limit(100)
     },
 
-    // Per-group OLS regression (slope/intercept/R²) from decimal-exact
-    // moments; the closed forms are applied to the final doubles in the
-    // same association order on both engines.
+    // Per-group OLS regression (slope/intercept/R²) via the native
+    // regr_* aggregates — single-pass, codegen'd double moments on both
+    // engines (round 1 built the moments in exact DECIMAL, which is
+    // bit-stable but ~25× slower: Spark's wide-decimal sum leaves the
+    // long-backed fast path). The engines merge partial moments in
+    // different orders, so results agree only to ~1e-12 relative —
+    // rounding to 6 dp stabilizes the comparison.
     OpQuery("q_agg_regression",
-      s"""WITH m AS (
-        |  SELECT l_returnflag,
-        |         CAST(COUNT(*) AS DOUBLE) AS n,
-        |         CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sx,
-        |         CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sy,
-        |         ${oSum6("l_quantity * l_extendedprice")} AS sxy,
-        |         ${oSum6("l_quantity * l_quantity")} AS sxx,
-        |         ${oSum6("l_extendedprice * l_extendedprice")} AS syy
-        |  FROM lineitem GROUP BY l_returnflag)
-        |SELECT l_returnflag,
-        |       (n*sxy - sx*sy) / (n*sxx - sx*sx) AS slope,
-        |       (sy - (n*sxy - sx*sy) / (n*sxx - sx*sx) * sx) / n AS intercept,
-        |       ROUND(((n*sxy - sx*sy) * (n*sxy - sx*sy)) / ((n*sxx - sx*sx) * (n*syy - sy*sy)), 12) AS r2
-        |FROM m ORDER BY l_returnflag""".stripMargin) { (s, d) =>
-      val q = col("l_quantity")
+      """SELECT l_returnflag,
+        |       ROUND(regr_slope(l_extendedprice, l_quantity), 6) AS slope,
+        |       ROUND(regr_intercept(l_extendedprice, l_quantity), 6) AS intercept,
+        |       ROUND(regr_r2(l_extendedprice, l_quantity), 6) AS r2
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin) { (s, d) =>
       val p = col("l_extendedprice")
-      val m = lineitem(s, d).groupBy("l_returnflag").agg(
-        count(lit(1)).cast("double").as("n"),
-        dsum(q).as("sx"),
-        dsum(p).as("sy"),
-        dsum6(q * p).as("sxy"),
-        dsum6(q * q).as("sxx"),
-        dsum6(p * p).as("syy"))
-      val num = col("n") * col("sxy") - col("sx") * col("sy")
-      val den = col("n") * col("sxx") - col("sx") * col("sx")
-      m.select(col("l_returnflag"),
-          (num / den).as("slope"),
-          ((col("sy") - num / den * col("sx")) / col("n")).as("intercept"),
-          // rounded to 12 dp: the quotient's two big-magnitude operands
-          // can differ by 1 ulp across engines (C++ fp-contraction in the
-          // a*b - c*d subtractions; JVM doubles never fuse)
-          round((num * num) / (den * (col("n") * col("syy") - col("sy") * col("sy"))), 12).as("r2"))
+      val q = col("l_quantity")
+      lineitem(s, d).groupBy("l_returnflag").agg(
+          round(regr_slope(p, q), 6).as("slope"),
+          round(regr_intercept(p, q), 6).as("intercept"),
+          round(regr_r2(p, q), 6).as("r2"))
         .orderBy("l_returnflag")
     },
 

@@ -75,9 +75,11 @@ object Dedup {
     * posting lists. Co-occurring pairs are then expanded *map-side* from
     * each sorted posting list (bounded by C(dfCap,2) per shingle)
     * instead of a shuffled inverted-index self-join — two fewer shuffles
-    * of the shingle stream — and the final denominator joins broadcast
-    * the small per-doc count table (with AQE off a plain join here
-    * becomes a sort-merge join over the full pair stream).
+    * of the shingle stream. The final denominator joins carry NO
+    * broadcast hint: `counts` is one row per document — O(corpus), so a
+    * mandatory broadcast would OOM at the 100 TB design point. The
+    * optimizer (or AQE at runtime) picks broadcast when the table is
+    * actually small and sort-merge when it isn't.
     *
     * When `candidates` is given (MinHash path), the shingle stream is
     * first semi-joined down to candidate *documents* (broadcast — the
@@ -115,8 +117,8 @@ object Dedup {
     }
     val inter = pairs.groupBy("id_a", "id_b").agg(count(lit(1)).as("inter"))
     inter
-      .join(broadcast(counts.select(col("doc_id").as("id_a"), col("n_sh").as("na"))), Seq("id_a"))
-      .join(broadcast(counts.select(col("doc_id").as("id_b"), col("n_sh").as("nb"))), Seq("id_b"))
+      .join(counts.select(col("doc_id").as("id_a"), col("n_sh").as("na")), Seq("id_a"))
+      .join(counts.select(col("doc_id").as("id_b"), col("n_sh").as("nb")), Seq("id_b"))
       .select(col("id_a"), col("id_b"),
         (col("inter").cast("double") / (col("na") + col("nb") - col("inter"))).as("jac"))
   }
@@ -375,26 +377,51 @@ object Dedup {
         .select(col("doc_id"), col("doc_id").as("lbl")).cache()
       // Σlbl strictly decreases every round until the fixpoint, so an
       // unchanged sum IS convergence — one scan per round instead of a
-      // changed-rows join. The nbrMin side is the per-round aggregate
-      // (≤ one row per dup-edge doc) — broadcast keeps the round at a
-      // single shuffle; at a scale where the dup subgraph outgrows a
-      // broadcast, drop the hint and let AQE pick the join.
-      var prevSum = labels.agg(sum(col("lbl"))).head.getLong(0)
-      var converged = false
+      // changed-rows join. SUM over an empty frame is NULL (a corpus
+      // with no dup pairs is valid input), so the sum is read null-safe.
+      // The nbrMin side (≤ one row per dup-edge doc) carries no
+      // broadcast hint: it is O(dup subgraph) — unbounded at 100 TB —
+      // so the optimizer/AQE picks broadcast only when it actually fits.
+      // Loop hygiene for long sessions: the previous round's cache is
+      // unpersisted once the next round is materialized, and the lineage
+      // is truncated with localCheckpoint every 5 rounds (otherwise the
+      // plan grows one join deeper per round and optimizer time —
+      // plus any recovery recompute — compounds).
+      def lblSum(df: org.apache.spark.sql.DataFrame): Long = {
+        val row = df.agg(sum(col("lbl"))).head
+        if (row.isNullAt(0)) 0L else row.getLong(0)
+      }
+      val MaxRounds = 25 // >> diameter of any realistic dup cluster
+      var prevSum = lblSum(labels)
+      var converged = prevSum == 0L // no edges → nothing to propagate
       var round = 0
-      while (!converged && round < 25) {
+      var labelsIsCheckpoint = false
+      while (!converged && round < MaxRounds) {
         val nbrMin = edges.join(labels.withColumnRenamed("doc_id", "src"), Seq("src"))
           .groupBy(col("dst").as("doc_id")).agg(min(col("lbl")).as("nlbl"))
-        val next = labels.join(broadcast(nbrMin), Seq("doc_id"), "left")
+        val joined = labels.join(nbrMin, Seq("doc_id"), "left")
           .select(col("doc_id"),
             least(col("lbl"), coalesce(col("nlbl"), col("lbl"))).as("lbl"))
-          .cache()
-        val s = next.agg(sum(col("lbl"))).head.getLong(0)
+        val checkpointRound = round % 5 == 4
+        // localCheckpoint is eager (materializes + truncates lineage);
+        // plain rounds cache() and materialize via the convergence scan.
+        val next = if (checkpointRound) joined.localCheckpoint() else joined.cache()
+        val s = lblSum(next)
+        // A checkpointed frame must NOT be unpersisted while descendants
+        // might recompute through it (local-checkpoint data is
+        // unrecoverable); plain caches are safe to drop once `next` is
+        // materialized.
+        if (!labelsIsCheckpoint) labels.unpersist()
+        labelsIsCheckpoint = checkpointRound
         converged = s == prevSum
         prevSum = s
         labels = next
         round += 1
       }
+      if (!converged)
+        System.err.println(s"[graft] q_dedup_cluster: label propagation did NOT " +
+          s"converge in $MaxRounds rounds — a component with diameter > $MaxRounds " +
+          "would be split; results may disagree with the transitive-closure oracle")
       docs.join(labels, Seq("doc_id"), "left")
         .select(col("doc_id"), coalesce(col("lbl"), col("doc_id")).as("cluster_id"))
         .orderBy("doc_id")

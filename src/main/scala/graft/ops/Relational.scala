@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.functions._
 
 import Tables._
@@ -241,20 +241,86 @@ object Relational {
         .orderBy("l_returnflag")
     },
 
+    // Exact median/p90 via per-group value HISTOGRAMS: group counts by
+    // (group, value), cumulative-sum the tiny histogram, and read the
+    // bracketing values at ranks 1+(n-1)*q (quantile_cont's linear-
+    // interpolation definition). Spark's exact `percentile` aggregate
+    // buffers every raw value in a per-group map (measured ~30× DuckDB's
+    // streaming quantile at sf0.1); the histogram is built by a map-side-
+    // combinable hash aggregate, so the shuffle carries distinct values,
+    // not rows — the shape that survives 100 TB, where a full-row
+    // per-group sort would be the dominant shuffle. The oracle runs the
+    // identical formulation, so the interpolated doubles match bitwise.
     OpQuery("q_agg_stats",
-      """SELECT l_returnflag,
-        |       ROUND(stddev_samp(l_discount), 6) AS sd_disc,
-        |       ROUND(var_samp(l_discount), 6) AS var_disc,
-        |       median(l_quantity) AS med_qty,
-        |       ROUND(quantile_cont(l_extendedprice, 0.9), 4) AS p90_price
-        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin) { (s, d) =>
-      lineitem(s, d)
-        .groupBy("l_returnflag")
-        .agg(
-          round(stddev_samp(col("l_discount")), 6).as("sd_disc"),
-          round(var_samp(col("l_discount")), 6).as("var_disc"),
-          median(col("l_quantity")).as("med_qty"),
-          round(expr("percentile(l_extendedprice, 0.9)"), 4).as("p90_price"))
+      """WITH qh AS (
+        |  SELECT l_returnflag AS f, l_quantity AS v, COUNT(*) AS c
+        |  FROM lineitem GROUP BY 1, 2),
+        |qc AS (
+        |  SELECT f, v,
+        |         CAST(SUM(c) OVER (PARTITION BY f ORDER BY v) AS BIGINT) AS cum,
+        |         CAST(SUM(c) OVER (PARTITION BY f) AS BIGINT) AS n
+        |  FROM qh),
+        |qa AS (
+        |  SELECT f, MAX(n) AS nn,
+        |         MIN(CASE WHEN cum >= floor(1.0 + CAST(n - 1 AS DOUBLE) * 0.5) THEN v END) AS q_lo,
+        |         MIN(CASE WHEN cum >= ceil(1.0 + CAST(n - 1 AS DOUBLE) * 0.5) THEN v END) AS q_hi
+        |  FROM qc GROUP BY f),
+        |ph AS (
+        |  SELECT l_returnflag AS f, l_extendedprice AS v, COUNT(*) AS c
+        |  FROM lineitem GROUP BY 1, 2),
+        |pc AS (
+        |  SELECT f, v,
+        |         CAST(SUM(c) OVER (PARTITION BY f ORDER BY v) AS BIGINT) AS cum,
+        |         CAST(SUM(c) OVER (PARTITION BY f) AS BIGINT) AS n
+        |  FROM ph),
+        |pa AS (
+        |  SELECT f, MAX(n) AS nn,
+        |         MIN(CASE WHEN cum >= floor(1.0 + CAST(n - 1 AS DOUBLE) * 0.9) THEN v END) AS p_lo,
+        |         MIN(CASE WHEN cum >= ceil(1.0 + CAST(n - 1 AS DOUBLE) * 0.9) THEN v END) AS p_hi
+        |  FROM pc GROUP BY f),
+        |sv AS (
+        |  SELECT l_returnflag AS f,
+        |         ROUND(stddev_samp(l_discount), 6) AS sd_disc,
+        |         ROUND(var_samp(l_discount), 6) AS var_disc
+        |  FROM lineitem GROUP BY 1)
+        |SELECT sv.f AS l_returnflag, sd_disc, var_disc,
+        |       q_lo + (1.0 + CAST(qa.nn - 1 AS DOUBLE) * 0.5
+        |               - floor(1.0 + CAST(qa.nn - 1 AS DOUBLE) * 0.5)) * (q_hi - q_lo) AS med_qty,
+        |       ROUND(p_lo + (1.0 + CAST(pa.nn - 1 AS DOUBLE) * 0.9
+        |               - floor(1.0 + CAST(pa.nn - 1 AS DOUBLE) * 0.9)) * (p_hi - p_lo), 4) AS p90_price
+        |FROM sv JOIN qa ON sv.f = qa.f JOIN pa ON sv.f = pa.f
+        |ORDER BY l_returnflag""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val byF = Window.partitionBy("f")
+      val cumW = byF.orderBy("v")
+      // histogram → cumulative counts → bracketing values at the two
+      // target ranks (value at rank k = smallest v with cum(v) >= k)
+      def brackets(valueCol: String, q: Double, lo: String, hi: String) = {
+        def idx(r: Column => Column) =
+          r(lit(1.0) + (col("n") - 1).cast("double") * lit(q))
+        lineitem(s, d)
+          .groupBy(col("l_returnflag").as("f"), col(valueCol).as("v"))
+          .agg(count(lit(1)).as("c"))
+          .withColumn("cum", sum(col("c")).over(cumW))
+          .withColumn("n", sum(col("c")).over(byF))
+          .groupBy("f")
+          .agg(max(col("n")).as(s"nn_$lo"),
+            min(when(col("cum") >= idx(floor), col("v"))).as(lo),
+            min(when(col("cum") >= idx(ceil), col("v"))).as(hi))
+      }
+      val qa = brackets("l_quantity", 0.5, "q_lo", "q_hi")
+      val pa = brackets("l_extendedprice", 0.9, "p_lo", "p_hi")
+      val sv = lineitem(s, d).groupBy(col("l_returnflag").as("f")).agg(
+        round(stddev_samp(col("l_discount")), 6).as("sd_disc"),
+        round(var_samp(col("l_discount")), 6).as("var_disc"))
+      def interp(nn: String, q: Double, lo: String, hi: String) = {
+        val i = lit(1.0) + (col(nn) - 1).cast("double") * lit(q)
+        col(lo) + (i - floor(i)) * (col(hi) - col(lo))
+      }
+      sv.join(qa, "f").join(pa, "f")
+        .select(col("f").as("l_returnflag"), col("sd_disc"), col("var_disc"),
+          interp("nn_q_lo", 0.5, "q_lo", "q_hi").as("med_qty"),
+          round(interp("nn_p_lo", 0.9, "p_lo", "p_hi"), 4).as("p90_price"))
         .orderBy("l_returnflag")
     },
 
@@ -279,11 +345,21 @@ object Relational {
         .orderBy("l_returnflag")
     },
 
-    // Bernoulli sampling with a fixed seed — deterministic within Spark
-    // (per input split), not reproducible cross-engine → rows-only.
-    OpQuery.noOracle("q_sample") { (s, d) =>
+    // 5% Bernoulli-style sample, decided by md5(row key) mod 100 rather
+    // than a seeded RNG: the same row is always in or out regardless of
+    // partitioning/retries (rand()-seeded samples are only stable per
+    // input split), the filter is embarrassingly parallel at any scale,
+    // and DuckDB computes the identical predicate → full oracle check.
+    OpQuery("q_sample",
+      """SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n
+        |FROM lineitem
+        |WHERE CAST('0x' || substr(md5(l_orderkey || ':' || l_linenumber), 1, 8) AS BIGINT) % 100 < 5
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin) { (s, d) =>
+      val h = conv(substring(md5(
+        concat_ws(":", col("l_orderkey"), col("l_linenumber"))), 1, 8), 16, 10)
+        .cast("long") % 100
       lineitem(s, d)
-        .sample(withReplacement = false, fraction = 0.05, seed = 42L)
+        .filter(h < 5)
         .groupBy("l_returnflag")
         .agg(count(lit(1)).as("n"))
         .orderBy("l_returnflag")

@@ -23,23 +23,31 @@ object VectorOps {
   def dot(a: Column, b: Column): Column =
     graft.functions.VectorExprs.dot_product(a, b)
 
-  /** Deterministic pseudo-random ±1 hyperplane component for plane `p`,
-    * dimension `i`: parity of xxhash64(p, i). */
-  private def planeComponent(p: Int, i: Column): Column =
-    when(xxhash64(lit(p), i).bitwiseAND(1) === 1, lit(1.0)).otherwise(lit(-1.0))
-
-  /** Sign bit of (v · plane_p) — one LSH bit per hyperplane. */
-  private def lshBit(v: Column, p: Int): Column = {
-    val proj = aggregate(
-      zip_with(v, transform(sequence(lit(0), size(v) - 1), i => planeComponent(p, i)),
-        (x, h) => x * h),
-      lit(0.0), (acc, x) => acc + x)
-    when(proj >= 0, lit(1L << p)).otherwise(0L)
+  /** Deterministic ±1 hyperplane for plane `p` over `dim` dimensions:
+    * component i = +1 iff the first hex char of md5("p:i") is odd —
+    * the exact predicate the oracle evaluates in SQL, so both engines
+    * bucket identically. The planes depend only on (p, i), never on
+    * data, so they are computed once on the driver and shipped as a
+    * literal array (each executor multiplies against a constant; no
+    * per-row hashing). */
+  private[graft] def mdPlane(p: Int, dim: Int): Seq[Double] = {
+    val mdf = java.security.MessageDigest.getInstance("MD5")
+    (0 until dim).map { i =>
+      val h = mdf.digest(s"$p:$i".getBytes("UTF-8"))
+      if (((h(0) >> 4) & 0xF) % 2 == 1) 1.0 else -1.0
+    }
   }
 
-  /** Random-hyperplane signature (default 8 bits) of an array<double> column. */
-  def lshSignature(v: Column, bits: Int = 8): Column =
-    (0 until bits).map(p => lshBit(v, p)).reduce(_ + _)
+  /** Random-hyperplane signature (default 8 bits) of an array<double>
+    * column. The projection is rounded to 6 dp before the sign test:
+    * Spark's fold and DuckDB's list_dot_product agree to well past 6 dp
+    * (proven by the cosine oracles), so the rounded sign — and hence the
+    * bucket — is bit-identical across engines. */
+  def lshSignature(v: Column, dim: Int, bits: Int = 8): Column =
+    (0 until bits).map { p =>
+      val proj = round(dot(v, typedLit(mdPlane(p, dim))), 6)
+      when(proj >= 0, lit(1L << p)).otherwise(0L)
+    }.reduce(_ + _)
 
   /** IVF (inverted-file) ANN: a KMeans coarse quantizer partitions the
     * corpus into nList cluster cells; a query probes only the nProbe
@@ -136,13 +144,49 @@ object VectorOps {
     // query's 8-bit bucket plus all buckets at Hamming distance 1 (a
     // flipped sign bit is the likeliest quantization error), then exact
     // cosine only on candidates. Bucket probing replaces the full scan —
-    // the IVF-style scale path. Deterministic but hash-based →
-    // rows-only driver check; recall vs brute force is asserted in the
+    // the IVF-style scale path. The md5-derived planes (and the 6-dp
+    // rounded projection sign) are reproducible in DuckDB → full oracle
+    // check; recall vs brute force is additionally asserted in the
     // ScalaTest spec.
-    OpQuery.noOracle("q_sim_ann_lsh") { (s, d) =>
-      val e = embeddings(s, d)
+    OpQuery("q_sim_ann_lsh",
+      """WITH e AS (
+        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings),
+        |planes AS (
+        |  SELECT p, list_transform(range(0, (SELECT MAX(len(embedding)) FROM embeddings)), i ->
+        |    CASE WHEN CAST('0x' || substr(md5(CAST(p AS VARCHAR) || ':' || CAST(i AS VARCHAR)), 1, 1) AS INT) % 2 = 1
+        |         THEN 1.0 ELSE -1.0 END) AS pv
+        |  FROM UNNEST(range(0, 8)) AS up(p)),
+        |b AS (
+        |  SELECT vec_id,
+        |         CAST(SUM(CASE WHEN ROUND(list_dot_product(v, pv), 6) >= 0
+        |                       THEN (CAST(1 AS BIGINT) << p) ELSE 0 END) AS BIGINT) AS bucket
+        |  FROM e CROSS JOIN planes GROUP BY vec_id),
+        |q AS (
+        |  SELECT b.vec_id AS qid, b.bucket AS qbucket, e.v AS qv
+        |  FROM b JOIN e ON b.vec_id = e.vec_id
+        |  WHERE b.vec_id = (SELECT MIN(vec_id) FROM embeddings)),
+        |probes AS (
+        |  SELECT qid, qv, qbucket AS pb FROM q
+        |  UNION ALL
+        |  SELECT qid, qv, xor(qbucket, CAST(1 AS BIGINT) << i) FROM q, UNNEST(range(0, 8)) AS u(i)),
+        |cand AS (
+        |  SELECT DISTINCT e.vec_id, e.v, p.qv
+        |  FROM e JOIN b ON e.vec_id = b.vec_id
+        |  JOIN probes p ON b.bucket = p.pb
+        |  WHERE e.vec_id <> p.qid)
+        |SELECT vec_id,
+        |       ROUND(list_dot_product(v, qv)
+        |             / (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(qv, qv))), 6) AS cos_sim
+        |FROM cand ORDER BY cos_sim DESC, vec_id LIMIT 10""".stripMargin) { (s, d) =>
+      val e0 = embeddings(s, d)
+      // embedding width is a schema-level constant of the corpus; probe
+      // one row for it (LocalLimit(1) — touches a single partition, not
+      // a full scan, at any corpus size)
+      val dim = e0.select(size(col("embedding")).as("d")).head.getInt(0)
+      val e = e0
         .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("v"))
-        .withColumn("bucket", lshSignature(col("v")))
+        .withColumn("bucket", lshSignature(col("v"), dim))
         .cache() // reused as corpus side and query side of the bucket join
       val minId = e.agg(min(col("vec_id")).as("min_id"))
       val q = e.join(broadcast(minId), col("vec_id") === col("min_id"))
