@@ -16,18 +16,36 @@ import org.apache.spark.sql.types.DecimalType
   * shape as a double sum).
   */
 object Tables {
-  /** Read a testdata table, cached on first touch. The cache() is
-    * idempotent (Spark's CacheManager dedups by canonicalized plan) and
-    * plays the buffer-pool role DuckDB gets from the OS page cache when
-    * Verify/Bench run ~76 queries over the same ten tables in one
-    * session. On a real cluster the same role is played by data-locality
-    * + remote-shuffle caching; the operators themselves never depend on
-    * the data being resident. */
+  /** Max on-disk bytes for a table to be cached (default 4 GiB,
+    * override with -Dgraft.cache.max.bytes=N). Dimensions and bench-SF
+    * facts fit far under it; a 100 TB fact table does not — caching it
+    * would evict everything else and thrash executor storage memory, so
+    * big tables stay scan-through and rely on data locality instead. */
+  private def cacheMaxBytes: Long =
+    sys.props.get("graft.cache.max.bytes").map(_.toLong).getOrElse(4L << 30)
+
+  private def onDiskBytes(path: String): Long = {
+    def size(f: java.io.File): Long =
+      if (f.isDirectory) Option(f.listFiles).map(_.map(size).sum).getOrElse(0L)
+      else f.length()
+    size(new java.io.File(path))
+  }
+
+  /** Read a testdata table; small tables are cached on first touch. The
+    * cache() is idempotent (Spark's CacheManager dedups by canonicalized
+    * plan) and plays the buffer-pool role DuckDB gets from the OS page
+    * cache when Verify/Bench run ~114 queries over the same ten tables in
+    * one session. The size gate keeps the policy honest at scale: only
+    * tables under [[cacheMaxBytes]] on disk are pinned; anything larger
+    * streams from the source and relies on locality + shuffle reuse.
+    * The operators themselves never depend on the data being resident. */
   def t(spark: SparkSession, dir: String, name: String): DataFrame = {
-    val df = spark.read.parquet(s"$dir/$name.parquet")
+    val path = s"$dir/$name.parquet"
+    val df = spark.read.parquet(path)
     // kill-switch: -Dgraft.no.cache=1 (PlanAudit uses it so parquet-scan
     // pushdown is visible instead of InMemoryTableScan pushdown)
-    if (!sys.props.contains("graft.no.cache")) df.cache()
+    if (!sys.props.contains("graft.no.cache") && onDiskBytes(path) <= cacheMaxBytes)
+      df.cache()
     df
   }
 

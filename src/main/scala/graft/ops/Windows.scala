@@ -168,14 +168,34 @@ object Windows {
     },
 
     // RANGE frame on a numeric (integer) ordering key.
+    // Value-RANGE frame, reformulated as two prefix ranks: with unique
+    // keys, count over RANGE [k-1000, k] = C(k) - C(k-1001) where C(v)
+    // is the running count of keys <= v. Spark's sliding RANGE frame
+    // re-accumulates the aggregate buffer every time the frame head
+    // moves (O(n * avg_frame) updates — measured 21x DuckDB at sf0.1);
+    // a running count is the incremental UnboundedPreceding frame, O(n).
+    // C at the probe points k-1001 comes from interleaving one probe row
+    // per key into the same sort (reals sort before probes on ties, so
+    // C(v) is inclusive), and rank/below are paired back with a single
+    // hash groupBy on the key instead of a self-join — the window output
+    // is scanned once. The oracle keeps the plain RANGE-frame SQL: both
+    // compute the identical exact counts.
     OpQuery("q_window_range_frame",
       s"""SELECT o_orderkey,
          |       CAST(count(*) OVER (ORDER BY o_orderkey
          |                        RANGE BETWEEN 1000 PRECEDING AND CURRENT ROW) AS BIGINT) AS n_close
          |FROM orders ORDER BY o_orderkey""".stripMargin) { (s, d) =>
-      val w = Window.orderBy(col("o_orderkey")).rangeBetween(-1000L, Window.currentRow)
-      orders(s, d)
-        .select(col("o_orderkey"), count(lit(1)).over(w).as("n_close"))
+      val keys = orders(s, d).select(col("o_orderkey").as("key"))
+      val u = keys.select(col("key"), col("key").as("pos"), lit(0).as("tag"))
+        .unionAll(keys.select(col("key"), (col("key") - 1001L).as("pos"), lit(1).as("tag")))
+      val run = Window.orderBy(col("pos"), col("tag"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      u.withColumn("cnt", sum(lit(1) - col("tag")).over(run))
+        .groupBy("key")
+        .agg(max(when(col("tag") === 0, col("cnt"))).as("rank"),
+          max(when(col("tag") === 1, col("cnt"))).as("below"))
+        .select(col("key").as("o_orderkey"),
+          (col("rank") - col("below")).cast("long").as("n_close"))
         .orderBy("o_orderkey")
     }
   )

@@ -62,6 +62,20 @@ object PlanAudit {
       if (!ok) failed += 1
       println(s"${if (ok) "PASS" else "FAIL"}  ${c.query}: ${c.property}")
     }
+
+    // Scale-robustness probe: with auto-broadcast disabled, only joins
+    // carrying an explicit broadcast() hint may still broadcast. The
+    // Jaccard denominator joins (per-doc counts — O(corpus)) must fall
+    // back to shuffled joins, proving no mandatory BroadcastExchange
+    // sits on an unbounded table (VERDICT r2 finding #1).
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", -1)
+    val jacNoBcast = plan("q_dedup_ngram_jaccard")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", 10L << 20)
+    val smjOk = jacNoBcast.contains("SortMergeJoin")
+    if (!smjOk) failed += 1
+    println(s"${if (smjOk) "PASS" else "FAIL"}  q_dedup_ngram_jaccard: " +
+      "denominator join not mandatory-broadcast (SMJ under autoBroadcast=-1)")
+    plans("q_dedup_ngram_jaccard (autoBroadcastJoinThreshold=-1)") = jacNoBcast
     println(s"\n== $failed failing checks ==\n")
     plans.foreach { case (q, p) =>
       println(s"\n### $q\n")

@@ -1,0 +1,38 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+
+/** Dev tool: solo-latency timing for named operator queries.
+  *
+  * Usage: runMain graft.tools.Timeit <sfDir> <query> [<query> ...]
+  * Runs each query `graft.timeit.reps` times (default 3) after a warm-up
+  * and prints min/median seconds — the contention-free number the
+  * VERDICT compares against the DuckDB per-query baseline.
+  */
+object Timeit {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.head
+    val names = args.tail.toSeq
+    val reps = sys.props.get("graft.timeit.reps").map(_.toInt).getOrElse(3)
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.driver.memory", "8g")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    names.foreach { n =>
+      val fn = graft.SparkEntry.queries(n)
+      def once(): Double = {
+        val t0 = System.nanoTime()
+        fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+        (System.nanoTime() - t0) / 1e9
+      }
+      once() // warm-up: table cache + codegen
+      val ts = (1 to reps).map(_ => once()).sorted
+      println(f"$n%-28s min=${ts.head}%.3f med=${ts(ts.size / 2)}%.3f s ($reps reps)")
+    }
+    spark.stop()
+  }
+}

@@ -179,6 +179,18 @@ class EngineSpec extends AnyFunSuite {
     assert(SqlGateway.run(spark, sql).count() > 0)
   }
 
+  test("Gemini transport: response parsing and fence stripping (no network)") {
+    val g = new GeminiSqlGenerator(apiKey = "unused-in-tests")
+    val resp = """{"candidates":[{"content":{"parts":[{"text":
+      |"```sql\nSELECT *\nFROM data_table\n```"}],"role":"model"}}]}"""
+      .stripMargin.replace("\n\"", "\"")
+    assert(g.firstCandidateText(resp) == "```sql\nSELECT *\nFROM data_table\n```")
+    assert(g.stripFences(g.firstCandidateText(resp)) == "SELECT *\nFROM data_table")
+    assert(g.stripFences("SELECT 1") == "SELECT 1")
+    assert(g.stripFences("```\nSELECT 2\n```") == "SELECT 2")
+    assert(g.firstCandidateText("""{"candidates":[{"content":{"parts":[{"text":"aé\tb"}]}}]}""") == "aé\tb")
+  }
+
   test("custom SQL functions: dot_product expression + geo_mean udaf") {
     graft.functions.GraftExtensions.register(spark)
     graft.functions.Udfs.register(spark)
