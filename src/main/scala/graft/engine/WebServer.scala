@@ -1,0 +1,271 @@
+package graft.engine
+
+import com.sun.net.httpserver.{HttpExchange, HttpServer}
+import org.apache.spark.sql.SparkSession
+
+import java.net.InetSocketAddress
+import java.nio.charset.StandardCharsets
+import java.util.UUID
+import java.util.concurrent.Executors
+
+/** HTTP surface over the engine shell — the reference's primary UX
+  * (upload → ask → markdown; /root/reference/app.py:109–275). One route
+  * per reference endpoint, same request/response contract, backed by the
+  * already-tested engine pieces: [[Workspace]] (upload + cleanup),
+  * [[Catalog.analyzeFile]] (ingest + profile), [[SqlGenerator]] (NL→SQL,
+  * stub by default), [[SqlGateway]] (SELECT-only), [[Results]]
+  * (markdown), [[MetaStore]] (parquet-backed sessions/files/chats).
+  *
+  * Transport is the JDK's built-in httpserver — zero added dependencies,
+  * same as every other seam in this build. Sessions ride a
+  * `graft_session` cookie (Flask session-cookie analog, app.py:143–147).
+  *
+  * Scale note: the web tier is a thin driver-side orchestrator — every
+  * query it issues executes as a distributed Spark job; nothing here
+  * holds more than one request's metadata on the heap (uploads are
+  * capped by [[Workspace.MaxUploadBytes]]).
+  */
+final class WebServer(spark: SparkSession, workDir: String, port: Int = 0,
+    generator: SqlGenerator = SqlGenerator.Stub) {
+
+  private val store = new MetaStore(spark, s"$workDir/meta")
+  private val uploadDir = s"$workDir/uploads"
+  private val server = HttpServer.create(new InetSocketAddress(port), 0)
+  // small pool: requests are Spark-job-bound, not CPU-bound on this tier
+  server.setExecutor(Executors.newFixedThreadPool(4))
+
+  def boundPort: Int = server.getAddress.getPort
+
+  // ---- routing ---------------------------------------------------------
+
+  server.createContext("/", handler { ex =>
+    if (ex.getRequestURI.getPath == "/") Response(200, "text/html", IndexHtml)
+    else Response(404, "application/json", Json.obj("error" -> Json.str("not found")))
+  })
+
+  server.createContext("/api/upload", handler { ex =>
+    requirePost(ex) {
+      val ct = Option(ex.getRequestHeaders.getFirst("Content-Type")).getOrElse("")
+      val body = ex.getRequestBody.readAllBytes()
+      Multipart.firstFile(ct, body) match {
+        case None =>
+          Response(400, "application/json", Json.obj("error" -> Json.str("no file selected")))
+        case Some((filename, bytes)) =>
+          try {
+            val (path, info) = Workspace.uploadAndAnalyze(
+              spark, bytes, filename, uploadDir, System.currentTimeMillis())
+            val (sid, cookie) = sessionOf(ex, createIfMissing = true)
+            val fileId = UUID.randomUUID().toString
+            store.addFile(fileId, sid, filename, path.toString,
+              dataInfoJson(info), System.currentTimeMillis())
+            Response(200, "application/json", Json.obj(
+              "success" -> "true",
+              "file_id" -> Json.str(fileId),
+              "filename" -> Json.str(filename)), cookie)
+          } catch {
+            case e: Exception =>
+              Response(400, "application/json",
+                Json.obj("error" -> Json.str(Option(e.getMessage).getOrElse("analysis failed"))))
+          }
+      }
+    }
+  })
+
+  server.createContext("/api/ask_question", handler { ex =>
+    requirePost(ex) {
+      val body = new String(ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8)
+      val fileId = Json.getString(body, "file_id").getOrElse("")
+      val question = Json.getString(body, "question").getOrElse("")
+      val (sid, _) = sessionOf(ex, createIfMissing = false)
+      if (fileId.isEmpty)
+        Response(400, "application/json", Json.obj("error" -> Json.str("no file selected")))
+      else if (question.trim.isEmpty)
+        Response(400, "application/json", Json.obj("error" -> Json.str("empty question")))
+      else if (sid.isEmpty)
+        Response(400, "application/json", Json.obj("error" -> Json.str("upload a file first")))
+      else store.getFile(fileId) match {
+        case None =>
+          Response(404, "application/json", Json.obj("error" -> Json.str("file not found")))
+        case Some(row) =>
+          try {
+            val filepath = row.getAs[String]("filepath")
+            val df = Ingest.load(spark, filepath)
+            Catalog.register(df)
+            val info = Profile(df)
+            val sql = SqlGateway.sanitize(generator.generate(question, info))
+            val result = Results.materialize(SqlGateway.run(spark, sql))
+            val md = analysisMarkdown(question, sql, info, result)
+            val chatId = UUID.randomUUID().toString
+            store.addChat(chatId, sid, fileId, question, sql, md,
+              System.currentTimeMillis())
+            Response(200, "application/json", Json.obj(
+              "success" -> "true",
+              "chat_id" -> Json.str(chatId),
+              "markdown_result" -> Json.str(md)))
+          } catch {
+            case e: Exception =>
+              Response(400, "application/json",
+                Json.obj("error" -> Json.str(Option(e.getMessage).getOrElse("query failed"))))
+          }
+      }
+    }
+  })
+
+  server.createContext("/api/chat_history", handler { ex =>
+    val (sid, _) = sessionOf(ex, createIfMissing = false)
+    val items =
+      if (sid.isEmpty) Seq.empty
+      else store.chatHistory(sid).collect().toSeq.map { r =>
+        Json.obj(
+          "id" -> Json.str(r.getAs[String]("chat_id")),
+          "question" -> Json.str(r.getAs[String]("question")),
+          "sql" -> Json.str(r.getAs[String]("sql")),
+          "markdown_result" -> Json.str(r.getAs[String]("result_md")),
+          "filename" -> Json.str(Option(r.getAs[String]("filename")).getOrElse("")),
+          "timestamp" -> Json.str(r.getAs[java.sql.Timestamp]("ts").toInstant.toString))
+      }
+    Response(200, "application/json", Json.obj("history" -> Json.arr(items)))
+  })
+
+  server.createContext("/api/new_session", handler { ex =>
+    requirePost(ex) {
+      val sid = UUID.randomUUID().toString
+      store.createSession(sid, System.currentTimeMillis())
+      Response(200, "application/json",
+        Json.obj("session_id" -> Json.str(sid)), setCookie(sid))
+    }
+  })
+
+  server.createContext("/api/sessions", handler { _ =>
+    val items = store.sessionList().collect().toSeq.map { r =>
+      Json.obj(
+        "session_id" -> Json.str(r.getAs[String]("session_id")),
+        "created_at" -> Json.str(r.getAs[java.sql.Timestamp]("created_at").toInstant.toString),
+        "n_chats" -> r.getAs[Long]("n_chats").toString,
+        "n_files" -> r.getAs[Long]("n_files").toString,
+        "last_activity" -> Json.str(r.getAs[java.sql.Timestamp]("last_activity").toInstant.toString))
+    }
+    Response(200, "application/json", Json.obj("sessions" -> Json.arr(items)))
+  })
+
+  server.createContext("/api/files", handler { ex =>
+    val (sid, _) = sessionOf(ex, createIfMissing = false)
+    val items =
+      if (sid.isEmpty) Seq.empty
+      else store.filesForSession(sid).collect().toSeq.map { r =>
+        Json.obj(
+          "file_id" -> Json.str(r.getAs[String]("file_id")),
+          "filename" -> Json.str(r.getAs[String]("filename")),
+          "created_at" -> Json.str(r.getAs[java.sql.Timestamp]("created_at").toInstant.toString))
+      }
+    Response(200, "application/json", Json.obj("files" -> Json.arr(items)))
+  })
+
+  server.createContext("/api/switch_session/", handler { ex =>
+    requirePost(ex) {
+      val sid = ex.getRequestURI.getPath.stripPrefix("/api/switch_session/")
+      val exists = store.sessionList().collect().exists(_.getAs[String]("session_id") == sid)
+      if (exists)
+        Response(200, "application/json",
+          Json.obj("success" -> "true", "session_id" -> Json.str(sid)), setCookie(sid))
+      else
+        Response(404, "application/json", Json.obj("error" -> Json.str("session not found")))
+    }
+  })
+
+  def start(): WebServer = { server.start(); this }
+  def stop(): Unit = server.stop(0)
+
+  // ---- helpers ---------------------------------------------------------
+
+  private case class Response(status: Int, contentType: String, body: String,
+      cookie: Option[String] = None)
+
+  private def handler(f: HttpExchange => Response): com.sun.net.httpserver.HttpHandler =
+    (ex: HttpExchange) => {
+      val resp =
+        try f(ex)
+        catch {
+          case e: Exception =>
+            Response(500, "application/json",
+              Json.obj("error" -> Json.str(s"server error: ${Option(e.getMessage).getOrElse(e.getClass.getSimpleName)}")))
+        }
+      val bytes = resp.body.getBytes(StandardCharsets.UTF_8)
+      resp.cookie.foreach(c => ex.getResponseHeaders.add("Set-Cookie", c))
+      ex.getResponseHeaders.add("Content-Type", s"${resp.contentType}; charset=utf-8")
+      ex.sendResponseHeaders(resp.status, bytes.length)
+      val os = ex.getResponseBody
+      os.write(bytes)
+      os.close()
+    }
+
+  private def requirePost(ex: HttpExchange)(body: => Response): Response =
+    if (ex.getRequestMethod != "POST")
+      Response(405, "application/json", Json.obj("error" -> Json.str("POST required")))
+    else body
+
+  /** (session id or "", Set-Cookie header to attach if one was created). */
+  private def sessionOf(ex: HttpExchange, createIfMissing: Boolean): (String, Option[String]) = {
+    val cookies = Option(ex.getRequestHeaders.getFirst("Cookie")).getOrElse("")
+    val existing = cookies.split(";").map(_.trim)
+      .find(_.startsWith("graft_session="))
+      .map(_.stripPrefix("graft_session="))
+      .filter(_.nonEmpty)
+    existing match {
+      case Some(sid) => (sid, None)
+      case None if createIfMissing =>
+        val sid = UUID.randomUUID().toString
+        store.createSession(sid, System.currentTimeMillis())
+        (sid, setCookie(sid))
+      case None => ("", None)
+    }
+  }
+
+  private def setCookie(sid: String): Option[String] =
+    Some(s"graft_session=$sid; Path=/; HttpOnly")
+
+  private def dataInfoJson(info: DataInfo): String = Json.obj(
+    "row_count" -> info.rowCount.toString,
+    "column_count" -> info.columnCount.toString,
+    "columns" -> Json.arr(info.columns.map(Json.str)))
+
+  /** Markdown analysis block (format_analysis_result analog,
+    * app.py:35–106: title, question, SQL fence, data overview, table). */
+  private def analysisMarkdown(question: String, sql: String, info: DataInfo,
+      result: QueryResult): String = {
+    val sb = new StringBuilder
+    sb ++= "## 📊 Analysis Result\n"
+    sb ++= s"**Question**: $question\n\n"
+    sb ++= "### 🔍 Generated SQL\n```sql\n" + sql + "\n```\n\n"
+    sb ++= "### 📋 Data Overview\n"
+    sb ++= s"- **Rows**: ${info.rowCount}\n"
+    sb ++= s"- **Columns**: ${info.columnCount}\n"
+    sb ++= s"- **Names**: ${info.columns.mkString(", ")}\n\n"
+    sb ++= "### 📈 Query Result\n"
+    sb ++= Results.toMarkdown(result)
+    sb.toString
+  }
+
+  /** Minimal index page: the reference ships a full JS app
+    * (templates/index.html + static/js/app.js, UI-only and out of
+    * engine scope per SURVEY) — this page documents the API instead. */
+  private val IndexHtml: String =
+    """<!doctype html><html><head><meta charset="utf-8"><title>graft</title></head>
+      |<body><h1>graft analytics engine</h1>
+      |<p>API: POST /api/upload (multipart file) · POST /api/ask_question
+      |{file_id, question} · GET /api/chat_history · POST /api/new_session ·
+      |GET /api/sessions · GET /api/files · POST /api/switch_session/&lt;id&gt;</p>
+      |</body></html>""".stripMargin
+}
+
+/** Entrypoint: `runMain graft.engine.WebMain [port] [workDir]`. */
+object WebMain {
+  def main(args: Array[String]): Unit = {
+    val port = args.headOption.map(_.toInt).getOrElse(5000)
+    val workDir = args.lift(1).getOrElse("/tmp/graft-web")
+    val spark = Session.local("graft-web")
+    val ws = new WebServer(spark, workDir, port).start()
+    println(s"graft web server listening on port ${ws.boundPort}")
+    Thread.currentThread().join()
+  }
+}

@@ -1,0 +1,129 @@
+package graft
+
+import graft.engine._
+import org.scalatest.funsuite.AnyFunSuite
+
+import java.net.URI
+import java.net.http.{HttpClient, HttpRequest, HttpResponse}
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Paths}
+
+/** End-to-end drive of the HTTP surface over loopback: upload → ask →
+  * history → sessions — the reference's app.py:109–275 contract. */
+class WebSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private lazy val workDir = Files.createTempDirectory("graft-web").toString
+  private lazy val server = new WebServer(spark, workDir).start()
+  private lazy val base = s"http://127.0.0.1:${server.boundPort}"
+  private val http = HttpClient.newHttpClient()
+
+  private def get(path: String, cookie: String = ""): HttpResponse[String] = {
+    val b = HttpRequest.newBuilder().uri(URI.create(s"$base$path")).GET()
+    if (cookie.nonEmpty) b.header("Cookie", cookie)
+    http.send(b.build(), HttpResponse.BodyHandlers.ofString())
+  }
+
+  private def post(path: String, body: String, contentType: String,
+      cookie: String = ""): HttpResponse[String] = {
+    val b = HttpRequest.newBuilder().uri(URI.create(s"$base$path"))
+      .header("Content-Type", contentType)
+      .POST(HttpRequest.BodyPublishers.ofString(body, StandardCharsets.UTF_8))
+    if (cookie.nonEmpty) b.header("Cookie", cookie)
+    http.send(b.build(), HttpResponse.BodyHandlers.ofString())
+  }
+
+  private def multipartBody(filename: String, content: Array[Byte],
+      boundary: String): Array[Byte] = {
+    val head = (s"--$boundary\r\n" +
+      s"""Content-Disposition: form-data; name="file"; filename="$filename"\r\n""" +
+      "Content-Type: application/octet-stream\r\n\r\n").getBytes(StandardCharsets.UTF_8)
+    val tail = s"\r\n--$boundary--\r\n".getBytes(StandardCharsets.UTF_8)
+    head ++ content ++ tail
+  }
+
+  private def uploadCsv(): (String, String) = {
+    val csv = Files.readAllBytes(Paths.get(TestSpark.resource("sample_sales_data.csv")))
+    val boundary = "graftBoundary42"
+    val req = HttpRequest.newBuilder()
+      .uri(URI.create(s"$base/api/upload"))
+      .header("Content-Type", s"multipart/form-data; boundary=$boundary")
+      .POST(HttpRequest.BodyPublishers.ofByteArray(
+        multipartBody("sample_sales_data.csv", csv, boundary)))
+      .build()
+    val resp = http.send(req, HttpResponse.BodyHandlers.ofString())
+    assert(resp.statusCode() == 200, resp.body())
+    val cookie = resp.headers().firstValue("Set-Cookie").orElse("")
+      .split(";").head
+    val fileId = Json.getString(resp.body(), "file_id").get
+    (fileId, cookie)
+  }
+
+  test("index page documents the API") {
+    val r = get("/")
+    assert(r.statusCode() == 200 && r.body().contains("/api/upload"))
+  }
+
+  test("upload -> ask -> history -> files round trip") {
+    val (fileId, cookie) = uploadCsv()
+    assert(fileId.nonEmpty && cookie.startsWith("graft_session="))
+
+    // CJK question routes through the NL stub (UTF-8 over HTTP — no CLI
+    // arg mangling) and runs through the SELECT-only gateway
+    val ask = post("/api/ask_question",
+      Json.obj("file_id" -> Json.str(fileId),
+        "question" -> Json.str("每个城市的销售额")), "application/json", cookie)
+    assert(ask.statusCode() == 200, ask.body())
+    val md = Json.getString(ask.body(), "markdown_result").get
+    assert(md.contains("customer_city") && md.contains("```sql"))
+    assert(md.contains("Query Result") && md.contains("|"))
+
+    val hist = get("/api/chat_history", cookie)
+    assert(hist.statusCode() == 200)
+    assert(Json.getString(ask.body(), "chat_id").exists(hist.body().contains))
+
+    val files = get("/api/files", cookie)
+    assert(files.body().contains(fileId) && files.body().contains("sample_sales_data.csv"))
+  }
+
+  test("session lifecycle: new, list, switch") {
+    val ns = post("/api/new_session", "", "application/json")
+    assert(ns.statusCode() == 200)
+    val sid = Json.getString(ns.body(), "session_id").get
+
+    val sessions = get("/api/sessions")
+    assert(sessions.body().contains(sid))
+
+    val sw = post(s"/api/switch_session/$sid", "", "application/json")
+    assert(sw.statusCode() == 200 && sw.body().contains(sid))
+    assert(post("/api/switch_session/no-such-session", "", "application/json")
+      .statusCode() == 404)
+  }
+
+  test("error contract: bad uploads and bad questions are 4xx") {
+    // wrong file type rejected (app.py:124-125 analog)
+    val boundary = "graftBoundary9"
+    val bad = HttpRequest.newBuilder()
+      .uri(URI.create(s"$base/api/upload"))
+      .header("Content-Type", s"multipart/form-data; boundary=$boundary")
+      .POST(HttpRequest.BodyPublishers.ofByteArray(
+        multipartBody("evil.txt", "hi".getBytes, boundary)))
+      .build()
+    assert(http.send(bad, HttpResponse.BodyHandlers.ofString()).statusCode() == 400)
+
+    // no file part at all
+    assert(post("/api/upload", "{}", "application/json").statusCode() == 400)
+    // missing file_id / question / session
+    assert(post("/api/ask_question", Json.obj(), "application/json").statusCode() == 400)
+    val (fileId, cookie) = uploadCsv()
+    assert(post("/api/ask_question",
+      Json.obj("file_id" -> Json.str(fileId), "question" -> Json.str("  ")),
+      "application/json", cookie).statusCode() == 400)
+    assert(post("/api/ask_question",
+      Json.obj("file_id" -> Json.str("nope"), "question" -> Json.str("q")),
+      "application/json", cookie).statusCode() == 404)
+    // GET on a POST-only route
+    assert(get("/api/upload").statusCode() == 405)
+  }
+
+  test("shutdown") { server.stop() }
+}
