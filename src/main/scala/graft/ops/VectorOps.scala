@@ -59,16 +59,30 @@ object VectorOps {
     * (session, corpus plan, nList) and memoized — an IVF index is a
     * *build-once, probe-many* structure; retraining the quantizer per
     * query would be like rebuilding a B-tree per lookup.
+    *
+    * Eviction: LRU, capped at [[IvfCacheMax]] entries. A long-lived
+    * service session indexing many corpora would otherwise grow the map
+    * (and pin the cached assignment frames) without bound; on eviction
+    * the frame is unpersisted so executor storage is released too.
     * Returns (assigned corpus with `cell`, centroid array). */
+  private val IvfCacheMax = 8
   private val ivfCache =
-    new java.util.concurrent.ConcurrentHashMap[
-      String, (org.apache.spark.sql.DataFrame, Array[Array[Double]])]()
+    new java.util.LinkedHashMap[
+        String, (org.apache.spark.sql.DataFrame, Array[Array[Double]])](
+        16, 0.75f, /*accessOrder=*/ true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[String, (org.apache.spark.sql.DataFrame, Array[Array[Double]])]): Boolean = {
+        val evict = size() > IvfCacheMax
+        if (evict) try e.getValue._1.unpersist() catch { case _: Throwable => () }
+        evict
+      }
+    }
 
   def ivfIndex(e: org.apache.spark.sql.DataFrame, nList: Int):
       (org.apache.spark.sql.DataFrame, Array[Array[Double]]) = {
     val key = System.identityHashCode(e.sparkSession) + "|" +
       e.queryExecution.analyzed.semanticHash() + "|" + nList
-    ivfCache.computeIfAbsent(key, _ => {
+    ivfCache.synchronized { ivfCache.computeIfAbsent(key, _ => {
       import org.apache.spark.ml.clustering.KMeans
       import org.apache.spark.ml.functions.array_to_vector
       val withVec = e.withColumn("fv",
@@ -77,7 +91,7 @@ object VectorOps {
         .setFeaturesCol("fv").setPredictionCol("cell")
         .fit(withVec)
       (model.transform(withVec).drop("fv").cache(), model.clusterCenters.map(_.toArray))
-    })
+    }) }
   }
 
   val queries: Seq[OpQuery] = Seq(
