@@ -39,7 +39,10 @@ object Ingest {
       case "parquet"        => parquet(spark, path)
       case "csv"            => csv(spark, path)
       case "json"           => json(spark, path)
-      case "xlsx" | "xls"   => Xlsx.read(spark, path)
+      // content-sniffed, not extension-trusted: a .xls saved by modern
+      // Excel is often really OOXML (zip) and vice versa
+      case "xlsx" | "xls"   =>
+        if (Xls.isCfb(path)) Xls.read(spark, path) else Xlsx.read(spark, path)
       case other =>
         throw new IllegalArgumentException(s"Unsupported file type: .$other " +
           s"(supported: ${SupportedExtensions.mkString(", ")})")

@@ -22,13 +22,19 @@ import org.w3c.dom.Element
   * Supported: shared strings (t="s"), inline strings (t="inlineStr"),
   * numbers, booleans (t="b"), formula cached values. First row = header.
   * Column types inferred Long → Double → String, like pandas inference.
-  * Legacy binary .xls is not supported (SURVEY.md §7.4 descope).
+  * Legacy binary .xls is handled by the sibling [[Xls]] BIFF8 reader.
   */
 object Xlsx {
 
   def read(spark: SparkSession, path: String): DataFrame = {
     val (header, rows) = parse(path)
     require(header.nonEmpty, s"Empty xlsx sheet in $path")
+    fromCells(spark, header, rows)
+  }
+
+  /** header + string cells → typed DataFrame (shared with [[Xls]]). */
+  private[engine] def fromCells(spark: SparkSession, header: Seq[String],
+      rows: Seq[Array[String]]): DataFrame = {
     val types = inferTypes(header.length, rows)
     val schema = StructType(header.zip(types).map { case (n, t) => StructField(n, t, nullable = true) })
     val data: Seq[Row] = rows.map { r =>
