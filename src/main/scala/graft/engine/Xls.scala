@@ -161,8 +161,11 @@ object Xls {
       var high = highByte0
       while (remaining > 0) {
         advance()
-        if (sb.nonEmpty && atSegmentStart && remaining > 0)
-          high = (u8() & 1) == 1 // continuation restarts with a grbit byte
+        // character data resuming at a CONTINUE boundary always begins
+        // with a fresh grbit byte — even when zero characters were read
+        // before the boundary (header at the end of the previous record)
+        if (atSegmentStart && remaining > 0)
+          high = (u8() & 1) == 1
         val room = segments(seg)._2 - off
         val charBytes = if (high) 2 else 1
         val n = math.min(remaining, math.max(1, room / charBytes))

@@ -37,6 +37,16 @@ class XlsSpec extends AnyFunSuite {
     assert(df.filter(df("name") === "bolt 螺栓").count() == 1)
   }
 
+  test("SST strings spanning CONTINUE records (grbit reset, charset switch)") {
+    val path = XlsFixture.write(mini = false, Some(XlsFixture.continuedWorkbook()))
+    val df = Xls.read(spark, path)
+    assert(df.columns.toSeq == Seq("name"))
+    val vals = df.collect().map(_.getString(0)).toSet
+    // "hello_world" split 5+6 across the CONTINUE (compressed both sides);
+    // "ab菓c" split 2+2 with the continuation switching to UTF-16
+    assert(vals == Set("hello_world", "ab菓c"))
+  }
+
   test("Ingest routes .xls by CFB magic and .xlsx by zip magic") {
     val xls = XlsFixture.write(mini = false)
     assert(Xls.isCfb(xls))
@@ -113,6 +123,39 @@ object XlsFixture {
     out.toByteArray
   }
 
+  /** Workbook whose SST spans a CONTINUE record, splitting both strings
+    * mid-characters: "hello_world" resumes compressed, "ab菓c" resumes
+    * with the charset switched to UTF-16 — the two grbit-reset cases of
+    * the BIFF8 continued-string rule. Sheet: header cell + 2 rows. */
+  def continuedWorkbook(): Array[Byte] = {
+    val out = new ByteArrayOutputStream()
+    def bof(dt: Int) = rec(0x0809,
+      le16(0x0600) ++ le16(dt) ++ le16(0x0DBB) ++ le16(0x07CC) ++ le32(0) ++ le32(0))
+    out.write(bof(0x0005))
+    // SST: total=3, unique=3; "name" whole; "hello_world" cch=11 with
+    // 5 chars here; continuation carries the rest
+    val sstData =
+      le32(3) ++ le32(3) ++
+        (le16(4) ++ Array(0.toByte) ++ "name".getBytes("ISO-8859-1")) ++
+        (le16(11) ++ Array(0.toByte) ++ "hello".getBytes("ISO-8859-1"))
+    out.write(rec(0x00FC, sstData))
+    // CONTINUE: grbit=0 + "_world", then "ab菓c" cch=4 with 2 compressed
+    // chars, then a second CONTINUE switching to UTF-16 for "菓c"
+    out.write(rec(0x003C,
+      Array(0.toByte) ++ "_world".getBytes("ISO-8859-1") ++
+        le16(4) ++ Array(0.toByte) ++ "ab".getBytes("ISO-8859-1")))
+    out.write(rec(0x003C, Array(1.toByte) ++ "菓c".getBytes("UTF-16LE")))
+    out.write(rec(0x000A, Array.empty))
+    out.write(bof(0x0010))
+    def labelSst(r: Int, c: Int, i: Int) =
+      rec(0x00FD, le16(r) ++ le16(c) ++ le16(0) ++ le32(i))
+    out.write(labelSst(0, 0, 0))
+    out.write(labelSst(1, 0, 1))
+    out.write(labelSst(2, 0, 2))
+    out.write(rec(0x000A, Array.empty))
+    out.toByteArray
+  }
+
   private final val Free = 0xFFFFFFFF
   private final val EndOfChain = 0xFFFFFFFE
   private final val FatSect = 0xFFFFFFFD
@@ -120,8 +163,8 @@ object XlsFixture {
   /** Wrap the workbook stream in a CFB container. `mini = true` stores
     * it in the mini stream (64-byte sectors, mini-FAT); otherwise the
     * stream is zero-padded past the 4096-byte cutoff into regular FAT. */
-  def write(mini: Boolean): String = {
-    val wbRaw = workbook()
+  def write(mini: Boolean, custom: Option[Array[Byte]] = None): String = {
+    val wbRaw = custom.getOrElse(workbook())
     val wb = if (mini) wbRaw else java.util.Arrays.copyOf(wbRaw, math.max(wbRaw.length, 4096))
     val sectorSize = 512
 
