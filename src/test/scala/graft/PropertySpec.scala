@@ -93,6 +93,38 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("Json.str/getString round-trips arbitrary strings") {
+    val tricky = Gen.oneOf(
+      Gen.asciiStr, // includes control chars and quotes
+      Gen.listOf(Gen.oneOf('"', '\\', '\n', '\r', '\t', '\u0001', 'é', '中', 'x'))
+        .map(_.mkString))
+    forAll(Gen.zip(tricky, tricky), 40) { case (k0, v) =>
+      val key = if (k0.isEmpty) "k" else k0
+      val json = engine.Json.obj(key -> engine.Json.str(v),
+        "other" -> engine.Json.str("noise"))
+      assert(engine.Json.getString(json, key).contains(v), s"key=$key v=$v")
+    }
+  }
+
+  test("Multipart.firstFile recovers arbitrary binary bodies byte-exactly") {
+    val bytes = Gen.listOf(Gen.chooseNum(-128, 127).map(_.toByte)).map(_.toArray)
+    forAll(bytes, 25) { content =>
+      val boundary = "bXYZ123"
+      // the body may not contain the boundary marker (mirrors real MIME,
+      // where the boundary is chosen to not collide with content)
+      val safe = content
+      val head = (s"--$boundary\r\n" +
+        "Content-Disposition: form-data; name=\"file\"; filename=\"f.bin\"\r\n" +
+        "Content-Type: application/octet-stream\r\n\r\n").getBytes("ISO-8859-1")
+      val tail = s"\r\n--$boundary--\r\n".getBytes("ISO-8859-1")
+      val got = engine.Multipart.firstFile(
+        s"multipart/form-data; boundary=$boundary", head ++ safe ++ tail)
+      assert(got.isDefined)
+      assert(got.get._1 == "f.bin")
+      assert(java.util.Arrays.equals(got.get._2, safe))
+    }
+  }
+
   test("salted join result is independent of the salt count") {
     forAll(Gen.chooseNum(1, 16), 6) { salts: Int =>
       val l = Seq((1L, 10), (1L, 20), (2L, 30), (3L, 40)).toDF("k", "v")
