@@ -98,8 +98,14 @@ object Corpus {
         .select(explode(split(col("text"), " ")).as("tok"))
         .filter(col("tok") =!= "")
         .groupBy("tok").agg(count(lit(1)).as("n"))
-        .withColumn("r", rank().over(Window.orderBy(col("n").desc, col("tok"))).cast("long"))
-        .orderBy("r").limit(100)
+        // top-k FIRST (TakeOrderedAndProject), then rank the 100
+        // survivors: the tie-break makes rank ≡ row_number ≡ position
+        // in the limited sort, so the global window never sees the full
+        // vocabulary (billions of tokens at corpus scale)
+        .orderBy(col("n").desc, col("tok")).limit(100)
+        .withColumn("r", row_number().over(
+          Window.orderBy(col("n").desc, col("tok"))).cast("long"))
+        .orderBy("r")
     },
 
     // Per-group OLS regression (slope/intercept/R²) via the native

@@ -106,12 +106,33 @@ object Windows {
         .orderBy("event_id")
     },
 
+    // Global NTILE without a global window: Spark executes an
+    // un-partitioned OVER (ORDER BY ...) on a single partition — a
+    // scale-killer for a corpus-wide quartile. Instead the global rank
+    // is assembled two-level (per-value-bucket row_number + prefix-sum
+    // of bucket counts, the same shape as the bucket-prune quantiles)
+    // and NTILE's bucket is computed from (rank, n) in closed form:
+    // the first n%4 tiles get ceil(n/4) rows, the rest floor(n/4).
     OpQuery("q_window_ntile",
       """SELECT o_orderkey, CAST(ntile(4) OVER (ORDER BY o_totalprice, o_orderkey) AS BIGINT) AS quartile
         |FROM orders ORDER BY o_orderkey""".stripMargin) { (s, d) =>
-      val w = Window.orderBy(col("o_totalprice"), col("o_orderkey"))
-      orders(s, d)
-        .select(col("o_orderkey"), ntile(4).over(w).cast("long").as("quartile"))
+      val o = orders(s, d).select(col("o_orderkey"), col("o_totalprice"))
+        .withColumn("b", floor(col("o_totalprice") / lit(16384.0)))
+      val bc = o.groupBy("b").agg(count(lit(1)).as("c"))
+      val off = bc
+        .withColumn("off", coalesce(sum(col("c")).over(
+          Window.orderBy("b").rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        .withColumn("n", sum(col("c")).over(Window.partitionBy(lit(1))))
+        .select(col("b"), col("off"), col("n"))
+      val size = (col("n") / 4).cast("long")
+      val rem = col("n") % 4
+      val quartile = when(size === 0, col("r"))
+        .when(col("r") <= rem * (size + 1), ceil(col("r") / (size + 1)))
+        .otherwise(rem + ceil((col("r") - rem * (size + 1)) / size))
+      o.join(broadcast(off), "b")
+        .withColumn("r", col("off") + row_number().over(
+          Window.partitionBy("b").orderBy(col("o_totalprice"), col("o_orderkey"))))
+        .select(col("o_orderkey"), quartile.cast("long").as("quartile"))
         .orderBy("o_orderkey")
     },
 
@@ -188,9 +209,18 @@ object Windows {
       val keys = orders(s, d).select(col("o_orderkey").as("key"))
       val u = keys.select(col("key"), col("key").as("pos"), lit(0).as("tag"))
         .unionAll(keys.select(col("key"), (col("key") - 1001L).as("pos"), lit(1).as("tag")))
-      val run = Window.orderBy(col("pos"), col("tag"))
+        .withColumn("b", floor(col("pos") / lit(16384.0)))
+      // the running count itself is two-level (per-bucket cum + prefix
+      // offsets) rather than one un-partitioned window, which Spark
+      // would execute on a single partition — the parallel shape
+      val bc = u.groupBy("b").agg(sum(lit(1) - col("tag")).as("creal"))
+      val off = bc.withColumn("off", coalesce(sum(col("creal")).over(
+        Window.orderBy("b").rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        .select(col("b"), col("off"))
+      val run = Window.partitionBy("b").orderBy(col("pos"), col("tag"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      u.withColumn("cnt", sum(lit(1) - col("tag")).over(run))
+      u.join(broadcast(off), "b")
+        .withColumn("cnt", col("off") + sum(lit(1) - col("tag")).over(run))
         .groupBy("key")
         .agg(max(when(col("tag") === 0, col("cnt"))).as("rank"),
           max(when(col("tag") === 1, col("cnt"))).as("below"))
