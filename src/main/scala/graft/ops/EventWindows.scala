@@ -117,19 +117,25 @@ object EventWindows {
          |       MAX(mx) OVER (PARTITION BY user_id, grp) AS filled_value
          |FROM joined ORDER BY user_id, hour""".stripMargin) { (s, d) =>
       import org.apache.spark.sql.expressions.Window
+      // cache(): spans and the grid join both read the hourly aggregate
       val hourly = events(s, d)
         .groupBy(col("user_id"), date_trunc("hour", col("ts")).as("h"))
         .agg(max(col("value")).as("mx"), count(lit(1)).as("n"))
+        .cache()
       val spans = hourly.groupBy("user_id").agg(min("h").as("h0"), max("h").as("h1"))
       val grid = spans.select(col("user_id"),
         explode(sequence(col("h0"), col("h1"), expr("interval 1 hour"))).as("h"))
-      val joined = grid.join(hourly, Seq("user_id", "h"), "left")
+      // forward fill = last non-null over a running frame (incremental,
+      // ONE window pass); the oracle's count-over/max-over-group pair
+      // computes the same value but would cost Spark a second
+      // shuffle+sort on (user_id, grp)
+      val fill = Window.partitionBy("user_id").orderBy("h")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      grid.join(hourly, Seq("user_id", "h"), "left")
         .withColumn("n_events", coalesce(col("n"), lit(0L)))
-        .withColumn("grp",
-          count(col("mx")).over(Window.partitionBy("user_id").orderBy("h")))
-      joined.select(col("user_id"),
+        .select(col("user_id"),
           date_format(col("h"), "yyyy-MM-dd HH:mm:ss").as("hour"), col("n_events"),
-          max(col("mx")).over(Window.partitionBy("user_id", "grp")).as("filled_value"))
+          last(col("mx"), ignoreNulls = true).over(fill).as("filled_value"))
         .orderBy("user_id", "hour")
     },
 
