@@ -116,6 +116,49 @@ class StreamingSpec extends AnyFunSuite {
       s"late event should be dropped: $rows")
   }
 
+  test("checkpoint recovery: restart resumes state without reprocessing") {
+    import spark.implicits._
+    val src = java.nio.file.Files.createTempDirectory("ck_src").toString
+    val out = java.nio.file.Files.createTempDirectory("ck_out").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("ck_ckpt").toString
+    def ev(id: Long, v: Double): String =
+      s"""{"event_id":$id,"ts":"2024-01-01T10:0$id:00.000Z","user_id":7,"event_type":"view","value":$v}"""
+    def writeFile(name: String, rows: Seq[String]): Unit =
+      java.nio.file.Files.write(java.nio.file.Paths.get(src, name),
+        rows.mkString("\n").getBytes("UTF-8"))
+    // the same pipeline, started twice against one checkpoint — the file
+    // source's processed-offsets and the flatMapGroupsWithState state
+    // both live in the checkpoint and must survive the restart
+    def run(): Unit = {
+      val schema = "event_id LONG, ts TIMESTAMP, user_id LONG, event_type STRING, value DOUBLE"
+      val stream = spark.readStream.schema(schema).json(src)
+        .as[EventStream.EventRow]
+      val q = EventStream.runningTotals(stream).toDF()
+        .writeStream.outputMode("update")
+        .option("checkpointLocation", ckpt)
+        .foreachBatch {
+          (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+            b.withColumn("batch_id", lit(id)).write.mode("append").parquet(out)
+        }
+        .start()
+      q.processAllAvailable()
+      q.stop()
+    }
+    writeFile("a.json", Seq(ev(1, 1.0), ev(2, 2.0), ev(3, 3.0)))
+    run()
+    writeFile("b.json", Seq(ev(4, 10.0), ev(5, 20.0)))
+    run()
+    val rows = spark.read.parquet(out)
+      .select("user_id", "n_events", "total_value", "batch_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    // phase 1 state: 3 events totaling 6.0; phase 2 resumed it with the
+    // 2 NEW events only: 5 events, 36.0 — reprocessing file a would show
+    // 8 events, double-counting would show 42.0
+    assert(rows.contains((7L, 3L, 6.0)), s"phase-1 state missing: $rows")
+    assert(rows.contains((7L, 5L, 36.0)), s"resumed state wrong: $rows")
+    assert(!rows.exists(_._2 > 5L), s"input was reprocessed: $rows")
+  }
+
   test("flatMapGroupsWithState running totals converge to batch totals") {
     import spark.implicits._
     val src = EventStream.source(spark, TestSpark.Sf)
