@@ -40,7 +40,9 @@ object SparkEntry {
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops
-    * (hash-based MinHash/SimHash/LSH/stub pipelines) → rows-only check. */
+    * (HLL/GK sketches, KMeans IVF, stubbed media decode) → rows-only
+    * check; MinHash/SimHash/LSH are SQL-expressible via md5-derived
+    * hashes and fully oracle-checked. */
   def oracleSql: Map[String, String] =
     all.flatMap(q => q.oracle.map(q.name -> _)).toMap
 }
