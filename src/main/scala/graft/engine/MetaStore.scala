@@ -24,8 +24,13 @@ class MetaStore(spark: SparkSession, dir: String) {
   private def readOpt(t: String): Option[DataFrame] =
     if (new java.io.File(path(t)).exists) Some(spark.read.parquet(path(t))) else None
 
+  /** Serialized per store: concurrent web requests appending to the
+    * same parquet directory would race on the output-commit protocol
+    * (both writers claim the same temporary dir). The lock covers
+    * the tiny metadata write only, never a user query. */
+  private val writeLock = new Object
   private def append(t: String, df: DataFrame): Unit =
-    df.write.mode("append").parquet(path(t))
+    writeLock.synchronized { df.write.mode("append").parquet(path(t)) }
 
   def createSession(sessionId: String, now: Long): Unit =
     append("sessions", Seq((sessionId, new java.sql.Timestamp(now)))

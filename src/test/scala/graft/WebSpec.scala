@@ -125,5 +125,21 @@ class WebSpec extends AnyFunSuite {
     assert(get("/api/upload").statusCode() == 405)
   }
 
+  test("concurrent uploads all land (MetaStore append is serialized)") {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val results = Await.result(
+      Future.sequence((1 to 4).map(_ => Future(uploadCsv()))), 120.seconds)
+    // all four uploads succeeded, and each session sees its own file —
+    // a lost concurrent append would drop a row from the files table
+    results.foreach { case (fileId, cookie) =>
+      assert(fileId.nonEmpty && cookie.startsWith("graft_session="))
+      val files = get("/api/files", cookie)
+      assert(files.statusCode() == 200 && files.body().contains(fileId),
+        s"file $fileId missing from $cookie: ${files.body()}")
+    }
+  }
+
   test("shutdown") { server.stop() }
 }
