@@ -236,6 +236,74 @@ object Dedup {
        |ORDER BY id_a, id_b""".stripMargin
   }
 
+  /** Connected components over a dup-pair graph; cluster id = smallest
+    * doc_id in the component (singletons keep their own id).
+    *
+    * Spark has no recursive CTE; labels are computed by iterative
+    * min-label propagation — one join + aggregate per round,
+    * O(diameter) rounds (dup clusters are shallow), the same shape
+    * GraphX's connected components uses. The driver loop only
+    * *schedules* rounds and checks a convergence bit; all data stays
+    * distributed.
+    *
+    * Σlbl strictly decreases every round until the fixpoint, so an
+    * unchanged sum IS convergence — one scan per round instead of a
+    * changed-rows join. SUM over an empty frame is NULL (a corpus with
+    * no dup pairs is valid input), so the sum is read null-safe. The
+    * nbrMin side (≤ one row per dup-edge doc) carries no broadcast
+    * hint: it is O(dup subgraph) — unbounded at 100 TB — so the
+    * optimizer/AQE picks broadcast only when it actually fits. Loop
+    * hygiene for long sessions: the previous round's cache is
+    * unpersisted once the next round is materialized, and lineage is
+    * truncated with localCheckpoint every 5 rounds (otherwise the plan
+    * grows one join deeper per round and optimizer time — plus any
+    * recovery recompute — compounds). */
+  private[graft] def clusterLabels(docs: DataFrame, dupPairs: DataFrame): DataFrame = {
+    val edges = dupPairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .unionAll(dupPairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .cache()
+    var labels = edges.select(col("src").as("doc_id")).distinct()
+      .select(col("doc_id"), col("doc_id").as("lbl")).cache()
+    def lblSum(df: DataFrame): Long = {
+      val row = df.agg(sum(col("lbl"))).head
+      if (row.isNullAt(0)) 0L else row.getLong(0)
+    }
+    val MaxRounds = 25 // >> diameter of any realistic dup cluster
+    var prevSum = lblSum(labels)
+    var converged = prevSum == 0L // no edges → nothing to propagate
+    var round = 0
+    var labelsIsCheckpoint = false
+    while (!converged && round < MaxRounds) {
+      val nbrMin = edges.join(labels.withColumnRenamed("doc_id", "src"), Seq("src"))
+        .groupBy(col("dst").as("doc_id")).agg(min(col("lbl")).as("nlbl"))
+      val joined = labels.join(nbrMin, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          least(col("lbl"), coalesce(col("nlbl"), col("lbl"))).as("lbl"))
+      val checkpointRound = round % 5 == 4
+      // localCheckpoint is eager (materializes + truncates lineage);
+      // plain rounds cache() and materialize via the convergence scan.
+      val next = if (checkpointRound) joined.localCheckpoint() else joined.cache()
+      val s = lblSum(next)
+      // A checkpointed frame must NOT be unpersisted while descendants
+      // might recompute through it (local-checkpoint data is
+      // unrecoverable); plain caches are safe to drop once `next` is
+      // materialized.
+      if (!labelsIsCheckpoint) labels.unpersist()
+      labelsIsCheckpoint = checkpointRound
+      converged = s == prevSum
+      prevSum = s
+      labels = next
+      round += 1
+    }
+    if (!converged)
+      System.err.println(s"[graft] q_dedup_cluster: label propagation did NOT " +
+        s"converge in $MaxRounds rounds — a component with diameter > $MaxRounds " +
+        "would be split; results may disagree with the transitive-closure oracle")
+    docs.join(labels, Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("lbl"), col("doc_id")).as("cluster_id"))
+      .orderBy("doc_id")
+  }
+
   val queries: Seq[OpQuery] = Seq(
 
     OpQuery("q_dedup_exact",
@@ -359,72 +427,13 @@ object Dedup {
 
     // Near-dup clustering: connected components over the Jaccard dup
     // graph, cluster id = smallest doc_id in the component (the doc a
-    // dedup pipeline keeps). Spark has no recursive CTE; the component
-    // labels are computed by iterative min-label propagation — one
-    // broadcast-join + aggregate per round, O(diameter) rounds (dup
-    // clusters are shallow), the same shape GraphX's connected
-    // components uses. The driver loop only *schedules* rounds and
-    // checks a convergence bit; all data stays distributed.
+    // dedup pipeline keeps). See [[clusterLabels]].
     OpQuery("q_dedup_cluster", clusterOracle) { (s, d) =>
       val docs = documents(s, d).select(col("doc_id"))
       val sh = shingleTable(documents(s, d))
       val dupPairs = jaccardPairs(sh, DfCap)
         .filter(col("jac") >= JaccardThreshold).select("id_a", "id_b")
-      val edges = dupPairs.select(col("id_a").as("src"), col("id_b").as("dst"))
-        .unionAll(dupPairs.select(col("id_b").as("src"), col("id_a").as("dst")))
-        .cache()
-      var labels = edges.select(col("src").as("doc_id")).distinct()
-        .select(col("doc_id"), col("doc_id").as("lbl")).cache()
-      // Σlbl strictly decreases every round until the fixpoint, so an
-      // unchanged sum IS convergence — one scan per round instead of a
-      // changed-rows join. SUM over an empty frame is NULL (a corpus
-      // with no dup pairs is valid input), so the sum is read null-safe.
-      // The nbrMin side (≤ one row per dup-edge doc) carries no
-      // broadcast hint: it is O(dup subgraph) — unbounded at 100 TB —
-      // so the optimizer/AQE picks broadcast only when it actually fits.
-      // Loop hygiene for long sessions: the previous round's cache is
-      // unpersisted once the next round is materialized, and the lineage
-      // is truncated with localCheckpoint every 5 rounds (otherwise the
-      // plan grows one join deeper per round and optimizer time —
-      // plus any recovery recompute — compounds).
-      def lblSum(df: org.apache.spark.sql.DataFrame): Long = {
-        val row = df.agg(sum(col("lbl"))).head
-        if (row.isNullAt(0)) 0L else row.getLong(0)
-      }
-      val MaxRounds = 25 // >> diameter of any realistic dup cluster
-      var prevSum = lblSum(labels)
-      var converged = prevSum == 0L // no edges → nothing to propagate
-      var round = 0
-      var labelsIsCheckpoint = false
-      while (!converged && round < MaxRounds) {
-        val nbrMin = edges.join(labels.withColumnRenamed("doc_id", "src"), Seq("src"))
-          .groupBy(col("dst").as("doc_id")).agg(min(col("lbl")).as("nlbl"))
-        val joined = labels.join(nbrMin, Seq("doc_id"), "left")
-          .select(col("doc_id"),
-            least(col("lbl"), coalesce(col("nlbl"), col("lbl"))).as("lbl"))
-        val checkpointRound = round % 5 == 4
-        // localCheckpoint is eager (materializes + truncates lineage);
-        // plain rounds cache() and materialize via the convergence scan.
-        val next = if (checkpointRound) joined.localCheckpoint() else joined.cache()
-        val s = lblSum(next)
-        // A checkpointed frame must NOT be unpersisted while descendants
-        // might recompute through it (local-checkpoint data is
-        // unrecoverable); plain caches are safe to drop once `next` is
-        // materialized.
-        if (!labelsIsCheckpoint) labels.unpersist()
-        labelsIsCheckpoint = checkpointRound
-        converged = s == prevSum
-        prevSum = s
-        labels = next
-        round += 1
-      }
-      if (!converged)
-        System.err.println(s"[graft] q_dedup_cluster: label propagation did NOT " +
-          s"converge in $MaxRounds rounds — a component with diameter > $MaxRounds " +
-          "would be split; results may disagree with the transitive-closure oracle")
-      docs.join(labels, Seq("doc_id"), "left")
-        .select(col("doc_id"), coalesce(col("lbl"), col("doc_id")).as("cluster_id"))
-        .orderBy("doc_id")
+      clusterLabels(docs, dupPairs)
     },
 
     // Embedding near-dup: cosine ≥ 0.3 within label blocks (the testdata embeddings are near-orthogonal, so the threshold is set where candidate pairs exist) (IVF-style

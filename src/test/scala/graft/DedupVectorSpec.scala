@@ -11,6 +11,26 @@ class DedupVectorSpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
   private def q(name: String) = SparkEntry.queries(name)(spark, TestSpark.Sf)
 
+  test("clusterLabels: a corpus with no dup pairs yields singletons (no NPE)") {
+    import spark.implicits._
+    val docs = Seq(1L, 2L, 3L).toDF("doc_id")
+    val noPairs = Seq.empty[(Long, Long)].toDF("id_a", "id_b")
+    val got = Dedup.clusterLabels(docs, noPairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toSeq
+    assert(got == Seq(1L -> 1L, 2L -> 2L, 3L -> 3L))
+  }
+
+  test("clusterLabels: chain components collapse to the smallest id") {
+    import spark.implicits._
+    val docs = (1L to 7L).toDF("doc_id")
+    // chain 2-3-4-5 plus pair 6-7; 1 is a singleton
+    val pairs = Seq((2L, 3L), (3L, 4L), (4L, 5L), (6L, 7L)).toDF("id_a", "id_b")
+    val got = Dedup.clusterLabels(docs, pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 2L, 3L -> 2L, 4L -> 2L, 5L -> 2L,
+      6L -> 6L, 7L -> 6L))
+  }
+
   test("minhash near-dups are a subset of exact jaccard pairs (verified candidates)") {
     val exact = q("q_dedup_ngram_jaccard")
       .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
