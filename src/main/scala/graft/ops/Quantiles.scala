@@ -1,0 +1,99 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Distributed EXACT quantiles without ever sorting a full group.
+  *
+  * `quantile_cont` semantics: the value at rank 1+(n-1)*q in ascending
+  * order, linearly interpolated between the floor/ceil bracket ranks.
+  * Spark's exact `percentile` buffers every raw value per group in the
+  * aggregation state (measured 30× slower than DuckDB's streaming
+  * quantile at sf0.1 and memory-unbounded at scale); `approx_percentile`
+  * changes the answer. This operator gets the exact answer with bounded
+  * state via bucket-prune rank location:
+  *
+  *  1. count rows per (group, measure, floor(v/width)) — a tiny
+  *     map-side-combinable aggregate;
+  *  2. prefix-sum bucket counts per (group, measure) to locate which
+  *     bucket holds the target ranks — a window over the small bucket
+  *     table, never the data;
+  *  3. rank ONLY the located buckets' rows (~width⁻¹ of each group) and
+  *     read the rows at the exact global ranks.
+  *
+  * All measures ride one long-format pass, so the input is scanned
+  * twice total (bucket counts + candidate ranking) regardless of how
+  * many (column, q) pairs are requested. No step sorts more than one
+  * bucket per group — the shape that survives groups of any size.
+  */
+object Quantiles {
+
+  /** One requested quantile: output name, source column, fraction q in
+    * [0,1], and the value-bucket width (pick ~range/1000; correctness
+    * does not depend on it, only pruning efficiency). */
+  final case class Measure(name: String, valueCol: String, q: Double, width: Double)
+
+  /** → one row per group: `groupCol`, then a double column per measure
+    * name. Input rows with NULL group or value are excluded (matching
+    * SQL aggregate semantics). */
+  def groupQuantiles(df: DataFrame, groupCol: String,
+      measures: Seq[Measure]): DataFrame = {
+    require(measures.nonEmpty && measures.map(_.name).distinct.size == measures.size,
+      "measures must be non-empty with unique names")
+    val vals = measures.map { m =>
+      df.filter(col(groupCol).isNotNull && col(m.valueCol).isNotNull)
+        .select(col(groupCol).as("f"), lit(m.name).as("m"),
+          col(m.valueCol).cast("double").as("v"))
+    }.reduce(_ unionAll _)
+      .withColumn("b", floor(col("v") / widthOf(measures)))
+    // cache(): ~(groups × measures × buckets) rows, read by both the
+    // rank targets and the prefix window
+    val bCounts = vals.groupBy("f", "m", "b").agg(count(lit(1)).as("c")).cache()
+    val qq = qOf(measures)
+    val targets = bCounts.groupBy("f", "m").agg(sum(col("c")).as("n"))
+      .withColumn("i", lit(1.0) + (col("n") - 1).cast("double") * qq)
+      .select(col("f"), col("m"), col("n"),
+        floor(col("i")).as("rlo"), ceil(col("i")).as("rhi"))
+    val located = bCounts
+      .withColumn("off", coalesce(sum(col("c")).over(
+        Window.partitionBy("f", "m").orderBy("b")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .join(broadcast(targets), Seq("f", "m"))
+      // keep buckets overlapping the rank span [rlo, rhi]
+      .filter(col("off") < col("rhi") && col("off") + col("c") >= col("rlo"))
+      .select(col("f"), col("m"), col("b"), col("off"), col("rlo"), col("rhi"), col("n"))
+    val brackets = vals.join(broadcast(located), Seq("f", "m", "b"))
+      .withColumn("r", col("off") + row_number().over(
+        Window.partitionBy("f", "m", "b").orderBy("v")))
+      .groupBy("f", "m")
+      .agg(max(col("n")).as("n"),
+        max(when(col("r") === col("rlo"), col("v"))).as("lo"),
+        max(when(col("r") === col("rhi"), col("v"))).as("hi"))
+    // linear interpolation in a fixed association order:
+    // lo + (i - floor(i)) * (hi - lo), i = 1.0 + (n-1)*q
+    val i = lit(1.0) + (col("n") - 1).cast("double") * qOf(measures)
+    val interp = col("lo") + (i - floor(i)) * (col("hi") - col("lo"))
+    // pivot measure rows to one column per measure
+    val pivoted = brackets
+      .select(col("f"), col("m"), interp.as("qv"))
+      .groupBy("f")
+      .agg(firstFor(measures.head), measures.tail.map(firstFor): _*)
+    pivoted.withColumnRenamed("f", groupCol)
+  }
+
+  private def firstFor(m: Measure): Column =
+    max(when(col("m") === m.name, col("qv"))).as(m.name)
+
+  /** per-row width chosen by measure tag. */
+  private def widthOf(measures: Seq[Measure]): Column =
+    measures.tail.foldLeft(when(col("m") === measures.head.name, measures.head.width)) {
+      (acc, m) => acc.when(col("m") === m.name, m.width)
+    }.otherwise(lit(Double.NaN))
+
+  /** per-row q chosen by measure tag. */
+  private def qOf(measures: Seq[Measure]): Column =
+    measures.tail.foldLeft(when(col("m") === measures.head.name, measures.head.q)) {
+      (acc, m) => acc.when(col("m") === m.name, m.q)
+    }.otherwise(lit(Double.NaN))
+}

@@ -290,64 +290,22 @@ object Relational {
         |               - floor(1.0 + CAST(pa.nn - 1 AS DOUBLE) * 0.9)) * (p_hi - p_lo), 4) AS p90_price
         |FROM sv JOIN qa ON sv.f = qa.f JOIN pa ON sv.f = pa.f
         |ORDER BY l_returnflag""".stripMargin) { (s, d) =>
-      import org.apache.spark.sql.expressions.Window
-      // Exact quantiles (value at rank 1+(n-1)*q, linearly interpolated
-      // between the floor/ceil bracket ranks) WITHOUT ever sorting a
-      // full group — the bucket-prune shape: (1) count rows per
-      // (group, measure, floor(v/width)) — a tiny, map-side-combinable
-      // aggregate; (2) prefix-sum the bucket counts to locate which
-      // bucket holds the target ranks; (3) rank only that one bucket's
-      // rows and read the exact global ranks. Both measures (median
-      // quantity, p90 price) ride one long-format pass, so lineitem is
-      // scanned twice total (bucket counts + candidate ranking) instead
-      // of per-measure. No step sorts more than one bucket — the shape
-      // that survives groups of any size, where a per-group full sort
-      // (or Spark's value-buffering exact `percentile`, measured 30×
-      // DuckDB here) cannot.
-      val base = lineitem(s, d)
-        .select(col("l_returnflag").as("f"), col("l_quantity"), col("l_extendedprice"))
-      val vals = base.select(col("f"), lit("q").as("m"), col("l_quantity").as("v"))
-        .unionAll(base.select(col("f"), lit("p").as("m"), col("l_extendedprice").as("v")))
-        .withColumn("b", floor(col("v") / when(col("m") === "q", 2.0).otherwise(4096.0)))
-      // cache(): ~300 rows, but BOTH targets and the prefix window read
-      // it — without the cache each side re-runs the full bucket-count
-      // scan of lineitem (CacheManager dedups by plan, so repeated
-      // sessions reuse one materialization)
-      val bCounts = vals.groupBy("f", "m", "b").agg(count(lit(1)).as("c")).cache()
-      val qq = when(col("m") === "q", 0.5).otherwise(0.9)
-      val targets = bCounts.groupBy("f", "m").agg(sum(col("c")).as("n"))
-        .withColumn("i", lit(1.0) + (col("n") - 1).cast("double") * qq)
-        .select(col("f"), col("m"), col("n"), floor(col("i")).as("rlo"), ceil(col("i")).as("rhi"))
-      val located = bCounts
-        .withColumn("off", coalesce(sum(col("c")).over(
-          Window.partitionBy("f", "m").orderBy("b")
-            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-        .join(broadcast(targets), Seq("f", "m"))
-        // keep buckets overlapping the rank span [rlo, rhi]
-        .filter(col("off") < col("rhi") && col("off") + col("c") >= col("rlo"))
-        .select(col("f"), col("m"), col("b"), col("off"), col("rlo"), col("rhi"), col("n"))
-      val brackets = vals.join(broadcast(located), Seq("f", "m", "b"))
-        .withColumn("r", col("off") + row_number().over(
-          Window.partitionBy("f", "m", "b").orderBy("v")))
-        .groupBy("f", "m")
-        .agg(max(col("n")).as("n"),
-          max(when(col("r") === col("rlo"), col("v"))).as("lo"),
-          max(when(col("r") === col("rhi"), col("v"))).as("hi"))
-      // interpolation in the oracle's exact association order:
-      // lo + (i - floor(i)) * (hi - lo), i = 1.0 + (n-1)*q
-      val i = lit(1.0) + (col("n") - 1).cast("double") * qq
-      val interp = col("lo") + (i - floor(i)) * (col("hi") - col("lo"))
-      val quantiles = brackets
-        .select(col("f"), col("m"), interp.as("qv"))
-        .groupBy("f")
-        .agg(max(when(col("m") === "q", col("qv"))).as("med_qty"),
-          round(max(when(col("m") === "p", col("qv"))), 4).as("p90_price"))
+      // Exact median/p90 via the distributed bucket-prune quantile
+      // operator (ops.Quantiles): both measures ride one long-format
+      // pass, no step sorts a full group — where Spark's
+      // value-buffering exact `percentile` measured 30× DuckDB and is
+      // memory-unbounded at scale. The operator interpolates in the
+      // oracle's exact association order, so doubles match bitwise.
+      val quantiles = Quantiles.groupQuantiles(
+        lineitem(s, d).withColumnRenamed("l_returnflag", "f"), "f", Seq(
+          Quantiles.Measure("med_qty", "l_quantity", 0.5, 2.0),
+          Quantiles.Measure("p90_price_raw", "l_extendedprice", 0.9, 4096.0)))
       val sv = lineitem(s, d).groupBy(col("l_returnflag").as("f")).agg(
         round(stddev_samp(col("l_discount")), 6).as("sd_disc"),
         round(var_samp(col("l_discount")), 6).as("var_disc"))
       sv.join(quantiles, "f")
         .select(col("f").as("l_returnflag"), col("sd_disc"), col("var_disc"),
-          col("med_qty"), col("p90_price"))
+          col("med_qty"), round(col("p90_price_raw"), 4).as("p90_price"))
         .orderBy("l_returnflag")
     },
 

@@ -93,6 +93,25 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("bucket-prune exact quantiles equal Spark's exact percentile") {
+    import graft.ops.Quantiles
+    val gen = Gen.zip(
+      Gen.listOfN(80, Gen.zip(Gen.chooseNum(0, 2), Gen.chooseNum(-500.0, 500.0))),
+      Gen.oneOf(0.0, 0.1, 0.5, 0.9, 1.0))
+    forAll(gen, 8) { case (rows, q) =>
+      val df = rows.toDF("g", "v")
+      val got = Quantiles.groupQuantiles(df, "g",
+        Seq(Quantiles.Measure("qv", "v", q, 37.0)))
+        .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
+      val want = df.groupBy("g").agg(expr(s"percentile(v, $q)").as("p"))
+        .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
+      assert(got.keySet == want.keySet)
+      got.foreach { case (g, v) =>
+        assert(math.abs(v - want(g)) < 1e-9, s"g=$g q=$q: $v vs ${want(g)}")
+      }
+    }
+  }
+
   test("Json.str/getString round-trips arbitrary strings") {
     val tricky = Gen.oneOf(
       Gen.asciiStr, // includes control chars and quotes
