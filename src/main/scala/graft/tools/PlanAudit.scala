@@ -50,7 +50,20 @@ object PlanAudit {
       Check("q_sim_cosine_topk", "cosine top-k: broadcast + TakeOrdered",
         p => p.contains("TakeOrderedAndProject")),
       Check("q_events_tumbling", "windowed agg is partial-final",
-        p => "HashAggregate".r.findAllIn(p).length >= 2)
+        p => "HashAggregate".r.findAllIn(p).length >= 2),
+      // round-3 scale reformulations: the data-sized windows must be
+      // partitioned by the value bucket `b`, never a global
+      // single-partition sort over all rows (the tiny bucket-offset
+      // window may still be SinglePartition — it sees one row per
+      // bucket, not per input row)
+      Check("q_window_ntile", "rank window partitioned by value bucket",
+        p => "row_number().*windowspecdefinition\\(b#".r.findFirstIn(p).isDefined),
+      Check("q_window_range_frame", "running count partitioned by value bucket",
+        p => "windowspecdefinition\\(b#".r.findFirstIn(p).isDefined),
+      Check("q_agg_stats", "no value-buffering percentile aggregate",
+        p => !p.contains("percentile")),
+      Check("q_vocab_topk", "rank applies after TakeOrderedAndProject",
+        p => p.contains("TakeOrderedAndProject"))
     )
 
     val plans = scala.collection.mutable.LinkedHashMap[String, String]()
