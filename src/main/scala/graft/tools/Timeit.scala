@@ -5,7 +5,7 @@ import org.apache.spark.sql.SparkSession
 /** Dev tool: solo-latency timing for named operator queries.
   *
   * Usage: runMain graft.tools.Timeit <sfDir> <query> [<query> ...]
-  * Runs each query `graft.timeit.reps` times (default 3) after a warm-up
+  * Runs each query `GRAFT_TIMEIT_REPS` times (default 3) after a warm-up
   * and prints min/median seconds — the contention-free number the
   * VERDICT compares against the DuckDB per-query baseline.
   */
@@ -13,7 +13,8 @@ object Timeit {
   def main(args: Array[String]): Unit = {
     val sfDir = args.head
     val names = args.tail.toSeq
-    val reps = sys.props.get("graft.timeit.reps").map(_.toInt).getOrElse(3)
+    // env var, not a sys prop: sbt forks the runMain JVM, which drops -D flags
+    val reps = sys.env.get("GRAFT_TIMEIT_REPS").map(_.toInt).getOrElse(3)
     val spark = SparkSession.builder()
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
