@@ -37,6 +37,17 @@ class XlsSpec extends AnyFunSuite {
     assert(df.filter(df("name") === "bolt 螺栓").count() == 1)
   }
 
+  test("MULRK, FORMULA cached values, and STRING formula results") {
+    val path = XlsFixture.write(mini = false, Some(XlsFixture.richWorkbook()))
+    val df = Xls.read(spark, path)
+    assert(df.columns.toSeq == Seq("a", "b", "c", "d"))
+    val r = df.collect()(0)
+    assert(r.getDouble(0) == 1.25)  // MULRK x100 int
+    assert(r.getLong(1) == 3L)      // MULRK int
+    assert(r.getDouble(2) == 42.5)  // FORMULA cached numeric result
+    assert(r.getString(3) == "calc") // FORMULA string result via STRING rec
+  }
+
   test("SST strings spanning CONTINUE records (grbit reset, charset switch)") {
     val path = XlsFixture.write(mini = false, Some(XlsFixture.continuedWorkbook()))
     val df = Xls.read(spark, path)
@@ -152,6 +163,44 @@ object XlsFixture {
     out.write(labelSst(0, 0, 0))
     out.write(labelSst(1, 0, 1))
     out.write(labelSst(2, 0, 2))
+    out.write(rec(0x000A, Array.empty))
+    out.toByteArray
+  }
+
+  /** Workbook exercising MULRK (one record, two RK cells), FORMULA with
+    * a cached numeric result, and FORMULA + STRING (string result).
+    * Header a,b,c,d + one data row. */
+  def richWorkbook(): Array[Byte] = {
+    val out = new ByteArrayOutputStream()
+    def bof(dt: Int) = rec(0x0809,
+      le16(0x0600) ++ le16(dt) ++ le16(0x0DBB) ++ le16(0x07CC) ++ le32(0) ++ le32(0))
+    out.write(bof(0x0005))
+    val strings = Seq("a", "b", "c", "d")
+    def sstString(s: String) =
+      le16(s.length) ++ Array(0.toByte) ++ s.map(_.toByte).toArray
+    out.write(rec(0x00FC,
+      le32(strings.length) ++ le32(strings.length) ++ strings.flatMap(sstString).toArray))
+    out.write(rec(0x000A, Array.empty))
+    out.write(bof(0x0010))
+    (0 until 4).foreach(c =>
+      out.write(rec(0x00FD, le16(0) ++ le16(c) ++ le16(0) ++ le32(c))))
+    // MULRK row 1 cols 0-1: 1.25 (x100-int RK of 125), 3 (int RK)
+    out.write(rec(0x00BD, le16(1) ++ le16(0) ++
+      le16(0) ++ le32((125 << 2) | 3) ++
+      le16(0) ++ le32((3 << 2) | 2) ++
+      le16(1)))
+    // FORMULA row 1 col 2: cached numeric 42.5 (token stream irrelevant)
+    val numBits = java.lang.Double.doubleToLongBits(42.5)
+    val cached = (0 until 8).map(i => ((numBits >> (8 * i)) & 0xFF).toByte).toArray
+    out.write(rec(0x0006, le16(1) ++ le16(2) ++ le16(0) ++ cached ++
+      le16(0) ++ le32(0) ++ le16(0)))
+    // FORMULA row 1 col 3: string result marker (byte0=0, bytes6-7=0xFFFF)
+    // followed by the STRING record carrying "calc"
+    out.write(rec(0x0006, le16(1) ++ le16(3) ++ le16(0) ++
+      Array(0.toByte, 0.toByte, 0.toByte, 0.toByte, 0.toByte, 0.toByte,
+        0xFF.toByte, 0xFF.toByte) ++
+      le16(0) ++ le32(0) ++ le16(0)))
+    out.write(rec(0x0207, le16(4) ++ Array(0.toByte) ++ "calc".getBytes("ISO-8859-1")))
     out.write(rec(0x000A, Array.empty))
     out.toByteArray
   }
