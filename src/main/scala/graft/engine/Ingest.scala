@@ -26,17 +26,27 @@ import org.apache.spark.sql.functions._
   * IllegalArgumentException (ValueError analog, doc.py:32,76).
   */
 object Ingest {
-  val SupportedExtensions: Set[String] = Set("parquet", "csv", "xlsx", "xls", "json")
+  val SupportedExtensions: Set[String] =
+    Set("parquet", "csv", "xlsx", "xls", "json", "orc")
 
-  private def extension(path: String): String = {
-    val i = path.lastIndexOf('.')
-    if (i < 0) "" else path.substring(i + 1).toLowerCase
+  /** Codec suffixes Spark's text readers decompress transparently —
+    * stripped so `data.csv.gz` dispatches on the inner `.csv`. */
+  private val CodecSuffixes = Set("gz", "bz2", "zst", "lz4", "snappy", "deflate")
+
+  private[engine] def extension(path: String): String = {
+    def last(p: String): String = {
+      val i = p.lastIndexOf('.')
+      if (i < 0) "" else p.substring(i + 1).toLowerCase
+    }
+    val e = last(path)
+    if (CodecSuffixes.contains(e)) last(path.dropRight(e.length + 1)) else e
   }
 
   /** Format-dispatching loader (doc.py:16–83 analog). */
   def load(spark: SparkSession, path: String): DataFrame = {
     val df = extension(path) match {
       case "parquet"        => parquet(spark, path)
+      case "orc"            => spark.read.orc(path)
       case "csv"            => csv(spark, path)
       case "json"           => json(spark, path)
       // content-sniffed, not extension-trusted: a .xls saved by modern

@@ -22,7 +22,7 @@ object Workspace {
     * Throws IllegalArgumentException on bad extension / size. */
   def saveUpload(bytes: Array[Byte], originalName: String, uploadDir: String,
       now: Long): Path = {
-    val ext = originalName.replaceAll(".*\\.", "").toLowerCase
+    val ext = Ingest.extension(originalName)
     require(Ingest.SupportedExtensions.contains(ext),
       s"Unsupported file type: .$ext")
     require(bytes.length <= MaxUploadBytes,

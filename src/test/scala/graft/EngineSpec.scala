@@ -100,6 +100,23 @@ class EngineSpec extends AnyFunSuite {
     val p = Files.createTempFile("empty", ".csv")
     Files.writeString(p, "a,b\n")
     intercept[IllegalArgumentException](Ingest.load(spark, p.toString))
+    // codec suffix alone is not a format
+    intercept[IllegalArgumentException](Ingest.load(spark, "/tmp/file.gz"))
+  }
+
+  test("orc roundtrip and gzip-compressed csv dispatch") {
+    val dir = Files.createTempDirectory("orc").toString + "/t.orc"
+    val src = Ingest.load(spark, TestSpark.resource("sample_sales_data.csv"))
+    src.write.mode("overwrite").orc(dir)
+    val orc = Ingest.load(spark, dir)
+    assert(orc.count() == src.count() && orc.columns.sameElements(src.columns))
+    // data.csv.gz → inner .csv dispatch; Spark decompresses transparently
+    val gz = Files.createTempFile("data", ".csv.gz")
+    val out = new java.util.zip.GZIPOutputStream(Files.newOutputStream(gz))
+    out.write(Files.readAllBytes(java.nio.file.Paths.get(TestSpark.resource("sample_sales_data.csv"))))
+    out.close()
+    val viaGz = Ingest.load(spark, gz.toString)
+    assert(viaGz.count() == src.count())
   }
 
   // --- xlsx reader ------------------------------------------------------
