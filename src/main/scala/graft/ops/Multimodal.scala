@@ -7,24 +7,98 @@ import org.apache.spark.sql.types._
 import Tables._
 
 /** Multimodal column plumbing (north-star scope, SURVEY.md §2): media
-  * payloads are opaque `binary` columns + typed metadata structs; decode /
-  * feature-extract / resize / frame-sample are *stubbed* with
-  * deterministic fakes (no image/audio libs in this container), but the
-  * Spark-side plumbing — schema, batch shape, partition-parallel
-  * execution, pure-column expressions — is real and tested.
+  * payloads are opaque `binary` columns + typed metadata structs.
   *
-  * A production deployment swaps [[fakeDecode]]/[[fakeFeatures]] for a
-  * real codec (e.g. a JNI decoder or `mapInPandas`-style batch UDF); every
-  * call site keeps the same schema contract.
+  * Image decode / feature-extract / resize are REAL for the formats the
+  * JDK's built-in ImageIO reads (PNG, JPEG, BMP, GIF — no external codec
+  * libs required): [[decodeImage]], [[imageFeatures]], [[resizeImage]],
+  * executor-side UDFs over the binary column, spec-tested against
+  * in-test-generated images. Audio/video decode and the learned-encoder
+  * embedding remain *stubbed* with deterministic fakes
+  * ([[fakeDecode]]/[[fakeFeatures]]) — those codecs/models genuinely
+  * aren't in the container, and the synthetic corpus carries text bytes,
+  * not media, so the oracle-facing pipeline uses the fakes. Every call
+  * site keeps the same schema contract either way.
   */
 object Multimodal {
 
-  /** media metadata contract: what a real decoder would emit. */
+  /** media metadata contract: what a decoder emits. */
   val MediaMetaSchema: StructType = StructType(Seq(
     StructField("format", StringType),
     StructField("width", IntegerType),
     StructField("height", IntegerType),
     StructField("n_bytes", LongType)))
+
+  case class MediaMeta(format: String, width: Int, height: Int, n_bytes: Long)
+
+  /** REAL image decode (JDK ImageIO): container format + pixel
+    * dimensions from the header; null for bytes no reader accepts.
+    * Runs on executors, one image per row — decode cost dwarfs UDF
+    * overhead, so a batch UDF would buy nothing here. */
+  val decodeImage: org.apache.spark.sql.expressions.UserDefinedFunction =
+    udf { (bytes: Array[Byte]) =>
+      if (bytes == null) null
+      else {
+        val in = javax.imageio.ImageIO.createImageInputStream(
+          new java.io.ByteArrayInputStream(bytes))
+        try {
+          val readers = javax.imageio.ImageIO.getImageReaders(in)
+          if (!readers.hasNext) null
+          else {
+            val r = readers.next()
+            r.setInput(in)
+            try MediaMeta(r.getFormatName.toLowerCase, r.getWidth(0),
+              r.getHeight(0), bytes.length.toLong)
+            finally r.dispose()
+          }
+        } finally in.close()
+      }
+    }
+
+  /** REAL 16-dim image feature: 4×4 center-sampled grayscale (0..1) —
+    * a deterministic, codec-backed stand-in for a learned encoder with
+    * the same array<double> schema. Null for undecodable bytes. */
+  val imageFeatures: org.apache.spark.sql.expressions.UserDefinedFunction =
+    udf { (bytes: Array[Byte]) =>
+      val img = if (bytes == null) null
+        else javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      if (img == null) null
+      else {
+        val (w, h) = (img.getWidth, img.getHeight)
+        (0 until 4).flatMap { y =>
+          (0 until 4).map { x =>
+            val px = img.getRGB(math.min(w - 1, x * w / 4 + w / 8),
+              math.min(h - 1, y * h / 4 + h / 8))
+            val r = (px >> 16) & 0xFF; val g = (px >> 8) & 0xFF; val b = px & 0xFF
+            (0.299 * r + 0.587 * g + 0.114 * b) / 255.0
+          }
+        }.toArray
+      }
+    }
+
+  /** REAL resize (JDK ImageIO + bilinear draw): bytes → PNG bytes at the
+    * target box, preserving aspect ratio. Null for undecodable bytes. */
+  val resizeImage: org.apache.spark.sql.expressions.UserDefinedFunction =
+    udf { (bytes: Array[Byte], maxW: Int, maxH: Int) =>
+      val img = if (bytes == null) null
+        else javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      if (img == null) null
+      else {
+        val scale = math.min(maxW.toDouble / img.getWidth, maxH.toDouble / img.getHeight)
+        val (w, h) = (math.max(1, (img.getWidth * scale).toInt),
+          math.max(1, (img.getHeight * scale).toInt))
+        val out = new java.awt.image.BufferedImage(w, h,
+          java.awt.image.BufferedImage.TYPE_INT_RGB)
+        val gfx = out.createGraphics()
+        gfx.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+          java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+        gfx.drawImage(img, 0, 0, w, h, null)
+        gfx.dispose()
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(out, "png", bos)
+        bos.toByteArray
+      }
+    }
 
   /** STUB decode: deterministic fake metadata derived from the raw bytes
     * (format from a fake magic byte, dimensions from the length). A real

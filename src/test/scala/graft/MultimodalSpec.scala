@@ -11,6 +11,60 @@ import graft.ops.{Multimodal, Tables}
 class MultimodalSpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
 
+  /** A w×h PNG: left half dark (rgb 16), right half bright (rgb 240). */
+  private def halfPng(w: Int, h: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w) {
+      val v = if (x < w / 2) 16 else 240
+      img.setRGB(x, y, (v << 16) | (v << 8) | v)
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  test("REAL image decode: format/dimensions from actual PNG and BMP bytes") {
+    import spark.implicits._
+    val png = halfPng(64, 48)
+    val bmp = {
+      val img = new java.awt.image.BufferedImage(10, 20,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "bmp", bos)
+      bos.toByteArray
+    }
+    val df = Seq((1L, png), (2L, bmp), (3L, "not an image".getBytes))
+      .toDF("id", "payload")
+      .withColumn("meta", Multimodal.decodeImage(col("payload")))
+      .select(col("id"), col("meta.format"), col("meta.width"), col("meta.height"))
+      .orderBy("id").collect()
+    assert(df(0).getString(1) == "png" && df(0).getInt(2) == 64 && df(0).getInt(3) == 48)
+    assert(df(1).getString(1) == "bmp" && df(1).getInt(2) == 10 && df(1).getInt(3) == 20)
+    assert(df(2).isNullAt(1)) // undecodable → null meta
+  }
+
+  test("REAL image features: 4x4 grayscale reflects pixel content") {
+    import spark.implicits._
+    val feats = Seq(Tuple1(halfPng(64, 64))).toDF("payload")
+      .select(Multimodal.imageFeatures(col("payload")).as("f"))
+      .head.getSeq[Double](0)
+    assert(feats.length == 16)
+    // columns 0-1 sample the dark half, 2-3 the bright half
+    val dark = Seq(0, 1, 4, 5, 8, 9, 12, 13).map(feats)
+    val bright = Seq(2, 3, 6, 7, 10, 11, 14, 15).map(feats)
+    assert(dark.forall(_ < 0.2) && bright.forall(_ > 0.8), s"$feats")
+  }
+
+  test("REAL resize: aspect-preserving box fit, re-decodable output") {
+    import spark.implicits._
+    val resized = Seq(Tuple1(halfPng(100, 50))).toDF("payload")
+      .select(Multimodal.resizeImage(col("payload"), lit(32), lit(32)).as("r"))
+      .head.getAs[Array[Byte]](0)
+    val back = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(resized))
+    assert(back.getWidth == 32 && back.getHeight == 16) // aspect kept
+  }
+
   test("fakeDecode emits the MediaMetaSchema contract deterministically") {
     val media = Multimodal.mediaTable(spark, TestSpark.Sf)
       .withColumn("meta", Multimodal.fakeDecode(col("payload")))
