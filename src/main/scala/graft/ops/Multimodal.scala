@@ -13,7 +13,10 @@ import Tables._
   * JDK's built-in ImageIO reads (PNG, JPEG, BMP, GIF — no external codec
   * libs required): [[decodeImage]], [[imageFeatures]], [[resizeImage]],
   * executor-side UDFs over the binary column, spec-tested against
-  * in-test-generated images. Audio/video decode and the learned-encoder
+  * in-test-generated images. Audio is REAL for the formats
+  * javax.sound.sampled reads (WAV/AIFF/AU): [[decodeAudio]],
+  * [[audioFeatures]] (per-segment RMS energy), spec-tested against a
+  * generated sine-plus-silence WAV. Video decode and the learned-encoder
   * embedding remain *stubbed* with deterministic fakes
   * ([[fakeDecode]]/[[fakeFeatures]]) — those codecs/models genuinely
   * aren't in the container, and the synthetic corpus carries text bytes,
@@ -98,6 +101,64 @@ object Multimodal {
         javax.imageio.ImageIO.write(out, "png", bos)
         bos.toByteArray
       }
+    }
+
+  case class AudioMeta(format: String, sample_rate: Int, channels: Int,
+      n_frames: Long, n_bytes: Long)
+
+  /** REAL audio decode (JDK javax.sound.sampled — WAV/AIFF/AU): encoding
+    * name, sample rate, channels, frame count from the RIFF/container
+    * header; null for bytes no reader accepts. */
+  val decodeAudio: org.apache.spark.sql.expressions.UserDefinedFunction =
+    udf { (bytes: Array[Byte]) =>
+      if (bytes == null) null
+      else try {
+        val aff = javax.sound.sampled.AudioSystem.getAudioFileFormat(
+          new java.io.ByteArrayInputStream(bytes))
+        val f = aff.getFormat
+        AudioMeta(aff.getType.toString.toLowerCase, f.getSampleRate.toInt,
+          f.getChannels, aff.getFrameLength.toLong, bytes.length.toLong)
+      } catch { case _: javax.sound.sampled.UnsupportedAudioFileException => null }
+    }
+
+  /** REAL 16-dim audio feature: RMS energy (0..1) over 16 equal time
+    * segments of the decoded PCM stream — the audio analog of
+    * [[imageFeatures]]. 16-bit little-endian PCM; null when the bytes
+    * don't decode. */
+  val audioFeatures: org.apache.spark.sql.expressions.UserDefinedFunction =
+    udf { (bytes: Array[Byte]) =>
+      if (bytes == null) null
+      else try {
+        val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(bytes))
+        try {
+          val fmt = in.getFormat
+          val pcm = in.readAllBytes()
+          val bytesPerSample = fmt.getSampleSizeInBits / 8
+          val n = pcm.length / bytesPerSample
+          if (n == 0 || bytesPerSample != 2) null
+          else {
+            val seg = math.max(1, n / 16)
+            (0 until 16).map { s =>
+              val from = s * seg
+              val to = math.min(n, from + seg)
+              if (from >= to) 0.0
+              else {
+                var sum = 0.0
+                var i = from
+                while (i < to) {
+                  val lo = pcm(2 * i) & 0xFF
+                  val hi = pcm(2 * i + 1).toInt
+                  val v = ((hi << 8) | lo) / 32768.0
+                  sum += v * v
+                  i += 1
+                }
+                math.sqrt(sum / (to - from))
+              }
+            }.toArray
+          }
+        } finally in.close()
+      } catch { case _: javax.sound.sampled.UnsupportedAudioFileException => null }
     }
 
   /** STUB decode: deterministic fake metadata derived from the raw bytes

@@ -65,6 +65,48 @@ class MultimodalSpec extends AnyFunSuite {
     assert(back.getWidth == 32 && back.getHeight == 16) // aspect kept
   }
 
+  /** 16-bit mono WAV: first half 440 Hz sine at full scale, second half
+    * silence. */
+  private def sineWav(sampleRate: Int = 8000, nFrames: Int = 8000): Array[Byte] = {
+    val fmt = new javax.sound.sampled.AudioFormat(sampleRate, 16, 1, true, false)
+    val pcm = new Array[Byte](nFrames * 2)
+    for (i <- 0 until nFrames / 2) {
+      val v = (math.sin(2 * math.Pi * 440 * i / sampleRate) * 32000).toInt
+      pcm(2 * i) = (v & 0xFF).toByte
+      pcm(2 * i + 1) = ((v >> 8) & 0xFF).toByte
+    }
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, nFrames.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
+  test("REAL audio decode: WAV header fields; undecodable bytes are null") {
+    import spark.implicits._
+    val rows = Seq((1L, sineWav()), (2L, "noise".getBytes)).toDF("id", "payload")
+      .withColumn("meta", Multimodal.decodeAudio(col("payload")))
+      .select(col("id"), col("meta.format"), col("meta.sample_rate"),
+        col("meta.channels"), col("meta.n_frames"))
+      .orderBy("id").collect()
+    assert(rows(0).getString(1) == "wave" && rows(0).getInt(2) == 8000)
+    assert(rows(0).getInt(3) == 1 && rows(0).getLong(4) == 8000L)
+    assert(rows(1).isNullAt(1))
+  }
+
+  test("REAL audio features: RMS energy contrasts tone vs silence") {
+    import spark.implicits._
+    val f = Seq(Tuple1(sineWav())).toDF("payload")
+      .select(Multimodal.audioFeatures(col("payload")).as("f"))
+      .head.getSeq[Double](0)
+    assert(f.length == 16)
+    val tone = f.take(8)
+    val silence = f.drop(8)
+    assert(tone.forall(_ > 0.5), s"tone energy: $tone")
+    assert(silence.forall(_ < 0.01), s"silence energy: $silence")
+  }
+
   test("fakeDecode emits the MediaMetaSchema contract deterministically") {
     val media = Multimodal.mediaTable(spark, TestSpark.Sf)
       .withColumn("meta", Multimodal.fakeDecode(col("payload")))
