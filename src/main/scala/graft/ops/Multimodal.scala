@@ -212,11 +212,14 @@ object Multimodal {
         .orderBy("doc_id")
     },
 
-    // Full stubbed pipeline: decode → filter on metadata → features.
-    // Rows-only driver check; determinism asserted in MultimodalSpec.
+    // Full pipeline: decode → filter on metadata → features. The REAL
+    // image decoder runs first; payloads it can't parse (this corpus's
+    // text bytes — always, here) fall back to the deterministic stub,
+    // so the wiring exercises the real codec path while results stay
+    // reproducible. Rows-only driver check; asserted in MultimodalSpec.
     OpQuery.noOracle("q_media_pipeline") { (s, d) =>
       mediaTable(s, d)
-        .withColumn("meta", fakeDecode(col("payload")))
+        .withColumn("meta", coalesce(decodeImage(col("payload")), fakeDecode(col("payload"))))
         .filter(col("meta.n_bytes") > 100)
         .withColumn("features", fakeFeatures(col("payload")))
         .select(col("doc_id"), col("meta.format").as("format"),
