@@ -46,7 +46,30 @@ final class WebServer(spark: SparkSession, workDir: String, port: Int = 0,
   server.createContext("/api/upload", handler { ex =>
     requirePost(ex) {
       val ct = Option(ex.getRequestHeaders.getFirst("Content-Type")).getOrElse("")
-      val body = ex.getRequestBody.readAllBytes()
+      // bound the read BEFORE buffering: Workspace re-checks the exact
+      // file size, but an oversized request must not reach the heap
+      // (readNBytes caps the stream even when Content-Length lies)
+      val maxBody = Workspace.MaxUploadBytes + (1 << 20) // + multipart framing
+      val declared = Option(ex.getRequestHeaders.getFirst("Content-Length"))
+        .flatMap(_.toLongOption).getOrElse(0L)
+      // a 413 raced with an in-flight upload breaks the connection before
+      // the client can read it — DRAIN (discard, 64 KB buffer, never
+      // buffered whole) moderately-oversized bodies so the reject is
+      // readable; absurdly large declarations just get the close
+      def tooLarge(detail: String): Response = {
+        if (declared <= (256L << 20)) {
+          val in = ex.getRequestBody
+          val buf = new Array[Byte](64 * 1024)
+          while (in.read(buf) != -1) ()
+        } else ex.getResponseHeaders.add("Connection", "close")
+        Response(413, "application/json",
+          Json.obj("error" -> Json.str(s"request too large$detail")))
+      }
+      if (declared > maxBody) tooLarge(s": $declared bytes")
+      else {
+      val body = ex.getRequestBody.readNBytes(maxBody.toInt + 1)
+      if (body.length > maxBody) tooLarge("")
+      else
       Multipart.firstFile(ct, body) match {
         case None =>
           Response(400, "application/json", Json.obj("error" -> Json.str("no file selected")))
@@ -67,6 +90,7 @@ final class WebServer(spark: SparkSession, workDir: String, port: Int = 0,
               Response(400, "application/json",
                 Json.obj("error" -> Json.str(Option(e.getMessage).getOrElse("analysis failed"))))
           }
+      }
       }
     }
   })

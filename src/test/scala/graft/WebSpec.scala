@@ -123,6 +123,13 @@ class WebSpec extends AnyFunSuite {
       "application/json", cookie).statusCode() == 404)
     // GET on a POST-only route
     assert(get("/api/upload").statusCode() == 405)
+    // oversized upload rejected by declared length (413, before buffering)
+    val big = HttpRequest.newBuilder()
+      .uri(URI.create(s"$base/api/upload"))
+      .header("Content-Type", "multipart/form-data; boundary=x")
+      .POST(HttpRequest.BodyPublishers.ofByteArray(new Array[Byte](18 << 20)))
+      .build()
+    assert(http.send(big, HttpResponse.BodyHandlers.ofString()).statusCode() == 413)
   }
 
   test("concurrent uploads all land (MetaStore append is serialized)") {
