@@ -97,7 +97,8 @@ final class WebServer(spark: SparkSession, workDir: String, port: Int = 0,
 
   server.createContext("/api/ask_question", handler { ex =>
     requirePost(ex) {
-      val body = new String(ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8)
+      // questions are small; cap the body read (1 MB) like the upload path
+      val body = new String(ex.getRequestBody.readNBytes(1 << 20), StandardCharsets.UTF_8)
       val fileId = Json.getString(body, "file_id").getOrElse("")
       val question = Json.getString(body, "question").getOrElse("")
       val (sid, _) = sessionOf(ex, createIfMissing = false)

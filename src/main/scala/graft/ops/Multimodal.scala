@@ -40,8 +40,11 @@ object Multimodal {
     * overhead, so a batch UDF would buy nothing here. */
   val decodeImage: org.apache.spark.sql.expressions.UserDefinedFunction =
     udf { (bytes: Array[Byte]) =>
+      // catch-all: bytes with a recognized magic but a corrupt body make
+      // ImageIO THROW (not return null); a bad payload row must yield
+      // null, never fail the whole query
       if (bytes == null) null
-      else {
+      else try {
         val in = javax.imageio.ImageIO.createImageInputStream(
           new java.io.ByteArrayInputStream(bytes))
         try {
@@ -55,7 +58,7 @@ object Multimodal {
             finally r.dispose()
           }
         } finally in.close()
-      }
+      } catch { case scala.util.control.NonFatal(_) => null }
     }
 
   /** REAL 16-dim image feature: 4×4 center-sampled grayscale (0..1) —
@@ -64,7 +67,8 @@ object Multimodal {
   val imageFeatures: org.apache.spark.sql.expressions.UserDefinedFunction =
     udf { (bytes: Array[Byte]) =>
       val img = if (bytes == null) null
-        else javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+        else try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+        catch { case scala.util.control.NonFatal(_) => null }
       if (img == null) null
       else {
         val (w, h) = (img.getWidth, img.getHeight)
@@ -84,7 +88,8 @@ object Multimodal {
   val resizeImage: org.apache.spark.sql.expressions.UserDefinedFunction =
     udf { (bytes: Array[Byte], maxW: Int, maxH: Int) =>
       val img = if (bytes == null) null
-        else javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+        else try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+        catch { case scala.util.control.NonFatal(_) => null }
       if (img == null) null
       else {
         val scale = math.min(maxW.toDouble / img.getWidth, maxH.toDouble / img.getHeight)
@@ -118,7 +123,7 @@ object Multimodal {
         val f = aff.getFormat
         AudioMeta(aff.getType.toString.toLowerCase, f.getSampleRate.toInt,
           f.getChannels, aff.getFrameLength.toLong, bytes.length.toLong)
-      } catch { case _: javax.sound.sampled.UnsupportedAudioFileException => null }
+      } catch { case scala.util.control.NonFatal(_) => null }
     }
 
   /** REAL 16-dim audio feature: RMS energy (0..1) over 16 equal time
@@ -158,7 +163,7 @@ object Multimodal {
             }.toArray
           }
         } finally in.close()
-      } catch { case _: javax.sound.sampled.UnsupportedAudioFileException => null }
+      } catch { case scala.util.control.NonFatal(_) => null }
     }
 
   /** STUB decode: deterministic fake metadata derived from the raw bytes
