@@ -96,7 +96,9 @@ class PropertySpec extends AnyFunSuite {
   test("bucket-prune exact quantiles equal Spark's exact percentile") {
     import graft.ops.Quantiles
     val gen = Gen.zip(
-      Gen.listOfN(80, Gen.zip(Gen.chooseNum(0, 2), Gen.chooseNum(-500.0, 500.0))),
+      Gen.listOfN(80, Gen.zip(Gen.chooseNum(0, 2), Gen.oneOf(
+        Gen.chooseNum(-500.0, 500.0),                  // near-unique values
+        Gen.chooseNum(0, 5).map(_.toDouble * 37.0)))), // heavy ties on bucket edges
       Gen.oneOf(0.0, 0.1, 0.5, 0.9, 1.0))
     forAll(gen, 8) { case (rows, q) =>
       val df = rows.toDF("g", "v")
