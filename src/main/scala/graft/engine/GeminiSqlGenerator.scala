@@ -27,8 +27,8 @@ final class GeminiSqlGenerator(
   private lazy val http: HttpClient =
     HttpClient.newBuilder().connectTimeout(timeout).build()
 
-  override def generate(question: String, info: DataInfo): String = {
-    val prompt = SqlGenerator.buildPrompt(question, info)
+  override def generate(question: String, info: DataInfo, table: String): String = {
+    val prompt = SqlGenerator.buildPrompt(question, info, table)
     val body = s"""{"contents":[{"parts":[{"text":${jsonString(prompt)}}]}]}"""
     val req = HttpRequest.newBuilder()
       .uri(URI.create(s"$endpoint/models/$model:generateContent"))

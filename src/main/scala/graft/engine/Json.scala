@@ -28,32 +28,83 @@ object Json {
   def arr(items: Seq[String]): String = items.mkString("[", ",", "]")
 
   /** Read a top-level string field from a flat JSON object; None when
-    * the key is absent or not a string. */
+    * the key is absent or not a string.
+    *
+    * Walks the object key by key (tracking string/escape state and
+    * skipping nested values whole) instead of substring-searching, so a
+    * key name occurring inside a string VALUE — e.g. a question whose
+    * text mentions "file_id" — can never be mistaken for the field. */
   def getString(json: String, key: String): Option[String] = {
-    val k = json.indexOf(str(key))
-    if (k < 0) return None
-    val colon = json.indexOf(':', k + str(key).length)
-    if (colon < 0) return None
-    var i = colon + 1
-    while (i < json.length && json.charAt(i).isWhitespace) i += 1
-    if (i >= json.length || json.charAt(i) != '"') return None
-    i += 1
-    val sb = new StringBuilder
-    while (i < json.length && json.charAt(i) != '"') {
+    val n = json.length
+    var i = 0
+    def skipWs(): Unit = while (i < n && json.charAt(i).isWhitespace) i += 1
+    // decode the string starting at the opening quote json(i); leaves i
+    // just past the closing quote
+    def readString(): String = {
+      i += 1
+      val sb = new StringBuilder
+      while (i < n && json.charAt(i) != '"') {
+        json.charAt(i) match {
+          case '\\' if i + 1 < n =>
+            json.charAt(i + 1) match {
+              case 'n' => sb += '\n'; i += 2
+              case 't' => sb += '\t'; i += 2
+              case 'r' => sb += '\r'; i += 2
+              case 'b' => sb += '\b'; i += 2
+              case 'f' => sb += '\f'; i += 2
+              case 'u' if i + 5 < n =>
+                sb += Integer.parseInt(json.substring(i + 2, i + 6), 16).toChar
+                i += 6
+              case c => sb += c; i += 2
+            }
+          case c => sb += c; i += 1
+        }
+      }
+      i += 1
+      sb.toString
+    }
+    // skip one value of any type (string / object / array / literal)
+    def skipValue(): Unit = {
+      skipWs()
+      if (i >= n) return
       json.charAt(i) match {
-        case '\\' if i + 1 < json.length =>
-          json.charAt(i + 1) match {
-            case 'n' => sb += '\n'; i += 2
-            case 't' => sb += '\t'; i += 2
-            case 'r' => sb += '\r'; i += 2
-            case 'u' if i + 5 < json.length =>
-              sb += Integer.parseInt(json.substring(i + 2, i + 6), 16).toChar
-              i += 6
-            case c => sb += c; i += 2
+        case '"' => readString(); ()
+        case '{' | '[' =>
+          var depth = 0
+          var done = false
+          while (i < n && !done) {
+            json.charAt(i) match {
+              case '"' => readString()
+              case '{' | '[' => depth += 1; i += 1
+              case '}' | ']' => depth -= 1; i += 1; if (depth == 0) done = true
+              case _ => i += 1
+            }
           }
-        case c => sb += c; i += 1
+        case _ =>
+          while (i < n && !",}]".contains(json.charAt(i))) i += 1
       }
     }
-    Some(sb.toString)
+    skipWs()
+    if (i >= n || json.charAt(i) != '{') return None
+    i += 1
+    while (i < n) {
+      skipWs()
+      if (i >= n) return None
+      json.charAt(i) match {
+        case '}' => return None
+        case ',' => i += 1
+        case '"' =>
+          val k = readString()
+          skipWs()
+          if (i >= n || json.charAt(i) != ':') return None
+          i += 1
+          skipWs()
+          if (k == key)
+            return if (i < n && json.charAt(i) == '"') Some(readString()) else None
+          else skipValue()
+        case _ => return None // malformed
+      }
+    }
+    None
   }
 }

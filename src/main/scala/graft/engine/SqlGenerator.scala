@@ -11,22 +11,29 @@ package graft.engine
   * questions (/root/reference/WEB_APP_README.md:107–119 shapes).
   */
 trait SqlGenerator {
-  def generate(question: String, info: DataInfo): String
+  /** `table` is the view the SQL must target. The reference gets
+    * isolation from a per-file DuckDB database (doc.py:112–119) so its
+    * fixed name never collides; on one shared SparkSession the caller
+    * passes a per-request view name instead (WebServer) or the fixed
+    * default (single-user CLI). */
+  def generate(question: String, info: DataInfo,
+      table: String = Catalog.TableName): String
 }
 
 object SqlGenerator {
 
   /** Schema-grounded prompt (doc.py:174–190 analog, dialect = Spark SQL). */
-  def buildPrompt(question: String, info: DataInfo): String = {
+  def buildPrompt(question: String, info: DataInfo,
+      table: String = Catalog.TableName): String = {
     val cols = info.columns.map(c => s"  - $c: ${info.dtypes.getOrElse(c, "string")}").mkString("\n")
     val head = info.head.take(3).map(_.toString).mkString("\n")
     s"""You are a SQL generation assistant. Generate ONE Spark SQL query.
        |Rules:
-       |  - The table name is fixed: '${Catalog.TableName}'.
+       |  - The table name is fixed: '$table'.
        |  - Only SELECT statements are allowed (no DDL/DML).
        |  - The SQL must be valid Spark SQL.
        |  - Return only the SQL, no explanation.
-       |Table: ${Catalog.TableName} (${info.rowCount} rows, ${info.columnCount} columns)
+       |Table: $table (${info.rowCount} rows, ${info.columnCount} columns)
        |Columns:
        |$cols
        |Sample rows:
@@ -40,9 +47,9 @@ object SqlGenerator {
     * doc.py:188's `SELECT *` default.
     */
   object Stub extends SqlGenerator {
-    def generate(question: String, info: DataInfo): String = {
+    def generate(question: String, info: DataInfo, table: String): String = {
       val q = question.toLowerCase
-      val t = Catalog.TableName
+      val t = table
       def has(c: String) = info.columns.contains(c)
       if ((q.contains("城市") || q.contains("city")) && has("customer_city"))
         s"SELECT customer_city, SUM(price * quantity) AS total_sales FROM $t GROUP BY customer_city ORDER BY total_sales DESC"

@@ -55,12 +55,19 @@ final class WebServer(spark: SparkSession, workDir: String, port: Int = 0,
       // a 413 raced with an in-flight upload breaks the connection before
       // the client can read it — DRAIN (discard, 64 KB buffer, never
       // buffered whole) moderately-oversized bodies so the reject is
-      // readable; absurdly large declarations just get the close
+      // readable. The cap is on bytes ACTUALLY read, not the declared
+      // length: a chunked request declares none (declared=0), so an
+      // uncapped drain would let an endless body pin one of the 4 worker
+      // threads forever. Past the budget, stop reading and close.
       def tooLarge(detail: String): Response = {
-        if (declared <= (256L << 20)) {
+        val budget = 256L << 20
+        var drained = 0L
+        if (declared <= budget) {
           val in = ex.getRequestBody
           val buf = new Array[Byte](64 * 1024)
-          while (in.read(buf) != -1) ()
+          var n = in.read(buf)
+          while (n != -1 && drained <= budget) { drained += n; n = in.read(buf) }
+          if (n != -1) ex.getResponseHeaders.add("Connection", "close")
         } else ex.getResponseHeaders.add("Connection", "close")
         Response(413, "application/json",
           Json.obj("error" -> Json.str(s"request too large$detail")))
@@ -115,10 +122,21 @@ final class WebServer(spark: SparkSession, workDir: String, port: Int = 0,
           try {
             val filepath = row.getAs[String]("filepath")
             val df = Ingest.load(spark, filepath)
-            Catalog.register(df)
+            // Per-request view name: the SparkSession (and its temp-view
+            // namespace) is shared across the 4 worker threads, so a
+            // fixed name races — a concurrent request could re-register
+            // it with a different file between register and run, silently
+            // answering against the wrong (possibly another session's)
+            // data. The reference avoids this with a per-file DuckDB
+            // database; the unique name is the shared-session analog.
+            val view = "data_" + UUID.randomUUID().toString.replace("-", "")
+            Catalog.register(df, view)
             val info = Profile(df)
-            val sql = SqlGateway.sanitize(generator.generate(question, info))
-            val result = Results.materialize(SqlGateway.run(spark, sql))
+            val (sql, result) =
+              try {
+                val q = SqlGateway.sanitize(generator.generate(question, info, view))
+                (q, Results.materialize(SqlGateway.run(spark, q)))
+              } finally spark.catalog.dropTempView(view)
             val md = analysisMarkdown(question, sql, info, result)
             val chatId = UUID.randomUUID().toString
             store.addChat(chatId, sid, fileId, question, sql, md,

@@ -273,6 +273,10 @@ object Dedup {
     var converged = prevSum == 0L // no edges → nothing to propagate
     var round = 0
     var labelsIsCheckpoint = false
+    // Checkpointed frames a live plain cache may still recompute through
+    // (local-checkpoint data is unrecoverable, so they can only be
+    // released once a NEWER checkpoint makes them unreachable).
+    var pinned: List[DataFrame] = Nil
     while (!converged && round < MaxRounds) {
       val nbrMin = edges.join(labels.withColumnRenamed("doc_id", "src"), Seq("src"))
         .groupBy(col("dst").as("doc_id")).agg(min(col("lbl")).as("nlbl"))
@@ -284,11 +288,14 @@ object Dedup {
       // plain rounds cache() and materialize via the convergence scan.
       val next = if (checkpointRound) joined.localCheckpoint() else joined.cache()
       val s = lblSum(next)
-      // A checkpointed frame must NOT be unpersisted while descendants
-      // might recompute through it (local-checkpoint data is
-      // unrecoverable); plain caches are safe to drop once `next` is
-      // materialized.
+      // Once `next` is materialized: a plain-cached `labels` is always
+      // safe to drop; a checkpointed one only when `next` is itself a
+      // checkpoint (nothing can recompute through it any more) —
+      // otherwise it stays pinned until the next checkpoint round.
       if (!labelsIsCheckpoint) labels.unpersist()
+      else if (checkpointRound) labels.unpersist()
+      else pinned ::= labels
+      if (checkpointRound) { pinned.foreach(_.unpersist()); pinned = Nil }
       labelsIsCheckpoint = checkpointRound
       converged = s == prevSum
       prevSum = s
@@ -299,7 +306,19 @@ object Dedup {
       System.err.println(s"[graft] q_dedup_cluster: label propagation did NOT " +
         s"converge in $MaxRounds rounds — a component with diameter > $MaxRounds " +
         "would be split; results may disagree with the transitive-closure oracle")
-    docs.join(labels, Seq("doc_id"), "left")
+    // Release every loop intermediate before returning: the final labels
+    // are re-materialized as one localCheckpoint (O(dup-edge docs), the
+    // only frame the lazy result still needs), then edges + the last
+    // round's cache + any pinned checkpoints are dropped. The result
+    // checkpoint itself is reclaimed by Spark's ContextCleaner once the
+    // caller releases the returned DataFrame — nothing accumulates
+    // across invocations in a long-lived session.
+    val finalLabels =
+      if (labelsIsCheckpoint) labels
+      else { val c = labels.localCheckpoint(); labels.unpersist(); c }
+    edges.unpersist()
+    pinned.foreach(_.unpersist())
+    docs.join(finalLabels, Seq("doc_id"), "left")
       .select(col("doc_id"), coalesce(col("lbl"), col("doc_id")).as("cluster_id"))
       .orderBy("doc_id")
   }

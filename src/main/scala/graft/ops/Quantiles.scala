@@ -55,15 +55,20 @@ object Quantiles {
       .withColumn("i", lit(1.0) + (col("n") - 1).cast("double") * qq)
       .select(col("f"), col("m"), col("n"),
         floor(col("i")).as("rlo"), ceil(col("i")).as("rhi"))
+    // No broadcast hints on `targets`/`located`: both are O(groups ×
+    // measures) — unbounded for high-cardinality group keys, so a
+    // mandatory broadcast is the same 100 TB OOM class removed from
+    // Dedup. bCounts is cached, so the optimizer sees accurate sizes
+    // and picks broadcast itself whenever the tables actually fit.
     val located = bCounts
       .withColumn("off", coalesce(sum(col("c")).over(
         Window.partitionBy("f", "m").orderBy("b")
           .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-      .join(broadcast(targets), Seq("f", "m"))
+      .join(targets, Seq("f", "m"))
       // keep buckets overlapping the rank span [rlo, rhi]
       .filter(col("off") < col("rhi") && col("off") + col("c") >= col("rlo"))
       .select(col("f"), col("m"), col("b"), col("off"), col("rlo"), col("rhi"), col("n"))
-    val brackets = vals.join(broadcast(located), Seq("f", "m", "b"))
+    val brackets = vals.join(located, Seq("f", "m", "b"))
       .withColumn("r", col("off") + row_number().over(
         Window.partitionBy("f", "m", "b").orderBy("v")))
       .groupBy("f", "m")
