@@ -196,6 +196,24 @@ class EngineSpec extends AnyFunSuite {
     assert(SqlGateway.run(spark, sql).count() > 0)
   }
 
+  test("Json.getString matches only top-level keys, never text inside values") {
+    // the key name occurring inside an EARLIER string value must not
+    // misroute the lookup (a question mentioning "file_id" is routine)
+    val j1 = Json.obj("question" -> Json.str("""what does "file_id": mean?"""),
+      "file_id" -> Json.str("abc-123"))
+    assert(Json.getString(j1, "file_id").contains("abc-123"))
+    assert(Json.getString(j1, "question").contains("""what does "file_id": mean?"""))
+    // a same-named key inside a NESTED object is not a top-level field
+    assert(Json.getString("""{"meta":{"file_id":"inner"},"file_id":"outer"}""",
+      "file_id").contains("outer"))
+    assert(Json.getString("""{"meta":{"file_id":"inner"}}""", "file_id").isEmpty)
+    // arrays and non-string values are skipped / rejected, not misparsed
+    assert(Json.getString("""{"tags":["file_id","x"],"file_id":"v"}""",
+      "file_id").contains("v"))
+    assert(Json.getString("""{"file_id":123}""", "file_id").isEmpty)
+    assert(Json.getString("""not json""", "file_id").isEmpty)
+  }
+
   test("Gemini transport: response parsing and fence stripping (no network)") {
     val g = new GeminiSqlGenerator(apiKey = "unused-in-tests")
     val resp = """{"candidates":[{"content":{"parts":[{"text":

@@ -148,5 +148,44 @@ class WebSpec extends AnyFunSuite {
     }
   }
 
+  test("concurrent questions answer against their own file (no view races)") {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    // two files with disjoint schemas: any cross-request view clobbering
+    // would surface the other file's columns in the markdown
+    val (salesId, cookie) = uploadCsv()
+    val otherCsv = "zzz_metric,zzz_value\na,1\nb,2\n".getBytes(StandardCharsets.UTF_8)
+    val boundary = "graftBoundary7"
+    val req = HttpRequest.newBuilder()
+      .uri(URI.create(s"$base/api/upload"))
+      .header("Content-Type", s"multipart/form-data; boundary=$boundary")
+      .header("Cookie", cookie)
+      .POST(HttpRequest.BodyPublishers.ofByteArray(
+        multipartBody("zzz_other.csv", otherCsv, boundary)))
+      .build()
+    val up2 = http.send(req, HttpResponse.BodyHandlers.ofString())
+    assert(up2.statusCode() == 200, up2.body())
+    val otherId = Json.getString(up2.body(), "file_id").get
+    // the stub fallback (SELECT * LIMIT 10) echoes the target file's
+    // columns; fire interleaved concurrent asks against both files
+    val asks = (1 to 8).map { i =>
+      val id = if (i % 2 == 0) salesId else otherId
+      Future {
+        id -> post("/api/ask_question",
+          Json.obj("file_id" -> Json.str(id), "question" -> Json.str("show rows")),
+          "application/json", cookie)
+      }
+    }
+    Await.result(Future.sequence(asks), 180.seconds).foreach { case (id, r) =>
+      assert(r.statusCode() == 200, r.body())
+      val md = Json.getString(r.body(), "markdown_result").get
+      if (id == salesId)
+        assert(md.contains("customer_city") && !md.contains("zzz_metric"), md.take(400))
+      else
+        assert(md.contains("zzz_metric") && !md.contains("customer_city"), md.take(400))
+    }
+  }
+
   test("shutdown") { server.stop() }
 }
