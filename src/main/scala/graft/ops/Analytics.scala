@@ -56,17 +56,20 @@ object Analytics {
          |  GROUP BY l_orderkey HAVING SUM(CAST(l_quantity AS DECIMAL(18,4))) > 120)
          |GROUP BY c_custkey, o_orderkey
          |ORDER BY total_qty DESC, o_orderkey LIMIT 20""".stripMargin) { (s, d) =>
-      val li = lineitem(s, d).select("l_orderkey", "l_quantity")
-      val big = li.groupBy("l_orderkey")
-        .agg(sum(dec(col("l_quantity"))).as("sq"))
-        .filter(col("sq") > 120)
-        .select(col("l_orderkey").as("big_orderkey"))
-      orders(s, d).select("o_orderkey", "o_custkey")
-        .join(big, col("o_orderkey") === col("big_orderkey"), "left_semi")
-        .join(customer(s, d).select("c_custkey"), col("o_custkey") === col("c_custkey"))
-        .join(li, col("o_orderkey") === col("l_orderkey"))
-        .groupBy("c_custkey", "o_orderkey")
+      // One lineitem aggregation, not two: the HAVING sum IS the output
+      // total_qty (o_orderkey is unique in orders, so re-grouping the
+      // joined lineitems by (c_custkey, o_orderkey) recomputes the same
+      // per-order sum). Aggregate once, filter, and join the tiny
+      // qualifying-order frame to orders+customer — lineitem is shuffled
+      // once instead of twice, which is the difference at 100 TB.
+      val oq = lineitem(s, d).select("l_orderkey", "l_quantity")
+        .groupBy("l_orderkey")
         .agg(dsum(col("l_quantity")).as("total_qty"))
+        .filter(col("total_qty") > 120)
+      orders(s, d).select("o_orderkey", "o_custkey")
+        .join(oq, col("o_orderkey") === col("l_orderkey"))
+        .join(customer(s, d).select("c_custkey"), col("o_custkey") === col("c_custkey"))
+        .select(col("c_custkey"), col("o_orderkey"), col("total_qty"))
         .orderBy(col("total_qty").desc, col("o_orderkey"))
         .limit(20)
     },

@@ -131,7 +131,7 @@ object Joins {
       Skew.saltedJoin(
           lineitem(s, d).select("l_orderkey", "l_linenumber"),
           orders(s, d).select("o_orderkey", "o_orderstatus"),
-          "l_orderkey", "o_orderkey", "l_linenumber", salts = 8)
+          "l_orderkey", "o_orderkey", "l_linenumber", salts = 4)
         .groupBy("o_orderstatus")
         .agg(count(lit(1)).as("n"))
         .orderBy("o_orderstatus")
