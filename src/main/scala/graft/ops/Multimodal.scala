@@ -16,12 +16,16 @@ import Tables._
   * in-test-generated images. Audio is REAL for the formats
   * javax.sound.sampled reads (WAV/AIFF/AU): [[decodeAudio]],
   * [[audioFeatures]] (per-segment RMS energy), spec-tested against a
-  * generated sine-plus-silence WAV. Video decode and the learned-encoder
-  * embedding remain *stubbed* with deterministic fakes
-  * ([[fakeDecode]]/[[fakeFeatures]]) — those codecs/models genuinely
-  * aren't in the container, and the synthetic corpus carries text bytes,
-  * not media, so the oracle-facing pipeline uses the fakes. Every call
-  * site keeps the same schema contract either way.
+  * generated sine-plus-silence WAV. Video is REAL for MJPEG-in-AVI — a
+  * pure-JVM RIFF walker ([[parseAvi]]) reads the container header and
+  * frame chunks, and ImageIO decodes the per-frame JPEGs
+  * ([[decodeVideo]]/[[sampleFrames]]/[[videoFeatures]]), spec-tested
+  * against an in-test-assembled AVI. Only the learned-encoder embedding
+  * remains *stubbed* with a deterministic fake
+  * ([[fakeDecode]]/[[fakeFeatures]]) — no model weights exist in the
+  * container, and the synthetic corpus carries text bytes, not media,
+  * so the oracle-facing pipeline uses the fakes. Every call site keeps
+  * the same schema contract either way.
   */
 object Multimodal {
 
@@ -164,6 +168,104 @@ object Multimodal {
           }
         } finally in.close()
       } catch { case scala.util.control.NonFatal(_) => null }
+    }
+
+  case class VideoMeta(format: String, width: Int, height: Int,
+      n_frames: Long, us_per_frame: Long, n_bytes: Long)
+
+  private def le32(b: Array[Byte], i: Int): Long =
+    (b(i) & 0xFFL) | ((b(i + 1) & 0xFFL) << 8) |
+      ((b(i + 2) & 0xFFL) << 16) | ((b(i + 3) & 0xFFL) << 24)
+
+  private def fourcc(b: Array[Byte], i: Int): String =
+    new String(b, i, 4, java.nio.charset.StandardCharsets.ISO_8859_1)
+
+  /** REAL minimal RIFF/AVI walker (pure JVM — byte offsets only, no
+    * codec libs): the `avih` main header gives dimensions / frame count /
+    * frame duration, and the `movi` list's `##dc`/`##db` chunks are the
+    * per-frame payloads — for MJPEG AVIs each one is a standalone JPEG
+    * that ImageIO decodes. Returns (header meta, frame byte-ranges);
+    * None for anything that isn't a RIFF AVI. Bounds-checked so corrupt
+    * payloads return None instead of throwing. */
+  private[graft] def parseAvi(bytes: Array[Byte]): Option[(VideoMeta, Seq[(Int, Int)])] = {
+    if (bytes == null || bytes.length < 12 ||
+      fourcc(bytes, 0) != "RIFF" || fourcc(bytes, 8) != "AVI ") return None
+    var meta: Option[VideoMeta] = None
+    val frames = scala.collection.mutable.ArrayBuffer[(Int, Int)]()
+    def walk(from: Int, to: Int, depth: Int): Unit = {
+      var i = from
+      while (i + 8 <= to) {
+        val id = fourcc(bytes, i)
+        val sz = le32(bytes, i + 4)
+        val dataStart = i + 8
+        if (sz < 0 || sz > to - dataStart) return // truncated/corrupt chunk
+        val dataEnd = dataStart + sz.toInt
+        if (id == "LIST" && dataEnd - dataStart >= 4 && depth < 8)
+          walk(dataStart + 4, dataEnd, depth + 1) // skip the list type tag
+        else if (id == "avih" && sz >= 40)
+          meta = Some(VideoMeta("avi",
+            le32(bytes, dataStart + 32).toInt, le32(bytes, dataStart + 36).toInt,
+            le32(bytes, dataStart + 16), le32(bytes, dataStart), bytes.length.toLong))
+        else if (id(0).isDigit && id(1).isDigit &&
+          (id.endsWith("dc") || id.endsWith("db")))
+          frames += ((dataStart, dataEnd))
+        i = dataEnd + (sz.toInt & 1) // chunks are padded to even offsets
+      }
+    }
+    walk(12, bytes.length, 0)
+    meta.map(m => (m, frames.toSeq))
+  }
+
+  /** REAL video decode: container metadata from the AVI main header;
+    * null for bytes that aren't a RIFF AVI. */
+  val decodeVideo: org.apache.spark.sql.expressions.UserDefinedFunction =
+    udf { (bytes: Array[Byte]) =>
+      try parseAvi(bytes).map(_._1).orNull
+      catch { case scala.util.control.NonFatal(_) => null }
+    }
+
+  /** REAL frame sampler: every `stride`-th frame chunk's bytes (for
+    * MJPEG, standalone JPEGs) — the map-side cost is O(sampled bytes),
+    * not O(video), which is what a 100 TB video corpus needs. */
+  val sampleFrames: org.apache.spark.sql.expressions.UserDefinedFunction =
+    udf { (bytes: Array[Byte], stride: Int) =>
+      try parseAvi(bytes).map { case (_, fs) =>
+        val k = math.max(1, stride)
+        fs.zipWithIndex.collect { case ((a, b), i) if i % k == 0 =>
+          java.util.Arrays.copyOfRange(bytes, a, b)
+        }.toArray
+      }.orNull catch { case scala.util.control.NonFatal(_) => null }
+    }
+
+  /** REAL per-frame feature: mean grayscale of each sampled frame (≤16
+    * frames), ImageIO-decoded — the video analog of [[imageFeatures]].
+    * Frames that fail to decode contribute null-safe 0.0. */
+  val videoFeatures: org.apache.spark.sql.expressions.UserDefinedFunction =
+    udf { (bytes: Array[Byte], stride: Int) =>
+      try parseAvi(bytes).map { case (_, fs) =>
+        val k = math.max(1, stride)
+        fs.zipWithIndex.collect { case ((a, b), i) if i % k == 0 => (a, b) }
+          .take(16)
+          .map { case (a, b) =>
+            val img =
+              try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(
+                bytes, a, b - a))
+              catch { case scala.util.control.NonFatal(_) => null }
+            if (img == null) 0.0
+            else {
+              // subsample an 8×8 grid — bounded per-frame cost
+              val (w, h) = (img.getWidth, img.getHeight)
+              var sum = 0.0
+              for (y <- 0 until 8; x <- 0 until 8) {
+                val px = img.getRGB(math.min(w - 1, x * w / 8 + w / 16),
+                  math.min(h - 1, y * h / 8 + h / 16))
+                val r = (px >> 16) & 0xFF; val g = (px >> 8) & 0xFF; val bb = px & 0xFF
+                sum += (0.299 * r + 0.587 * g + 0.114 * bb) / 255.0
+              }
+              sum / 64.0
+            }
+          }.toArray
+      }.orNull catch { case scala.util.control.NonFatal(_) => null }
     }
 
   /** STUB decode: deterministic fake metadata derived from the raw bytes

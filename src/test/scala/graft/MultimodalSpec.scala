@@ -107,6 +107,79 @@ class MultimodalSpec extends AnyFunSuite {
     assert(silence.forall(_ < 0.01), s"silence energy: $silence")
   }
 
+  /** Assemble a real MJPEG-in-AVI: RIFF header, hdrl list with the avih
+    * main header, movi list with one '00dc' JPEG chunk per frame. */
+  private def mjpegAvi(frames: Seq[Array[Byte]], w: Int, h: Int,
+      usPerFrame: Int): Array[Byte] = {
+    def le(v: Long): Array[Byte] =
+      Array((v & 0xFF).toByte, ((v >> 8) & 0xFF).toByte,
+        ((v >> 16) & 0xFF).toByte, ((v >> 24) & 0xFF).toByte)
+    def chunk(id: String, data: Array[Byte]): Array[Byte] =
+      id.getBytes("ISO-8859-1") ++ le(data.length) ++ data ++
+        (if (data.length % 2 == 1) Array(0.toByte) else Array.empty[Byte])
+    def list(typ: String, data: Array[Byte]): Array[Byte] =
+      chunk("LIST", typ.getBytes("ISO-8859-1") ++ data)
+    // MainAVIHeader: 14 u32le fields (56 bytes)
+    val avih = Seq[Long](usPerFrame, 0, 0, 0, frames.length, 0, 1, 0, w, h,
+      0, 0, 0, 0).flatMap(le).toArray
+    val body = list("hdrl", chunk("avih", avih)) ++
+      list("movi", frames.flatMap(f => chunk("00dc", f)).toArray)
+    "RIFF".getBytes("ISO-8859-1") ++ le(body.length + 4) ++
+      "AVI ".getBytes("ISO-8859-1") ++ body
+  }
+
+  /** A w×h JPEG of uniform gray level v (0..255). */
+  private def grayJpeg(w: Int, h: Int, v: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w) img.setRGB(x, y, (v << 16) | (v << 8) | v)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "jpg", bos)
+    bos.toByteArray
+  }
+
+  test("REAL video decode: AVI header fields; undecodable bytes are null") {
+    import spark.implicits._
+    val avi = mjpegAvi(Seq(grayJpeg(32, 24, 0), grayJpeg(32, 24, 128),
+      grayJpeg(32, 24, 250)), 32, 24, 40000)
+    val rows = Seq((1L, avi), (2L, "not a video".getBytes)).toDF("id", "payload")
+      .withColumn("meta", Multimodal.decodeVideo(col("payload")))
+      .select(col("id"), col("meta.format"), col("meta.width"),
+        col("meta.height"), col("meta.n_frames"), col("meta.us_per_frame"))
+      .orderBy("id").collect()
+    assert(rows(0).getString(1) == "avi" && rows(0).getInt(2) == 32 &&
+      rows(0).getInt(3) == 24 && rows(0).getLong(4) == 3L &&
+      rows(0).getLong(5) == 40000L)
+    assert(rows(1).isNullAt(1))
+  }
+
+  test("REAL frame sampling: stride-2 picks frames 0 and 2, bytes re-decode") {
+    import spark.implicits._
+    val f0 = grayJpeg(32, 24, 10); val f1 = grayJpeg(32, 24, 120)
+    val f2 = grayJpeg(32, 24, 240)
+    val avi = mjpegAvi(Seq(f0, f1, f2), 32, 24, 40000)
+    val sampled = Seq(Tuple1(avi)).toDF("payload")
+      .select(Multimodal.sampleFrames(col("payload"), lit(2)).as("fr"))
+      .head.getSeq[Array[Byte]](0)
+    assert(sampled.length == 2)
+    assert(sampled(0).sameElements(f0) && sampled(1).sameElements(f2))
+    // each sampled frame is a standalone JPEG ImageIO can decode
+    val back = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(sampled(1)))
+    assert(back.getWidth == 32 && back.getHeight == 24)
+  }
+
+  test("REAL video features: per-frame mean gray tracks frame content") {
+    import spark.implicits._
+    val avi = mjpegAvi(Seq(grayJpeg(32, 24, 10), grayJpeg(32, 24, 240)),
+      32, 24, 40000)
+    val feats = Seq(Tuple1(avi)).toDF("payload")
+      .select(Multimodal.videoFeatures(col("payload"), lit(1)).as("f"))
+      .head.getSeq[Double](0)
+    assert(feats.length == 2)
+    assert(feats(0) < 0.2 && feats(1) > 0.8, s"$feats")
+  }
+
   test("fakeDecode emits the MediaMetaSchema contract deterministically") {
     val media = Multimodal.mediaTable(spark, TestSpark.Sf)
       .withColumn("meta", Multimodal.fakeDecode(col("payload")))
