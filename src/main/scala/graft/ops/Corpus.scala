@@ -130,6 +130,122 @@ object Corpus {
         .orderBy("l_returnflag")
     },
 
+    // Train/test contamination check: the fraction of each held-out
+    // document's distinct word-3-gram shingles that occur anywhere in
+    // the training split (doc_id parity stands in for the split). The
+    // membership probe is a shuffle join against the DISTINCT train
+    // shingle set — no broadcast hint (that set is O(train corpus)),
+    // no all-pairs anything; the shape a 100 TB decontamination pass
+    // needs. Shares the cached shingle table with the dedup family.
+    OpQuery("q_corpus_contamination",
+      s"""WITH sh AS (${Dedup.oracleShingles}),
+         |tr AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 2 = 0),
+         |te AS (SELECT doc_id, shingle FROM sh WHERE doc_id % 2 = 1)
+         |SELECT doc_id,
+         |       CAST(COUNT(*) AS BIGINT) AS n_shingles,
+         |       CAST(SUM(CASE WHEN tr.shingle IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hit,
+         |       ROUND(CAST(SUM(CASE WHEN tr.shingle IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+         |             / COUNT(*), 6) AS containment
+         |FROM te LEFT JOIN tr ON te.shingle = tr.shingle
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val sh = Dedup.shingleTable(documents(s, d))
+      val tr = sh.filter(col("doc_id") % 2 === 0)
+        .select("shingle").distinct().withColumn("hit", lit(1))
+      sh.filter(col("doc_id") % 2 === 1)
+        .join(tr, Seq("shingle"), "left")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_shingles"),
+          sum(coalesce(col("hit"), lit(0))).cast("long").as("n_hit"))
+        .select(col("doc_id"), col("n_shingles"), col("n_hit"),
+          round(col("n_hit").cast("double") / col("n_shingles"), 6).as("containment"))
+        .orderBy("doc_id")
+    },
+
+    // Gopher-style repetition signals: duplicate-word fraction, most-
+    // frequent-word fraction, most-frequent-bigram fraction per document
+    // — the quality filters a pretraining pipeline applies before
+    // training. Per-doc aggregates only (shuffle key = doc_id[, token]);
+    // map-side combine carries the load at corpus scale.
+    OpQuery("q_text_repetition",
+      """WITH uni AS (
+        |  SELECT doc_id, tok FROM (
+        |    SELECT doc_id, UNNEST(string_split(text, ' ')) AS tok FROM documents) t
+        |  WHERE tok <> ''),
+        |uc AS (SELECT doc_id, tok, COUNT(*) AS c FROM uni GROUP BY doc_id, tok),
+        |ua AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_words,
+        |              CAST(COUNT(*) AS BIGINT) AS n_distinct,
+        |              CAST(MAX(c) AS BIGINT) AS top_c
+        |       FROM uc GROUP BY doc_id),
+        |bi AS (SELECT doc_id, ts[i] || ' ' || ts[i+1] AS bg
+        |       FROM (SELECT doc_id, string_split(text, ' ') AS ts FROM documents) t,
+        |            UNNEST(range(1, len(ts))) AS u(i)),
+        |bc AS (SELECT doc_id, bg, COUNT(*) AS c FROM bi GROUP BY doc_id, bg),
+        |ba AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_bigrams,
+        |              CAST(MAX(c) AS BIGINT) AS top_bi
+        |       FROM bc GROUP BY doc_id)
+        |SELECT a.doc_id, n_words,
+        |       ROUND(CAST(n_words - n_distinct AS DOUBLE) / n_words, 6) AS dup_word_frac,
+        |       ROUND(CAST(top_c AS DOUBLE) / n_words, 6) AS top_word_frac,
+        |       ROUND(COALESCE(CAST(top_bi AS DOUBLE) / n_bigrams, 0.0), 6) AS top_bigram_frac
+        |FROM ua a LEFT JOIN ba b ON a.doc_id = b.doc_id
+        |ORDER BY a.doc_id""".stripMargin) { (s, d) =>
+      val docs = documents(s, d)
+      val uc = docs
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+        .filter(col("tok") =!= "")
+        .groupBy("doc_id", "tok").agg(count(lit(1)).as("c"))
+      val ua = uc.groupBy("doc_id").agg(
+        sum(col("c")).as("n_words"), count(lit(1)).as("n_distinct"),
+        max(col("c")).as("top_c"))
+      // adjacent bigrams via the same slice+zip_with shape as the dedup
+      // shingles (an indexed element_at would re-split per element)
+      val ts = split(col("text"), " ")
+      val bg = zip_with(slice(ts, lit(1), size(ts) - 1),
+        slice(ts, lit(2), size(ts) - 1), (x, y) => concat(x, lit(" "), y))
+      val ba = docs
+        .select(col("doc_id"),
+          explode(when(size(ts) >= 2, bg).otherwise(array())).as("bg"))
+        .groupBy("doc_id", "bg").agg(count(lit(1)).as("c"))
+        .groupBy("doc_id").agg(sum(col("c")).as("n_bigrams"), max(col("c")).as("top_bi"))
+      ua.join(ba, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_words"),
+          round((col("n_words") - col("n_distinct")).cast("double") / col("n_words"), 6)
+            .as("dup_word_frac"),
+          round(col("top_c").cast("double") / col("n_words"), 6).as("top_word_frac"),
+          round(coalesce(col("top_bi").cast("double") / col("n_bigrams"), lit(0.0)), 6)
+            .as("top_bigram_frac"))
+        .orderBy("doc_id")
+    },
+
+    // Training-mixture weights: per-source sampling shares under
+    // square-root (temperature 0.5) size scaling — how a pipeline
+    // rebalances domains before sampling. sqrt is IEEE-correctly-rounded
+    // in both engines, and the shares' denominator sums DECIMAL-cast
+    // weights (order-independent), so the result is bit-stable. The
+    // 1-row total rides a broadcast cross join — O(1), always safe.
+    OpQuery("q_mixture_weights",
+      """WITH s AS (
+        |  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |         CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+        |         CAST(sqrt(CAST(SUM(n_chars) AS DOUBLE)) AS DECIMAL(18,6)) AS w
+        |  FROM documents GROUP BY source)
+        |SELECT source, n_docs, total_chars,
+        |       ROUND(CAST(w AS DOUBLE) / CAST((SELECT SUM(w) FROM s) AS DOUBLE), 6) AS mix_weight,
+        |       CAST(FLOOR(1000 * CAST(w AS DOUBLE) / CAST((SELECT SUM(w) FROM s) AS DOUBLE)) AS BIGINT) AS docs_per_1000
+        |FROM s ORDER BY source""".stripMargin) { (s, d) =>
+      val bySrc = documents(s, d).groupBy("source")
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("total_chars"))
+        .withColumn("w", sqrt(col("total_chars").cast("double")).cast("decimal(18,6)"))
+      val total = bySrc.agg(sum(col("w")).as("tw"))
+      val share = col("w").cast("double") / col("tw").cast("double")
+      bySrc.crossJoin(broadcast(total))
+        .select(col("source"), col("n_docs"), col("total_chars"),
+          round(share, 6).as("mix_weight"),
+          floor(lit(1000) * col("w").cast("double") / col("tw").cast("double"))
+            .cast("long").as("docs_per_1000"))
+        .orderBy("source")
+    },
+
     // Unpivot / melt — wide metrics to long (Spark's native unpivot
     // operator; the oracle is the portable UNION ALL formulation).
     OpQuery("q_unpivot",

@@ -59,8 +59,9 @@ object Dedup {
   }
 
   /** SQL twin of [[shingleTable]] (DuckDB lateral unnest over an index
-    * range; range(1, n-1) is end-exclusive = Spark's sequence(1, n-2)). */
-  private val oracleShingles =
+    * range; range(1, n-1) is end-exclusive = Spark's sequence(1, n-2)).
+    * Shared with [[Corpus]]'s contamination check. */
+  private[ops] val oracleShingles =
     """SELECT DISTINCT doc_id,
       |       ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] AS shingle
       |FROM (SELECT doc_id, string_split(text, ' ') AS ts FROM documents) t,
