@@ -63,7 +63,14 @@ object PlanAudit {
       Check("q_agg_stats", "no value-buffering percentile aggregate",
         p => !p.contains("percentile")),
       Check("q_vocab_topk", "rank applies after TakeOrderedAndProject",
-        p => p.contains("TakeOrderedAndProject"))
+        p => p.contains("TakeOrderedAndProject")),
+      // round-4 additions
+      Check("q_tpch_q18_shape", "single lineitem aggregation (HAVING sum reused)",
+        p => "\\(\\d+\\) HashAggregate".r.findAllIn(p).length == 2),
+      Check("q_text_repetition", "per-doc aggregates are partial-final",
+        p => "HashAggregate".r.findAllIn(p).length >= 2),
+      Check("q_mixture_weights", "scalar total broadcast, no cartesian",
+        p => !p.contains("CartesianProduct"))
     )
 
     val plans = scala.collection.mutable.LinkedHashMap[String, String]()
@@ -83,12 +90,20 @@ object PlanAudit {
     // sits on an unbounded table (VERDICT r2 finding #1).
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", -1)
     val jacNoBcast = plan("q_dedup_ngram_jaccard")
+    val contNoBcast = plan("q_corpus_contamination")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", 10L << 20)
     val smjOk = jacNoBcast.contains("SortMergeJoin")
     if (!smjOk) failed += 1
     println(s"${if (smjOk) "PASS" else "FAIL"}  q_dedup_ngram_jaccard: " +
       "denominator join not mandatory-broadcast (SMJ under autoBroadcast=-1)")
     plans("q_dedup_ngram_jaccard (autoBroadcastJoinThreshold=-1)") = jacNoBcast
+    // the train-shingle membership probe is O(train corpus) — it too
+    // must degrade to a shuffled join when broadcast is off the table
+    val contOk = contNoBcast.contains("SortMergeJoin")
+    if (!contOk) failed += 1
+    println(s"${if (contOk) "PASS" else "FAIL"}  q_corpus_contamination: " +
+      "train-shingle probe not mandatory-broadcast (SMJ under autoBroadcast=-1)")
+    plans("q_corpus_contamination (autoBroadcastJoinThreshold=-1)") = contNoBcast
     println(s"\n== $failed failing checks ==\n")
     plans.foreach { case (q, p) =>
       println(s"\n### $q\n")
