@@ -70,7 +70,9 @@ object PlanAudit {
       Check("q_text_repetition", "per-doc aggregates are partial-final",
         p => "HashAggregate".r.findAllIn(p).length >= 2),
       Check("q_mixture_weights", "scalar total broadcast, no cartesian",
-        p => !p.contains("CartesianProduct"))
+        p => !p.contains("CartesianProduct")),
+      Check("q_topn_per_group", "top-N pruned map-side (partial WindowGroupLimit)",
+        p => "\\(\\d+\\) WindowGroupLimit".r.findAllIn(p).length >= 2)
     )
 
     val plans = scala.collection.mutable.LinkedHashMap[String, String]()
