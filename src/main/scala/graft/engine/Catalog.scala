@@ -56,10 +56,18 @@ object Catalog {
 
   /** Full ingest→profile→register pipeline (analyze_file analog,
     * doc.py:86–131): returns the profile used for NL→SQL grounding.
+    *
+    * `registerView = false` skips the fixed-name registration: on a
+    * SHARED long-lived session (WebServer upload path) a global
+    * `data_table` is exactly the cross-request mutable state the
+    * per-request views in ask_question avoid, so the web tier profiles
+    * without registering. The default keeps the reference's
+    * single-user CLI behavior.
     */
-  def analyzeFile(spark: SparkSession, path: String): DataInfo = {
+  def analyzeFile(spark: SparkSession, path: String,
+      registerView: Boolean = true): DataInfo = {
     val df = Ingest.load(spark, path)
-    register(df)
+    if (registerView) register(df)
     Profile(df)
   }
 }

@@ -52,7 +52,12 @@ object Json {
               case 'r' => sb += '\r'; i += 2
               case 'b' => sb += '\b'; i += 2
               case 'f' => sb += '\f'; i += 2
-              case 'u' if i + 5 < n =>
+              // malformed \uXXXX (non-hex / truncated) falls through to
+              // the literal-char case instead of throwing — getString
+              // must return None/other fields, never escape an exception
+              case 'u' if i + 5 < n &&
+                json.substring(i + 2, i + 6).forall(c =>
+                  Character.digit(c, 16) >= 0) =>
                 sb += Integer.parseInt(json.substring(i + 2, i + 6), 16).toChar
                 i += 6
               case c => sb += c; i += 2

@@ -129,17 +129,20 @@ final class WebServer(spark: SparkSession, workDir: String, port: Int = 0,
             // answering against the wrong (possibly another session's)
             // data. The reference avoids this with a per-file DuckDB
             // database; the unique name is the shared-session analog.
+            val info = Profile(df) // before register: a Profile failure must not leak the view
             val view = "data_" + UUID.randomUUID().toString.replace("-", "")
             Catalog.register(df, view)
-            val info = Profile(df)
             val (sql, result) =
               try {
                 val q = SqlGateway.sanitize(generator.generate(question, info, view))
                 (q, Results.materialize(SqlGateway.run(spark, q)))
               } finally spark.catalog.dropTempView(view)
-            val md = analysisMarkdown(question, sql, info, result)
+            // stored/rendered SQL shows the stable reference name, not
+            // the ephemeral per-request view (which no longer exists)
+            val displaySql = sql.replace(view, Catalog.TableName)
+            val md = analysisMarkdown(question, displaySql, info, result)
             val chatId = UUID.randomUUID().toString
-            store.addChat(chatId, sid, fileId, question, sql, md,
+            store.addChat(chatId, sid, fileId, question, displaySql, md,
               System.currentTimeMillis())
             Response(200, "application/json", Json.obj(
               "success" -> "true",

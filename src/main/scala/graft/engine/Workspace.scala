@@ -34,12 +34,15 @@ object Workspace {
   }
 
   /** Save + analyze; the upload is deleted if analysis fails
-    * (app.py:137–141 cleanup analog). */
+    * (app.py:137–141 cleanup analog). No fixed-name view registration:
+    * the web tier serves concurrent sessions off one SparkSession, so
+    * queries always target per-request views (WebServer.ask_question),
+    * never shared global state. */
   def uploadAndAnalyze(spark: org.apache.spark.sql.SparkSession,
       bytes: Array[Byte], originalName: String, uploadDir: String,
       now: Long): (Path, DataInfo) = {
     val path = saveUpload(bytes, originalName, uploadDir, now)
-    try (path, Catalog.analyzeFile(spark, path.toString))
+    try (path, Catalog.analyzeFile(spark, path.toString, registerView = false))
     catch { case e: Throwable => Files.deleteIfExists(path); throw e }
   }
 }

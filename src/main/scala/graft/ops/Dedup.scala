@@ -130,7 +130,10 @@ object Dedup {
     * non-cached tail (pair expansion → intersection → denominators)
     * runs once and the second consumer reads the materialized frame
     * (CacheManager dedups by plan). The cached frame is output-sized —
-    * O(dup pairs above threshold), a tiny fraction of the corpus. */
+    * O(dup pairs above threshold), a tiny fraction of the corpus — and
+    * joins the session working set like [[shingleTable]]'s cache (one
+    * entry per data directory, released with the session or an explicit
+    * clearCache; same policy as `Tables.t`). */
   private def thresholdedPairs(sh: DataFrame): DataFrame = {
     val p = jaccardPairs(sh, DfCap).filter(col("jac") >= JaccardThreshold)
     p.cache()
@@ -327,8 +330,9 @@ object Dedup {
     }
     if (!converged)
       System.err.println(s"[graft] q_dedup_cluster: label propagation did NOT " +
-        s"converge in $MaxRounds rounds — a component with diameter > $MaxRounds " +
-        "would be split; results may disagree with the transitive-closure oracle")
+        s"converge in $MaxRounds double-step rounds (${2 * MaxRounds} steps) — " +
+        s"a component with diameter > ${2 * MaxRounds} would be split; " +
+        "results may disagree with the transitive-closure oracle")
     // Release every loop intermediate before returning: the final labels
     // are re-materialized as one localCheckpoint (O(dup-edge docs), the
     // only frame the lazy result still needs), then edges + the last

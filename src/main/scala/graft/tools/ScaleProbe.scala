@@ -36,8 +36,10 @@ object ScaleProbe {
     spark.sparkContext.setLogLevel("ERROR")
 
     val base = spark.read.parquet(s"$sfDir/documents.parquet")
-    val nBase = base.count()
-    val offset = (nBase + 1) * 10 // replica doc_id ranges never collide
+    // max+1, not count-based: replica id ranges stay disjoint even for
+    // sparse doc_ids (a count-derived offset collides when ids exceed
+    // 10× the row count)
+    val offset = base.agg(max(col("doc_id"))).head.getLong(0) + 1
 
     def replica(r: Int): DataFrame = base.select(
       (col("doc_id") + lit(r * offset)).as("doc_id"),

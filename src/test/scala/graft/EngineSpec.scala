@@ -212,6 +212,13 @@ class EngineSpec extends AnyFunSuite {
       "file_id").contains("v"))
     assert(Json.getString("""{"file_id":123}""", "file_id").isEmpty)
     assert(Json.getString("""not json""", "file_id").isEmpty)
+    // malformed unicode escape in a PRECEDING value must not throw or
+    // block later fields (built via concat: scalac itself pre-processes
+    // backslash-u even inside triple quotes)
+    val bsU = "\\" + "u"
+    assert(Json.getString(s"""{"note":"${bsU}ZZZZ","file_id":"abc"}""", "file_id")
+      .contains("abc"))
+    assert(Json.getString(s"""{"k":"${bsU}00e"}""", "k").nonEmpty) // truncated hex
   }
 
   test("Gemini transport: response parsing and fence stripping (no network)") {
