@@ -27,7 +27,7 @@ import org.apache.spark.sql.functions._
   */
 object Ingest {
   val SupportedExtensions: Set[String] =
-    Set("parquet", "csv", "xlsx", "xls", "json", "orc")
+    Set("parquet", "csv", "tsv", "xlsx", "xls", "json", "orc")
 
   /** Codec suffixes Spark's text readers decompress transparently —
     * stripped so `data.csv.gz` dispatches on the inner `.csv`. */
@@ -48,6 +48,7 @@ object Ingest {
       case "parquet"        => parquet(spark, path)
       case "orc"            => spark.read.orc(path)
       case "csv"            => csv(spark, path)
+      case "tsv"            => csv(spark, path, sep = "\t")
       case "json"           => json(spark, path)
       // content-sniffed, not extension-trusted: a .xls saved by modern
       // Excel is often really OOXML (zip) and vice versa
@@ -65,11 +66,13 @@ object Ingest {
   def parquet(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
 
-  /** Header + type inference, like pandas.read_csv (doc.py:45–46). */
-  def csv(spark: SparkSession, path: String): DataFrame =
+  /** Header + type inference, like pandas.read_csv (doc.py:45–46);
+    * `sep` covers the TSV dialect through the same reader. */
+  def csv(spark: SparkSession, path: String, sep: String = ","): DataFrame =
     spark.read
       .option("header", "true")
       .option("inferSchema", "true")
+      .option("sep", sep)
       .csv(path)
 
   /** Three-tier JSON fallback (doc.py:52–76 analog):

@@ -117,6 +117,13 @@ class EngineSpec extends AnyFunSuite {
     out.close()
     val viaGz = Ingest.load(spark, gz.toString)
     assert(viaGz.count() == src.count())
+    // .tsv rides the csv reader with a tab separator
+    val tsv = Files.createTempFile("data", ".tsv")
+    Files.writeString(tsv, "a\tb\n1\tx\n2\ty\n")
+    val viaTsv = Ingest.load(spark, tsv.toString)
+    assert(viaTsv.columns.toSeq == Seq("a", "b") && viaTsv.count() == 2)
+    assert(viaTsv.filter(org.apache.spark.sql.functions.col("a") === 2)
+      .head.getString(1) == "y")
   }
 
   // --- xlsx reader ------------------------------------------------------
