@@ -479,6 +479,43 @@ object Dedup {
       clusterLabels(docs, dupPairs)
     },
 
+    // Incremental ingestion dedup: a NEW batch (odd doc_ids) is admitted
+    // against an EXISTING corpus (even doc_ids) — drop batch docs whose
+    // canonicalized text already exists in the corpus OR duplicates an
+    // earlier batch doc. Two hash anti/semi joins on the canonical md5 —
+    // the O(batch) + O(corpus) one-shuffle shape a continuously-ingesting
+    // 100 TB pipeline runs per increment (no broadcast hints: the corpus
+    // hash set is unbounded).
+    OpQuery("q_dedup_incremental",
+      """WITH canon AS (
+        |  SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS h
+        |  FROM documents),
+        |corpus AS (SELECT DISTINCT h FROM canon WHERE doc_id % 2 = 0),
+        |batch AS (SELECT doc_id, h FROM canon WHERE doc_id % 2 = 1)
+        |SELECT b.doc_id, b.h AS canon_hash,
+        |       CASE WHEN c.h IS NOT NULL THEN 'dup_of_corpus'
+        |            WHEN b.doc_id <> m.keep THEN 'dup_in_batch'
+        |            ELSE 'admit' END AS decision
+        |FROM batch b
+        |LEFT JOIN corpus c ON b.h = c.h
+        |JOIN (SELECT h, MIN(doc_id) AS keep FROM batch GROUP BY h) m ON b.h = m.h
+        |ORDER BY b.doc_id""".stripMargin) { (s, d) =>
+      val canon = documents(s, d).select(col("doc_id"),
+        md5(regexp_replace(lower(trim(col("text"))), "\\s+", " ")).as("h"))
+      val corpus = canon.filter(col("doc_id") % 2 === 0)
+        .select(col("h")).distinct().withColumn("in_corpus", lit(1))
+      val batch = canon.filter(col("doc_id") % 2 === 1)
+      val firstInBatch = batch.groupBy("h").agg(min(col("doc_id")).as("keep"))
+      batch
+        .join(corpus, Seq("h"), "left")
+        .join(firstInBatch, Seq("h"))
+        .select(col("doc_id"), col("h").as("canon_hash"),
+          when(col("in_corpus").isNotNull, "dup_of_corpus")
+            .when(col("doc_id") =!= col("keep"), "dup_in_batch")
+            .otherwise("admit").as("decision"))
+        .orderBy("doc_id")
+    },
+
     // Embedding near-dup: cosine ≥ 0.3 within label blocks (the testdata embeddings are near-orthogonal, so the threshold is set where candidate pairs exist) (IVF-style
     // candidate pruning); exact-SQL twin on DuckDB list functions.
     OpQuery("q_dedup_embedding",
