@@ -97,4 +97,39 @@ class DedupVectorSpec extends AnyFunSuite {
     val distinctTexts = docs.select("text").distinct().count()
     assert(q("q_dedup_exact").count() == distinctTexts)
   }
+
+  test("incremental dedup: every batch doc decided; admits are canonically unique") {
+    val rows = q("q_dedup_incremental").collect()
+    val docs = ops.Tables.documents(spark, TestSpark.Sf)
+    val nBatch = docs.filter(col("doc_id") % 2 === 1).count()
+    assert(rows.length == nBatch) // one decision per batch doc
+    val admits = rows.filter(_.getString(2) == "admit")
+    // admitted hashes are unique within the batch AND absent from corpus
+    val admitHashes = admits.map(_.getString(1))
+    assert(admitHashes.distinct.length == admitHashes.length)
+    val corpusHashes = docs.filter(col("doc_id") % 2 === 0)
+      .select(org.apache.spark.sql.functions.md5(
+        org.apache.spark.sql.functions.regexp_replace(
+          org.apache.spark.sql.functions.lower(
+            org.apache.spark.sql.functions.trim(col("text"))), "\\s+", " ")))
+      .collect().map(_.getString(0)).toSet
+    assert(admitHashes.forall(h => !corpusHashes.contains(h)))
+    assert(rows.map(_.getString(2)).toSet.subsetOf(
+      Set("admit", "dup_of_corpus", "dup_in_batch")))
+  }
+
+  test("embedding quantization: codes in [0,255], error under one bucket width") {
+    val rows = q("q_embed_quantize").collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(r => r.getLong(2) >= 0L && r.getLong(2) <= 255L))
+    // per-dimension scale = (mx-mn)/255; floor quantization error < scale
+    // (+5e-7: the err column is rounded to 6 dp on output)
+    val e = ops.Tables.embeddings(spark, TestSpark.Sf)
+    val scales = e.select(org.apache.spark.sql.functions.posexplode(col("embedding")))
+      .groupBy("pos")
+      .agg(((org.apache.spark.sql.functions.max(col("col").cast("double")) -
+        org.apache.spark.sql.functions.min(col("col").cast("double"))) / 255.0).as("scale"))
+      .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
+    assert(rows.forall(r => r.getDouble(3) <= scales(r.getInt(1)) + 5e-7))
+  }
 }
