@@ -151,4 +151,44 @@ object EventStream {
           Iterator(next)
       }
   }
+
+  case class DocRow(doc_id: Long, text: String)
+  case class Admission(doc_id: Long, canon_hash: String, decision: String)
+
+  /** Same canonicalization as the batch dedup family (q_dedup_canonical
+    * / q_dedup_incremental): lowercase, trim, collapse whitespace, md5. */
+  def canonHash(text: String): String = {
+    val canon = text.trim.toLowerCase.replaceAll("\\s+", " ")
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(canon.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    d.map(b => f"$b%02x").mkString
+  }
+
+  /** Streaming twin of q_dedup_incremental's admission logic: documents
+    * arrive as a stream, and per canonical hash the smallest doc_id seen
+    * so far is the keeper — later arrivals are emitted as duplicates.
+    * State is one (hash → keeper id) entry per DISTINCT document, the
+    * bounded state a continuously-ingesting 100 TB pipeline carries
+    * (grows with unique content, not with arrivals; hash-partitioned
+    * across executors by groupByKey). Within a micro-batch, rows are
+    * ordered by doc_id so admission is deterministic regardless of
+    * partition arrival order. */
+  def admissions(docs: Dataset[DocRow]): Dataset[Admission] = {
+    import docs.sparkSession.implicits._
+    docs
+      .map(d => (d.doc_id, canonHash(d.text)))
+      .groupByKey(_._2)
+      .flatMapGroupsWithState[Long, Admission](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (hash: String, rows: Iterator[(Long, String)], state: GroupState[Long]) =>
+          val batch = rows.map(_._1).toSeq.sorted
+          var keeper = state.getOption.getOrElse(Long.MaxValue)
+          val out = batch.map { id =>
+            if (id < keeper) { keeper = id; Admission(id, hash, "admit") }
+            else Admission(id, hash, "dup")
+          }
+          state.update(keeper)
+          out.iterator
+      }
+  }
 }

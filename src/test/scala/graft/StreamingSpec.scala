@@ -174,4 +174,36 @@ class StreamingSpec extends AnyFunSuite {
     val batch = batchEvents.groupBy("user_id").agg(count(lit(1)).as("n_events"))
     assertSameRows(finalState, batch)
   }
+
+  test("streaming admission dedup == batch first-wins per canonical hash") {
+    import spark.implicits._
+    // Spark 4 moved MemoryStream under execution.streaming.runtime
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val docs = ops.Tables.documents(spark, TestSpark.Sf)
+      .select($"doc_id", $"text").as[EventStream.DocRow]
+      .collect().sortBy(_.doc_id)
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[EventStream.DocRow]
+    val q = EventStream.admissions(mem.toDS())
+      .writeStream.format("memory").queryName("admission_sink")
+      .outputMode("update").start()
+    // three id-ordered micro-batches: duplicates may arrive in a later
+    // batch than their keeper — state must carry across batches
+    docs.grouped(math.max(1, docs.length / 3 + 1)).foreach { chunk =>
+      mem.addData(chunk.toSeq)
+      q.processAllAvailable()
+    }
+    q.stop()
+    val streamed = spark.table("admission_sink")
+      .select("doc_id", "canon_hash", "decision")
+    // batch truth: per canonical hash the min doc_id admits, rest are dups
+    val canon = docs.map(d => (d.doc_id, EventStream.canonHash(d.text)))
+    val keeper = canon.groupBy(_._2).map { case (h, xs) => h -> xs.map(_._1).min }
+    val expected = canon.map { case (id, h) =>
+      (id, h, if (id == keeper(h)) "admit" else "dup")
+    }.toSeq.toDF("doc_id", "canon_hash", "decision")
+    assertSameRows(streamed, expected)
+    // state size = distinct documents, not arrivals
+    assert(streamed.filter($"decision" === "admit").count() == keeper.size)
+  }
 }
