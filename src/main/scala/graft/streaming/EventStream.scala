@@ -156,9 +156,12 @@ object EventStream {
   case class Admission(doc_id: Long, canon_hash: String, decision: String)
 
   /** Same canonicalization as the batch dedup family (q_dedup_canonical
-    * / q_dedup_incremental): lowercase, trim, collapse whitespace, md5. */
+    * / q_dedup_incremental): lowercase, trim, collapse whitespace, md5.
+    * Locale.ROOT: the default-locale toLowerCase diverges from Spark's
+    * locale-independent `lower` on e.g. a Turkish-locale JVM ('I'→'ı'),
+    * which would silently split batch and streaming dedup decisions. */
   def canonHash(text: String): String = {
-    val canon = text.trim.toLowerCase.replaceAll("\\s+", " ")
+    val canon = text.trim.toLowerCase(java.util.Locale.ROOT).replaceAll("\\s+", " ")
     val d = java.security.MessageDigest.getInstance("MD5")
       .digest(canon.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     d.map(b => f"$b%02x").mkString

@@ -205,5 +205,12 @@ class StreamingSpec extends AnyFunSuite {
     assertSameRows(streamed, expected)
     // state size = distinct documents, not arrivals
     assert(streamed.filter($"decision" === "admit").count() == keeper.size)
+    // the JVM-side hash must agree with the SQL canonicalization the
+    // batch family uses (md5 ∘ collapse-ws ∘ lower ∘ trim) — a locale-
+    // dependent toLowerCase would silently split the two
+    val sqlHashes = ops.Tables.documents(spark, TestSpark.Sf)
+      .select($"doc_id", md5(regexp_replace(lower(trim($"text")), "\\s+", " ")).as("h"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(canon.forall { case (id, h) => sqlHashes(id) == h })
   }
 }
