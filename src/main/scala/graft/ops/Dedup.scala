@@ -29,6 +29,26 @@ object Dedup {
   val NumPerm = 16     // MinHash permutations
   val Bands = 4        // LSH bands (NumPerm / Bands rows per band)
 
+  /** Canonical text form shared by the whole dedup family (batch,
+    * streaming, and specs — ONE definition so the copies can't drift):
+    * trim (spaces only, matching SQL trim) → lowercase → collapse
+    * whitespace runs. */
+  private[graft] def canonText(c: Column): Column =
+    regexp_replace(lower(trim(c)), "\\s+", " ")
+
+  /** Sentinel hash for NULL text: md5(NULL) is NULL, and a null hash
+    * silently drops the document from null-unsafe joins/groupings — a
+    * corrupt record must still receive a dedup decision. */
+  val NullTextHash = "null-text"
+
+  /** Canonical content hash (md5 of [[canonText]], null-safe). */
+  private[graft] def canonHashCol(c: Column): Column =
+    coalesce(md5(canonText(c)), lit(NullTextHash))
+
+  /** SQL twin of [[canonHashCol]] for the DuckDB oracles. */
+  private[graft] val canonHashSql =
+    """COALESCE(md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')), 'null-text')"""
+
   /** Word 3-gram shingles, one row per (doc_id, distinct shingle).
     *
     * Construction is slice+zip_with rather than an indexed transform:
@@ -371,7 +391,7 @@ object Dedup {
         |GROUP BY regexp_replace(lower(trim(text)), '\s+', ' ', 'g')
         |ORDER BY keep_id""".stripMargin) { (s, d) =>
       documents(s, d)
-        .groupBy(regexp_replace(lower(trim(col("text"))), "\\s+", " ").as("canon"))
+        .groupBy(canonText(col("text")).as("canon"))
         .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
         .select("keep_id", "n_copies")
         .orderBy("keep_id")
@@ -487,8 +507,8 @@ object Dedup {
     // 100 TB pipeline runs per increment (no broadcast hints: the corpus
     // hash set is unbounded).
     OpQuery("q_dedup_incremental",
-      """WITH canon AS (
-        |  SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS h
+      s"""WITH canon AS (
+        |  SELECT doc_id, $canonHashSql AS h
         |  FROM documents),
         |corpus AS (SELECT DISTINCT h FROM canon WHERE doc_id % 2 = 0),
         |batch AS (SELECT doc_id, h FROM canon WHERE doc_id % 2 = 1)
@@ -501,7 +521,7 @@ object Dedup {
         |JOIN (SELECT h, MIN(doc_id) AS keep FROM batch GROUP BY h) m ON b.h = m.h
         |ORDER BY b.doc_id""".stripMargin) { (s, d) =>
       val canon = documents(s, d).select(col("doc_id"),
-        md5(regexp_replace(lower(trim(col("text"))), "\\s+", " ")).as("h"))
+        canonHashCol(col("text")).as("h"))
       val corpus = canon.filter(col("doc_id") % 2 === 0)
         .select(col("h")).distinct().withColumn("in_corpus", lit(1))
       val batch = canon.filter(col("doc_id") % 2 === 1)

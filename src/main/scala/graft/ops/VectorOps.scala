@@ -122,16 +122,15 @@ object VectorOps {
         .limit(10)
     },
 
-    // Brute-force cosine top-k against the min-vec_id query vector — the
-    // exact baseline. One broadcast of the (1-row) query vector, one scan:
-    // the shape that survives any scale-up of the corpus side.
     // int8-style embedding quantization: per-dimension min/max over the
     // corpus → scale each component to an integer in [0, 255], plus the
     // per-component reconstruction error — the 4× storage compression an
     // embedding store applies before serving 100 TB of vectors. Two
     // shuffles (per-dimension stats keyed on pos, then the re-join);
     // the stats table is O(dims) — trivially broadcast by the optimizer.
-    // floor (not round) keeps the bucket edge engine-identical.
+    // floor (not round) keeps the bucket edge engine-identical; err needs
+    // no rounding at all — every term is computed in the same IEEE
+    // association order on both engines, so the doubles match bitwise.
     OpQuery("q_embed_quantize",
       """WITH x AS (
         |  SELECT vec_id, i - 1 AS pos, CAST(embedding[i] AS DOUBLE) AS x
@@ -143,7 +142,7 @@ object VectorOps {
         |              ELSE least(255.0, floor((x - mn) / (mx - mn) * 255.0)) END AS qd
         |  FROM x JOIN d USING (pos))
         |SELECT vec_id, CAST(pos AS INT) AS pos, CAST(qd AS BIGINT) AS q,
-        |       ROUND(abs(x - (mn + qd * (mx - mn) / 255.0)), 6) AS err
+        |       abs(x - (mn + qd * (mx - mn) / 255.0)) AS err
         |FROM q ORDER BY vec_id, pos""".stripMargin) { (s, d) =>
       val x = embeddings(s, d)
         .select(col("vec_id"), posexplode(col("embedding")))
@@ -155,11 +154,14 @@ object VectorOps {
       x.join(stats, "pos")
         .withColumn("qd", qd)
         .select(col("vec_id"), col("pos"), col("qd").cast("long").as("q"),
-          round(abs(col("x") - (col("mn") + col("qd") * (col("mx") - col("mn")) / lit(255.0))), 6)
+          abs(col("x") - (col("mn") + col("qd") * (col("mx") - col("mn")) / lit(255.0)))
             .as("err"))
         .orderBy("vec_id", "pos")
     },
 
+    // Brute-force cosine top-k against the min-vec_id query vector — the
+    // exact baseline. One broadcast of the (1-row) query vector, one scan:
+    // the shape that survives any scale-up of the corpus side.
     OpQuery("q_sim_cosine_topk",
       """WITH q AS (SELECT embedding AS qv FROM embeddings
         |           WHERE vec_id = (SELECT MIN(vec_id) FROM embeddings)),

@@ -155,27 +155,35 @@ object EventStream {
   case class DocRow(doc_id: Long, text: String)
   case class Admission(doc_id: Long, canon_hash: String, decision: String)
 
-  /** Same canonicalization as the batch dedup family (q_dedup_canonical
-    * / q_dedup_incremental): lowercase, trim, collapse whitespace, md5.
-    * Locale.ROOT: the default-locale toLowerCase diverges from Spark's
-    * locale-independent `lower` on e.g. a Turkish-locale JVM ('I'→'ı'),
-    * which would silently split batch and streaming dedup decisions. */
+  /** JVM twin of the batch family's canonical hash (Dedup.canonHashCol):
+    * trim, lowercase, collapse whitespace, md5; NULL text gets the same
+    * sentinel so a corrupt record is decided, not crashed on. Two
+    * divergence traps deliberately avoided: String.trim strips ALL chars
+    * <= U+0020 while SQL trim strips only spaces (so trim spaces
+    * explicitly), and default-locale toLowerCase differs from Spark's
+    * locale-independent `lower` on e.g. a Turkish-locale JVM ('I'→'ı')
+    * (so Locale.ROOT). StreamingSpec pins JVM-vs-SQL hash agreement. */
   def canonHash(text: String): String = {
-    val canon = text.trim.toLowerCase(java.util.Locale.ROOT).replaceAll("\\s+", " ")
+    if (text == null) return graft.ops.Dedup.NullTextHash
+    val trimmed = text.replaceAll("^ +| +$", "") // SQL trim: spaces only
+    val canon = trimmed.toLowerCase(java.util.Locale.ROOT).replaceAll("\\s+", " ")
     val d = java.security.MessageDigest.getInstance("MD5")
       .digest(canon.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     d.map(b => f"$b%02x").mkString
   }
 
   /** Streaming twin of q_dedup_incremental's admission logic: documents
-    * arrive as a stream, and per canonical hash the smallest doc_id seen
-    * so far is the keeper — later arrivals are emitted as duplicates.
-    * State is one (hash → keeper id) entry per DISTINCT document, the
-    * bounded state a continuously-ingesting 100 TB pipeline carries
-    * (grows with unique content, not with arrivals; hash-partitioned
-    * across executors by groupByKey). Within a micro-batch, rows are
-    * ordered by doc_id so admission is deterministic regardless of
-    * partition arrival order. */
+    * arrive as a stream; the FIRST arrival of each canonical hash is
+    * admitted, every later arrival is a duplicate. An emitted admission
+    * cannot be retracted, so once state exists the keeper NEVER changes —
+    * a smaller doc_id arriving in a later micro-batch is a dup (this is
+    * where arrival-order semantics necessarily differ from the batch
+    * min-doc_id rule; they coincide when arrivals are id-ordered, which
+    * the spec equivalence exercises). Within one micro-batch, rows are
+    * ordered by doc_id so the admitted row is deterministic regardless
+    * of partition arrival order. State is one (hash → keeper id) entry
+    * per DISTINCT document — grows with unique content, not arrivals;
+    * hash-partitioned across executors by groupByKey. */
   def admissions(docs: Dataset[DocRow]): Dataset[Admission] = {
     import docs.sparkSession.implicits._
     docs
@@ -185,12 +193,15 @@ object EventStream {
         OutputMode.Update, GroupStateTimeout.NoTimeout) {
         (hash: String, rows: Iterator[(Long, String)], state: GroupState[Long]) =>
           val batch = rows.map(_._1).toSeq.sorted
-          var keeper = state.getOption.getOrElse(Long.MaxValue)
+          var keeperOpt = state.getOption
           val out = batch.map { id =>
-            if (id < keeper) { keeper = id; Admission(id, hash, "admit") }
-            else Admission(id, hash, "dup")
+            keeperOpt match {
+              case None =>
+                keeperOpt = Some(id); Admission(id, hash, "admit")
+              case Some(_) => Admission(id, hash, "dup")
+            }
           }
-          state.update(keeper)
+          keeperOpt.foreach(state.update)
           out.iterator
       }
   }

@@ -108,10 +108,7 @@ class DedupVectorSpec extends AnyFunSuite {
     val admitHashes = admits.map(_.getString(1))
     assert(admitHashes.distinct.length == admitHashes.length)
     val corpusHashes = docs.filter(col("doc_id") % 2 === 0)
-      .select(org.apache.spark.sql.functions.md5(
-        org.apache.spark.sql.functions.regexp_replace(
-          org.apache.spark.sql.functions.lower(
-            org.apache.spark.sql.functions.trim(col("text"))), "\\s+", " ")))
+      .select(ops.Dedup.canonHashCol(col("text")))
       .collect().map(_.getString(0)).toSet
     assert(admitHashes.forall(h => !corpusHashes.contains(h)))
     assert(rows.map(_.getString(2)).toSet.subsetOf(
@@ -123,13 +120,13 @@ class DedupVectorSpec extends AnyFunSuite {
     assert(rows.nonEmpty)
     assert(rows.forall(r => r.getLong(2) >= 0L && r.getLong(2) <= 255L))
     // per-dimension scale = (mx-mn)/255; floor quantization error < scale
-    // (+5e-7: the err column is rounded to 6 dp on output)
+    // (err is an unrounded double, so only fp-noise tolerance is needed)
     val e = ops.Tables.embeddings(spark, TestSpark.Sf)
     val scales = e.select(org.apache.spark.sql.functions.posexplode(col("embedding")))
       .groupBy("pos")
       .agg(((org.apache.spark.sql.functions.max(col("col").cast("double")) -
         org.apache.spark.sql.functions.min(col("col").cast("double"))) / 255.0).as("scale"))
       .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
-    assert(rows.forall(r => r.getDouble(3) <= scales(r.getInt(1)) + 5e-7))
+    assert(rows.forall(r => r.getDouble(3) <= scales(r.getInt(1)) + 1e-12))
   }
 }

@@ -205,12 +205,36 @@ class StreamingSpec extends AnyFunSuite {
     assertSameRows(streamed, expected)
     // state size = distinct documents, not arrivals
     assert(streamed.filter($"decision" === "admit").count() == keeper.size)
-    // the JVM-side hash must agree with the SQL canonicalization the
-    // batch family uses (md5 ∘ collapse-ws ∘ lower ∘ trim) — a locale-
-    // dependent toLowerCase would silently split the two
+    // the JVM-side hash must agree with the batch family's canonical
+    // hash column (ONE definition in Dedup) — a locale-dependent
+    // toLowerCase or an over-eager trim would silently split the two
     val sqlHashes = ops.Tables.documents(spark, TestSpark.Sf)
-      .select($"doc_id", md5(regexp_replace(lower(trim($"text")), "\\s+", " ")).as("h"))
+      .select($"doc_id", ops.Dedup.canonHashCol($"text").as("h"))
       .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
     assert(canon.forall { case (id, h) => sqlHashes(id) == h })
+  }
+
+  test("admission is first-wins: late smaller ids are dups; null text is decided") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[EventStream.DocRow]
+    val q = EventStream.admissions(mem.toDS())
+      .writeStream.format("memory").queryName("fw_sink")
+      .outputMode("update").start()
+    mem.addData(EventStream.DocRow(10L, "alpha beta"))
+    q.processAllAvailable()
+    // a SMALLER id with the same content arrives later: the original
+    // admission cannot be retracted, so it must be a dup, not a
+    // retroactive keeper swap that would admit the content twice
+    mem.addData(EventStream.DocRow(3L, "  ALPHA   beta "),
+      EventStream.DocRow(7L, null))
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("fw_sink")
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(rows(10L) == "admit" && rows(3L) == "dup")
+    // a corrupt (null-text) record is decided, not crashed on
+    assert(rows(7L) == "admit")
   }
 }
