@@ -20,7 +20,7 @@ object ScaleProbe {
 
   private val Queries = Seq("q_dedup_ngram_jaccard", "q_dedup_minhash",
     "q_dedup_simhash", "q_dedup_cluster", "q_corpus_contamination",
-    "q_text_repetition")
+    "q_text_repetition", "q_dedup_incremental")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
