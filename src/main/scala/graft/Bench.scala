@@ -51,7 +51,7 @@ object Bench {
     // the same reason (fewer tiny tasks to schedule). Both overridable.
     val shufflePartitions = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", "16")
     val aqe = sys.env.getOrElse("SPARK_GRAFT_AQE", "false")
-    val spark = SparkSession.builder()
+    val spark = { graft.engine.Session.pinLocale(); SparkSession.builder() }
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", shufflePartitions)
       .config("spark.sql.adaptive.enabled", aqe)

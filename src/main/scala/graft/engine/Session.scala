@@ -20,7 +20,18 @@ object Session {
   def cores: Int = sys.env.getOrElse("SPARK_GRAFT_CPUS",
     Runtime.getRuntime.availableProcessors().toString).toInt
 
+  /** Pin the JVM default locale to ROOT: Spark's string functions
+    * (UTF8String.toLowerCaseSlow and friends) fall back to the JVM
+    * DEFAULT locale for non-ASCII strings, so on e.g. a Turkish-locale
+    * host `lower('I')` would yield dotless ı while DuckDB's
+    * locale-independent lower yields 'i' — silently breaking oracle
+    * hash comparisons and the dedup canonicalization. Called from every
+    * JVM entry point that creates a session. */
+  def pinLocale(): Unit =
+    java.util.Locale.setDefault(java.util.Locale.ROOT)
+
   def local(appName: String = "graft"): SparkSession = {
+    pinLocale()
     val spark = SparkSession.builder()
       .master(s"local[$cores]")
       .appName(appName)

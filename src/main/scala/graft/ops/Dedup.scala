@@ -29,12 +29,24 @@ object Dedup {
   val NumPerm = 16     // MinHash permutations
   val Bands = 4        // LSH bands (NumPerm / Bands rows per band)
 
+  /** Whitespace class written out explicitly: Java regex `\s` includes
+    * U+000B (vertical tab) while DuckDB's RE2 `\s` does not — with a
+    * shorthand class the two engines would canonicalize a document
+    * containing U+000B differently and the oracle hash would diverge.
+    * Both regex dialects read the explicit class identically. */
+  private val WsClassScala = "[ \\t\\n\\r\\f\\x0B]"
+  private val WsClassSql = """[ \t\n\r\f\x0B]"""
+
   /** Canonical text form shared by the whole dedup family (batch,
     * streaming, and specs — ONE definition so the copies can't drift):
     * trim (spaces only, matching SQL trim) → lowercase → collapse
     * whitespace runs. */
   private[graft] def canonText(c: Column): Column =
-    regexp_replace(lower(trim(c)), "\\s+", " ")
+    regexp_replace(lower(trim(c)), WsClassScala + "+", " ")
+
+  /** SQL twin of [[canonText]] (interpolated into the oracles). */
+  private[graft] val canonTextSql =
+    s"regexp_replace(lower(trim(text)), '$WsClassSql+', ' ', 'g')"
 
   /** Sentinel hash for NULL text: md5(NULL) is NULL, and a null hash
     * silently drops the document from null-unsafe joins/groupings — a
@@ -47,7 +59,7 @@ object Dedup {
 
   /** SQL twin of [[canonHashCol]] for the DuckDB oracles. */
   private[graft] val canonHashSql =
-    """COALESCE(md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')), 'null-text')"""
+    s"COALESCE(md5($canonTextSql), 'null-text')"
 
   /** Word 3-gram shingles, one row per (doc_id, distinct shingle).
     *
@@ -385,10 +397,10 @@ object Dedup {
 
     // Canonicalization dedup: lowercase + trim + whitespace collapse.
     OpQuery("q_dedup_canonical",
-      """SELECT CAST(MIN(doc_id) AS BIGINT) AS keep_id,
+      s"""SELECT CAST(MIN(doc_id) AS BIGINT) AS keep_id,
         |       CAST(COUNT(*) AS BIGINT) AS n_copies
         |FROM documents
-        |GROUP BY regexp_replace(lower(trim(text)), '\s+', ' ', 'g')
+        |GROUP BY $canonTextSql
         |ORDER BY keep_id""".stripMargin) { (s, d) =>
       documents(s, d)
         .groupBy(canonText(col("text")).as("canon"))

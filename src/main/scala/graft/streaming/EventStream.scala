@@ -157,16 +157,23 @@ object EventStream {
 
   /** JVM twin of the batch family's canonical hash (Dedup.canonHashCol):
     * trim, lowercase, collapse whitespace, md5; NULL text gets the same
-    * sentinel so a corrupt record is decided, not crashed on. Two
-    * divergence traps deliberately avoided: String.trim strips ALL chars
-    * <= U+0020 while SQL trim strips only spaces (so trim spaces
-    * explicitly), and default-locale toLowerCase differs from Spark's
-    * locale-independent `lower` on e.g. a Turkish-locale JVM ('I'→'ı')
-    * (so Locale.ROOT). StreamingSpec pins JVM-vs-SQL hash agreement. */
+    * sentinel so a corrupt record is decided, not crashed on. Divergence
+    * traps deliberately avoided: String.trim strips ALL chars <= U+0020
+    * while SQL trim strips only spaces (so trim spaces explicitly);
+    * Spark's `lower` falls back to DEFAULT-locale toLowerCase for
+    * non-ASCII strings, which is why Session.pinLocale sets the JVM
+    * default to ROOT at every entry point — Locale.ROOT here matches
+    * that pinned default (and DuckDB's locale-independent lower); and
+    * the whitespace class is written out because Java's \s and RE2's \s
+    * disagree on U+000B. StreamingSpec pins JVM-vs-SQL hash agreement
+    * on adversarial literals that exercise each trap. */
   def canonHash(text: String): String = {
     if (text == null) return graft.ops.Dedup.NullTextHash
     val trimmed = text.replaceAll("^ +| +$", "") // SQL trim: spaces only
-    val canon = trimmed.toLowerCase(java.util.Locale.ROOT).replaceAll("\\s+", " ")
+    // explicit whitespace class, same set as Dedup.canonText on both
+    // engines (Java \s would also collapse U+000B; keep them identical)
+    val canon = trimmed.toLowerCase(java.util.Locale.ROOT)
+      .replaceAll("[ \\t\\n\\r\\f\\x0B]+", " ")
     val d = java.security.MessageDigest.getInstance("MD5")
       .digest(canon.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     d.map(b => f"$b%02x").mkString

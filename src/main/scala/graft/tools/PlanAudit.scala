@@ -15,7 +15,7 @@ object PlanAudit {
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
     sys.props("graft.no.cache") = "1"
-    val spark = SparkSession.builder()
+    val spark = { graft.engine.Session.pinLocale(); SparkSession.builder() }
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")

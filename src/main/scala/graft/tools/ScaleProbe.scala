@@ -25,7 +25,7 @@ object ScaleProbe {
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val outBase = args.lift(1).getOrElse("/tmp/graft_scale")
-    val spark = SparkSession.builder()
+    val spark = { graft.engine.Session.pinLocale(); SparkSession.builder() }
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", "16")
       .config("spark.sql.adaptive.enabled", "false")

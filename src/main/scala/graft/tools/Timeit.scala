@@ -18,7 +18,7 @@ object Timeit {
     // mirror Bench's latency-tuned session so solo numbers measure the
     // same configuration the driver benches (AQE off, 16 partitions,
     // no constraint propagation, small range-sort sampling)
-    val spark = SparkSession.builder()
+    val spark = { graft.engine.Session.pinLocale(); SparkSession.builder() }
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", "16")
       .config("spark.sql.adaptive.enabled", "false")

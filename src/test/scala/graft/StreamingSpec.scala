@@ -214,6 +214,31 @@ class StreamingSpec extends AnyFunSuite {
     assert(canon.forall { case (id, h) => sqlHashes(id) == h })
   }
 
+  test("JVM and SQL canonical hashes agree on adversarial literals") {
+    import spark.implicits._
+    // each literal targets one divergence trap: non-space edge
+    // whitespace (String.trim vs SQL trim), mixed case incl. 'I' and
+    // non-ASCII (locale-sensitive lowercase slow path), U+000B (Java \s
+    // vs RE2 \s), interior whitespace runs, null text (sentinel)
+    val adversarial: Seq[(Long, String)] = Seq(
+      1L -> "\tMixed CASE text\n",
+      2L -> "  leading and trailing   ",
+      3L -> "Işık İstanbul CAFÉ naïve",
+      4L -> "verticaltab",
+      5L -> "runs \t\t of\n\nwhitespace",
+      6L -> "", 7L -> null)
+    val jvm = adversarial.map { case (id, t) =>
+      id -> EventStream.canonHash(t)
+    }.toMap
+    val sql = adversarial.toDF("id", "text")
+      .select($"id", ops.Dedup.canonHashCol($"text").as("h"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    adversarial.foreach { case (id, t) =>
+      assert(jvm(id) == sql(id), s"id=$id text=${Option(t)}")
+    }
+    assert(jvm(7L) == ops.Dedup.NullTextHash)
+  }
+
   test("admission is first-wins: late smaller ids are dups; null text is decided") {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream

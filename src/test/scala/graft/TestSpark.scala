@@ -5,7 +5,7 @@ import org.apache.spark.sql.SparkSession
 /** One SparkSession for the whole forked test JVM. */
 object TestSpark {
   lazy val spark: SparkSession = {
-    val s = SparkSession.builder()
+    val s = { graft.engine.Session.pinLocale(); SparkSession.builder() }
       .master("local[4]")
       .appName("graft-test")
       .config("spark.sql.shuffle.partitions", "4")
