@@ -10,10 +10,11 @@ import org.apache.spark.sql.types.DecimalType
   * same parquet (driver contract, Verify.scala). Floating-point
   * aggregation order differs between engines (Spark partial aggregates in
   * parallel; DuckDB sums sequentially), so money-style SUM/AVG go through
-  * exact DECIMAL accumulation and only the final value is cast back to
-  * DOUBLE — bit-identical on both engines, order-independent, and still
-  * cheap (decimal sum is codegen'd; at 100 TB it is the same shuffle
-  * shape as a double sum).
+  * exact fixed-point LONG accumulation (×100 / ×1e6 into longs, sum
+  * longs, scale back to DOUBLE at the end) — bit-identical on both
+  * engines, order-independent because integer addition is associative,
+  * and as fast as a plain long sum in the hash-agg fast path. At 100 TB
+  * it is the same shuffle shape as a double sum.
   */
 object Tables {
   /** Max on-disk bytes for a table to be cached (default 4 GiB,
@@ -70,22 +71,64 @@ object Tables {
   def embeddings(s: SparkSession, d: String): DataFrame = t(s, d, "embeddings")
 
   // ---- determinism helpers (Spark side) -------------------------------
-  /** Exact decimal image of a ~2-dp money double. */
+  /** Exact decimal image of a ~2-dp money double (windowed sums only —
+    * grouped sums use the faster fixed-point LongType path below). */
   def dec(c: Column): Column = c.cast(DecimalType(18, 4))
   /** Exact decimal image of a product of ≤3 clean-decimal doubles: the true
     * value has ≤6 decimal places, so rounding the double product to 6 dp
     * recovers it exactly on both engines. */
   def dec6(c: Column): Column = c.cast(DecimalType(18, 6))
-  /** Order-independent SUM(double) with an exact decimal accumulator. */
-  def dsum(c: Column): Column = sum(dec(c)).cast("double")
-  def dsum6(c: Column): Column = sum(dec6(c)).cast("double")
+
+  /** Exact fixed-point long image of a ~2-dp money double (cents). The
+    * true value has ≤2 dp, so the IEEE double sits within ~1e-9 of the
+    * cent grid — far from any .5 tie — and FLOOR(x+0.5) recovers it
+    * exactly on both engines (both evaluate the identical IEEE
+    * expression). floor is used instead of round because Spark's Round
+    * on doubles routes through BigDecimal per value, while floor is a
+    * single Math.floor in codegen and already yields LongType. */
+  def cents(c: Column): Column = floor(c * lit(100) + lit(0.5))
+  private def micros(c: Column): Column = floor(c * lit(1000000) + lit(0.5))
+
+  /** Order-independent SUM(double): exact fixed-point LongType
+    * accumulation. Long sums are an order of magnitude faster than the
+    * DecimalType(18,4) accumulator this replaces (decimal add is a
+    * non-primitive branchy path even in codegen; long add is a single
+    * ALU op in the hash-agg fast row) and equally order-independent —
+    * integer addition is associative. Overflow headroom: cents of a
+    * ≤1e5-dollar value are ≤1e7/row, so a single group can absorb ~1e11
+    * rows (≈ sf100k) before nearing 2^63. */
+  def dsum(c: Column): Column = sum(cents(c)).cast("double") / lit(100.0)
+
+  /** Order-independent SUM over 6-dp products (price*(1-disc)[*(1+tax)]).
+    * Micro-units of a ~1e5 value are ~1e11/row — a single long
+    * accumulator would overflow near 1e8 rows/group (real at 100 TB), so
+    * the value splits into whole units and the ≤1e6 micro remainder,
+    * each summed as longs (headroom ~1e12 rows/group), recombined in
+    * double at the end. Both engines evaluate the identical expression
+    * tree over exactly-represented integers, so results are
+    * bit-identical; `%` is truncated (sign-of-dividend) remainder in
+    * both Spark and DuckDB, and the unit quotient divides exactly so
+    * floor-vs-truncate division cannot differ. */
+  def dsum6(c: Column): Column = {
+    val v  = micros(c)
+    val lo = v % lit(1000000L)
+    val hi = ((v - lo) / lit(1000000L)).cast("long")
+    sum(hi).cast("double") + sum(lo).cast("double") / lit(1000000.0)
+  }
 
   // ---- determinism helpers (oracle side, ANSI/DuckDB SQL) --------------
   /** SQL twin of [[dsum]]. */
-  def oSum(e: String): String = s"CAST(SUM(CAST($e AS DECIMAL(18,4))) AS DOUBLE)"
-  def oSum6(e: String): String = s"CAST(SUM(CAST($e AS DECIMAL(18,6))) AS DOUBLE)"
-  /** SQL twin of the decimal-exact average. */
-  def oAvg(e: String): String = s"CAST(SUM(CAST($e AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*)"
+  def oSum(e: String): String =
+    s"(CAST(SUM(CAST(FLOOR(($e) * 100 + 0.5) AS BIGINT)) AS DOUBLE) / 100.0)"
+  /** SQL twin of [[dsum6]] (same hi/lo split; `//` sees an exact multiple
+    * so floor and truncating division agree). */
+  def oSum6(e: String): String = {
+    val v = s"CAST(FLOOR(($e) * 1000000 + 0.5) AS BIGINT)"
+    s"(CAST(SUM(($v - $v % 1000000) // 1000000) AS DOUBLE)" +
+      s" + CAST(SUM($v % 1000000) AS DOUBLE) / 1000000.0)"
+  }
+  /** SQL twin of the fixed-point-exact average. */
+  def oAvg(e: String): String = s"(${oSum(e)} / COUNT(*))"
 }
 
 /** A named operator query + its DuckDB oracle (None → driver runs the
