@@ -19,8 +19,8 @@ import org.apache.spark.sql.functions._
   *  2. prefix-sum bucket counts per (group, measure) to locate which
   *     bucket holds the target ranks — a window over the small bucket
   *     table, never the data;
-  *  3. rank ONLY the located buckets' rows (~width⁻¹ of each group) and
-  *     read the rows at the exact global ranks.
+  *  3. sort ONLY the located buckets' rows (~width⁻¹ of each group)
+  *     and read the values at the exact global ranks.
   *
   * All measures ride one long-format pass, so the input is scanned
   * twice total (bucket counts + candidate ranking) regardless of how
@@ -41,54 +41,76 @@ object Quantiles {
       measures: Seq[Measure]): DataFrame = {
     require(measures.nonEmpty && measures.map(_.name).distinct.size == measures.size,
       "measures must be non-empty with unique names")
-    val vals = measures.map { m =>
-      df.filter(col(groupCol).isNotNull && col(m.valueCol).isNotNull)
-        .select(col(groupCol).as("f"), lit(m.name).as("m"),
-          col(m.valueCol).cast("double").as("v"))
-    }.reduce(_ unionAll _)
+    // ONE scan of the input regardless of measure count: each row
+    // explodes into (measure tag, value) pairs. The unionAll-of-scans
+    // alternative reads the source once per measure — twice the I/O for
+    // the common median+p90 pair, and N× at a 100 TB source.
+    val pairs = measures.map { m =>
+      struct(lit(m.name).as("m"), col(m.valueCol).cast("double").as("v"))
+    }
+    val vals = df.filter(col(groupCol).isNotNull)
+      .select(col(groupCol).as("f"), explode(array(pairs: _*)).as("p"))
+      .select(col("f"), col("p.m").as("m"), col("p.v").as("v"))
+      .filter(col("v").isNotNull)
       .withColumn("b", floor(col("v") / widthOf(measures)))
-    // cache(): ~(groups × measures × buckets) rows, read by both the
-    // rank targets and the prefix window
+    // cache(): ~(groups × measures × buckets) rows; materializing it
+    // gives the planner the table's real (tiny) size, so the probe
+    // join below broadcasts the bucket side by itself whenever it
+    // actually fits — without the stats it mis-estimates and
+    // broadcasts the O(input) side (observed), and a broadcast HINT
+    // on `located` would be a mandatory broadcast of an O(groups ×
+    // measures) table, the 100 TB OOM class removed from Dedup. (An
+    // explicit shuffle-hash join measured 1.5× slower at sf0.1: it
+    // re-shuffles the full probe side that broadcast leaves in place.)
     val bCounts = vals.groupBy("f", "m", "b").agg(count(lit(1)).as("c")).cache()
     val qq = qOf(measures)
-    val targets = bCounts.groupBy("f", "m").agg(sum(col("c")).as("n"))
-      .withColumn("i", lit(1.0) + (col("n") - 1).cast("double") * qq)
-      .select(col("f"), col("m"), col("n"),
-        floor(col("i")).as("rlo"), ceil(col("i")).as("rhi"))
-    // No broadcast hints on `targets`/`located`: both are O(groups ×
-    // measures) — unbounded for high-cardinality group keys, so a
-    // mandatory broadcast is the same 100 TB OOM class removed from
-    // Dedup. bCounts is cached, so the optimizer sees accurate sizes
-    // and picks broadcast itself whenever the tables actually fit.
+    // Prefix offset AND group total ride the same window partitioning —
+    // one exchange of the tiny bucket table locates the target ranks,
+    // with no separate count aggregate and no join back.
+    val byGroup = Window.partitionBy("f", "m")
     val located = bCounts
       .withColumn("off", coalesce(sum(col("c")).over(
-        Window.partitionBy("f", "m").orderBy("b")
-          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-      .join(targets, Seq("f", "m"))
+        byGroup.orderBy("b").rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("n", sum(col("c")).over(byGroup))
+      .withColumn("i", lit(1.0) + (col("n") - 1).cast("double") * qq)
+      .withColumn("rlo", floor(col("i"))).withColumn("rhi", ceil(col("i")))
       // keep buckets overlapping the rank span [rlo, rhi]
       .filter(col("off") < col("rhi") && col("off") + col("c") >= col("rlo"))
       .select(col("f"), col("m"), col("b"), col("off"), col("rlo"), col("rhi"), col("n"))
-    val brackets = vals.join(located, Seq("f", "m", "b"))
-      .withColumn("r", col("off") + row_number().over(
-        Window.partitionBy("f", "m", "b").orderBy("v")))
-      .groupBy("f", "m")
-      .agg(max(col("n")).as("n"),
-        max(when(col("r") === col("rlo"), col("v"))).as("lo"),
-        max(when(col("r") === col("rhi"), col("v"))).as("hi"))
+    // Sort ONLY the located buckets' rows (~width⁻¹ of each group) —
+    // as one in-memory array per bucket, a hash aggregate instead of
+    // an exchange+sort+window chain. Global rank = off + position in
+    // the bucket's sorted values; a rank span can straddle two
+    // adjacent buckets, so pick per bucket here, max per group below.
+    val picked = vals.join(located, Seq("f", "m", "b"))
+      .groupBy("f", "m", "b", "off", "rlo", "rhi", "n")
+      .agg(sort_array(collect_list(col("v"))).as("sv"))
+      .select(col("f"), col("m"), col("n"),
+        when(col("rlo") > col("off") && col("rlo") <= col("off") + size(col("sv")),
+          element_at(col("sv"), (col("rlo") - col("off")).cast("int"))).as("lov"),
+        when(col("rhi") > col("off") && col("rhi") <= col("off") + size(col("sv")),
+          element_at(col("sv"), (col("rhi") - col("off")).cast("int"))).as("hiv"))
+    // ONE aggregate straight to a row per group with a column triple
+    // per measure (the separate per-(group, measure) aggregate + pivot
+    // this replaces cost an extra exchange each)
+    val aggCols = measures.flatMap { mm =>
+      val tag = col("m") === mm.name
+      Seq(max(when(tag, col("n"))).as(s"__n_${mm.name}"),
+        max(when(tag, col("lov"))).as(s"__lo_${mm.name}"),
+        max(when(tag, col("hiv"))).as(s"__hi_${mm.name}"))
+    }
+    val byF = picked.groupBy("f").agg(aggCols.head, aggCols.tail: _*)
     // linear interpolation in a fixed association order:
     // lo + (i - floor(i)) * (hi - lo), i = 1.0 + (n-1)*q
-    val i = lit(1.0) + (col("n") - 1).cast("double") * qOf(measures)
-    val interp = col("lo") + (i - floor(i)) * (col("hi") - col("lo"))
-    // pivot measure rows to one column per measure
-    val pivoted = brackets
-      .select(col("f"), col("m"), interp.as("qv"))
-      .groupBy("f")
-      .agg(firstFor(measures.head), measures.tail.map(firstFor): _*)
-    pivoted.withColumnRenamed("f", groupCol)
+    val outCols = col("f").as(groupCol) +: measures.map { mm =>
+      val n = col(s"__n_${mm.name}")
+      val lo = col(s"__lo_${mm.name}")
+      val hi = col(s"__hi_${mm.name}")
+      val i = lit(1.0) + (n - 1).cast("double") * lit(mm.q)
+      (lo + (i - floor(i)) * (hi - lo)).as(mm.name)
+    }
+    byF.select(outCols: _*)
   }
-
-  private def firstFor(m: Measure): Column =
-    max(when(col("m") === m.name, col("qv"))).as(m.name)
 
   /** per-row width chosen by measure tag. */
   private def widthOf(measures: Seq[Measure]): Column =
