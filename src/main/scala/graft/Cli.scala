@@ -25,7 +25,7 @@ object Cli {
     val sql =
       if (query.trim.toUpperCase.startsWith("SELECT") || query.trim.startsWith("```"))
         query
-      else SqlGenerator.Stub.generate(query, info)
+      else SqlGenerator.fromEnv().generate(query, info)
     println(s"sql> ${SqlGateway.sanitize(sql)}")
 
     val result = Results.materialize(SqlGateway.run(spark, sql))

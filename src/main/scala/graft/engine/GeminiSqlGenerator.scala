@@ -20,8 +20,8 @@ import java.time.Duration
   */
 final class GeminiSqlGenerator(
     apiKey: String,
-    model: String = "gemini-2.5-flash",
-    endpoint: String = "https://generativelanguage.googleapis.com/v1beta",
+    private[graft] val model: String = "gemini-2.5-flash",
+    private[graft] val endpoint: String = "https://generativelanguage.googleapis.com/v1beta",
     timeout: Duration = Duration.ofSeconds(30)) extends SqlGenerator {
 
   private lazy val http: HttpClient =

@@ -22,6 +22,23 @@ trait SqlGenerator {
 
 object SqlGenerator {
 
+  /** Select the generator from the environment, mirroring the
+    * reference's `GEMINI_API_KEY` config surface (doc.py:13): a
+    * non-blank key selects the live [[GeminiSqlGenerator]] transport
+    * (model/endpoint overridable for proxied deployments); otherwise
+    * the deterministic [[Stub]] — so this zero-egress build and its
+    * tests never construct the HTTP client, and a deployment with
+    * egress turns on live NL→SQL with one env var. */
+  def fromEnv(env: Map[String, String] = sys.env): SqlGenerator =
+    env.get("GEMINI_API_KEY").map(_.trim).filter(_.nonEmpty) match {
+      case None => Stub
+      case Some(key) =>
+        new GeminiSqlGenerator(key,
+          model = env.getOrElse("GRAFT_GEMINI_MODEL", "gemini-2.5-flash"),
+          endpoint = env.getOrElse("GRAFT_GEMINI_ENDPOINT",
+            "https://generativelanguage.googleapis.com/v1beta"))
+    }
+
   /** Schema-grounded prompt (doc.py:174–190 analog, dialect = Spark SQL). */
   def buildPrompt(question: String, info: DataInfo,
       table: String = Catalog.TableName): String = {

@@ -39,8 +39,12 @@ final class WebServer(spark: SparkSession, workDir: String, port: Int = 0,
   // ---- routing ---------------------------------------------------------
 
   server.createContext("/", handler { ex =>
-    if (ex.getRequestURI.getPath == "/") Response(200, "text/html", IndexHtml)
+    if (ex.getRequestURI.getPath == "/") Response(200, "text/html", WebServer.IndexHtml)
     else Response(404, "application/json", Json.obj("error" -> Json.str("not found")))
+  })
+
+  server.createContext("/static/app.js", handler { _ =>
+    Response(200, "application/javascript", WebServer.AppJs)
   })
 
   server.createContext("/api/upload", handler { ex =>
@@ -292,16 +296,26 @@ final class WebServer(spark: SparkSession, workDir: String, port: Int = 0,
     sb.toString
   }
 
-  /** Minimal index page: the reference ships a full JS app
-    * (templates/index.html + static/js/app.js, UI-only and out of
-    * engine scope per SURVEY) — this page documents the API instead. */
-  private val IndexHtml: String =
-    """<!doctype html><html><head><meta charset="utf-8"><title>graft</title></head>
-      |<body><h1>graft analytics engine</h1>
-      |<p>API: POST /api/upload (multipart file) · POST /api/ask_question
-      |{file_id, question} · GET /api/chat_history · POST /api/new_session ·
-      |GET /api/sessions · GET /api/files · POST /api/switch_session/&lt;id&gt;</p>
-      |</body></html>""".stripMargin
+}
+
+object WebServer {
+  /** Browser UI (reference templates/index.html:1-267 +
+    * static/js/app.js:1-508 re-expressed): upload panel, file selector,
+    * question box, chat messages with rendered markdown, session
+    * switcher and chat history. Self-contained — no CDN scripts (the
+    * reference loads Tailwind/jQuery/marked.js from CDNs, which a
+    * zero-egress deployment can never reach); markdown rendering is a
+    * small escape-first renderer in app.js. Loaded once from the
+    * classpath so the jar is the whole deployment artifact. */
+  private[engine] lazy val IndexHtml: String = resource("/graft/web/index.html")
+  private[engine] lazy val AppJs: String = resource("/graft/web/app.js")
+
+  private def resource(path: String): String = {
+    val in = getClass.getResourceAsStream(path)
+    require(in != null, s"missing classpath resource $path")
+    try new String(in.readAllBytes(), StandardCharsets.UTF_8)
+    finally in.close()
+  }
 }
 
 /** Entrypoint: `runMain graft.engine.WebMain [port] [workDir]`. */
@@ -310,7 +324,10 @@ object WebMain {
     val port = args.headOption.map(_.toInt).getOrElse(5000)
     val workDir = args.lift(1).getOrElse("/tmp/graft-web")
     val spark = Session.local("graft-web")
-    val ws = new WebServer(spark, workDir, port).start()
+    // GEMINI_API_KEY in the environment selects the live NL→SQL
+    // transport; default stays the deterministic stub
+    val ws = new WebServer(spark, workDir, port,
+      generator = SqlGenerator.fromEnv()).start()
     println(s"graft web server listening on port ${ws.boundPort}")
     Thread.currentThread().join()
   }

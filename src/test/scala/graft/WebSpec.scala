@@ -58,9 +58,52 @@ class WebSpec extends AnyFunSuite {
     (fileId, cookie)
   }
 
-  test("index page documents the API") {
+  test("index page serves the browser app (upload, question, history, sessions)") {
     val r = get("/")
-    assert(r.statusCode() == 200 && r.body().contains("/api/upload"))
+    assert(r.statusCode() == 200, r.body().take(200))
+    val html = r.body()
+    // the page is the reference UI re-expressed: every interactive
+    // element the client script drives must be present
+    for (id <- Seq("dropArea", "fileInput", "fileSelect", "questionInput",
+        "askForm", "submitBtn", "chatHistory", "sessionList", "newSessionBtn",
+        "messages"))
+      assert(html.contains(s"id=\"$id\""), s"missing element #$id")
+    assert(html.contains("/static/app.js"))
+    // self-contained: a zero-egress deployment must not need a CDN
+    assert(!html.contains("cdn.") && !html.contains("https://"), "page references external assets")
+  }
+
+  test("client script serves, wires the API, and renders markdown safely") {
+    val r = get("/static/app.js")
+    assert(r.statusCode() == 200)
+    assert(r.headers().firstValue("Content-Type").orElse("").startsWith("application/javascript"))
+    val js = r.body()
+    for (route <- Seq("/api/upload", "/api/ask_question", "/api/chat_history",
+        "/api/new_session", "/api/sessions", "/api/files", "/api/switch_session/"))
+      assert(js.contains(route), s"client does not call $route")
+    // the markdown renderer escapes BEFORE structuring — the page must
+    // never interpolate raw result text into innerHTML
+    assert(js.contains("escapeHtml") && js.contains("renderMarkdown"))
+  }
+
+  test("generator selection: GEMINI_API_KEY switches transports, stub is default") {
+    import graft.engine.{GeminiSqlGenerator, SqlGenerator}
+    assert(SqlGenerator.fromEnv(Map.empty) eq SqlGenerator.Stub)
+    assert(SqlGenerator.fromEnv(Map("GEMINI_API_KEY" -> "  ")) eq SqlGenerator.Stub)
+    SqlGenerator.fromEnv(Map("GEMINI_API_KEY" -> "k")) match {
+      case g: GeminiSqlGenerator =>
+        assert(g.model == "gemini-2.5-flash")
+        assert(g.endpoint.startsWith("https://generativelanguage"))
+      case other => fail(s"expected live transport, got $other")
+    }
+    SqlGenerator.fromEnv(Map(
+      "GEMINI_API_KEY" -> "k",
+      "GRAFT_GEMINI_MODEL" -> "gemini-2.0-flash",
+      "GRAFT_GEMINI_ENDPOINT" -> "http://proxy.local/v1beta")) match {
+      case g: GeminiSqlGenerator =>
+        assert(g.model == "gemini-2.0-flash" && g.endpoint == "http://proxy.local/v1beta")
+      case other => fail(s"expected live transport, got $other")
+    }
   }
 
   test("upload -> ask -> history -> files round trip") {
