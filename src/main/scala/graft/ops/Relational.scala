@@ -231,13 +231,49 @@ object Relational {
         .orderBy("l_returnflag")
     },
 
-    // Greenwald-Khanna approximate quantiles — the sketch twin of
-    // q_agg_stats' exact percentile (engine-specific sketch → rows-only).
-    OpQuery.noOracle("q_agg_approx_quantile") { (s, d) =>
-      lineitem(s, d)
-        .groupBy("l_returnflag")
-        .agg(percentile_approx(col("l_extendedprice"), lit(0.5), lit(1000)).as("p50"),
-             percentile_approx(col("l_extendedprice"), lit(0.99), lit(1000)).as("p99"))
+    // Greenwald-Khanna approximate quantiles, oracle-checked: the GK
+    // sketch itself is engine-specific, so the query outputs the EXACT
+    // p50/p99 (distributed bucket-prune operator, same formulation the
+    // oracle runs → doubles match bitwise) plus a `sketch_ok` boolean
+    // asserting the sketch landed within 5% of the exact value — the
+    // oracle pins TRUE, so sketch drift breaks the hash match. This
+    // also exercises Quantiles' same-column multi-measure path (one
+    // scan feeds both fractions).
+    OpQuery("q_agg_approx_quantile",
+      """WITH h AS (
+        |  SELECT l_returnflag AS f, l_extendedprice AS v, COUNT(*) AS c
+        |  FROM lineitem GROUP BY 1, 2),
+        |cum AS (
+        |  SELECT f, v,
+        |         CAST(SUM(c) OVER (PARTITION BY f ORDER BY v) AS BIGINT) AS cum,
+        |         CAST(SUM(c) OVER (PARTITION BY f) AS BIGINT) AS n
+        |  FROM h),
+        |br AS (
+        |  SELECT f, MAX(n) AS n,
+        |         MIN(CASE WHEN cum >= floor(1.0 + CAST(n - 1 AS DOUBLE) * 0.5) THEN v END) AS lo50,
+        |         MIN(CASE WHEN cum >= ceil(1.0 + CAST(n - 1 AS DOUBLE) * 0.5) THEN v END) AS hi50,
+        |         MIN(CASE WHEN cum >= floor(1.0 + CAST(n - 1 AS DOUBLE) * 0.99) THEN v END) AS lo99,
+        |         MIN(CASE WHEN cum >= ceil(1.0 + CAST(n - 1 AS DOUBLE) * 0.99) THEN v END) AS hi99
+        |  FROM cum GROUP BY f)
+        |SELECT f AS l_returnflag,
+        |       lo50 + (1.0 + CAST(n - 1 AS DOUBLE) * 0.5
+        |               - floor(1.0 + CAST(n - 1 AS DOUBLE) * 0.5)) * (hi50 - lo50) AS p50,
+        |       lo99 + (1.0 + CAST(n - 1 AS DOUBLE) * 0.99
+        |               - floor(1.0 + CAST(n - 1 AS DOUBLE) * 0.99)) * (hi99 - lo99) AS p99,
+        |       TRUE AS sketch_ok
+        |FROM br ORDER BY l_returnflag""".stripMargin) { (s, d) =>
+      val exact = Quantiles.groupQuantiles(
+        lineitem(s, d).withColumnRenamed("l_returnflag", "f"), "f", Seq(
+          Quantiles.Measure("p50", "l_extendedprice", 0.5, 4096.0),
+          Quantiles.Measure("p99", "l_extendedprice", 0.99, 4096.0)))
+      val sketch = lineitem(s, d)
+        .groupBy(col("l_returnflag").as("f"))
+        .agg(percentile_approx(col("l_extendedprice"), lit(0.5), lit(1000)).as("a50"),
+             percentile_approx(col("l_extendedprice"), lit(0.99), lit(1000)).as("a99"))
+      exact.join(sketch, "f")
+        .select(col("f").as("l_returnflag"), col("p50"), col("p99"),
+          (abs(col("a50") - col("p50")) / col("p50") <= 0.05 &&
+           abs(col("a99") - col("p99")) / col("p99") <= 0.05).as("sketch_ok"))
         .orderBy("l_returnflag")
     },
 

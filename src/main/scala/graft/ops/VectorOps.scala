@@ -94,30 +94,114 @@ object VectorOps {
     }) }
   }
 
+  /** KMeans-quantizer IVF probe (the learned-index variant): build (or
+    * reuse) the [[ivfIndex]], rank cells by centroid-to-query cosine,
+    * exact-score only the `nProbe` best cells. Not a `queries()` entry —
+    * a trained quantizer has no SQL twin, so this path is pinned by
+    * DedupVectorSpec (score agreement + recall vs brute force) while
+    * `q_sim_ivf` below carries the oracle-checked IVF pipeline with a
+    * deterministic quantizer. The one `collect()` reads the 1-row query
+    * vector — legitimate. */
+  def ivfProbe(e: org.apache.spark.sql.DataFrame, nList: Int = 16,
+      nProbe: Int = 4): org.apache.spark.sql.DataFrame = {
+    val (cached, centers) = ivfIndex(e, nList)
+    val qRow = cached.orderBy("vec_id").limit(1)
+      .select("v", "cell", "vec_id").collect()(0)
+    val qv = qRow.getSeq[Float](0).map(_.toDouble).toArray
+    val qid = qRow.getLong(2)
+    def cos(c: Array[Double]): Double = {
+      val dot = c.zip(qv).map { case (a, b) => a * b }.sum
+      dot / (math.sqrt(c.map(x => x * x).sum) * math.sqrt(qv.map(x => x * x).sum))
+    }
+    val probeCells = centers.zipWithIndex.sortBy { case (c, _) => -cos(c) }
+      .take(nProbe).map(_._2).toSeq
+    val qLit = typedLit(qv.toSeq)
+    cached
+      .filter(col("cell").isin(probeCells: _*) && col("vec_id") =!= qid)
+      .select(col("vec_id"),
+        round(graft.functions.CosineSim.cosine_sim(col("v"), qLit), 6).as("cos_sim"))
+      .orderBy(col("cos_sim").desc, col("vec_id"))
+      .limit(10)
+  }
+
   val queries: Seq[OpQuery] = Seq(
 
-    // IVF ANN: probe the 4 nearest of 16 KMeans cells, exact cosine
-    // inside them. Rows-only (KMeans has no SQL twin); recall and score
-    // agreement vs brute force are asserted in DedupVectorSpec.
-    OpQuery.noOracle("q_sim_ivf") { (s, d) =>
-      val e = embeddings(s, d).select(col("vec_id"), col("embedding").as("v"))
-      val (cached, centers) = ivfIndex(e, nList = 16)
-      val qRow = cached.orderBy("vec_id").limit(1)
-        .select("v", "cell", "vec_id").collect()(0)
-      val qv = qRow.getSeq[Float](0).map(_.toDouble).toArray
-      val qid = qRow.getLong(2)
-      def cos(c: Array[Double]): Double = {
-        val dot = c.zip(qv).map { case (a, b) => a * b }.sum
-        dot / (math.sqrt(c.map(x => x * x).sum) * math.sqrt(qv.map(x => x * x).sum))
-      }
-      val probeCells = centers.zipWithIndex.sortBy { case (c, _) => -cos(c) }
-        .take(4).map(_._2).toSeq
-      val qLit = typedLit(qv.toSeq)
-      val qNorm = math.sqrt(qv.map(x => x * x).sum)
-      cached
-        .filter(col("cell").isin(probeCells: _*) && col("vec_id") =!= qid)
+    // IVF ANN, oracle-checked end to end: the coarse quantizer is a
+    // 4-bit md5-hyperplane cell id (16 cells, same plane construction
+    // both engines evaluate identically), cells get exact per-dimension
+    // centroids (decimal-accumulated → order-independent), the query
+    // probes the 4 cells whose centroids score highest by cosine, and
+    // only those cells' rows are exact-scored — the full IVF
+    // probe-and-score shape with every stage expressible in SQL. Cell
+    // ranking is deterministic across engines: centroids are exact, and
+    // both sides fold the dot product in dimension order. At 100 TB the
+    // corpus is partitioned by cell; a probe touches nProbe/nList of it.
+    OpQuery("q_sim_ivf",
+      """WITH e AS (
+        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings),
+        |planes AS (
+        |  SELECT p, list_transform(range(0, (SELECT MAX(len(embedding)) FROM embeddings)), i ->
+        |    CASE WHEN CAST('0x' || substr(md5(CAST(p AS VARCHAR) || ':' || CAST(i AS VARCHAR)), 1, 1) AS INT) % 2 = 1
+        |         THEN 1.0 ELSE -1.0 END) AS pv
+        |  FROM UNNEST(range(0, 4)) AS up(p)),
+        |b AS (
+        |  SELECT vec_id,
+        |         CAST(SUM(CASE WHEN ROUND(list_dot_product(v, pv), 6) >= 0
+        |                       THEN (CAST(1 AS BIGINT) << p) ELSE 0 END) AS BIGINT) AS cell
+        |  FROM e CROSS JOIN planes GROUP BY vec_id),
+        |x AS (
+        |  SELECT b.cell, e.vec_id, i - 1 AS dim, v[i] AS x
+        |  FROM e JOIN b USING (vec_id), UNNEST(range(1, len(v) + 1)) AS u(i)),
+        |cent AS (
+        |  SELECT cell, dim, CAST(SUM(CAST(x AS DECIMAL(20,8))) AS DOUBLE) / COUNT(*) AS c
+        |  FROM x GROUP BY cell, dim),
+        |cv AS (SELECT cell, list(c ORDER BY dim) AS cv FROM cent GROUP BY cell),
+        |q AS (SELECT vec_id AS qid, v AS qv FROM e
+        |      WHERE vec_id = (SELECT MIN(vec_id) FROM embeddings)),
+        |ranked AS (
+        |  SELECT cell,
+        |         ROUND(list_dot_product(cv, qv)
+        |               / (sqrt(list_dot_product(cv, cv)) * sqrt(list_dot_product(qv, qv))), 6) AS cscore
+        |  FROM cv CROSS JOIN q),
+        |probe AS (SELECT cell FROM ranked ORDER BY cscore DESC, cell LIMIT 4),
+        |cand AS (
+        |  SELECT e.vec_id, e.v, q.qv
+        |  FROM e JOIN b USING (vec_id) JOIN probe USING (cell) CROSS JOIN q
+        |  WHERE e.vec_id <> q.qid)
+        |SELECT vec_id,
+        |       ROUND(list_dot_product(v, qv)
+        |             / (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(qv, qv))), 6) AS cos_sim
+        |FROM cand ORDER BY cos_sim DESC, vec_id LIMIT 10""".stripMargin) { (s, d) =>
+      val e0 = embeddings(s, d)
+      val dim = e0.select(size(col("embedding")).as("d")).head.getInt(0)
+      val e = e0
+        .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("v"))
+        .withColumn("cell", lshSignature(col("v"), dim, bits = 4))
+        .cache() // corpus side, centroid input and query side share it
+      val cent = e
+        .select(col("cell"), posexplode(col("v")).as(Seq("dim", "x")))
+        .groupBy("cell", "dim")
+        .agg((sum(col("x").cast("decimal(20,8)")).cast("double") / count(lit(1))).as("c"))
+      // per-cell centroid vector, components in dimension order (struct
+      // sort orders by the leading `dim` field)
+      val cv = cent.groupBy("cell")
+        .agg(transform(array_sort(collect_list(struct(col("dim"), col("c")))),
+          sc => sc.getField("c")).as("cv"))
+      val minId = e.agg(min(col("vec_id")).as("min_id"))
+      val q = e.join(broadcast(minId), col("vec_id") === col("min_id"))
+        .select(col("v").as("qv"), col("min_id"))
+      val probe = cv.crossJoin(broadcast(q))
+        .select(col("cell"),
+          round(graft.functions.CosineSim.cosine_sim(col("cv"), col("qv")), 6).as("cscore"))
+        .orderBy(col("cscore").desc, col("cell"))
+        .limit(4)
+        .select("cell")
+      e.join(broadcast(probe), "cell")
+        .crossJoin(broadcast(q))
+        .filter(col("vec_id") =!= col("min_id"))
         .select(col("vec_id"),
-          round(graft.functions.CosineSim.cosine_sim(col("v"), qLit), 6).as("cos_sim"))
+          round(graft.functions.CosineSim.cosine_sim(col("v"), col("qv")), 6).as("cos_sim"))
         .orderBy(col("cos_sim").desc, col("vec_id"))
         .limit(10)
     },

@@ -81,6 +81,22 @@ class DedupVectorSpec extends AnyFunSuite {
     assert(recall >= 0.2, s"IVF recall@10 = $recall (4/16 cells probed)")
   }
 
+  test("KMeans IVF probe (learned quantizer): scores agree; recall nontrivial") {
+    val brute = q("q_sim_cosine_topk").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val e = ops.Tables.embeddings(spark, TestSpark.Sf)
+      .select(col("vec_id"), col("embedding").as("v"))
+    val ivf = ops.VectorOps.ivfProbe(e, nList = 16, nProbe = 4)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1))
+    assert(ivf.nonEmpty)
+    ivf.foreach { case (id, cos) =>
+      brute.get(id).foreach(b => assert(math.abs(b - cos) < 1e-9,
+        s"KMeans IVF score for $id diverges: $cos vs $b"))
+    }
+    val recall = ivf.count { case (id, _) => brute.contains(id) }.toDouble / brute.size
+    assert(recall >= 0.2, s"KMeans IVF recall@10 = $recall (4/16 cells probed)")
+  }
+
   test("salted join is row-identical to the plain equi-join") {
     val li = ops.Tables.lineitem(spark, TestSpark.Sf).select("l_orderkey", "l_quantity", "l_linenumber")
     val o = ops.Tables.orders(spark, TestSpark.Sf).select("o_orderkey", "o_orderstatus")
