@@ -108,11 +108,12 @@ object Dedup {
     * posting lists. Co-occurring pairs are then expanded *map-side* from
     * each sorted posting list (bounded by C(dfCap,2) per shingle)
     * instead of a shuffled inverted-index self-join — two fewer shuffles
-    * of the shingle stream. The final denominator joins carry NO
-    * broadcast hint: `counts` is one row per document — O(corpus), so a
-    * mandatory broadcast would OOM at the 100 TB design point. The
-    * optimizer (or AQE at runtime) picks broadcast when the table is
-    * actually small and sort-merge when it isn't.
+    * of the shingle stream. The final denominator joins are explicit
+    * shuffled hash joins: both sides are unbounded (`counts` is one row
+    * per document — O(corpus); `inter` is O(co-occurring pairs)), so
+    * neither a mandatory broadcast nor a static cost-based choice is
+    * safe — see the hint-site comment for the 64× probe failure that
+    * proved it.
     *
     * When `candidates` is given (MinHash path), the shingle stream is
     * first semi-joined down to candidate *documents* (broadcast — the
@@ -149,9 +150,21 @@ object Dedup {
       case None => pairs0
     }
     val inter = pairs.groupBy("id_a", "id_b").agg(count(lit(1)).as("inter"))
+    // Denominator joins are explicitly SHUFFLED hash joins: both sides
+    // are unbounded (`inter` is O(co-occurring pairs), `counts` is
+    // O(corpus)), so no broadcast is ever safe here — and leaving the
+    // choice to static estimates is how the 64× ScaleProbe run OOM'd:
+    // `inter` sits behind a Generate whose stats don't grow with the
+    // pair fan-out, so the planner under-estimated it and broadcast the
+    // pair table. AQE would demote that at runtime, but the engine must
+    // hold its shape under static planning too. Build side = `counts`
+    // (one row per doc — the smaller side wherever near-dup pairs are
+    // non-trivial).
     inter
-      .join(counts.select(col("doc_id").as("id_a"), col("n_sh").as("na")), Seq("id_a"))
-      .join(counts.select(col("doc_id").as("id_b"), col("n_sh").as("nb")), Seq("id_b"))
+      .join(counts.select(col("doc_id").as("id_a"), col("n_sh").as("na"))
+        .hint("shuffle_hash"), Seq("id_a"))
+      .join(counts.select(col("doc_id").as("id_b"), col("n_sh").as("nb"))
+        .hint("shuffle_hash"), Seq("id_b"))
       .select(col("id_a"), col("id_b"),
         (col("inter").cast("double") / (col("na") + col("nb") - col("inter"))).as("jac"))
   }

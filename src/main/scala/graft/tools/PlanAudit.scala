@@ -67,12 +67,21 @@ object PlanAudit {
       // round-4 additions
       Check("q_tpch_q18_shape", "single lineitem aggregation (HAVING sum reused)",
         p => "\\(\\d+\\) HashAggregate".r.findAllIn(p).length == 2),
-      Check("q_text_repetition", "per-doc aggregates are partial-final",
-        p => "HashAggregate".r.findAllIn(p).length >= 2),
+      // round-6: the repetition signals are a per-partition typed map —
+      // the ONLY exchange in the plan is the final ORDER BY's range
+      // partitioning; the token stream never shuffles at all
+      Check("q_text_repetition", "per-doc map is shuffle-free (no hash exchange)",
+        p => !p.contains("hashpartitioning") && p.contains("SerializeFromObject")),
       Check("q_mixture_weights", "scalar total broadcast, no cartesian",
         p => !p.contains("CartesianProduct")),
       Check("q_topn_per_group", "top-N pruned map-side (partial WindowGroupLimit)",
-        p => "\\(\\d+\\) WindowGroupLimit".r.findAllIn(p).length >= 2)
+        p => "\\(\\d+\\) WindowGroupLimit".r.findAllIn(p).length >= 2),
+      // round-6 additions
+      Check("q_agg_approx_quantile", "exact side avoids value-buffering percentile",
+        p => "[^_x]percentile\\(".r.findFirstIn(p).isEmpty &&
+          (p.contains("approx_percentile") || p.contains("percentile_approx"))),
+      Check("q_sim_ivf", "cell probe joins broadcast the bounded probe set",
+        p => p.contains("BroadcastHashJoin") && !p.contains("CartesianProduct"))
     )
 
     val plans = scala.collection.mutable.LinkedHashMap[String, String]()
@@ -94,10 +103,11 @@ object PlanAudit {
     val jacNoBcast = plan("q_dedup_ngram_jaccard")
     val contNoBcast = plan("q_corpus_contamination")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", 10L << 20)
-    val smjOk = jacNoBcast.contains("SortMergeJoin")
+    val smjOk = jacNoBcast.contains("SortMergeJoin") ||
+      jacNoBcast.contains("ShuffledHashJoin")
     if (!smjOk) failed += 1
     println(s"${if (smjOk) "PASS" else "FAIL"}  q_dedup_ngram_jaccard: " +
-      "denominator join not mandatory-broadcast (SMJ under autoBroadcast=-1)")
+      "denominator join not mandatory-broadcast (shuffled under autoBroadcast=-1)")
     plans("q_dedup_ngram_jaccard (autoBroadcastJoinThreshold=-1)") = jacNoBcast
     // the train-shingle membership probe is O(train corpus) — it too
     // must degrade to a shuffled join when broadcast is off the table

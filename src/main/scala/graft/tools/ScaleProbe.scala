@@ -10,9 +10,10 @@ import org.apache.spark.sql.functions._
   * offsets doc_id and suffixes EVERY token with `~r`, so replicas share
   * zero shingles — per-replica dup structure is preserved exactly and
   * the true work grows linearly in K), writes each to /tmp, and times
-  * the family at K = 1, 2, 4, 8. If a shape were quadratic in corpus
-  * size (all-pairs join, unpruned inverted index), its time would grow
-  * ~K² and this probe would show it.
+  * the family at K = 1, 2, 4, 8, 32, 64 (64× ≈ 320k docs). If a shape
+  * were quadratic in corpus size (all-pairs join, unpruned inverted
+  * index), its time would grow ~K² and this probe would show it long
+  * before 64×.
   *
   * Usage: runMain graft.tools.ScaleProbe [sfDir] [outBase]
   */
@@ -50,13 +51,14 @@ object ScaleProbe {
       col("n_chars"))
 
     def timeOnce(name: String, dir: String): Double = {
+      System.err.println(s"[probe] $name @ $dir")
       val t0 = System.nanoTime()
       graft.SparkEntry.queries(name)(spark, dir)
         .write.format("noop").mode("overwrite").save()
       (System.nanoTime() - t0) / 1e9
     }
 
-    val ks = Seq(1, 2, 4, 8)
+    val ks = Seq(1, 2, 4, 8, 32, 64)
     ks.foreach { k =>
       val dir = s"$outBase/k$k"
       (0 until k).map(replica).reduce(_ unionAll _)
@@ -77,9 +79,10 @@ object ScaleProbe {
     }
     val totals = results.map { case (k, m) => k -> m.values.sum }
     println(f"${"TOTAL"}%-26s" + totals.map { case (_, t) => f"$t%-7.2f" }.mkString)
-    val (t1, t8) = (totals.head._2, totals.last._2)
-    println(f"8x corpus => ${t8 / t1}%.2fx time (linear=8, quadratic=64; " +
-      "sub-linear reflects the fixed per-query floor)")
+    val (t1, tLast) = (totals.head._2, totals.last._2)
+    val kLast = ks.last
+    println(f"${kLast}x corpus => ${tLast / t1}%.2fx time (linear=$kLast, " +
+      s"quadratic=${kLast * kLast}; sub-linear reflects the fixed per-query floor)")
     spark.stop()
   }
 }
