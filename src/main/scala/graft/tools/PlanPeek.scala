@@ -1,5 +1,14 @@
 package graft.tools
+
 import org.apache.spark.sql.SparkSession
+
+/** Dev tool: print the executed physical plan of one named operator
+  * query under the bench/Timeit session config (AQE off, 16 shuffle
+  * partitions) — the fastest way to see which join strategy or
+  * exchange a change actually produced.
+  *
+  * Usage: runMain graft.tools.PlanPeek <sfDir> <query>
+  */
 object PlanPeek {
   def main(args: Array[String]): Unit = {
     val spark = { graft.engine.Session.pinLocale(); SparkSession.builder() }
