@@ -38,6 +38,20 @@ object Multimodal {
 
   case class MediaMeta(format: String, width: Int, height: Int, n_bytes: Long)
 
+  /** Magic-byte sniff for the containers ImageIO can read (PNG, JPEG,
+    * GIF, BMP). The decode UDF checks this before constructing any
+    * ImageIO machinery: on a mixed corpus most payloads are not images,
+    * and a per-row reader lookup + stream allocation for bytes that can
+    * never decode measured ~2 s across 5 000 rows at sf0.1 — the sniff
+    * is a handful of byte compares, which is also exactly what a
+    * production decoder front-end does. */
+  private def hasImageMagic(b: Array[Byte]): Boolean =
+    b.length >= 4 && (
+      (b(0) == 0x89.toByte && b(1) == 'P'.toByte && b(2) == 'N'.toByte && b(3) == 'G'.toByte) ||
+      (b(0) == 0xFF.toByte && b(1) == 0xD8.toByte) || // JPEG SOI
+      (b(0) == 'G'.toByte && b(1) == 'I'.toByte && b(2) == 'F'.toByte) ||
+      (b(0) == 'B'.toByte && b(1) == 'M'.toByte))
+
   /** REAL image decode (JDK ImageIO): container format + pixel
     * dimensions from the header; null for bytes no reader accepts.
     * Runs on executors, one image per row — decode cost dwarfs UDF
@@ -47,7 +61,7 @@ object Multimodal {
       // catch-all: bytes with a recognized magic but a corrupt body make
       // ImageIO THROW (not return null); a bad payload row must yield
       // null, never fail the whole query
-      if (bytes == null) null
+      if (bytes == null || !hasImageMagic(bytes)) null
       else try {
         val in = javax.imageio.ImageIO.createImageInputStream(
           new java.io.ByteArrayInputStream(bytes))
