@@ -418,12 +418,15 @@ object Relational {
          |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
          |ORDER BY g_rf, g_ls, l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin) { (s, d) =>
       lineitem(s, d).createOrReplaceTempView("graft_li_gs")
+      // fixed-point long sum (the SQL image of Tables.dsum): the Expand
+      // behind GROUPING SETS replays every row once per set, so the
+      // decimal accumulator this replaces was paid 3x per input row
       s.sql(
         s"""SELECT l_returnflag, l_linestatus,
            |       CAST(GROUPING(l_returnflag) AS INT) AS g_rf,
            |       CAST(GROUPING(l_linestatus) AS INT) AS g_ls,
            |       CAST(COUNT(*) AS BIGINT) AS cnt,
-           |       CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty
+           |       CAST(SUM(CAST(FLOOR(l_quantity * 100 + 0.5) AS BIGINT)) AS DOUBLE) / 100.0 AS sum_qty
            |FROM graft_li_gs
            |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
            |ORDER BY g_rf, g_ls, l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin)
