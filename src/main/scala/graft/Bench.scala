@@ -28,16 +28,17 @@ object Bench {
     * landing at the tail of the 8 concurrent streams. Ranked by measured
     * sf0.1 latency; unlisted queries follow alphabetically. */
   private val heavyFirst = Seq(
-    "q_dedup_minhash", "q_dedup_cluster", "q_dedup_ngram_jaccard",
-    "q_dedup_simhash", "q_text_repetition", "q_agg_regression",
-    "q_events_gapfill", "q_media_pipeline", "q_agg_stats",
-    "q_dedup_canonical", "q_sim_ivf", "q_cube", "q_events_anomaly",
-    "q_agg_group", "q_cte_maxrev", "q_join_salted", "q_distinct",
-    "q_events_session", "q_events_sliding", "q_events_tumbling",
-    "q_events_dedup", "q_events_bursts", "q_asof_join",
-    "q_corpus_contamination", "q_embed_quantize", "q_tpch_q18_shape",
-    "q_agg_count_distinct", "q_rollup", "q_scalar_cast", "q_except",
-    "q_except_all", "q_dedup_embedding", "q_scan_project")
+    "q_dedup_cluster", "q_join_salted", "q_dedup_minhash",
+    "q_dedup_simhash", "q_agg_approx_quantile", "q_sim_ivf",
+    "q_agg_stats", "q_agg_count_distinct", "q_events_gapfill",
+    "q_grouping_sets", "q_cte_maxrev", "q_events_anomaly",
+    "q_join_multiway", "q_text_charngram_sketch", "q_events_session",
+    "q_agg_group", "q_dedup_embedding", "q_corpus_contamination",
+    "q_asof_join", "q_window_range_frame", "q_window_ntile",
+    "q_sample_stratified", "q_embed_quantize", "q_scalar_cast",
+    "q_distinct", "q_tpch_q18_shape", "q_tpch_q3_shape",
+    "q_sim_centroid_dist", "q_cube", "q_media_pipeline",
+    "q_join_theta", "q_sample", "q_join_inner")
     .zipWithIndex.toMap
 
   def main(args: Array[String]): Unit = {
