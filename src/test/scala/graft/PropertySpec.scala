@@ -114,6 +114,37 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("multi-measure quantiles (same and distinct columns) equal exact percentile") {
+    import graft.ops.Quantiles
+    val gen = Gen.listOfN(70, Gen.zip(
+      Gen.chooseNum(0, 2),
+      Gen.chooseNum(-500.0, 500.0),
+      Gen.oneOf(Gen.chooseNum(-40.0, 40.0), Gen.const(37.0)))) // ties on w
+    forAll(gen, 6) { rows =>
+      val df = rows.toDF("g", "v", "w")
+      // two fractions on the SAME column (the q_agg_approx_quantile
+      // shape — one exploded scan feeds both) plus one on a second
+      // column, all in one pass
+      val got = Quantiles.groupQuantiles(df, "g", Seq(
+          Quantiles.Measure("v50", "v", 0.5, 37.0),
+          Quantiles.Measure("v99", "v", 0.99, 37.0),
+          Quantiles.Measure("w10", "w", 0.1, 7.0)))
+        .collect().map(r => r.getInt(0) ->
+          (r.getDouble(1), r.getDouble(2), r.getDouble(3))).toMap
+      val want = df.groupBy("g").agg(
+          expr("percentile(v, 0.5)").as("v50"), expr("percentile(v, 0.99)").as("v99"),
+          expr("percentile(w, 0.1)").as("w10"))
+        .collect().map(r => r.getInt(0) ->
+          (r.getDouble(1), r.getDouble(2), r.getDouble(3))).toMap
+      assert(got.keySet == want.keySet)
+      got.foreach { case (g, (a, b, c)) =>
+        val (wa, wb, wc) = want(g)
+        assert(math.abs(a - wa) < 1e-9 && math.abs(b - wb) < 1e-9 &&
+          math.abs(c - wc) < 1e-9, s"g=$g: ($a,$b,$c) vs ($wa,$wb,$wc)")
+      }
+    }
+  }
+
   test("Json.str/getString round-trips arbitrary strings") {
     val tricky = Gen.oneOf(
       Gen.asciiStr, // includes control chars and quotes
