@@ -149,7 +149,7 @@
   }
 
   function loadFiles() {
-    getJson('/api/files').then(function (d) {
+    return getJson('/api/files').then(function (d) {
       var sel = $('fileSelect');
       var keep = sel.value;
       sel.innerHTML = '<option value="">— choose an uploaded file —</option>';
@@ -177,9 +177,10 @@
       .then(function (d) {
         if (d.error) { showError(d.error); $('dropArea').textContent = 'click or drop a file to upload'; return; }
         $('dropArea').textContent = d.filename + ' uploaded';
-        loadFiles();
         loadSessions();
-        setTimeout(function () { $('fileSelect').value = d.file_id; }, 200);
+        // select the new file only after the options exist — a timer
+        // would race the fetch and silently no-op on a slow server
+        loadFiles().then(function () { $('fileSelect').value = d.file_id; });
       })
       .catch(function (e) { showError(String(e)); });
   }

@@ -109,7 +109,7 @@ object Dedup {
     * each sorted posting list (bounded by C(dfCap,2) per shingle)
     * instead of a shuffled inverted-index self-join — two fewer shuffles
     * of the shingle stream. The final denominator joins are explicit
-    * shuffled hash joins: both sides are unbounded (`counts` is one row
+    * sort-merge joins: both sides are unbounded (`counts` is one row
     * per document — O(corpus); `inter` is O(co-occurring pairs)), so
     * neither a mandatory broadcast nor a static cost-based choice is
     * safe — see the hint-site comment for the 64× probe failure that
@@ -150,21 +150,22 @@ object Dedup {
       case None => pairs0
     }
     val inter = pairs.groupBy("id_a", "id_b").agg(count(lit(1)).as("inter"))
-    // Denominator joins are explicitly SHUFFLED hash joins: both sides
-    // are unbounded (`inter` is O(co-occurring pairs), `counts` is
+    // Denominator joins are explicitly SORT-MERGE: both sides are
+    // unbounded (`inter` is O(co-occurring pairs), `counts` is
     // O(corpus)), so no broadcast is ever safe here — and leaving the
     // choice to static estimates is how the 64× ScaleProbe run OOM'd:
     // `inter` sits behind a Generate whose stats don't grow with the
     // pair fan-out, so the planner under-estimated it and broadcast the
     // pair table. AQE would demote that at runtime, but the engine must
-    // hold its shape under static planning too. Build side = `counts`
-    // (one row per doc — the smaller side wherever near-dup pairs are
-    // non-trivial).
+    // hold its shape under static planning too. Merge (not
+    // shuffle_hash): SMJ spills both sides, whereas a shuffled hash
+    // join's per-task build relation is in-memory — hinting it would
+    // re-create the same unbounded-memory class one level down.
     inter
       .join(counts.select(col("doc_id").as("id_a"), col("n_sh").as("na"))
-        .hint("shuffle_hash"), Seq("id_a"))
+        .hint("merge"), Seq("id_a"))
       .join(counts.select(col("doc_id").as("id_b"), col("n_sh").as("nb"))
-        .hint("shuffle_hash"), Seq("id_b"))
+        .hint("merge"), Seq("id_b"))
       .select(col("id_a"), col("id_b"),
         (col("inter").cast("double") / (col("na") + col("nb") - col("inter"))).as("jac"))
   }

@@ -194,14 +194,14 @@ object Joins {
       val cust = customer(s, d).select("c_custkey", "c_nationkey")
         .join(broadcast(asiaNations), col("c_nationkey") === col("n_nationkey"))
         .select("c_custkey", "n_name")
-      // the fact-fact join (orders x lineitem) as an explicit shuffled
-      // HASH join, orders as build side: both sides are O(fact) so
-      // broadcast is out, and SMJ would pay a full sort of the lineitem
-      // stream that the hash build skips (0.87 s -> ~0.6 s solo at
-      // sf0.1; same plan logic AQE would pick with runtime stats)
+      // the fact-fact join (orders x lineitem) as an explicit
+      // SORT-MERGE join: both sides are O(fact) so broadcast is out,
+      // and SMJ spills both sides — a shuffled-hash hint would be
+      // marginally faster here but pins an O(fact/partitions) hash
+      // build in task memory, the unbounded class this engine avoids
       orders(s, d).select("o_orderkey", "o_custkey")
         .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
-        .hint("shuffle_hash")
+        .hint("merge")
         .join(lineitem(s, d).select(col("l_orderkey"),
             (col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("rev")),
           col("o_orderkey") === col("l_orderkey"))

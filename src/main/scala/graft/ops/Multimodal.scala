@@ -39,18 +39,22 @@ object Multimodal {
   case class MediaMeta(format: String, width: Int, height: Int, n_bytes: Long)
 
   /** Magic-byte sniff for the containers ImageIO can read (PNG, JPEG,
-    * GIF, BMP). The decode UDF checks this before constructing any
-    * ImageIO machinery: on a mixed corpus most payloads are not images,
-    * and a per-row reader lookup + stream allocation for bytes that can
-    * never decode measured ~2 s across 5 000 rows at sf0.1 — the sniff
-    * is a handful of byte compares, which is also exactly what a
-    * production decoder front-end does. */
+    * GIF, BMP, TIFF). The decode UDF checks this before constructing
+    * any ImageIO machinery: on a mixed corpus most payloads are not
+    * images, and a per-row reader lookup + stream allocation for bytes
+    * that can never decode measured ~2 s across 5 000 rows at sf0.1 —
+    * the sniff is a handful of byte compares, which is also exactly
+    * what a production decoder front-end does. WBMP (the one other
+    * JDK-readable format) has no discriminating magic — its header is
+    * two zero bytes — so it is deliberately treated as non-image here. */
   private def hasImageMagic(b: Array[Byte]): Boolean =
     b.length >= 4 && (
       (b(0) == 0x89.toByte && b(1) == 'P'.toByte && b(2) == 'N'.toByte && b(3) == 'G'.toByte) ||
       (b(0) == 0xFF.toByte && b(1) == 0xD8.toByte) || // JPEG SOI
       (b(0) == 'G'.toByte && b(1) == 'I'.toByte && b(2) == 'F'.toByte) ||
-      (b(0) == 'B'.toByte && b(1) == 'M'.toByte))
+      (b(0) == 'B'.toByte && b(1) == 'M'.toByte) ||
+      (b(0) == 'I'.toByte && b(1) == 'I'.toByte && b(2) == 0x2A.toByte && b(3) == 0) || // TIFF LE
+      (b(0) == 'M'.toByte && b(1) == 'M'.toByte && b(2) == 0 && b(3) == 0x2A.toByte))   // TIFF BE
 
   /** REAL image decode (JDK ImageIO): container format + pixel
     * dimensions from the header; null for bytes no reader accepts.

@@ -19,7 +19,7 @@ import org.apache.spark.sql.functions._
   *  2. prefix-sum bucket counts per (group, measure) to locate which
   *     bucket holds the target ranks — a window over the small bucket
   *     table, never the data;
-  *  3. sort ONLY the located buckets' rows (~width⁻¹ of each group)
+  *  3. rank ONLY the located buckets' rows (~width⁻¹ of each group)
   *     and read the values at the exact global ranks.
   *
   * All measures ride one long-format pass, so the input is scanned
@@ -77,19 +77,22 @@ object Quantiles {
       // keep buckets overlapping the rank span [rlo, rhi]
       .filter(col("off") < col("rhi") && col("off") + col("c") >= col("rlo"))
       .select(col("f"), col("m"), col("b"), col("off"), col("rlo"), col("rhi"), col("n"))
-    // Sort ONLY the located buckets' rows (~width⁻¹ of each group) —
-    // as one in-memory array per bucket, a hash aggregate instead of
-    // an exchange+sort+window chain. Global rank = off + position in
-    // the bucket's sorted values; a rank span can straddle two
-    // adjacent buckets, so pick per bucket here, max per group below.
+    // Rank ONLY the located buckets' rows (~width⁻¹ of each group)
+    // through Spark's spillable exchange+sort+window — NOT a
+    // collect_list array per bucket, which would make peak task memory
+    // proportional to the largest located bucket (a constant or
+    // heavily-tied measure column concentrates a whole group into one
+    // bucket, and buffering it as a single in-memory array is the
+    // value-buffering failure mode this operator exists to avoid).
+    // Global rank = off + rank within the bucket; a rank span can
+    // straddle two adjacent buckets, so pick per row here, max per
+    // group below.
     val picked = vals.join(located, Seq("f", "m", "b"))
-      .groupBy("f", "m", "b", "off", "rlo", "rhi", "n")
-      .agg(sort_array(collect_list(col("v"))).as("sv"))
+      .withColumn("r", col("off") + row_number().over(
+        Window.partitionBy("f", "m", "b").orderBy("v")))
       .select(col("f"), col("m"), col("n"),
-        when(col("rlo") > col("off") && col("rlo") <= col("off") + size(col("sv")),
-          element_at(col("sv"), (col("rlo") - col("off")).cast("int"))).as("lov"),
-        when(col("rhi") > col("off") && col("rhi") <= col("off") + size(col("sv")),
-          element_at(col("sv"), (col("rhi") - col("off")).cast("int"))).as("hiv"))
+        when(col("r") === col("rlo"), col("v")).as("lov"),
+        when(col("r") === col("rhi"), col("v")).as("hiv"))
     // ONE aggregate straight to a row per group with a column triple
     // per measure (the separate per-(group, measure) aggregate + pivot
     // this replaces cost an extra exchange each)

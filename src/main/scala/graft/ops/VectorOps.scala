@@ -174,7 +174,10 @@ object VectorOps {
         |             / (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(qv, qv))), 6) AS cos_sim
         |FROM cand ORDER BY cos_sim DESC, vec_id LIMIT 10""".stripMargin) { (s, d) =>
       val e0 = embeddings(s, d)
-      val dim = e0.select(size(col("embedding")).as("d")).head.getInt(0)
+      // MAX over the corpus, exactly like the oracle's planes CTE —
+      // head()-derived width would silently diverge from the oracle on
+      // a ragged-dimension corpus (plan-dependent which row comes first)
+      val dim = e0.agg(max(size(col("embedding")))).head.getInt(0)
       val e = e0
         .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("v"))
         .withColumn("cell", lshSignature(col("v"), dim, bits = 4))
@@ -315,10 +318,11 @@ object VectorOps {
         |             / (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(qv, qv))), 6) AS cos_sim
         |FROM cand ORDER BY cos_sim DESC, vec_id LIMIT 10""".stripMargin) { (s, d) =>
       val e0 = embeddings(s, d)
-      // embedding width is a schema-level constant of the corpus; probe
-      // one row for it (LocalLimit(1) — touches a single partition, not
-      // a full scan, at any corpus size)
-      val dim = e0.select(size(col("embedding")).as("d")).head.getInt(0)
+      // MAX over the corpus, exactly like the oracle's planes CTE — a
+      // head()-probed width is plan-dependent and would diverge from
+      // the oracle on a ragged-dimension corpus (the MAX aggregate is
+      // one cheap column scan with map-side combine)
+      val dim = e0.agg(max(size(col("embedding")))).head.getInt(0)
       val e = e0
         .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("v"))
         .withColumn("bucket", lshSignature(col("v"), dim))
