@@ -328,7 +328,7 @@ object Dedup {
     var labels = edges.select(col("src").as("doc_id")).distinct()
       .select(col("doc_id"), col("doc_id").as("lbl")).cache()
     def lblSum(df: DataFrame): Long = {
-      val row = df.agg(sum(col("lbl"))).head
+      val row = df.agg(sum(col("lbl"))).head()
       if (row.isNullAt(0)) 0L else row.getLong(0)
     }
     val MaxRounds = 25 // >> diameter of any realistic dup cluster

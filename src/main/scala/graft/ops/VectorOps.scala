@@ -177,7 +177,7 @@ object VectorOps {
       // MAX over the corpus, exactly like the oracle's planes CTE —
       // head()-derived width would silently diverge from the oracle on
       // a ragged-dimension corpus (plan-dependent which row comes first)
-      val dim = e0.agg(max(size(col("embedding")))).head.getInt(0)
+      val dim = e0.agg(max(size(col("embedding")))).head().getInt(0)
       val e = e0
         .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("v"))
         .withColumn("cell", lshSignature(col("v"), dim, bits = 4))
@@ -322,7 +322,7 @@ object VectorOps {
       // head()-probed width is plan-dependent and would diverge from
       // the oracle on a ragged-dimension corpus (the MAX aggregate is
       // one cheap column scan with map-side combine)
-      val dim = e0.agg(max(size(col("embedding")))).head.getInt(0)
+      val dim = e0.agg(max(size(col("embedding")))).head().getInt(0)
       val e = e0
         .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("v"))
         .withColumn("bucket", lshSignature(col("v"), dim))

@@ -1,0 +1,69 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+
+/** Shared harness for the three scaling probes ([[ScaleProbe]],
+  * [[ScaleProbeRel]], [[ScaleProbeEvents]]): one session config, one
+  * generate→warmup→time loop and one report format, so the probes
+  * cannot drift apart in methodology (they had already diverged in ks
+  * sets and label widths before this extraction). Each probe supplies
+  * only its replica-generation logic and query list.
+  *
+  * `GRAFT_PROBE_KS` (e.g. "1,4") overrides the K ladder for quick dev
+  * smokes of a probe without paying the full 64× generation.
+  */
+object ProbeHarness {
+
+  def session(): SparkSession = {
+    val spark = { graft.engine.Session.pinLocale(); SparkSession.builder() }
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "16")
+      .config("spark.sql.adaptive.enabled", "false")
+      .config("spark.sql.constraintPropagation.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    spark
+  }
+
+  def ks(default: Seq[Int]): Seq[Int] =
+    sys.env.get("GRAFT_PROBE_KS")
+      .map(_.split(",").toSeq.map(_.trim.toInt))
+      .getOrElse(default)
+
+  /** Generate each K's dataset via `gen(k, dir)`, run one untimed K=1
+    * warmup (codegen + JIT for the whole family), then time every query
+    * cold-cache per K and print the table + linearity ratio. */
+  def run(spark: SparkSession, queries: Seq[String], kLadder: Seq[Int],
+      outBase: String, gen: (Int, String) => Unit): Unit = {
+    kLadder.foreach(k => gen(k, s"$outBase/k$k"))
+
+    def timeOnce(name: String, dir: String): Double = {
+      System.err.println(s"[probe] $name @ $dir")
+      val t0 = System.nanoTime()
+      graft.SparkEntry.queries(name)(spark, dir)
+        .write.format("noop").mode("overwrite").save()
+      (System.nanoTime() - t0) / 1e9
+    }
+
+    queries.foreach(q => timeOnce(q, s"$outBase/k${kLadder.head}"))
+    val results = kLadder.map { k =>
+      // fresh timings per K: drop every cached frame from the previous
+      // scale so each K pays its own materialization
+      spark.sharedState.cacheManager.clearCache()
+      k -> queries.map(q => q -> timeOnce(q, s"$outBase/k$k")).toMap
+    }
+    println(f"${"query"}%-26s" + kLadder.map(k => f"K=$k%-7d").mkString)
+    queries.foreach { q =>
+      println(f"$q%-26s" + results.map { case (_, m) => f"${m(q)}%-7.2f" }.mkString)
+    }
+    val totals = results.map { case (k, m) => k -> m.values.sum }
+    println(f"${"TOTAL"}%-26s" + totals.map { case (_, t) => f"$t%-7.2f" }.mkString)
+    val (t1, tLast) = (totals.head._2, totals.last._2)
+    val kLast = kLadder.last
+    println(f"${kLast}x data => ${tLast / t1}%.2fx time (linear=$kLast, " +
+      s"quadratic=${kLast * kLast}; sub-linear reflects the fixed per-query floor)")
+    spark.stop()
+  }
+}
