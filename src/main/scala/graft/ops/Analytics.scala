@@ -35,7 +35,12 @@ object Analytics {
         .filter(col("l_shipdate") > to_timestamp(lit("1998-01-01")))
         .select(col("l_orderkey"),
           (col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("rev"))
-      ord.join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      // No broadcast() hint on cust: customer is O(SF) (~15B rows at the
+      // 100 TB design point), so a mandatory broadcast is the OOM class
+      // the 64x Jaccard probe caught. At bench SF the planner broadcasts
+      // it on its own file-size statistics; at scale, stats/AQE demote
+      // to a shuffled join that spills.
+      ord.join(cust, col("o_custkey") === col("c_custkey"))
         .join(li, col("o_orderkey") === col("l_orderkey"))
         .groupBy("l_orderkey", "o_orderdate")
         .agg(dsum6(col("rev")).as("revenue"))
@@ -89,7 +94,9 @@ object Analytics {
           (col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("rev"))
       orders(s, d).select("o_orderkey", "o_custkey")
         .join(li, col("o_orderkey") === col("l_orderkey"))
-        .join(broadcast(customer(s, d).select("c_custkey", "c_nationkey")),
+        // customer is O(SF) — no mandatory broadcast; the planner picks
+        // broadcast at bench SF from parquet stats, a shuffled join at scale.
+        .join(customer(s, d).select("c_custkey", "c_nationkey"),
           col("o_custkey") === col("c_custkey"))
         .join(broadcast(nation(s, d).select("n_nationkey", "n_name")),
           col("c_nationkey") === col("n_nationkey"))

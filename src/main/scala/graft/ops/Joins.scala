@@ -199,8 +199,13 @@ object Joins {
       // and SMJ spills both sides — a shuffled-hash hint would be
       // marginally faster here but pins an O(fact/partitions) hash
       // build in task memory, the unbounded class this engine avoids
+      // cust is customer-derived — O(SF), not a star dim like nation or
+      // region (fixed 25/5 rows, which keep their hints above). No
+      // broadcast() hint: its static join-output estimate is pessimistic,
+      // so the planner starts with a shuffled join and AQE converts it to
+      // broadcast at runtime when the ASIA slice is actually small.
       orders(s, d).select("o_orderkey", "o_custkey")
-        .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+        .join(cust, col("o_custkey") === col("c_custkey"))
         .hint("merge")
         .join(lineitem(s, d).select(col("l_orderkey"),
             (col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("rev")),

@@ -518,9 +518,11 @@ object Relational {
       """SELECT o_orderkey, o_custkey FROM orders
         |WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')
         |ORDER BY o_orderkey""".stripMargin) { (s, d) =>
+      // Semi-join side is customer-derived (O(SF)) — no broadcast() hint;
+      // stats broadcast it at bench SF, AQE/shuffle takes over at scale.
       orders(s, d)
-        .join(broadcast(customer(s, d).filter(col("c_mktsegment") === "BUILDING")
-          .select(col("c_custkey"))), col("o_custkey") === col("c_custkey"), "left_semi")
+        .join(customer(s, d).filter(col("c_mktsegment") === "BUILDING")
+          .select(col("c_custkey")), col("o_custkey") === col("c_custkey"), "left_semi")
         .select("o_orderkey", "o_custkey")
         .orderBy("o_orderkey")
     },

@@ -102,13 +102,21 @@ object PlanAudit {
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", -1)
     val jacNoBcast = plan("q_dedup_ngram_jaccard")
     val contNoBcast = plan("q_corpus_contamination")
-    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", 10L << 20)
     val smjOk = jacNoBcast.contains("SortMergeJoin") ||
       jacNoBcast.contains("ShuffledHashJoin")
     if (!smjOk) failed += 1
     println(s"${if (smjOk) "PASS" else "FAIL"}  q_dedup_ngram_jaccard: " +
       "denominator join not mandatory-broadcast (shuffled under autoBroadcast=-1)")
     plans("q_dedup_ngram_jaccard (autoBroadcastJoinThreshold=-1)") = jacNoBcast
+    // The denominator joins carry an explicit merge hint precisely
+    // because shuffle_hash would re-create the unbounded per-task hash
+    // build the hint exists to avoid — so beyond "not broadcast", they
+    // must plan as SortMergeJoin specifically (a merge→shuffle_hash
+    // regression would otherwise slip through the relaxed check above).
+    val jacSmjOnly = jacNoBcast.contains("SortMergeJoin")
+    if (!jacSmjOnly) failed += 1
+    println(s"${if (jacSmjOnly) "PASS" else "FAIL"}  q_dedup_ngram_jaccard: " +
+      "denominator joins plan as SortMergeJoin (spillable, bounded task memory)")
     // the train-shingle membership probe is O(train corpus) — it too
     // must degrade to a shuffled join when broadcast is off the table
     val contOk = contNoBcast.contains("SortMergeJoin")
@@ -116,6 +124,29 @@ object PlanAudit {
     println(s"${if (contOk) "PASS" else "FAIL"}  q_corpus_contamination: " +
       "train-shingle probe not mandatory-broadcast (SMJ under autoBroadcast=-1)")
     plans("q_corpus_contamination (autoBroadcastJoinThreshold=-1)") = contNoBcast
+    // Customer-derived join sides are O(SF) (~15B rows at the 100 TB
+    // design point) — they must carry NO broadcast() hint, so under
+    // autoBroadcast=-1 the only BroadcastExchanges left in these plans
+    // are the fixed-size star dims (nation=25, region=5 rows at every
+    // SF) that legitimately keep their hints (VERDICT r6 finding #1).
+    def bcastCount(p: String): Int =
+      "\\((\\d+)\\) BroadcastExchange".r.findAllMatchIn(p).map(_.group(1)).toSet.size
+    val custSites = Seq(
+      ("q_tpch_q3_shape", 0),   // no fixed-dim hints at all
+      ("q_tpch_q10_shape", 1),  // nation hint only
+      ("q_join_multiway", 2),   // region + asia-nations hints only
+      ("q_subquery_in", 0))
+    custSites.foreach { case (q, allowed) =>
+      val p = plan(q)
+      val n = bcastCount(p)
+      val ok = n <= allowed
+      if (!ok) failed += 1
+      println(s"${if (ok) "PASS" else "FAIL"}  $q: no mandatory broadcast on " +
+        s"customer-derived frames ($n BroadcastExchange under autoBroadcast=-1, " +
+        s"fixed-dim allowance $allowed)")
+      plans(s"$q (autoBroadcastJoinThreshold=-1)") = p
+    }
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", 10L << 20)
     println(s"\n== $failed failing checks ==\n")
     plans.foreach { case (q, p) =>
       println(s"\n### $q\n")
