@@ -286,22 +286,51 @@ object Multimodal {
       }.orNull catch { case scala.util.control.NonFatal(_) => null }
     }
 
-  /** STUB decode: deterministic fake metadata derived from the raw bytes
-    * (format from a fake magic byte, dimensions from the length). A real
-    * implementation parses the container header instead. */
-  def fakeDecode(bin: Column): Column = struct(
-    element_at(array(lit("jpeg"), lit("png"), lit("wav")),
-      (abs(xxhash64(bin)) % 3 + 1).cast("int")).as("format"),
-    ((abs(xxhash64(bin)) % 1024) + 1).cast("int").as("width"),
-    ((abs(xxhash64(bin, lit(1))) % 768) + 1).cast("int").as("height"),
-    octet_length(bin).cast("long").as("n_bytes"))
+  /** Value of one hex digit of a lowercase digest string (1-based
+    * position): '0'..'9' → 0..9, 'a'..'f' → 10..15. Pure arithmetic on
+    * the char code, so the identical expression is writable in any SQL
+    * engine — which is what lets the fake-decode pipeline carry a real
+    * DuckDB oracle. */
+  private def hexDigit(h: Column, i: Int): Column = {
+    val a = ascii(substring(h, i, 1))
+    when(a <= 57, a - 48).otherwise(a - 87)
+  }
 
-  /** STUB feature extractor: 16-dim deterministic pseudo-embedding from
-    * byte-level hashes — stands in for a vision/audio encoder, keeps the
-    * array<double> schema and per-partition parallelism of the real op. */
-  def fakeFeatures(bin: Column, dim: Int = 16): Column =
-    transform(sequence(lit(0), lit(dim - 1)),
-      i => (xxhash64(bin, i) % 1000).cast("double") / 1000.0)
+  /** Integer value of `len` hex chars of `h` starting at 1-based `start`. */
+  private[graft] def hexWindow(h: Column, start: Int, len: Int): Column =
+    (start until start + len).map(hexDigit(h, _)).reduceLeft((acc, d) => acc * 16 + d)
+
+  /** STUB decode: deterministic fake metadata derived from md5(bytes) —
+    * format from hex digit 1, width/height from 16-bit hex windows
+    * aligned at chars 5–8 and 9–12 (the same windows the feature
+    * extractor reads, so the oracle SQL computes each window once). A
+    * real implementation parses the container header instead; md5 (not
+    * xxhash64) keeps the derivation bitwise-reproducible in DuckDB, so
+    * the full pipeline is oracle-checked rather than rows-only. */
+  def fakeDecode(bin: Column): Column = {
+    val h = md5(bin)
+    struct(
+      element_at(array(lit("jpeg"), lit("png"), lit("wav")),
+        (hexWindow(h, 1, 1) % 3 + 1).cast("int")).as("format"),
+      (hexWindow(h, 5, 4) % 1024 + 1).cast("int").as("width"),
+      (hexWindow(h, 9, 4) % 768 + 1).cast("int").as("height"),
+      octet_length(bin).cast("long").as("n_bytes"))
+  }
+
+  /** STUB feature extractor: deterministic pseudo-embedding (≤16 dims)
+    * from the 4-hex-char windows of md5(bytes) (dims 0–7) and
+    * md5(bytes ++ "x") (dims 8–15) — stands in for a vision/audio
+    * encoder, keeps the array<double> schema and per-partition
+    * parallelism of the real op, and is expressible in oracle SQL. */
+  def fakeFeatures(bin: Column, dim: Int = 16): Column = {
+    require(dim >= 1 && dim <= 16, "fake encoder emits at most 16 dims")
+    val h1 = md5(bin)
+    val h2 = md5(concat(bin, lit("x").cast("binary")))
+    array((0 until dim).map { i =>
+      val h = if (i < 8) h1 else h2
+      (hexWindow(h, 1 + 4 * (i % 8), 4) % 1000).cast("double") / 1000.0
+    }: _*)
+  }
 
   /** STUB resize: a real kernel maps bytes→bytes; the fake truncates,
     * preserving the binary type and the metadata update contract. */
@@ -339,10 +368,37 @@ object Multimodal {
 
     // Full pipeline: decode → filter on metadata → features. The REAL
     // image decoder runs first; payloads it can't parse (this corpus's
-    // text bytes — always, here) fall back to the deterministic stub,
-    // so the wiring exercises the real codec path while results stay
-    // reproducible. Rows-only driver check; asserted in MultimodalSpec.
-    OpQuery.noOracle("q_media_pipeline") { (s, d) =>
+    // text bytes — always, here: UTF-8 text can't carry a valid image
+    // body) fall back to the md5-derived stub, so the wiring exercises
+    // the real codec path while results stay reproducible. The oracle
+    // recomputes the stub's md5-hex-window derivation in DuckDB SQL —
+    // md5 of the same UTF-8 bytes is bitwise-identical across engines,
+    // and each feature value is an exact multiple of 1/1000, so the
+    // 16-term sum rounds identically at 6 dp regardless of summation
+    // order. Codec behavior on real media stays covered by MultimodalSpec.
+    OpQuery("q_media_pipeline",
+      """WITH base AS (
+        |  SELECT doc_id, md5(text) AS h1, md5(text || 'x') AS h2,
+        |         CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+        |  FROM documents),
+        |hx AS (
+        |  SELECT doc_id, n_bytes,
+        |         list_transform(range(0, 16), i ->
+        |           list_sum(list_transform(range(0, 4), j ->
+        |             (CASE WHEN ascii(substr(CASE WHEN i < 8 THEN h1 ELSE h2 END,
+        |                                     CAST(1 + 4 * (i % 8) + j AS INT), 1)) <= 57
+        |                   THEN ascii(substr(CASE WHEN i < 8 THEN h1 ELSE h2 END,
+        |                                     CAST(1 + 4 * (i % 8) + j AS INT), 1)) - 48
+        |                   ELSE ascii(substr(CASE WHEN i < 8 THEN h1 ELSE h2 END,
+        |                                     CAST(1 + 4 * (i % 8) + j AS INT), 1)) - 87 END)
+        |             * CAST(pow(16, 3 - j) AS BIGINT)))) AS w
+        |  FROM base)
+        |SELECT doc_id,
+        |       (['jpeg', 'png', 'wav'])[CAST((w[1] // 4096) % 3 AS INT) + 1] AS format,
+        |       CAST(w[2] % 1024 + 1 AS INT) AS width,
+        |       CAST(w[3] % 768 + 1 AS INT) AS height,
+        |       round(list_sum(list_transform(w, x -> (x % 1000) / 1000.0)), 6) AS feat_sum
+        |FROM hx WHERE n_bytes > 100 ORDER BY doc_id""".stripMargin) { (s, d) =>
       mediaTable(s, d)
         .withColumn("meta", coalesce(decodeImage(col("payload")), fakeDecode(col("payload"))))
         .filter(col("meta.n_bytes") > 100)

@@ -222,12 +222,27 @@ object Relational {
         .orderBy("l_returnflag")
     },
 
-    // HLL sketches differ across engines → rows-only check. At 100 TB this
-    // (not exact COUNT DISTINCT) is the operator you actually run.
-    OpQuery.noOracle("q_agg_approx_distinct") { (s, d) =>
+    // HLL sketch oracled the same way as q_agg_approx_quantile: the
+    // sketch itself is engine-specific, so output the EXACT per-group
+    // distinct count (both engines agree bitwise) plus an `hll_ok`
+    // boolean asserting the HLL estimate landed within 2× its default
+    // relative standard deviation (5%) of the exact value — the oracle
+    // pins TRUE, so sketch drift breaks the hash match while the
+    // approx aggregate (the operator you actually run at 100 TB, where
+    // exact COUNT DISTINCT shuffles every distinct key) stays in the
+    // measured plan.
+    OpQuery("q_agg_approx_distinct",
+      """SELECT l_returnflag,
+        |       CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n_orders,
+        |       TRUE AS hll_ok
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin) { (s, d) =>
       lineitem(s, d)
         .groupBy("l_returnflag")
-        .agg(approx_count_distinct(col("l_orderkey")).as("approx_orders"))
+        .agg(countDistinct(col("l_orderkey")).as("n_orders"),
+             approx_count_distinct(col("l_orderkey")).as("a"))
+        .select(col("l_returnflag"), col("n_orders"),
+          (abs(col("a") - col("n_orders")).cast("double") / col("n_orders") <= 0.1)
+            .as("hll_ok"))
         .orderBy("l_returnflag")
     },
 
