@@ -117,26 +117,44 @@ object EventWindows {
          |       MAX(mx) OVER (PARTITION BY user_id, grp) AS filled_value
          |FROM joined ORDER BY user_id, hour""".stripMargin) { (s, d) =>
       import org.apache.spark.sql.expressions.Window
-      // cache(): spans and the grid join both read the hourly aggregate
+      // Everything expensive happens on the SPARSE hourly aggregate; the
+      // dense grid is generated map-side by explode AFTER the fill value
+      // is already known, so no join, window, or exchange ever carries
+      // the output-sized frame (the 64x probe's superlinear spill came
+      // from shuffling+sorting the dense grid twice).
       val hourly = events(s, d)
         .groupBy(col("user_id"), date_trunc("hour", col("ts")).as("h"))
         .agg(max(col("value")).as("mx"), count(lit(1)).as("n"))
-        .cache()
-      val spans = hourly.groupBy("user_id").agg(min("h").as("h0"), max("h").as("h1"))
-      val grid = spans.select(col("user_id"),
-        explode(sequence(col("h0"), col("h1"), expr("interval 1 hour"))).as("h"))
-      // forward fill = last non-null over a running frame (incremental,
-      // ONE window pass); the oracle's count-over/max-over-group pair
-      // computes the same value but would cost Spark a second
-      // shuffle+sort on (user_id, grp)
-      val fill = Window.partitionBy("user_id").orderBy("h")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      grid.join(hourly, Seq("user_id", "h"), "left")
-        .withColumn("n_events", coalesce(col("n"), lit(0L)))
+      // ONE range exchange by user on the sparse frame: RangePartitioning
+      // (user) satisfies both the window's ClusteredDistribution(user)
+      // and — as a prefix — the final ORDER BY (user, hour)'s
+      // OrderedDistribution, so the dense output needs only a local
+      // (spillable, exchange-free) sort, never a global re-shuffle.
+      val byUser = hourly.repartitionByRange(col("user_id"))
+      val w = Window.partitionBy("user_id").orderBy("h")
+      // forward fill = last non-null over a running frame on the sparse
+      // rows; gap hours inherit their predecessor's fill by construction
+      val fill = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      byUser
+        .withColumn("ffmx", last(col("mx"), ignoreNulls = true).over(fill))
+        .withColumn("nxt", lead(col("h"), 1).over(w))
+        // ORDER BY placed on the SPARSE frame, where it is physically
+        // free (the window already emits rows range-partitioned by user
+        // and sorted by (user, h), so EnsureRequirements elides both the
+        // exchange and the sort). The explode is order-preserving and
+        // hh spans [h, nxt) are disjoint and increasing, so the dense
+        // output streams to the writer already in (user, hour) order —
+        // the output-sized frame is never sorted, shuffled, or buffered,
+        // which is what removed the 64x probe's superlinear spill.
+        .orderBy("user_id", "h")
+        .select(col("user_id"), col("n"), col("ffmx"), col("h"),
+          explode(sequence(col("h"),
+            coalesce(col("nxt") - expr("interval 1 hour"), col("h")),
+            expr("interval 1 hour"))).as("hh"))
         .select(col("user_id"),
-          date_format(col("h"), "yyyy-MM-dd HH:mm:ss").as("hour"), col("n_events"),
-          last(col("mx"), ignoreNulls = true).over(fill).as("filled_value"))
-        .orderBy("user_id", "hour")
+          date_format(col("hh"), "yyyy-MM-dd HH:mm:ss").as("hour"),
+          when(col("hh") === col("h"), col("n")).otherwise(lit(0L)).as("n_events"),
+          col("ffmx").as("filled_value"))
     },
 
     // Top event bursts: largest 1-minute counts — tumbling window + topk.

@@ -94,6 +94,24 @@ object VectorOps {
     }) }
   }
 
+  /** Memoized md5-LSH cell assignment — the oracle-checked quantizer's
+    * analog of [[ivfIndex]], sharing the same LRU store: a long-lived
+    * service session querying many corpora evicts (and unpersists) old
+    * assignment frames instead of pinning one cached frame per corpus
+    * forever. Centroid slot is unused for this variant. */
+  private def lshAssigned(e0: org.apache.spark.sql.DataFrame, dim: Int,
+      bits: Int): org.apache.spark.sql.DataFrame = {
+    val key = System.identityHashCode(e0.sparkSession) + "|lsh|" +
+      e0.queryExecution.analyzed.semanticHash() + "|" + dim + "|" + bits
+    ivfCache.synchronized { ivfCache.computeIfAbsent(key, _ => {
+      val assigned = e0
+        .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("v"))
+        .withColumn("cell", lshSignature(col("v"), dim, bits))
+        .cache()
+      (assigned, Array.empty[Array[Double]])
+    })._1 }
+  }
+
   /** KMeans-quantizer IVF probe (the learned-index variant): build (or
     * reuse) the [[ivfIndex]], rank cells by centroid-to-query cosine,
     * exact-score only the `nProbe` best cells. Not a `queries()` entry —
@@ -178,10 +196,9 @@ object VectorOps {
       // head()-derived width would silently diverge from the oracle on
       // a ragged-dimension corpus (plan-dependent which row comes first)
       val dim = e0.agg(max(size(col("embedding")))).head().getInt(0)
-      val e = e0
-        .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("v"))
-        .withColumn("cell", lshSignature(col("v"), dim, bits = 4))
-        .cache() // corpus side, centroid input and query side share it
+      // corpus side, centroid input and query side share the memoized
+      // LRU-evicted assignment frame (no unbounded per-corpus pinning)
+      val e = lshAssigned(e0, dim, bits = 4)
       val cent = e
         .select(col("cell"), posexplode(col("v")).as(Seq("dim", "x")))
         .groupBy("cell", "dim")

@@ -10,13 +10,17 @@ import org.apache.spark.sql.functions._
   * Synthesizes K× copies of the sf0.1 TPC-H-ish fact tables with
   * consistent key offsets — replica r shifts `o_orderkey`/`l_orderkey`
   * by r·(max orderkey+1) and `o_custkey`/`c_custkey` by
-  * r·(max custkey+1), so joins resolve strictly within one replica,
-  * per-group sizes stay constant, and true work grows linearly in K
-  * (64× ≈ 38 M lineitem rows). Dimension tables (nation, region,
-  * supplier) are copied verbatim. Times the money-aggregate, grouping-
-  * set, exact-quantile, window-top-N and star/fact join shapes at
-  * K = 1, 4, 16, 64: a shape that is quadratic — or a broadcast that
-  * only fits at toy scale — bends the curve long before 64×.
+  * r·(max custkey+1), so joins resolve strictly within one replica and
+  * true work grows linearly in K (64× ≈ 38 M lineitem rows). Dimension
+  * tables (nation, region, supplier) are copied verbatim — so groups
+  * keyed on offset ids (per-order, per-customer) stay constant-sized
+  * across K, while groups keyed on dimension values (per-nation,
+  * per-returnflag) grow linearly with K; join *resolution* stays within
+  * one replica either way, which is what the linearity conclusion rests
+  * on. Times the money-aggregate, grouping-set, exact-quantile,
+  * window-top-N and star/fact join shapes at K = 1, 4, 16, 64: a shape
+  * that is quadratic — or a broadcast that only fits at toy scale —
+  * bends the curve long before 64×.
   *
   * Usage: runMain graft.tools.ScaleProbeRel [sfDir] [outBase]
   */
