@@ -81,7 +81,17 @@ object PlanAudit {
         p => "[^_x]percentile\\(".r.findFirstIn(p).isEmpty &&
           (p.contains("approx_percentile") || p.contains("percentile_approx"))),
       Check("q_sim_ivf", "cell probe joins broadcast the bounded probe set",
-        p => p.contains("BroadcastHashJoin") && !p.contains("CartesianProduct"))
+        p => p.contains("BroadcastHashJoin") && !p.contains("CartesianProduct")),
+      // round-7: the gap-fill dense grid must stay out of every exchange
+      // and sort — the whole plan carries exactly two exchanges (hourly
+      // hash agg + sparse range repartition by user) and one sort (the
+      // window's local sparse sort); the global ORDER BY is elided and
+      // the Generate streams dense rows pre-ordered. A third exchange or
+      // second sort means someone re-introduced output-sized spill.
+      Check("q_events_gapfill", "dense grid shuffle/sort-free (2 exchanges, 1 sort, both sparse-side)",
+        p => "\\((\\d+)\\) Exchange".r.findAllMatchIn(p).map(_.group(1)).toSet.size == 2 &&
+          "\\((\\d+)\\) Sort".r.findAllMatchIn(p).map(_.group(1)).toSet.size == 1 &&
+          "\\((\\d+)\\) Generate".r.findAllMatchIn(p).map(_.group(1)).toSet.size == 1)
     )
 
     val plans = scala.collection.mutable.LinkedHashMap[String, String]()
