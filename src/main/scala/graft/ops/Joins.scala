@@ -162,16 +162,31 @@ object Joins {
         .orderBy("o_orderstatus")
     },
 
-    // Pure range (non-equi) join: broadcast nested loop against the small
-    // side, aggregated to a per-supplier count.
+    // Range (non-equi) join as a BUCKETIZED EQUI join. The naive shape
+    // (broadcast supplier + nested-loop band predicate) mandatorily
+    // broadcasts an O(SF) table — the same unbounded class removed from
+    // the customer joins — and a plain non-equi join degenerates to
+    // BroadcastNestedLoopJoin either way. Instead: bucket both sides by
+    // floor(acctbal / bandwidth); a supplier's ±500 band can only reach
+    // buckets b−1, b, b+1, so exploding the supplier side 3× and
+    // equi-joining on the bucket turns the band join into a shuffled
+    // hash/merge join that partitions and spills like any other — the
+    // standard interval-join bucketing a 100 TB band join needs. Each
+    // qualifying (customer, supplier) pair meets in exactly one bucket
+    // (the customer's), so no dedup is required.
     OpQuery("q_join_range",
       """SELECT s_suppkey, CAST(COUNT(*) AS BIGINT) AS n_cust
         |FROM supplier JOIN customer
         |  ON c_acctbal BETWEEN s_acctbal - 500 AND s_acctbal + 500
         |GROUP BY s_suppkey ORDER BY s_suppkey""".stripMargin) { (s, d) =>
-      customer(s, d).select("c_acctbal")
-        .join(broadcast(supplier(s, d).select("s_suppkey", "s_acctbal")),
-          col("c_acctbal").between(col("s_acctbal") - 500, col("s_acctbal") + 500))
+      val bs = floor(col("s_acctbal") / 500).cast("long")
+      val sup = supplier(s, d).select(col("s_suppkey"), col("s_acctbal"))
+        .select(col("s_suppkey"), col("s_acctbal"),
+          explode(array(bs - 1, bs, bs + 1)).as("b"))
+      val cust = customer(s, d)
+        .select(col("c_acctbal"), floor(col("c_acctbal") / 500).cast("long").as("b"))
+      cust.join(sup, Seq("b"))
+        .filter(col("c_acctbal").between(col("s_acctbal") - 500, col("s_acctbal") + 500))
         .groupBy("s_suppkey")
         .agg(count(lit(1)).as("n_cust"))
         .orderBy("s_suppkey")

@@ -145,14 +145,18 @@ object PlanAudit {
       ("q_tpch_q3_shape", 0),   // no fixed-dim hints at all
       ("q_tpch_q10_shape", 1),  // nation hint only
       ("q_join_multiway", 2),   // region + asia-nations hints only
-      ("q_subquery_in", 0))
+      ("q_subquery_in", 0),
+      // bucketized band join: the supplier side is O(SF), so under
+      // autoBroadcast=-1 the bucket equi-join must shuffle (and never
+      // fall back to a nested-loop band join)
+      ("q_join_range", 0))
     custSites.foreach { case (q, allowed) =>
       val p = plan(q)
       val n = bcastCount(p)
       val ok = n <= allowed
       if (!ok) failed += 1
       println(s"${if (ok) "PASS" else "FAIL"}  $q: no mandatory broadcast on " +
-        s"customer-derived frames ($n BroadcastExchange under autoBroadcast=-1, " +
+        s"O(SF) frames ($n BroadcastExchange under autoBroadcast=-1, " +
         s"fixed-dim allowance $allowed)")
       plans(s"$q (autoBroadcastJoinThreshold=-1)") = p
     }
