@@ -36,4 +36,61 @@ class QueriesSpec extends AnyFunSuite {
         s"$name column '$c' is not a plain identifier"))
     }
   }
+
+  // The bucketized band join replaced a broadcast nested loop (round 7);
+  // its correctness rests on bucket-boundary arithmetic (floor of
+  // negative balances, inclusive ±500 edges, one-meeting-bucket-per-pair).
+  // Cross-check the whole result against the definitionally-correct
+  // brute-force cross join at this SF.
+  test("q_join_range equals the brute-force band join") {
+    import org.apache.spark.sql.functions._
+    import graft.ops.Tables
+    val expected = Tables.customer(spark, TestSpark.Sf).select("c_acctbal")
+      .crossJoin(Tables.supplier(spark, TestSpark.Sf).select("s_suppkey", "s_acctbal"))
+      .filter(col("c_acctbal").between(col("s_acctbal") - 500, col("s_acctbal") + 500))
+      .groupBy("s_suppkey").agg(count(lit(1)).as("n_cust"))
+      .orderBy("s_suppkey").collect().map(_.toString).toSeq
+    val actual = SparkEntry.queries("q_join_range")(spark, TestSpark.Sf)
+      .collect().map(_.toString).toSeq
+    assert(actual == expected)
+  }
+
+  // The gap-fill operator streams its dense output pre-ordered (no dense
+  // sort in the plan — round 7); re-derive the full semantics driver-side
+  // from the raw events: global (user, hour) order, contiguous hourly
+  // grid per user, exact n_events, and last-observed-forward fill.
+  test("q_events_gapfill: ordered, contiguous, correctly filled") {
+    import org.apache.spark.sql.functions._
+    val out = SparkEntry.queries("q_events_gapfill")(spark, TestSpark.Sf)
+      .collect().map(r => (r.getLong(0), r.getString(1),
+        r.getLong(2), if (r.isNullAt(3)) null else r.getDouble(3).asInstanceOf[Any]))
+    assert(out.nonEmpty)
+    // globally ordered as written (the driver compare is order-sensitive)
+    assert(out.map(r => (r._1, r._2)).sameElements(
+      out.map(r => (r._1, r._2)).sortBy(identity)), "output not (user, hour)-sorted")
+    // reference fill from the raw events, computed independently
+    val fmt = java.time.format.DateTimeFormatter.ofPattern("yyyy-MM-dd HH:mm:ss")
+      .withZone(java.time.ZoneOffset.UTC)
+    val raw = graft.ops.Tables.events(spark, TestSpark.Sf)
+      .select(col("user_id"), date_trunc("hour", col("ts")).as("h"), col("value"))
+      .collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1).toInstant,
+        if (r.isNullAt(2)) None else Some(r.getDouble(2))))
+    val byUser = raw.groupBy(_._1)
+    val expected = byUser.toSeq.flatMap { case (u, rows) =>
+      val hourly = rows.groupBy(_._2).map { case (h, hr) =>
+        val vals = hr.flatMap(_._3)
+        (h, hr.length.toLong, if (vals.isEmpty) None else Some(vals.max))
+      }.toSeq.sortBy(_._1)
+      val (h0, h1) = (hourly.head._1, hourly.last._1)
+      val obs = hourly.map(t => t._1 -> (t._2, t._3)).toMap
+      var fill: Option[Double] = None
+      Iterator.iterate(h0)(_.plusSeconds(3600)).takeWhile(!_.isAfter(h1)).map { h =>
+        val (n, mx) = obs.getOrElse(h, (0L, None))
+        if (mx.isDefined) fill = mx
+        (u, fmt.format(h), n, fill.map(_.asInstanceOf[Any]).orNull)
+      }.toSeq
+    }.sortBy(r => (r._1, r._2))
+    assert(out.toSeq == expected)
+  }
 }
