@@ -100,12 +100,16 @@ object EventStream {
   }
 
   /** Stream-static join: the event stream enriched against a static
-    * dimension table (broadcast per micro-batch, no streaming state) —
-    * the standard "stream + reference data" shape. */
+    * dimension table, no streaming state — the standard "stream +
+    * reference data" shape. No broadcast() hint: customer is an O(SF)
+    * table (the same unbounded-mandatory-broadcast class removed from
+    * the batch joins in round 7), and a hint would pin it into every
+    * micro-batch's plan at any size. The planner broadcasts reference
+    * data that actually fits from its own statistics per micro-batch,
+    * and shuffles the static side once it doesn't. */
   def enriched(events: DataFrame, customers: DataFrame): DataFrame =
     events
-      .join(org.apache.spark.sql.functions.broadcast(
-        customers.select(col("c_custkey"), col("c_mktsegment"))),
+      .join(customers.select(col("c_custkey"), col("c_mktsegment")),
         col("user_id") === col("c_custkey"), "left")
       .groupBy(coalesce(col("c_mktsegment"), lit("unknown")).as("segment"))
       .agg(count(lit(1)).as("n"))
