@@ -134,31 +134,43 @@ object PlanAudit {
     println(s"${if (contOk) "PASS" else "FAIL"}  q_corpus_contamination: " +
       "train-shingle probe not mandatory-broadcast (SMJ under autoBroadcast=-1)")
     plans("q_corpus_contamination (autoBroadcastJoinThreshold=-1)") = contNoBcast
-    // Customer-derived join sides are O(SF) (~15B rows at the 100 TB
-    // design point) — they must carry NO broadcast() hint, so under
-    // autoBroadcast=-1 the only BroadcastExchanges left in these plans
-    // are the fixed-size star dims (nation=25, region=5 rows at every
-    // SF) that legitimately keep their hints (VERDICT r6 finding #1).
+    // Full-inventory mandatory-broadcast sweep: under autoBroadcast=-1
+    // any surviving BroadcastExchange is hint- (or strategy-) mandated.
+    // Every such site must be a provably BOUNDED frame; the allowlist
+    // below names each one with its reason, and any query exceeding its
+    // allowance — e.g. a new broadcast() hint on an O(SF) table like
+    // customer or supplier, the scale-killer class removed in round 7 —
+    // fails the audit. Default allowance is ZERO.
     def bcastCount(p: String): Int =
       "\\((\\d+)\\) BroadcastExchange".r.findAllMatchIn(p).map(_.group(1)).toSet.size
-    val custSites = Seq(
-      ("q_tpch_q3_shape", 0),   // no fixed-dim hints at all
-      ("q_tpch_q10_shape", 1),  // nation hint only
-      ("q_join_multiway", 2),   // region + asia-nations hints only
-      ("q_subquery_in", 0),
-      // bucketized band join: the supplier side is O(SF), so under
-      // autoBroadcast=-1 the bucket equi-join must shuffle (and never
-      // fall back to a nested-loop band join)
-      ("q_join_range", 0))
-    custSites.foreach { case (q, allowed) =>
-      val p = plan(q)
-      val n = bcastCount(p)
-      val ok = n <= allowed
-      if (!ok) failed += 1
-      println(s"${if (ok) "PASS" else "FAIL"}  $q: no mandatory broadcast on " +
-        s"O(SF) frames ($n BroadcastExchange under autoBroadcast=-1, " +
-        s"fixed-dim allowance $allowed)")
-      plans(s"$q (autoBroadcastJoinThreshold=-1)") = p
+    val bcastAllow = Map(
+      "q_agg_stringagg" -> 1,       // region: fixed 5 rows at every SF
+      "q_cte_maxrev" -> 1,          // 1-row scalar MAX subquery
+      "q_dedup_minhash" -> 3,       // df-cap heavy-hitter stop-set + LSH-bounded candidate docs/pairs
+      "q_dedup_ngram_jaccard" -> 1, // df-cap heavy-hitter stop-set
+      "q_events_anomaly" -> 1,      // per-event-type stats: bounded type domain
+      "q_join_multiway" -> 2,       // region + ASIA-nation dims: fixed 5/25 rows
+      "q_mixture_weights" -> 1,     // 1-row corpus total
+      "q_sim_ann_lsh" -> 2,         // 1-row min-id + 1-row query vector
+      "q_sim_cosine_topk" -> 2,     // 1-row min-id + 1-row query vector
+      "q_sim_ivf" -> 5,             // 1-row min-id/query (x2 uses) + 4-row probe-cell set
+      "q_subquery_scalar" -> 1,     // 1-row scalar average
+      "q_subquery_select" -> 1,     // 1-row scalar total
+      "q_tpch_q10_shape" -> 1,      // nation: fixed 25 rows
+      "q_window_ntile" -> 1,        // O(value buckets) offset table
+      "q_window_range_frame" -> 1)  // O(value buckets) offset table
+    val sweepBad = graft.SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (n, _) =>
+      val cnt = try bcastCount(plan(n)) catch { case _: Throwable => -1 }
+      if (cnt < 0 || cnt > bcastAllow.getOrElse(n, 0)) Some(s"$n=$cnt") else None
+    }
+    if (sweepBad.nonEmpty) failed += 1
+    println(s"${if (sweepBad.isEmpty) "PASS" else "FAIL"}  ALL ${graft.SparkEntry.queries.size} " +
+      s"queries: no unlisted mandatory broadcast under autoBroadcast=-1" +
+      (if (sweepBad.isEmpty) "" else s" (violations: ${sweepBad.mkString(", ")})"))
+    // keep the de-hinted shapes' -1 plans in the dump for inspection
+    Seq("q_tpch_q3_shape", "q_tpch_q10_shape", "q_join_multiway",
+        "q_subquery_in", "q_join_range").foreach { q =>
+      plans(s"$q (autoBroadcastJoinThreshold=-1)") = plan(q)
     }
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", 10L << 20)
     println(s"\n== $failed failing checks ==\n")
