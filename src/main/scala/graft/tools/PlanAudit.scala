@@ -159,14 +159,27 @@ object PlanAudit {
       "q_tpch_q10_shape" -> 1,      // nation: fixed 25 rows
       "q_window_ntile" -> 1,        // O(value buckets) offset table
       "q_window_range_frame" -> 1)  // O(value buckets) offset table
-    val sweepBad = graft.SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (n, _) =>
-      val cnt = try bcastCount(plan(n)) catch { case _: Throwable => -1 }
-      if (cnt < 0 || cnt > bcastAllow.getOrElse(n, 0)) Some(s"$n=$cnt") else None
+    var sweepBad = List.empty[String]
+    var cartBad = List.empty[String]
+    graft.SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (n, _) =>
+      val p = try plan(n) catch { case _: Throwable => null }
+      val cnt = if (p == null) -1 else bcastCount(p)
+      if (cnt < 0 || cnt > bcastAllow.getOrElse(n, 0)) sweepBad ::= s"$n=$cnt"
+      // a CartesianProduct under -1 means a join lost its keys (the
+      // 1-row scalar crossJoins keep explicit broadcast hints, so they
+      // stay nested-loop with a bounded build); only the literal cross
+      // join operator is allowed to be cartesian
+      if (p != null && p.contains("CartesianProduct") && n != "q_join_cross")
+        cartBad ::= n
     }
     if (sweepBad.nonEmpty) failed += 1
     println(s"${if (sweepBad.isEmpty) "PASS" else "FAIL"}  ALL ${graft.SparkEntry.queries.size} " +
       s"queries: no unlisted mandatory broadcast under autoBroadcast=-1" +
       (if (sweepBad.isEmpty) "" else s" (violations: ${sweepBad.mkString(", ")})"))
+    if (cartBad.nonEmpty) failed += 1
+    println(s"${if (cartBad.isEmpty) "PASS" else "FAIL"}  ALL ${graft.SparkEntry.queries.size} " +
+      s"queries: no CartesianProduct under autoBroadcast=-1 (except q_join_cross itself)" +
+      (if (cartBad.isEmpty) "" else s" (violations: ${cartBad.mkString(", ")})"))
     // keep the de-hinted shapes' -1 plans in the dump for inspection
     Seq("q_tpch_q3_shape", "q_tpch_q10_shape", "q_join_multiway",
         "q_subquery_in", "q_join_range").foreach { q =>
