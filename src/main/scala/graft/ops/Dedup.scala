@@ -13,10 +13,11 @@ import Tables._
   * Scale design:
   *  - Exact/canonical dedup = hash aggregate on the normalized key — one
   *    shuffle, the cheapest possible shape.
-  *  - Exact Jaccard uses an inverted-index self-join on shingles with
-  *    document-frequency pruning (stop-shingles appearing in > DfCap docs
-  *    are dropped, mirrored in the oracle) — without the cap the join
-  *    explodes quadratically on frequent shingles.
+  *  - Exact Jaccard uses per-shingle posting lists with document-
+  *    frequency pruning (stop-shingles appearing in > [[effectiveDfCap]]
+  *    docs — 1% of the corpus, floored at DfCap — are dropped, mirrored
+  *    in the oracle) — without the cap the pair expansion explodes
+  *    quadratically on frequent shingles.
   *  - MinHash replaces the full shingle join with a constant-width
   *    signature (NumPerm hashes) + banded LSH bucketing, then verifies
   *    candidates with exact Jaccard. Bucket join cost scales with
@@ -25,9 +26,39 @@ import Tables._
 object Dedup {
 
   val JaccardThreshold = 0.5
-  val DfCap = 50       // stop-shingle document-frequency cap
+  val DfCap = 50       // stop-shingle document-frequency cap (floor)
   val NumPerm = 16     // MinHash permutations
   val Bands = 4        // LSH bands (NumPerm / Bands rows per band)
+
+  /** Effective stop-shingle cap: max(DfCap, 1% of the corpus doc count),
+    * ceiling division so both engines compute it in exact integer
+    * arithmetic. A FIXED cap has two scale defects (round-7 verdict):
+    * the stop-set grows ~linearly with the corpus (Zipf: #types above a
+    * fixed absolute df is bounded only by occurrences/cap), and recall
+    * decays — a true near-dup pair's shared shingles all cross a fixed
+    * absolute cap once the corpus is large enough, at which point the
+    * pair loses every posting and is undetectable. Scaling the cap with
+    * N makes the policy a RELATIVE one ("drop shingles appearing in
+    * >1% of documents"): the stop-set size is bounded by
+    * occurrences/(N/100) = 100 × avg shingles/doc — a constant — and a
+    * pair's shingles survive at any corpus size unless they are
+    * genuinely boilerplate. Recall is spec-pinned at two corpus sizes
+    * (DedupVectorSpec). The floor keeps small corpora at the round-1
+    * behavior (all tested SFs: 50/500/5000 docs → cap 50, so oracle
+    * results are unchanged). Cost note: the exact-Jaccard pair expansion
+    * is Σ C(df,2) ≤ cap/2 × total occurrences, so a relative cap makes
+    * the EXACT operator superlinear on pathological corpora — that
+    * operator is the small/medium-corpus tool; MinHash+LSH (whose
+    * verify is candidate-restricted, not df-bounded) is the 100 TB
+    * path. */
+  private[graft] def effectiveDfCap(nDocs: Long): Int =
+    math.max(DfCap.toLong, (nDocs + 99) / 100).toInt
+
+  /** SQL twin of [[effectiveDfCap]] as a scalar subquery (the oracle
+    * must derive the cap from the same corpus the Spark side counted;
+    * `//` is integer division in DuckDB, exact like the Scala side). */
+  private val effectiveDfCapSql =
+    s"(SELECT GREATEST($DfCap, (COUNT(*) + 99) // 100) FROM documents)"
 
   /** Whitespace class written out explicitly: Java regex `\s` includes
     * U+000B (vertical tab) while DuckDB's RE2 `\s` does not — with a
@@ -101,52 +132,63 @@ object Dedup {
 
   /** Exact Jaccard pairs via per-shingle posting lists with df-pruning.
     *
-    * Stop-shingles (df > dfCap) are removed with a broadcast anti-join —
-    * the *stop* set is tiny even at 100 TB (frequent shingles are few),
-    * whereas semi-joining on the retained set would shuffle the full
-    * stream, and collecting before pruning would buffer unbounded
-    * posting lists. Co-occurring pairs are then expanded *map-side* from
-    * each sorted posting list (bounded by C(dfCap,2) per shingle)
-    * instead of a shuffled inverted-index self-join — two fewer shuffles
-    * of the shingle stream. The final denominator joins are explicit
-    * sort-merge joins: both sides are unbounded (`counts` is one row
-    * per document — O(corpus); `inter` is O(co-occurring pairs)), so
-    * neither a mandatory broadcast nor a static cost-based choice is
-    * safe — see the hint-site comment for the 64× probe failure that
-    * proved it.
+    * ONE aggregation builds the sorted posting lists AND applies the
+    * df-cap: a posting list's length IS its shingle's document
+    * frequency, so stop-shingles (df > dfCap) fall to a post-aggregation
+    * length filter. The former shape — a separate df aggregate collected
+    * into a broadcast anti-join — carried the last mandatory broadcast
+    * whose bound was corpus-dependent rather than structural (round-7
+    * verdict: under Zipf statistics the stop-set grows with the corpus
+    * for a fixed cap); this shape has NO stop-set frame at all and one
+    * fewer pass over the shingle stream. Co-occurring pairs are then
+    * expanded *map-side* from each sorted posting list (bounded by
+    * C(dfCap,2) per shingle) instead of a shuffled inverted-index
+    * self-join. The final denominator joins are explicit sort-merge
+    * joins: both sides are unbounded (`counts` is one row per document —
+    * O(corpus); `inter` is O(co-occurring pairs)), so neither a
+    * mandatory broadcast nor a static cost-based choice is safe — see
+    * the hint-site comment for the 64× probe failure that proved it.
     *
-    * When `candidates` is given (MinHash path), the shingle stream is
-    * first semi-joined down to candidate *documents* (broadcast — the
-    * LSH bucketing makes that set small relative to the corpus), so the
-    * pair expansion runs over candidate postings only; the pair stream
-    * is then semi-joined to candidate pairs. Denominators (n_sh) always
-    * come from the full pruned corpus. Returns (id_a, id_b, jac). */
+    * When `candidates` is given (MinHash path), the postings are
+    * restricted to candidate *documents* before the pair expansion, and
+    * the pair stream to candidate pairs. Both candidate frames are
+    * O(LSH collisions) — small for typical corpora but O(corpus) on a
+    * 30–50% near-dup corpus (routine for crawl data), so neither may be
+    * mandatorily broadcast: the restrictions are merge-hinted semi
+    * joins, which shuffle-and-spill like every other unbounded join in
+    * this engine (each costs one shuffle of a pruned/derived stream —
+    * the price of not pinning an O(corpus) frame in every task's
+    * memory). Denominators (n_sh) always come from the full pruned
+    * corpus. Returns (id_a, id_b, jac). */
   private[graft] def jaccardPairs(sh: DataFrame, dfCap: Int,
       candidates: Option[DataFrame] = None): DataFrame = {
-    val stop = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
-      .filter(col("df") > dfCap).select("shingle")
     // cache(): the exact-Jaccard and MinHash-verify paths build this
-    // exact plan (CacheManager matches by plan), and each path reads it
-    // from several broadcast subqueries — one materialization serves all.
-    val pruned = sh.join(broadcast(stop), Seq("shingle"), "left_anti").cache()
+    // exact plan (CacheManager matches by plan) — one materialization
+    // of the pruned postings serves both.
+    val posting = sh.groupBy("shingle")
+      .agg(array_sort(collect_list(col("doc_id"))).as("ids"))
+      .filter(size(col("ids")) <= dfCap)
+      .cache()
     // n_sh counts are over the full pruned corpus (same denominator as
-    // the exact path), regardless of candidate restriction.
-    val counts = pruned.groupBy("doc_id").agg(count(lit(1)).as("n_sh")).cache()
-    val pairSource = candidates match {
+    // the exact path), regardless of candidate restriction — re-derived
+    // from the cached postings rather than a second raw-stream pass.
+    val counts = posting.select(explode(col("ids")).as("doc_id"))
+      .groupBy("doc_id").agg(count(lit(1)).as("n_sh")).cache()
+    val lists = candidates match {
       case Some(p) =>
         val candDocs = p.select(explode(array(col("id_a"), col("id_b"))).as("doc_id")).distinct()
-        pruned.join(broadcast(candDocs), Seq("doc_id"), "left_semi")
-      case None => pruned
+        posting.select(col("shingle"), explode(col("ids")).as("doc_id"))
+          .join(candDocs.hint("merge"), Seq("doc_id"), "left_semi")
+          .groupBy("shingle").agg(array_sort(collect_list(col("doc_id"))).as("ids"))
+      case None => posting
     }
-    val lists = pairSource.groupBy("shingle")
-      .agg(array_sort(collect_list(col("doc_id"))).as("ids"))
     // all i<j combinations of the sorted posting list
     val pairsOf = flatten(transform(col("ids"), (x, i) =>
       transform(slice(col("ids"), i + lit(2), size(col("ids"))),
         y => struct(x.as("id_a"), y.as("id_b")))))
     val pairs0 = lists.select(explode(pairsOf).as("p")).select(col("p.id_a"), col("p.id_b"))
     val pairs = candidates match {
-      case Some(p) => pairs0.join(broadcast(p), Seq("id_a", "id_b"), "left_semi")
+      case Some(p) => pairs0.join(p.hint("merge"), Seq("id_a", "id_b"), "left_semi")
       case None => pairs0
     }
     val inter = pairs.groupBy("id_a", "id_b").agg(count(lit(1)).as("inter"))
@@ -180,11 +222,18 @@ object Dedup {
     * joins the session working set like [[shingleTable]]'s cache (one
     * entry per data directory, released with the session or an explicit
     * clearCache; same policy as `Tables.t`). */
-  private def thresholdedPairs(sh: DataFrame): DataFrame = {
-    val p = jaccardPairs(sh, DfCap).filter(col("jac") >= JaccardThreshold)
+  private def thresholdedPairs(sh: DataFrame, dfCap: Int): DataFrame = {
+    val p = jaccardPairs(sh, dfCap).filter(col("jac") >= JaccardThreshold)
     p.cache()
     p
   }
+
+  /** The corpus-size-scaled cap for a data directory. The doc count is a
+    * driver-side scalar read once at plan-construction (bounded: one
+    * long; the documents frame is the session-cached table, so the count
+    * is a metadata/cache scan, not a data pass). */
+  private def capFor(s: SparkSession, d: String): Int =
+    effectiveDfCap(documents(s, d).count())
 
   /** Shared oracle CTE block: shingles → df-pruned postings → per-doc
     * counts → pairwise intersection → Jaccard (`jacp(id_a, id_b, jac)`).
@@ -193,7 +242,8 @@ object Dedup {
     s"""sh AS ($oracleShingles),
        |pruned AS (
        |  SELECT * FROM sh WHERE shingle IN (
-       |    SELECT shingle FROM sh GROUP BY shingle HAVING COUNT(*) <= $DfCap)),
+       |    SELECT shingle FROM sh GROUP BY shingle
+       |    HAVING COUNT(*) <= $effectiveDfCapSql)),
        |cnt AS (SELECT doc_id, COUNT(*) AS n_sh FROM pruned GROUP BY doc_id),
        |inter AS (
        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
@@ -254,7 +304,8 @@ object Dedup {
        |    ON x.band = y.band AND $bandEq AND x.doc_id < y.doc_id),
        |pruned AS (
        |  SELECT * FROM sh WHERE shingle IN (
-       |    SELECT shingle FROM sh GROUP BY shingle HAVING COUNT(*) <= $DfCap)),
+       |    SELECT shingle FROM sh GROUP BY shingle
+       |    HAVING COUNT(*) <= $effectiveDfCapSql)),
        |cnt AS (SELECT doc_id, COUNT(*) AS n_sh FROM pruned GROUP BY doc_id),
        |inter AS (
        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
@@ -431,7 +482,7 @@ object Dedup {
          |WHERE jac >= $JaccardThreshold
          |ORDER BY id_a, id_b""".stripMargin) { (s, d) =>
       val sh = shingleTable(documents(s, d))
-      thresholdedPairs(sh).orderBy("id_a", "id_b")
+      thresholdedPairs(sh, capFor(s, d)).orderBy("id_a", "id_b")
     },
 
     // MinHash + banded LSH: approximate near-dup at scale. Permutation
@@ -464,7 +515,7 @@ object Dedup {
         .cache() // reused by the restricted Jaccard verify
       // verify only the candidates with exact Jaccard (restriction is
       // pushed into the pair stream, not applied after it)
-      jaccardPairs(sh, DfCap, Some(candidates))
+      jaccardPairs(sh, capFor(s, d), Some(candidates))
         .filter(col("jac") >= JaccardThreshold)
         .orderBy("id_a", "id_b")
     },
@@ -521,7 +572,7 @@ object Dedup {
     OpQuery("q_dedup_cluster", clusterOracle) { (s, d) =>
       val docs = documents(s, d).select(col("doc_id"))
       val sh = shingleTable(documents(s, d))
-      val dupPairs = thresholdedPairs(sh).select("id_a", "id_b")
+      val dupPairs = thresholdedPairs(sh, capFor(s, d)).select("id_a", "id_b")
       clusterLabels(docs, dupPairs)
     },
 

@@ -174,18 +174,35 @@ object Joins {
     // standard interval-join bucketing a 100 TB band join needs. Each
     // qualifying (customer, supplier) pair meets in exactly one bucket
     // (the customer's), so no dedup is required.
+    //
+    // The bucket alone is a BAD shuffle key: acctbal's domain is fixed
+    // ([-999.99, 9999.99]) at every SF, so there are only ~23 distinct
+    // buckets no matter how large the tables grow — every reducer
+    // key-group is O(SF) on both sides and parallelism is capped at 23.
+    // The key is therefore composited with a salt: customers carry
+    // pmod(hash(c_custkey), nSalt) and the (already 3×-exploded)
+    // supplier side explodes across all nSalt values, so each
+    // qualifying pair still meets exactly once (the customer's bucket
+    // AND salt) while the shuffle fans out over 23 × nSalt key-groups.
+    // nSalt tracks the session's shuffle parallelism — the supplier
+    // replication (3 × nSalt) is the standard skew-mitigation price,
+    // linear in |supplier| and independent of |customer|.
     OpQuery("q_join_range",
       """SELECT s_suppkey, CAST(COUNT(*) AS BIGINT) AS n_cust
         |FROM supplier JOIN customer
         |  ON c_acctbal BETWEEN s_acctbal - 500 AND s_acctbal + 500
         |GROUP BY s_suppkey ORDER BY s_suppkey""".stripMargin) { (s, d) =>
+      val nSalt = s.sessionState.conf.numShufflePartitions
       val bs = floor(col("s_acctbal") / 500).cast("long")
       val sup = supplier(s, d).select(col("s_suppkey"), col("s_acctbal"))
         .select(col("s_suppkey"), col("s_acctbal"),
           explode(array(bs - 1, bs, bs + 1)).as("b"))
+        .select(col("s_suppkey"), col("s_acctbal"), col("b"),
+          explode(sequence(lit(0), lit(nSalt - 1))).as("salt"))
       val cust = customer(s, d)
-        .select(col("c_acctbal"), floor(col("c_acctbal") / 500).cast("long").as("b"))
-      cust.join(sup, Seq("b"))
+        .select(col("c_acctbal"), floor(col("c_acctbal") / 500).cast("long").as("b"),
+          pmod(hash(col("c_custkey")), lit(nSalt)).as("salt"))
+      cust.join(sup, Seq("b", "salt"))
         .filter(col("c_acctbal").between(col("s_acctbal") - 500, col("s_acctbal") + 500))
         .groupBy("s_suppkey")
         .agg(count(lit(1)).as("n_cust"))

@@ -146,8 +146,10 @@ object PlanAudit {
     val bcastAllow = Map(
       "q_agg_stringagg" -> 1,       // region: fixed 5 rows at every SF
       "q_cte_maxrev" -> 1,          // 1-row scalar MAX subquery
-      "q_dedup_minhash" -> 3,       // df-cap heavy-hitter stop-set + LSH-bounded candidate docs/pairs
-      "q_dedup_ngram_jaccard" -> 1, // df-cap heavy-hitter stop-set
+      // round 8: the Dedup family needs NO allowance — the stop-set
+      // anti-join is gone (df-cap is a posting-list length filter) and
+      // the MinHash candidate-doc/pair restrictions are merge-hinted
+      // semi joins (their sizes are corpus-dependent, not structural)
       "q_events_anomaly" -> 1,      // per-event-type stats: bounded type domain
       "q_join_multiway" -> 2,       // region + ASIA-nation dims: fixed 5/25 rows
       "q_mixture_weights" -> 1,     // 1-row corpus total

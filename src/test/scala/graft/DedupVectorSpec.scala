@@ -44,6 +44,41 @@ class DedupVectorSpec extends AnyFunSuite {
     }
   }
 
+  test("scaled df-cap preserves near-dup recall as the corpus grows (2-scale check)") {
+    import spark.implicits._
+    // policy pin: 1% of the corpus, floored at DfCap, exact integer math
+    assert(Dedup.effectiveDfCap(500) == 50)
+    assert(Dedup.effectiveDfCap(5001) == 51)
+    assert(Dedup.effectiveDfCap(6000) == 60)
+    assert(Dedup.effectiveDfCap(1000000) == 10000)
+    // A 9-token boilerplate phrase opens two planted near-dups (Jaccard
+    // 7/9 — every shared shingle lies inside the phrase) and nBoiler
+    // unrelated docs, so the phrase shingles' df = nBoiler + 2.
+    val phrase = (1 to 9).map(i => s"p$i").mkString(" ")
+    def corpus(nBoiler: Int, nFiller: Int) = {
+      val planted = Seq((0L, s"$phrase alpha"), (1L, s"$phrase beta"))
+      val boiler = (0 until nBoiler).map(i =>
+        (2L + i, s"$phrase " + (1 to 11).map(j => s"b${i}t$j").mkString(" ")))
+      val filler = (0 until nFiller).map(i =>
+        (1000L + i, (1 to 4).map(j => s"f${i}t$j").mkString(" ")))
+      (planted ++ boiler ++ filler).toDF("doc_id", "text")
+    }
+    def plantedDetected(docs: org.apache.spark.sql.DataFrame, cap: Int): Boolean =
+      Dedup.jaccardPairs(Dedup.shingleTable(docs), cap)
+        .filter(col("jac") >= Dedup.JaccardThreshold)
+        .collect().exists(r => r.getLong(0) == 0L && r.getLong(1) == 1L)
+    // small corpus (300 docs): phrase df 42 sits under the 50 floor
+    val small = corpus(40, 258)
+    assert(plantedDetected(small, Dedup.effectiveDfCap(small.count())))
+    // 20× corpus (6000 docs): phrase df 55 CROSSES a fixed cap of 50 —
+    // the pair would lose every shared posting and become undetectable —
+    // but stays under the scaled cap max(50, 6000/100) = 60
+    val big = corpus(53, 5945)
+    assert(plantedDetected(big, Dedup.effectiveDfCap(big.count())))
+    // counterfactual: the pre-round-8 fixed policy does lose it
+    assert(!plantedDetected(big, Dedup.DfCap))
+  }
+
   test("simhash near-dup pairs have symmetric small hamming distance") {
     val rows = q("q_dedup_simhash").collect()
     assert(rows.forall(_.getAs[Number](2).longValue <= 3))
