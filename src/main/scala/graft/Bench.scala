@@ -144,13 +144,19 @@ object Bench {
     // Solo re-runs of the 3 slowest concurrent-phase queries: under 12
     // concurrent streams a heavy query's recorded latency includes
     // machine contention (round 2: 70 s recorded vs 3.5 s real). The solo
-    // numbers make that skew visible in the artifact itself.
+    // numbers make that skew visible in the artifact itself. Min of 3
+    // reps, not single-shot: this box shows 1.5-2x run-to-run noise, and
+    // round 7's single-shot solo recorded 7.44 s for a query a 5-rep
+    // Timeit measures at 2.14 s — the noise guard was itself noise-bound.
     val solo = results.filter(_._3).sortBy(-_._2).take(3).map { case (n, _, _) =>
       val fn = SparkEntry.queries(n)
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).write.format("noop").mode("overwrite").save() }
-      catch { case _: Throwable => () }
-      n -> (System.nanoTime() - t0) / 1e9
+      val reps = (1 to 3).map { _ =>
+        val t0 = System.nanoTime()
+        try { fn(spark, sfDir).write.format("noop").mode("overwrite").save() }
+        catch { case _: Throwable => () }
+        (System.nanoTime() - t0) / 1e9
+      }
+      n -> reps.min
     }
     val soloJson = jmap(solo)
     val wallsJson = walls.map(num).mkString("[", ",", "]")

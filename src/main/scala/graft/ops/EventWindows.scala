@@ -146,6 +146,22 @@ object EventWindows {
         // output streams to the writer already in (user, hour) order —
         // the output-sized frame is never sorted, shuffled, or buffered,
         // which is what removed the 64x probe's superlinear spill.
+        //
+        // VERSION-FRAGILITY NOTE (deliberate trade): the dense output's
+        // global (user, hour) order rests on three physical behaviors
+        // Spark does not contract — the sparse Sort surviving the
+        // optimizer, Generate/Project preserving row order, and collect
+        // concatenating range partitions in order. They hold on Spark
+        // 4.1 and are pinned by PlanAudit (plan shape) + the ordered
+        // oracle hash (QueriesSpec/driver), so a Spark upgrade that
+        // broke any of them fails the suite loudly. The "contractual"
+        // alternative — orderBy(user_id, hh) on the DENSE frame — was
+        // tried and measured: Generate does NOT propagate child
+        // ordering, so EnsureRequirements inserts a real output-sized
+        // range exchange + sort, exactly the superlinear 64x spill this
+        // formulation exists to avoid. If an upgrade ever breaks the
+        // streamed order, re-adding that orderBy is the correctness
+        // fallback (at its measured cost) while the plan is re-pinned.
         .orderBy("user_id", "h")
         .select(col("user_id"), col("n"), col("ffmx"), col("h"),
           explode(sequence(col("h"),

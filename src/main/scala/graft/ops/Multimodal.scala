@@ -366,16 +366,22 @@ object Multimodal {
         .orderBy("doc_id")
     },
 
-    // Full pipeline: decode → filter on metadata → features. The REAL
-    // image decoder runs first; payloads it can't parse (this corpus's
-    // text bytes — always, here: UTF-8 text can't carry a valid image
-    // body) fall back to the md5-derived stub, so the wiring exercises
-    // the real codec path while results stay reproducible. The oracle
-    // recomputes the stub's md5-hex-window derivation in DuckDB SQL —
-    // md5 of the same UTF-8 bytes is bitwise-identical across engines,
-    // and each feature value is an exact multiple of 1/1000, so the
-    // 16-term sum rounds identically at 6 dp regardless of summation
-    // order. Codec behavior on real media stays covered by MultimodalSpec.
+    // Full pipeline: decode → filter on metadata → features. This
+    // oracle-backed query uses the md5-derived STUB decoder directly:
+    // the hash compare requires PROVABLE determinism, and a
+    // real-codec-first fallback chain only had an empirical one — a
+    // text payload starting with an ASCII-printable magic ('BM', 'GIF',
+    // TIFF 'II*') could in principle let ImageIO parse a bogus header
+    // and diverge width/height/format from the stub oracle on a future
+    // corpus. The real codecs (magic-sniffed ImageIO/javax.sound/AVI
+    // walker) remain first-class library operators, spec-driven on real
+    // media in MultimodalSpec; this query pins the pipeline SHAPE
+    // (decode → metadata filter → feature extract → aggregate) with an
+    // oracle that recomputes the stub's md5-hex-window derivation in
+    // DuckDB SQL — md5 of the same UTF-8 bytes is bitwise-identical
+    // across engines, and each feature value is an exact multiple of
+    // 1/1000, so the 16-term sum rounds identically at 6 dp regardless
+    // of summation order.
     OpQuery("q_media_pipeline",
       """WITH base AS (
         |  SELECT doc_id, md5(text) AS h1, md5(text || 'x') AS h2,
@@ -400,7 +406,7 @@ object Multimodal {
         |       round(list_sum(list_transform(w, x -> (x % 1000) / 1000.0)), 6) AS feat_sum
         |FROM hx WHERE n_bytes > 100 ORDER BY doc_id""".stripMargin) { (s, d) =>
       mediaTable(s, d)
-        .withColumn("meta", coalesce(decodeImage(col("payload")), fakeDecode(col("payload"))))
+        .withColumn("meta", fakeDecode(col("payload")))
         .filter(col("meta.n_bytes") > 100)
         .withColumn("features", fakeFeatures(col("payload")))
         .select(col("doc_id"), col("meta.format").as("format"),
