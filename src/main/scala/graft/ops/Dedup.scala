@@ -182,11 +182,22 @@ object Dedup {
           .groupBy("shingle").agg(array_sort(collect_list(col("doc_id"))).as("ids"))
       case None => posting
     }
-    // all i<j combinations of the sorted posting list
-    val pairsOf = flatten(transform(col("ids"), (x, i) =>
-      transform(slice(col("ids"), i + lit(2), size(col("ids"))),
-        y => struct(x.as("id_a"), y.as("id_b")))))
-    val pairs0 = lists.select(explode(pairsOf).as("p")).select(col("p.id_a"), col("p.id_b"))
+    // All i<j combinations of the sorted posting list, expanded in TWO
+    // chained Generates: posexplode streams one row per (pos, id_a),
+    // then a second explode streams that row's tail slice as id_b. The
+    // former single-level form (nested transform + flatten) built the
+    // whole C(df,2) struct array inside ONE row buffer — bounded at
+    // C(50,2) ≈ 1.2k structs under the fixed df-cap, but the
+    // corpus-scaled cap admits df up to 1% of docs, and at the 64×
+    // probe (cap 3,200) that became a ~5M-struct single-row allocation
+    // that OOM'd the 3 GiB memory-pressure run. Chained Generates keep
+    // per-row allocation O(df) and stream the quadratic output straight
+    // into the partial aggregation; the generated row count (the
+    // genuine work) is unchanged.
+    val pairs0 = lists
+      .select(posexplode(col("ids")), col("ids"))
+      .select(col("col").as("id_a"),
+        explode(slice(col("ids"), col("pos") + lit(2), size(col("ids")))).as("id_b"))
     val pairs = candidates match {
       case Some(p) => pairs0.join(p.hint("merge"), Seq("id_a", "id_b"), "left_semi")
       case None => pairs0

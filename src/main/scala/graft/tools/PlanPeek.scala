@@ -7,7 +7,9 @@ import org.apache.spark.sql.SparkSession
   * partitions) — the fastest way to see which join strategy or
   * exchange a change actually produced.
   *
-  * Usage: runMain graft.tools.PlanPeek <sfDir> <query>
+  * Usage: runMain graft.tools.PlanPeek <sfDir> <query> [autoBcastBytes]
+  * (pass -1 as the third arg to see the mandatory-broadcast shape the
+  * PlanAudit sweep checks)
   */
 object PlanPeek {
   def main(args: Array[String]): Unit = {
@@ -20,6 +22,8 @@ object PlanPeek {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    args.lift(2).foreach(t =>
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", t.toLong))
     val df = graft.SparkEntry.queries(args(1))(spark, args(0))
     println(df.queryExecution.executedPlan.toString)
   }
