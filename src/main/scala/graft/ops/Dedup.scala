@@ -60,6 +60,7 @@ object Dedup {
   private val effectiveDfCapSql =
     s"(SELECT GREATEST($DfCap, (COUNT(*) + 99) // 100) FROM documents)"
 
+
   /** Whitespace class written out explicitly: Java regex `\s` includes
     * U+000B (vertical tab) while DuckDB's RE2 `\s` does not — with a
     * shorthand class the two engines would canonicalize a document
@@ -132,22 +133,23 @@ object Dedup {
 
   /** Exact Jaccard pairs via per-shingle posting lists with df-pruning.
     *
-    * ONE aggregation builds the sorted posting lists AND applies the
-    * df-cap: a posting list's length IS its shingle's document
-    * frequency, so stop-shingles (df > dfCap) fall to a post-aggregation
-    * length filter. The former shape — a separate df aggregate collected
-    * into a broadcast anti-join — carried the last mandatory broadcast
-    * whose bound was corpus-dependent rather than structural (round-7
-    * verdict: under Zipf statistics the stop-set grows with the corpus
-    * for a fixed cap); this shape has NO stop-set frame at all and one
-    * fewer pass over the shingle stream. Co-occurring pairs are then
-    * expanded *map-side* from each sorted posting list (bounded by
-    * C(dfCap,2) per shingle) instead of a shuffled inverted-index
-    * self-join. The final denominator joins are explicit sort-merge
-    * joins: both sides are unbounded (`counts` is one row per document —
-    * O(corpus); `inter` is O(co-occurring pairs)), so neither a
-    * mandatory broadcast nor a static cost-based choice is safe — see
-    * the hint-site comment for the 64× probe failure that proved it.
+    * Shape (every stage's task memory bounded): (1) a constant-buffer
+    * df aggregate finds stop-shingles (df > dfCap); (2) a shuffle_hash
+    * anti join prunes them from the stream BEFORE any posting list is
+    * collected — under the corpus-scaled cap the stop-type count is
+    * structurally constant (≤ 100 × avg shingles/doc), so the per-task
+    * hash build is bounded by construction, which is what the round-7
+    * broadcast here lacked (its bound needed a fixed-cap Zipf argument
+    * that fails as the corpus grows); (3) posting lists are collected
+    * from the pruned stream only, so every aggregation buffer is ≤
+    * dfCap ids; (4) co-occurring pairs are expanded *map-side* from
+    * each sorted posting list (streamed — see the pairs0 comment)
+    * instead of a shuffled inverted-index self-join. The final
+    * denominator joins are explicit sort-merge joins: both sides are
+    * unbounded (`counts` is one row per document — O(corpus); `inter`
+    * is O(co-occurring pairs)), so neither a mandatory broadcast nor a
+    * static cost-based choice is safe — see the hint-site comment for
+    * the 64× probe failure that proved it.
     *
     * When `candidates` is given (MinHash path), the postings are
     * restricted to candidate *documents* before the pair expansion, and
@@ -162,23 +164,37 @@ object Dedup {
     * corpus. Returns (id_a, id_b, jac). */
   private[graft] def jaccardPairs(sh: DataFrame, dfCap: Int,
       candidates: Option[DataFrame] = None): DataFrame = {
+    // Stop-shingle pruning BEFORE any posting list is collected: a
+    // stop-shingle's posting is O(corpus), so a collect_list that sees
+    // it would materialize an unbounded aggregation buffer just to have
+    // the filter discard it (the round-8 interim one-shuffle shape had
+    // exactly that cliff; a capped-collect UDAF fixed the bound but
+    // cost 3× — ScalaAggregator leaves the codegen'd agg path). The
+    // anti join is SHUFFLE_HASH, not broadcast and not merge: under the
+    // corpus-SCALED df-cap the stop-type count is structurally bounded
+    // by occurrences/cap = 100 × avg shingles/doc — a constant,
+    // independent of corpus size — so the per-task hash build is safe
+    // by construction (unlike the round-7 broadcast, whose bound needed
+    // a fixed-cap Zipf argument that failed at scale), and unlike merge
+    // it never sorts the full shingle stream. Count-distinct buffers
+    // are constant-size, so the df aggregate itself is bounded too.
+    val stop = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
+      .filter(col("df") > dfCap).select("shingle")
     // cache(): the exact-Jaccard and MinHash-verify paths build this
     // exact plan (CacheManager matches by plan) — one materialization
-    // of the pruned postings serves both.
-    val posting = sh.groupBy("shingle")
+    // of the pruned stream serves both, and posting lists collected
+    // from it are bounded at dfCap elements per row.
+    val pruned = sh.join(stop.hint("shuffle_hash"), Seq("shingle"), "left_anti").cache()
+    val posting = pruned.groupBy("shingle")
       .agg(array_sort(collect_list(col("doc_id"))).as("ids"))
-      .filter(size(col("ids")) <= dfCap)
       .cache()
     // n_sh counts are over the full pruned corpus (same denominator as
-    // the exact path), regardless of candidate restriction — re-derived
-    // from the cached postings rather than a second raw-stream pass.
-    val counts = posting.select(explode(col("ids")).as("doc_id"))
-      .groupBy("doc_id").agg(count(lit(1)).as("n_sh")).cache()
+    // the exact path), regardless of candidate restriction.
+    val counts = pruned.groupBy("doc_id").agg(count(lit(1)).as("n_sh")).cache()
     val lists = candidates match {
       case Some(p) =>
         val candDocs = p.select(explode(array(col("id_a"), col("id_b"))).as("doc_id")).distinct()
-        posting.select(col("shingle"), explode(col("ids")).as("doc_id"))
-          .join(candDocs.hint("merge"), Seq("doc_id"), "left_semi")
+        pruned.join(candDocs.hint("merge"), Seq("doc_id"), "left_semi")
           .groupBy("shingle").agg(array_sort(collect_list(col("doc_id"))).as("ids"))
       case None => posting
     }
