@@ -180,21 +180,30 @@ object Dedup {
     // are constant-size, so the df aggregate itself is bounded too.
     val stop = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
       .filter(col("df") > dfCap).select("shingle")
+    // pruned is deliberately NOT cached: its only consumer is the
+    // posting aggregate below, and pinning a second full copy of the
+    // shingle stream (beside shingleTable's cache) is what pushed the
+    // 64×-under-3-GiB probe over the edge — every other consumer
+    // re-derives (shingle, doc_id) rows by exploding the much smaller
+    // cached posting lists instead.
+    val pruned = sh.join(stop.hint("shuffle_hash"), Seq("shingle"), "left_anti")
     // cache(): the exact-Jaccard and MinHash-verify paths build this
     // exact plan (CacheManager matches by plan) — one materialization
-    // of the pruned stream serves both, and posting lists collected
-    // from it are bounded at dfCap elements per row.
-    val pruned = sh.join(stop.hint("shuffle_hash"), Seq("shingle"), "left_anti").cache()
+    // of the pruned postings serves both; rows are bounded at dfCap
+    // ids each because only post-prune shingles reach the collect.
     val posting = pruned.groupBy("shingle")
       .agg(array_sort(collect_list(col("doc_id"))).as("ids"))
       .cache()
     // n_sh counts are over the full pruned corpus (same denominator as
-    // the exact path), regardless of candidate restriction.
-    val counts = pruned.groupBy("doc_id").agg(count(lit(1)).as("n_sh")).cache()
+    // the exact path), regardless of candidate restriction — re-derived
+    // from the cached postings rather than a second raw-stream pass.
+    val counts = posting.select(explode(col("ids")).as("doc_id"))
+      .groupBy("doc_id").agg(count(lit(1)).as("n_sh")).cache()
     val lists = candidates match {
       case Some(p) =>
         val candDocs = p.select(explode(array(col("id_a"), col("id_b"))).as("doc_id")).distinct()
-        pruned.join(candDocs.hint("merge"), Seq("doc_id"), "left_semi")
+        posting.select(col("shingle"), explode(col("ids")).as("doc_id"))
+          .join(candDocs.hint("merge"), Seq("doc_id"), "left_semi")
           .groupBy("shingle").agg(array_sort(collect_list(col("doc_id"))).as("ids"))
       case None => posting
     }
