@@ -168,9 +168,12 @@ object PlanAudit {
       "q_agg_stringagg" -> 1,       // region: fixed 5 rows at every SF
       "q_cte_maxrev" -> 1,          // 1-row scalar MAX subquery
       // round 8: the Dedup family needs NO allowance — the stop-set
-      // anti-join is gone (df-cap is a posting-list length filter) and
-      // the MinHash candidate-doc/pair restrictions are merge-hinted
-      // semi joins (their sizes are corpus-dependent, not structural)
+      // prune is a shuffle_hash anti join (its build side is bounded by
+      // construction under the corpus-scaled df-cap, and it must run
+      // BEFORE the posting collect so no aggregation buffer ever sees a
+      // stop-shingle) and the MinHash candidate-doc/pair restrictions
+      // are merge-hinted semi joins (corpus-dependent sizes, so neither
+      // broadcast nor a hash build is safe for them)
       "q_events_anomaly" -> 1,      // per-event-type stats: bounded type domain
       "q_join_multiway" -> 2,       // region + ASIA-nation dims: fixed 5/25 rows
       "q_mixture_weights" -> 1,     // 1-row corpus total
