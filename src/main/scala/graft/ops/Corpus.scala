@@ -148,7 +148,7 @@ object Corpus {
          |             / COUNT(*), 6) AS containment
          |FROM te LEFT JOIN tr ON te.shingle = tr.shingle
          |GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, d) =>
-      val sh = Dedup.shingleTable(documents(s, d))
+      val sh = Dedup.shingleTable(s, d)
       val tr = sh.filter(col("doc_id") % 2 === 0)
         .select("shingle").distinct().withColumn("hit", lit(1))
       sh.filter(col("doc_id") % 2 === 1)

@@ -102,13 +102,31 @@ object Dedup {
     * Per-doc dedup is array_distinct (no shuffle; identical to a global
     * DISTINCT because the key is (doc_id, shingle)).
     *
-    * The result is cache()d: every consumer (df-pruning, both join
-    * sides, per-doc counts, MinHash signatures) re-reads the
-    * materialized shingles instead of recomputing the explode — the
-    * "materialized CTE" a single-node engine gets for free from its CTE
-    * execution. One cache entry is shared across the dedup queries
-    * (CacheManager dedups by plan). */
-  private[graft] def shingleTable(docs: DataFrame): DataFrame = {
+    * The result is cache()d when `cacheable`: every consumer
+    * (df-pruning, both join sides, per-doc counts, MinHash signatures)
+    * re-reads the materialized shingles instead of recomputing the
+    * explode — the "materialized CTE" a single-node engine gets for
+    * free from its CTE execution. One cache entry is shared across the
+    * dedup queries (CacheManager dedups by plan).
+    *
+    * The path-taking overload SIZE-GATES the cache on the source
+    * table's on-disk bytes — the same threshold and basis as
+    * [[Tables.t]], because the trade inverts with scale in the same
+    * way: the raw shingle stream is ~10× its source (3-token strings,
+    * one row per distinct shingle), so a bench/probe-scale corpus
+    * (≤ MBs–GBs) pins a working set that MEMORY_AND_DISK holds or
+    * spills harmlessly, while materializing a 100 TB corpus's stream
+    * would write ~10× the corpus to executor disks to save re-running
+    * a codegen'd split/explode over a source that is already columnar —
+    * at the gate's far side, recompute is strictly the better deal.
+    * (Contrast [[jaccardPairs]]'s posting cache, which stays ungated:
+    * re-reading a disk-backed cache is always cheaper than re-running
+    * the shuffles that built it.) */
+  private[graft] def shingleTable(s: SparkSession, d: String): DataFrame =
+    shingleTable(documents(s, d),
+      cacheable = Tables.onDiskBytes(s"$d/documents.parquet") <= Tables.cacheMaxBytes)
+
+  private[graft] def shingleTable(docs: DataFrame, cacheable: Boolean = true): DataFrame = {
     val toks = split(col("text"), " ")
     val n = size(toks)
     def pair(x: Column, y: Column) = concat(x, lit(" "), y)
@@ -118,7 +136,7 @@ object Dedup {
     val df = docs
       .select(col("doc_id"),
         explode(when(n >= 3, array_distinct(sh)).otherwise(array())).as("shingle"))
-    df.cache()
+    if (cacheable) df.cache()
     df
   }
 
@@ -191,6 +209,12 @@ object Dedup {
     // exact plan (CacheManager matches by plan) — one materialization
     // of the pruned postings serves both; rows are bounded at dfCap
     // ids each because only post-prune shingles reach the collect.
+    // Deliberately NOT size-gated (unlike the raw shingle cache): this
+    // frame costs two shuffles (anti join + collect) to rebuild, and a
+    // shuffle already writes its full output to disk — so at ANY scale,
+    // re-reading the disk-backed cache beats re-running the shuffles
+    // that produced it. MEMORY_AND_DISK degrades to disk-resident under
+    // memory pressure (the 3 GiB 64× probe exercises exactly that).
     val posting = pruned.groupBy("shingle")
       .agg(array_sort(collect_list(col("doc_id"))).as("ids"))
       .cache()
@@ -517,7 +541,7 @@ object Dedup {
          |SELECT id_a, id_b, jac FROM jacp
          |WHERE jac >= $JaccardThreshold
          |ORDER BY id_a, id_b""".stripMargin) { (s, d) =>
-      val sh = shingleTable(documents(s, d))
+      val sh = shingleTable(s, d)
       thresholdedPairs(sh, capFor(s, d)).orderBy("id_a", "id_b")
     },
 
@@ -527,7 +551,7 @@ object Dedup {
     // full oracle check (round 1 used xxhash64, which has no DuckDB twin
     // and forced a weaker rows-only check).
     OpQuery("q_dedup_minhash", minhashOracle) { (s, d) =>
-      val sh = shingleTable(documents(s, d))
+      val sh = shingleTable(s, d)
       // 4 salted md5 per shingle; chunk j/4,j%4 → permutation hash j.
       // Each md5 is computed once per row (subexpression elimination)
       // and sliced four times.
@@ -607,7 +631,7 @@ object Dedup {
     // dedup pipeline keeps). See [[clusterLabels]].
     OpQuery("q_dedup_cluster", clusterOracle) { (s, d) =>
       val docs = documents(s, d).select(col("doc_id"))
-      val sh = shingleTable(documents(s, d))
+      val sh = shingleTable(s, d)
       val dupPairs = thresholdedPairs(sh, capFor(s, d)).select("id_a", "id_b")
       clusterLabels(docs, dupPairs)
     },

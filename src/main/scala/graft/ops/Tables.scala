@@ -22,10 +22,10 @@ object Tables {
     * facts fit far under it; a 100 TB fact table does not — caching it
     * would evict everything else and thrash executor storage memory, so
     * big tables stay scan-through and rely on data locality instead. */
-  private def cacheMaxBytes: Long =
+  private[ops] def cacheMaxBytes: Long =
     sys.props.get("graft.cache.max.bytes").map(_.toLong).getOrElse(4L << 30)
 
-  private def onDiskBytes(path: String): Long = {
+  private[ops] def onDiskBytes(path: String): Long = {
     def size(f: java.io.File): Long =
       if (f.isDirectory) Option(f.listFiles).map(_.map(size).sum).getOrElse(0L)
       else f.length()

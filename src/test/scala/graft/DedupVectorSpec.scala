@@ -79,6 +79,45 @@ class DedupVectorSpec extends AnyFunSuite {
     assert(!plantedDetected(big, Dedup.DfCap))
   }
 
+  test("shingle cache is size-gated on the source table's bytes") {
+    import spark.implicits._
+    // flag wiring: an ungated build registers no cache entry, a gated
+    // build does (distinct corpora so CacheManager can't alias the plans)
+    // Spark 4's CacheManager API takes the classic Dataset subtype
+    def inCache(df: org.apache.spark.sql.DataFrame): Boolean =
+      spark.sharedState.cacheManager.lookupCachedData(
+        df.asInstanceOf[org.apache.spark.sql.classic.Dataset[_]]).isDefined
+    val unDocs = Seq((900L, "u1 u2 u3 u4")).toDF("doc_id", "text")
+    val un = Dedup.shingleTable(unDocs, cacheable = false)
+    assert(!inCache(un))
+    val gatedDocs = Seq((901L, "g1 g2 g3 g4")).toDF("doc_id", "text")
+    val gated = Dedup.shingleTable(gatedDocs)
+    try assert(inCache(gated))
+    finally gated.unpersist()
+    // path overload: the gate reads -Dgraft.cache.max.bytes (same knob
+    // as Tables.t); a 1-byte ceiling must disengage the cache for a
+    // real on-disk corpus, the default (4 GiB) must engage it. Earlier
+    // tests in this shared session register the sf-dir shingle cache —
+    // drop that entry first so the isEmpty assertion sees this test's
+    // behavior, not theirs (build-then-unpersist nets to removal).
+    Dedup.shingleTable(spark, TestSpark.Sf).unpersist()
+    val prev = sys.props.get("graft.cache.max.bytes")
+    try {
+      sys.props("graft.cache.max.bytes") = "1"
+      val big = Dedup.shingleTable(spark, TestSpark.Sf)
+      assert(!inCache(big),
+        "source over the gate must not pin the shingle stream")
+    } finally {
+      prev match {
+        case Some(v) => sys.props("graft.cache.max.bytes") = v
+        case None => sys.props.remove("graft.cache.max.bytes")
+      }
+    }
+    val onGate = Dedup.shingleTable(spark, TestSpark.Sf)
+    try assert(inCache(onGate))
+    finally onGate.unpersist()
+  }
+
   test("simhash near-dup pairs have symmetric small hamming distance") {
     val rows = q("q_dedup_simhash").collect()
     assert(rows.forall(_.getAs[Number](2).longValue <= 3))
