@@ -114,16 +114,33 @@ object Bench {
       pool.shutdown()
       ((System.nanoTime() - wall0) / 1e9, rs)
     }
-    // The suite runs SPARK_GRAFT_BENCH_RUNS times (default 3) and the
-    // BEST wall / per-query latencies are reported: the driver benches
-    // minutes after its correctness sweep, and a single contended run
-    // recorded a 4.5× inflated wall in round 2 (round 3's first run was
-    // still 2.2× its second — three runs give the steady state a fair
-    // shot on a contended box). A failure in ANY run still fails the
-    // artifact.
-    val nRuns = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt
-    val runs = (1 to nRuns).map(_ => runSuite())
+    // Steady-state-aware repetition: the driver benches minutes after its
+    // correctness sweep, and a fixed run count on a hot box can stop while
+    // the wall is still falling — round 8's three runs recorded
+    // [183, 93, 80.5] s (still monotonically descending) for code that
+    // runs 11.3 s idle, a 6.7× artifact inflation. So: run at least
+    // SPARK_GRAFT_BENCH_RUNS (default 3) suites, then KEEP re-running
+    // (cap SPARK_GRAFT_BENCH_MAX_RUNS, default 6) until the last wall is
+    // within 15% of the previous one, i.e. the sequence has plateaued.
+    // If the cap is hit while still descending, steady_state:false is
+    // emitted so the artifact self-reports that its headline number is a
+    // hot-box upper bound, not the engine's latency. The BEST wall /
+    // per-query latencies are reported; a failure in ANY run still fails
+    // the artifact.
+    val minRuns = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt
+    val maxRuns = math.max(minRuns,
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_MAX_RUNS", "6").toInt)
+    val plateauTol = 0.15
+    def plateaued(ws: Seq[Double]): Boolean =
+      ws.size >= 2 && ws.last >= ws(ws.size - 2) * (1 - plateauTol)
+    val runs = {
+      val acc = scala.collection.mutable.ArrayBuffer.empty[(Double, Seq[(String, Double, Boolean)])]
+      while (acc.size < minRuns || (acc.size < maxRuns && !plateaued(acc.map(_._1).toSeq)))
+        acc += runSuite()
+      acc.toSeq
+    }
     val walls = runs.map(_._1)
+    val steadyState = plateaued(walls)
     val wall = walls.min
     val failed = runs.flatMap(_._2).collect { case (n, _, false) => n }.distinct
     // per-query min across runs (contention on either run is one-sided)
@@ -148,15 +165,21 @@ object Bench {
     // reps, not single-shot: this box shows 1.5-2x run-to-run noise, and
     // round 7's single-shot solo recorded 7.44 s for a query a 5-rep
     // Timeit measures at 2.14 s — the noise guard was itself noise-bound.
+    // Only SUCCESSFUL reps count toward the min: a rep that fails fast
+    // (e.g. a transient write error) records its time-to-fail, and an
+    // unguarded min() would report that as the query's solo latency.
+    // All-reps-failed emits the -1.0 sentinel (never a plausible time).
     val solo = results.filter(_._3).sortBy(-_._2).take(3).map { case (n, _, _) =>
       val fn = SparkEntry.queries(n)
       val reps = (1 to 3).map { _ =>
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).write.format("noop").mode("overwrite").save() }
-        catch { case _: Throwable => () }
-        (System.nanoTime() - t0) / 1e9
+        val ok =
+          try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
+          catch { case _: Throwable => false }
+        ((System.nanoTime() - t0) / 1e9, ok)
       }
-      n -> reps.min
+      val good = reps.collect { case (dt, true) => dt }
+      n -> (if (good.nonEmpty) good.min else -1.0)
     }
     val soloJson = jmap(solo)
     val wallsJson = walls.map(num).mkString("[", ",", "]")
@@ -164,11 +187,11 @@ object Bench {
     val full = jmap(results.map(r => r._1 -> r._2).sortBy(_._1))
     try {
       val w = new java.io.PrintWriter("bench_full.json")
-      try w.println(s"""{"wall_sec":${num(wall)},"wall_runs":$wallsJson,"parallelism":$par,"sf":"$sfDir","failed":$failedJson,"solo_rerun":$soloJson,"queries":$full}""")
+      try w.println(s"""{"wall_sec":${num(wall)},"wall_runs":$wallsJson,"steady_state":$steadyState,"parallelism":$par,"sf":"$sfDir","failed":$failedJson,"solo_rerun":$soloJson,"queries":$full}""")
       finally w.close()
     } catch { case _: Throwable => () }
     val head = jmap(headline.flatMap(n => okLatency.get(n).map(n -> _)))
-    val line = s"""{"metric":"total","value":${num(wall)},"unit":"sec","queries":$head,"sf":"$sfDir","sum_sec":${num(sum)},"parallelism":$par,"n_queries":${results.size},"n_failed":${failed.size},"failed":$failedJson,"solo_rerun":$soloJson,"wall_runs":$wallsJson}"""
+    val line = s"""{"metric":"total","value":${num(wall)},"unit":"sec","queries":$head,"sf":"$sfDir","sum_sec":${num(sum)},"parallelism":$par,"n_queries":${results.size},"n_failed":${failed.size},"failed":$failedJson,"solo_rerun":$soloJson,"wall_runs":$wallsJson,"steady_state":$steadyState}"""
     println(line)
     spark.stop()
     // re-print after spark.stop(): guarantees the JSON is the last
