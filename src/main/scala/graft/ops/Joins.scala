@@ -184,15 +184,20 @@ object Joins {
     // supplier side explodes across all nSalt values, so each
     // qualifying pair still meets exactly once (the customer's bucket
     // AND salt) while the shuffle fans out over 23 × nSalt key-groups.
-    // nSalt tracks the session's shuffle parallelism — the supplier
-    // replication (3 × nSalt) is the standard skew-mitigation price,
-    // linear in |supplier| and independent of |customer|.
+    // nSalt tracks the session's shuffle parallelism but is CAPPED at 64:
+    // the salt only needs to break the ~23-bucket parallelism ceiling, so
+    // 23 × 64 ≈ 1.5k key-groups already saturates any realistic stage,
+    // while an uncapped nSalt would make the supplier replication
+    // (3 × nSalt) grow with cluster config — 600× at the default 200
+    // partitions, unbounded on a production cluster. The capped
+    // replication (≤192×) stays linear in |supplier| — the smaller
+    // side — and independent of both |customer| and cluster size.
     OpQuery("q_join_range",
       """SELECT s_suppkey, CAST(COUNT(*) AS BIGINT) AS n_cust
         |FROM supplier JOIN customer
         |  ON c_acctbal BETWEEN s_acctbal - 500 AND s_acctbal + 500
         |GROUP BY s_suppkey ORDER BY s_suppkey""".stripMargin) { (s, d) =>
-      val nSalt = s.sessionState.conf.numShufflePartitions
+      val nSalt = math.min(s.sessionState.conf.numShufflePartitions, 64)
       val bs = floor(col("s_acctbal") / 500).cast("long")
       val sup = supplier(s, d).select(col("s_suppkey"), col("s_acctbal"))
         .select(col("s_suppkey"), col("s_acctbal"),
