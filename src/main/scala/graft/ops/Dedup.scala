@@ -288,12 +288,24 @@ object Dedup {
     p
   }
 
+  /** Memoized doc counts per data directory: [[capFor]] is called at
+    * every dedup-query construction (including inside Bench timings and
+    * PlanPeek), and while the count() result is one long, the job behind
+    * it is only ~free when the documents table is cache()d — under
+    * -Dgraft.no.cache=1 (PlanAudit) or for a table over the cache size
+    * gate it is a real (cheap, count-only, count(*)-pushdown) Spark scan
+    * per invocation. Keying by directory mirrors the per-directory
+    * session table cache in `Tables.t`; testdata directories are
+    * immutable for a session's lifetime, same assumption the table
+    * cache itself makes. */
+  private val docCountByDir =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+
   /** The corpus-size-scaled cap for a data directory. The doc count is a
-    * driver-side scalar read once at plan-construction (bounded: one
-    * long; the documents frame is the session-cached table, so the count
-    * is a metadata/cache scan, not a data pass). */
+    * driver-side scalar, computed once per directory ([[docCountByDir]])
+    * and a metadata/cache scan when the documents table is resident. */
   private def capFor(s: SparkSession, d: String): Int =
-    effectiveDfCap(documents(s, d).count())
+    effectiveDfCap(docCountByDir.computeIfAbsent(d, _ => documents(s, d).count()))
 
   /** Shared oracle CTE block: shingles → df-pruned postings → per-doc
     * counts → pairwise intersection → Jaccard (`jacp(id_a, id_b, jac)`).
