@@ -34,9 +34,18 @@ object ProbeHarness {
 
   /** Generate each K's dataset via `gen(k, dir)`, run one untimed K=1
     * warmup (codegen + JIT for the whole family), then time every query
-    * cold-cache per K and print the table + linearity ratio. */
+    * cold-cache per K and print the table + linearity ratio.
+    *
+    * `maxKFor` caps individual queries at a smaller K than the ladder's
+    * tail (e.g. the exact-Jaccard pair expansion is documented ~K² on a
+    * dup-heavy corpus and is the small/medium-corpus tool — running it
+    * at K=32 would measure a documented non-goal). Skipped cells print
+    * "-"; the TOTAL row and the linearity ratio are computed over the
+    * queries that run at EVERY K, so the ratio stays a like-for-like
+    * comparison. */
   def run(spark: SparkSession, queries: Seq[String], kLadder: Seq[Int],
-      outBase: String, gen: (Int, String) => Unit): Unit = {
+      outBase: String, gen: (Int, String) => Unit,
+      maxKFor: Map[String, Int] = Map.empty): Unit = {
     kLadder.foreach(k => gen(k, s"$outBase/k$k"))
 
     def timeOnce(name: String, dir: String): Double = {
@@ -47,19 +56,24 @@ object ProbeHarness {
       (System.nanoTime() - t0) / 1e9
     }
 
+    def active(k: Int): Seq[String] =
+      queries.filter(q => maxKFor.getOrElse(q, Int.MaxValue) >= k)
     queries.foreach(q => timeOnce(q, s"$outBase/k${kLadder.head}"))
     val results = kLadder.map { k =>
       // fresh timings per K: drop every cached frame from the previous
       // scale so each K pays its own materialization
       spark.sharedState.cacheManager.clearCache()
-      k -> queries.map(q => q -> timeOnce(q, s"$outBase/k$k")).toMap
+      k -> active(k).map(q => q -> timeOnce(q, s"$outBase/k$k")).toMap
     }
     println(f"${"query"}%-26s" + kLadder.map(k => f"K=$k%-7d").mkString)
     queries.foreach { q =>
-      println(f"$q%-26s" + results.map { case (_, m) => f"${m(q)}%-7.2f" }.mkString)
+      println(f"$q%-26s" + results.map { case (_, m) =>
+        m.get(q).map(t => f"$t%-7.2f").getOrElse(f"${"-"}%-7s") }.mkString)
     }
-    val totals = results.map { case (k, m) => k -> m.values.sum }
-    println(f"${"TOTAL"}%-26s" + totals.map { case (_, t) => f"$t%-7.2f" }.mkString)
+    val everyK = active(kLadder.last)
+    val totals = results.map { case (k, m) => k -> everyK.flatMap(m.get).sum }
+    val totalLabel = if (everyK.size == queries.size) "TOTAL" else "TOTAL(all-K qs)"
+    println(f"$totalLabel%-26s" + totals.map { case (_, t) => f"$t%-7.2f" }.mkString)
     val (t1, tLast) = (totals.head._2, totals.last._2)
     val kLast = kLadder.last
     println(f"${kLast}x data => ${tLast / t1}%.2fx time (linear=$kLast, " +

@@ -50,6 +50,16 @@ object ScaleProbeDup {
     val spark = ProbeHarness.session()
 
     val base = spark.read.parquet(s"$sfDir/documents.parquet")
+    // The "a shingle survives at K iff it survives at K=1" cap-invariance
+    // claim in the scaladoc needs the SCALED term of the df-cap to
+    // dominate its absolute floor already at K=1 (cap = max(DfCap,
+    // 1% of docs)): with a base corpus under DfCap*100 docs the floor
+    // dominates at K=1 but not at larger K, and part of the measured
+    // ladder growth would be a pruning artifact, not candidate
+    // structure. sf0.1 (5000 docs) is the smallest valid base.
+    require(base.count() >= graft.ops.Dedup.DfCap * 100L,
+      s"dup-heavy ladder needs a base corpus of >= ${graft.ops.Dedup.DfCap * 100} docs " +
+        s"(df-cap scaling must be out of its floor regime at K=1); use sf0.1 or larger")
     val offset = base.agg(max(col("doc_id"))).head().getLong(0) + 1
 
     def replica(r: Int): DataFrame = {
@@ -65,9 +75,18 @@ object ScaleProbeDup {
         col("lang"), col("source"), col("n_chars"))
     }
 
+    // K=16/32 tail runs only the 100 TB-path queries (MinHash+LSH and
+    // incremental admission): the exact-Jaccard pair expansion (which
+    // q_dedup_cluster also rides for its edge set) is documented ~K² on
+    // a dup-heavy corpus and positioned as the small/medium-corpus tool
+    // — timing it at K=32 would measure a documented non-goal, not a
+    // regression. The ladder's pass criterion at the tail is the
+    // merge-hinted spill paths absorbing another 4× of ~K²-growing
+    // candidate structure without OOM.
     ProbeHarness.run(spark, Queries,
-      ProbeHarness.ks(Seq(1, 2, 4, 8)), outBase, (k, dir) =>
+      ProbeHarness.ks(Seq(1, 2, 4, 8, 16, 32)), outBase, (k, dir) =>
         (0 until k).map(replica).reduce(_ unionAll _)
-          .write.mode("overwrite").parquet(s"$dir/documents.parquet"))
+          .write.mode("overwrite").parquet(s"$dir/documents.parquet"),
+      maxKFor = Map("q_dedup_ngram_jaccard" -> 8, "q_dedup_cluster" -> 8))
   }
 }
