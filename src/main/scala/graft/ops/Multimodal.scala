@@ -20,12 +20,15 @@ import Tables._
   * pure-JVM RIFF walker ([[parseAvi]]) reads the container header and
   * frame chunks, and ImageIO decodes the per-frame JPEGs
   * ([[decodeVideo]]/[[sampleFrames]]/[[videoFeatures]]), spec-tested
-  * against an in-test-assembled AVI. Only the learned-encoder embedding
-  * remains *stubbed* with a deterministic fake
-  * ([[fakeDecode]]/[[fakeFeatures]]) — no model weights exist in the
-  * container, and the synthetic corpus carries text bytes, not media,
-  * so the oracle-facing pipeline uses the fakes. Every call site keeps
-  * the same schema contract either way.
+  * against an in-test-assembled AVI. The learned-encoder embedding is a
+  * REAL (tiny) trained model: [[fitEncoder]] learns per-feature
+  * standardization statistics from the corpus itself in one distributed
+  * aggregation and [[encodeColumn]] applies them through a fixed
+  * orthonormal projection — see the "learned encoder" section below.
+  * The md5-derived fakes ([[fakeDecode]]/[[fakeFeatures]]) remain as the
+  * provably-deterministic pipeline-shape stand-ins for vision/audio
+  * codec models whose weights cannot exist in this container. Every
+  * call site keeps the same schema contract either way.
   */
 object Multimodal {
 
@@ -349,6 +352,94 @@ object Multimodal {
   def mediaTable(s: SparkSession, d: String): DataFrame =
     documents(s, d).select(col("doc_id"), col("text").cast("binary").as("payload"))
 
+  // ------------------------------------------------------------------
+  // LEARNED encoder — a real (tiny) trained model, not a stub.
+  //
+  // The encoder is z-score standardization LEARNED from the corpus
+  // (per-feature mean/std from one distributed aggregation over exact
+  // integer sums) followed by a fixed 4x4 orthonormal projection
+  // (Hadamard/2) and L2 normalization. That is the smallest honest
+  // instance of the fit/transform contract a production encoder has:
+  //   fit       one map-side-combinable pass, O(features^2) driver state
+  //   transform per-row narrow map with literal weights (codegen'd)
+  // and both phases are exactly expressible in any SQL engine, so the
+  // full fit+transform pipeline carries a strict DuckDB hash oracle
+  // (q_media_learned_encoder) instead of the weaker spec-only pin.
+  //
+  // The training statistics use exact BIGINT sums (sum, sum-of-squares)
+  // so the learned weights are bit-identical regardless of aggregation
+  // order — the same trick the fixed-point money sums use. The variance
+  // is then derived in ONE canonical double-arithmetic shape, written
+  // identically here and in the oracle SQL:  (q - s*s/n) / (n-1).
+  // At 100 TB the fit is one shuffle of 9 longs; sum(c*c) of 64-bit
+  // counts would need the sums recast to double first (documented, not
+  // needed at any test SF).
+  //
+  // Features are byte-stream summary counts of the payload's text view
+  // (length, spaces, latin letters, vowels) — simple enough that the
+  // "model" stays a literal arithmetic expression; the POINT here is
+  // the trained fit/transform plumbing, the codec-backed embeddings
+  // above ([[imageFeatures]]/[[audioFeatures]]/[[videoFeatures]]) stay
+  // the content-aware feature extractors.
+
+  /** Per-payload integer feature counts (the encoder's input layer).
+    * Expects a string column; binary payloads go through
+    * `CAST(payload AS STRING)` (UTF-8), the inverse of [[mediaTable]]. */
+  private def featExprs(t: Column): Seq[Column] = Seq(
+    length(t).cast("long"),
+    (length(t) - length(regexp_replace(t, " ", ""))).cast("long"),
+    (length(t) - length(regexp_replace(t, "[a-z]", ""))).cast("long"),
+    (length(t) - length(regexp_replace(t, "[aeiou]", ""))).cast("long"))
+
+  private val FeatNames = Seq("c_len", "c_space", "c_lower", "c_vowel")
+
+  /** Fixed orthonormal projection (Hadamard matrix / 2): mixes the four
+    * standardized features into four decorrelated output dims without
+    * changing distances — the learned part of the model is the
+    * standardization, exactly as in a "whiten + frozen head" encoder. */
+  private[graft] val Proj: Seq[Seq[Double]] = Seq(
+    Seq(0.5, 0.5, 0.5, 0.5),
+    Seq(0.5, -0.5, 0.5, -0.5),
+    Seq(0.5, 0.5, -0.5, -0.5),
+    Seq(0.5, -0.5, -0.5, 0.5))
+
+  /** A fitted encoder: per-feature mean/std learned from a corpus. */
+  final case class TextEncoderModel(nDocs: Long, mean: Array[Double], std: Array[Double])
+
+  /** Fit the encoder on a corpus: one distributed aggregation (count +
+    * exact per-feature sum / sum-of-squares), 9 longs collected — the
+    * bounded "model checkpoint" a real trainer would also materialize
+    * on the driver. */
+  def fitEncoder(df: DataFrame, textCol: Column): TextEncoderModel = {
+    val f = df.select(featExprs(textCol).zip(FeatNames).map { case (c, n) => c.as(n) }: _*)
+    val aggs = count(lit(1)).as("n") +:
+      FeatNames.flatMap(n => Seq(sum(col(n)).as(s"s_$n"), sum(col(n) * col(n)).as(s"q_$n")))
+    val r = f.agg(aggs.head, aggs.tail: _*).head()
+    val n = r.getAs[Long]("n")
+    val (mean, std) = FeatNames.map { fn =>
+      val s = r.getAs[Long](s"s_$fn").toDouble
+      val q = r.getAs[Long](s"q_$fn").toDouble
+      (s / n, math.sqrt((q - s * s / n) / (n - 1)))
+    }.unzip
+    TextEncoderModel(n, mean.toArray, std.toArray)
+  }
+
+  /** Apply a fitted encoder to a string column: standardize with the
+    * learned (literal → codegen'd) weights, project, L2-normalize,
+    * round to 6 dp. Emits `array<double>` of 4 dims; an all-zero
+    * feature deviation (or a degenerate constant feature) yields the
+    * zero vector rather than NaN. */
+  def encodeColumn(m: TextEncoderModel, t: Column): Column = {
+    val zs = featExprs(t).zipWithIndex.map { case (c, i) =>
+      if (m.std(i) == 0.0) lit(0.0)
+      else (c.cast("double") - lit(m.mean(i))) / lit(m.std(i))
+    }
+    val es = Proj.map(row =>
+      row.zip(zs).map { case (w, z) => lit(w) * z }.reduceLeft(_ + _))
+    val nrm = sqrt(es.map(e => e * e).reduceLeft(_ + _))
+    array(es.map(e => round(when(nrm === 0.0, 0.0).otherwise(e / nrm), 6)): _*)
+  }
+
   val queries: Seq[OpQuery] = Seq(
 
     // Binary-column accounting with an exact oracle: byte length + sha256
@@ -412,6 +503,81 @@ object Multimodal {
         .select(col("doc_id"), col("meta.format").as("format"),
           col("meta.width").as("width"), col("meta.height").as("height"),
           round(aggregate(col("features"), lit(0.0), (a, x) => a + x), 6).as("feat_sum"))
+        .orderBy("doc_id")
+    },
+
+    // Learned encoder, fit+transform in one plan: the training
+    // aggregation is the 1-row scalar-subquery pattern (bounded 9-long
+    // broadcast), the transform a per-row narrow map — at 100 TB the
+    // fit is one shuffle of 9 longs and the transform never shuffles.
+    // Exact integer sums make the learned weights order-independent;
+    // the double arithmetic deriving mean/std/z/e/norm is written in
+    // the SAME canonical shape here and in the oracle (left-assoc,
+    // casts in the same places), so the hash compare is strict. The
+    // LearnedEncoderSpec pins that this in-plan path is bit-identical
+    // to the reusable fitEncoder/encodeColumn model API.
+    OpQuery("q_media_learned_encoder",
+      """WITH f AS (
+        |  SELECT doc_id,
+        |         CAST(length(text) AS BIGINT) AS c_len,
+        |         CAST(length(text) - length(regexp_replace(text, ' ', '', 'g')) AS BIGINT) AS c_space,
+        |         CAST(length(text) - length(regexp_replace(text, '[a-z]', '', 'g')) AS BIGINT) AS c_lower,
+        |         CAST(length(text) - length(regexp_replace(text, '[aeiou]', '', 'g')) AS BIGINT) AS c_vowel
+        |  FROM documents),
+        |st AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+        |         SUM(c_len) AS s1, SUM(c_len * c_len) AS q1,
+        |         SUM(c_space) AS s2, SUM(c_space * c_space) AS q2,
+        |         SUM(c_lower) AS s3, SUM(c_lower * c_lower) AS q3,
+        |         SUM(c_vowel) AS s4, SUM(c_vowel * c_vowel) AS q4
+        |  FROM f),
+        |z AS (
+        |  SELECT doc_id,
+        |         (CAST(c_len AS DOUBLE) - CAST(s1 AS DOUBLE) / n) / sqrt((CAST(q1 AS DOUBLE) - CAST(s1 AS DOUBLE) * s1 / n) / (n - 1)) AS z1,
+        |         (CAST(c_space AS DOUBLE) - CAST(s2 AS DOUBLE) / n) / sqrt((CAST(q2 AS DOUBLE) - CAST(s2 AS DOUBLE) * s2 / n) / (n - 1)) AS z2,
+        |         (CAST(c_lower AS DOUBLE) - CAST(s3 AS DOUBLE) / n) / sqrt((CAST(q3 AS DOUBLE) - CAST(s3 AS DOUBLE) * s3 / n) / (n - 1)) AS z3,
+        |         (CAST(c_vowel AS DOUBLE) - CAST(s4 AS DOUBLE) / n) / sqrt((CAST(q4 AS DOUBLE) - CAST(s4 AS DOUBLE) * s4 / n) / (n - 1)) AS z4
+        |  FROM f, st),
+        |e AS (
+        |  SELECT doc_id,
+        |         0.5 * z1 + 0.5 * z2 + 0.5 * z3 + 0.5 * z4 AS e0,
+        |         0.5 * z1 - 0.5 * z2 + 0.5 * z3 - 0.5 * z4 AS e1,
+        |         0.5 * z1 + 0.5 * z2 - 0.5 * z3 - 0.5 * z4 AS e2,
+        |         0.5 * z1 - 0.5 * z2 - 0.5 * z3 + 0.5 * z4 AS e3
+        |  FROM z),
+        |nr AS (
+        |  SELECT doc_id, e0, e1, e2, e3,
+        |         sqrt(e0 * e0 + e1 * e1 + e2 * e2 + e3 * e3) AS nrm
+        |  FROM e)
+        |SELECT doc_id,
+        |       round(CASE WHEN nrm = 0 THEN 0.0 ELSE e0 / nrm END, 6) AS v0,
+        |       round(CASE WHEN nrm = 0 THEN 0.0 ELSE e1 / nrm END, 6) AS v1,
+        |       round(CASE WHEN nrm = 0 THEN 0.0 ELSE e2 / nrm END, 6) AS v2,
+        |       round(CASE WHEN nrm = 0 THEN 0.0 ELSE e3 / nrm END, 6) AS v3
+        |FROM nr ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val txt = col("payload").cast("string")
+      val f = mediaTable(s, d).select(
+        col("doc_id") +:
+          featExprs(txt).zip(FeatNames).map { case (c, n) => c.as(n) }: _*)
+      val aggs = count(lit(1)).cast("long").as("n") +:
+        FeatNames.zipWithIndex.flatMap { case (fn, i) =>
+          Seq(sum(col(fn)).as(s"s${i + 1}"), sum(col(fn) * col(fn)).as(s"q${i + 1}"))
+        }
+      val st = f.agg(aggs.head, aggs.tail: _*)
+      val zs = FeatNames.zipWithIndex.map { case (fn, i) =>
+        val (sC, qC, nC) = (col(s"s${i + 1}").cast("double"), col(s"q${i + 1}").cast("double"), col("n"))
+        ((col(fn).cast("double") - sC / nC) /
+          sqrt((qC - sC * col(s"s${i + 1}") / nC) / (nC - lit(1)))).as(s"z${i + 1}")
+      }
+      val z = f.crossJoin(broadcast(st)).select(col("doc_id") +: zs: _*)
+      val es = Proj.zipWithIndex.map { case (row, j) =>
+        row.zipWithIndex.map { case (w, i) => lit(w) * col(s"z${i + 1}") }
+          .reduceLeft(_ + _).as(s"e$j")
+      }
+      val e = z.select(col("doc_id") +: es: _*)
+      val nrm = sqrt((0 until 4).map(j => col(s"e$j") * col(s"e$j")).reduceLeft(_ + _))
+      e.select(col("doc_id") +: (0 until 4).map(j =>
+          round(when(nrm === 0.0, 0.0).otherwise(col(s"e$j") / nrm), 6).as(s"v$j")): _*)
         .orderBy("doc_id")
     }
   )

@@ -176,6 +176,7 @@ object PlanAudit {
       // broadcast nor a hash build is safe for them)
       "q_events_anomaly" -> 1,      // per-event-type stats: bounded type domain
       "q_join_multiway" -> 2,       // region + ASIA-nation dims: fixed 5/25 rows
+      "q_media_learned_encoder" -> 1, // 1-row learned stats (9 longs)
       "q_mixture_weights" -> 1,     // 1-row corpus total
       "q_sim_ann_lsh" -> 2,         // 1-row min-id + 1-row query vector
       "q_sim_cosine_topk" -> 2,     // 1-row min-id + 1-row query vector

@@ -218,4 +218,65 @@ class MultimodalSpec extends AnyFunSuite {
     assert(frames.nonEmpty)
     assert(frames.forall(_.getSeq[Array[Byte]](0).forall(_.length <= 256)))
   }
+
+  // ---------------- learned encoder ----------------
+
+  test("LEARNED encoder: fit learns the corpus standardization (z mean~0, std~1)") {
+    val docs = Tables.documents(spark, TestSpark.Sf)
+    val m = Multimodal.fitEncoder(docs, col("text"))
+    assert(m.nDocs == docs.count())
+    assert(m.std.forall(_ > 0.0), s"degenerate feature in ${m.std.toSeq}")
+    // standardizing with the learned weights must give mean~0 / std~1 per
+    // feature — the defining property of a correctly-fit encoder
+    val zdf = docs.select(
+      ((length(col("text")).cast("double") - lit(m.mean(0))) / lit(m.std(0))).as("z"))
+    val r = zdf.agg(avg(col("z")), stddev_samp(col("z"))).head()
+    assert(math.abs(r.getDouble(0)) < 1e-9, s"z mean ${r.getDouble(0)}")
+    assert(math.abs(r.getDouble(1) - 1.0) < 1e-9, s"z std ${r.getDouble(1)}")
+  }
+
+  test("LEARNED encoder: model API is bit-identical to the oracled in-plan query") {
+    val docs = Tables.documents(spark, TestSpark.Sf)
+    val m = Multimodal.fitEncoder(docs, col("text"))
+    val api = docs
+      .select(col("doc_id"), Multimodal.encodeColumn(m, col("text")).as("v"))
+      .select(col("doc_id"), col("v")(0).as("v0"), col("v")(1).as("v1"),
+        col("v")(2).as("v2"), col("v")(3).as("v3"))
+      .orderBy("doc_id").collect()
+    val query = graft.SparkEntry.queries("q_media_learned_encoder")(spark, TestSpark.Sf)
+      .collect()
+    assert(api.length == query.length && api.length > 0)
+    api.zip(query).foreach { case (a, q) =>
+      assert(a.getLong(0) == q.getLong(0))
+      (1 to 4).foreach(i => assert(a.getDouble(i) == q.getDouble(i),
+        s"doc ${a.getLong(0)} dim $i: api ${a.getDouble(i)} vs query ${q.getDouble(i)}"))
+    }
+  }
+
+  test("LEARNED encoder: embeddings are unit-norm, 4-dim, deterministic") {
+    val docs = Tables.documents(spark, TestSpark.Sf)
+    val m = Multimodal.fitEncoder(docs, col("text"))
+    val enc = docs.select(col("doc_id"), Multimodal.encodeColumn(m, col("text")).as("v"))
+    val vs = enc.orderBy("doc_id").collect().map(_.getSeq[Double](1))
+    assert(vs.forall(_.length == 4))
+    // rounding to 6 dp perturbs the norm by at most ~2e-6 per dim
+    assert(vs.forall(v => math.abs(math.sqrt(v.map(x => x * x).sum) - 1.0) < 1e-5))
+    val again = enc.orderBy("doc_id").collect().map(_.getSeq[Double](1))
+    assert(vs.zip(again).forall { case (a, b) => a == b })
+    // embeddings discriminate: not all docs collapse to one vector
+    assert(vs.distinct.length > 1)
+  }
+
+  test("LEARNED encoder: degenerate (zero-variance) feature yields 0, never NaN") {
+    import spark.implicits._
+    // constant-length digit-free texts make c_len/c_lower/c_vowel collapse
+    // in various combinations; the guard must zero those dims out
+    val df = Seq((1L, "aaaa bb"), (2L, "cccc dd"), (3L, "eeee ff"))
+      .toDF("doc_id", "text")
+    val m = Multimodal.fitEncoder(df, col("text"))
+    assert(m.std(0) == 0.0) // all length 7 — degenerate by construction
+    val vs = df.select(Multimodal.encodeColumn(m, col("text")).as("v"))
+      .collect().map(_.getSeq[Double](0))
+    assert(vs.forall(_.forall(x => !x.isNaN && !x.isInfinite)))
+  }
 }
