@@ -1,0 +1,75 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Dev tool: empirical scaling evidence for the VECTOR/ANN family —
+  * the last `queries()` family without a ladder (dedup/corpus, the
+  * relational shapes and the event windows each have one).
+  *
+  * Synthesizes K× copies of the sf0.1 `embeddings` table: replica r
+  * shifts `vec_id` by r·(max vec_id+1) and adds a deterministic
+  * per-(vec_id, dim, replica) jitter of ±0.005 to every component
+  * (xxhash64-derived — no RNG, reruns are bit-identical). The jitter
+  * keeps replicas from being exact copies (which would make every
+  * cosine a tie and the top-k ordering a vec_id sort) while leaving
+  * the geometry intact, so:
+  *  - the three query-vector searches (brute-force top-k, 8-bit LSH
+  *    multi-probe, md5-cell IVF) keep their 1-row broadcast query side
+  *    and scan a K×-growing corpus — expected LINEAR. The LSH/IVF
+  *    bucket counts are fixed (256 buckets / 16 cells), so per-bucket
+  *    population — and with it the probed candidate set — grows K×,
+  *    exactly the regime where a candidate-set broadcast or an
+  *    all-pairs fallback would bend the curve;
+  *  - quantize/centroid explode to (rows × 64 dims) and re-join
+  *    against O(dims) / O(labels×dims) stats frames — LINEAR, and the
+  *    stats frames stay broadcast-sized BY CONSTRUCTION (64 / 640
+  *    rows) no matter how far the corpus scales;
+  *  - labels are copied verbatim, so `q_dedup_embedding`'s label
+  *    blocks grow K× and its within-block pair join grows ~K² — that
+  *    query is the documented small/medium-corpus tool (the scale path
+  *    for embedding near-dup is the LSH/IVF bucketing above), so the
+  *    ladder caps it at K=16 (10 blocks × C(3200,2) ≈ 51 M scored
+  *    pairs) and holds it to completion-without-OOM, not linearity.
+  *
+  * The per-K cache hygiene matters here more than in the other probes:
+  * `q_sim_ann_lsh` caches the bucketed corpus and the IVF/LSH
+  * assignment memo (VectorOps.ivfCache, LRU-8) pins one frame per
+  * (plan, params) — ProbeHarness.clearCache() between Ks drops the
+  * previous scale's frames so each K pays (and is timed on) its own
+  * materialization.
+  *
+  * Usage: runMain graft.tools.ScaleProbeVec [sfDir] [outBase]
+  * (GRAFT_PROBE_KS overrides the ladder.)
+  */
+object ScaleProbeVec {
+
+  private val Queries = Seq("q_sim_cosine_topk", "q_sim_ann_lsh",
+    "q_sim_ivf", "q_embed_quantize", "q_sim_centroid_dist",
+    "q_dedup_embedding")
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val outBase = args.lift(1).getOrElse("/tmp/graft_scale_vec")
+    val spark = ProbeHarness.session()
+
+    val base = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    // max+1 offset keeps replica id ranges disjoint even for sparse ids;
+    // MIN(vec_id) — every search query's probe vector — stays in replica 0
+    val offset = base.agg(max(col("vec_id"))).head().getLong(0) + 1
+
+    def replica(r: Int): DataFrame = base.select(
+      (col("vec_id") + lit(r * offset)).as("vec_id"),
+      transform(col("embedding"), (x, i) =>
+        (x.cast("double") +
+          (pmod(xxhash64(col("vec_id"), i, lit(r)), lit(1000)).cast("double")
+            / lit(100000.0) - lit(0.005))).cast("float")).as("embedding"),
+      col("label"))
+
+    ProbeHarness.run(spark, Queries,
+      ProbeHarness.ks(Seq(1, 4, 16, 64)), outBase, (k, dir) =>
+        (0 until k).map(replica).reduce(_ unionAll _)
+          .write.mode("overwrite").parquet(s"$dir/embeddings.parquet"),
+      maxKFor = Map("q_dedup_embedding" -> 16))
+  }
+}
