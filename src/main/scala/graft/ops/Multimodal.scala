@@ -419,7 +419,12 @@ object Multimodal {
     val (mean, std) = FeatNames.map { fn =>
       val s = r.getAs[Long](s"s_$fn").toDouble
       val q = r.getAs[Long](s"q_$fn").toDouble
-      (s / n, math.sqrt((q - s * s / n) / (n - 1)))
+      // degenerate corpora produce std = 0 (never NaN): n = 1 makes the
+      // sample variance 0/0, and the exact-integer numerator can only be
+      // <= 0 for a constant feature — encodeColumn's std == 0 guard then
+      // zeroes the dim, mirroring the in-plan query's CASE
+      val v = q - s * s / n
+      (s / n, if (n <= 1 || v <= 0.0) 0.0 else math.sqrt(v / (n - 1)))
     }.unzip
     TextEncoderModel(n, mean.toArray, std.toArray)
   }
@@ -533,10 +538,14 @@ object Multimodal {
         |  FROM f),
         |z AS (
         |  SELECT doc_id,
-        |         (CAST(c_len AS DOUBLE) - CAST(s1 AS DOUBLE) / n) / sqrt((CAST(q1 AS DOUBLE) - CAST(s1 AS DOUBLE) * s1 / n) / (n - 1)) AS z1,
-        |         (CAST(c_space AS DOUBLE) - CAST(s2 AS DOUBLE) / n) / sqrt((CAST(q2 AS DOUBLE) - CAST(s2 AS DOUBLE) * s2 / n) / (n - 1)) AS z2,
-        |         (CAST(c_lower AS DOUBLE) - CAST(s3 AS DOUBLE) / n) / sqrt((CAST(q3 AS DOUBLE) - CAST(s3 AS DOUBLE) * s3 / n) / (n - 1)) AS z3,
-        |         (CAST(c_vowel AS DOUBLE) - CAST(s4 AS DOUBLE) / n) / sqrt((CAST(q4 AS DOUBLE) - CAST(s4 AS DOUBLE) * s4 / n) / (n - 1)) AS z4
+        |         CASE WHEN n <= 1 OR CAST(q1 AS DOUBLE) - CAST(s1 AS DOUBLE) * s1 / n <= 0 THEN 0.0
+        |              ELSE (CAST(c_len AS DOUBLE) - CAST(s1 AS DOUBLE) / n) / sqrt((CAST(q1 AS DOUBLE) - CAST(s1 AS DOUBLE) * s1 / n) / (n - 1)) END AS z1,
+        |         CASE WHEN n <= 1 OR CAST(q2 AS DOUBLE) - CAST(s2 AS DOUBLE) * s2 / n <= 0 THEN 0.0
+        |              ELSE (CAST(c_space AS DOUBLE) - CAST(s2 AS DOUBLE) / n) / sqrt((CAST(q2 AS DOUBLE) - CAST(s2 AS DOUBLE) * s2 / n) / (n - 1)) END AS z2,
+        |         CASE WHEN n <= 1 OR CAST(q3 AS DOUBLE) - CAST(s3 AS DOUBLE) * s3 / n <= 0 THEN 0.0
+        |              ELSE (CAST(c_lower AS DOUBLE) - CAST(s3 AS DOUBLE) / n) / sqrt((CAST(q3 AS DOUBLE) - CAST(s3 AS DOUBLE) * s3 / n) / (n - 1)) END AS z3,
+        |         CASE WHEN n <= 1 OR CAST(q4 AS DOUBLE) - CAST(s4 AS DOUBLE) * s4 / n <= 0 THEN 0.0
+        |              ELSE (CAST(c_vowel AS DOUBLE) - CAST(s4 AS DOUBLE) / n) / sqrt((CAST(q4 AS DOUBLE) - CAST(s4 AS DOUBLE) * s4 / n) / (n - 1)) END AS z4
         |  FROM f, st),
         |e AS (
         |  SELECT doc_id,
@@ -566,8 +575,14 @@ object Multimodal {
       val st = f.agg(aggs.head, aggs.tail: _*)
       val zs = FeatNames.zipWithIndex.map { case (fn, i) =>
         val (sC, qC, nC) = (col(s"s${i + 1}").cast("double"), col(s"q${i + 1}").cast("double"), col("n"))
-        ((col(fn).cast("double") - sC / nC) /
-          sqrt((qC - sC * col(s"s${i + 1}") / nC) / (nC - lit(1)))).as(s"z${i + 1}")
+        // degenerate guard, same canonical shape as the oracle's CASE:
+        // a single-doc corpus or a zero-variance feature would make the
+        // unguarded z a 0/0 (NULL in both engines, nulling every output
+        // row) — encodeColumn zeroes the dim instead, and the in-plan
+        // path must keep the model-API bit-identity on such corpora
+        when(nC <= 1 || qC - sC * col(s"s${i + 1}") / nC <= 0.0, lit(0.0))
+          .otherwise((col(fn).cast("double") - sC / nC) /
+            sqrt((qC - sC * col(s"s${i + 1}") / nC) / (nC - lit(1)))).as(s"z${i + 1}")
       }
       val z = f.crossJoin(broadcast(st)).select(col("doc_id") +: zs: _*)
       val es = Proj.zipWithIndex.map { case (row, j) =>

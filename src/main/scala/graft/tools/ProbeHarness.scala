@@ -58,7 +58,11 @@ object ProbeHarness {
 
     def active(k: Int): Seq[String] =
       queries.filter(q => maxKFor.getOrElse(q, Int.MaxValue) >= k)
-    queries.foreach(q => timeOnce(q, s"$outBase/k${kLadder.head}"))
+    // warmup honors maxKFor too: a GRAFT_PROBE_KS override starting
+    // above a capped query's max K (e.g. KS=16,32 on the dup ladder)
+    // must not warm the documented-quadratic queries at the very scale
+    // the cap exists to avoid
+    active(kLadder.head).foreach(q => timeOnce(q, s"$outBase/k${kLadder.head}"))
     val results = kLadder.map { k =>
       // fresh timings per K: drop every cached frame from the previous
       // scale so each K pays its own materialization

@@ -278,5 +278,13 @@ class MultimodalSpec extends AnyFunSuite {
     val vs = df.select(Multimodal.encodeColumn(m, col("text")).as("v"))
       .collect().map(_.getSeq[Double](0))
     assert(vs.forall(_.forall(x => !x.isNaN && !x.isInfinite)))
+    // single-doc corpus: sample variance is 0/0 — every std must come
+    // back 0 (not NaN) and the encoding must be the zero vector
+    val one = Seq((1L, "just one document")).toDF("doc_id", "text")
+    val m1 = Multimodal.fitEncoder(one, col("text"))
+    assert(m1.std.forall(_ == 0.0), s"n=1 std must be 0, got ${m1.std.toSeq}")
+    val v1 = one.select(Multimodal.encodeColumn(m1, col("text")).as("v"))
+      .head().getSeq[Double](0)
+    assert(v1.forall(_ == 0.0), s"n=1 encoding must be the zero vector, got $v1")
   }
 }
