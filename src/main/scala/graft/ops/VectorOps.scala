@@ -98,7 +98,10 @@ object VectorOps {
     * analog of [[ivfIndex]], sharing the same LRU store: a long-lived
     * service session querying many corpora evicts (and unpersists) old
     * assignment frames instead of pinning one cached frame per corpus
-    * forever. Centroid slot is unused for this variant. */
+    * forever. Serves both the IVF path (bits=4 cells) and the ANN
+    * bucket path (bits=8; `cell` renamed to `bucket` at the call site)
+    * — `bits` is part of the memo key, so the two never collide.
+    * Centroid slot is unused for this variant. */
   private def lshAssigned(e0: org.apache.spark.sql.DataFrame, dim: Int,
       bits: Int): org.apache.spark.sql.DataFrame = {
     val key = System.identityHashCode(e0.sparkSession) + "|lsh|" +
@@ -340,10 +343,12 @@ object VectorOps {
       // the oracle on a ragged-dimension corpus (the MAX aggregate is
       // one cheap column scan with map-side combine)
       val dim = e0.agg(max(size(col("embedding")))).head().getInt(0)
-      val e = e0
-        .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("v"))
-        .withColumn("bucket", lshSignature(col("v"), dim))
-        .cache() // reused as corpus side and query side of the bucket join
+      // corpus side and query side share the memoized, LRU-evicted
+      // 8-bit assignment frame (same build-once/probe-many store the
+      // IVF path uses) — a per-invocation cache() here would rebuild
+      // and re-pin the bucketed corpus on every query of a service
+      // session instead of reusing one index per (corpus, params)
+      val e = lshAssigned(e0, dim, bits = 8).withColumnRenamed("cell", "bucket")
       val minId = e.agg(min(col("vec_id")).as("min_id"))
       val q = e.join(broadcast(minId), col("vec_id") === col("min_id"))
         .select(col("v").as("qv"), col("bucket").as("qbucket"), col("min_id"))

@@ -33,11 +33,10 @@ import org.apache.spark.sql.functions._
   *    pairs) and holds it to completion-without-OOM, not linearity.
   *
   * The per-K cache hygiene matters here more than in the other probes:
-  * `q_sim_ann_lsh` caches the bucketed corpus and the IVF/LSH
-  * assignment memo (VectorOps.ivfCache, LRU-8) pins one frame per
-  * (plan, params) — ProbeHarness.clearCache() between Ks drops the
-  * previous scale's frames so each K pays (and is timed on) its own
-  * materialization.
+  * the LSH/IVF assignment memo (VectorOps.ivfCache, LRU-8) pins one
+  * bucketed-corpus frame per (plan, params) — ProbeHarness.clearCache()
+  * between Ks drops the previous scale's frames so each K pays (and is
+  * timed on) its own materialization.
   *
   * Usage: runMain graft.tools.ScaleProbeVec [sfDir] [outBase]
   * (GRAFT_PROBE_KS overrides the ladder.)
