@@ -41,6 +41,27 @@ object Bench {
     "q_join_theta", "q_sample", "q_join_inner")
     .zipWithIndex.toMap
 
+  private val plateauTol = 0.15
+
+  /** Plateau test for the adaptive re-run loop, anchored on the RUNNING
+    * MIN rather than adjacent pairs. A run "improves" only if it beats
+    * the best of all PRECEDING runs by more than [[plateauTol]]; walls
+    * plateau once the last two runs both fail to improve. The previous
+    * adjacent-pair criterion compared each run to its immediate
+    * predecessor, so a single contention spike followed by a return to
+    * baseline ([12, 13, 30, 12.5] — the 12.5 "improves" on the 30 by
+    * 58%) read as renewed descent and could only exit at the run cap
+    * with a spurious steady_state:false (round 10's contended walls
+    * [81, 94, 50, 53, 30, 13] did exactly that). Against the running
+    * min, the post-spike 12.5 is correctly a non-improvement over the
+    * earlier 12, while genuine monotone descent (round 8's
+    * [183, 93, 80.5]) still keeps the loop running. */
+  private[graft] def plateaued(ws: Seq[Double]): Boolean =
+    ws.size >= 3 && (1 to 2).forall { k =>
+      val i = ws.size - k
+      ws(i) >= ws.take(i).min * (1 - plateauTol)
+    }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
@@ -121,11 +142,8 @@ object Bench {
     // runs 11.3 s idle, a 6.7× artifact inflation. So: run at least
     // SPARK_GRAFT_BENCH_RUNS (default 3) suites, then KEEP re-running
     // (cap SPARK_GRAFT_BENCH_MAX_RUNS, default 6) until the walls
-    // plateau. Plateau = NEITHER of the last two runs improved on its
-    // predecessor by more than 15%: a single adjacent pair is too weak
-    // (the motivating [183, 93, 80.5] ends on a 13% drop and would pass
-    // a last-pair-only check while still clearly descending, and one
-    // upward noise bounce would mask continued descent). If the cap is
+    // plateau (see [[Bench.plateaued]] — running-min anchored, so one
+    // contention spike can't read as renewed descent). If the cap is
     // hit while still descending, steady_state:false is emitted so the
     // artifact self-reports that its headline number is a hot-box upper
     // bound, not the engine's latency. The BEST wall / per-query
@@ -140,12 +158,6 @@ object Bench {
     val minRuns = runsEnv.getOrElse("3").toInt
     val maxRuns = math.max(minRuns,
       maxEnv.orElse(runsEnv).getOrElse("6").toInt)
-    val plateauTol = 0.15
-    def plateaued(ws: Seq[Double]): Boolean =
-      ws.size >= 3 && ws.takeRight(3).sliding(2).forall {
-        case Seq(prev, next) => next >= prev * (1 - plateauTol)
-        case _ => true
-      }
     val runs = {
       val acc = scala.collection.mutable.ArrayBuffer.empty[(Double, Seq[(String, Double, Boolean)])]
       while (acc.size < minRuns || (acc.size < maxRuns && !plateaued(acc.map(_._1).toSeq)))

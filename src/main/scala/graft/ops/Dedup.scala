@@ -294,18 +294,41 @@ object Dedup {
     * it is only ~free when the documents table is cache()d — under
     * -Dgraft.no.cache=1 (PlanAudit) or for a table over the cache size
     * gate it is a real (cheap, count-only, count(*)-pushdown) Spark scan
-    * per invocation. Keying by directory mirrors the per-directory
-    * session table cache in `Tables.t`; testdata directories are
-    * immutable for a session's lifetime, same assumption the table
-    * cache itself makes. */
+    * per invocation. The key includes an mtime+size signature of the
+    * documents parquet, not just the directory path: a REWRITTEN
+    * directory (re-registration, regenerated testdata) changes the
+    * signature and forces a fresh count, so the df-cap can never
+    * silently diverge from the oracle's fresh COUNT(*) over the new
+    * data. [[clearDocCounts]] is the explicit invalidation hook. */
   private val docCountByDir =
     new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
 
+  /** Content signature of the documents table under `d`: max lastModified
+    * and total bytes over the parquet file/directory. Any rewrite bumps
+    * at least one of the two (a same-size rewrite still advances mtime). */
+  private def docSignature(d: String): String = {
+    def walk(f: java.io.File): (Long, Long) =
+      if (f.isDirectory)
+        Option(f.listFiles).getOrElse(Array.empty).map(walk)
+          .foldLeft((f.lastModified, 0L)) { case ((m, s), (m2, s2)) =>
+            (math.max(m, m2), s + s2)
+          }
+      else (f.lastModified, f.length)
+    val (mtime, bytes) = walk(new java.io.File(s"$d/documents.parquet"))
+    s"$d@$mtime:$bytes"
+  }
+
+  /** Drop all memoized doc counts (test hook; also the escape hatch for
+    * callers that mutate data in place without touching mtimes). */
+  private[graft] def clearDocCounts(): Unit = docCountByDir.clear()
+
   /** The corpus-size-scaled cap for a data directory. The doc count is a
-    * driver-side scalar, computed once per directory ([[docCountByDir]])
-    * and a metadata/cache scan when the documents table is resident. */
+    * driver-side scalar, computed once per directory content-signature
+    * ([[docCountByDir]]) and a metadata/cache scan when the documents
+    * table is resident. */
   private def capFor(s: SparkSession, d: String): Int =
-    effectiveDfCap(docCountByDir.computeIfAbsent(d, _ => documents(s, d).count()))
+    effectiveDfCap(
+      docCountByDir.computeIfAbsent(docSignature(d), _ => documents(s, d).count()))
 
   /** Shared oracle CTE block: shingles → df-pruned postings → per-doc
     * counts → pairwise intersection → Jaccard (`jacp(id_a, id_b, jac)`).

@@ -2,7 +2,7 @@ package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.DecimalType
+import org.apache.spark.sql.types.{DecimalType, LongType, TimestampNTZType, TimestampType}
 
 /** Testdata table loaders + shared determinism helpers.
   *
@@ -57,16 +57,39 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame      = t(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame    = t(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame  = t(s, d, "lineitem")
-  /** events.ts is parquet TIMESTAMP(NANOS), which Spark's TimestampType
-    * (µs) refuses outright — read it as raw nanos and truncate to µs.
-    * Integer `div` keeps full precision (ns epoch values exceed 2^53, so
-    * double division would corrupt them). All event queries emit
-    * second-granularity timestamps, where µs-Spark and ns-DuckDB agree.
+  /** events.ts has shipped as two different parquet physical types across
+    * testdata generations, so the loader adapts to the observed schema
+    * instead of assuming one:
+    *   - TIMESTAMP(NANOS): Spark's TimestampType (µs) refuses it outright,
+    *     so the legacy flag reads it as a raw nanos LongType and we
+    *     truncate to µs. Integer `div` keeps full precision (ns epoch
+    *     values exceed 2^53, so double division would corrupt them).
+    *   - timestamp[us] without tz: Spark 4.x reads it as TIMESTAMP_NTZ;
+    *     cast to TimestampType — under the UTC session this is a pure
+    *     relabel of the same instant, so window/session_window and the
+    *     DuckDB oracle (which reads the same column as naive TIMESTAMP)
+    *     agree.
+    *   - timestamp[us] adjusted to UTC: already TimestampType, use as-is.
+    * All event queries emit second-granularity timestamps, where µs-Spark
+    * and ns-DuckDB agree.
     */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    t(s, d, "events").withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    normalizeTs(t(s, d, "events"))
   }
+
+  /** The ONE ts-normalization shared by the batch loader and the
+    * streaming source (EventStream.source) so the two can't drift:
+    * whatever generation of events parquet arrived, the output `ts` is
+    * a µs TimestampType. */
+  private[graft] def normalizeTs(df: DataFrame): DataFrame =
+    df.schema("ts").dataType match {
+      case LongType         => df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType => df.withColumn("ts", col("ts").cast(TimestampType))
+      case TimestampType    => df
+      case other => throw new IllegalArgumentException(
+        s"events.ts: expected LongType (nanos), TimestampNTZType or TimestampType, found $other")
+    }
   def documents(s: SparkSession, d: String): DataFrame = t(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = t(s, d, "embeddings")
 

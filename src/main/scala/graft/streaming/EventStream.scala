@@ -21,11 +21,18 @@ import org.apache.spark.sql.types._
   */
 object EventStream {
 
-  /** Parquet schema for the streaming reader: ts is declared LongType
-    * because the file carries TIMESTAMP(NANOS) (see Tables.events). */
-  val rawSchema: StructType = StructType(Seq(
+  /** Parquet schema for the streaming reader, with `ts` left abstract:
+    * readStream requires a user-declared schema, and the events file has
+    * shipped with two different physical ts types across testdata
+    * generations (TIMESTAMP(NANOS) → LongType under the legacy flag;
+    * timestamp[us] → TimestampNTZType). [[source]] probes the file's
+    * batch-inferred schema (a footer-only read) and plugs the observed
+    * ts type in, then routes through the SAME normalization as the
+    * batch loader ([[graft.ops.Tables.normalizeTs]]) so the two can't
+    * drift. */
+  private def rawSchema(tsType: DataType): StructType = StructType(Seq(
     StructField("event_id", LongType),
-    StructField("ts", LongType),
+    StructField("ts", tsType),
     StructField("user_id", LongType),
     StructField("event_type", StringType),
     StructField("value", DoubleType),
@@ -34,11 +41,14 @@ object EventStream {
   /** File-based streaming source over a testdata directory. */
   def source(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.readStream
-      .schema(rawSchema)
+    val tsType = spark.read
       .option("pathGlobFilter", "events.parquet")
-      .parquet(dir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .parquet(dir).schema("ts").dataType
+    graft.ops.Tables.normalizeTs(
+      spark.readStream
+        .schema(rawSchema(tsType))
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(dir))
   }
 
   /** Tumbling 1-hour counts per event type (watermarked). */
