@@ -326,7 +326,7 @@ object Dedup {
     * driver-side scalar, computed once per directory content-signature
     * ([[docCountByDir]]) and a metadata/cache scan when the documents
     * table is resident. */
-  private def capFor(s: SparkSession, d: String): Int =
+  private[graft] def capFor(s: SparkSession, d: String): Int =
     effectiveDfCap(
       docCountByDir.computeIfAbsent(docSignature(d), _ => documents(s, d).count()))
 

@@ -406,16 +406,32 @@ object Multimodal {
   /** A fitted encoder: per-feature mean/std learned from a corpus. */
   final case class TextEncoderModel(nDocs: Long, mean: Array[Double], std: Array[Double])
 
+  /** Checked overflow bound for the exact-integer sums: every feature
+    * count is ≤ the payload length, so sum-of-squares ≤ n·maxLen². If
+    * that bound reaches 2⁶³ the long accumulators MAY have wrapped
+    * silently and the learned weights would be garbage — refuse with
+    * the remedy instead. (BigInt arithmetic: n·maxLen² itself overflows
+    * a long exactly in the corpora this guards against.) The bound is
+    * conservative — a corpus that trips it needs the documented
+    * recast-sums-to-double fit, which trades bit-exactness for range. */
+  private[graft] def requireSumsFit(n: Long, maxLen: Long): Unit =
+    require(BigInt(n) * BigInt(maxLen) * BigInt(maxLen) <= BigInt(Long.MaxValue),
+      s"fitEncoder: n=$n docs with max payload length $maxLen can overflow " +
+        "the exact BIGINT sum-of-squares (n*maxLen^2 >= 2^63); recast the " +
+        "fit sums to double (documented in the learned-encoder notes) for " +
+        "corpora of this size")
+
   /** Fit the encoder on a corpus: one distributed aggregation (count +
-    * exact per-feature sum / sum-of-squares), 9 longs collected — the
-    * bounded "model checkpoint" a real trainer would also materialize
-    * on the driver. */
+    * exact per-feature sum / sum-of-squares + max length for the
+    * overflow guard), 10 longs collected — the bounded "model
+    * checkpoint" a real trainer would also materialize on the driver. */
   def fitEncoder(df: DataFrame, textCol: Column): TextEncoderModel = {
     val f = df.select(featExprs(textCol).zip(FeatNames).map { case (c, n) => c.as(n) }: _*)
-    val aggs = count(lit(1)).as("n") +:
+    val aggs = count(lit(1)).as("n") +: max(col("c_len")).as("m_len") +:
       FeatNames.flatMap(n => Seq(sum(col(n)).as(s"s_$n"), sum(col(n) * col(n)).as(s"q_$n")))
     val r = f.agg(aggs.head, aggs.tail: _*).head()
     val n = r.getAs[Long]("n")
+    requireSumsFit(n, math.max(1L, r.getAs[Long]("m_len")))
     val (mean, std) = FeatNames.map { fn =>
       val s = r.getAs[Long](s"s_$fn").toDouble
       val q = r.getAs[Long](s"q_$fn").toDouble

@@ -2,7 +2,7 @@ package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{DecimalType, LongType, TimestampNTZType, TimestampType}
+import org.apache.spark.sql.types._
 
 /** Testdata table loaders + shared determinism helpers.
   *
@@ -32,6 +32,79 @@ object Tables {
     size(new java.io.File(path))
   }
 
+  // ---- schema gate ----------------------------------------------------
+  // Round-10 lesson: the driver regenerated the testdata and events.ts
+  // changed physical type, turning every events query into a mid-plan
+  // DATATYPE_MISMATCH AnalysisException with no hint of the real cause.
+  // The loader now ASSERTS its schema assumptions up front and fails
+  // with a message naming the table and the expected-vs-found type.
+  // Expectations are type FAMILIES, not exact physical types, because
+  // benign regeneration changes representation (date → timestamp[us],
+  // TIMESTAMP(NANOS) → timestamp[us]) without changing meaning — the
+  // gate must catch a *wrong* column, not a re-encoded one.
+  private type TypeCheck = (String, DataType => Boolean)
+  private def integral: TypeCheck = ("integral", {
+    case ByteType | ShortType | IntegerType | LongType => true; case _ => false })
+  private def fractional: TypeCheck = ("fractional", {
+    case FloatType | DoubleType | _: DecimalType => true; case _ => false })
+  private def text: TypeCheck = ("string", _ == StringType)
+  /** date/timestamp in any representation, incl. the legacy nanos-long
+    * read of TIMESTAMP(NANOS) files (normalized by [[normalizeTs]]). */
+  private def temporal: TypeCheck = ("temporal (date/timestamp/nanos-long)", {
+    case DateType | TimestampType | TimestampNTZType | LongType => true; case _ => false })
+  private def floatArray: TypeCheck = ("array<float|double>", {
+    case ArrayType(FloatType | DoubleType, _) => true; case _ => false })
+
+  /** Required columns (a superset may exist on disk) per testdata table. */
+  private val expectedSchemas: Map[String, Seq[(String, TypeCheck)]] = Map(
+    "region"   -> Seq("r_regionkey" -> integral, "r_name" -> text),
+    "nation"   -> Seq("n_nationkey" -> integral, "n_name" -> text,
+                      "n_regionkey" -> integral),
+    "customer" -> Seq("c_custkey" -> integral, "c_name" -> text,
+                      "c_nationkey" -> integral, "c_acctbal" -> fractional,
+                      "c_mktsegment" -> text),
+    "supplier" -> Seq("s_suppkey" -> integral, "s_name" -> text,
+                      "s_nationkey" -> integral, "s_acctbal" -> fractional),
+    "part"     -> Seq("p_partkey" -> integral, "p_name" -> text,
+                      "p_brand" -> text, "p_type" -> text,
+                      "p_size" -> integral, "p_retailprice" -> fractional),
+    "orders"   -> Seq("o_orderkey" -> integral, "o_custkey" -> integral,
+                      "o_orderstatus" -> text, "o_totalprice" -> fractional,
+                      "o_orderdate" -> temporal, "o_orderpriority" -> text),
+    "lineitem" -> Seq("l_orderkey" -> integral, "l_partkey" -> integral,
+                      "l_suppkey" -> integral, "l_linenumber" -> integral,
+                      "l_quantity" -> fractional, "l_extendedprice" -> fractional,
+                      "l_discount" -> fractional, "l_tax" -> fractional,
+                      "l_returnflag" -> text, "l_linestatus" -> text,
+                      "l_shipdate" -> temporal),
+    "events"   -> Seq("event_id" -> integral, "ts" -> temporal,
+                      "user_id" -> integral, "event_type" -> text,
+                      "value" -> fractional, "props" -> text),
+    "documents" -> Seq("doc_id" -> integral, "text" -> text,
+                       "lang" -> text, "source" -> text, "n_chars" -> integral),
+    "embeddings" -> Seq("vec_id" -> integral, "embedding" -> floatArray,
+                        "label" -> integral))
+
+  /** Fail fast with a message naming the table and every violation, so a
+    * future testdata regeneration surfaces as one readable error at load
+    * time instead of a mid-plan AnalysisException deep in a query. */
+  private def assertSchema(name: String, df: DataFrame): DataFrame = {
+    expectedSchemas.get(name).foreach { cols =>
+      val found = df.schema.map(f => f.name -> f.dataType).toMap
+      val problems = cols.flatMap { case (c, (family, ok)) =>
+        found.get(c) match {
+          case None => Some(s"missing column `$c` (expected $family); found columns: " +
+            df.schema.fieldNames.mkString(", "))
+          case Some(dt) if !ok(dt) => Some(s"column `$c`: expected $family, found $dt")
+          case _ => None
+        }
+      }
+      if (problems.nonEmpty) throw new IllegalArgumentException(
+        s"table `$name`: unexpected schema — ${problems.mkString("; ")}")
+    }
+    df
+  }
+
   /** Read a testdata table; small tables are cached on first touch. The
     * cache() is idempotent (Spark's CacheManager dedups by canonicalized
     * plan) and plays the buffer-pool role DuckDB gets from the OS page
@@ -42,7 +115,7 @@ object Tables {
     * The operators themselves never depend on the data being resident. */
   def t(spark: SparkSession, dir: String, name: String): DataFrame = {
     val path = s"$dir/$name.parquet"
-    val df = spark.read.parquet(path)
+    val df = assertSchema(name, spark.read.parquet(path))
     // kill-switch: -Dgraft.no.cache=1 (PlanAudit uses it so parquet-scan
     // pushdown is visible instead of InMemoryTableScan pushdown)
     if (!sys.props.contains("graft.no.cache") && onDiskBytes(path) <= cacheMaxBytes)

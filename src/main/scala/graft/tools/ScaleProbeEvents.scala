@@ -14,10 +14,11 @@ import org.apache.spark.sql.functions._
   * independent, per-user series sizes stay constant, and true work
   * grows linearly in K (64× ≈ 6.4M events).
   *
-  * The events parquet carries TIMESTAMP(NANOS); the probe reads it
-  * nanos-as-long, so replicas are written with a plain INT64 `ts` —
-  * `Tables.events` accepts either encoding (it truncates raw nanos to
-  * µs itself).
+  * The probe reads `ts` as whatever physical type the source file
+  * carries (nanos-as-long under the legacy flag for TIMESTAMP(NANOS)
+  * generations, timestamp[us] for current ones) and writes replicas
+  * with that same encoding — `Tables.events` adapts to either on
+  * re-read (`Tables.normalizeTs`).
   *
   * Usage: runMain graft.tools.ScaleProbeEvents [sfDir] [outBase]
   */

@@ -1,0 +1,153 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+import graft.ops.{Dedup, Multimodal, Tables}
+
+/** Round-11 hardening pins: the bench plateau criterion, the learned
+  * encoder's exact-sum overflow guard, the doc-count memo's content
+  * signature, and the table-loader schema gate.
+  */
+class HardeningSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  // ---- Bench.plateaued (running-min anchored) -------------------------
+
+  test("plateaued: needs at least 3 runs") {
+    assert(!Bench.plateaued(Seq.empty))
+    assert(!Bench.plateaued(Seq(10.0)))
+    assert(!Bench.plateaued(Seq(10.0, 10.0)))
+  }
+
+  test("plateaued: flat walls plateau at 3 runs") {
+    assert(Bench.plateaued(Seq(16.0, 15.8, 15.7)))
+  }
+
+  test("plateaued: genuine monotone descent keeps running") {
+    // round 8's motivating sequence: the 93 still improves on the 183's
+    // running min by far more than the tolerance
+    assert(!Bench.plateaued(Seq(183.0, 93.0, 80.5)))
+    // round 10's contended walls: the final 13.5 is a real new min
+    assert(!Bench.plateaued(Seq(81.0, 94.0, 50.4, 53.1, 29.6, 13.5)))
+  }
+
+  test("plateaued: a contention spike then return-to-baseline is steady") {
+    // adjacent-pair comparison would read the 12.5 as a 58% improvement
+    // over the 30 and keep burning runs; against the running min (12.0)
+    // it is no improvement at all
+    assert(Bench.plateaued(Seq(12.0, 13.0, 30.0, 12.5)))
+    // spike in the middle of an otherwise-flat tail
+    assert(Bench.plateaued(Seq(15.0, 40.0, 15.5)))
+  }
+
+  test("plateaued: improvement within tolerance still counts as steady") {
+    // 10% better than the running min is noise, not descent
+    assert(Bench.plateaued(Seq(20.0, 19.0, 18.5)))
+    // 20% better is real descent
+    assert(!Bench.plateaued(Seq(20.0, 19.0, 15.0)))
+  }
+
+  // ---- learned-encoder overflow guard ---------------------------------
+
+  test("requireSumsFit: fires when n*maxLen^2 reaches 2^63") {
+    val e = intercept[IllegalArgumentException] {
+      // one synthetic huge-count row: a single doc whose length bound
+      // alone overflows the squared accumulator
+      Multimodal.requireSumsFit(n = 1L, maxLen = 4000000000L)
+    }
+    assert(e.getMessage.contains("overflow"))
+    // plural corpora: n pushes the bound over even with a modest maxLen
+    intercept[IllegalArgumentException] {
+      Multimodal.requireSumsFit(n = 1L << 24, maxLen = 1L << 20)
+    }
+  }
+
+  test("requireSumsFit: passes at realistic corpus bounds") {
+    Multimodal.requireSumsFit(n = 0L, maxLen = 1L)
+    Multimodal.requireSumsFit(n = 1L << 33, maxLen = 1 << 14) // 8B docs x 16 KiB
+    Multimodal.requireSumsFit(n = 1L << 61, maxLen = 1L)      // bound exactly 2^61
+  }
+
+  test("fitEncoder still fits a tiny corpus with the guard in place") {
+    import spark.implicits._
+    val df = Seq("alpha beta", "gamma delta epsilon", "zeta").toDF("text")
+    val m = Multimodal.fitEncoder(df, col("text"))
+    assert(m.nDocs == 3)
+    assert(m.mean.length == 4 && m.std.length == 4)
+  }
+
+  // ---- doc-count memo content signature -------------------------------
+
+  private def writeDocs(dir: String, nDocs: Int): Unit = {
+    import spark.implicits._
+    (1 to nDocs).map(i => (i.toLong, s"document number $i body", "en", "synthetic", 20L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+  }
+
+  test("capFor recomputes after the documents table is rewritten") {
+    val dir = java.nio.file.Files.createTempDirectory("docsig").toString
+    writeDocs(dir, 6000)
+    assert(Dedup.capFor(spark, dir) == 60) // ceil(6000/100)
+    // rewrite the directory with a different corpus; drop Spark's own
+    // table cache (the memo fix is about the DRIVER-side count memo —
+    // the Spark cache has its own immutable-dir contract)
+    writeDocs(dir, 12000)
+    spark.catalog.clearCache()
+    assert(Dedup.capFor(spark, dir) == 120,
+      "df-cap must follow the rewritten corpus, not the stale memo")
+  }
+
+  test("clearDocCounts is a usable explicit invalidation hook") {
+    Dedup.clearDocCounts() // must not throw, before or after use
+    val dir = java.nio.file.Files.createTempDirectory("docsig2").toString
+    writeDocs(dir, 5500)
+    assert(Dedup.capFor(spark, dir) == 55)
+    Dedup.clearDocCounts()
+    assert(Dedup.capFor(spark, dir) == 55)
+  }
+
+  // ---- table-loader schema gate ---------------------------------------
+
+  test("a wrong-typed column fails at load time with a clear message") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("badschema").toString
+    // documents with text as a LONG — the round-10 failure mode was a
+    // mid-plan DATATYPE_MISMATCH with no mention of the table; the gate
+    // must name table, column, expected family, and found type
+    (1 to 5).map(i => (i.toLong, i.toLong * 7, "en", "synthetic", 20L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val e = intercept[IllegalArgumentException] {
+      Tables.documents(spark, dir)
+    }
+    assert(e.getMessage.contains("table `documents`"))
+    assert(e.getMessage.contains("`text`"))
+    assert(e.getMessage.contains("expected string"))
+    assert(e.getMessage.contains("LongType"))
+  }
+
+  test("a missing column fails at load time naming the column") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("missingcol").toString
+    (1 to 5).map(i => (i.toLong, s"text $i"))
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val e = intercept[IllegalArgumentException] {
+      Tables.documents(spark, dir)
+    }
+    assert(e.getMessage.contains("missing column `lang`"))
+  }
+
+  test("benign representation drift passes the gate") {
+    // real testdata: every table loads (temporal columns currently ship
+    // as timestamp[us]; earlier generations used date / TIMESTAMP(NANOS))
+    Seq("region", "nation", "customer", "supplier", "part", "orders",
+        "lineitem", "documents", "embeddings").foreach { t =>
+      assert(Tables.t(spark, TestSpark.Sf, t).columns.nonEmpty, t)
+    }
+    assert(Tables.events(spark, TestSpark.Sf).schema("ts").dataType ==
+      org.apache.spark.sql.types.TimestampType)
+  }
+}
