@@ -140,6 +140,28 @@ class HardeningSpec extends AnyFunSuite {
     assert(e.getMessage.contains("missing column `lang`"))
   }
 
+  test("events loader: legacy nanos-long generation still normalizes") {
+    import spark.implicits._
+    // the current testdata ships timestamp[us]; earlier generations were
+    // TIMESTAMP(NANOS) read as raw longs — synthesize that shape so the
+    // LongType branch of Tables.normalizeTs stays pinned after the old
+    // files are gone
+    val dir = java.nio.file.Files.createTempDirectory("evnanos").toString
+    val base = 1704067200L // 2024-01-01 00:00:00 UTC, in seconds
+    Seq((1L, base * 1000000000L + 123456789L, 7L, "view", 1.0, "{}"),
+        (2L, (base + 3600) * 1000000000L, 8L, "click", 2.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val ev = graft.ops.Tables.events(spark, dir)
+    assert(ev.schema("ts").dataType == org.apache.spark.sql.types.TimestampType)
+    val got = ev.orderBy("event_id")
+      .select(date_format(col("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS"))
+      .as[String].collect()
+    // ns truncate to µs, never round (matches the ns-engine at seconds)
+    assert(got(0) == "2024-01-01 00:00:00.123456")
+    assert(got(1) == "2024-01-01 01:00:00.000000")
+  }
+
   test("benign representation drift passes the gate") {
     // real testdata: every table loads (temporal columns currently ship
     // as timestamp[us]; earlier generations used date / TIMESTAMP(NANOS))
