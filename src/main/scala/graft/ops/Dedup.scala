@@ -295,40 +295,49 @@ object Dedup {
     * -Dgraft.no.cache=1 (PlanAudit) or for a table over the cache size
     * gate it is a real (cheap, count-only, count(*)-pushdown) Spark scan
     * per invocation. The key includes an mtime+size signature of the
-    * documents parquet, not just the directory path: a REWRITTEN
+    * documents parquet, not just the directory path: a rewritten
     * directory (re-registration, regenerated testdata) changes the
-    * signature and forces a fresh count, so the df-cap can never
-    * silently diverge from the oracle's fresh COUNT(*) over the new
-    * data. [[clearDocCounts]] is the explicit invalidation hook. */
+    * signature, which both misses the memo AND refreshes Spark's own
+    * cached plan over the old file listing before the fresh count — so
+    * any rewrite the signature can see (different bytes, or a new
+    * mtime tick) recounts the new data. A same-size rewrite inside one
+    * mtime tick (ms granularity via java.io.File, coarser on some
+    * filesystems) is invisible to the signature; [[clearDocCounts]] is
+    * the explicit hook for callers doing that to themselves. */
   private val docCountByDir =
     new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+  private val lastSigByDir =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
 
   /** Content signature of the documents table under `d`: max lastModified
-    * and total bytes over the parquet file/directory. Any rewrite bumps
-    * at least one of the two (a same-size rewrite still advances mtime). */
+    * and total bytes over the parquet file/directory (one shared walker,
+    * [[Tables.mtimeAndBytes]]). */
   private def docSignature(d: String): String = {
-    def walk(f: java.io.File): (Long, Long) =
-      if (f.isDirectory)
-        Option(f.listFiles).getOrElse(Array.empty).map(walk)
-          .foldLeft((f.lastModified, 0L)) { case ((m, s), (m2, s2)) =>
-            (math.max(m, m2), s + s2)
-          }
-      else (f.lastModified, f.length)
-    val (mtime, bytes) = walk(new java.io.File(s"$d/documents.parquet"))
+    val (mtime, bytes) = Tables.mtimeAndBytes(s"$d/documents.parquet")
     s"$d@$mtime:$bytes"
   }
 
   /** Drop all memoized doc counts (test hook; also the escape hatch for
     * callers that mutate data in place without touching mtimes). */
-  private[graft] def clearDocCounts(): Unit = docCountByDir.clear()
+  private[graft] def clearDocCounts(): Unit = {
+    docCountByDir.clear(); lastSigByDir.clear()
+  }
 
   /** The corpus-size-scaled cap for a data directory. The doc count is a
     * driver-side scalar, computed once per directory content-signature
     * ([[docCountByDir]]) and a metadata/cache scan when the documents
-    * table is resident. */
-  private[graft] def capFor(s: SparkSession, d: String): Int =
-    effectiveDfCap(
-      docCountByDir.computeIfAbsent(docSignature(d), _ => documents(s, d).count()))
+    * table is resident. When the signature CHANGES for a directory this
+    * session, Spark's cached relation over the old files is refreshed
+    * first — otherwise the CacheManager would satisfy the "fresh" count
+    * from the stale InMemoryRelation and the memo would pin the old
+    * count under the new key. */
+  private[graft] def capFor(s: SparkSession, d: String): Int = {
+    val sig = docSignature(d)
+    val prev = lastSigByDir.put(d, sig)
+    if (prev != null && prev != sig)
+      s.catalog.refreshByPath(s"$d/documents.parquet")
+    effectiveDfCap(docCountByDir.computeIfAbsent(sig, _ => documents(s, d).count()))
+  }
 
   /** Shared oracle CTE block: shingles → df-pruned postings → per-doc
     * counts → pairwise intersection → Jaccard (`jacp(id_a, id_b, jac)`).

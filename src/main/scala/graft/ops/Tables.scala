@@ -25,12 +25,22 @@ object Tables {
   private[ops] def cacheMaxBytes: Long =
     sys.props.get("graft.cache.max.bytes").map(_.toLong).getOrElse(4L << 30)
 
-  private[ops] def onDiskBytes(path: String): Long = {
-    def size(f: java.io.File): Long =
-      if (f.isDirectory) Option(f.listFiles).map(_.map(size).sum).getOrElse(0L)
-      else f.length()
-    size(new java.io.File(path))
+  /** One recursive walker for (max lastModified, total bytes) over a
+    * file or directory — shared by the cache size gate here and the
+    * doc-count content signature in Dedup, so fixes to traversal
+    * (symlink cycles, listFiles-null) land in one place. */
+  private[ops] def mtimeAndBytes(path: String): (Long, Long) = {
+    def walk(f: java.io.File): (Long, Long) =
+      if (f.isDirectory)
+        Option(f.listFiles).getOrElse(Array.empty).map(walk)
+          .foldLeft((f.lastModified, 0L)) { case ((m, s), (m2, s2)) =>
+            (math.max(m, m2), s + s2)
+          }
+      else (f.lastModified, f.length)
+    walk(new java.io.File(path))
   }
+
+  private[ops] def onDiskBytes(path: String): Long = mtimeAndBytes(path)._2
 
   // ---- schema gate ----------------------------------------------------
   // Round-10 lesson: the driver regenerated the testdata and events.ts
@@ -48,9 +58,15 @@ object Tables {
   private def fractional: TypeCheck = ("fractional", {
     case FloatType | DoubleType | _: DecimalType => true; case _ => false })
   private def text: TypeCheck = ("string", _ == StringType)
-  /** date/timestamp in any representation, incl. the legacy nanos-long
-    * read of TIMESTAMP(NANOS) files (normalized by [[normalizeTs]]). */
-  private def temporal: TypeCheck = ("temporal (date/timestamp/nanos-long)", {
+  /** date/timestamp in any timestamp representation. Deliberately does
+    * NOT accept LongType: a long-typed date column would be a meaning
+    * change, exactly what the gate exists to catch. */
+  private def temporal: TypeCheck = ("temporal (date/timestamp)", {
+    case DateType | TimestampType | TimestampNTZType => true; case _ => false })
+  /** events.ts only: the legacy TIMESTAMP(NANOS) generation reads as a
+    * raw nanos LongType under the compat flag (normalized by
+    * [[normalizeTs]]), so this ONE column also accepts LongType. */
+  private def eventTs: TypeCheck = ("temporal (date/timestamp/nanos-long)", {
     case DateType | TimestampType | TimestampNTZType | LongType => true; case _ => false })
   private def floatArray: TypeCheck = ("array<float|double>", {
     case ArrayType(FloatType | DoubleType, _) => true; case _ => false })
@@ -77,7 +93,7 @@ object Tables {
                       "l_discount" -> fractional, "l_tax" -> fractional,
                       "l_returnflag" -> text, "l_linestatus" -> text,
                       "l_shipdate" -> temporal),
-    "events"   -> Seq("event_id" -> integral, "ts" -> temporal,
+    "events"   -> Seq("event_id" -> integral, "ts" -> eventTs,
                       "user_id" -> integral, "event_type" -> text,
                       "value" -> fractional, "props" -> text),
     "documents" -> Seq("doc_id" -> integral, "text" -> text,

@@ -90,13 +90,14 @@ class HardeningSpec extends AnyFunSuite {
     val dir = java.nio.file.Files.createTempDirectory("docsig").toString
     writeDocs(dir, 6000)
     assert(Dedup.capFor(spark, dir) == 60) // ceil(6000/100)
-    // rewrite the directory with a different corpus; drop Spark's own
-    // table cache (the memo fix is about the DRIVER-side count memo —
-    // the Spark cache has its own immutable-dir contract)
+    // rewrite the directory with a different corpus — NO manual cache
+    // invalidation: the signature change must both miss the memo and
+    // refresh Spark's cached relation over the old file listing (the
+    // CacheManager would otherwise satisfy the "fresh" count from the
+    // stale InMemoryRelation)
     writeDocs(dir, 12000)
-    spark.catalog.clearCache()
     assert(Dedup.capFor(spark, dir) == 120,
-      "df-cap must follow the rewritten corpus, not the stale memo")
+      "df-cap must follow the rewritten corpus, not the stale memo/cache")
   }
 
   test("clearDocCounts is a usable explicit invalidation hook") {
