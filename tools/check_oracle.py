@@ -83,6 +83,13 @@ def main():
     out_dir, sf_dir = sys.argv[1], sys.argv[2]
     with open(os.path.join(out_dir, "oracle_sql.json")) as f:
         oracles = json.load(f)
+    # Verify.scala writes per-query exception messages here; surface the
+    # cause inline instead of a bare NO-SPARK-OUTPUT.
+    spark_errors = {}
+    err_path = os.path.join(out_dir, "errors.json")
+    if os.path.exists(err_path):
+        with open(err_path) as f:
+            spark_errors = json.load(f)
     con = duckdb.connect()
     for t in TABLES:
         p = os.path.join(sf_dir, f"{t}.parquet")
@@ -95,7 +102,8 @@ def main():
     for name in names:
         spark_df = load_spark_result(os.path.join(out_dir, name))
         if spark_df is None:
-            results[name] = "NO-SPARK-OUTPUT"; n_fail += 1; continue
+            cause = spark_errors.get(name, "no exception recorded")
+            results[name] = f"NO-SPARK-OUTPUT ({cause})"; n_fail += 1; continue
         if name not in oracles:
             results[name] = f"rows-only ({len(spark_df)} rows)"
             continue
