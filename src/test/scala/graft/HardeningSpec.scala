@@ -163,6 +163,39 @@ class HardeningSpec extends AnyFunSuite {
     assert(got(1) == "2024-01-01 01:00:00.000000")
   }
 
+  test("nanos and timestamp[us] generations normalize to identical instants") {
+    import spark.implicits._
+    // the cross-generation contract in one assertion: the SAME logical
+    // instants written as raw ns longs and as µs TIMESTAMP_NTZ must come
+    // out of Tables.events bit-identical (seeded RNG, incl. sub-second
+    // parts whose ns remainder must truncate away)
+    val rnd = new scala.util.Random(42)
+    val base = 1704067200L * 1000000L // 2024-01-01 in µs
+    val micros = (1 to 200).map(_ => base + (rnd.nextDouble() * 31536000e6).toLong)
+    def row(i: Int) = (i.toLong, 7L, "view", 1.0, "{}")
+    val dirNs = java.nio.file.Files.createTempDirectory("gen_ns").toString
+    val dirUs = java.nio.file.Files.createTempDirectory("gen_us").toString
+    micros.zipWithIndex.map { case (us, i) =>
+      val (id, u, t, v, p) = row(i); (id, us * 1000L + rnd.nextInt(1000), u, t, v, p)
+    }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dirNs/events.parquet")
+    micros.zipWithIndex.map { case (us, i) =>
+      val (id, u, t, v, p) = row(i)
+      (id, java.time.LocalDateTime.ofEpochSecond(us / 1000000L,
+        ((us % 1000000L) * 1000L).toInt, java.time.ZoneOffset.UTC), u, t, v, p)
+    }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dirUs/events.parquet")
+    def load(d: String): Seq[(Long, Long)] =
+      graft.ops.Tables.events(spark, d)
+        .select($"event_id", unix_micros($"ts"))
+        .as[(Long, Long)].collect().sortBy(_._1).toSeq
+    val (fromNs, fromUs) = (load(dirNs), load(dirUs))
+    assert(fromNs == fromUs,
+      "the two parquet generations must normalize to the same instants")
+    assert(fromNs.map(_._2) == micros.map(identity),
+      "normalized µs must equal the source instants (ns remainder truncated)")
+  }
+
   test("benign representation drift passes the gate") {
     // real testdata: every table loads (temporal columns currently ship
     // as timestamp[us]; earlier generations used date / TIMESTAMP(NANOS))
