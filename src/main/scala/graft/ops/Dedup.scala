@@ -333,10 +333,27 @@ object Dedup {
     * count under the new key. */
   private[graft] def capFor(s: SparkSession, d: String): Int = {
     val sig = docSignature(d)
+    // refresh-then-count happens INSIDE the memo's atomic mapping:
+    // ConcurrentHashMap runs one mapping per key and blocks concurrent
+    // callers of the same key, so a second thread arriving right after a
+    // rewrite can no longer observe the new signature in lastSigByDir
+    // (put by the first thread), skip the refresh, and memoize a count
+    // read from the still-stale cached relation (ADVICE r11). The
+    // refresh on a first-seen-but-previously-different signature is at
+    // worst redundant.
+    val n = docCountByDir.computeIfAbsent(sig, s2 => {
+      if (lastSigByDir.put(d, s2) != null)
+        s.catalog.refreshByPath(s"$d/documents.parquet")
+      documents(s, d).count()
+    })
+    // memo hit with a CHANGED signature = content reverted to a
+    // previously-seen generation: the memoized count is correct for this
+    // content, but Spark's cached relation may still cover the other
+    // generation — refresh so subsequent real reads see this one.
     val prev = lastSigByDir.put(d, sig)
     if (prev != null && prev != sig)
       s.catalog.refreshByPath(s"$d/documents.parquet")
-    effectiveDfCap(docCountByDir.computeIfAbsent(sig, _ => documents(s, d).count()))
+    effectiveDfCap(n)
   }
 
   /** Shared oracle CTE block: shingles → df-pruned postings → per-doc

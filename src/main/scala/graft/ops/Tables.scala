@@ -26,16 +26,23 @@ object Tables {
     sys.props.get("graft.cache.max.bytes").map(_.toLong).getOrElse(4L << 30)
 
   /** One recursive walker for (max lastModified, total bytes) over a
-    * file or directory — shared by the cache size gate here and the
-    * doc-count content signature in Dedup, so fixes to traversal
-    * (symlink cycles, listFiles-null) land in one place. */
-  private[ops] def mtimeAndBytes(path: String): (Long, Long) = {
+    * file or directory — shared by the cache size gate here, the
+    * doc-count content signature in Dedup, and the streaming source's
+    * schema-probe memo, so fixes to traversal (symlink cycles,
+    * listFiles-null) land in one place. A canonical-path visited set
+    * breaks symlink cycles: a directory already walked contributes
+    * nothing on re-entry instead of recursing to StackOverflowError
+    * (ADVICE r11). */
+  private[graft] def mtimeAndBytes(path: String): (Long, Long) = {
+    val seen = scala.collection.mutable.Set.empty[String]
     def walk(f: java.io.File): (Long, Long) =
-      if (f.isDirectory)
-        Option(f.listFiles).getOrElse(Array.empty).map(walk)
+      if (f.isDirectory) {
+        if (!seen.add(f.getCanonicalPath)) (0L, 0L)
+        else Option(f.listFiles).getOrElse(Array.empty).map(walk)
           .foldLeft((f.lastModified, 0L)) { case ((m, s), (m2, s2)) =>
             (math.max(m, m2), s + s2)
           }
+      }
       else (f.lastModified, f.length)
     walk(new java.io.File(path))
   }
@@ -174,7 +181,19 @@ object Tables {
   private[graft] def normalizeTs(df: DataFrame): DataFrame =
     df.schema("ts").dataType match {
       case LongType         => df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-      case TimestampNTZType => df.withColumn("ts", col("ts").cast(TimestampType))
+      case TimestampNTZType =>
+        // The NTZ→TimestampType cast is an instant-preserving RELABEL only
+        // under a UTC session timezone; every in-repo entry point sets it,
+        // but a future caller with a misconfigured session must fail
+        // loudly here rather than silently shift every event instant
+        // (ADVICE r11). The LongType/TimestampType branches are
+        // timezone-free (epoch micros / already-zoned) and stay ungated.
+        val tz = df.sparkSession.conf.get("spark.sql.session.timeZone", "")
+        require(tz == "UTC",
+          s"events.ts normalization: TIMESTAMP_NTZ relabel requires " +
+            s"spark.sql.session.timeZone=UTC, found '$tz' — a non-UTC cast " +
+            "would shift every event instant")
+        df.withColumn("ts", col("ts").cast(TimestampType))
       case TimestampType    => df
       case other => throw new IllegalArgumentException(
         s"events.ts: expected LongType (nanos), TimestampNTZType or TimestampType, found $other")

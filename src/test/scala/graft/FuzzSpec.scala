@@ -1,0 +1,86 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.tools.SqlFuzzer
+
+/** Pins the differential SQL fuzzer's contract (VERDICT r11 next-round #1).
+  *
+  * The full ≥500-query DuckDB differential runs as a round tool
+  * (`runMain graft.tools.Fuzz` + `tools/check_oracle.py`, results triaged
+  * in FUZZ_NOTES.md); this spec pins the properties the tool run relies
+  * on, without needing DuckDB in the test JVM:
+  *  - determinism: same seed → byte-identical suite (the triage note's
+  *    per-name findings stay addressable across reruns and machines);
+  *  - grammar discipline: every query carries a full-output ORDER BY with
+  *    explicit null placement, and no dialect-divergent construct leaks
+  *    (bare FLOOR outside CAST, `//`, un-CAST SUM over doubles);
+  *  - Spark-runnability: a sample of the suite executes against sf0.001
+  *    through the same temp-view registration the Fuzz main uses.
+  */
+class FuzzSpec extends AnyFunSuite {
+  private val suite = new SqlFuzzer(12L).queries(500)
+
+  test("same seed reproduces the identical 500-query suite") {
+    val again = new SqlFuzzer(12L).queries(500)
+    assert(suite == again)
+    assert(suite.map(_._1).distinct.size == 500)
+  }
+
+  test("different seeds diverge (the generator actually uses the seed)") {
+    val other = new SqlFuzzer(7L).queries(50)
+    assert(other.map(_._2) != suite.take(50).map(_._2))
+  }
+
+  test("every query has a full-output ORDER BY with explicit null placement") {
+    suite.foreach { case (name, sql) =>
+      assert(sql.contains("ORDER BY"), s"$name lacks ORDER BY")
+      assert(sql.contains("NULLS FIRST") || sql.contains("NULLS LAST"),
+        s"$name has no explicit null placement: $sql")
+      assert(sql.contains("LIMIT"), s"$name lacks LIMIT")
+    }
+  }
+
+  test("no dialect-divergent construct leaks into the shared SQL") {
+    suite.foreach { case (name, sql) =>
+      // Spark FLOOR(double)→BIGINT vs DuckDB FLOOR(double)→DOUBLE: every
+      // FLOOR must sit inside an explicit CAST.
+      var i = sql.indexOf("FLOOR(")
+      while (i >= 0) {
+        assert(sql.lastIndexOf("CAST(", i) >= 0 &&
+          i - sql.lastIndexOf("CAST(", i) <= 12,
+          s"$name: bare FLOOR at $i: $sql")
+        i = sql.indexOf("FLOOR(", i + 1)
+      }
+      assert(!sql.contains("//"), s"$name uses DuckDB-only // division")
+      // order-dependent double SUM: SUM( must be followed by CAST(FLOOR
+      // (money fixed-point) or an integral expression — spot-probe the
+      // known money columns.
+      Seq("l_extendedprice", "o_totalprice", "c_acctbal", "s_acctbal",
+        "p_retailprice", "l_quantity", "l_discount", "l_tax", "value")
+        .foreach { m =>
+          assert(!sql.matches(s".*SUM\\(\\s*$m\\s*\\).*"),
+            s"$name sums raw double $m (order-dependent): $sql")
+        }
+    }
+  }
+
+  test("sampled queries run on Spark over sf0.001") {
+    val spark = TestSpark.spark
+    import graft.ops.Tables
+    Seq("region", "nation", "customer", "supplier", "part", "orders",
+      "lineitem", "documents").foreach { t =>
+      Tables.t(spark, TestSpark.Sf, t).createOrReplaceTempView(t)
+    }
+    Tables.events(spark, TestSpark.Sf).createOrReplaceTempView("events")
+    // every 7th query: 72 of 500, covering all six kinds at spec runtime
+    val sample = suite.zipWithIndex.collect { case (q, i) if i % 7 == 0 => q }
+    assert(sample.exists(_._1.endsWith("_win")) &&
+      sample.exists(_._1.endsWith("_grp")) && sample.exists(_._1.endsWith("_join")))
+    sample.foreach { case (name, sql) =>
+      try spark.sql(sql).collect()
+      catch { case e: Throwable =>
+        fail(s"$name failed on Spark: ${e.getMessage}\n$sql")
+      }
+    }
+  }
+}

@@ -206,4 +206,57 @@ class HardeningSpec extends AnyFunSuite {
     assert(Tables.events(spark, TestSpark.Sf).schema("ts").dataType ==
       org.apache.spark.sql.types.TimestampType)
   }
+
+  // ---- ADVICE r11 fixes -----------------------------------------------
+
+  test("mtimeAndBytes survives a symlink cycle") {
+    val root = java.nio.file.Files.createTempDirectory("symcycle")
+    val sub = java.nio.file.Files.createDirectory(root.resolve("sub"))
+    java.nio.file.Files.writeString(sub.resolve("a.txt"), "payload")
+    // sub/loop -> root: without the visited set the walker recurses
+    // root -> sub -> loop(=root) -> sub -> ... to StackOverflowError
+    java.nio.file.Files.createSymbolicLink(sub.resolve("loop"), root)
+    val (mtime, bytes) = Tables.mtimeAndBytes(root.toString)
+    assert(mtime > 0L)
+    assert(bytes == 7L, "each real file counted exactly once despite the cycle")
+  }
+
+  test("normalizeTs refuses the NTZ relabel under a non-UTC session") {
+    val df = spark.sql("SELECT CAST('2024-01-01 12:00:00' AS TIMESTAMP_NTZ) AS ts")
+    spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+    try {
+      val e = intercept[IllegalArgumentException] { Tables.normalizeTs(df) }
+      assert(e.getMessage.contains("UTC"))
+      assert(e.getMessage.contains("America/New_York"))
+    } finally spark.conf.set("spark.sql.session.timeZone", "UTC")
+    // back under UTC the relabel proceeds
+    assert(Tables.normalizeTs(df).schema("ts").dataType ==
+      org.apache.spark.sql.types.TimestampType)
+  }
+
+  test("streaming source names the events table when the file is absent") {
+    val dir = java.nio.file.Files.createTempDirectory("noevents").toString
+    val e = intercept[IllegalArgumentException] {
+      graft.streaming.EventStream.source(spark, dir)
+    }
+    assert(e.getMessage.contains("table `events`"))
+    assert(e.getMessage.contains(dir))
+  }
+
+  test("concurrent capFor calls after a rewrite all see the fresh count") {
+    val dir = java.nio.file.Files.createTempDirectory("docsig3").toString
+    writeDocs(dir, 7000)
+    assert(Dedup.capFor(spark, dir) == 70)
+    writeDocs(dir, 8000)
+    // the r11-flagged race: a second thread observing the new signature
+    // mid-refresh could memoize a count from the stale cached relation;
+    // refresh-then-count now runs inside the memo's atomic mapping
+    import scala.concurrent._
+    import scala.concurrent.duration._
+    implicit val ec: ExecutionContext = ExecutionContext.global
+    val caps = Await.result(
+      Future.sequence((1 to 8).map(_ => Future(Dedup.capFor(spark, dir)))),
+      2.minutes)
+    assert(caps.forall(_ == 80), s"expected all 80, got $caps")
+  }
 }
