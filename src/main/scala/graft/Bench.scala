@@ -62,7 +62,36 @@ object Bench {
       ws(i) >= ws.take(i).min * (1 - plateauTol)
     }
 
+  /** Contention spread: upper-median of (concurrent latency / solo
+    * latency) over the solo-probed heaviest queries. On an idle box the
+    * 12-stream concurrent phase inflates a heavy query 2.5-5× over its
+    * solo latency (self-contention — r11 idle measurements: 2.46/4.53/
+    * 5.02); on a neighbor-loaded box the oversubscribed concurrent phase
+    * inflates superlinearly while the later solo probe slips into
+    * scheduling gaps (r11 driver box: q_join_multiway 13.0 s concurrent
+    * vs 0.74 s solo = 17.6×). [[SpreadBound]] sits between the two
+    * regimes. Pairs with failed/sentinel solo (≤0) are excluded; None
+    * when nothing is measurable. */
+  private[graft] def spreadOf(pairs: Seq[(Double, Double)]): Option[Double] = {
+    val ratios = pairs.collect { case (c, s) if s > 0 && c > 0 => c / s }.sorted
+    if (ratios.isEmpty) None else Some(ratios(ratios.size / 2))
+  }
+  private[graft] val SpreadBound = 8.0
+
+  /** 1-minute /proc/loadavg (−1 when unreadable): raw observability for
+    * the artifact — the r11 driver run ([147.5, 44.2, 115.7, 48.9] s
+    * walls) satisfied the running-min plateau and self-labeled
+    * steady_state:true while ~3× inflated by neighbors; loadavg per run
+    * plus the spread metric make that contention machine-readable. */
+  private def loadavg1(): Double =
+    try java.nio.file.Files.readString(java.nio.file.Paths.get("/proc/loadavg"))
+      .split("\\s+")(0).toDouble
+    catch { case _: Throwable => -1.0 }
+
   def main(args: Array[String]): Unit = {
+    // sampled before the session spins up any work: the cleanest view of
+    // pre-existing (neighbor) load this process can get
+    val loadStart = loadavg1()
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
       Runtime.getRuntime.availableProcessors().toString)
@@ -113,7 +142,12 @@ object Bench {
       .sortBy { case (n, _) => (heavyFirst.getOrElse(n, Int.MaxValue), n) }
     // (latency, succeeded) per query — a failure is reported in the
     // "failed" list, never as a plausible-looking duration.
+    // 1-min loadavg sampled as each suite run starts (the first sample is
+    // near-pristine neighbor load; later ones include this process's own
+    // decaying contribution — still enough to see a loaded box)
+    val loadRuns = scala.collection.mutable.ArrayBuffer.empty[Double]
     def runSuite(): (Double, Seq[(String, Double, Boolean)]) = {
+      loadRuns += loadavg1()
       val pool = java.util.concurrent.Executors.newFixedThreadPool(par)
       val wall0 = System.nanoTime()
       val futures = selected.map { case (name, fn) =>
@@ -158,22 +192,16 @@ object Bench {
     val minRuns = runsEnv.getOrElse("3").toInt
     val maxRuns = math.max(minRuns,
       maxEnv.orElse(runsEnv).getOrElse("6").toInt)
-    val runs = {
-      val acc = scala.collection.mutable.ArrayBuffer.empty[(Double, Seq[(String, Double, Boolean)])]
-      while (acc.size < minRuns || (acc.size < maxRuns && !plateaued(acc.map(_._1).toSeq)))
-        acc += runSuite()
-      acc.toSeq
-    }
-    val walls = runs.map(_._1)
-    val steadyState = plateaued(walls)
-    val wall = walls.min
-    val failed = runs.flatMap(_._2).collect { case (n, _, false) => n }.distinct
+    val acc = scala.collection.mutable.ArrayBuffer.empty[(Double, Seq[(String, Double, Boolean)])]
+    while (acc.size < minRuns || (acc.size < maxRuns && !plateaued(acc.map(_._1).toSeq)))
+      acc += runSuite()
     // per-query min across runs (contention on either run is one-sided)
-    val results: Seq[(String, Double, Boolean)] = selected.map { case (n, _) =>
-      val obs = runs.map(_._2.find(_._1 == n).get)
-      (n, obs.map(_._2).min, obs.forall(_._3))
-    }
-    val okLatency = results.collect { case (n, dt, true) => n -> dt }.toMap
+    def minsOf(runs: Seq[(Double, Seq[(String, Double, Boolean)])]): Seq[(String, Double, Boolean)] =
+      selected.map { case (n, _) =>
+        val obs = runs.map(_._2.find(_._1 == n).get)
+        (n, obs.map(_._2).min, obs.forall(_._3))
+      }
+    var results = minsOf(acc.toSeq)
     // Locale.ROOT: the f-interpolator honors the JVM default locale, so a
     // comma-decimal locale would emit invalid JSON (same bug class fixed
     // in Results.formatCell).
@@ -181,8 +209,6 @@ object Bench {
       v.asInstanceOf[AnyRef])
     def jmap(entries: Seq[(String, Double)]): String =
       entries.map { case (k, v) => "\"" + k + "\":" + num(v) }.mkString("{", ",", "}")
-    val sum = okLatency.values.sum
-    val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     // Solo re-runs of the 3 slowest concurrent-phase queries: under 12
     // concurrent streams a heavy query's recorded latency includes
     // machine contention (round 2: 70 s recorded vs 3.5 s real). The solo
@@ -207,16 +233,43 @@ object Bench {
       n -> (if (good.nonEmpty) good.min else -1.0)
     }
     val soloJson = jmap(solo)
+    // Contention-aware re-running: while the concurrent-vs-solo spread of
+    // the solo-probed heaviest queries exceeds [[SpreadBound]] (the r11
+    // driver-box signature the plateau criterion blessed), burn remaining
+    // run budget hoping for a calmer window — per-query minima absorb any
+    // improvement. If the cap is hit still wide, the artifact self-labels
+    // contended:true so a 3×-inflated wall can't read as the engine's
+    // latency.
+    def currentSpread(): Option[Double] = spreadOf(solo.map { case (n, s) =>
+      (results.find(_._1 == n).map(_._2).getOrElse(-1.0), s)
+    })
+    var spread = currentSpread()
+    while (spread.exists(_ > SpreadBound) && acc.size < maxRuns) {
+      acc += runSuite()
+      results = minsOf(acc.toSeq)
+      spread = currentSpread()
+    }
+    val contended = spread.exists(_ > SpreadBound)
+    val walls = acc.map(_._1).toSeq
+    val steadyState = plateaued(walls)
+    val wall = walls.min
+    val failed = acc.flatMap(_._2).collect { case (n, _, false) => n }.distinct.toSeq
+    val okLatency = results.collect { case (n, dt, true) => n -> dt }.toMap
+    val sum = okLatency.values.sum
+    val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val wallsJson = walls.map(num).mkString("[", ",", "]")
+    val spreadJson = spread.map(num).getOrElse("null")
+    val loadJson = loadRuns.map(num).mkString("[", ",", "]")
+    val contentionJson = s""""loadavg_start":${num(loadStart)},"loadavg_runs":$loadJson,"spread":$spreadJson,"contended":$contended"""
     // full map → file (too long for one safely-parseable stdout line)
     val full = jmap(results.map(r => r._1 -> r._2).sortBy(_._1))
     try {
       val w = new java.io.PrintWriter("bench_full.json")
-      try w.println(s"""{"wall_sec":${num(wall)},"wall_runs":$wallsJson,"steady_state":$steadyState,"parallelism":$par,"sf":"$sfDir","failed":$failedJson,"solo_rerun":$soloJson,"queries":$full}""")
+      try w.println(s"""{"wall_sec":${num(wall)},"wall_runs":$wallsJson,"steady_state":$steadyState,$contentionJson,"parallelism":$par,"sf":"$sfDir","failed":$failedJson,"solo_rerun":$soloJson,"queries":$full}""")
       finally w.close()
     } catch { case _: Throwable => () }
     val head = jmap(headline.flatMap(n => okLatency.get(n).map(n -> _)))
-    val line = s"""{"metric":"total","value":${num(wall)},"unit":"sec","queries":$head,"sf":"$sfDir","sum_sec":${num(sum)},"parallelism":$par,"n_queries":${results.size},"n_failed":${failed.size},"failed":$failedJson,"solo_rerun":$soloJson,"wall_runs":$wallsJson,"steady_state":$steadyState}"""
+    val line = s"""{"metric":"total","value":${num(wall)},"unit":"sec","queries":$head,"sf":"$sfDir","sum_sec":${num(sum)},"parallelism":$par,"n_queries":${results.size},"n_failed":${failed.size},"failed":$failedJson,"solo_rerun":$soloJson,"wall_runs":$wallsJson,"steady_state":$steadyState,$contentionJson}"""
     println(line)
     spark.stop()
     // re-print after spark.stop(): guarantees the JSON is the last

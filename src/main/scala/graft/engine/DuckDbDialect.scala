@@ -1,0 +1,260 @@
+package graft.engine
+
+/** DuckDB-dialect acceptance shim (VERDICT r11 #3; SURVEY §7.4-1).
+  *
+  * The reference's NL→SQL contract pins DuckDB SQL
+  * (/root/reference/doc.py:186-188); this rebuild re-pins the generator
+  * prompt to Spark SQL, but a user pasting DuckDB-isms — `strftime`,
+  * `list_*`, `//` integer division, `epoch()`, `time_bucket` — would get
+  * a parse/analysis error where the reference runs them. [[rewrite]]
+  * pre-translates the well-known spellings into Spark SQL before the
+  * gateway parses; every rewritten name/operator does NOT exist in Spark
+  * SQL, so valid Spark SQL passes through byte-identical and the shim
+  * can run unconditionally.
+  *
+  * All passes are string-literal-aware: a `'%Y'` belongs to a format
+  * argument being converted, but `'a//b'` or `'strftime('` inside a
+  * data literal must never be touched.
+  *
+  * Deliberately bounded (documented, not silently wrong):
+  *  - `strftime`/`strptime` accept both DuckDB (value, fmt) and
+  *    sqlite-style (fmt, value) orders — the format is recognized as the
+  *    string literal containing `%` codes — and translate the common
+  *    C-style codes to Spark's pattern letters; an unrecognized `%` code
+  *    throws with the offending code named.
+  *  - `time_bucket(INTERVAL 'N unit', ts)` maps to `date_trunc` for
+  *    single whole units and to epoch-floor arithmetic for N-second/
+  *    minute/hour/day multiples (DuckDB's epoch-aligned buckets agree
+  *    for these sizes); multi-month buckets and the 3-arg origin form
+  *    throw.
+  *  - `//` becomes Spark's ` div ` (integral division; DuckDB's float
+  *    floor-division is out of scope).
+  */
+object DuckDbDialect {
+
+  /** name → name substitutions: same arity and argument order in both
+    * engines, so a token-level rename suffices. */
+  private val renames: Seq[(String, String)] = Seq(
+    "list_value" -> "array",
+    "list_pack" -> "array",
+    "list_contains" -> "array_contains",
+    "list_has" -> "array_contains",
+    "list_length" -> "array_size",
+    "list_sort" -> "array_sort",
+    "list_distinct" -> "array_distinct",
+    "list_concat" -> "concat",
+    "list_cat" -> "concat",
+    "list_position" -> "array_position",
+    "list_indexof" -> "array_position",
+    "list_slice" -> "slice",
+    "list_min" -> "array_min",
+    "list_max" -> "array_max",
+    "string_split" -> "split",
+    "str_split" -> "split",
+    "string_to_array" -> "split",
+    "regexp_matches" -> "regexp_like",
+    "epoch_ms" -> "unix_millis",
+    "epoch_us" -> "unix_micros",
+    "epoch" -> "unix_timestamp")
+
+  /** strftime %-codes → Spark datetime pattern letters. */
+  private val fmtCodes: Map[Char, String] = Map(
+    'Y' -> "yyyy", 'y' -> "yy", 'm' -> "MM", 'd' -> "dd",
+    'H' -> "HH", 'I' -> "hh", 'M' -> "mm", 'S' -> "ss",
+    'p' -> "a", 'j' -> "DDD", 'a' -> "EEE", 'A' -> "EEEE",
+    'b' -> "MMM", 'B' -> "MMMM", 'f' -> "SSSSSS", 'g' -> "SSS",
+    'G' -> "yyyy", 'n' -> "M", 'e' -> "d", '%' -> "%")
+
+  def rewrite(sql: String): String = {
+    var s = sql
+    s = rewriteOperatorIntDiv(s)
+    s = rewriteCalls(s, "strftime")(fmtCall("date_format"))
+    s = rewriteCalls(s, "strptime")(fmtCall("to_timestamp"))
+    s = rewriteCalls(s, "time_bucket")(timeBucket)
+    renames.foreach { case (from, to) => s = renameFn(s, from, to) }
+    s
+  }
+
+  // ---- string-literal-aware scanning helpers ---------------------------
+
+  /** Indices of characters inside single-quoted SQL string literals
+    * (treating '' as an escaped quote). */
+  private def inString(sql: String): Array[Boolean] = {
+    val in = new Array[Boolean](sql.length)
+    var i = 0; var open = false
+    while (i < sql.length) {
+      if (sql(i) == '\'') { in(i) = true; open = !open }
+      else in(i) = open
+      i += 1
+    }
+    in
+  }
+
+  private def isIdentChar(c: Char): Boolean =
+    c.isLetterOrDigit || c == '_'
+
+  /** Replace `//` with ` div ` outside string literals. */
+  private def rewriteOperatorIntDiv(sql: String): String = {
+    val in = inString(sql)
+    val b = new StringBuilder
+    var i = 0
+    while (i < sql.length) {
+      if (!in(i) && i + 1 < sql.length && sql(i) == '/' && sql(i + 1) == '/') {
+        b.append(" div "); i += 2
+      } else { b.append(sql(i)); i += 1 }
+    }
+    b.toString
+  }
+
+  /** Case-insensitive rename of `from(` call sites outside strings. */
+  private def renameFn(sql: String, from: String, to: String): String = {
+    val in = inString(sql)
+    val b = new StringBuilder
+    var i = 0
+    while (i < sql.length) {
+      if (!in(i) && sql.regionMatches(true, i, from, 0, from.length) &&
+          (i == 0 || !isIdentChar(sql(i - 1))) && {
+            var j = i + from.length
+            while (j < sql.length && sql(j).isWhitespace) j += 1
+            j < sql.length && sql(j) == '(' && !isIdentChar(sql(i + from.length - 1 + 1))
+          }) {
+        b.append(to); i += from.length
+      } else { b.append(sql(i)); i += 1 }
+    }
+    b.toString
+  }
+
+  /** Find each `fname( args )` call outside strings (innermost-last via
+    * repeated scans), split its top-level args, and substitute
+    * `f(args)`. Loops until no call remains, so nested occurrences in
+    * rewritten output are handled too. */
+  private def rewriteCalls(sql: String, fname: String)(f: Seq[String] => String): String = {
+    var s = sql
+    var guard = 0
+    while (guard < 100) {
+      guard += 1
+      val in = inString(s)
+      var i = 0
+      var found = -1
+      while (found < 0 && i < s.length) {
+        if (!in(i) && s.regionMatches(true, i, fname, 0, fname.length) &&
+            (i == 0 || !isIdentChar(s(i - 1)))) {
+          var j = i + fname.length
+          while (j < s.length && s(j).isWhitespace) j += 1
+          if (j < s.length && s(j) == '(') found = i
+          else i += 1
+        } else i += 1
+      }
+      if (found < 0) return s
+      // balanced scan from the '(' to the matching ')'
+      var j = s.indexOf('(', found + fname.length)
+      val argStart = j + 1
+      var depth = 1
+      var k = argStart
+      val splits = scala.collection.mutable.ArrayBuffer.empty[Int]
+      while (depth > 0 && k < s.length) {
+        val c = s(k)
+        if (in(k)) ()
+        else if (c == '(') depth += 1
+        else if (c == ')') depth -= 1
+        else if (c == ',' && depth == 1) splits += k
+        k += 1
+      }
+      if (depth != 0) throw new IllegalArgumentException(
+        s"$fname(: unbalanced parentheses in SQL")
+      val argEnd = k - 1 // position of the matching ')'
+      val bounds: Seq[Int] = (argStart +: splits.toSeq.map(_ + 1)) :+ argEnd
+      val args = bounds.sliding(2).map { w =>
+        s.substring(w(0), math.min(w(1), argEnd)).stripSuffix(",").trim
+      }.toSeq.filter(_.nonEmpty)
+      s = s.substring(0, found) + f(args) + s.substring(argEnd + 1)
+    }
+    throw new IllegalArgumentException(s"$fname rewrite did not converge")
+  }
+
+  // ---- specific translations ------------------------------------------
+
+  /** strftime/strptime: identify the %-format literal among the two args
+    * (DuckDB order (value, fmt); sqlite order (fmt, value)); convert it;
+    * emit target(value, 'converted'). */
+  private def fmtCall(target: String)(args: Seq[String]): String = {
+    require(args.size == 2,
+      s"strftime/strptime: expected 2 arguments, got ${args.size}")
+    def isFmtLiteral(a: String) =
+      a.startsWith("'") && a.endsWith("'") && a.contains("%")
+    val (value, fmt) =
+      if (isFmtLiteral(args(1))) (args(0), args(1))
+      else if (isFmtLiteral(args(0))) (args(1), args(0))
+      else throw new IllegalArgumentException(
+        s"strftime/strptime: no %-format string literal among ($args)")
+    // the converted pattern may itself contain single quotes (literal
+    // runs) — double them so the emitted SQL string literal stays valid
+    val pattern = convertFormat(fmt.substring(1, fmt.length - 1))
+    s"$target($value, '${pattern.replace("'", "''")}')"
+  }
+
+  /** C-style strftime format → Spark datetime pattern: %-codes map via
+    * [[fmtCodes]]; runs of literal letters are wrapped in ONE quoted
+    * section (per-letter quoting would read 'a''b' as the literal a'b —
+    * '' is an escaped quote inside a pattern). */
+  private[graft] def convertFormat(fmt: String): String = {
+    val b = new StringBuilder
+    val lit = new StringBuilder // pending literal run that needs quoting
+    def flush(): Unit = if (lit.nonEmpty) {
+      b.append('\'').append(lit.toString.replace("'", "''")).append('\'')
+      lit.clear()
+    }
+    var i = 0
+    while (i < fmt.length) {
+      val c = fmt(i)
+      if (c == '%') {
+        if (i + 1 >= fmt.length) throw new IllegalArgumentException(
+          "strftime format ends with a bare %")
+        val code = fmt(i + 1)
+        flush()
+        b.append(fmtCodes.getOrElse(code, throw new IllegalArgumentException(
+          s"strftime format code %$code has no Spark pattern mapping")))
+        i += 2
+      } else if (c.isLetter || c == '\'') { lit.append(c); i += 1 }
+      else { flush(); b.append(c); i += 1 }
+    }
+    flush()
+    b.toString
+  }
+
+  private val IntervalRe =
+    "(?i)^INTERVAL\\s+'?(\\d+)\\s*(second|minute|hour|day|week|month|year)s?'?$".r
+
+  /** time_bucket(INTERVAL 'N unit', ts): single whole units become
+    * date_trunc; N-multiples of second/minute/hour/day become
+    * epoch-floor arithmetic (both engines bucket these relative to an
+    * epoch-aligned origin). */
+  private def timeBucket(args: Seq[String]): String = {
+    require(args.size == 2,
+      s"time_bucket: only the 2-argument form is supported, got ${args.size} args " +
+        "(the explicit-origin form has no Spark equivalent here)")
+    val ts = args(1)
+    args(0).trim match {
+      case IntervalRe(n, unit) =>
+        val cnt = n.toLong
+        val u = unit.toLowerCase
+        if (cnt == 1L)
+          s"date_trunc('$u', $ts)"
+        else {
+          val secs = u match {
+            case "second" => 1L
+            case "minute" => 60L
+            case "hour" => 3600L
+            case "day" => 86400L
+            case other => throw new IllegalArgumentException(
+              s"time_bucket: $cnt-$other buckets are not translatable " +
+                "(calendar-variable length); use a 1-unit bucket or seconds")
+          }
+          val w = cnt * secs
+          s"timestamp_seconds(CAST(FLOOR(unix_timestamp($ts) / $w) AS BIGINT) * $w)"
+        }
+      case other => throw new IllegalArgumentException(
+        s"time_bucket: first argument must be an INTERVAL literal, got $other")
+    }
+  }
+}

@@ -40,9 +40,17 @@ object SqlGateway {
     plan
   }
 
-  /** sanitize → validate → execute. */
+  /** sanitize → dialect-accept → validate → execute.
+    *
+    * The dialect pass runs BEFORE validation so the structural
+    * SELECT-only gate judges the statement Spark will actually execute;
+    * it is a no-op on valid Spark SQL (every rewritten spelling —
+    * strftime, list_*, `//`, epoch(), time_bucket — does not exist in
+    * Spark SQL), closing the SURVEY §7.4-1 dialect-drift gap where a
+    * user pasting DuckDB SQL (the reference's pinned dialect,
+    * /root/reference/doc.py:186-188) got a parse error here. */
   def run(spark: SparkSession, rawSql: String): DataFrame = {
-    val sql = sanitize(rawSql)
+    val sql = DuckDbDialect.rewrite(sanitize(rawSql))
     validate(spark, sql)
     spark.sql(sql)
   }

@@ -1,0 +1,138 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.engine.{DuckDbDialect, Ingest, SqlGateway}
+
+/** DuckDB-dialect acceptance through the gateway (VERDICT r11 #3).
+  *
+  * The reference pins DuckDB SQL as the NL→SQL dialect
+  * (/root/reference/doc.py:186-188); these tests feed DuckDB-spelled
+  * statements — including the reference README's own demo query
+  * (/root/reference/README.md:61-62) — through SqlGateway.run and assert
+  * the results a DuckDB user would get.
+  */
+class DuckDbDialectSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  private def one[T](sql: String): T =
+    SqlGateway.run(spark, sql).collect()(0).getAs[T](0)
+
+  // ---- pure rewrite unit checks ---------------------------------------
+
+  test("valid Spark SQL passes through byte-identical") {
+    val sqls = Seq(
+      "SELECT date_format(o_orderdate, 'yyyy-MM') FROM orders",
+      "SELECT l_orderkey % 7, array_contains(array(1,2), 1) FROM lineitem",
+      "SELECT 'a//b', '%Y', 'strftime(' FROM t")
+    sqls.foreach(s => assert(DuckDbDialect.rewrite(s) == s))
+  }
+
+  test("// becomes div, but never inside a string literal") {
+    assert(DuckDbDialect.rewrite("SELECT 7 // 2") == "SELECT 7  div  2")
+    assert(DuckDbDialect.rewrite("SELECT 'http://x' , 9//4") ==
+      "SELECT 'http://x' , 9 div 4")
+  }
+
+  test("strftime accepts both argument orders and converts %-codes") {
+    assert(DuckDbDialect.rewrite("SELECT strftime(ts, '%Y-%m-%d')") ==
+      "SELECT date_format(ts, 'yyyy-MM-dd')")
+    // sqlite-style order: format literal first
+    assert(DuckDbDialect.rewrite("SELECT strftime('%Y', ts)") ==
+      "SELECT date_format(ts, 'yyyy')")
+  }
+
+  test("literal letters in a format are quoted as one run") {
+    assert(DuckDbDialect.convertFormat("%Y-%m-%dT%H") == "yyyy-MM-dd'T'HH")
+    assert(DuckDbDialect.convertFormat("%H of day") == "HH 'of' 'day'")
+    // per-letter quoting would have produced 'o''f' = the literal o'f
+    assert(!DuckDbDialect.convertFormat("%H of").contains("''"))
+    // executed: the quoted run renders as literal text
+    val got = one[String](
+      "SELECT strftime(TIMESTAMP '2024-03-05 17:00:00', '%Y-%m-%dT%H at %M')")
+    assert(got == "2024-03-05T17 at 00")
+  }
+
+  test("unknown %-code fails loudly, naming the code") {
+    val e = intercept[IllegalArgumentException] {
+      DuckDbDialect.rewrite("SELECT strftime(ts, '%Q')")
+    }
+    assert(e.getMessage.contains("%Q"))
+  }
+
+  test("list_* family renames to array equivalents") {
+    assert(DuckDbDialect.rewrite("SELECT list_contains(list_value(1,2,3), 2)") ==
+      "SELECT array_contains(array(1,2,3), 2)")
+    assert(DuckDbDialect.rewrite("SELECT LIST_LENGTH(xs)") ==
+      "SELECT array_size(xs)")
+  }
+
+  test("epoch family: epoch_ms is not shadowed by the epoch rename") {
+    assert(DuckDbDialect.rewrite("SELECT epoch(ts), epoch_ms(ts)") ==
+      "SELECT unix_timestamp(ts), unix_millis(ts)")
+  }
+
+  test("time_bucket: whole unit → date_trunc; multiple → epoch floor") {
+    assert(DuckDbDialect.rewrite("SELECT time_bucket(INTERVAL '1 hour', ts)") ==
+      "SELECT date_trunc('hour', ts)")
+    assert(DuckDbDialect.rewrite("SELECT time_bucket(INTERVAL '15 minutes', ts)") ==
+      "SELECT timestamp_seconds(CAST(FLOOR(unix_timestamp(ts) / 900) AS BIGINT) * 900)")
+    val e = intercept[IllegalArgumentException] {
+      DuckDbDialect.rewrite("SELECT time_bucket(INTERVAL '2 months', ts)")
+    }
+    assert(e.getMessage.contains("month"))
+  }
+
+  // ---- executed through the gateway -----------------------------------
+
+  test("the reference README demo runs as-is through the gateway") {
+    // /root/reference/README.md:61-62 — the flagship NL→SQL output the
+    // reference executes in DuckDB, pasted verbatim (plus its trailing
+    // semicolon? the reference strips fences only, so none here)
+    Ingest.load(spark, TestSpark.resource("sample_sales_data.csv"))
+      .createOrReplaceTempView("data_table")
+    val df = SqlGateway.run(spark,
+      """SELECT sales_rep, SUM(price * quantity) AS total_sales
+        |FROM data_table GROUP BY sales_rep ORDER BY total_sales DESC LIMIT 1""".stripMargin)
+    val row = df.collect()(0)
+    assert(row.getString(0) == "王红")
+    assert(math.abs(row.getDouble(1) - 7729.62) < 1e-9)
+  }
+
+  test("DuckDB-spelled date query matches the Spark-SQL spelling") {
+    Ingest.load(spark, TestSpark.resource("sample_sales_data.csv"))
+      .createOrReplaceTempView("data_table")
+    val duck = SqlGateway.run(spark,
+      "SELECT strftime(sale_date, '%Y-%m') AS ym, CAST(COUNT(*) AS BIGINT) AS n " +
+        "FROM data_table GROUP BY 1 ORDER BY 1").collect()
+    val sparkSpelled = SqlGateway.run(spark,
+      "SELECT date_format(sale_date, 'yyyy-MM') AS ym, CAST(COUNT(*) AS BIGINT) AS n " +
+        "FROM data_table GROUP BY 1 ORDER BY 1").collect()
+    assert(duck.toSeq == sparkSpelled.toSeq)
+    assert(duck.nonEmpty)
+  }
+
+  test("integer division and epoch run end-to-end") {
+    assert(one[Long]("SELECT 7 // 2") == 3L)
+    assert(one[Long]("SELECT epoch(TIMESTAMP '2024-01-01 00:00:00')") == 1704067200L)
+  }
+
+  test("time_bucket runs end-to-end over events") {
+    graft.ops.Tables.events(spark, TestSpark.Sf).createOrReplaceTempView("events")
+    val n = SqlGateway.run(spark,
+      "SELECT time_bucket(INTERVAL '15 minutes', ts) AS b, CAST(COUNT(*) AS BIGINT) AS n " +
+        "FROM events GROUP BY 1 ORDER BY 1").count()
+    assert(n > 0)
+    // a 15-minute bucket start must sit on a 900-second boundary
+    val misaligned = SqlGateway.run(spark,
+      "SELECT CAST(COUNT(*) AS BIGINT) FROM (" +
+        "SELECT time_bucket(INTERVAL '15 minutes', ts) AS b FROM events) " +
+        "WHERE unix_timestamp(b) % 900 <> 0").collect()(0).getLong(0)
+    assert(misaligned == 0L)
+  }
+
+  test("the structural SELECT-only gate still fires after the rewrite") {
+    intercept[SecurityException] {
+      SqlGateway.run(spark, "```sql\nDROP TABLE data_table\n```")
+    }
+  }
+}

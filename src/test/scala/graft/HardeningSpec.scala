@@ -48,6 +48,33 @@ class HardeningSpec extends AnyFunSuite {
     assert(!Bench.plateaued(Seq(20.0, 19.0, 15.0)))
   }
 
+  // ---- Bench.spreadOf (contention self-labeling, VERDICT r11 #2) ------
+
+  test("spreadOf: idle-box self-contention ratios stay under the bound") {
+    // the r11 idle-box judge measurements: concurrent/solo of the 3
+    // heaviest = 2.46, 4.53, 5.02 — the 12-stream phase legitimately
+    // inflates a heavy query several-fold even with no neighbors
+    val s = Bench.spreadOf(Seq((6.65, 2.7), (3.58, 0.79), (2.76, 0.55)))
+    assert(s.exists(v => v > 4.5 && v < 4.6)) // upper median = 4.53
+    assert(!s.exists(_ > Bench.SpreadBound))
+  }
+
+  test("spreadOf: the r11 driver-box contention signature exceeds the bound") {
+    // BENCH_r11: q_join_multiway 13.0 s under concurrent load vs 0.74 s
+    // solo — the run the plateau criterion blessed as steady_state:true;
+    // the spread metric is what makes it machine-readably contended
+    val s = Bench.spreadOf(Seq((13.0, 0.74), (6.6, 0.6), (5.0, 0.5)))
+    assert(s.exists(_ > Bench.SpreadBound))
+  }
+
+  test("spreadOf: failed/sentinel solo pairs are excluded; empty is None") {
+    assert(Bench.spreadOf(Seq.empty).isEmpty)
+    assert(Bench.spreadOf(Seq((5.0, -1.0), (4.0, 0.0))).isEmpty)
+    // one sentinel among real pairs must not poison the median
+    val s = Bench.spreadOf(Seq((5.0, -1.0), (4.0, 1.0), (9.0, 3.0)))
+    assert(s.exists(v => v == 4.0))
+  }
+
   // ---- learned-encoder overflow guard ---------------------------------
 
   test("requireSumsFit: fires when n*maxLen^2 reaches 2^63") {
