@@ -25,7 +25,18 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object Xls {
 
   def read(spark: SparkSession, path: String): DataFrame = {
-    val (header, rows) = parse(path)
+    // same rejection contract as Xlsx.read: corrupt BIFF8/CFB structure
+    // (wrong record lengths, truncated sectors, bogus chains) must
+    // surface as a clear IllegalArgumentException naming the file, not
+    // a raw index error from the record cursor.
+    val (header, rows) =
+      try parse(path)
+      catch {
+        case e: IllegalArgumentException => throw e
+        case scala.util.control.NonFatal(e) => throw new IllegalArgumentException(
+          s"corrupt .xls (CFB/BIFF8) file $path: " +
+            s"${e.getClass.getSimpleName}: ${e.getMessage}", e)
+      }
     require(header.nonEmpty, s"Empty xls sheet in $path")
     Xlsx.fromCells(spark, header, rows)
   }

@@ -27,7 +27,19 @@ import org.w3c.dom.Element
 object Xlsx {
 
   def read(spark: SparkSession, path: String): DataFrame = {
-    val (header, rows) = parse(path)
+    // A hand-rolled container parser cannot enumerate every corruption
+    // mode (truncated central directory, chopped XML, bogus cell refs) —
+    // the CONTRACT is: any malformed file rejects with a clear
+    // IllegalArgumentException naming the file, never a raw
+    // ZipException/SAXException/index error from parser internals.
+    val (header, rows) =
+      try parse(path)
+      catch {
+        case e: IllegalArgumentException => throw e
+        case scala.util.control.NonFatal(e) => throw new IllegalArgumentException(
+          s"corrupt .xlsx (zip/OOXML) file $path: " +
+            s"${e.getClass.getSimpleName}: ${e.getMessage}", e)
+      }
     require(header.nonEmpty, s"Empty xlsx sheet in $path")
     fromCells(spark, header, rows)
   }

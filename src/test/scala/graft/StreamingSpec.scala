@@ -262,4 +262,110 @@ class StreamingSpec extends AnyFunSuite {
     // a corrupt (null-text) record is decided, not crashed on
     assert(rows(7L) == "admit")
   }
+
+  // ---- genuinely unbounded source (loopback socket, VERDICT r11 #7) ----
+
+  /** Serve `lines` on a loopback socket; returns (host, port, closer).
+    * The connection stays OPEN after the last line — an unbounded source
+    * never "ends"; the test stops the query, then closes. */
+  private def serveLines(lines: Seq[String]): (String, Int, () => Unit) = {
+    val server = new java.net.ServerSocket(
+      0, 1, java.net.InetAddress.getLoopbackAddress)
+    val t = new Thread(() => {
+      try {
+        val sock = server.accept()
+        val w = new java.io.PrintWriter(sock.getOutputStream, true)
+        lines.foreach(w.println)
+        w.flush()
+        Thread.sleep(120000) // hold open until closer fires or JVM exits
+      } catch { case _: Throwable => () } // closed under us: expected
+    })
+    t.setDaemon(true)
+    t.start()
+    (server.getInetAddress.getHostAddress, server.getLocalPort,
+      () => server.close())
+  }
+
+  /** Poll the sink until `cond` holds (data is in flight over a real
+    * socket, so a single processAllAvailable may run before the bytes
+    * arrive) — bounded, never a hang. */
+  private def awaitSink(q: org.apache.spark.sql.streaming.StreamingQuery,
+      timeoutMs: Long = 30000)(cond: () => Boolean): Unit = {
+    val t0 = System.nanoTime()
+    while (!cond() && (System.nanoTime() - t0) / 1e6 < timeoutMs) {
+      q.processAllAvailable()
+      Thread.sleep(50)
+    }
+    assert(cond(), s"sink did not converge within ${timeoutMs} ms")
+  }
+
+  private def syntheticLines: Seq[String] = {
+    val rnd = new scala.util.Random(7)
+    (1 to 400).map { i =>
+      val h = rnd.nextInt(3); val m = rnd.nextInt(60)
+      f"$i%d,2024-01-01 0$h%d:$m%02d:00,${rnd.nextInt(20)}%d," +
+        s"${Seq("view", "click", "purchase")(rnd.nextInt(3))},1.5"
+    }
+  }
+
+  private def batchOf(lines: Seq[String]): DataFrame = {
+    import spark.implicits._
+    EventStream.parseCsvEvents(lines.toDF("value"))
+  }
+
+  test("socket source: tumbling aggregation over an unbounded stream == batch") {
+    val lines = syntheticLines
+    val (host, port, close) = serveLines(lines)
+    try {
+      val q = EventStream.tumbling(EventStream.socketSource(spark, host, port))
+        .writeStream.format("memory").queryName("sock_tumbling")
+        .outputMode("complete")
+        .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime("100 milliseconds"))
+        .start()
+      val expected = EventStream.tumbling(batchOf(lines))
+        .collect().map(_.toString).sorted.toSeq
+      awaitSink(q) { () =>
+        spark.table("sock_tumbling").collect().map(_.toString).sorted.toSeq == expected
+      }
+      // the watermark actually advanced off the socket data (unbounded
+      // configuration is live, not a single closed batch)
+      assert(Option(q.lastProgress).exists(_.eventTime.get("watermark") != null))
+      q.stop()
+    } finally close()
+  }
+
+  test("socket source: admission dedup holds bounded state on a live stream") {
+    // duplicates of (user, type, minute) interleaved across the feed:
+    // 120 lines, only 3 distinct admission keys
+    val lines = (1 to 120).map { i =>
+      val user = i % 3
+      s"$i,2024-01-01 00:0${i % 2}:30,$user,view,1.0"
+    }
+    val (host, port, close) = serveLines(lines)
+    try {
+      val q = EventStream.dedup(EventStream.socketSource(spark, host, port))
+        .writeStream.format("memory").queryName("sock_dedup")
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime("100 milliseconds"))
+        .start()
+      // batch twin: dropDuplicatesWithinWatermark is streaming-only, so
+      // the batch expectation is the plain distinct over the same key
+      // (the equivalence the file-source dedup test also pins)
+      val expected = batchOf(lines)
+        .withColumn("minute", date_trunc("minute", col("ts")))
+        .select(col("user_id"), col("event_type"),
+          date_format(col("minute"), "yyyy-MM-dd HH:mm:ss").as("minute"))
+        .distinct().collect().map(_.toString).sorted.toSeq
+      awaitSink(q) { () =>
+        spark.table("sock_dedup").collect().map(_.toString).sorted.toSeq == expected
+      }
+      // 6 distinct (user, type, minute) keys: dedup state is keyed, not
+      // per-event — 120 events must not pile 120 rows of state
+      val state = Option(q.lastProgress).toSeq.flatMap(_.stateOperators.toSeq)
+      assert(state.nonEmpty, "dedup must run as a stateful operator")
+      assert(state.map(_.numRowsTotal).sum <= 12,
+        s"state rows ${state.map(_.numRowsTotal).sum} — expected ~6 keys, not O(events)")
+      q.stop()
+    } finally close()
+  }
 }
