@@ -673,13 +673,30 @@ object Dedup {
             when(ones * 2 > col("n_tok"), lit(1L << i)).otherwise(0L)
           }.reduce(_ + _).as("simhash"))
         .cache()
-      val chunked = (0 until 4).map { c =>
-        sig.select(col("doc_id"), col("simhash"), lit(c).as("chunk"),
-          shiftright(col("simhash"), c * 15).bitwiseAND(0x7FFFL).as("ckey"))
-      }.reduce(_ unionAll _)
+      // Wide-key blocking (Manku/Jain/Das Sarma, WWW'07 §3): 6 blocks of
+      // 10 bits, keyed on every C(6,3)=20 three-block combination
+      // (30-bit keys). Complete cover for Hamming ≤ 3 by pigeonhole —
+      // ≤3 flipped bits touch ≤3 of the 6 blocks, leaving ≥3 intact,
+      // and every 3-subset is a keyed combo — so the OUTPUT is
+      // identical to the previous 4×15-bit chunking (the DuckDB oracle
+      // keeps its own 4-chunk generator for the same reason). The
+      // difference is scale: random-signature collisions per key fall
+      // from N²/2¹⁵ to N²/2³⁰ at the cost of a 20N (vs 4N) explode —
+      // the 128× ladder measured the 15-bit candidate stream emerging
+      // superlinear (~2.1×/doubling, BENCH_NOTES.md), and at a
+      // 100 TB-corpus 5M docs the 15-bit scheme generates ~3e9
+      // candidate pairs where this one stays O(true near-dups + 20N).
+      val blocks = (0 until 6).map(b =>
+        shiftright(col("simhash"), b * 10).bitwiseAND(0x3FFL))
+      val keys = (0 until 6).combinations(3).toSeq.zipWithIndex.map {
+        case (combo, id) =>
+          blocks(combo(0)) + shiftleft(blocks(combo(1)), 10) +
+            shiftleft(blocks(combo(2)), 20) + lit(id.toLong << 30)
+      }
+      val chunked = sig.select(col("doc_id"), col("simhash"),
+        explode(array(keys: _*)).as("bkey"))
       chunked.as("x").join(chunked.as("y"),
-          col("x.chunk") === col("y.chunk") && col("x.ckey") === col("y.ckey") &&
-            col("x.doc_id") < col("y.doc_id"))
+          col("x.bkey") === col("y.bkey") && col("x.doc_id") < col("y.doc_id"))
         .select(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"),
           bit_count(col("x.simhash").bitwiseXOR(col("y.simhash"))).cast("long").as("hamming"))
         .distinct()
