@@ -216,7 +216,7 @@ final class SqlFuzzer(seed: Long) {
     if (sc.isEmpty) return "'k'"
     val c = pick(sc).name
     if (depth <= 0) c
-    else rnd.nextInt(7) match {
+    else rnd.nextInt(11) match {
       case 0 => c
       case 1 => s"UPPER($c)"
       case 2 => s"LOWER($c)"
@@ -224,6 +224,10 @@ final class SqlFuzzer(seed: Long) {
       case 4 => s"($c || '_${pick(Seq("x", "y", "z"))}')"
       case 5 => s"TRIM($c)"
       case 6 => s"REPLACE($c, '${pick(Seq("a", "e", "r", "0"))}', '_')"
+      case 7 => s"LPAD($c, ${intLit(3, 12)}, '.')"
+      case 8 => s"RPAD($c, ${intLit(3, 12)}, '.')"
+      case 9 => s"REVERSE($c)"
+      case 10 => s"COALESCE(NULLIF($c, '${pick(t.pools.get(c).getOrElse(Seq("zz")))}'), '<none>')"
     }
   }
 
@@ -231,7 +235,7 @@ final class SqlFuzzer(seed: Long) {
     * Spark's INT vs DuckDB's BIGINT width difference is immaterial). */
   private def tsProj(t: Table): (String, Kind) = {
     val c = pick(cols(t, TsK)).name
-    rnd.nextInt(5) match {
+    rnd.nextInt(6) match {
       case 0 => (c, TsK)
       // day truncation, re-cast to TIMESTAMP: a bare DATE output column is
       // materialized as datetime.date by Spark's parquet but Timestamp by
@@ -241,6 +245,7 @@ final class SqlFuzzer(seed: Long) {
       case 2 => (s"EXTRACT(YEAR FROM $c)", IntK)
       case 3 => (s"EXTRACT(MONTH FROM $c)", IntK)
       case 4 => (s"EXTRACT(DAY FROM $c)", IntK)
+      case 5 => (s"date_trunc('${pick(Seq("month", "day", "hour"))}', $c)", TsK)
     }
   }
 
@@ -295,12 +300,13 @@ final class SqlFuzzer(seed: Long) {
     }
 
   // ---- aggregate expressions (order-independent by construction) -------
-  private def aggExpr(t: Table): String = rnd.nextInt(6) match {
+  private def aggExpr(t: Table): String = rnd.nextInt(7) match {
     case 0 => "CAST(COUNT(*) AS BIGINT)"
     case 1 => s"CAST(COUNT(DISTINCT ${pick(t.cols).name}) AS BIGINT)"
     case 2 => s"MIN(${pick(t.cols).name})"
     case 3 => s"MAX(${pick(t.cols).name})"
     case 4 => s"CAST(SUM(${intExpr(t, 1)}) AS BIGINT)"
+    case 5 => s"CAST(COUNT(*) FILTER (WHERE ${basePred(t)}) AS BIGINT)"
     case _ if cols(t, MoneyK).nonEmpty => oSumSql(pick(cols(t, MoneyK)).name)
     case _ => "CAST(COUNT(*) AS BIGINT)"
   }
@@ -343,20 +349,35 @@ final class SqlFuzzer(seed: Long) {
   private def qGroupAgg(): String = {
     val t = pick(tables)
     val nG = 1 + rnd.nextInt(2)
-    val groups = (1 to nG).map { i =>
-      val g = rnd.nextInt(3) match {
+    val groupExprs = (1 to nG).map { _ =>
+      rnd.nextInt(3) match {
         case 0 if cols(t, StrK).nonEmpty => pick(cols(t, StrK)).name
         case 1 if cols(t, TsK).nonEmpty => s"EXTRACT(YEAR FROM ${pick(cols(t, TsK)).name})"
         case _ => s"(${pick(cols(t, IntK)).name} % ${intLit(2, 12)})"
       }
-      s"$g AS c$i"
     }
+    val groups = groupExprs.zipWithIndex.map { case (g, i) => s"$g AS c${i + 1}" }
     val nA = 1 + rnd.nextInt(3)
     val aggs = (1 to nA).map(i => s"${aggExpr(t)} AS c${nG + i}")
     val n = nG + nA
-    val having = if (rnd.nextInt(3) == 0) s"HAVING COUNT(*) > ${intLit(1, 20)} " else ""
+    // ROLLUP takes the raw group expressions (ordinals inside ROLLUP are
+    // dialect-risky); super-aggregate rows carry NULL group keys — the
+    // explicit NULLS FIRST/LAST in orderAll keeps them comparable
+    val rollup = nG > 1 && rnd.nextInt(4) == 0
+    // HAVING COUNT(*)>0 on every ROLLUP: a REAL divergence the fuzzer
+    // found (FUZZ_NOTES.md #2) — over a zero-row input DuckDB emits the
+    // standard grand-total row for the empty grouping set, Spark emits
+    // nothing. The guard makes both sides empty without touching any
+    // non-degenerate group (every real group has COUNT >= 1).
+    val having =
+      if (rnd.nextInt(3) == 0) s"HAVING COUNT(*) > ${intLit(1, 20)} "
+      else if (rollup) "HAVING COUNT(*) > 0 "
+      else ""
+    val groupClause =
+      if (rollup) s"ROLLUP(${groupExprs.mkString(", ")})"
+      else (1 to nG).mkString(", ")
     s"SELECT ${(groups ++ aggs).mkString(", ")} FROM ${t.name} " +
-      s"WHERE ${pred(t, 1)} GROUP BY ${(1 to nG).mkString(", ")} " +
+      s"WHERE ${pred(t, 1)} GROUP BY $groupClause " +
       having + orderAll(n) + " " + limit()
   }
 
@@ -376,13 +397,19 @@ final class SqlFuzzer(seed: Long) {
         s"$v ASC, $key ASC"
     }
     val over = s"OVER (PARTITION BY $partCol ORDER BY $ord)"
-    val wexpr = rnd.nextInt(6) match {
+    // explicit ROWS frame over the same total order — deterministic
+    // because the order inside OVER ends in the unique key
+    val framed = s"OVER (PARTITION BY $partCol ORDER BY $ord " +
+      s"ROWS BETWEEN ${intLit(1, 4)} PRECEDING AND CURRENT ROW)"
+    val wexpr = rnd.nextInt(8) match {
       case 0 => s"CAST(RANK() $over AS BIGINT)"
       case 1 => s"CAST(DENSE_RANK() $over AS BIGINT)"
       case 2 => s"CAST(ROW_NUMBER() $over AS BIGINT)"
       case 3 => s"LAG(${pick(cols(t, IntK)).name}, 1) $over"
       case 4 => s"LEAD(${pick(cols(t, IntK)).name}, 1) $over"
       case 5 => s"CAST(SUM(${pick(cols(t, IntK)).name}) $over AS BIGINT)"
+      case 6 => s"CAST(SUM(${pick(cols(t, IntK)).name}) $framed AS BIGINT)"
+      case 7 => s"CAST(COUNT(*) $framed AS BIGINT)"
     }
     s"SELECT $key AS c1, $partCol AS c2, $wexpr AS c3 FROM ${t.name} " +
       s"WHERE ${pred(t, 1)} ${orderAll(3)} ${limit()}"
@@ -403,6 +430,19 @@ final class SqlFuzzer(seed: Long) {
       orderAll(n) + " " + limit()
   }
 
+  /** lineitem → orders → customer chain, grouped — the 3-way star. */
+  private def qJoin3(): String = {
+    val agg = pick(Seq(
+      "CAST(COUNT(*) AS BIGINT)", oSumSql("l.l_extendedprice"),
+      "CAST(COUNT(DISTINCT o.o_orderkey) AS BIGINT)", "MAX(l.l_quantity)"))
+    val g = pick(Seq("c.c_mktsegment", "o.o_orderstatus", "l.l_returnflag"))
+    s"SELECT $g AS c1, $agg AS c2 " +
+      s"FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey " +
+      s"JOIN customer c ON o.o_custkey = c.c_custkey " +
+      s"WHERE l.${basePred(lineitem)} AND c.${basePred(customer)} " +
+      s"GROUP BY 1 ${orderAll(2)} ${limit()}"
+  }
+
   private def qSetOp(): String = {
     val t = pick(tables)
     val n = 2 + rnd.nextInt(2)
@@ -411,6 +451,22 @@ final class SqlFuzzer(seed: Long) {
     val s1 = s"SELECT ${proj.mkString(", ")} FROM ${t.name} WHERE ${pred(t, 1)}"
     val s2 = s"SELECT ${proj.mkString(", ")} FROM ${t.name} WHERE ${pred(t, 1)}"
     s"SELECT * FROM ($s1 $op $s2) u ${orderAll(n)} ${limit()}"
+  }
+
+  /** Correlated EXISTS / NOT EXISTS / NOT IN over an FK edge. NOT IN is
+    * safe here because both key sides are non-null in the data — the
+    * 3VL empty-on-null trap is identical in both engines anyway. */
+  private def qExists(): String = {
+    val (lt, rt, lc, rc) = pick(joins)
+    val n = 2
+    val shape = rnd.nextInt(3) match {
+      case 0 => s"EXISTS (SELECT 1 FROM ${rt.name} b WHERE b.$rc = a.$lc AND b.${basePred(rt)})"
+      case 1 => s"NOT EXISTS (SELECT 1 FROM ${rt.name} b WHERE b.$rc = a.$lc AND b.${basePred(rt)})"
+      case 2 => s"a.$lc NOT IN (SELECT b.$rc FROM ${rt.name} b WHERE b.${basePred(rt)})"
+    }
+    val proj = (1 to n).map(i => s"a.${pick(lt.cols).name} AS c$i")
+    s"SELECT ${proj.mkString(", ")} FROM ${lt.name} a " +
+      s"WHERE a.${basePred(lt)} AND $shape ${orderAll(n)} ${limit()}"
   }
 
   private def qSubquery(): String = rnd.nextInt(3) match {
@@ -439,13 +495,15 @@ final class SqlFuzzer(seed: Long) {
   /** The full deterministic suite for this seed. */
   def queries(count: Int): Vector[(String, String)] =
     (1 to count).map { i =>
-      val (kind, sql) = rnd.nextInt(10) match {
+      val (kind, sql) = rnd.nextInt(12) match {
         case 0 | 1 | 2 => ("sel", qSimple())
         case 3 | 4 | 5 => ("grp", qGroupAgg())
         case 6 => ("win", qWindow())
         case 7 => ("join", qJoin())
         case 8 => ("set", qSetOp())
-        case _ => ("sub", qSubquery())
+        case 9 => ("sub", qSubquery())
+        case 10 => ("ex", qExists())
+        case _ => ("j3", qJoin3())
       }
       (f"fz_$i%04d_$kind", sql)
     }.toVector
