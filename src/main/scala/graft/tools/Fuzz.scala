@@ -286,8 +286,8 @@ final class SqlFuzzer(seed: Long) {
       val (a, b) = (intLit(lo, hi), intLit(lo, hi))
       s"${c.name} BETWEEN ${math.min(a, b)} AND ${math.max(a, b)}"
     case _ =>
-      val c = pick(cols(t, IntK))
-      s"${c.name} IS NOT NULL"
+      val c = pick(t.cols)
+      pick(Seq(s"${c.name} IS NOT NULL", s"${c.name} IS NULL"))
   }
 
   private def pred(t: Table, depth: Int): String =
@@ -389,12 +389,14 @@ final class SqlFuzzer(seed: Long) {
       case _ => s"(${pick(cols(t, IntK)).name} % ${intLit(2, 8)})"
     }
     // ORDER BY inside OVER ends in the unique key → total order, so
-    // ROW_NUMBER/LAG/LEAD are deterministic even with value ties.
+    // ROW_NUMBER/LAG/LEAD are deterministic even with value ties; the
+    // value column carries explicit NULLS FIRST because the engines'
+    // window-order null defaults differ (matters under --nulls data).
     val ord = rnd.nextInt(2) match {
       case 0 => s"$key ASC"
       case _ =>
         val v = pick(t.cols.filterNot(_.name == key)).name
-        s"$v ASC, $key ASC"
+        s"$v ASC NULLS FIRST, $key ASC"
     }
     val over = s"OVER (PARTITION BY $partCol ORDER BY $ord)"
     // explicit ROWS frame over the same total order — deterministic
@@ -514,24 +516,76 @@ final class SqlFuzzer(seed: Long) {
   * + errors.json) so `tools/check_oracle.py <outDir> <sfDir>` performs the
   * DuckDB side and the comparison.
   *
-  * Usage: runMain graft.tools.Fuzz <sfDir> <outDir> [count=500] [seed=12]
+  * Usage: runMain graft.tools.Fuzz <sfDir> <outDir> [count=500] [seed=12] [--nulls]
+  *
+  * `--nulls`: the driver testdata contains NO nulls, so 3VL predicate
+  * logic, NULL group/join keys and NULLS FIRST/LAST placement are never
+  * exercised on real nulls. This mode writes a deterministic
+  * null-injected derivative of every table to `<outDir>/_data`
+  * (~1/7 of each non-key cell nulled, keyed on xxhash64 of the original
+  * row so reruns are identical), points BOTH engines at it
+  * (`check_oracle.py <outDir> <outDir>/_data`), and runs the same
+  * generated suite. Declared unique keys stay non-null (the window
+  * grammar's determinism anchors on them). Timestamp columns are
+  * written as TIMESTAMP_NTZ so DuckDB reads naive timestamps (the
+  * adjusted-to-UTC form would materialize tz-aware and fail the
+  * text-level compare); the Spark-side views relabel them back to
+  * TimestampType under the UTC session — the same instant-preserving
+  * relabel as Tables.normalizeTs.
   */
 object Fuzz {
   def main(args: Array[String]): Unit = {
-    val sfDir = args(0)
-    val outDir = args(1)
-    val count = if (args.length > 2) args(2).toInt else 500
-    val seed = if (args.length > 3) args(3).toLong else 12L
+    val flags = args.filter(_.startsWith("--")).toSet
+    val pos = args.filterNot(_.startsWith("--"))
+    val sfDir = pos(0)
+    val outDir = pos(1)
+    val count = if (pos.length > 2) pos(2).toInt else 500
+    val seed = if (pos.length > 3) pos(3).toLong else 12L
     val spark = graft.engine.Session.local("graft-fuzz")
     // Register the same normalized views the operator library uses (the
     // events loader adapts ts across testdata generations; DuckDB reads
     // the raw parquet and agrees under the UTC session).
     import graft.ops.Tables
-    Seq("region", "nation", "customer", "supplier", "part", "orders",
-      "lineitem", "documents").foreach { t =>
-      Tables.t(spark, sfDir, t).createOrReplaceTempView(t)
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types.{TimestampNTZType, TimestampType}
+    val tableNames = Seq("region", "nation", "customer", "supplier", "part",
+      "orders", "lineitem", "documents", "events")
+    def loadT(n: String) =
+      if (n == "events") Tables.events(spark, sfDir) else Tables.t(spark, sfDir, n)
+    if (flags.contains("--nulls")) {
+      val dataDir = s"$outDir/_data"
+      val keep = Set("o_orderkey", "c_custkey", "p_partkey", "s_suppkey",
+        "doc_id", "event_id")
+      tableNames.foreach { n =>
+        val df0 = loadT(n)
+        val outCols = df0.schema.fields.zipWithIndex.map { case (f, i) =>
+          val base = col(f.name)
+          // null condition hashes the ORIGINAL full row + column index:
+          // deterministic across runs/JVMs, decorrelated across columns
+          val v =
+            if (keep(f.name)) base
+            else when(pmod(xxhash64(df0.columns.map(col) :+ lit(i): _*),
+              lit(7)) === 0, lit(null).cast(f.dataType)).otherwise(base)
+          (f.dataType match {
+            case TimestampType => v.cast(TimestampNTZType)
+            case _ => v
+          }).as(f.name)
+        }
+        df0.select(outCols.toIndexedSeq: _*).coalesce(1)
+          .write.mode("overwrite").parquet(s"$dataDir/$n.parquet")
+      }
+      tableNames.foreach { n =>
+        var df = spark.read.parquet(s"$dataDir/$n.parquet")
+        df.schema.fields.filter(_.dataType == TimestampNTZType).foreach { f =>
+          df = df.withColumn(f.name, col(f.name).cast(TimestampType))
+        }
+        df.createOrReplaceTempView(n)
+      }
+      println(s"[fuzz] null-injected tables at $dataDir; compare with: " +
+        s"python3 tools/check_oracle.py $outDir $dataDir")
+    } else {
+      tableNames.foreach(n => loadT(n).createOrReplaceTempView(n))
     }
-    Tables.events(spark, sfDir).createOrReplaceTempView("events")
 
     val suite = new SqlFuzzer(seed).queries(count)
     new java.io.File(outDir).mkdirs()

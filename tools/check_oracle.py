@@ -93,12 +93,18 @@ def main():
     con = duckdb.connect()
     for t in TABLES:
         p = os.path.join(sf_dir, f"{t}.parquet")
-        if os.path.exists(p):
+        if os.path.isdir(p):
+            # Spark-written table (directory of part files) — e.g. the
+            # fuzzer's --nulls derivative data; driver testdata is flat files
+            p = os.path.join(p, "*.parquet")
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+        elif os.path.exists(p):
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
     n_pass = n_fail = 0
     results = {}
     names = sorted(d for d in os.listdir(out_dir)
-                   if os.path.isdir(os.path.join(out_dir, d)))
+                   if os.path.isdir(os.path.join(out_dir, d))
+                   and not d.startswith("_"))  # _data = fuzzer --nulls tables
     for name in names:
         spark_df = load_spark_result(os.path.join(out_dir, name))
         if spark_df is None:
