@@ -442,6 +442,24 @@ object Dedup {
        |ORDER BY id_a, id_b""".stripMargin
   }
 
+  /** The 20 wide blocking keys for a 60-bit simhash column: 6 blocks of
+    * 10 bits, one 30-bit key per C(6,3) three-block combination, tagged
+    * with the combination id in bits 30+ so keys from different combos
+    * never collide. Complete for Hamming ≤ 3 by pigeonhole (≤3 flipped
+    * bits touch ≤3 blocks, leaving ≥3 intact, and every 3-subset is
+    * keyed) — PropertySpec exercises exactly this claim against
+    * exhaustively-flipped signature pairs. Shared by q_dedup_simhash
+    * and the spec so the property pins the production expressions. */
+  private[graft] def simhashBlockKeys(sim: Column): Seq[Column] = {
+    val blocks = (0 until 6).map(b =>
+      shiftright(sim, b * 10).bitwiseAND(0x3FFL))
+    (0 until 6).combinations(3).toSeq.zipWithIndex.map {
+      case (combo, id) =>
+        blocks(combo(0)) + shiftleft(blocks(combo(1)), 10) +
+          shiftleft(blocks(combo(2)), 20) + lit(id.toLong << 30)
+    }
+  }
+
   /** DuckDB twin of q_dedup_simhash: same md5-derived 60-bit token
     * hashes, per-bit majority vote, 15-bit chunk blocking, Hamming ≤ 3. */
   private val simhashOracle: String = {
@@ -686,15 +704,8 @@ object Dedup {
       // superlinear (~2.1×/doubling, BENCH_NOTES.md), and at a
       // 100 TB-corpus 5M docs the 15-bit scheme generates ~3e9
       // candidate pairs where this one stays O(true near-dups + 20N).
-      val blocks = (0 until 6).map(b =>
-        shiftright(col("simhash"), b * 10).bitwiseAND(0x3FFL))
-      val keys = (0 until 6).combinations(3).toSeq.zipWithIndex.map {
-        case (combo, id) =>
-          blocks(combo(0)) + shiftleft(blocks(combo(1)), 10) +
-            shiftleft(blocks(combo(2)), 20) + lit(id.toLong << 30)
-      }
       val chunked = sig.select(col("doc_id"), col("simhash"),
-        explode(array(keys: _*)).as("bkey"))
+        explode(array(simhashBlockKeys(col("simhash")): _*)).as("bkey"))
       chunked.as("x").join(chunked.as("y"),
           col("x.bkey") === col("y.bkey") && col("x.doc_id") < col("y.doc_id"))
         .select(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"),

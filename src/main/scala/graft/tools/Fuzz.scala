@@ -146,8 +146,17 @@ final class SqlFuzzer(seed: Long) {
     moneyRanges = Map("value" -> (0.0, 500.0)),
     tsRange = Some(("2024-01-01", "2024-01-30")))
 
+  private val nation = Table("nation",
+    Seq(Col("n_nationkey", IntK), Col("n_name", StrK), Col("n_regionkey", IntK)),
+    uniqueKey = Some("n_nationkey"),
+    pools = Map("n_name" -> Seq("ALGERIA", "BRAZIL", "CHINA", "FRANCE",
+      "GERMANY", "UNITED STATES")),
+    intRanges = Map("n_nationkey" -> (0L, 24L), "n_regionkey" -> (0L, 4L)),
+    moneyRanges = Map.empty,
+    tsRange = None)
+
   private val tables = Seq(lineitem, orders, customer, part, supplier,
-    documents, events)
+    documents, events, nation)
 
   /** FK edges for the join generator: (left, right, leftCol, rightCol). */
   private val joins = Seq(
@@ -155,7 +164,9 @@ final class SqlFuzzer(seed: Long) {
     (lineitem, orders, "l_orderkey", "o_orderkey"),
     (lineitem, part, "l_partkey", "p_partkey"),
     (lineitem, supplier, "l_suppkey", "s_suppkey"),
-    (customer, supplier, "c_nationkey", "s_nationkey"))
+    (customer, supplier, "c_nationkey", "s_nationkey"),
+    (customer, nation, "c_nationkey", "n_nationkey"),
+    (supplier, nation, "s_nationkey", "n_nationkey"))
 
   // ---- small helpers ---------------------------------------------------
   private def pick[A](xs: Seq[A]): A = xs(rnd.nextInt(xs.size))
@@ -184,13 +195,22 @@ final class SqlFuzzer(seed: Long) {
   private def intExpr(t: Table, depth: Int): String = {
     val c = pick(cols(t, IntK)).name
     if (depth <= 0) c
-    else rnd.nextInt(6) match {
+    else rnd.nextInt(9) match {
       case 0 => c
       case 1 => s"($c + ${intLit(1, 100)})"
       case 2 => s"($c * ${intLit(2, 9)})"
       case 3 => s"($c % ${intLit(2, 97)})"
       case 4 => s"CAST(FLOOR(CAST($c AS DOUBLE) / ${intLit(2, 9)}.0) AS BIGINT)"
       case 5 => s"(CASE WHEN ${pred(t, 0)} THEN ${intExpr(t, 0)} ELSE ${intExpr(t, 0)} END)"
+      // GREATEST/LEAST skip NULLs identically in both engines
+      // (Postgres-style: NULL only when every argument is NULL)
+      case 6 => s"GREATEST(${intExpr(t, 0)}, ${intLit(0, 1000)})"
+      case 7 => s"LEAST(${intExpr(t, 0)}, ${intLit(0, 1000)})"
+      // INSTR shares (haystack, needle) order and 1-based/0-miss
+      // semantics; widths differ (Spark INT, DuckDB BIGINT) → CAST
+      case 8 if cols(t, StrK).nonEmpty =>
+        s"CAST(INSTR(${pick(cols(t, StrK)).name}, '${pick(Seq("a", "e", "1", "r"))}') AS BIGINT)"
+      case _ => c
     }
   }
 
@@ -216,7 +236,7 @@ final class SqlFuzzer(seed: Long) {
     if (sc.isEmpty) return "'k'"
     val c = pick(sc).name
     if (depth <= 0) c
-    else rnd.nextInt(11) match {
+    else rnd.nextInt(12) match {
       case 0 => c
       case 1 => s"UPPER($c)"
       case 2 => s"LOWER($c)"
@@ -228,6 +248,7 @@ final class SqlFuzzer(seed: Long) {
       case 8 => s"RPAD($c, ${intLit(3, 12)}, '.')"
       case 9 => s"REVERSE($c)"
       case 10 => s"COALESCE(NULLIF($c, '${pick(t.pools.get(c).getOrElse(Seq("zz")))}'), '<none>')"
+      case 11 => s"SPLIT_PART($c, '${pick(Seq("_", "#", "-"))}', ${intLit(1, 3)})"
     }
   }
 
@@ -320,7 +341,15 @@ final class SqlFuzzer(seed: Long) {
       if (rnd.nextInt(4) == 0) s"$i DESC NULLS LAST" else s"$i ASC NULLS FIRST"
     }.mkString("ORDER BY ", ", ", "")
 
-  private def limit(): String = s"LIMIT ${pick(Seq(20, 50, 100, 200))}"
+  /** LIMIT, sometimes with OFFSET (identical `LIMIT n OFFSET m` clause
+    * order in Spark ≥3.4 and DuckDB). A tie straddling the offset
+    * boundary is safe for the same reason ties are safe under LIMIT:
+    * orderAll orders ALL output columns, so tied rows are full-row
+    * duplicates and either engine's pick hashes the same. */
+  private def limit(): String = {
+    val base = s"LIMIT ${pick(Seq(20, 50, 100, 200))}"
+    if (rnd.nextInt(4) == 0) s"$base OFFSET ${pick(Seq(3, 10, 25))}" else base
+  }
 
   // ---- projection lists ------------------------------------------------
   /** n scalar projections over t, each aliased c1..cn. */
@@ -359,24 +388,35 @@ final class SqlFuzzer(seed: Long) {
     val groups = groupExprs.zipWithIndex.map { case (g, i) => s"$g AS c${i + 1}" }
     val nA = 1 + rnd.nextInt(3)
     val aggs = (1 to nA).map(i => s"${aggExpr(t)} AS c${nG + i}")
-    val n = nG + nA
-    // ROLLUP takes the raw group expressions (ordinals inside ROLLUP are
-    // dialect-risky); super-aggregate rows carry NULL group keys — the
-    // explicit NULLS FIRST/LAST in orderAll keeps them comparable
-    val rollup = nG > 1 && rnd.nextInt(4) == 0
-    // HAVING COUNT(*)>0 on every ROLLUP: a REAL divergence the fuzzer
-    // found (FUZZ_NOTES.md #2) — over a zero-row input DuckDB emits the
-    // standard grand-total row for the empty grouping set, Spark emits
-    // nothing. The guard makes both sides empty without touching any
-    // non-degenerate group (every real group has COUNT >= 1).
+    // ROLLUP/CUBE/GROUPING SETS take the raw group expressions (ordinals
+    // inside them are dialect-risky); super-aggregate rows carry NULL
+    // group keys — the explicit NULLS FIRST/LAST in orderAll keeps them
+    // comparable, and a CAST(GROUPING(e) AS BIGINT) output column
+    // disambiguates data-NULL keys from super-aggregate NULLs (width
+    // differs: Spark TINYINT/INT vs DuckDB BIGINT, hence the CAST).
+    val superAgg: Option[String] =
+      if (nG > 1 && rnd.nextInt(3) == 0)
+        Some(rnd.nextInt(3) match {
+          case 0 => s"ROLLUP(${groupExprs.mkString(", ")})"
+          case 1 => s"CUBE(${groupExprs.mkString(", ")})"
+          case _ => s"GROUPING SETS ((${groupExprs.mkString(", ")}), " +
+            s"(${groupExprs.head}), ())"
+        })
+      else None
+    val gcol = superAgg.map(_ =>
+      s"CAST(GROUPING(${groupExprs.head}) AS BIGINT) AS c${nG + nA + 1}")
+    val n = nG + nA + gcol.size
+    // HAVING COUNT(*)>0 on every super-aggregate query: a REAL divergence
+    // the fuzzer found (FUZZ_NOTES.md #2) — over a zero-row input DuckDB
+    // emits the standard grand-total row for the empty grouping set,
+    // Spark emits nothing. The guard makes both sides empty without
+    // touching any non-degenerate group (every real group has COUNT >= 1).
     val having =
       if (rnd.nextInt(3) == 0) s"HAVING COUNT(*) > ${intLit(1, 20)} "
-      else if (rollup) "HAVING COUNT(*) > 0 "
+      else if (superAgg.nonEmpty) "HAVING COUNT(*) > 0 "
       else ""
-    val groupClause =
-      if (rollup) s"ROLLUP(${groupExprs.mkString(", ")})"
-      else (1 to nG).mkString(", ")
-    s"SELECT ${(groups ++ aggs).mkString(", ")} FROM ${t.name} " +
+    val groupClause = superAgg.getOrElse((1 to nG).mkString(", "))
+    s"SELECT ${(groups ++ aggs ++ gcol).mkString(", ")} FROM ${t.name} " +
       s"WHERE ${pred(t, 1)} GROUP BY $groupClause " +
       having + orderAll(n) + " " + limit()
   }
@@ -403,7 +443,12 @@ final class SqlFuzzer(seed: Long) {
     // because the order inside OVER ends in the unique key
     val framed = s"OVER (PARTITION BY $partCol ORDER BY $ord " +
       s"ROWS BETWEEN ${intLit(1, 4)} PRECEDING AND CURRENT ROW)"
-    val wexpr = rnd.nextInt(8) match {
+    // RANGE frame: the order inside OVER ends in the unique key, so peer
+    // groups are single rows — deterministic, and the RANGE/ROWS
+    // distinction still exercises each engine's peer handling
+    val ranged = s"OVER (PARTITION BY $partCol ORDER BY $ord " +
+      "RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"
+    val wexpr = rnd.nextInt(12) match {
       case 0 => s"CAST(RANK() $over AS BIGINT)"
       case 1 => s"CAST(DENSE_RANK() $over AS BIGINT)"
       case 2 => s"CAST(ROW_NUMBER() $over AS BIGINT)"
@@ -412,6 +457,10 @@ final class SqlFuzzer(seed: Long) {
       case 5 => s"CAST(SUM(${pick(cols(t, IntK)).name}) $over AS BIGINT)"
       case 6 => s"CAST(SUM(${pick(cols(t, IntK)).name}) $framed AS BIGINT)"
       case 7 => s"CAST(COUNT(*) $framed AS BIGINT)"
+      case 8 => s"CAST(NTILE(${intLit(2, 7)}) $over AS BIGINT)"
+      case 9 => s"FIRST_VALUE(${pick(cols(t, IntK)).name}) $over"
+      case 10 => s"LAST_VALUE(${pick(cols(t, IntK)).name}) $framed"
+      case 11 => s"CAST(SUM(${pick(cols(t, IntK)).name}) $ranged AS BIGINT)"
     }
     s"SELECT $key AS c1, $partCol AS c2, $wexpr AS c3 FROM ${t.name} " +
       s"WHERE ${pred(t, 1)} ${orderAll(3)} ${limit()}"
@@ -432,6 +481,34 @@ final class SqlFuzzer(seed: Long) {
       orderAll(n) + " " + limit()
   }
 
+  /** FULL OUTER JOIN over independently filtered derived tables: the
+    * WHERE must sit INSIDE each side (an outer-side WHERE would reject
+    * the NULL-extended rows and silently degrade to inner/left — same in
+    * both engines, but then the FULL path isn't exercised). */
+  private def qFullJoin(): String = {
+    val (lt, rt, lc, rc) = pick(joins)
+    val a = s"(SELECT $lc AS k, CAST(COUNT(*) AS BIGINT) AS ca " +
+      s"FROM ${lt.name} WHERE ${basePred(lt)} GROUP BY 1)"
+    val b = s"(SELECT $rc AS k, CAST(COUNT(*) AS BIGINT) AS cb " +
+      s"FROM ${rt.name} WHERE ${basePred(rt)} GROUP BY 1)"
+    s"SELECT a.k AS c1, a.ca AS c2, b.k AS c3, b.cb AS c4 " +
+      s"FROM $a a FULL JOIN $b b ON a.k = b.k ${orderAll(4)} ${limit()}"
+  }
+
+  /** Join against an inline VALUES lookup table (constant-folded
+    * dimension — the FROM (VALUES ...) v(k, s) shape is shared syntax). */
+  private def qValuesJoin(): String = {
+    val (t, keyCol, lookup) = pick(Seq(
+      (lineitem, "l_returnflag", Seq("A" -> "returned", "N" -> "kept", "R" -> "refused")),
+      (orders, "o_orderstatus", Seq("F" -> "final", "O" -> "open", "P" -> "pending")),
+      (events, "event_type", Seq("click" -> "ui", "view" -> "ui", "purchase" -> "commerce"))))
+    val vals = lookup.map { case (k, v) => s"('$k', '$v')" }.mkString(", ")
+    val kind = pick(Seq("JOIN", "LEFT JOIN"))
+    s"SELECT a.$keyCol AS c1, v.label AS c2, CAST(COUNT(*) AS BIGINT) AS c3 " +
+      s"FROM ${t.name} a $kind (VALUES $vals) v(k, label) ON a.$keyCol = v.k " +
+      s"WHERE a.${basePred(t)} GROUP BY 1, 2 ${orderAll(3)} ${limit()}"
+  }
+
   /** lineitem → orders → customer chain, grouped — the 3-way star. */
   private def qJoin3(): String = {
     val agg = pick(Seq(
@@ -449,10 +526,18 @@ final class SqlFuzzer(seed: Long) {
     val t = pick(tables)
     val n = 2 + rnd.nextInt(2)
     val proj = projList(t, n)
-    val op = pick(Seq("UNION ALL", "UNION", "INTERSECT", "EXCEPT"))
+    val op = pick(Seq("UNION ALL", "UNION", "INTERSECT", "EXCEPT",
+      "INTERSECT ALL", "EXCEPT ALL"))
     val s1 = s"SELECT ${proj.mkString(", ")} FROM ${t.name} WHERE ${pred(t, 1)}"
     val s2 = s"SELECT ${proj.mkString(", ")} FROM ${t.name} WHERE ${pred(t, 1)}"
-    s"SELECT * FROM ($s1 $op $s2) u ${orderAll(n)} ${limit()}"
+    // occasionally nest a third branch with explicit subquery parens (set-op
+    // precedence is the dialect risk, so the nesting is always explicit)
+    if (rnd.nextInt(4) == 0) {
+      val s3 = s"SELECT ${proj.mkString(", ")} FROM ${t.name} WHERE ${pred(t, 1)}"
+      val op2 = pick(Seq("UNION ALL", "UNION", "EXCEPT"))
+      s"SELECT * FROM (SELECT * FROM ($s1 $op $s2) u1 $op2 $s3) u ${orderAll(n)} ${limit()}"
+    } else
+      s"SELECT * FROM ($s1 $op $s2) u ${orderAll(n)} ${limit()}"
   }
 
   /** Correlated EXISTS / NOT EXISTS / NOT IN over an FK edge. NOT IN is
@@ -471,7 +556,7 @@ final class SqlFuzzer(seed: Long) {
       s"WHERE a.${basePred(lt)} AND $shape ${orderAll(n)} ${limit()}"
   }
 
-  private def qSubquery(): String = rnd.nextInt(3) match {
+  private def qSubquery(): String = rnd.nextInt(4) match {
     case 0 => // scalar subquery in WHERE
       val t = pick(Seq(lineitem, orders, customer))
       val mc = pick(cols(t, MoneyK)).name
@@ -479,6 +564,13 @@ final class SqlFuzzer(seed: Long) {
       val n = 2
       s"SELECT ${projList(t, n).mkString(", ")} FROM ${t.name} " +
         s"WHERE $mc > ($sub) ${orderAll(n)} ${limit()}"
+    case 3 => // uncorrelated scalar subquery in the SELECT clause
+      val t = pick(Seq(lineitem, orders, customer))
+      val st = pick(Seq(orders, customer, supplier))
+      val sub = s"SELECT MAX(${pick(cols(st, IntK)).name}) FROM ${st.name} " +
+        s"WHERE ${basePred(st)}"
+      s"SELECT ${intExpr(t, 1)} AS c1, ($sub) AS c2 FROM ${t.name} " +
+        s"WHERE ${pred(t, 1)} ${orderAll(2)} ${limit()}"
     case 1 => // IN subquery over an FK edge
       val (lt, rt, lc, rc) = pick(joins)
       val n = 2
@@ -497,7 +589,7 @@ final class SqlFuzzer(seed: Long) {
   /** The full deterministic suite for this seed. */
   def queries(count: Int): Vector[(String, String)] =
     (1 to count).map { i =>
-      val (kind, sql) = rnd.nextInt(12) match {
+      val (kind, sql) = rnd.nextInt(14) match {
         case 0 | 1 | 2 => ("sel", qSimple())
         case 3 | 4 | 5 => ("grp", qGroupAgg())
         case 6 => ("win", qWindow())
@@ -505,7 +597,9 @@ final class SqlFuzzer(seed: Long) {
         case 8 => ("set", qSetOp())
         case 9 => ("sub", qSubquery())
         case 10 => ("ex", qExists())
-        case _ => ("j3", qJoin3())
+        case 11 => ("j3", qJoin3())
+        case 12 => ("fj", qFullJoin())
+        case _ => ("vj", qValuesJoin())
       }
       (f"fz_$i%04d_$kind", sql)
     }.toVector
@@ -555,7 +649,7 @@ object Fuzz {
     if (flags.contains("--nulls")) {
       val dataDir = s"$outDir/_data"
       val keep = Set("o_orderkey", "c_custkey", "p_partkey", "s_suppkey",
-        "doc_id", "event_id")
+        "doc_id", "event_id", "n_nationkey")
       tableNames.foreach { n =>
         val df0 = loadT(n)
         val outCols = df0.schema.fields.zipWithIndex.map { case (f, i) =>

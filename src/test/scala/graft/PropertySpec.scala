@@ -189,4 +189,38 @@ class PropertySpec extends AnyFunSuite {
       assert(salted == plain)
     }
   }
+
+  test("simhash wide-key blocking is a complete cover for Hamming <= 3") {
+    // The q_dedup_simhash candidate generator replaced 4x15-bit chunk
+    // keys with C(6,3)=20 wide 30-bit combination keys (BENCH_NOTES.md,
+    // round 12). Exactness rests on one claim: any two 60-bit
+    // signatures within Hamming distance 3 share >= 1 key. Pigeonhole
+    // argument aside, exercise the PRODUCTION key expressions
+    // (ops.Dedup.simhashBlockKeys) over randomized signatures with
+    // every flip count 0..3 at random positions — plus the sharp edge:
+    // distance 4 spread over 4 DISTINCT blocks must share NO key (every
+    // 3-subset of blocks hits a flipped one), which pins both the cover
+    // and its tightness.
+    val rnd = new scala.util.Random(2026)
+    val cases = (1 to 400).map { i =>
+      val sig = rnd.nextLong() & ((1L << 60) - 1)
+      val nFlips = i % 4
+      val flips = rnd.shuffle((0 until 60).toList).take(nFlips)
+      (sig, flips.foldLeft(sig)((s, b) => s ^ (1L << b)), true)
+    } ++ (1 to 100).map { _ =>
+      val sig = rnd.nextLong() & ((1L << 60) - 1)
+      // one flipped bit in each of 4 distinct 10-bit blocks
+      val blocks = rnd.shuffle((0 until 6).toList).take(4)
+      val far = blocks.foldLeft(sig)((s, b) => s ^ (1L << (b * 10 + rnd.nextInt(10))))
+      (sig, far, false)
+    }
+    val df = cases.toDF("a", "b", "expectShared")
+    val keysA = array(ops.Dedup.simhashBlockKeys(col("a")): _*)
+    val keysB = array(ops.Dedup.simhashBlockKeys(col("b")): _*)
+    val bad = df.select(col("a"), col("b"), col("expectShared"),
+        arrays_overlap(keysA, keysB).as("shared"))
+      .filter(col("shared") =!= col("expectShared"))
+      .collect()
+    assert(bad.isEmpty, s"blocking cover violated for: ${bad.take(3).mkString("; ")}")
+  }
 }
