@@ -54,8 +54,7 @@ object DuckDbDialect {
     "string_to_array" -> "split",
     "regexp_matches" -> "regexp_like",
     "epoch_ms" -> "unix_millis",
-    "epoch_us" -> "unix_micros",
-    "epoch" -> "unix_timestamp")
+    "epoch_us" -> "unix_micros")
 
   /** strftime %-codes → Spark datetime pattern letters. */
   private val fmtCodes: Map[Char, String] = Map(
@@ -71,8 +70,20 @@ object DuckDbDialect {
     s = rewriteCalls(s, "strftime")(fmtCall("date_format"))
     s = rewriteCalls(s, "strptime")(fmtCall("to_timestamp"))
     s = rewriteCalls(s, "time_bucket")(timeBucket)
+    s = rewriteCalls(s, "epoch")(epochCall)
     renames.foreach { case (from, to) => s = renameFn(s, from, to) }
     s
+  }
+
+  /** epoch(ts): DuckDB returns DOUBLE seconds INCLUDING the fractional
+    * part (bit-identical to epoch_us/1e6) — a rename to unix_timestamp
+    * would floor to whole seconds and round differently under a later
+    * CAST. The exact translation divides microseconds as a double.
+    * (The `epoch` scan never matches `epoch_ms(`/`epoch_us(` — the
+    * character after the matched name must be `(`.) */
+  private def epochCall(args: Seq[String]): String = {
+    require(args.size == 1, s"epoch: expected 1 argument, got ${args.size}")
+    s"(unix_micros(${args.head}) / 1.0E6)"
   }
 
   // ---- string-literal-aware scanning helpers ---------------------------

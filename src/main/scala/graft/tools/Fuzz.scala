@@ -590,6 +590,98 @@ final class SqlFuzzer(seed: Long) {
         s"FROM base GROUP BY 1 ${orderAll(3)} ${limit()}"
   }
 
+  // ---- DuckDB-dialect generator (--dialect mode) -----------------------
+  // These queries are DuckDB SQL on purpose: the DuckDB oracle runs them
+  // verbatim while the Spark side routes through the SAME
+  // engine.DuckDbDialect.rewrite the SQL gateway applies — a differential
+  // test of the dialect shim itself, far beyond its hand-written spec
+  // fixtures. Constructs are restricted to spellings the shim translates
+  // (strftime/strptime, epoch/epoch_ms, //, time_bucket, list_*/
+  // string_split, regexp_matches) with scalar outputs, plus the same
+  // determinism rules as the shared grammar (full-output ORDER BY with
+  // explicit null placement, fixed-point money sums, CASTs on width-
+  // divergent results).
+
+  private val strftimeFmts = Seq(
+    "%Y-%m", "%Y-%m-%d", "%d/%m/%Y", "%H:%M", "%Y-%m-%d %H:%M:%S", "%b %Y")
+
+  private def qDialectProj(): String = {
+    val fmt = pick(strftimeFmts)
+    // epoch() compares as a raw DOUBLE: DuckDB computes epoch_us/1e6 and
+    // the shim now emits the same micros division — bit-identical IEEE.
+    // (A CAST AS BIGINT would diverge: DuckDB rounds double→int, Spark
+    // truncates.) epoch_ms is BIGINT in both already.
+    val c2 = rnd.nextInt(3) match {
+      case 0 => "epoch(ts)"
+      case 1 => "epoch_ms(ts)"
+      case 2 => s"(user_id // ${intLit(2, 9)})"
+    }
+    s"SELECT strftime(ts, '$fmt') AS c1, $c2 AS c2, event_id AS c3 " +
+      s"FROM events WHERE ${pred(events, 1)} ${orderAll(3)} ${limit()}"
+  }
+
+  private def qDialectGroup(): String = {
+    val fmt = pick(Seq("%Y-%m", "%Y-%m-%d"))
+    s"SELECT strftime(ts, '$fmt') AS c1, CAST(COUNT(*) AS BIGINT) AS c2, " +
+      s"${oSumSql("value")} AS c3 FROM events " +
+      s"WHERE ${pred(events, 1)} GROUP BY 1 ${orderAll(3)} ${limit()}"
+  }
+
+  private def qDialectBucket(): String = {
+    val bucket = pick(Seq("5 minutes", "15 minutes", "1 hour", "1 day"))
+    s"SELECT time_bucket(INTERVAL '$bucket', ts) AS c1, " +
+      s"CAST(COUNT(*) AS BIGINT) AS c2 FROM events " +
+      s"WHERE ${pred(events, 1)} GROUP BY 1 ${orderAll(2)} ${limit()}"
+  }
+
+  private def qDialectList(): String = rnd.nextInt(3) match {
+    case 0 => // membership of a column in an inline list
+      val langs = rnd.shuffle(Seq("de", "en", "es", "fr", "zh"))
+        .take(2 + rnd.nextInt(3)).sorted.map(l => s"'$l'").mkString(", ")
+      s"SELECT doc_id AS c1, list_contains(list_value($langs), lang) AS c2 " +
+        s"FROM documents WHERE ${pred(documents, 1)} ${orderAll(2)} ${limit()}"
+    case 1 => // list_min/list_max over int columns
+      val f = pick(Seq("list_min", "list_max"))
+      s"SELECT o_orderkey AS c1, $f(list_value(o_custkey, ${intLit(0, 1500)})) AS c2 " +
+        s"FROM orders WHERE ${pred(orders, 1)} ${orderAll(2)} ${limit()}"
+    case _ => // string_split + list_contains over a token column
+      s"SELECT doc_id AS c1, " +
+        s"list_contains(string_split(source, 'c'), '${pick(Seq("sr", "0", "12"))}') AS c2 " +
+        s"FROM documents WHERE ${pred(documents, 1)} ${orderAll(2)} ${limit()}"
+  }
+
+  private def qDialectRegex(): String = {
+    val (t, c, pat) = pick(Seq(
+      ("documents", "source", pick(Seq("^src1", "src[0-9]$", "1"))),
+      ("orders", "o_orderpriority", pick(Seq("^[12]", "URGENT|HIGH"))),
+      ("events", "event_type", pick(Seq("^(click|view)$", "r")))))
+    val tbl = tables.find(_.name == t).get
+    s"SELECT ${tbl.uniqueKey.get} AS c1, regexp_matches($c, '$pat') AS c2 " +
+      s"FROM $t WHERE ${pred(tbl, 1)} ${orderAll(2)} ${limit()}"
+  }
+
+  private def qDialectDivFilter(): String = {
+    s"SELECT l_orderkey AS c1, (l_orderkey // ${intLit(2, 9)}) AS c2, " +
+      s"l_linenumber AS c3 FROM lineitem " +
+      s"WHERE (l_suppkey // ${intLit(2, 7)}) % ${intLit(2, 5)} = 1 " +
+      s"AND ${basePred(lineitem)} ${orderAll(3)} ${limit()}"
+  }
+
+  /** DuckDB-dialect suite: run verbatim on DuckDB, through
+    * [[graft.engine.DuckDbDialect.rewrite]] on Spark. */
+  def dialectQueries(count: Int): Vector[(String, String)] =
+    (1 to count).map { i =>
+      val (kind, sql) = rnd.nextInt(6) match {
+        case 0 => ("dsel", qDialectProj())
+        case 1 => ("dgrp", qDialectGroup())
+        case 2 => ("dtb", qDialectBucket())
+        case 3 => ("dlst", qDialectList())
+        case 4 => ("drex", qDialectRegex())
+        case _ => ("ddiv", qDialectDivFilter())
+      }
+      (f"fz_$i%04d_$kind", sql)
+    }.toVector
+
   /** The full deterministic suite for this seed. */
   def queries(count: Int): Vector[(String, String)] =
     (1 to count).map { i =>
@@ -614,7 +706,15 @@ final class SqlFuzzer(seed: Long) {
   * + errors.json) so `tools/check_oracle.py <outDir> <sfDir>` performs the
   * DuckDB side and the comparison.
   *
-  * Usage: runMain graft.tools.Fuzz <sfDir> <outDir> [count=500] [seed=12] [--nulls]
+  * Usage: runMain graft.tools.Fuzz <sfDir> <outDir> [count=500] [seed=12] [--nulls|--dialect]
+  *
+  * `--dialect`: generate DuckDB-dialect SQL (strftime/strptime, epoch/
+  * epoch_ms, `//`, time_bucket, list functions, string_split,
+  * regexp_matches).
+  * The DuckDB oracle runs each statement verbatim; the Spark side runs
+  * `engine.DuckDbDialect.rewrite(sql)` — the same shim the SQL gateway
+  * applies — so the mode differentially tests the shim's translations
+  * against DuckDB's actual semantics.
   *
   * `--nulls`: the driver testdata contains NO nulls, so 3VL predicate
   * logic, NULL group/join keys and NULLS FIRST/LAST placement are never
@@ -685,12 +785,19 @@ object Fuzz {
       tableNames.foreach(n => loadT(n).createOrReplaceTempView(n))
     }
 
-    val suite = new SqlFuzzer(seed).queries(count)
+    // --dialect: generate DuckDB-dialect SQL; the oracle runs it
+    // verbatim, Spark runs it through the gateway's dialect shim — a
+    // differential test of engine.DuckDbDialect.rewrite itself.
+    val dialect = flags.contains("--dialect")
+    val suite =
+      if (dialect) new SqlFuzzer(seed).dialectQueries(count)
+      else new SqlFuzzer(seed).queries(count)
     new java.io.File(outDir).mkdirs()
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
     var done = 0
     suite.foreach { case (name, sql) =>
-      try spark.sql(sql).coalesce(1).write.mode("overwrite")
+      val sparkSql = if (dialect) graft.engine.DuckDbDialect.rewrite(sql) else sql
+      try spark.sql(sparkSql).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[fuzz] $name FAILED: ${e.getMessage}\n  $sql")

@@ -66,9 +66,11 @@ class DuckDbDialectSpec extends AnyFunSuite {
       "SELECT array_size(xs)")
   }
 
-  test("epoch family: epoch_ms is not shadowed by the epoch rename") {
+  test("epoch family: epoch_ms is not shadowed by the epoch rewrite") {
+    // epoch translates to a micros division, not unix_timestamp: DuckDB's
+    // epoch() keeps fractional seconds (a rename would floor them away)
     assert(DuckDbDialect.rewrite("SELECT epoch(ts), epoch_ms(ts)") ==
-      "SELECT unix_timestamp(ts), unix_millis(ts)")
+      "SELECT (unix_micros(ts) / 1.0E6), unix_millis(ts)")
   }
 
   test("time_bucket: whole unit → date_trunc; multiple → epoch floor") {
@@ -113,7 +115,9 @@ class DuckDbDialectSpec extends AnyFunSuite {
 
   test("integer division and epoch run end-to-end") {
     assert(one[Long]("SELECT 7 // 2") == 3L)
-    assert(one[Long]("SELECT epoch(TIMESTAMP '2024-01-01 00:00:00')") == 1704067200L)
+    // DOUBLE seconds, fractional part preserved (DuckDB epoch semantics)
+    assert(one[Double]("SELECT epoch(TIMESTAMP '2024-01-01 00:00:00.25')")
+      == 1704067200.25)
   }
 
   test("time_bucket runs end-to-end over events") {

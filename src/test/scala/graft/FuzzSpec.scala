@@ -64,6 +64,34 @@ class FuzzSpec extends AnyFunSuite {
     }
   }
 
+  test("dialect suite: DuckDB spellings in, Spark-runnable after the shim") {
+    val dial = new SqlFuzzer(12L).dialectQueries(120)
+    assert(dial == new SqlFuzzer(12L).dialectQueries(120)) // seeded
+    // every query carries the determinism rules AND at least one
+    // DuckDB-only spelling the shim must translate
+    val duckisms = Seq("strftime(", "epoch(", "epoch_ms(", "//",
+      "time_bucket(", "list_", "string_split(", "regexp_matches(")
+    dial.foreach { case (name, sql) =>
+      assert(sql.contains("ORDER BY") && sql.contains("LIMIT"), s"$name: $sql")
+      assert(duckisms.exists(sql.contains), s"$name has no DuckDB-ism: $sql")
+    }
+    val spark = TestSpark.spark
+    import graft.ops.Tables
+    Seq("orders", "lineitem", "documents").foreach { t =>
+      Tables.t(spark, TestSpark.Sf, t).createOrReplaceTempView(t)
+    }
+    Tables.events(spark, TestSpark.Sf).createOrReplaceTempView("events")
+    dial.zipWithIndex.collect { case (q, i) if i % 6 == 0 => q }
+      .foreach { case (name, sql) =>
+        val rewritten = graft.engine.DuckDbDialect.rewrite(sql)
+        assert(rewritten != sql, s"$name: shim left a dialect query untouched")
+        try spark.sql(rewritten).collect()
+        catch { case e: Throwable =>
+          fail(s"$name failed on Spark after rewrite: ${e.getMessage}\n$sql\n→ $rewritten")
+        }
+      }
+  }
+
   test("sampled queries run on Spark over sf0.001") {
     val spark = TestSpark.spark
     import graft.ops.Tables
