@@ -54,7 +54,16 @@ object DuckDbDialect {
     "string_to_array" -> "split",
     "regexp_matches" -> "regexp_like",
     "epoch_ms" -> "unix_millis",
-    "epoch_us" -> "unix_micros")
+    "epoch_us" -> "unix_micros",
+    // star-exclusion: DuckDB `* EXCLUDE (c1, c2)` ↔ Spark `* EXCEPT (c1,
+    // c2)`. Safe as a call-shaped rename: the '('-requirement leaves
+    // DuckDB's window-frame `EXCLUDE CURRENT ROW` (no paren) untouched,
+    // and Spark has no EXCLUDE( spelling of its own. DuckDB's other
+    // star modifier, `* REPLACE (expr AS c)`, has no Spark equivalent
+    // and correctly fails to parse rather than silently changing
+    // meaning. `::` casts and ILIKE need no rewrite — Spark 4 parses
+    // both natively.
+    "exclude" -> "except")
 
   /** strftime %-codes → Spark datetime pattern letters. */
   private val fmtCodes: Map[Char, String] = Map(

@@ -260,7 +260,7 @@ final class SqlFuzzer(seed: Long) {
     * Spark's INT vs DuckDB's BIGINT width difference is immaterial). */
   private def tsProj(t: Table): (String, Kind) = {
     val c = pick(cols(t, TsK)).name
-    rnd.nextInt(6) match {
+    rnd.nextInt(8) match {
       case 0 => (c, TsK)
       // day truncation, re-cast to TIMESTAMP: a bare DATE output column is
       // materialized as datetime.date by Spark's parquet but Timestamp by
@@ -271,6 +271,10 @@ final class SqlFuzzer(seed: Long) {
       case 3 => (s"EXTRACT(MONTH FROM $c)", IntK)
       case 4 => (s"EXTRACT(DAY FROM $c)", IntK)
       case 5 => (s"date_trunc('${pick(Seq("month", "day", "hour"))}', $c)", TsK)
+      // unquoted-count INTERVAL literals are the shared spelling
+      // (Spark also takes INTERVAL '3' DAY; DuckDB also INTERVAL '3 days')
+      case 6 => (s"($c + INTERVAL ${intLit(1, 72)} ${pick(Seq("DAY", "HOUR", "MINUTE"))})", TsK)
+      case 7 => (s"($c - INTERVAL ${intLit(1, 24)} ${pick(Seq("DAY", "HOUR"))})", TsK)
     }
   }
 

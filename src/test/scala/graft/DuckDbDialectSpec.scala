@@ -66,6 +66,23 @@ class DuckDbDialectSpec extends AnyFunSuite {
       "SELECT array_size(xs)")
   }
 
+  test("star EXCLUDE rewrites to EXCEPT; frame EXCLUDE and strings stay") {
+    assert(DuckDbDialect.rewrite("SELECT * EXCLUDE (b) FROM t") ==
+      "SELECT * except (b) FROM t") // keywords are case-insensitive
+    // no paren follows → window-frame exclusion / arbitrary text untouched
+    assert(DuckDbDialect.rewrite("SUM(x) OVER (ORDER BY y ROWS 1 PRECEDING EXCLUDE CURRENT ROW)")
+      .contains("EXCLUDE CURRENT ROW"))
+    assert(DuckDbDialect.rewrite("SELECT 'exclude (b)' AS s") ==
+      "SELECT 'exclude (b)' AS s")
+  }
+
+  test("Spark-native DuckDB spellings need no rewrite and run: :: and ILIKE") {
+    assert(one[Int]("SELECT 3.7::INTEGER") == 3)
+    assert(one[Boolean]("SELECT 'ABC' ILIKE 'a%'"))
+    assert(SqlGateway.run(TestSpark.spark,
+      "SELECT * EXCLUDE (b) FROM (SELECT 1 AS a, 2 AS b)").columns.toSeq == Seq("a"))
+  }
+
   test("epoch family: epoch_ms is not shadowed by the epoch rewrite") {
     // epoch translates to a micros division, not unix_timestamp: DuckDB's
     // epoch() keeps fractional seconds (a rename would floor them away)
