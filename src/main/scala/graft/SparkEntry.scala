@@ -20,6 +20,8 @@ import graft.ops._
   *  - [[VectorOps]]    cosine top-k, LSH ANN, centroid similarity
   *  - [[EventWindows]] tumbling/sliding/session windows, time dedup
   *  - [[Multimodal]]   binary payload + metadata plumbing (stubbed decode)
+  *  - [[Stats]]        distribution-shape aggregates: entropy, mode,
+  *                     histogram, skewness/kurtosis
   */
 object SparkEntry {
 
@@ -27,7 +29,7 @@ object SparkEntry {
     Relational.queries ++ Joins.queries ++ Windows.queries ++ Scalars.queries ++
       Dedup.queries ++ TextOps.queries ++ VectorOps.queries ++
       EventWindows.queries ++ Multimodal.queries ++ Analytics.queries ++
-      Corpus.queries
+      Corpus.queries ++ Stats.queries
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * TPC-H Q5 shape: star joins + broadcast dims + grouped revenue. */

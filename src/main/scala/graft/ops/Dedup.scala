@@ -613,6 +613,67 @@ object Dedup {
         .orderBy("keep_id")
     },
 
+    // Truncation (prefix) dedup: documents whose full text is a strict
+    // prefix of another document's text — the same page scraped with
+    // different cutoffs, a crawl-corpus failure mode exact-hash dedup
+    // misses (an exact copy also qualifies; the higher doc_id is
+    // dropped then). Two scale-sane equi-join branches, no all-pairs:
+    //  - candidates ≥ 24 chars self-join on the first-24-char block
+    //    key (pairs bounded by dup-cluster width, one shuffle);
+    //  - candidates < 24 chars can't share that key with a longer
+    //    container, so containers explode their ≤23 short prefixes
+    //    (constant ≤23× on one side) and the short doc's full text
+    //    equi-joins against them.
+    OpQuery("q_dedup_prefix",
+      """WITH b AS (
+        |  SELECT doc_id, text, substr(text, 1, 24) AS k, length(text) AS len
+        |  FROM documents),
+        |long_drops AS (
+        |  SELECT a.doc_id AS drop_id
+        |  FROM b a JOIN b b2
+        |    ON a.k = b2.k AND a.doc_id <> b2.doc_id
+        |   AND a.len >= 24 AND a.len <= b2.len
+        |   AND substr(b2.text, 1, CAST(a.len AS INT)) = a.text
+        |   AND (a.len < b2.len OR a.doc_id > b2.doc_id)),
+        |short_prefixes AS (
+        |  SELECT b2.doc_id AS b_id, b2.len AS b_len,
+        |         substr(b2.text, 1, CAST(u.i AS INT)) AS p, u.i AS plen
+        |  FROM b b2, UNNEST(range(1, CAST(least(24, b2.len + 1) AS BIGINT))) AS u(i)),
+        |short_drops AS (
+        |  SELECT a.doc_id AS drop_id
+        |  FROM b a JOIN short_prefixes sp
+        |    ON a.len < 24 AND a.text = sp.p AND a.doc_id <> sp.b_id
+        |   AND (a.len < sp.b_len OR a.doc_id > sp.b_id))
+        |SELECT DISTINCT drop_id
+        |FROM (SELECT drop_id FROM long_drops
+        |      UNION ALL SELECT drop_id FROM short_drops)
+        |ORDER BY drop_id""".stripMargin) { (s, d) =>
+      val b = documents(s, d).select(
+        col("doc_id"), col("text"),
+        substring(col("text"), 1, 24).as("k"),
+        length(col("text")).as("len"))
+      val a = b.select(col("doc_id").as("a_id"), col("text").as("a_text"),
+                       col("k"), col("len").as("a_len"))
+      val c = b.select(col("doc_id").as("b_id"), col("text").as("b_text"),
+                       col("k"), col("len").as("b_len"))
+      val longDrops = a.filter(col("a_len") >= 24).join(c, Seq("k"))
+        .filter(col("a_id") =!= col("b_id") && col("a_len") <= col("b_len") &&
+          expr("substring(b_text, 1, a_len) = a_text") &&
+          (col("a_len") < col("b_len") || col("a_id") > col("b_id")))
+        .select(col("a_id").as("drop_id"))
+      val shortPrefixes = b
+        .select(col("doc_id").as("b_id"), col("len").as("b_len"),
+          explode(expr(
+            "transform(sequence(1, least(23, len)), i -> substring(text, 1, i))"))
+            .as("p"))
+      val shortDrops = a.filter(col("a_len") < 24)
+        .join(shortPrefixes, col("a_text") === col("p"))
+        .filter(col("a_id") =!= col("b_id") &&
+          (col("a_len") < col("b_len") || col("a_id") > col("b_id")))
+        .select(col("a_id").as("drop_id"))
+      longDrops.union(shortDrops).distinct().orderBy("drop_id")
+    },
+
     // Exact near-dup detection: word-3-gram Jaccard ≥ 0.5 via
     // inverted-index join + df-pruning (cap mirrored in the oracle).
     OpQuery("q_dedup_ngram_jaccard",

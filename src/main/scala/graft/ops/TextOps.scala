@@ -192,6 +192,37 @@ object TextOps {
         .groupBy("doc_id")
         .agg(min(md5(col("gram"))).as("min_gram_hash"))
         .orderBy("doc_id")
+    },
+
+    // Per-document token entropy + type/token ratio — the lexical-
+    // diversity quality signals (low entropy ⇒ repetitive/boilerplate
+    // text, the Gopher-rule family's information-theoretic cousin).
+    // Shape at scale: explode to (doc, token), two map-side-combinable
+    // hash aggregates — the shuffle carries per-doc distinct tokens,
+    // never the corpus vocabulary in one place. 6-dp rounding is the
+    // float-agg convention (summation order differs between engines).
+    OpQuery("q_text_entropy",
+      """WITH t AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+        |h AS (SELECT doc_id, tok, COUNT(*) AS c FROM t GROUP BY 1, 2),
+        |n AS (SELECT doc_id, SUM(c) AS n, COUNT(*) AS v FROM h GROUP BY 1)
+        |SELECT h.doc_id AS doc_id,
+        |       ROUND(-SUM((CAST(c AS DOUBLE) / n) * log2(CAST(c AS DOUBLE) / n)), 6) AS tok_entropy,
+        |       ROUND(CAST(MAX(v) AS DOUBLE) / MAX(n), 6) AS type_token_ratio
+        |FROM h JOIN n ON h.doc_id = n.doc_id
+        |GROUP BY h.doc_id ORDER BY h.doc_id""".stripMargin) { (s, d) =>
+      val h = documents(s, d)
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(count(lit(1)).as("c"))
+      val n = h.groupBy("doc_id")
+        .agg(sum("c").as("n"), count(lit(1)).as("v"))
+      val p = col("c").cast("double") / col("n")
+      h.join(n, "doc_id")
+        .groupBy("doc_id")
+        .agg(round(-sum(p * log2(p)), 6).as("tok_entropy"),
+             round(max(col("v")).cast("double") / max(col("n")), 6).as("type_token_ratio"))
+        .orderBy("doc_id")
     }
   )
 }

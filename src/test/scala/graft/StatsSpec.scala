@@ -1,0 +1,108 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+/** Pinned semantics for the round-12 distribution-shape operators
+  * ([[graft.ops.Stats]], plus the TextOps/Dedup additions): the edge
+  * cases the sf-data oracle run can't distinguish — mode tie-breaks,
+  * histogram under/overflow buckets, entropy closed-form values, and
+  * prefix-dedup's keep/drop orientation. */
+class StatsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("q_agg_entropy: uniform distribution hits log2(k); constant hits 0") {
+    // 4 equally frequent values -> exactly 2 bits; 1 value -> 0 bits.
+    val uniform = Seq.tabulate(40)(i => ("u", (i % 4).toDouble)) ++
+      Seq.tabulate(10)(_ => ("c", 7.0))
+    val df = uniform.toDF("l_returnflag", "l_quantity")
+      .withColumn("l_orderkey", lit(1L))
+    df.createOrReplaceTempView("t")
+    val h = df.groupBy(col("l_returnflag").as("f"), col("l_quantity").as("v"))
+      .agg(count(lit(1)).as("c"))
+    val n = h.groupBy("f").agg(sum("c").as("n"))
+    val p = col("c").cast("double") / col("n")
+    val out = h.join(n, "f").groupBy("f")
+      .agg(round(-sum(p * log2(p)), 6).as("e"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(out("u") == 2.0)
+    assert(out("c") == 0.0)
+  }
+
+  test("q_agg_mode: ties break toward the smaller value") {
+    // Values 3.0 and 1.0 both appear twice -> mode must be 1.0.
+    val df = Seq(("A", 3.0), ("A", 3.0), ("A", 1.0), ("A", 1.0), ("A", 2.0))
+      .toDF("f", "v")
+    val h = df.groupBy("f", "v").agg(count(lit(1)).as("c"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("f").orderBy(col("c").desc, col("v").asc)
+    val m = h.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select("v", "c").collect().head
+    assert(m.getDouble(0) == 1.0 && m.getLong(1) == 2L)
+  }
+
+  test("q_agg_histogram: under/overflow land in buckets 0 and 11, edges left-closed") {
+    val v = col("v")
+    val bucket = when(v < 900.0, 0L)
+      .when(v >= 105000.0, 11L)
+      .otherwise(floor((v - 900.0) / 10410.0).cast("long") + 1L)
+    val cases = Seq(
+      899.99 -> 0L,     // below range
+      900.0 -> 1L,      // lower edge is in bucket 1
+      11309.99 -> 1L,   // just under first boundary
+      11310.0 -> 2L,    // boundary value starts the next bucket
+      104999.99 -> 10L, // top of last in-range bucket
+      105000.0 -> 11L,  // upper edge overflows
+      200000.0 -> 11L)
+    val out = cases.map(_._1).toDF("v").select(v, bucket.as("b"))
+      .collect().map(r => r.getDouble(0) -> r.getLong(1)).toMap
+    cases.foreach { case (x, b) => assert(out(x) == b, s"value $x") }
+  }
+
+  test("skewness/kurtosis built-ins match the two-pass moment formulas") {
+    val xs = Seq(1.0, 2.0, 2.0, 3.0, 7.0, 9.0, 9.0, 9.0, 10.0, 50.0)
+    val df = xs.toDF("x")
+    val Array(sk, ku) = df.agg(skewness(col("x")), kurtosis(col("x")))
+      .collect().head.toSeq.map(_.asInstanceOf[Double]).toArray
+    val n = xs.size.toDouble
+    val mu = xs.sum / n
+    def m(k: Int) = xs.map(x => math.pow(x - mu, k)).sum / n
+    assert(math.abs(sk - m(3) / math.pow(m(2), 1.5)) < 1e-9)
+    assert(math.abs(ku - (m(4) / (m(2) * m(2)) - 3.0)) < 1e-9)
+  }
+
+  test("q_text_entropy: repeated-token doc scores 0, all-distinct doc log2(n)") {
+    val df = Seq((1L, "a a a a"), (2L, "a b c d")).toDF("doc_id", "text")
+    val h = df.select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      .groupBy("doc_id", "tok").agg(count(lit(1)).as("c"))
+    val n = h.groupBy("doc_id").agg(sum("c").as("n"), count(lit(1)).as("v"))
+    val p = col("c").cast("double") / col("n")
+    val out = h.join(n, "doc_id").groupBy("doc_id")
+      .agg(round(-sum(p * log2(p)), 6).as("e"),
+           round(max(col("v")).cast("double") / max(col("n")), 6).as("ttr"))
+      .collect().map(r => r.getLong(0) -> ((r.getDouble(1), r.getDouble(2)))).toMap
+    assert(out(1L) == ((0.0, 0.25)))
+    assert(out(2L) == ((2.0, 1.0)))
+  }
+
+  test("q_dedup_prefix: truncations (long AND sub-block-width), exact copies dropped; longest kept") {
+    // Runs the REAL operator over a temp documents.parquet so the
+    // short-doc branch (text shorter than the 24-char block key, which
+    // can't share a block with its container) is exercised end-to-end.
+    val docs = Seq(
+      (10L, "alpha beta gamma delta epsilon zeta"), // full doc: kept
+      (11L, "alpha beta gamma delta"),              // 22-char strict prefix (< block width): dropped
+      (12L, "alpha beta gamma delta epsilon zeta"), // exact copy, higher id: dropped
+      (13L, "unrelated text entirely standing alone"), // kept
+      (14L, "alpha beta gamma delta epsilon"),      // 30-char strict prefix (>= block width): dropped
+      (15L, "zz")                                   // tiny, unique: kept
+    ).map { case (id, t) => (id, t, "en", "unit", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val dir = java.nio.file.Files.createTempDirectory("prefixdedup").toString
+    docs.coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val dropped = SparkEntry.queries("q_dedup_prefix")(spark, dir)
+      .select("drop_id").as[Long].collect().toSet
+    assert(dropped == Set(11L, 12L, 14L))
+  }
+}
