@@ -854,6 +854,93 @@ object Dedup {
         .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"), cos.as("cos_sim"))
         .filter(col("cos_sim") >= 0.3)
         .orderBy("id_a", "id_b")
+    },
+
+    // Semantic dedup (SemDeDup-style, Abbas et al. 2023): cluster the
+    // embedding space, then near-dup only WITHIN clusters — the cluster
+    // bounds the quadratic, the same role label-blocking plays in
+    // q_dedup_embedding but LEARNED from the data instead of given.
+    // Deterministic mini-Lloyd: K=8 centroids seeded from the 8 lowest
+    // vec_ids, one assign → mean → re-assign refinement, means rounded
+    // to 6 dp so both engines derive bit-identical centroids (the
+    // rounding is the float-agg convention; every downstream cosine is
+    // then a sequential 64-dim dot product, bit-equal across engines).
+    // Members with cosine ≥ 0.3 to a lower-id cluster-mate are dropped.
+    // Scale shape: assignment is a bounded broadcast (K rows) + map-side
+    // max_by agg (no window over N×K); centroid recompute shuffles
+    // K×dims cells; the pair join shuffles on cluster id. At 100 TB you
+    // scale K with the corpus (cells of ~constant size), which keeps the
+    // within-cluster pair space bounded — exactly SemDeDup's argument.
+    OpQuery("q_dedup_semantic",
+      """WITH v0 AS (
+        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings),
+        |vn AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nv FROM v0),
+        |c0 AS (SELECT vec_id AS cid, v AS c FROM v0 WHERE vec_id < 8),
+        |a1 AS (
+        |  SELECT vec_id, cid, ROW_NUMBER() OVER (
+        |           PARTITION BY vec_id
+        |           ORDER BY list_dot_product(vn.v, c0.c)
+        |                    / (vn.nv * sqrt(list_dot_product(c0.c, c0.c))) DESC,
+        |                    cid ASC) AS rn
+        |  FROM vn CROSS JOIN c0),
+        |m1 AS (SELECT vec_id, cid FROM a1 WHERE rn = 1),
+        |mv AS (SELECT m1.cid, vn.v FROM m1 JOIN vn ON m1.vec_id = vn.vec_id),
+        |cd AS (
+        |  SELECT cid, u.i AS i,
+        |         ROUND(AVG(list_extract(v, CAST(u.i AS INT))), 6) AS m
+        |  FROM mv, UNNEST(range(1, 65)) AS u(i)
+        |  GROUP BY cid, u.i),
+        |c1 AS (SELECT cid, list(m ORDER BY i) AS c FROM cd GROUP BY cid),
+        |a2 AS (
+        |  SELECT vec_id, cid, ROW_NUMBER() OVER (
+        |           PARTITION BY vec_id
+        |           ORDER BY list_dot_product(vn.v, c1.c)
+        |                    / (vn.nv * sqrt(list_dot_product(c1.c, c1.c))) DESC,
+        |                    cid ASC) AS rn
+        |  FROM vn CROSS JOIN c1),
+        |m2 AS (SELECT vec_id, cid FROM a2 WHERE rn = 1),
+        |p AS (
+        |  SELECT b.vec_id AS drop_id
+        |  FROM m2 a JOIN m2 b ON a.cid = b.cid AND a.vec_id < b.vec_id
+        |  JOIN vn va ON va.vec_id = a.vec_id
+        |  JOIN vn vb ON vb.vec_id = b.vec_id
+        |  WHERE ROUND(list_dot_product(va.v, vb.v) / (va.nv * vb.nv), 6) >= 0.3)
+        |SELECT DISTINCT drop_id FROM p ORDER BY drop_id""".stripMargin) { (s, d) =>
+      val K = 8
+      val v0 = embeddings(s, d).select(col("vec_id"),
+        expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
+      val vn = v0.withColumn("nv", sqrt(VectorOps.dot(col("v"), col("v"))))
+      val c0 = v0.filter(col("vec_id") < K)
+        .select(col("vec_id").as("cid"), col("v").as("c"))
+      // Nearest centroid by cosine, ties to the lowest cid. max_by over
+      // (cos, -cid) is a map-side-combinable aggregate — the oracle's
+      // ROW_NUMBER()=1 formulation without the N×K window sort.
+      def assign(cent: org.apache.spark.sql.DataFrame) = {
+        val cc = cent.withColumn("nc", sqrt(VectorOps.dot(col("c"), col("c"))))
+        vn.crossJoin(broadcast(cc))
+          .withColumn("cos", VectorOps.dot(col("v"), col("c")) / (col("nv") * col("nc")))
+          .groupBy("vec_id")
+          .agg(max_by(col("cid"), struct(col("cos"), -col("cid"))).as("cid"))
+      }
+      val m1 = assign(c0)
+      val cd = m1.join(vn, "vec_id")
+        .select(col("cid"), posexplode(col("v")).as(Seq("p", "x")))
+        .groupBy("cid", "p")
+        .agg(round(avg("x"), 6).as("m"))
+      val c1 = cd.groupBy("cid")
+        .agg(array_sort(collect_list(struct(col("p"), col("m")))).as("dm"))
+        .select(col("cid"), expr("transform(dm, y -> y.m)").as("c"))
+      val m2 = assign(c1)
+      val va = vn.select(col("vec_id").as("ida"), col("v").as("va"), col("nv").as("na"))
+      val vb = vn.select(col("vec_id").as("idb"), col("v").as("vb"), col("nv").as("nb"))
+      m2.as("a").join(m2.as("b"),
+          col("a.cid") === col("b.cid") && col("a.vec_id") < col("b.vec_id"))
+        .join(va, col("a.vec_id") === col("ida"))
+        .join(vb, col("b.vec_id") === col("idb"))
+        .filter(round(VectorOps.dot(col("va"), col("vb")) / (col("na") * col("nb")), 6) >= 0.3)
+        .select(col("b.vec_id").as("drop_id")).distinct()
+        .orderBy("drop_id")
     }
   )
 }

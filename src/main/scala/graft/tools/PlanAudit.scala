@@ -174,6 +174,11 @@ object PlanAudit {
       // stop-shingle) and the MinHash candidate-doc/pair restrictions
       // are merge-hinted semi joins (corpus-dependent sizes, so neither
       // broadcast nor a hash build is safe for them)
+      "q_dedup_semantic" -> 4,      // 8-row centroid tables (K fixed by the
+                                    // operator): 2 assign passes × 2 because the
+                                    // within-cluster self-join duplicates the
+                                    // assignment subtree — all IdentityBroadcast
+                                    // of a K-bounded frame
       "q_events_anomaly" -> 1,      // per-event-type stats: bounded type domain
       "q_join_multiway" -> 2,       // region + ASIA-nation dims: fixed 5/25 rows
       "q_media_learned_encoder" -> 1, // 1-row learned stats (9 longs)
