@@ -915,16 +915,22 @@ object Dedup {
         .select(col("vec_id").as("cid"), col("v").as("c"))
       // Nearest centroid by cosine, ties to the lowest cid. max_by over
       // (cos, -cid) is a map-side-combinable aggregate — the oracle's
-      // ROW_NUMBER()=1 formulation without the N×K window sort.
+      // ROW_NUMBER()=1 formulation without the N×K window sort. The
+      // vector and its norm ride along (first() is well-defined: every
+      // row of a vec_id group carries the identical v/nv), so the
+      // centroid recompute and the pair join need NO re-join back to
+      // the vector table — one N-row shuffle per assign, total, which
+      // is the shape that matters when N is the corpus.
       def assign(cent: org.apache.spark.sql.DataFrame) = {
         val cc = cent.withColumn("nc", sqrt(VectorOps.dot(col("c"), col("c"))))
         vn.crossJoin(broadcast(cc))
           .withColumn("cos", VectorOps.dot(col("v"), col("c")) / (col("nv") * col("nc")))
           .groupBy("vec_id")
-          .agg(max_by(col("cid"), struct(col("cos"), -col("cid"))).as("cid"))
+          .agg(max_by(col("cid"), struct(col("cos"), -col("cid"))).as("cid"),
+               first(col("v")).as("v"), first(col("nv")).as("nv"))
       }
       val m1 = assign(c0)
-      val cd = m1.join(vn, "vec_id")
+      val cd = m1
         .select(col("cid"), posexplode(col("v")).as(Seq("p", "x")))
         .groupBy("cid", "p")
         .agg(round(avg("x"), 6).as("m"))
@@ -932,14 +938,12 @@ object Dedup {
         .agg(array_sort(collect_list(struct(col("p"), col("m")))).as("dm"))
         .select(col("cid"), expr("transform(dm, y -> y.m)").as("c"))
       val m2 = assign(c1)
-      val va = vn.select(col("vec_id").as("ida"), col("v").as("va"), col("nv").as("na"))
-      val vb = vn.select(col("vec_id").as("idb"), col("v").as("vb"), col("nv").as("nb"))
-      m2.as("a").join(m2.as("b"),
-          col("a.cid") === col("b.cid") && col("a.vec_id") < col("b.vec_id"))
-        .join(va, col("a.vec_id") === col("ida"))
-        .join(vb, col("b.vec_id") === col("idb"))
-        .filter(round(VectorOps.dot(col("va"), col("vb")) / (col("na") * col("nb")), 6) >= 0.3)
-        .select(col("b.vec_id").as("drop_id")).distinct()
+      val a = m2.select(col("cid"), col("vec_id").as("ida"), col("v").as("va"), col("nv").as("na"))
+      val b = m2.select(col("cid"), col("vec_id").as("idb"), col("v").as("vb"), col("nv").as("nb"))
+      a.join(b, Seq("cid"))
+        .filter(col("ida") < col("idb") &&
+          round(VectorOps.dot(col("va"), col("vb")) / (col("na") * col("nb")), 6) >= 0.3)
+        .select(col("idb").as("drop_id")).distinct()
         .orderBy("drop_id")
     }
   )
