@@ -907,44 +907,57 @@ object Dedup {
         |  JOIN vn vb ON vb.vec_id = b.vec_id
         |  WHERE ROUND(list_dot_product(va.v, vb.v) / (va.nv * vb.nv), 6) >= 0.3)
         |SELECT DISTINCT drop_id FROM p ORDER BY drop_id""".stripMargin) { (s, d) =>
-      val K = 8
-      val v0 = embeddings(s, d).select(col("vec_id"),
-        expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
-      val vn = v0.withColumn("nv", sqrt(VectorOps.dot(col("v"), col("v"))))
-      val c0 = v0.filter(col("vec_id") < K)
-        .select(col("vec_id").as("cid"), col("v").as("c"))
-      // Nearest centroid by cosine, ties to the lowest cid. max_by over
-      // (cos, -cid) is a map-side-combinable aggregate — the oracle's
-      // ROW_NUMBER()=1 formulation without the N×K window sort. The
-      // vector and its norm ride along (first() is well-defined: every
-      // row of a vec_id group carries the identical v/nv), so the
-      // centroid recompute and the pair join need NO re-join back to
-      // the vector table — one N-row shuffle per assign, total, which
-      // is the shape that matters when N is the corpus.
-      def assign(cent: org.apache.spark.sql.DataFrame) = {
-        val cc = cent.withColumn("nc", sqrt(VectorOps.dot(col("c"), col("c"))))
-        vn.crossJoin(broadcast(cc))
-          .withColumn("cos", VectorOps.dot(col("v"), col("c")) / (col("nv") * col("nc")))
-          .groupBy("vec_id")
-          .agg(max_by(col("cid"), struct(col("cos"), -col("cid"))).as("cid"),
-               first(col("v")).as("v"), first(col("nv")).as("nv"))
-      }
-      val m1 = assign(c0)
-      val cd = m1
-        .select(col("cid"), posexplode(col("v")).as(Seq("p", "x")))
-        .groupBy("cid", "p")
-        .agg(round(avg("x"), 6).as("m"))
-      val c1 = cd.groupBy("cid")
-        .agg(array_sort(collect_list(struct(col("p"), col("m")))).as("dm"))
-        .select(col("cid"), expr("transform(dm, y -> y.m)").as("c"))
-      val m2 = assign(c1)
-      val a = m2.select(col("cid"), col("vec_id").as("ida"), col("v").as("va"), col("nv").as("na"))
-      val b = m2.select(col("cid"), col("vec_id").as("idb"), col("v").as("vb"), col("nv").as("nb"))
-      a.join(b, Seq("cid"))
-        .filter(col("ida") < col("idb") &&
-          round(VectorOps.dot(col("va"), col("vb")) / (col("na") * col("nb")), 6) >= 0.3)
-        .select(col("idb").as("drop_id")).distinct()
-        .orderBy("drop_id")
+      semanticDedup(s, d, 8, 0.3)
     }
   )
+
+  /** SemDeDup-style semantic dedup, parameterized: `k` cluster seeds
+    * (the lowest `k` vec_ids), cosine threshold `tau`. The number of
+    * cells is the operator's scale knob — hold cluster SIZE roughly
+    * constant by growing `k` with the corpus (the brute-force
+    * vector×centroid assignment is N×k dot products; at extreme k a
+    * two-level coarse/fine assignment would cut it to N×√k, the
+    * standard IVF refinement). q_dedup_semantic is the k=8, tau=0.3
+    * oracle instance; [[graft.tools.ScaleProbeNew]] ladders this with
+    * k scaled to the corpus. */
+  private[graft] def semanticDedup(s: SparkSession, d: String, k: Int,
+      tau: Double): DataFrame = {
+    val v0 = embeddings(s, d).select(col("vec_id"),
+      expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
+    val vn = v0.withColumn("nv", sqrt(VectorOps.dot(col("v"), col("v"))))
+    val c0 = v0.filter(col("vec_id") < k)
+      .select(col("vec_id").as("cid"), col("v").as("c"))
+    // Nearest centroid by cosine, ties to the lowest cid. max_by over
+    // (cos, -cid) is a map-side-combinable aggregate — the oracle's
+    // ROW_NUMBER()=1 formulation without the N×K window sort. The
+    // vector and its norm ride along (first() is well-defined: every
+    // row of a vec_id group carries the identical v/nv), so the
+    // centroid recompute and the pair join need NO re-join back to
+    // the vector table — one N-row shuffle per assign, total, which
+    // is the shape that matters when N is the corpus.
+    def assign(cent: DataFrame) = {
+      val cc = cent.withColumn("nc", sqrt(VectorOps.dot(col("c"), col("c"))))
+      vn.crossJoin(broadcast(cc))
+        .withColumn("cos", VectorOps.dot(col("v"), col("c")) / (col("nv") * col("nc")))
+        .groupBy("vec_id")
+        .agg(max_by(col("cid"), struct(col("cos"), -col("cid"))).as("cid"),
+             first(col("v")).as("v"), first(col("nv")).as("nv"))
+    }
+    val m1 = assign(c0)
+    val cd = m1
+      .select(col("cid"), posexplode(col("v")).as(Seq("p", "x")))
+      .groupBy("cid", "p")
+      .agg(round(avg("x"), 6).as("m"))
+    val c1 = cd.groupBy("cid")
+      .agg(array_sort(collect_list(struct(col("p"), col("m")))).as("dm"))
+      .select(col("cid"), expr("transform(dm, y -> y.m)").as("c"))
+    val m2 = assign(c1)
+    val a = m2.select(col("cid"), col("vec_id").as("ida"), col("v").as("va"), col("nv").as("na"))
+    val b = m2.select(col("cid"), col("vec_id").as("idb"), col("v").as("vb"), col("nv").as("nb"))
+    a.join(b, Seq("cid"))
+      .filter(col("ida") < col("idb") &&
+        round(VectorOps.dot(col("va"), col("vb")) / (col("na") * col("nb")), 6) >= tau)
+      .select(col("idb").as("drop_id")).distinct()
+      .orderBy("drop_id")
+  }
 }

@@ -1,0 +1,116 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Dev tool: scaling evidence for the round-12 operators
+  * (q_text_entropy, q_dedup_prefix, the Stats aggregates, and the
+  * SemDeDup-style semantic dedup).
+  *
+  * Replication policy per table (K replicas of the sf base):
+  *  - documents: every token suffixed `~r` per replica (the linear-probe
+  *    convention: per-replica dup/block structure preserved, replicas
+  *    share no text, so prefix-dedup blocks and the token vocabulary
+  *    grow linearly and true work grows linearly);
+  *  - lineitem: keys offset per replica, values untouched — group
+  *    domains and histogram buckets stay constant while rows grow K×;
+  *  - embeddings: ids offset, each replica's vectors ROTATED by a
+  *    replica-specific shift (rotations of near-orthogonal random
+  *    vectors stay near-orthogonal across replicas, so clusters don't
+  *    collapse onto duplicated seed centroids).
+  *
+  * The semantic ladder applies the operator's documented scale knob:
+  * cells k = 8·K grows with the corpus, holding cluster size constant —
+  * the within-cluster pair work then grows linearly while the
+  * brute-force assignment term grows as N×k (the IVF trade; see
+  * [[graft.ops.Dedup.semanticDedup]]). The expected curve is therefore
+  * between linear and quadratic, bending toward N×k at the tail; the
+  * table prints both the fixed-k=8 instance (pair work ~K² — the
+  * documented non-goal past small K) and the scaled-k path.
+  *
+  * Usage: runMain graft.tools.ScaleProbeNew [sfDir] [outBase]
+  * (GRAFT_PROBE_KS overrides the ladder.)
+  */
+object ScaleProbeNew {
+
+  private val Named = Seq("q_text_entropy", "q_dedup_prefix",
+    "q_agg_entropy", "q_agg_histogram")
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val outBase = args.lift(1).getOrElse("/tmp/graft_scale_new")
+    val spark = ProbeHarness.session()
+    val kLadder = ProbeHarness.ks(Seq(1, 2, 4, 8, 16))
+
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val docOff = docs.agg(max(col("doc_id"))).head().getLong(0) + 1
+    val liOff = li.agg(max(col("l_orderkey"))).head().getLong(0) + 1
+    val vecOff = emb.agg(max(col("vec_id"))).head().getLong(0) + 1
+
+    def docReplica(r: Int): DataFrame =
+      docs.select(
+        (col("doc_id") + lit(r * docOff)).as("doc_id"),
+        concat_ws(" ", transform(split(col("text"), " "),
+          t => if (r == 0) t else concat(t, lit(s"~$r")))).as("text"),
+        col("lang"), col("source"), col("n_chars"))
+    def liReplica(r: Int): DataFrame =
+      li.withColumn("l_orderkey", col("l_orderkey") + lit(r * liOff))
+    def embReplica(r: Int): DataFrame = {
+      val shift = (r * 7) % 64
+      emb.select(
+        (col("vec_id") + lit(r * vecOff)).as("vec_id"),
+        (if (shift == 0) col("embedding")
+         else concat(slice(col("embedding"), shift + 1, 64 - shift),
+                     slice(col("embedding"), 1, shift))).as("embedding"),
+        col("label"))
+    }
+
+    kLadder.foreach { k =>
+      val dir = s"$outBase/k$k"
+      (0 until k).map(docReplica).reduce(_ unionAll _)
+        .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+      (0 until k).map(liReplica).reduce(_ unionAll _)
+        .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+      (0 until k).map(embReplica).reduce(_ unionAll _)
+        .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    }
+
+    def time(label: String, df: => DataFrame): Double = {
+      System.err.println(s"[probe] $label")
+      val t0 = System.nanoTime()
+      df.write.format("noop").mode("overwrite").save()
+      (System.nanoTime() - t0) / 1e9
+    }
+
+    // warmup at K=1 (codegen + JIT for the whole family)
+    Named.foreach(q => time(s"warmup $q",
+      graft.SparkEntry.queries(q)(spark, s"$outBase/k${kLadder.head}")))
+    time("warmup semantic",
+      graft.ops.Dedup.semanticDedup(spark, s"$outBase/k${kLadder.head}", 8, 0.3))
+
+    val rows = kLadder.map { k =>
+      spark.sharedState.cacheManager.clearCache()
+      val dir = s"$outBase/k$k"
+      val named = Named.map(q =>
+        q -> time(s"$q @K=$k", graft.SparkEntry.queries(q)(spark, dir)))
+      // fixed k=8 cells (documented non-goal past small K: pair work ~K²)
+      val semFixed = "q_dedup_semantic(k=8)" ->
+        time(s"semantic k=8 @K=$k",
+          graft.ops.Dedup.semanticDedup(spark, dir, 8, 0.3))
+      // the scale path: cells grow with the corpus, cluster size constant
+      val semScaled = s"q_dedup_semantic(k=8K)" ->
+        time(s"semantic k=${8 * k} @K=$k",
+          graft.ops.Dedup.semanticDedup(spark, dir, 8 * k, 0.3))
+      k -> (named :+ semFixed :+ semScaled).toMap
+    }
+
+    val names = Named ++ Seq("q_dedup_semantic(k=8)", "q_dedup_semantic(k=8K)")
+    println(f"${"query"}%-26s" + kLadder.map(k => f"K=$k%-8d").mkString)
+    names.foreach { q =>
+      println(f"$q%-26s" + rows.map { case (_, m) => f"${m(q)}%-8.2f" }.mkString)
+    }
+    spark.stop()
+  }
+}
