@@ -914,14 +914,19 @@ object Dedup {
   /** SemDeDup-style semantic dedup, parameterized: `k` cluster seeds
     * (the lowest `k` vec_ids), cosine threshold `tau`. The number of
     * cells is the operator's scale knob — hold cluster SIZE roughly
-    * constant by growing `k` with the corpus (the brute-force
-    * vector×centroid assignment is N×k dot products; at extreme k a
-    * two-level coarse/fine assignment would cut it to N×√k, the
-    * standard IVF refinement). q_dedup_semantic is the k=8, tau=0.3
-    * oracle instance; [[graft.tools.ScaleProbeNew]] ladders this with
-    * k scaled to the corpus. */
+    * constant by growing `k` with the corpus. Assignment cost is the
+    * IVF trade: brute force is N×k dot products; `coarseGroups = Some(g)`
+    * switches to a two-level coarse/fine assignment (nearest of g
+    * super-centroids, then nearest centroid within that group only) —
+    * N×(g + k/g) dots, minimized at g≈√k. The two-level path is an
+    * APPROXIMATION of exact nearest-centroid (a vector near a group
+    * boundary can land in the neighboring cell), which is fine for a
+    * dedup blocker; the degenerate g=1 and g=k configurations are
+    * exactly brute force (spec-pinned). q_dedup_semantic is the k=8,
+    * tau=0.3 brute-force oracle instance; [[graft.tools.ScaleProbeNew]]
+    * ladders both paths with k scaled to the corpus. */
   private[graft] def semanticDedup(s: SparkSession, d: String, k: Int,
-      tau: Double): DataFrame = {
+      tau: Double, coarseGroups: Option[Int] = None): DataFrame = {
     val v0 = embeddings(s, d).select(col("vec_id"),
       expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
     val vn = v0.withColumn("nv", sqrt(VectorOps.dot(col("v"), col("v"))))
@@ -935,13 +940,47 @@ object Dedup {
     // centroid recompute and the pair join need NO re-join back to
     // the vector table — one N-row shuffle per assign, total, which
     // is the shape that matters when N is the corpus.
-    def assign(cent: DataFrame) = {
+    def assignBrute(cent: DataFrame) = {
       val cc = cent.withColumn("nc", sqrt(VectorOps.dot(col("c"), col("c"))))
       vn.crossJoin(broadcast(cc))
         .withColumn("cos", VectorOps.dot(col("v"), col("c")) / (col("nv") * col("nc")))
         .groupBy("vec_id")
         .agg(max_by(col("cid"), struct(col("cos"), -col("cid"))).as("cid"),
              first(col("v")).as("v"), first(col("nv")).as("nv"))
+    }
+    // Two-level: centroids grouped by cid % g; super-centroid = rounded
+    // per-dimension mean of its group's centroids (deterministic — the
+    // same 6-dp convention as the Lloyd means). Stage 1 picks the
+    // nearest super-centroid (N×g dots, g-row broadcast); stage 2
+    // compares only that group's centroids (N×(k/g) dots, k-row
+    // broadcast joined on the chosen gid).
+    def assignCoarse(cent: DataFrame, g: Int) = {
+      val grouped = cent.withColumn("gid", pmod(col("cid"), lit(g)))
+      val supers = grouped
+        .select(col("gid"), posexplode(col("c")).as(Seq("p", "x")))
+        .groupBy("gid", "p").agg(round(avg("x"), 6).as("m"))
+        .groupBy("gid")
+        .agg(array_sort(collect_list(struct(col("p"), col("m")))).as("dm"))
+        .select(col("gid"), expr("transform(dm, y -> y.m)").as("sc"))
+        .withColumn("nsc", sqrt(VectorOps.dot(col("sc"), col("sc"))))
+      val stage1 = vn.crossJoin(broadcast(supers))
+        .withColumn("cos", VectorOps.dot(col("v"), col("sc")) / (col("nv") * col("nsc")))
+        .groupBy("vec_id")
+        .agg(max_by(col("gid"), struct(col("cos"), -col("gid"))).as("gid"),
+             first(col("v")).as("v"), first(col("nv")).as("nv"))
+      val cc = grouped.withColumn("nc", sqrt(VectorOps.dot(col("c"), col("c"))))
+      stage1.join(broadcast(cc), Seq("gid"))
+        .withColumn("cos", VectorOps.dot(col("v"), col("c")) / (col("nv") * col("nc")))
+        .groupBy("vec_id")
+        .agg(max_by(col("cid"), struct(col("cos"), -col("cid"))).as("cid"),
+             first(col("v")).as("v"), first(col("nv")).as("nv"))
+    }
+    def assign(cent: DataFrame) = coarseGroups match {
+      // g=1 degenerates to brute force THROUGH the coarse path (one
+      // super-group → stage 2 compares every centroid) — kept routable
+      // so the equivalence is spec-checkable, not just by-construction.
+      case Some(g) if g >= 1 && g < k => assignCoarse(cent, g)
+      case _                          => assignBrute(cent)
     }
     val m1 = assign(c0)
     val cd = m1

@@ -103,10 +103,17 @@ object ScaleProbeNew {
       val semScaled = s"q_dedup_semantic(k=8K)" ->
         time(s"semantic k=${8 * k} @K=$k",
           graft.ops.Dedup.semanticDedup(spark, dir, 8 * k, 0.3))
-      k -> (named :+ semFixed :+ semScaled).toMap
+      // same scaled k through the two-level coarse/fine assignment
+      // (g≈√k): N×(g + k/g) dots instead of N×k
+      val g = math.max(1, math.round(math.sqrt(8.0 * k)).toInt)
+      val semCoarse = s"q_dedup_semantic(k=8K,2lv)" ->
+        time(s"semantic k=${8 * k} g=$g @K=$k",
+          graft.ops.Dedup.semanticDedup(spark, dir, 8 * k, 0.3, Some(g)))
+      k -> (named :+ semFixed :+ semScaled :+ semCoarse).toMap
     }
 
-    val names = Named ++ Seq("q_dedup_semantic(k=8)", "q_dedup_semantic(k=8K)")
+    val names = Named ++ Seq("q_dedup_semantic(k=8)", "q_dedup_semantic(k=8K)",
+      "q_dedup_semantic(k=8K,2lv)")
     println(f"${"query"}%-26s" + kLadder.map(k => f"K=$k%-8d").mkString)
     names.foreach { q =>
       println(f"$q%-26s" + rows.map { case (_, m) => f"${m(q)}%-8.2f" }.mkString)

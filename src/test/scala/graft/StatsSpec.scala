@@ -86,6 +86,25 @@ class StatsSpec extends AnyFunSuite {
     assert(out(2L) == ((2.0, 1.0)))
   }
 
+  test("semantic dedup: two-level assignment with g=1 equals brute force; real g is a valid blocker") {
+    val d = TestSpark.Sf
+    val brute = graft.ops.Dedup.semanticDedup(spark, d, 8, 0.3)
+      .as[Long].collect().toSeq
+    // g=1 routes through assignCoarse (one super-group, stage 2 then
+    // compares every centroid) and must reproduce brute force exactly.
+    val g1 = graft.ops.Dedup.semanticDedup(spark, d, 8, 0.3, Some(1))
+      .as[Long].collect().toSeq
+    assert(g1 == brute)
+    // A real coarse split is approximate blocking: it must complete and
+    // emit a plausible drop set (real vec_ids, sorted, deduplicated).
+    val ids = graft.ops.Tables.embeddings(spark, d)
+      .select("vec_id").as[Long].collect().toSet
+    val g3 = graft.ops.Dedup.semanticDedup(spark, d, 8, 0.3, Some(3))
+      .as[Long].collect().toSeq
+    assert(g3.nonEmpty && g3 == g3.sorted && g3.distinct == g3)
+    assert(g3.forall(ids.contains))
+  }
+
   test("q_dedup_prefix: truncations (long AND sub-block-width), exact copies dropped; longest kept") {
     // Runs the REAL operator over a temp documents.parquet so the
     // short-doc branch (text shorter than the 24-char block key, which
