@@ -192,6 +192,46 @@ object Analytics {
         .filter(col("event_type") === "purchase" &&
           col("first_view").isNotNull && col("ts") > col("first_view"))
         .agg(countDistinct(col("user_id")).as("converted_users"))
+    },
+
+    // Cohort retention: users grouped by first-seen day, with day-1 and
+    // day-7 return rates — the classic product-analytics composite.
+    // Days are integer indexes from a fixed epoch (both engines compute
+    // identical ints; a bare DATE output column would hit the known
+    // parquet/fetchdf materialization asymmetry, see FUZZ_NOTES #1).
+    // Scale shape: the distinct (user, day) activity grid is one
+    // shuffle; cohort min and the d+1/d+7 return joins all hash on
+    // user_id (co-partitioned, no broadcast of an O(users) side); the
+    // final rollup groups by cohort day.
+    OpQuery("q_events_retention",
+      """WITH ud AS (
+        |  SELECT DISTINCT user_id,
+        |         datediff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS di
+        |  FROM events),
+        |coh AS (SELECT user_id, MIN(di) AS c FROM ud GROUP BY user_id)
+        |SELECT CAST(coh.c AS BIGINT) AS cohort_di,
+        |       CAST(COUNT(*) AS BIGINT) AS n_users,
+        |       CAST(SUM(CASE WHEN d1.user_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS retained_d1,
+        |       CAST(SUM(CASE WHEN d7.user_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS retained_d7
+        |FROM coh
+        |LEFT JOIN ud d1 ON d1.user_id = coh.user_id AND d1.di = coh.c + 1
+        |LEFT JOIN ud d7 ON d7.user_id = coh.user_id AND d7.di = coh.c + 7
+        |GROUP BY coh.c ORDER BY cohort_di""".stripMargin) { (s, d) =>
+      val ud = events(s, d)
+        .select(col("user_id"),
+          datediff(col("ts").cast("date"), lit("2024-01-01").cast("date"))
+            .cast("long").as("di"))
+        .distinct()
+      val coh = ud.groupBy("user_id").agg(min(col("di")).as("c"))
+      val d1 = ud.select(col("user_id").as("u1"), col("di").as("di1"))
+      val d7 = ud.select(col("user_id").as("u7"), col("di").as("di7"))
+      coh.join(d1, col("user_id") === col("u1") && col("di1") === col("c") + 1, "left")
+        .join(d7, col("user_id") === col("u7") && col("di7") === col("c") + 7, "left")
+        .groupBy(col("c").as("cohort_di"))
+        .agg(count(lit(1)).as("n_users"),
+             sum(when(col("u1").isNotNull, 1L).otherwise(0L)).as("retained_d1"),
+             sum(when(col("u7").isNotNull, 1L).otherwise(0L)).as("retained_d7"))
+        .orderBy("cohort_di")
     }
   )
 }

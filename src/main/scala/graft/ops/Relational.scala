@@ -249,6 +249,35 @@ object Relational {
         .orderBy("l_returnflag")
     },
 
+    // Mergeable-sketch rollup: per-group Datasketches HLL sketches
+    // UNIONED into a global estimate — the re-aggregation pattern that
+    // makes sketches matter at 100 TB (partial sketches merge across
+    // partitions/groups/days without rescanning; a count-distinct
+    // rollup can't reuse per-group exact counts, a sketch rollup can).
+    // The sketch bytes are engine-specific, so the output carries the
+    // EXACT per-group distinct (oracle-matched) plus a pinned-TRUE
+    // agreement boolean asserting the merged global estimate landed
+    // within 5% of the exact global distinct (the q_agg_approx_distinct
+    // convention: sketch drift breaks the hash match).
+    OpQuery("q_agg_hll_merge",
+      """SELECT l_returnflag,
+        |       CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS n_parts,
+        |       TRUE AS merged_ok
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin) { (s, d) =>
+      val perGroup = lineitem(s, d)
+        .groupBy("l_returnflag")
+        .agg(countDistinct(col("l_partkey")).as("n_parts"),
+             expr("hll_sketch_agg(l_partkey)").as("sk"))
+      val global = perGroup
+        .agg(expr("hll_sketch_estimate(hll_union_agg(sk))").as("est"))
+        .crossJoin(broadcast(lineitem(s, d).agg(countDistinct(col("l_partkey")).as("exact"))))
+        .select((abs(col("est") - col("exact")).cast("double") / col("exact") <= 0.05)
+          .as("merged_ok"))
+      perGroup.select("l_returnflag", "n_parts")
+        .crossJoin(broadcast(global))
+        .orderBy("l_returnflag")
+    },
+
     // Greenwald-Khanna approximate quantiles, oracle-checked: the GK
     // sketch itself is engine-specific, so the query outputs the EXACT
     // p50/p99 (distributed bucket-prune operator, same formulation the

@@ -166,6 +166,7 @@ object PlanAudit {
       "\\((\\d+)\\) BroadcastExchange".r.findAllMatchIn(p).map(_.group(1)).toSet.size
     val bcastAllow = Map(
       "q_agg_stringagg" -> 1,       // region: fixed 5 rows at every SF
+      "q_agg_hll_merge" -> 2,       // 1-row exact-global + 1-row merged-bool frames
       "q_cte_maxrev" -> 1,          // 1-row scalar MAX subquery
       // round 8: the Dedup family needs NO allowance — the stop-set
       // prune is a shuffle_hash anti join (its build side is bounded by
