@@ -75,6 +75,7 @@ object DuckDbDialect {
 
   def rewrite(sql: String): String = {
     var s = sql
+    s = rewriteQualify(s)
     s = rewriteOperatorIntDiv(s)
     s = rewriteCalls(s, "strftime")(fmtCall("date_format"))
     s = rewriteCalls(s, "strptime")(fmtCall("to_timestamp"))
@@ -82,6 +83,167 @@ object DuckDbDialect {
     s = rewriteCalls(s, "epoch")(epochCall)
     renames.foreach { case (from, to) => s = renameFn(s, from, to) }
     s
+  }
+
+  // ---- QUALIFY ---------------------------------------------------------
+
+  /** DuckDB's `QUALIFY <pred>` (filter on window results — Spark has no
+    * equivalent clause) rewrites to a wrapped subquery:
+    *
+    *   <head> QUALIFY <pred> [ORDER BY/LIMIT tail]
+    *     →  SELECT * FROM ( <head> ) __qualify WHERE <pred> <tail>
+    *
+    * When the predicate names a select-list ALIAS the wrap alone
+    * suffices. When it contains INLINE window expressions
+    * (`fn(args) OVER (spec)`), each is APPENDED to the head's own
+    * select list as a synthetic `__qualify_wN` column (so the window
+    * evaluates against the head's FROM relation, exactly DuckDB's
+    * semantics), the predicate references the alias, and an outer
+    * `* EXCEPT` drops the synthetic columns from the result schema.
+    *
+    * Bounded (throws, never silently wrong): QUALIFY inside a subquery,
+    * followed at top level by a set operation, or combining an inline
+    * window with SELECT DISTINCT (appending a column would change the
+    * distinct key) is rejected with a message naming the limitation. */
+  private def rewriteQualify(sql: String): String = {
+    val in = inString(sql)
+    def wordAt(i: Int, w: String): Boolean =
+      !in(i) && sql.regionMatches(true, i, w, 0, w.length) &&
+        (i == 0 || !isIdentChar(sql(i - 1))) &&
+        (i + w.length >= sql.length || !isIdentChar(sql(i + w.length)))
+    var depth = 0
+    var q = -1
+    var i = 0
+    while (i < sql.length) {
+      val c = sql(i)
+      if (!in(i)) {
+        if (c == '(') depth += 1
+        else if (c == ')') depth -= 1
+        else if (wordAt(i, "qualify")) {
+          if (depth > 0) throw new IllegalArgumentException(
+            "QUALIFY inside a subquery is outside the shim's bounded support " +
+              "— rewrite the inner block as SELECT * FROM (...) WHERE ...")
+          if (q >= 0) throw new IllegalArgumentException(
+            "multiple top-level QUALIFY clauses")
+          q = i
+        }
+      }
+      i += 1
+    }
+    if (q < 0) return sql
+    val head = sql.substring(0, q).trim
+    val rest = sql.substring(q + "qualify".length)
+    // split the tail: the earliest top-level ORDER BY / LIMIT / OFFSET
+    val restIn = inString(rest)
+    var d2 = 0; var tailAt = -1; var j = 0
+    def restWord(i: Int, w: String): Boolean =
+      !restIn(i) && rest.regionMatches(true, i, w, 0, w.length) &&
+        (i == 0 || !isIdentChar(rest(i - 1))) &&
+        (i + w.length >= rest.length || !isIdentChar(rest(i + w.length)))
+    while (j < rest.length && tailAt < 0) {
+      val c = rest(j)
+      if (!restIn(j)) {
+        if (c == '(') d2 += 1
+        else if (c == ')') d2 -= 1
+        else if (d2 == 0) {
+          if (restWord(j, "order") || restWord(j, "limit") || restWord(j, "offset"))
+            tailAt = j
+          else if (restWord(j, "union") || restWord(j, "intersect") || restWord(j, "except"))
+            throw new IllegalArgumentException(
+              "QUALIFY followed by a set operation is outside the shim's bounded support")
+        }
+      }
+      j += 1
+    }
+    val (pred0, tail) =
+      if (tailAt < 0) (rest.trim, "")
+      else (rest.substring(0, tailAt).trim, " " + rest.substring(tailAt).trim)
+    val (pred, hoisted) = hoistWindows(pred0)
+    if (hoisted.isEmpty)
+      s"SELECT * FROM ( $head ) __qualify WHERE $pred$tail"
+    else {
+      if ("(?is)^\\s*select\\s+distinct\\b".r.findFirstIn(head).isDefined)
+        throw new IllegalArgumentException(
+          "QUALIFY with an inline window over SELECT DISTINCT is outside the " +
+            "shim's bounded support — alias the window in the select list instead")
+      // append the synthetic columns to the HEAD's select list (before
+      // its top-level FROM) so the windows see the head's FROM relation
+      val headIn = inString(head)
+      var hd = 0; var fromAt = -1; var h = 0
+      while (h < head.length && fromAt < 0) {
+        val c = head(h)
+        if (!headIn(h)) {
+          if (c == '(') hd += 1
+          else if (c == ')') hd -= 1
+          else if (hd == 0 && head.regionMatches(true, h, "from", 0, 4) &&
+                   (h == 0 || !isIdentChar(head(h - 1))) &&
+                   (h + 4 >= head.length || !isIdentChar(head(h + 4)))) fromAt = h
+        }
+        h += 1
+      }
+      require(fromAt > 0, "QUALIFY: could not locate the head query's FROM clause")
+      val synth = hoisted.map { case (expr, alias) => s"$expr AS $alias" }.mkString(", ")
+      val headWithSynth =
+        head.substring(0, fromAt) + s", $synth " + head.substring(fromAt)
+      val drop = hoisted.map(_._2).mkString(", ")
+      s"SELECT * EXCEPT ($drop) FROM ( $headWithSynth ) __qualify WHERE $pred$tail"
+    }
+  }
+
+  /** Replace each inline `identifier(args) OVER (spec)` in `pred` with a
+    * synthetic alias; returns (rewritten predicate, (expr, alias) list). */
+  private def hoistWindows(pred0: String): (String, Seq[(String, String)]) = {
+    var pred = pred0
+    val hoisted = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    var guard = 0
+    while (guard < 50) {
+      guard += 1
+      val in = inString(pred)
+      var i = 0; var overAt = -1
+      while (i < pred.length && overAt < 0) {
+        if (!in(i) && pred.regionMatches(true, i, "over", 0, 4) &&
+            (i == 0 || !isIdentChar(pred(i - 1))) &&
+            (i + 4 >= pred.length || !isIdentChar(pred(i + 4)))) overAt = i
+        else i += 1
+      }
+      if (overAt < 0) return (pred, hoisted.toSeq)
+      // spec parens after OVER
+      var j = overAt + 4
+      while (j < pred.length && pred(j).isWhitespace) j += 1
+      require(j < pred.length && pred(j) == '(',
+        "QUALIFY: expected ( after OVER (named windows are unsupported)")
+      var depth = 1; var k = j + 1
+      while (depth > 0 && k < pred.length) {
+        if (!in(k)) {
+          if (pred(k) == '(') depth += 1 else if (pred(k) == ')') depth -= 1
+        }
+        k += 1
+      }
+      require(depth == 0, "QUALIFY: unbalanced OVER specification")
+      val specEnd = k // exclusive
+      // function call before OVER: walk back over ws to ')', match to
+      // its '(' and take the identifier before it
+      var p = overAt - 1
+      while (p >= 0 && pred(p).isWhitespace) p -= 1
+      require(p >= 0 && pred(p) == ')',
+        "QUALIFY: expected fn(...) immediately before OVER")
+      var d3 = 1; var m = p - 1
+      while (d3 > 0 && m >= 0) {
+        if (!in(m)) {
+          if (pred(m) == ')') d3 += 1 else if (pred(m) == '(') d3 -= 1
+        }
+        if (d3 > 0) m -= 1
+      }
+      require(d3 == 0, "QUALIFY: unbalanced window function call")
+      var idStart = m - 1
+      while (idStart >= 0 && isIdentChar(pred(idStart))) idStart -= 1
+      idStart += 1
+      require(idStart < m, "QUALIFY: expected a function name before OVER")
+      val alias = s"__qualify_w${hoisted.size + 1}"
+      hoisted += ((pred.substring(idStart, specEnd), alias))
+      pred = pred.substring(0, idStart) + alias + pred.substring(specEnd)
+    }
+    throw new IllegalArgumentException("QUALIFY window hoisting did not converge")
   }
 
   /** epoch(ts): DuckDB returns DOUBLE seconds INCLUDING the fractional

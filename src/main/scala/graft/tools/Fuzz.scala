@@ -671,16 +671,34 @@ final class SqlFuzzer(seed: Long) {
       s"AND ${basePred(lineitem)} ${orderAll(3)} ${limit()}"
   }
 
+  private def qDialectQualify(): String = {
+    val (t, part, ord, key) = pick(Seq(
+      ("orders", "o_custkey", "o_totalprice", "o_orderkey"),
+      ("lineitem", "l_suppkey", "l_extendedprice", "l_orderkey * 10 + l_linenumber"),
+      ("events", "user_id", "value", "event_id")))
+    val tbl = tables.find(_.name == t).get
+    val n = 1 + rnd.nextInt(3)
+    val dir = pick(Seq("ASC", "DESC"))
+    val win = s"ROW_NUMBER() OVER (PARTITION BY $part ORDER BY $ord $dir, $key)"
+    if (rnd.nextBoolean()) // alias form: predicate names the select-list alias
+      s"SELECT $part AS c1, CAST(($key) AS BIGINT) AS c2, $win AS c3 " +
+        s"FROM $t WHERE ${pred(tbl, 1)} QUALIFY c3 <= $n ${orderAll(3)} ${limit()}"
+    else // inline form: the shim hoists the window into the select list
+      s"SELECT $part AS c1, CAST(($key) AS BIGINT) AS c2 " +
+        s"FROM $t WHERE ${pred(tbl, 1)} QUALIFY $win <= $n ${orderAll(2)} ${limit()}"
+  }
+
   /** DuckDB-dialect suite: run verbatim on DuckDB, through
     * [[graft.engine.DuckDbDialect.rewrite]] on Spark. */
   def dialectQueries(count: Int): Vector[(String, String)] =
     (1 to count).map { i =>
-      val (kind, sql) = rnd.nextInt(6) match {
+      val (kind, sql) = rnd.nextInt(7) match {
         case 0 => ("dsel", qDialectProj())
         case 1 => ("dgrp", qDialectGroup())
         case 2 => ("dtb", qDialectBucket())
         case 3 => ("dlst", qDialectList())
         case 4 => ("drex", qDialectRegex())
+        case 5 => ("dqual", qDialectQualify())
         case _ => ("ddiv", qDialectDivFilter())
       }
       (f"fz_$i%04d_$kind", sql)

@@ -156,4 +156,70 @@ class DuckDbDialectSpec extends AnyFunSuite {
       SqlGateway.run(spark, "```sql\nDROP TABLE data_table\n```")
     }
   }
+
+  // ---- QUALIFY ---------------------------------------------------------
+
+  test("QUALIFY on a select-list alias wraps into a filtered subquery") {
+    Ingest.load(spark, TestSpark.resource("sample_sales_data.csv"))
+      .createOrReplaceTempView("data_table")
+    // top seller per city — the canonical DuckDB QUALIFY idiom
+    val rows = SqlGateway.run(spark,
+      """SELECT customer_city, sales_rep, price * quantity AS amount,
+        |       ROW_NUMBER() OVER (PARTITION BY customer_city
+        |                          ORDER BY price * quantity DESC, id) AS rn
+        |FROM data_table QUALIFY rn = 1 ORDER BY customer_city""".stripMargin).collect()
+    assert(rows.nonEmpty)
+    // one row per city, and it carries rn = 1
+    assert(rows.map(_.getString(0)).distinct.length == rows.length)
+    assert(rows.forall(_.getAs[Int]("rn") == 1))
+  }
+
+  test("QUALIFY with an inline window expression hoists it and drops the synthetic column") {
+    Ingest.load(spark, TestSpark.resource("sample_sales_data.csv"))
+      .createOrReplaceTempView("data_table")
+    val df = SqlGateway.run(spark,
+      """SELECT id, customer_city, price * quantity AS amount
+        |FROM data_table
+        |QUALIFY ROW_NUMBER() OVER (PARTITION BY customer_city
+        |                           ORDER BY price * quantity DESC, id) <= 2
+        |ORDER BY customer_city, amount DESC""".stripMargin)
+    // the synthetic __qualify_w1 column must NOT leak into the schema
+    assert(df.columns.toSeq == Seq("id", "customer_city", "amount"))
+    val rows = df.collect()
+    assert(rows.nonEmpty)
+    val perCity = rows.groupBy(_.getString(1)).values.map(_.length)
+    assert(perCity.forall(_ <= 2))
+  }
+
+  test("QUALIFY equals the explicit subquery spelling") {
+    Ingest.load(spark, TestSpark.resource("sample_sales_data.csv"))
+      .createOrReplaceTempView("data_table")
+    val q = SqlGateway.run(spark,
+      """SELECT sales_rep, SUM(price * quantity) AS total,
+        |       RANK() OVER (ORDER BY SUM(price * quantity) DESC) AS r
+        |FROM data_table GROUP BY sales_rep QUALIFY r <= 3 ORDER BY r""".stripMargin)
+      .collect().toSeq
+    val sub = SqlGateway.run(spark,
+      """SELECT * FROM (
+        |  SELECT sales_rep, SUM(price * quantity) AS total,
+        |         RANK() OVER (ORDER BY SUM(price * quantity) DESC) AS r
+        |  FROM data_table GROUP BY sales_rep) WHERE r <= 3 ORDER BY r""".stripMargin)
+      .collect().toSeq
+    assert(q == sub && q.nonEmpty)
+  }
+
+  test("QUALIFY in a subquery or before a set op fails loudly") {
+    val e1 = intercept[IllegalArgumentException] {
+      DuckDbDialect.rewrite(
+        "SELECT * FROM (SELECT a, ROW_NUMBER() OVER (ORDER BY a) AS rn FROM t QUALIFY rn = 1)")
+    }
+    assert(e1.getMessage.contains("subquery"))
+    val e2 = intercept[IllegalArgumentException] {
+      DuckDbDialect.rewrite(
+        "SELECT a, rn FROM t QUALIFY rn = 1 UNION ALL SELECT a, 1 FROM u")
+    }
+    assert(e2.getMessage.contains("set operation"))
+    // the word inside a string literal is untouched
+    assert(DuckDbDialect.rewrite("SELECT 'qualify' AS w") == "SELECT 'qualify' AS w")
+  }
 }
