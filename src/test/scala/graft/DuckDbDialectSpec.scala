@@ -157,6 +157,15 @@ class DuckDbDialectSpec extends AnyFunSuite {
     }
   }
 
+  test("GROUP BY ALL and ORDER BY ALL are native Spark — no shim needed") {
+    Ingest.load(spark, TestSpark.resource("sample_sales_data.csv"))
+      .createOrReplaceTempView("data_table")
+    val g = SqlGateway.run(spark,
+      "SELECT sales_rep, CAST(COUNT(*) AS BIGINT) AS n FROM data_table " +
+        "GROUP BY ALL ORDER BY ALL").collect()
+    assert(g.nonEmpty && g.map(_.getString(0)).toSeq == g.map(_.getString(0)).toSeq.sorted)
+  }
+
   // ---- QUALIFY ---------------------------------------------------------
 
   test("QUALIFY on a select-list alias wraps into a filtered subquery") {
