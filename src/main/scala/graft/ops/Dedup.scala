@@ -908,6 +908,85 @@ object Dedup {
         |  WHERE ROUND(list_dot_product(va.v, vb.v) / (va.nv * vb.nv), 6) >= 0.3)
         |SELECT DISTINCT drop_id FROM p ORDER BY drop_id""".stripMargin) { (s, d) =>
       semanticDedup(s, d, 8, 0.3)
+    },
+
+    // Incremental SEMANTIC admission — the continuous-ingestion twin of
+    // q_dedup_semantic (as q_dedup_incremental is for hash dedup): the
+    // corpus (vec_id % 10 <> 7) fits the cells once; each arriving
+    // batch (vec_id % 10 = 7) is assigned to its cell and compared only
+    // against that cell's corpus members — admit, or dup_of_corpus with
+    // the lowest matching corpus id. At 100 TB the corpus-side fit is
+    // amortized across batches and the per-batch cost is
+    // batch×k assignment dots + per-cell member comparisons.
+    OpQuery("q_dedup_semantic_admit",
+      """WITH v0 AS (
+        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings),
+        |vn AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nv FROM v0),
+        |corpus AS (SELECT * FROM vn WHERE vec_id % 10 <> 7),
+        |batch  AS (SELECT * FROM vn WHERE vec_id % 10 = 7),
+        |c0 AS (SELECT vec_id AS cid, v AS c FROM corpus WHERE vec_id < 9),
+        |a1 AS (
+        |  SELECT vec_id, cid, ROW_NUMBER() OVER (
+        |           PARTITION BY vec_id
+        |           ORDER BY list_dot_product(v, c)
+        |                    / (nv * sqrt(list_dot_product(c, c))) DESC,
+        |                    cid ASC) AS rn
+        |  FROM corpus CROSS JOIN c0),
+        |m1 AS (SELECT vec_id, cid FROM a1 WHERE rn = 1),
+        |mv AS (SELECT m1.cid, corpus.v FROM m1 JOIN corpus ON m1.vec_id = corpus.vec_id),
+        |cd AS (
+        |  SELECT cid, u.i AS i,
+        |         ROUND(AVG(list_extract(v, CAST(u.i AS INT))), 6) AS m
+        |  FROM mv, UNNEST(range(1, 65)) AS u(i)
+        |  GROUP BY cid, u.i),
+        |c1 AS (SELECT cid, list(m ORDER BY i) AS c FROM cd GROUP BY cid),
+        |ac AS (
+        |  SELECT vec_id, cid, ROW_NUMBER() OVER (
+        |           PARTITION BY vec_id
+        |           ORDER BY list_dot_product(v, c)
+        |                    / (nv * sqrt(list_dot_product(c, c))) DESC,
+        |                    cid ASC) AS rn
+        |  FROM corpus CROSS JOIN c1),
+        |mc AS (SELECT vec_id, cid FROM ac WHERE rn = 1),
+        |ab AS (
+        |  SELECT vec_id, cid, ROW_NUMBER() OVER (
+        |           PARTITION BY vec_id
+        |           ORDER BY list_dot_product(v, c)
+        |                    / (nv * sqrt(list_dot_product(c, c))) DESC,
+        |                    cid ASC) AS rn
+        |  FROM batch CROSS JOIN c1),
+        |mb AS (SELECT vec_id, cid FROM ab WHERE rn = 1),
+        |dup AS (
+        |  SELECT mb.vec_id AS vec_id, MIN(mc.vec_id) AS dup_of
+        |  FROM mb JOIN mc ON mb.cid = mc.cid
+        |  JOIN vn vb ON vb.vec_id = mb.vec_id
+        |  JOIN vn va ON va.vec_id = mc.vec_id
+        |  WHERE ROUND(list_dot_product(va.v, vb.v) / (va.nv * vb.nv), 6) >= 0.3
+        |  GROUP BY mb.vec_id)
+        |SELECT b.vec_id,
+        |       CASE WHEN dup.dup_of IS NOT NULL THEN 'dup_of_corpus'
+        |            ELSE 'admit' END AS decision,
+        |       CAST(dup.dup_of AS BIGINT) AS dup_of
+        |FROM batch b LEFT JOIN dup ON b.vec_id = dup.vec_id
+        |ORDER BY b.vec_id""".stripMargin) { (s, d) =>
+      val vn = normedVectors(s, d)
+      val corpus = vn.filter(pmod(col("vec_id"), lit(10)) =!= 7)
+      val batch = vn.filter(pmod(col("vec_id"), lit(10)) === 7)
+      val c0 = corpus.filter(col("vec_id") < 9)
+        .select(col("vec_id").as("cid"), col("v").as("c"))
+      val c1 = refineCentroids(assignBrute(corpus, c0))
+      val mc = assignBrute(corpus, c1)
+        .select(col("cid"), col("vec_id").as("cvid"), col("v").as("cv"), col("nv").as("cn"))
+      val mb = assignBrute(batch, c1)
+      val dup = mb.join(mc, Seq("cid"))
+        .filter(round(VectorOps.dot(col("v"), col("cv")) / (col("nv") * col("cn")), 6) >= 0.3)
+        .groupBy("vec_id").agg(min(col("cvid")).as("dup_of"))
+      batch.select("vec_id").join(dup, Seq("vec_id"), "left")
+        .select(col("vec_id"),
+          when(col("dup_of").isNotNull, "dup_of_corpus").otherwise("admit").as("decision"),
+          col("dup_of"))
+        .orderBy("vec_id")
     }
   )
 
@@ -925,71 +1004,82 @@ object Dedup {
     * exactly brute force (spec-pinned). q_dedup_semantic is the k=8,
     * tau=0.3 brute-force oracle instance; [[graft.tools.ScaleProbeNew]]
     * ladders both paths with k scaled to the corpus. */
+  /** Embeddings as (vec_id, v: array<double>, nv: norm). */
+  private def normedVectors(s: SparkSession, d: String): DataFrame =
+    embeddings(s, d).select(col("vec_id"),
+      expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
+      .withColumn("nv", sqrt(VectorOps.dot(col("v"), col("v"))))
+
+  /** Nearest centroid by cosine, ties to the lowest cid. max_by over
+    * (cos, -cid) is a map-side-combinable aggregate — the oracle's
+    * ROW_NUMBER()=1 formulation without the N×K window sort. The
+    * vector and its norm ride along (first() is well-defined: every
+    * row of a vec_id group carries the identical v/nv), so the
+    * centroid recompute and the pair join need NO re-join back to
+    * the vector table — one N-row shuffle per assign, total, which
+    * is the shape that matters when N is the corpus. */
+  private def assignBrute(vn: DataFrame, cent: DataFrame): DataFrame = {
+    val cc = cent.withColumn("nc", sqrt(VectorOps.dot(col("c"), col("c"))))
+    vn.crossJoin(broadcast(cc))
+      .withColumn("cos", VectorOps.dot(col("v"), col("c")) / (col("nv") * col("nc")))
+      .groupBy("vec_id")
+      .agg(max_by(col("cid"), struct(col("cos"), -col("cid"))).as("cid"),
+           first(col("v")).as("v"), first(col("nv")).as("nv"))
+  }
+
+  /** Two-level: centroids grouped by cid % g; super-centroid = rounded
+    * per-dimension mean of its group's centroids (deterministic — the
+    * same 6-dp convention as the Lloyd means). Stage 1 picks the
+    * nearest super-centroid (N×g dots, g-row broadcast); stage 2
+    * compares only that group's centroids (N×(k/g) dots, k-row
+    * broadcast joined on the chosen gid). */
+  private def assignCoarse(vn: DataFrame, cent: DataFrame, g: Int): DataFrame = {
+    val grouped = cent.withColumn("gid", pmod(col("cid"), lit(g)))
+    val supers = grouped
+      .select(col("gid"), posexplode(col("c")).as(Seq("p", "x")))
+      .groupBy("gid", "p").agg(round(avg("x"), 6).as("m"))
+      .groupBy("gid")
+      .agg(array_sort(collect_list(struct(col("p"), col("m")))).as("dm"))
+      .select(col("gid"), expr("transform(dm, y -> y.m)").as("sc"))
+      .withColumn("nsc", sqrt(VectorOps.dot(col("sc"), col("sc"))))
+    val stage1 = vn.crossJoin(broadcast(supers))
+      .withColumn("cos", VectorOps.dot(col("v"), col("sc")) / (col("nv") * col("nsc")))
+      .groupBy("vec_id")
+      .agg(max_by(col("gid"), struct(col("cos"), -col("gid"))).as("gid"),
+           first(col("v")).as("v"), first(col("nv")).as("nv"))
+    val cc = grouped.withColumn("nc", sqrt(VectorOps.dot(col("c"), col("c"))))
+    stage1.join(broadcast(cc), Seq("gid"))
+      .withColumn("cos", VectorOps.dot(col("v"), col("c")) / (col("nv") * col("nc")))
+      .groupBy("vec_id")
+      .agg(max_by(col("cid"), struct(col("cos"), -col("cid"))).as("cid"),
+           first(col("v")).as("v"), first(col("nv")).as("nv"))
+  }
+
+  /** One Lloyd refinement: per-(cell, dimension) mean of the members,
+    * rounded to 6 dp (engine-identical), reassembled into arrays. */
+  private def refineCentroids(members: DataFrame): DataFrame =
+    members
+      .select(col("cid"), posexplode(col("v")).as(Seq("p", "x")))
+      .groupBy("cid", "p")
+      .agg(round(avg("x"), 6).as("m"))
+      .groupBy("cid")
+      .agg(array_sort(collect_list(struct(col("p"), col("m")))).as("dm"))
+      .select(col("cid"), expr("transform(dm, y -> y.m)").as("c"))
+
   private[graft] def semanticDedup(s: SparkSession, d: String, k: Int,
       tau: Double, coarseGroups: Option[Int] = None): DataFrame = {
-    val v0 = embeddings(s, d).select(col("vec_id"),
-      expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
-    val vn = v0.withColumn("nv", sqrt(VectorOps.dot(col("v"), col("v"))))
-    val c0 = v0.filter(col("vec_id") < k)
+    val vn = normedVectors(s, d)
+    val c0 = vn.filter(col("vec_id") < k)
       .select(col("vec_id").as("cid"), col("v").as("c"))
-    // Nearest centroid by cosine, ties to the lowest cid. max_by over
-    // (cos, -cid) is a map-side-combinable aggregate — the oracle's
-    // ROW_NUMBER()=1 formulation without the N×K window sort. The
-    // vector and its norm ride along (first() is well-defined: every
-    // row of a vec_id group carries the identical v/nv), so the
-    // centroid recompute and the pair join need NO re-join back to
-    // the vector table — one N-row shuffle per assign, total, which
-    // is the shape that matters when N is the corpus.
-    def assignBrute(cent: DataFrame) = {
-      val cc = cent.withColumn("nc", sqrt(VectorOps.dot(col("c"), col("c"))))
-      vn.crossJoin(broadcast(cc))
-        .withColumn("cos", VectorOps.dot(col("v"), col("c")) / (col("nv") * col("nc")))
-        .groupBy("vec_id")
-        .agg(max_by(col("cid"), struct(col("cos"), -col("cid"))).as("cid"),
-             first(col("v")).as("v"), first(col("nv")).as("nv"))
-    }
-    // Two-level: centroids grouped by cid % g; super-centroid = rounded
-    // per-dimension mean of its group's centroids (deterministic — the
-    // same 6-dp convention as the Lloyd means). Stage 1 picks the
-    // nearest super-centroid (N×g dots, g-row broadcast); stage 2
-    // compares only that group's centroids (N×(k/g) dots, k-row
-    // broadcast joined on the chosen gid).
-    def assignCoarse(cent: DataFrame, g: Int) = {
-      val grouped = cent.withColumn("gid", pmod(col("cid"), lit(g)))
-      val supers = grouped
-        .select(col("gid"), posexplode(col("c")).as(Seq("p", "x")))
-        .groupBy("gid", "p").agg(round(avg("x"), 6).as("m"))
-        .groupBy("gid")
-        .agg(array_sort(collect_list(struct(col("p"), col("m")))).as("dm"))
-        .select(col("gid"), expr("transform(dm, y -> y.m)").as("sc"))
-        .withColumn("nsc", sqrt(VectorOps.dot(col("sc"), col("sc"))))
-      val stage1 = vn.crossJoin(broadcast(supers))
-        .withColumn("cos", VectorOps.dot(col("v"), col("sc")) / (col("nv") * col("nsc")))
-        .groupBy("vec_id")
-        .agg(max_by(col("gid"), struct(col("cos"), -col("gid"))).as("gid"),
-             first(col("v")).as("v"), first(col("nv")).as("nv"))
-      val cc = grouped.withColumn("nc", sqrt(VectorOps.dot(col("c"), col("c"))))
-      stage1.join(broadcast(cc), Seq("gid"))
-        .withColumn("cos", VectorOps.dot(col("v"), col("c")) / (col("nv") * col("nc")))
-        .groupBy("vec_id")
-        .agg(max_by(col("cid"), struct(col("cos"), -col("cid"))).as("cid"),
-             first(col("v")).as("v"), first(col("nv")).as("nv"))
-    }
     def assign(cent: DataFrame) = coarseGroups match {
       // g=1 degenerates to brute force THROUGH the coarse path (one
       // super-group → stage 2 compares every centroid) — kept routable
       // so the equivalence is spec-checkable, not just by-construction.
-      case Some(g) if g >= 1 && g < k => assignCoarse(cent, g)
-      case _                          => assignBrute(cent)
+      case Some(g) if g >= 1 && g < k => assignCoarse(vn, cent, g)
+      case _                          => assignBrute(vn, cent)
     }
     val m1 = assign(c0)
-    val cd = m1
-      .select(col("cid"), posexplode(col("v")).as(Seq("p", "x")))
-      .groupBy("cid", "p")
-      .agg(round(avg("x"), 6).as("m"))
-    val c1 = cd.groupBy("cid")
-      .agg(array_sort(collect_list(struct(col("p"), col("m")))).as("dm"))
-      .select(col("cid"), expr("transform(dm, y -> y.m)").as("c"))
+    val c1 = refineCentroids(m1)
     val m2 = assign(c1)
     val a = m2.select(col("cid"), col("vec_id").as("ida"), col("v").as("va"), col("nv").as("na"))
     val b = m2.select(col("cid"), col("vec_id").as("idb"), col("v").as("vb"), col("nv").as("nb"))

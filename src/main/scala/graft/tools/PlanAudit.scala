@@ -175,6 +175,10 @@ object PlanAudit {
       // stop-shingle) and the MinHash candidate-doc/pair restrictions
       // are merge-hinted semi joins (corpus-dependent sizes, so neither
       // broadcast nor a hash build is safe for them)
+      "q_dedup_semantic_admit" -> 4, // 8-row centroid tables (K fixed): seed +
+                                     // refined sets, each duplicated because
+                                     // corpus AND batch assignment reuse the
+                                     // refined-centroid subtree
       "q_dedup_semantic" -> 4,      // 8-row centroid tables (K fixed by the
                                     // operator): 2 assign passes × 2 because the
                                     // within-cluster self-join duplicates the
