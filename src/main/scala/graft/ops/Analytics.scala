@@ -194,6 +194,51 @@ object Analytics {
         .agg(countDistinct(col("user_id")).as("converted_users"))
     },
 
+    // TPC-H Q20 shape (adapted — no partsupp table in the testdata):
+    // suppliers who DOMINATE a part's 1996 shipments (their shipped
+    // quantity exceeds 30% of the part's total), restricted to one
+    // nation and a part-name pattern — the nested agg-vs-agg
+    // comparison + dim-filtered semi-reduction that stresses subquery
+    // decorrelation. Both aggregations share one filtered lineitem
+    // pass shape; quantities are integral-valued doubles, so the sums
+    // and the 0.3× comparison are exact on both engines.
+    OpQuery("q_tpch_q20_shape",
+      """WITH sq AS (
+        |  SELECT l_partkey, l_suppkey, SUM(l_quantity) AS sup_qty
+        |  FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+        |  GROUP BY l_partkey, l_suppkey),
+        |tq AS (
+        |  SELECT l_partkey, SUM(l_quantity) AS tot_qty
+        |  FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+        |  GROUP BY l_partkey)
+        |SELECT s.s_name, CAST(COUNT(*) AS BIGINT) AS n_dominant_parts
+        |FROM sq JOIN tq ON sq.l_partkey = tq.l_partkey
+        |JOIN part p ON p.p_partkey = sq.l_partkey AND p.p_name LIKE '%red%'
+        |JOIN supplier s ON s.s_suppkey = sq.l_suppkey
+        |JOIN nation n ON n.n_nationkey = s.s_nationkey AND n.n_name = 'NATION_3'
+        |WHERE sq.sup_qty > 0.3 * tq.tot_qty
+        |GROUP BY s.s_name ORDER BY s.s_name""".stripMargin) { (s, d) =>
+      val li = lineitem(s, d)
+        .filter(col("l_shipdate") >= to_timestamp(lit("1996-01-01")) &&
+                col("l_shipdate") < to_timestamp(lit("1997-01-01")))
+      val sq = li.groupBy("l_partkey", "l_suppkey")
+        .agg(sum(col("l_quantity")).as("sup_qty"))
+      val tq = li.groupBy("l_partkey")
+        .agg(sum(col("l_quantity")).as("tot_qty"))
+      sq.join(tq, "l_partkey")
+        .filter(col("sup_qty") > lit(0.3) * col("tot_qty"))
+        .join(part(s, d).filter(col("p_name").like("%red%")),
+          col("l_partkey") === col("p_partkey"))
+        .join(supplier(s, d), col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(nation(s, d).filter(col("n_name") === "NATION_3")),
+          col("s_nationkey") === col("n_nationkey"))
+        .groupBy("s_name")
+        .agg(count(lit(1)).as("n_dominant_parts"))
+        .orderBy("s_name")
+    },
+
     // Cohort retention: users grouped by first-seen day, with day-1 and
     // day-7 return rates — the classic product-analytics composite.
     // Days are integer indexes from a fixed epoch (both engines compute

@@ -194,6 +194,7 @@ object PlanAudit {
       "q_subquery_scalar" -> 1,     // 1-row scalar average
       "q_subquery_select" -> 1,     // 1-row scalar total
       "q_tpch_q10_shape" -> 1,      // nation: fixed 25 rows
+      "q_tpch_q20_shape" -> 1,      // one-nation dim: fixed ≤25 rows at every SF
       "q_window_ntile" -> 1,        // O(value buckets) offset table
       "q_window_range_frame" -> 1)  // O(value buckets) offset table
     var sweepBad = List.empty[String]
