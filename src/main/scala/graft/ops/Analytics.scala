@@ -194,6 +194,41 @@ object Analytics {
         .agg(countDistinct(col("user_id")).as("converted_users"))
     },
 
+    // Gaps-and-islands: longest consecutive-active-day streak per user.
+    // The classic di - ROW_NUMBER() island key: consecutive day indexes
+    // share a constant difference, so one distinct pass + one window +
+    // two aggregations produce per-user max streaks. All-integer
+    // arithmetic — bit-identical across engines.
+    OpQuery("q_events_streaks",
+      """WITH ud AS (
+        |  SELECT DISTINCT user_id,
+        |         datediff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS di
+        |  FROM events),
+        |isl AS (
+        |  SELECT user_id, di,
+        |         di - ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY di) AS grp
+        |  FROM ud),
+        |st AS (
+        |  SELECT user_id, CAST(COUNT(*) AS BIGINT) AS len
+        |  FROM isl GROUP BY user_id, grp)
+        |SELECT user_id, MAX(len) AS max_streak,
+        |       CAST(COUNT(*) AS BIGINT) AS n_streaks
+        |FROM st GROUP BY user_id ORDER BY user_id""".stripMargin) { (s, d) =>
+      val ud = events(s, d)
+        .select(col("user_id"),
+          datediff(col("ts").cast("date"), lit("2024-01-01").cast("date"))
+            .cast("long").as("di"))
+        .distinct()
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy("di")
+      val st = ud.withColumn("grp", col("di") - row_number().over(w))
+        .groupBy("user_id", "grp")
+        .agg(count(lit(1)).as("len"))
+      st.groupBy("user_id")
+        .agg(max(col("len")).as("max_streak"), count(lit(1)).as("n_streaks"))
+        .orderBy("user_id")
+    },
+
     // TPC-H Q20 shape (adapted — no partsupp table in the testdata):
     // suppliers who DOMINATE a part's 1996 shipments (their shipped
     // quantity exceeds 30% of the part's total), restricted to one

@@ -223,6 +223,50 @@ object TextOps {
         .agg(round(-sum(p * log2(p)), 6).as("tok_entropy"),
              round(max(col("v")).cast("double") / max(col("n")), 6).as("type_token_ratio"))
         .orderBy("doc_id")
+    },
+
+    // Per-document TF-IDF top terms: tf × ln(N/df), top-3 per doc.
+    // Ranking happens on the 6-dp ROUNDED score (ties then break on the
+    // term string), so a last-ulp ln() difference between the engines'
+    // libm can never flip the ranking — the determinism convention for
+    // float-ordered output. Shape at scale: token histogram (one
+    // shuffle), df aggregation over distinct (doc, term) (map-side
+    // combinable), a join on term, then a per-doc top-3 window over the
+    // doc's own term list.
+    OpQuery("q_text_tfidf",
+      """WITH tf AS (
+        |  SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS tf
+        |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)
+        |  GROUP BY doc_id, tok),
+        |df AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY tok),
+        |n AS (SELECT CAST(COUNT(DISTINCT doc_id) AS DOUBLE) AS n FROM tf),
+        |scored AS (
+        |  SELECT tf.doc_id, tf.tok,
+        |         ROUND(tf.tf * ln(n.n / df.df), 6) AS score
+        |  FROM tf JOIN df ON tf.tok = df.tok CROSS JOIN n),
+        |ranked AS (
+        |  SELECT doc_id, tok, score,
+        |         ROW_NUMBER() OVER (PARTITION BY doc_id
+        |                            ORDER BY score DESC, tok ASC) AS rn
+        |  FROM scored)
+        |SELECT doc_id, tok AS term, score, CAST(rn AS BIGINT) AS rn
+        |FROM ranked WHERE rn <= 3 ORDER BY doc_id, rn""".stripMargin) { (s, d) =>
+      val tf = documents(s, d)
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(count(lit(1)).as("tf"))
+      val df = tf.groupBy("tok").agg(count(lit(1)).as("df"))
+      val n = tf.agg(countDistinct(col("doc_id")).cast("double").as("n"))
+      val scored = tf.join(df, "tok").crossJoin(broadcast(n))
+        .select(col("doc_id"), col("tok"),
+          round(col("tf") * log(col("n") / col("df")), 6).as("score"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("doc_id").orderBy(col("score").desc, col("tok").asc)
+      scored.withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3)
+        .select(col("doc_id"), col("tok").as("term"), col("score"),
+                col("rn").cast("long").as("rn"))
+        .orderBy("doc_id", "rn")
     }
   )
 }
