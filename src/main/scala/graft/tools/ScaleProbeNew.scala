@@ -34,7 +34,8 @@ import org.apache.spark.sql.functions._
 object ScaleProbeNew {
 
   private val Named = Seq("q_text_entropy", "q_dedup_prefix",
-    "q_agg_entropy", "q_agg_histogram")
+    "q_agg_entropy", "q_agg_histogram",
+    "q_text_tfidf", "q_events_streaks", "q_events_retention")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
@@ -45,9 +46,13 @@ object ScaleProbeNew {
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
     val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
     val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    // via Tables.events so both ts parquet generations normalize to µs
+    val ev = graft.ops.Tables.events(spark, sfDir)
     val docOff = docs.agg(max(col("doc_id"))).head().getLong(0) + 1
     val liOff = li.agg(max(col("l_orderkey"))).head().getLong(0) + 1
     val vecOff = emb.agg(max(col("vec_id"))).head().getLong(0) + 1
+    val evOff = ev.agg(max(col("event_id"))).head().getLong(0) + 1
+    val userOff = ev.agg(max(col("user_id"))).head().getLong(0) + 1
 
     def docReplica(r: Int): DataFrame =
       docs.select(
@@ -57,6 +62,11 @@ object ScaleProbeNew {
         col("lang"), col("source"), col("n_chars"))
     def liReplica(r: Int): DataFrame =
       li.withColumn("l_orderkey", col("l_orderkey") + lit(r * liOff))
+    // per-replica NEW users (id offset): per-user day structure is
+    // preserved, user count grows K× — streak/retention work linear
+    def evReplica(r: Int): DataFrame =
+      ev.withColumn("event_id", col("event_id") + lit(r * evOff))
+        .withColumn("user_id", col("user_id") + lit(r * userOff))
     def embReplica(r: Int): DataFrame = {
       val shift = (r * 7) % 64
       emb.select(
@@ -75,6 +85,8 @@ object ScaleProbeNew {
         .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
       (0 until k).map(embReplica).reduce(_ unionAll _)
         .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+      (0 until k).map(evReplica).reduce(_ unionAll _)
+        .write.mode("overwrite").parquet(s"$dir/events.parquet")
     }
 
     def time(label: String, df: => DataFrame): Double = {
