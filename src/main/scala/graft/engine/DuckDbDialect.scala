@@ -113,12 +113,22 @@ object DuckDbDialect {
         (i + w.length >= sql.length || !isIdentChar(sql(i + w.length)))
     var depth = 0
     var q = -1
+    var setOp = false
     var i = 0
     while (i < sql.length) {
       val c = sql(i)
       if (!in(i)) {
         if (c == '(') depth += 1
         else if (c == ')') depth -= 1
+        else if (depth == 0 &&
+                 (wordAt(i, "union") || wordAt(i, "intersect") ||
+                  // EXCEPT is also Spark's star-exclusion (`* EXCEPT (c)`);
+                  // only the set operation (not preceded by `*`) counts
+                  (wordAt(i, "except") && {
+                    var p = i - 1
+                    while (p >= 0 && sql(p).isWhitespace) p -= 1
+                    p < 0 || sql(p) != '*'
+                  }))) setOp = true
         else if (wordAt(i, "qualify")) {
           if (depth > 0) throw new IllegalArgumentException(
             "QUALIFY inside a subquery is outside the shim's bounded support " +
@@ -131,6 +141,12 @@ object DuckDbDialect {
       i += 1
     }
     if (q < 0) return sql
+    // A set operation ANYWHERE at top level changes what QUALIFY binds
+    // to (DuckDB applies it to the last SELECT branch only; wrapping the
+    // whole compound would filter every branch — silently wrong rows).
+    if (setOp) throw new IllegalArgumentException(
+      "QUALIFY combined with a top-level set operation is outside the " +
+        "shim's bounded support — parenthesize the QUALIFY branch")
     val head = sql.substring(0, q).trim
     val rest = sql.substring(q + "qualify".length)
     // split the tail: the earliest top-level ORDER BY / LIMIT / OFFSET
@@ -145,13 +161,9 @@ object DuckDbDialect {
       if (!restIn(j)) {
         if (c == '(') d2 += 1
         else if (c == ')') d2 -= 1
-        else if (d2 == 0) {
-          if (restWord(j, "order") || restWord(j, "limit") || restWord(j, "offset"))
-            tailAt = j
-          else if (restWord(j, "union") || restWord(j, "intersect") || restWord(j, "except"))
-            throw new IllegalArgumentException(
-              "QUALIFY followed by a set operation is outside the shim's bounded support")
-        }
+        else if (d2 == 0 &&
+                 (restWord(j, "order") || restWord(j, "limit") || restWord(j, "offset")))
+          tailAt = j
       }
       j += 1
     }
@@ -162,26 +174,35 @@ object DuckDbDialect {
     if (hoisted.isEmpty)
       s"SELECT * FROM ( $head ) __qualify WHERE $pred$tail"
     else {
-      if ("(?is)^\\s*select\\s+distinct\\b".r.findFirstIn(head).isDefined)
-        throw new IllegalArgumentException(
-          "QUALIFY with an inline window over SELECT DISTINCT is outside the " +
-            "shim's bounded support — alias the window in the select list instead")
-      // append the synthetic columns to the HEAD's select list (before
-      // its top-level FROM) so the windows see the head's FROM relation
+      // Locate the head's MAIN select (the LAST top-level SELECT — a
+      // WITH-prefixed head keeps its CTE bodies inside parens) and its
+      // FROM, so the DISTINCT guard and the synthetic-column insertion
+      // both anchor to the right block even under CTEs.
       val headIn = inString(head)
-      var hd = 0; var fromAt = -1; var h = 0
-      while (h < head.length && fromAt < 0) {
+      var hd = 0; var fromAt = -1; var selAt = -1; var h = 0
+      def headWord(i: Int, w: String): Boolean =
+        !headIn(i) && head.regionMatches(true, i, w, 0, w.length) &&
+          (i == 0 || !isIdentChar(head(i - 1))) &&
+          (i + w.length >= head.length || !isIdentChar(head(i + w.length)))
+      while (h < head.length) {
         val c = head(h)
         if (!headIn(h)) {
           if (c == '(') hd += 1
           else if (c == ')') hd -= 1
-          else if (hd == 0 && head.regionMatches(true, h, "from", 0, 4) &&
-                   (h == 0 || !isIdentChar(head(h - 1))) &&
-                   (h + 4 >= head.length || !isIdentChar(head(h + 4)))) fromAt = h
+          else if (hd == 0) {
+            if (headWord(h, "select")) { selAt = h; fromAt = -1 }
+            else if (fromAt < 0 && headWord(h, "from")) fromAt = h
+          }
         }
         h += 1
       }
-      require(fromAt > 0, "QUALIFY: could not locate the head query's FROM clause")
+      require(selAt >= 0 && fromAt > selAt,
+        "QUALIFY: could not locate the head query's SELECT ... FROM block")
+      if ("(?is)^select\\s+distinct\\b".r
+            .findFirstIn(head.substring(selAt)).isDefined)
+        throw new IllegalArgumentException(
+          "QUALIFY with an inline window over SELECT DISTINCT is outside the " +
+            "shim's bounded support — alias the window in the select list instead")
       val synth = hoisted.map { case (expr, alias) => s"$expr AS $alias" }.mkString(", ")
       val headWithSynth =
         head.substring(0, fromAt) + s", $synth " + head.substring(fromAt)

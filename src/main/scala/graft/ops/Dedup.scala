@@ -661,10 +661,16 @@ object Dedup {
           expr("substring(b_text, 1, a_len) = a_text") &&
           (col("a_len") < col("b_len") || col("a_id") > col("b_id")))
         .select(col("a_id").as("drop_id"))
+      // len >= 1 guard: Spark's sequence(1, 0) is the DESCENDING [1, 0]
+      // (step defaults to -1 when start > stop), which would fabricate
+      // empty-string prefixes from an empty-text container — the oracle's
+      // range(1, 1) is empty, so an unguarded transform would diverge.
       val shortPrefixes = b
         .select(col("doc_id").as("b_id"), col("len").as("b_len"),
           explode(expr(
-            "transform(sequence(1, least(23, len)), i -> substring(text, 1, i))"))
+            """CASE WHEN len >= 1
+              |     THEN transform(sequence(1, least(23, len)), i -> substring(text, 1, i))
+              |     ELSE array() END""".stripMargin))
             .as("p"))
       val shortDrops = a.filter(col("a_len") < 24)
         .join(shortPrefixes, col("a_text") === col("p"))
@@ -990,20 +996,6 @@ object Dedup {
     }
   )
 
-  /** SemDeDup-style semantic dedup, parameterized: `k` cluster seeds
-    * (the lowest `k` vec_ids), cosine threshold `tau`. The number of
-    * cells is the operator's scale knob — hold cluster SIZE roughly
-    * constant by growing `k` with the corpus. Assignment cost is the
-    * IVF trade: brute force is N×k dot products; `coarseGroups = Some(g)`
-    * switches to a two-level coarse/fine assignment (nearest of g
-    * super-centroids, then nearest centroid within that group only) —
-    * N×(g + k/g) dots, minimized at g≈√k. The two-level path is an
-    * APPROXIMATION of exact nearest-centroid (a vector near a group
-    * boundary can land in the neighboring cell), which is fine for a
-    * dedup blocker; the degenerate g=1 and g=k configurations are
-    * exactly brute force (spec-pinned). q_dedup_semantic is the k=8,
-    * tau=0.3 brute-force oracle instance; [[graft.tools.ScaleProbeNew]]
-    * ladders both paths with k scaled to the corpus. */
   /** Embeddings as (vec_id, v: array<double>, nv: norm). */
   private def normedVectors(s: SparkSession, d: String): DataFrame =
     embeddings(s, d).select(col("vec_id"),
@@ -1035,12 +1027,12 @@ object Dedup {
     * broadcast joined on the chosen gid). */
   private def assignCoarse(vn: DataFrame, cent: DataFrame, g: Int): DataFrame = {
     val grouped = cent.withColumn("gid", pmod(col("cid"), lit(g)))
-    val supers = grouped
-      .select(col("gid"), posexplode(col("c")).as(Seq("p", "x")))
-      .groupBy("gid", "p").agg(round(avg("x"), 6).as("m"))
-      .groupBy("gid")
-      .agg(array_sort(collect_list(struct(col("p"), col("m")))).as("dm"))
-      .select(col("gid"), expr("transform(dm, y -> y.m)").as("sc"))
+    // super-centroids ARE refineCentroids applied to the grouped
+    // centroids (one shared 6-dp deterministic-mean implementation — a
+    // convention drift here would break the spec-pinned g=1 ≡ brute)
+    val supers = refineCentroids(
+        grouped.select(col("gid").as("cid"), col("c").as("v")))
+      .select(col("cid").as("gid"), col("c").as("sc"))
       .withColumn("nsc", sqrt(VectorOps.dot(col("sc"), col("sc"))))
     val stage1 = vn.crossJoin(broadcast(supers))
       .withColumn("cos", VectorOps.dot(col("v"), col("sc")) / (col("nv") * col("nsc")))
@@ -1066,6 +1058,20 @@ object Dedup {
       .agg(array_sort(collect_list(struct(col("p"), col("m")))).as("dm"))
       .select(col("cid"), expr("transform(dm, y -> y.m)").as("c"))
 
+  /** SemDeDup-style semantic dedup, parameterized: `k` cluster seeds
+    * (the lowest `k` vec_ids), cosine threshold `tau`. The number of
+    * cells is the operator's scale knob — hold cluster SIZE roughly
+    * constant by growing `k` with the corpus. Assignment cost is the
+    * IVF trade: brute force is N×k dot products; `coarseGroups = Some(g)`
+    * switches to a two-level coarse/fine assignment (nearest of g
+    * super-centroids, then nearest centroid within that group only) —
+    * N×(g + k/g) dots, minimized at g≈√k. The two-level path is an
+    * APPROXIMATION of exact nearest-centroid (a vector near a group
+    * boundary can land in the neighboring cell), which is fine for a
+    * dedup blocker; the degenerate g=1 configuration is exactly brute
+    * force (spec-pinned). q_dedup_semantic is the k=8, tau=0.3
+    * brute-force oracle instance; [[graft.tools.ScaleProbeNew]] ladders
+    * both paths with k scaled to the corpus. */
   private[graft] def semanticDedup(s: SparkSession, d: String, k: Int,
       tau: Double, coarseGroups: Option[Int] = None): DataFrame = {
     val vn = normedVectors(s, d)

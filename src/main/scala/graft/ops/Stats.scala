@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -34,6 +34,20 @@ import Tables._
   */
 object Stats {
 
+  /** Shannon-entropy reduction over a value histogram `h` with columns
+    * (`g`, "c"): returns one row per `g` with `entropy` (bits, rounded
+    * to the 6-dp float-agg convention), `v` (distinct values) and `n`
+    * (total count). The ONE shared implementation behind q_agg_entropy
+    * and q_text_entropy — the convention lives here, not in copies. */
+  private[graft] def histogramEntropy(h: DataFrame, g: String): DataFrame = {
+    val n = h.groupBy(g).agg(sum("c").as("n"), count(lit(1)).as("v"))
+    val p = col("c").cast("double") / col("n")
+    h.join(n, g)
+      .groupBy(g)
+      .agg(round(-sum(p * log2(p)), 6).as("entropy"),
+           max(col("v")).as("v"), max(col("n")).as("n"))
+  }
+
   val queries: Seq[OpQuery] = Seq(
 
     // Shannon entropy (bits) of the per-group value distribution, plus
@@ -49,15 +63,11 @@ object Stats {
         |FROM h JOIN n ON h.f = n.f
         |GROUP BY h.f ORDER BY l_returnflag""".stripMargin) { (s, d) =>
       val h = lineitem(s, d)
-        .groupBy(col("l_returnflag").as("f"), col("l_quantity").as("v"))
+        .groupBy(col("l_returnflag").as("f"), col("l_quantity").as("value"))
         .agg(count(lit(1)).as("c"))
-      val n = h.groupBy("f").agg(sum("c").as("n"))
-      val p = col("c").cast("double") / col("n")
-      h.join(n, "f")
-        .groupBy("f")
-        .agg(round(-sum(p * log2(p)), 6).as("qty_entropy"),
-             count(lit(1)).as("n_distinct"))
-        .select(col("f").as("l_returnflag"), col("qty_entropy"), col("n_distinct"))
+      histogramEntropy(h.drop("value"), "f")
+        .select(col("f").as("l_returnflag"), col("entropy").as("qty_entropy"),
+                col("v").as("n_distinct"))
         .orderBy("l_returnflag")
     },
 

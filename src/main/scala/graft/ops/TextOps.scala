@@ -215,13 +215,9 @@ object TextOps {
         .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
         .groupBy("doc_id", "tok")
         .agg(count(lit(1)).as("c"))
-      val n = h.groupBy("doc_id")
-        .agg(sum("c").as("n"), count(lit(1)).as("v"))
-      val p = col("c").cast("double") / col("n")
-      h.join(n, "doc_id")
-        .groupBy("doc_id")
-        .agg(round(-sum(p * log2(p)), 6).as("tok_entropy"),
-             round(max(col("v")).cast("double") / max(col("n")), 6).as("type_token_ratio"))
+      Stats.histogramEntropy(h.drop("tok"), "doc_id")
+        .select(col("doc_id"), col("entropy").as("tok_entropy"),
+          round(col("v").cast("double") / col("n"), 6).as("type_token_ratio"))
         .orderBy("doc_id")
     },
 

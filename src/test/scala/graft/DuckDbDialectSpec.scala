@@ -228,6 +228,26 @@ class DuckDbDialectSpec extends AnyFunSuite {
         "SELECT a, rn FROM t QUALIFY rn = 1 UNION ALL SELECT a, 1 FROM u")
     }
     assert(e2.getMessage.contains("set operation"))
+    // a set operation BEFORE the QUALIFY binds it to the last branch in
+    // DuckDB — wrapping the whole compound would silently filter every
+    // branch, so the shim must refuse that too
+    val e3 = intercept[IllegalArgumentException] {
+      DuckDbDialect.rewrite(
+        "SELECT val AS rn FROM a UNION ALL " +
+          "SELECT ROW_NUMBER() OVER (ORDER BY x) AS rn FROM b QUALIFY rn <= 1")
+    }
+    assert(e3.getMessage.contains("set operation"))
+    // ...but Spark's star-exclusion EXCEPT is NOT a set operation
+    assert(DuckDbDialect.rewrite(
+      "SELECT * EXCEPT (b), ROW_NUMBER() OVER (ORDER BY a) AS rn FROM t QUALIFY rn = 1")
+      .contains("WHERE rn = 1"))
+    // the DISTINCT guard anchors to the MAIN select even under a CTE head
+    val e4 = intercept[IllegalArgumentException] {
+      DuckDbDialect.rewrite(
+        "WITH c AS (SELECT x, y FROM t) SELECT DISTINCT x FROM c " +
+          "QUALIFY ROW_NUMBER() OVER (ORDER BY y) <= 2")
+    }
+    assert(e4.getMessage.contains("DISTINCT"))
     // the word inside a string literal is untouched
     assert(DuckDbDialect.rewrite("SELECT 'qualify' AS w") == "SELECT 'qualify' AS w")
   }

@@ -17,14 +17,10 @@ class StatsSpec extends AnyFunSuite {
     val uniform = Seq.tabulate(40)(i => ("u", (i % 4).toDouble)) ++
       Seq.tabulate(10)(_ => ("c", 7.0))
     val df = uniform.toDF("l_returnflag", "l_quantity")
-      .withColumn("l_orderkey", lit(1L))
-    df.createOrReplaceTempView("t")
-    val h = df.groupBy(col("l_returnflag").as("f"), col("l_quantity").as("v"))
-      .agg(count(lit(1)).as("c"))
-    val n = h.groupBy("f").agg(sum("c").as("n"))
-    val p = col("c").cast("double") / col("n")
-    val out = h.join(n, "f").groupBy("f")
-      .agg(round(-sum(p * log2(p)), 6).as("e"))
+    val h = df.groupBy(col("l_returnflag").as("f"), col("l_quantity").as("value"))
+      .agg(count(lit(1)).as("c")).drop("value")
+    // drives the SHARED reduction behind q_agg_entropy/q_text_entropy
+    val out = graft.ops.Stats.histogramEntropy(h, "f")
       .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
     assert(out("u") == 2.0)
     assert(out("c") == 0.0)
@@ -75,12 +71,10 @@ class StatsSpec extends AnyFunSuite {
   test("q_text_entropy: repeated-token doc scores 0, all-distinct doc log2(n)") {
     val df = Seq((1L, "a a a a"), (2L, "a b c d")).toDF("doc_id", "text")
     val h = df.select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
-      .groupBy("doc_id", "tok").agg(count(lit(1)).as("c"))
-    val n = h.groupBy("doc_id").agg(sum("c").as("n"), count(lit(1)).as("v"))
-    val p = col("c").cast("double") / col("n")
-    val out = h.join(n, "doc_id").groupBy("doc_id")
-      .agg(round(-sum(p * log2(p)), 6).as("e"),
-           round(max(col("v")).cast("double") / max(col("n")), 6).as("ttr"))
+      .groupBy("doc_id", "tok").agg(count(lit(1)).as("c")).drop("tok")
+    val out = graft.ops.Stats.histogramEntropy(h, "doc_id")
+      .select(col("doc_id"), col("entropy"),
+        round(col("v").cast("double") / col("n"), 6).as("ttr"))
       .collect().map(r => r.getLong(0) -> ((r.getDouble(1), r.getDouble(2)))).toMap
     assert(out(1L) == ((0.0, 0.25)))
     assert(out(2L) == ((2.0, 1.0)))
