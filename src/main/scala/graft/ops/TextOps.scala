@@ -221,6 +221,60 @@ object TextOps {
         .orderBy("doc_id")
     },
 
+    // Percentile-threshold length filtering (the C4/Gopher outlier-
+    // removal step): per-language p05/p95 token-count thresholds from
+    // the distributed bucket-prune quantile operator, then keep/drop
+    // counts per language. The thresholds frame is O(languages) —
+    // a bounded label domain (the q_events_anomaly argument) — and the
+    // interpolated doubles match the oracle bitwise because both
+    // engines run the identical histogram-cumsum formulation.
+    OpQuery("q_text_length_filter",
+      """WITH t AS (
+        |  SELECT lang, CAST(len(string_split(text, ' ')) AS DOUBLE) AS nt
+        |  FROM documents),
+        |h AS (SELECT lang AS g, nt AS v, COUNT(*) AS c FROM t GROUP BY 1, 2),
+        |cum AS (
+        |  SELECT g, v,
+        |         CAST(SUM(c) OVER (PARTITION BY g ORDER BY v) AS BIGINT) AS cum,
+        |         CAST(SUM(c) OVER (PARTITION BY g) AS BIGINT) AS n
+        |  FROM h),
+        |br AS (
+        |  SELECT g, MAX(n) AS n,
+        |         MIN(CASE WHEN cum >= floor(1.0 + CAST(n - 1 AS DOUBLE) * 0.05) THEN v END) AS lo05,
+        |         MIN(CASE WHEN cum >= ceil(1.0 + CAST(n - 1 AS DOUBLE) * 0.05) THEN v END) AS hi05,
+        |         MIN(CASE WHEN cum >= floor(1.0 + CAST(n - 1 AS DOUBLE) * 0.95) THEN v END) AS lo95,
+        |         MIN(CASE WHEN cum >= ceil(1.0 + CAST(n - 1 AS DOUBLE) * 0.95) THEN v END) AS hi95
+        |  FROM cum GROUP BY g),
+        |th AS (
+        |  SELECT g,
+        |         lo05 + (1.0 + CAST(n - 1 AS DOUBLE) * 0.05
+        |                 - floor(1.0 + CAST(n - 1 AS DOUBLE) * 0.05)) * (hi05 - lo05) AS p05,
+        |         lo95 + (1.0 + CAST(n - 1 AS DOUBLE) * 0.95
+        |                 - floor(1.0 + CAST(n - 1 AS DOUBLE) * 0.95)) * (hi95 - lo95) AS p95
+        |  FROM br)
+        |SELECT t.lang,
+        |       CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |       CAST(SUM(CASE WHEN nt >= p05 AND nt <= p95 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+        |       ROUND(th.p05, 4) AS p05, ROUND(th.p95, 4) AS p95
+        |FROM t JOIN th ON t.lang = th.g
+        |GROUP BY t.lang, th.p05, th.p95
+        |ORDER BY lang""".stripMargin) { (s, d) =>
+      val t = documents(s, d)
+        .select(col("lang"), size(split(col("text"), " ")).cast("double").as("nt"))
+      val th = Quantiles.groupQuantiles(
+        t.withColumnRenamed("lang", "g"), "g", Seq(
+          Quantiles.Measure("p05", "nt", 0.05, 1.0),
+          Quantiles.Measure("p95", "nt", 0.95, 1.0)))
+      t.join(broadcast(th), col("lang") === col("g"))
+        .groupBy("lang", "p05", "p95")
+        .agg(count(lit(1)).as("n_docs"),
+             sum(when(col("nt") >= col("p05") && col("nt") <= col("p95"), 1L)
+               .otherwise(0L)).as("n_kept"))
+        .select(col("lang"), col("n_docs"), col("n_kept"),
+                round(col("p05"), 4).as("p05"), round(col("p95"), 4).as("p95"))
+        .orderBy("lang")
+    },
+
     // Per-document TF-IDF top terms: tf × ln(N/df), top-3 per doc.
     // Ranking happens on the 6-dp ROUNDED score (ties then break on the
     // term string), so a last-ulp ln() difference between the engines'

@@ -193,6 +193,7 @@ object PlanAudit {
       "q_sim_ivf" -> 5,             // 1-row min-id/query (x2 uses) + 4-row probe-cell set
       "q_subquery_scalar" -> 1,     // 1-row scalar average
       "q_subquery_select" -> 1,     // 1-row scalar total
+      "q_text_length_filter" -> 1,  // per-language thresholds: bounded label domain
       "q_text_tfidf" -> 1,          // 1-row corpus doc count (the IDF N)
       "q_tpch_q10_shape" -> 1,      // nation: fixed 25 rows
       "q_tpch_q20_shape" -> 1,      // one-nation dim: fixed ≤25 rows at every SF
