@@ -8,9 +8,17 @@ object Verify {
     // args: <sfDir> <outDir> [comma-separated query-name filter]
     // The driver always passes exactly two; the third is a builder-side
     // iteration aid (verify just the queries being worked on).
+    require(args.length <= 3, s"usage: Verify <sfDir> <outDir> [name,name,...] — got ${args.length} args")
     val (sfDir, outDir) = (args(0), args(1))
     val only: Option[Set[String]] =
       if (args.length > 2) Some(args(2).split(',').map(_.trim).toSet) else None
+    // A misspelled filter name would silently produce an empty outDir and
+    // a vacuous check_oracle pass — fail loudly instead.
+    only.foreach { names =>
+      val unknown = names -- SparkEntry.queries.keySet
+      require(unknown.isEmpty,
+        s"unknown query name(s) in filter: ${unknown.toSeq.sorted.mkString(", ")}")
+    }
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
       Runtime.getRuntime.availableProcessors().toString)
     val spark = { graft.engine.Session.pinLocale(); SparkSession.builder() }

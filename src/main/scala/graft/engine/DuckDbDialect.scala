@@ -282,13 +282,32 @@ object DuckDbDialect {
 
   /** Indices of characters inside single-quoted SQL string literals
     * (treating '' as an escaped quote). */
+  /** Mask of positions the rewrites must not touch: single-quoted string
+    * literals, double-quoted identifiers, `--` line comments and
+    * `/* */` block comments. Without the latter three, a QUALIFY/UNION/
+    * ORDER keyword inside a quoted identifier or comment would mis-steer
+    * the clause scan, and `//` inside a comment would be "rewritten". */
   private def inString(sql: String): Array[Boolean] = {
     val in = new Array[Boolean](sql.length)
-    var i = 0; var open = false
+    var i = 0
     while (i < sql.length) {
-      if (sql(i) == '\'') { in(i) = true; open = !open }
-      else in(i) = open
-      i += 1
+      sql(i) match {
+        case '\'' | '"' =>
+          val quote = sql(i)
+          in(i) = true; i += 1
+          while (i < sql.length && sql(i) != quote) { in(i) = true; i += 1 }
+          if (i < sql.length) { in(i) = true; i += 1 } // closing quote
+        case '-' if i + 1 < sql.length && sql(i + 1) == '-' =>
+          while (i < sql.length && sql(i) != '\n') { in(i) = true; i += 1 }
+        case '/' if i + 1 < sql.length && sql(i + 1) == '*' =>
+          in(i) = true; in(i + 1) = true; i += 2
+          while (i < sql.length &&
+                 !(sql(i) == '*' && i + 1 < sql.length && sql(i + 1) == '/')) {
+            in(i) = true; i += 1
+          }
+          if (i + 1 < sql.length) { in(i) = true; in(i + 1) = true; i += 2 }
+        case _ => i += 1
+      }
     }
     in
   }

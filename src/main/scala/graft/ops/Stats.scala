@@ -44,7 +44,12 @@ object Stats {
     val p = col("c").cast("double") / col("n")
     h.join(n, g)
       .groupBy(g)
-      .agg(round(-sum(p * log2(p)), 6).as("entropy"),
+      // `+ 0.0` before the round: a single-valued group gives
+      // -SUM(0.0) = -0.0, which DuckDB's ROUND preserves but Spark's
+      // normalizes to +0.0 (BigDecimal path) — a latent hash mismatch.
+      // Adding +0.0 maps -0.0 → +0.0 and is an exact identity for every
+      // other double, so both engines' arithmetic stays bit-identical.
+      .agg(round(-sum(p * log2(p)) + lit(0.0), 6).as("entropy"),
            max(col("v")).as("v"), max(col("n")).as("n"))
   }
 
@@ -58,7 +63,7 @@ object Stats {
         |  FROM lineitem GROUP BY 1, 2),
         |n AS (SELECT f, SUM(c) AS n FROM h GROUP BY f)
         |SELECT h.f AS l_returnflag,
-        |       ROUND(-SUM((CAST(c AS DOUBLE) / n) * log2(CAST(c AS DOUBLE) / n)), 6) AS qty_entropy,
+        |       ROUND(-SUM((CAST(c AS DOUBLE) / n) * log2(CAST(c AS DOUBLE) / n)) + 0.0, 6) AS qty_entropy,
         |       CAST(COUNT(*) AS BIGINT) AS n_distinct
         |FROM h JOIN n ON h.f = n.f
         |GROUP BY h.f ORDER BY l_returnflag""".stripMargin) { (s, d) =>

@@ -207,7 +207,7 @@ object TextOps {
         |h AS (SELECT doc_id, tok, COUNT(*) AS c FROM t GROUP BY 1, 2),
         |n AS (SELECT doc_id, SUM(c) AS n, COUNT(*) AS v FROM h GROUP BY 1)
         |SELECT h.doc_id AS doc_id,
-        |       ROUND(-SUM((CAST(c AS DOUBLE) / n) * log2(CAST(c AS DOUBLE) / n)), 6) AS tok_entropy,
+        |       ROUND(-SUM((CAST(c AS DOUBLE) / n) * log2(CAST(c AS DOUBLE) / n)) + 0.0, 6) AS tok_entropy,
         |       ROUND(CAST(MAX(v) AS DOUBLE) / MAX(n), 6) AS type_token_ratio
         |FROM h JOIN n ON h.doc_id = n.doc_id
         |GROUP BY h.doc_id ORDER BY h.doc_id""".stripMargin) { (s, d) =>

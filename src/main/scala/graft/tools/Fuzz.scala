@@ -679,7 +679,11 @@ final class SqlFuzzer(seed: Long) {
     val tbl = tables.find(_.name == t).get
     val n = 1 + rnd.nextInt(3)
     val dir = pick(Seq("ASC", "DESC"))
-    val win = s"ROW_NUMBER() OVER (PARTITION BY $part ORDER BY $ord $dir, $key)"
+    // Explicit NULLS placement on every window sort key: Spark defaults
+    // ASC→NULLS FIRST, DuckDB→NULLS LAST, so a NULL ordering value (e.g.
+    // under --nulls injection) would silently diverge row_number.
+    val nf = if (dir == "ASC") "NULLS FIRST" else "NULLS LAST"
+    val win = s"ROW_NUMBER() OVER (PARTITION BY $part ORDER BY $ord $dir $nf, $key ASC NULLS FIRST)"
     if (rnd.nextBoolean()) // alias form: predicate names the select-list alias
       s"SELECT $part AS c1, CAST(($key) AS BIGINT) AS c2, $win AS c3 " +
         s"FROM $t WHERE ${pred(tbl, 1)} QUALIFY c3 <= $n ${orderAll(3)} ${limit()}"
