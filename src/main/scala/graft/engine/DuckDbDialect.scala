@@ -58,11 +58,10 @@ object DuckDbDialect {
     // star-exclusion: DuckDB `* EXCLUDE (c1, c2)` ↔ Spark `* EXCEPT (c1,
     // c2)`. Safe as a call-shaped rename: the '('-requirement leaves
     // DuckDB's window-frame `EXCLUDE CURRENT ROW` (no paren) untouched,
-    // and Spark has no EXCLUDE( spelling of its own. DuckDB's other
-    // star modifier, `* REPLACE (expr AS c)`, has no Spark equivalent
-    // and correctly fails to parse rather than silently changing
-    // meaning. `::` casts and ILIKE need no rewrite — Spark 4 parses
-    // both natively.
+    // and Spark has no EXCLUDE( spelling of its own. The other star
+    // modifier, `* REPLACE (expr AS c)`, is handled structurally by
+    // [[rewriteStarReplace]]. `::` casts and ILIKE need no rewrite —
+    // Spark 4 parses both natively.
     "exclude" -> "except")
 
   /** strftime %-codes → Spark datetime pattern letters. */
@@ -76,6 +75,8 @@ object DuckDbDialect {
   def rewrite(sql: String): String = {
     var s = sql
     s = rewriteQualify(s)
+    s = rewriteStarReplace(s)
+    s = rewriteAsOfJoin(s)
     s = rewriteOperatorIntDiv(s)
     s = rewriteCalls(s, "strftime")(fmtCall("date_format"))
     s = rewriteCalls(s, "strptime")(fmtCall("to_timestamp"))
@@ -278,10 +279,244 @@ object DuckDbDialect {
     s"(unix_micros(${args.head}) / 1.0E6)"
   }
 
+  // ---- * REPLACE (expr AS col, ...) ------------------------------------
+
+  /** DuckDB's star-replace modifier — `SELECT * REPLACE (e AS c) …`
+    * (reference contract: any DuckDB SELECT) — has no Spark spelling.
+    * Rewritten to `* EXCEPT (c), e AS c`: identical column SET and
+    * values, but the replaced columns surface at the END of the star
+    * expansion instead of in place (Spark's EXCEPT cannot splice). That
+    * ordering difference is the documented bound; value semantics match.
+    *
+    * Disambiguation from multiplication by the REPLACE() function
+    * (`price * replace(s,'a','b')`): the star-modifier's `*` is itself a
+    * select item, so the non-space char before it is `,` or the keyword
+    * SELECT/DISTINCT; any other left context is arithmetic and skipped.
+    * A combined `* EXCLUDE (...) REPLACE (...)` chain is NOT rewritten
+    * (the `)` left of REPLACE reads as arithmetic context) and surfaces
+    * as a Spark parse error rather than silently-wrong columns. */
+  private def rewriteStarReplace(sql: String): String = {
+    val in = inString(sql)
+    var i = 0
+    while (i < sql.length) {
+      if (!in(i) && sql.regionMatches(true, i, "replace", 0, 7) &&
+          (i == 0 || !isIdentChar(sql(i - 1))) &&
+          (i + 7 >= sql.length || !isIdentChar(sql(i + 7)))) {
+        // star immediately before (modifier), '(' after (argument list)
+        var p = i - 1
+        while (p >= 0 && sql(p).isWhitespace) p -= 1
+        var a = i + 7
+        while (a < sql.length && sql(a).isWhitespace) a += 1
+        if (p >= 0 && sql(p) == '*' && a < sql.length && sql(a) == '(') {
+          // context before the star: ',' or SELECT/DISTINCT → modifier
+          var q = p - 1
+          while (q >= 0 && sql(q).isWhitespace) q -= 1
+          val isModifier = q < 0 || sql(q) == ',' || {
+            var e = q
+            while (e >= 0 && isIdentChar(sql(e))) e -= 1
+            val w = sql.substring(e + 1, q + 1).toLowerCase
+            w == "select" || w == "distinct"
+          }
+          if (isModifier) {
+            // find the matching ')' of the argument list
+            var depth = 1; var k = a + 1
+            while (depth > 0 && k < sql.length) {
+              if (!in(k)) {
+                if (sql(k) == '(') depth += 1
+                else if (sql(k) == ')') depth -= 1
+              }
+              k += 1
+            }
+            require(depth == 0, "* REPLACE: unbalanced argument list")
+            val items = splitTopLevel(sql.substring(a + 1, k - 1), ',')
+            val pairs = items.map { it =>
+              val m = "(?is)^(.*\\S)\\s+AS\\s+([A-Za-z_][A-Za-z0-9_]*)\\s*$".r
+                .findFirstMatchIn(it.trim).getOrElse(throw new IllegalArgumentException(
+                  s"* REPLACE: expected `expr AS column`, got: ${it.trim}"))
+              (m.group(1), m.group(2))
+            }
+            val except = pairs.map(_._2).mkString(", ")
+            val repl = pairs.map { case (e, c) => s"$e AS $c" }.mkString(", ")
+            val out = sql.substring(0, p) + s"* EXCEPT ($except), $repl" + sql.substring(k)
+            return rewriteStarReplace(out) // handle any further occurrence
+          }
+        }
+      }
+      i += 1
+    }
+    sql
+  }
+
+  // ---- ASOF JOIN -------------------------------------------------------
+
+  /** DuckDB `ASOF [LEFT] JOIN t [alias] ON eq-conds AND one-inequality`
+    * (the reference's contract includes it; Spark has no ASOF operator).
+    * Rewritten to the correlated-lateral formulation — per left row, the
+    * single best right row under the inequality direction:
+    *
+    *   a ASOF JOIN b ON b.k = a.k AND a.ts >= b.ts
+    *     → a CROSS JOIN LATERAL (SELECT * FROM b WHERE b.k = a.k AND
+    *         a.ts >= b.ts ORDER BY b.ts DESC LIMIT 1) b
+    *   ASOF LEFT JOIN → LEFT JOIN LATERAL ( … ) b ON TRUE
+    *
+    * Catalyst decorrelates the LIMIT-1 lateral into a ranked window over
+    * a regular join — the shuffle-once shape; the dedicated
+    * [[graft.ops.AsOf]] merge formulation remains the scale path for the
+    * DataFrame API. Bounds (throws, never silently wrong): the right
+    * side must be a plain table name (no subquery), the ON clause a
+    * top-level AND-conjunction of `=` equalities plus EXACTLY one
+    * inequality (>=, <=, >, <) whose operands are qualified so the
+    * right-table side is identifiable. Ties on the inequality bound are
+    * deterministic only when the ordering expression is unique per key —
+    * the same caveat DuckDB's ASOF documents. */
+  private def rewriteAsOfJoin(sql: String): String = {
+    val in = inString(sql)
+    def wordAt(i: Int, w: String): Boolean =
+      !in(i) && sql.regionMatches(true, i, w, 0, w.length) &&
+        (i == 0 || !isIdentChar(sql(i - 1))) &&
+        (i + w.length >= sql.length || !isIdentChar(sql(i + w.length)))
+    var i = 0
+    while (i < sql.length && !wordAt(i, "asof")) i += 1
+    if (i >= sql.length) return sql
+    val start = i
+    var j = i + 4
+    def skipWs(): Unit = { while (j < sql.length && sql(j).isWhitespace) j += 1 }
+    def word(): String = {
+      skipWs(); val s0 = j
+      while (j < sql.length && isIdentChar(sql(j))) j += 1
+      sql.substring(s0, j)
+    }
+    var w1 = word()
+    val isLeft = w1.equalsIgnoreCase("left")
+    if (isLeft) w1 = word()
+    require(w1.equalsIgnoreCase("join"),
+      s"ASOF: expected [LEFT] JOIN after ASOF, got '$w1' (RIGHT/FULL ASOF is outside the shim's bounded support)")
+    skipWs()
+    require(j < sql.length && sql(j) != '(',
+      "ASOF JOIN over a subquery is outside the shim's bounded support — name a registered table/view")
+    val table = word()
+    require(table.nonEmpty, "ASOF: expected a table name after JOIN")
+    var nxt = word()
+    var alias = table
+    if (nxt.equalsIgnoreCase("as")) { alias = word(); nxt = word() }
+    else if (!nxt.equalsIgnoreCase("on") && nxt.nonEmpty) { alias = nxt; nxt = word() }
+    require(nxt.equalsIgnoreCase("on"), s"ASOF: expected ON, got '$nxt'")
+    // condition runs to the next top-level clause keyword or join, or EOS
+    val terminators = Seq("where", "group", "having", "order", "limit",
+      "offset", "qualify", "window", "union", "intersect", "except",
+      "join", "inner", "left", "right", "full", "cross", "asof")
+    var depth = 0
+    val condStart = { skipWs(); j }
+    var condEnd = -1
+    while (j < sql.length && condEnd < 0) {
+      val c = sql(j)
+      if (!in(j)) {
+        if (c == '(') depth += 1
+        else if (c == ')') { depth -= 1; if (depth < 0) condEnd = j }
+        else if (depth == 0 && terminators.exists(wordAt(j, _))) condEnd = j
+      }
+      if (condEnd < 0) j += 1
+    }
+    if (condEnd < 0) condEnd = sql.length
+    val cond = sql.substring(condStart, condEnd).trim
+    val conjuncts = splitTopLevelKeyword(cond, "and")
+    def opOf(c: String): Option[(String, String, String)] = {
+      val cIn = inString(c)
+      var d = 0; var k = 0
+      while (k < c.length) {
+        val ch = c(k)
+        if (!cIn(k)) {
+          if (ch == '(') d += 1
+          else if (ch == ')') d -= 1
+          else if (d == 0 && (ch == '<' || ch == '>' || ch == '=')) {
+            val op = if (k + 1 < c.length && (c(k + 1) == '=' || c(k + 1) == '>'))
+              c.substring(k, k + 2) else c.substring(k, k + 1)
+            return Some((c.substring(0, k).trim, op, c.substring(k + op.length).trim))
+          }
+        }
+        k += 1
+      }
+      None
+    }
+    val parsed = conjuncts.map(c => (c, opOf(c)))
+    parsed.collectFirst { case (c, None) => c }.foreach(c =>
+      throw new IllegalArgumentException(s"ASOF: unsupported ON conjunct (no comparison): $c"))
+    val ineqs = parsed.collect { case (_, Some(t @ (_, op, _)))
+      if op == "<" || op == ">" || op == "<=" || op == ">=" => t }
+    val eqs = parsed.collect { case (_, Some((_, op, _))) if op == "=" => () }
+    require(ineqs.size == 1,
+      s"ASOF: expected exactly one inequality in ON, found ${ineqs.size}")
+    require(eqs.size + ineqs.size == parsed.size,
+      "ASOF: ON conjuncts must be `=` equalities plus one inequality")
+    val (lhs, op, rhs) = ineqs.head
+    val refsRight = (e: String) =>
+      ("(?i)(^|[^A-Za-z0-9_])" + java.util.regex.Pattern.quote(alias) + "\\s*\\.").r
+        .findFirstIn(e).isDefined
+    val (rexpr, rightOnLeft) = (refsRight(lhs), refsRight(rhs)) match {
+      case (true, false) => (lhs, true)
+      case (false, true) => (rhs, false)
+      case _ => throw new IllegalArgumentException(
+        "ASOF: exactly one side of the inequality must reference the joined " +
+          s"table's alias '$alias' (qualify the columns)")
+    }
+    // outer >= right / right <= outer → latest right at-or-before → DESC
+    val dir = (op, rightOnLeft) match {
+      case (">=" | ">", false) => "DESC"  // outer op right
+      case ("<=" | "<", false) => "ASC"
+      case (">=" | ">", true)  => "ASC"   // right op outer
+      case ("<=" | "<", true)  => "DESC"
+    }
+    val nf = if (dir == "DESC") "NULLS LAST" else "NULLS FIRST"
+    val lat = s"SELECT * FROM $table $alias WHERE $cond " +
+      s"ORDER BY $rexpr $dir $nf LIMIT 1"
+    val repl =
+      if (isLeft) s"LEFT JOIN LATERAL ( $lat ) $alias ON TRUE"
+      else s"CROSS JOIN LATERAL ( $lat ) $alias"
+    rewriteAsOfJoin(sql.substring(0, start) + repl + " " + sql.substring(condEnd))
+  }
+
+  /** Split on a top-level single-char separator, paren- and mask-aware. */
+  private def splitTopLevel(s: String, sep: Char): Seq[String] = {
+    val in = inString(s)
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    var depth = 0; var st = 0; var i = 0
+    while (i < s.length) {
+      val c = s(i)
+      if (!in(i)) {
+        if (c == '(') depth += 1
+        else if (c == ')') depth -= 1
+        else if (c == sep && depth == 0) { out += s.substring(st, i); st = i + 1 }
+      }
+      i += 1
+    }
+    out += s.substring(st)
+    out.toSeq
+  }
+
+  /** Split on a top-level keyword (e.g. AND), case-insensitive. */
+  private def splitTopLevelKeyword(s: String, kw: String): Seq[String] = {
+    val in = inString(s)
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    var depth = 0; var st = 0; var i = 0
+    while (i < s.length) {
+      val c = s(i)
+      if (!in(i)) {
+        if (c == '(') depth += 1
+        else if (c == ')') depth -= 1
+        else if (depth == 0 && s.regionMatches(true, i, kw, 0, kw.length) &&
+                 (i == 0 || !isIdentChar(s(i - 1))) &&
+                 (i + kw.length >= s.length || !isIdentChar(s(i + kw.length)))) {
+          out += s.substring(st, i); st = i + kw.length; i += kw.length - 1
+        }
+      }
+      i += 1
+    }
+    out += s.substring(st)
+    out.map(_.trim).filter(_.nonEmpty).toSeq
+  }
+
   // ---- string-literal-aware scanning helpers ---------------------------
 
-  /** Indices of characters inside single-quoted SQL string literals
-    * (treating '' as an escaped quote). */
   /** Mask of positions the rewrites must not touch: single-quoted string
     * literals, double-quoted identifiers, `--` line comments and
     * `/* */` block comments. Without the latter three, a QUALIFY/UNION/

@@ -27,8 +27,16 @@ final class GeminiSqlGenerator(
   private lazy val http: HttpClient =
     HttpClient.newBuilder().connectTimeout(timeout).build()
 
-  override def generate(question: String, info: DataInfo, table: String): String = {
-    val prompt = SqlGenerator.buildPrompt(question, info, table)
+  override def generate(question: String, info: DataInfo, table: String): String =
+    complete(SqlGenerator.buildPrompt(question, info, table))
+
+  override def generateMulti(question: String,
+      tables: Seq[(String, DataInfo)]): String = tables match {
+    case Seq((t, info)) => generate(question, info, t)
+    case _ => complete(SqlGenerator.buildPromptMulti(question, tables))
+  }
+
+  private def complete(prompt: String): String = {
     val body = s"""{"contents":[{"parts":[{"text":${jsonString(prompt)}}]}]}"""
     val req = HttpRequest.newBuilder()
       .uri(URI.create(s"$endpoint/models/$model:generateContent"))

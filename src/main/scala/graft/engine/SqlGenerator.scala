@@ -18,6 +18,17 @@ trait SqlGenerator {
     * default (single-user CLI). */
   def generate(question: String, info: DataInfo,
       table: String = Catalog.TableName): String
+
+  /** Multi-source analysis (the reference's own roadmap item,
+    * /root/reference/README.md:109–116 — its per-file single-table model
+    * is a documented limitation): generate ONE SQL statement over N
+    * registered tables, each `(viewName, info)`. Single-table calls
+    * route to [[generate]] so existing generators keep their behavior. */
+  def generateMulti(question: String, tables: Seq[(String, DataInfo)]): String =
+    tables match {
+      case Seq((t, info)) => generate(question, info, t)
+      case _ => SqlGenerator.Stub.generateMulti(question, tables)
+    }
 }
 
 object SqlGenerator {
@@ -59,6 +70,32 @@ object SqlGenerator {
        |""".stripMargin
   }
 
+  /** Multi-table prompt: same contract as [[buildPrompt]] with one
+    * schema block per table and the join permission stated. */
+  def buildPromptMulti(question: String,
+      tables: Seq[(String, DataInfo)]): String = {
+    val blocks = tables.map { case (t, info) =>
+      val cols = info.columns.map(c =>
+        s"  - $c: ${info.dtypes.getOrElse(c, "string")}").mkString("\n")
+      val head = info.head.take(3).map(_.toString).mkString("\n")
+      s"""Table: $t (${info.rowCount} rows, ${info.columnCount} columns)
+         |Columns:
+         |$cols
+         |Sample rows:
+         |$head""".stripMargin
+    }.mkString("\n\n")
+    s"""You are a SQL generation assistant. Generate ONE Spark SQL query.
+       |Rules:
+       |  - Only these table names exist: ${tables.map(_._1).mkString(", ")}.
+       |  - Tables may be JOINed on matching columns when the question spans them.
+       |  - Only SELECT statements are allowed (no DDL/DML).
+       |  - The SQL must be valid Spark SQL.
+       |  - Return only the SQL, no explanation.
+       |$blocks
+       |Question: $question
+       |""".stripMargin
+  }
+
   /** Deterministic keyword-routed stub for the zero-egress environment.
     * Shapes mirror the reference's acceptance questions; fallback mirrors
     * doc.py:188's `SELECT *` default.
@@ -84,6 +121,34 @@ object SqlGenerator {
         s"SELECT * FROM $t WHERE stock < 30"
       else
         s"SELECT * FROM $t LIMIT 10" // doc.py:188 fallback analog
+    }
+
+    /** Deterministic cross-table shape: join the first two tables on
+      * their first shared column name; aggregate a numeric column of the
+      * second table when the question asks for totals, else count
+      * matches. Bounded and explicit — a question over tables with no
+      * shared column fails loudly rather than guessing a cross join. */
+    override def generateMulti(question: String,
+        tables: Seq[(String, DataInfo)]): String = tables match {
+      case Seq((t, info)) => generate(question, info, t)
+      case Seq((t1, i1), (t2, i2), _*) =>
+        val common = i1.columns.filter(i2.columns.contains)
+        require(common.nonEmpty,
+          s"no shared column between $t1 and $t2 to join on")
+        val k = common.head
+        val q = question.toLowerCase
+        val numeric = Set("double", "float", "int", "long", "bigint", "decimal")
+        val v = i2.columns.find(c => c != k &&
+          numeric.exists(i2.dtypes.getOrElse(c, "").toLowerCase.contains))
+        v match {
+          case Some(m) if q.contains("total") || q.contains("sum") ||
+              q.contains("总") || q.contains("合计") =>
+            s"SELECT a.$k AS $k, SUM(b.$m) AS total_$m FROM $t1 a " +
+              s"JOIN $t2 b ON a.$k = b.$k GROUP BY a.$k ORDER BY total_$m DESC"
+          case _ =>
+            s"SELECT a.$k AS $k, COUNT(*) AS n FROM $t1 a " +
+              s"JOIN $t2 b ON a.$k = b.$k GROUP BY a.$k ORDER BY n DESC, $k"
+        }
     }
   }
 }

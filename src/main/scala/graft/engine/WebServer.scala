@@ -110,53 +110,88 @@ final class WebServer(spark: SparkSession, workDir: String, port: Int = 0,
     requirePost(ex) {
       // questions are small; cap the body read (1 MB) like the upload path
       val body = new String(ex.getRequestBody.readNBytes(1 << 20), StandardCharsets.UTF_8)
-      val fileId = Json.getString(body, "file_id").getOrElse("")
+      // multi-source analysis (reference roadmap README.md:109–116):
+      // `file_ids` registers every named file for ONE cross-file query;
+      // the single `file_id` field keeps the reference's API shape.
+      val fileIds = Json.getStringArray(body, "file_ids")
+        .getOrElse(Json.getString(body, "file_id").toSeq)
+        .filter(_.nonEmpty).distinct
       val question = Json.getString(body, "question").getOrElse("")
       val (sid, _) = sessionOf(ex, createIfMissing = false)
-      if (fileId.isEmpty)
+      if (fileIds.isEmpty)
         Response(400, "application/json", Json.obj("error" -> Json.str("no file selected")))
       else if (question.trim.isEmpty)
         Response(400, "application/json", Json.obj("error" -> Json.str("empty question")))
       else if (sid.isEmpty)
         Response(400, "application/json", Json.obj("error" -> Json.str("upload a file first")))
-      else store.getFile(fileId) match {
-        case None =>
-          Response(404, "application/json", Json.obj("error" -> Json.str("file not found")))
-        case Some(row) =>
-          try {
-            val filepath = row.getAs[String]("filepath")
-            val df = Ingest.load(spark, filepath)
-            // Per-request view name: the SparkSession (and its temp-view
-            // namespace) is shared across the 4 worker threads, so a
-            // fixed name races — a concurrent request could re-register
-            // it with a different file between register and run, silently
-            // answering against the wrong (possibly another session's)
-            // data. The reference avoids this with a per-file DuckDB
-            // database; the unique name is the shared-session analog.
-            val info = Profile(df) // before register: a Profile failure must not leak the view
-            val view = "data_" + UUID.randomUUID().toString.replace("-", "")
-            Catalog.register(df, view)
-            val (sql, result) =
-              try {
-                val q = SqlGateway.sanitize(generator.generate(question, info, view))
-                (q, Results.materialize(SqlGateway.run(spark, q)))
-              } finally spark.catalog.dropTempView(view)
-            // stored/rendered SQL shows the stable reference name, not
-            // the ephemeral per-request view (which no longer exists)
-            val displaySql = sql.replace(view, Catalog.TableName)
-            val md = analysisMarkdown(question, displaySql, info, result)
-            val chatId = UUID.randomUUID().toString
-            store.addChat(chatId, sid, fileId, question, displaySql, md,
-              System.currentTimeMillis())
-            Response(200, "application/json", Json.obj(
-              "success" -> "true",
-              "chat_id" -> Json.str(chatId),
-              "markdown_result" -> Json.str(md)))
-          } catch {
-            case e: Exception =>
-              Response(400, "application/json",
-                Json.obj("error" -> Json.str(Option(e.getMessage).getOrElse("query failed"))))
-          }
+      else {
+        val rows = fileIds.map(id => id -> store.getFile(id))
+        rows.collectFirst { case (id, None) => id } match {
+          case Some(missing) =>
+            Response(404, "application/json",
+              Json.obj("error" -> Json.str(s"file not found: $missing")))
+          case None =>
+            try {
+              val files = rows.map { case (id, row) => (id, row.get) }
+              // Per-request view names: the SparkSession (and its
+              // temp-view namespace) is shared across the 4 worker
+              // threads, so fixed names race — a concurrent request
+              // could re-register one with a different file between
+              // register and run, silently answering against the wrong
+              // (possibly another session's) data. The reference avoids
+              // this with a per-file DuckDB database; unique names are
+              // the shared-session analog. Display names are stable:
+              // the reference's fixed table name for one file, sanitized
+              // file stems (deduped, data_table_k fallback) for several.
+              val loaded = files.map { case (id, row) =>
+                val df = Ingest.load(spark, row.getAs[String]("filepath"))
+                (id, row.getAs[String]("filename"), df, Profile(df))
+              }
+              val usedNames = scala.collection.mutable.Set.empty[String]
+              val displayNames = loaded.zipWithIndex.map { case ((_, fname, _, _), i) =>
+                if (loaded.size == 1) Catalog.TableName
+                else {
+                  val stem = fname.replaceAll("\\.[^.]*$", "")
+                    .replaceAll("[^A-Za-z0-9_]", "_").replaceAll("^([0-9])", "t$1")
+                  val base = if (stem.isEmpty || stem.forall(_ == '_'))
+                    s"data_table_${i + 1}" else stem
+                  var name = base; var k = 1
+                  while (!usedNames.add(name)) { k += 1; name = s"${base}_$k" }
+                  name
+                }
+              }
+              val views = loaded.map { case (_, _, df, _) =>
+                val view = "data_" + UUID.randomUUID().toString.replace("-", "")
+                Catalog.register(df, view)
+                view
+              }
+              val infos = loaded.map(_._4)
+              val (sql, result) =
+                try {
+                  val q = SqlGateway.sanitize(
+                    generator.generateMulti(question, views.zip(infos)))
+                  (q, Results.materialize(SqlGateway.run(spark, q)))
+                } finally views.foreach(spark.catalog.dropTempView(_))
+              // stored/rendered SQL shows the stable display names, not
+              // the ephemeral per-request views (which no longer exist)
+              val displaySql = views.zip(displayNames).foldLeft(sql) {
+                case (s, (v, d)) => s.replace(v, d)
+              }
+              val md = analysisMarkdown(question, displaySql,
+                displayNames.zip(infos), result)
+              val chatId = UUID.randomUUID().toString
+              store.addChat(chatId, sid, files.head._1, question, displaySql, md,
+                System.currentTimeMillis())
+              Response(200, "application/json", Json.obj(
+                "success" -> "true",
+                "chat_id" -> Json.str(chatId),
+                "markdown_result" -> Json.str(md)))
+            } catch {
+              case e: Exception =>
+                Response(400, "application/json",
+                  Json.obj("error" -> Json.str(Option(e.getMessage).getOrElse("query failed"))))
+            }
+        }
       }
     }
   })
@@ -281,16 +316,25 @@ final class WebServer(spark: SparkSession, workDir: String, port: Int = 0,
 
   /** Markdown analysis block (format_analysis_result analog,
     * app.py:35–106: title, question, SQL fence, data overview, table). */
-  private def analysisMarkdown(question: String, sql: String, info: DataInfo,
-      result: QueryResult): String = {
+  private def analysisMarkdown(question: String, sql: String,
+      tables: Seq[(String, DataInfo)], result: QueryResult): String = {
     val sb = new StringBuilder
     sb ++= "## 📊 Analysis Result\n"
     sb ++= s"**Question**: $question\n\n"
     sb ++= "### 🔍 Generated SQL\n```sql\n" + sql + "\n```\n\n"
     sb ++= "### 📋 Data Overview\n"
-    sb ++= s"- **Rows**: ${info.rowCount}\n"
-    sb ++= s"- **Columns**: ${info.columnCount}\n"
-    sb ++= s"- **Names**: ${info.columns.mkString(", ")}\n\n"
+    tables match {
+      case Seq((_, info)) => // single file: the reference's exact shape
+        sb ++= s"- **Rows**: ${info.rowCount}\n"
+        sb ++= s"- **Columns**: ${info.columnCount}\n"
+        sb ++= s"- **Names**: ${info.columns.mkString(", ")}\n\n"
+      case many =>
+        many.foreach { case (name, info) =>
+          sb ++= s"- **$name**: ${info.rowCount} rows × ${info.columnCount} " +
+            s"columns (${info.columns.mkString(", ")})\n"
+        }
+        sb ++= "\n"
+    }
     sb ++= "### 📈 Query Result\n"
     sb ++= Results.toMarkdown(result)
     sb.toString

@@ -594,6 +594,138 @@ final class SqlFuzzer(seed: Long) {
         s"FROM base GROUP BY 1 ${orderAll(3)} ${limit()}"
   }
 
+  // ---- correlated-subquery / LATERAL generator (--corr mode) -----------
+  // Catalyst decorrelates (RewriteCorrelatedScalarSubquery /
+  // DecorrelateInnerQuery) where DuckDB runs its own flattening — the two
+  // optimizers' most plausible disagreement surface is empty-group
+  // semantics (COUNT over no rows → 0 but MIN/MAX → NULL after the
+  // rewrite-to-outer-join) and NULL correlation keys. All shapes are
+  // ANSI-common text run verbatim on both engines.
+
+  /** Correlated scalar aggregate in the SELECT list over an FK edge (or a
+    * self-edge): the inner filter makes some groups empty, so the
+    * COUNT-on-empty (0, not NULL) rewrite corner is actually exercised. */
+  private def qCorrScalarSelect(): String = {
+    val (lt, rt, lc, rc) =
+      if (rnd.nextInt(4) == 0) { // self-edge on a non-unique grouping col
+        val (t, k) = pick(Seq((orders, "o_custkey"), (lineitem, "l_suppkey"),
+          (customer, "c_nationkey")))
+        (t, t, k, k)
+      } else pick(joins)
+    val agg = rnd.nextInt(4) match {
+      case 0 => "CAST(COUNT(*) AS BIGINT)"
+      case 1 => s"MIN(b.${pick(rt.cols).name})"
+      case 2 => s"MAX(b.${pick(rt.cols).name})"
+      case _ if cols(rt, MoneyK).nonEmpty => oSumSql(s"b.${pick(cols(rt, MoneyK)).name}")
+      case _ => "CAST(COUNT(*) AS BIGINT)"
+    }
+    val sub = s"SELECT $agg FROM ${rt.name} b WHERE b.$rc = a.$lc AND b.${basePred(rt)}"
+    s"SELECT a.${pick(lt.cols).name} AS c1, a.$lc AS c2, ($sub) AS c3 " +
+      s"FROM ${lt.name} a WHERE a.${basePred(lt)} ${orderAll(3)} ${limit()}"
+  }
+
+  /** Correlated scalar aggregate in WHERE; half the time wrapped in
+    * COALESCE so the empty-group NULL takes both the filtered-out and the
+    * defaulted path. */
+  private def qCorrScalarWhere(): String = {
+    val (lt, rt, lc, rc) = pick(joins)
+    val inner = rnd.nextInt(3) match {
+      case 0 => s"SELECT MAX(b.${pick(cols(rt, IntK)).name}) FROM ${rt.name} b WHERE b.$rc = a.$lc"
+      case 1 => s"SELECT CAST(COUNT(*) AS BIGINT) FROM ${rt.name} b " +
+        s"WHERE b.$rc = a.$lc AND b.${basePred(rt)}"
+      case _ => s"SELECT MIN(b.${pick(cols(rt, IntK)).name}) FROM ${rt.name} b " +
+        s"WHERE b.$rc = a.$lc AND b.${basePred(rt)}"
+    }
+    val probe = if (rnd.nextBoolean()) s"($inner)"
+    else s"COALESCE(($inner), ${intLit(0, 5)})"
+    val n = 2
+    s"SELECT ${projList(lt, n).mkString(", ")} FROM ${lt.name} a " +
+      s"WHERE a.${basePred(lt)} AND $probe ${pick(cmpOps)} ${intLit(0, 500)} " +
+      s"${orderAll(n)} ${limit()}"
+  }
+
+  /** EXISTS/NOT EXISTS whose inner predicate mixes the FK equality with a
+    * NON-equality outer reference (money/int inequality across the edge)
+    * — the shape Catalyst turns into a semi/anti join with a mixed
+    * condition rather than a plain key lookup. */
+  private def qCorrExistsRich(): String = {
+    val (lt, rt, lc, rc) = pick(joins)
+    val extra =
+      if (cols(lt, MoneyK).nonEmpty && cols(rt, MoneyK).nonEmpty && rnd.nextBoolean())
+        s" AND b.${pick(cols(rt, MoneyK)).name} > a.${pick(cols(lt, MoneyK)).name}"
+      else
+        s" AND b.${pick(cols(rt, IntK)).name} ${pick(Seq("<", ">", "<>"))} a.${pick(cols(lt, IntK)).name}"
+    val not = if (rnd.nextBoolean()) "NOT " else ""
+    val n = 2
+    s"SELECT ${projList(lt, n).mkString(", ")} FROM ${lt.name} a " +
+      s"WHERE a.${basePred(lt)} AND ${not}EXISTS (SELECT 1 FROM ${rt.name} b " +
+      s"WHERE b.$rc = a.$lc AND b.${basePred(rt)}$extra) ${orderAll(n)} ${limit()}"
+  }
+
+  /** Correlated IN: the membership list itself depends on the outer row
+    * (inner WHERE carries the FK equality), probing an unrelated outer
+    * int column against an inner int expression. */
+  private def qCorrIn(): String = {
+    val (lt, rt, lc, rc) = pick(joins)
+    val probe = pick(cols(lt, IntK)).name
+    val item = rnd.nextInt(3) match {
+      case 0 => s"b.${pick(cols(rt, IntK)).name}"
+      case 1 => s"(b.${pick(cols(rt, IntK)).name} % ${intLit(2, 50)})"
+      case _ if cols(rt, TsK).nonEmpty => s"EXTRACT(DAY FROM b.${pick(cols(rt, TsK)).name})"
+      case _ => s"b.${pick(cols(rt, IntK)).name}"
+    }
+    val not = if (rnd.nextInt(3) == 0) "NOT " else ""
+    val n = 2
+    s"SELECT ${projList(lt, n).mkString(", ")} FROM ${lt.name} a " +
+      s"WHERE a.${basePred(lt)} AND a.$probe ${not}IN " +
+      s"(SELECT $item FROM ${rt.name} b WHERE b.$rc = a.$lc) ${orderAll(n)} ${limit()}"
+  }
+
+  /** LATERAL derived table computing per-outer-row aggregates; the
+    * aggregate block always yields exactly one row, so the comma /
+    * CROSS JOIN LATERAL spellings are equivalent and both are emitted. */
+  private def qLateralAgg(): String = {
+    val (lt, rt, lc, rc) = pick(joins)
+    val m = if (cols(rt, MoneyK).nonEmpty) oSumSql(s"b.${pick(cols(rt, MoneyK)).name}")
+    else s"MAX(b.${pick(cols(rt, IntK)).name})"
+    val sub = s"SELECT CAST(COUNT(*) AS BIGINT) AS lcnt, $m AS lval " +
+      s"FROM ${rt.name} b WHERE b.$rc = a.$lc AND b.${basePred(rt)}"
+    val joinKw = pick(Seq(",", " CROSS JOIN"))
+    s"SELECT a.$lc AS c1, l.lcnt AS c2, l.lval AS c3 FROM ${lt.name} a" +
+      s"$joinKw LATERAL ($sub) l WHERE a.${basePred(lt)} ${orderAll(3)} ${limit()}"
+  }
+
+  /** LATERAL top-k: correlated ORDER BY … LIMIT k inside the derived
+    * table (per-outer-row smallest/largest k) — deterministic because the
+    * inner order ends on the right table's unique key. */
+  private def qLateralTopK(): String = {
+    val (lt, rt, lc, rc) = pick(joins.filter(_._2.uniqueKey.isDefined))
+    val uk = rt.uniqueKey.get
+    val x = pick(cols(rt, IntK)).name
+    val dir = pick(Seq("ASC", "DESC"))
+    val nf = if (dir == "ASC") "NULLS FIRST" else "NULLS LAST"
+    val k = 1 + rnd.nextInt(3)
+    val sub = s"SELECT b.$x AS lx, b.$uk AS lk FROM ${rt.name} b " +
+      s"WHERE b.$rc = a.$lc ORDER BY b.$x $dir $nf, b.$uk ASC NULLS FIRST LIMIT $k"
+    s"SELECT a.$lc AS c1, l.lx AS c2, l.lk AS c3 FROM ${lt.name} a, " +
+      s"LATERAL ($sub) l WHERE a.${basePred(lt)} ${orderAll(3)} ${limit()}"
+  }
+
+  /** Correlated-subquery / LATERAL suite (--corr mode): ANSI-common text,
+    * both engines run it verbatim. */
+  def corrQueries(count: Int): Vector[(String, String)] =
+    (1 to count).map { i =>
+      val (kind, sql) = rnd.nextInt(6) match {
+        case 0 => ("csel", qCorrScalarSelect())
+        case 1 => ("cwhr", qCorrScalarWhere())
+        case 2 => ("cex", qCorrExistsRich())
+        case 3 => ("cin", qCorrIn())
+        case 4 => ("lat", qLateralAgg())
+        case _ => ("latk", qLateralTopK())
+      }
+      (f"fz_$i%04d_$kind", sql)
+    }.toVector
+
   // ---- DuckDB-dialect generator (--dialect mode) -----------------------
   // These queries are DuckDB SQL on purpose: the DuckDB oracle runs them
   // verbatim while the Spark side routes through the SAME
@@ -692,17 +824,53 @@ final class SqlFuzzer(seed: Long) {
         s"FROM $t WHERE ${pred(tbl, 1)} QUALIFY $win <= $n ${orderAll(2)} ${limit()}"
   }
 
+  /** `* REPLACE` over an aliased projection: the shim moves replaced
+    * columns to the end of the star expansion (documented bound), so the
+    * ORDER BY is BY NAME — ordinals would bind to different columns on
+    * the two engines. The oracle compare sorts columns by name, so the
+    * position difference itself is invisible to it. */
+  private def qDialectReplace(): String = {
+    val t = pick(Seq(lineitem, orders, customer))
+    val ic = pick(cols(t, IntK)).name
+    val mc = pick(cols(t, MoneyK)).name
+    val sc = if (cols(t, StrK).nonEmpty) pick(cols(t, StrK)).name else ic
+    val inner = s"SELECT $ic AS c1, $mc AS c2, $sc AS c3 FROM ${t.name} WHERE ${pred(t, 1)}"
+    val repl = rnd.nextInt(3) match {
+      case 0 => s"(c2 * 2.0) AS c2"
+      case 1 => s"(c1 + ${intLit(1, 50)}) AS c1"
+      case _ => s"(c2 * 2.0) AS c2, (c1 % ${intLit(2, 97)}) AS c1"
+    }
+    val ord = Seq("c1", "c2", "c3").map { n =>
+      if (rnd.nextInt(4) == 0) s"$n DESC NULLS LAST" else s"$n ASC NULLS FIRST"
+    }.mkString("ORDER BY ", ", ", "")
+    s"SELECT * REPLACE ($repl) FROM ($inner) u $ord ${limit()}"
+  }
+
+  /** ASOF joins on an edge whose RIGHT key is unique (orders.o_orderkey):
+    * at most one candidate row per left row, so the match is tie-free in
+    * both engines regardless of the inequality direction. */
+  private def qDialectAsof(): String = {
+    val op = pick(Seq(">=", ">", "<=", "<"))
+    val left = if (rnd.nextBoolean()) " LEFT" else ""
+    s"SELECT a.l_orderkey AS c1, a.l_linenumber AS c2, b.o_totalprice AS c3 " +
+      s"FROM lineitem a ASOF$left JOIN orders b ON b.o_orderkey = a.l_orderkey " +
+      s"AND a.l_shipdate $op b.o_orderdate " +
+      s"WHERE a.${basePred(lineitem)} ${orderAll(3)} ${limit()}"
+  }
+
   /** DuckDB-dialect suite: run verbatim on DuckDB, through
     * [[graft.engine.DuckDbDialect.rewrite]] on Spark. */
   def dialectQueries(count: Int): Vector[(String, String)] =
     (1 to count).map { i =>
-      val (kind, sql) = rnd.nextInt(7) match {
+      val (kind, sql) = rnd.nextInt(9) match {
         case 0 => ("dsel", qDialectProj())
         case 1 => ("dgrp", qDialectGroup())
         case 2 => ("dtb", qDialectBucket())
         case 3 => ("dlst", qDialectList())
         case 4 => ("drex", qDialectRegex())
         case 5 => ("dqual", qDialectQualify())
+        case 6 => ("drep", qDialectReplace())
+        case 7 => ("dasof", qDialectAsof())
         case _ => ("ddiv", qDialectDivFilter())
       }
       (f"fz_$i%04d_$kind", sql)
@@ -732,7 +900,13 @@ final class SqlFuzzer(seed: Long) {
   * + errors.json) so `tools/check_oracle.py <outDir> <sfDir>` performs the
   * DuckDB side and the comparison.
   *
-  * Usage: runMain graft.tools.Fuzz <sfDir> <outDir> [count=500] [seed=12] [--nulls|--dialect]
+  * Usage: runMain graft.tools.Fuzz <sfDir> <outDir> [count=500] [seed=12] [--nulls] [--dialect|--corr]
+  *
+  * `--corr`: correlated scalar subqueries (SELECT list + WHERE),
+  * non-equi correlated EXISTS, correlated IN, and LATERAL derived
+  * tables (per-row aggregate + correlated ORDER BY/LIMIT top-k) —
+  * the decorrelation surface. ANSI-common text, run verbatim on both
+  * engines; composes with `--nulls` (NULL correlation keys).
   *
   * `--dialect`: generate DuckDB-dialect SQL (strftime/strptime, epoch/
   * epoch_ms, `//`, time_bucket, list functions, string_split,
@@ -817,6 +991,7 @@ object Fuzz {
     val dialect = flags.contains("--dialect")
     val suite =
       if (dialect) new SqlFuzzer(seed).dialectQueries(count)
+      else if (flags.contains("--corr")) new SqlFuzzer(seed).corrQueries(count)
       else new SqlFuzzer(seed).queries(count)
     new java.io.File(outDir).mkdirs()
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]

@@ -251,4 +251,108 @@ class DuckDbDialectSpec extends AnyFunSuite {
     // the word inside a string literal is untouched
     assert(DuckDbDialect.rewrite("SELECT 'qualify' AS w") == "SELECT 'qualify' AS w")
   }
+
+  test("comments and double-quoted identifiers are masked from the rewrites") {
+    // QUALIFY inside a line comment must not steer the clause scan
+    val c1 = "SELECT a FROM t -- qualify union limit\nWHERE a > 1"
+    assert(DuckDbDialect.rewrite(c1) == c1)
+    // ... nor inside a block comment, and // inside a comment stays
+    val c2 = "SELECT a /* b // c UNION */ FROM t"
+    assert(DuckDbDialect.rewrite(c2) == c2)
+    // a double-quoted identifier containing a rename target stays verbatim
+    val c3 = "SELECT \"list_length\" FROM t"
+    assert(DuckDbDialect.rewrite(c3) == c3)
+    // but the same name as a real call still renames
+    assert(DuckDbDialect.rewrite("SELECT list_length(xs) FROM t")
+      == "SELECT array_size(xs) FROM t")
+  }
+
+  // ---- * REPLACE -------------------------------------------------------
+
+  test("star REPLACE rewrites to EXCEPT + trailing projection") {
+    assert(DuckDbDialect.rewrite("SELECT * REPLACE (price * 2 AS price) FROM t")
+      == "SELECT * EXCEPT (price), price * 2 AS price FROM t")
+    assert(DuckDbDialect.rewrite(
+      "SELECT * REPLACE (a + 1 AS a, UPPER(b) AS b) FROM t WHERE a > 0")
+      == "SELECT * EXCEPT (a, b), a + 1 AS a, UPPER(b) AS b FROM t WHERE a > 0")
+    // multiplication by the REPLACE() scalar function is NOT a modifier
+    val mul = "SELECT price * REPLACE(name, 'a', 'b') FROM t"
+    assert(DuckDbDialect.rewrite(mul) == mul)
+    // and the scalar function alone is untouched
+    val fn = "SELECT REPLACE(name, 'a', 'b') AS n FROM t"
+    assert(DuckDbDialect.rewrite(fn) == fn)
+  }
+
+  test("star REPLACE runs end-to-end with replaced values") {
+    Ingest.load(spark, TestSpark.resource("sample_sales_data.csv"))
+      .createOrReplaceTempView("data_table")
+    val df = SqlGateway.run(spark,
+      "SELECT * REPLACE (price * 10 AS price) FROM data_table ORDER BY id LIMIT 3")
+    // same column SET as the table (order differs — documented bound)
+    val plain = SqlGateway.run(spark,
+      "SELECT * FROM data_table ORDER BY id LIMIT 3")
+    assert(df.columns.sorted.toSeq == plain.columns.sorted.toSeq)
+    val byId = plain.collect().map(r => r.getAs[Int]("id") -> r.getAs[Double]("price")).toMap
+    df.collect().foreach { r =>
+      assert(math.abs(r.getAs[Double]("price") - byId(r.getAs[Int]("id")) * 10) < 1e-9)
+    }
+  }
+
+  // ---- ASOF JOIN -------------------------------------------------------
+
+  test("ASOF JOIN rewrites to the correlated-lateral formulation") {
+    val out = DuckDbDialect.rewrite(
+      "SELECT a.id, b.v FROM ticks a ASOF JOIN quotes b ON b.k = a.k AND a.ts >= b.ts")
+    assert(out.contains("CROSS JOIN LATERAL"))
+    assert(out.contains("ORDER BY b.ts DESC NULLS LAST LIMIT 1"))
+    val left = DuckDbDialect.rewrite(
+      "SELECT a.id, b.v FROM ticks a ASOF LEFT JOIN quotes b ON b.k = a.k AND a.ts >= b.ts")
+    assert(left.contains("LEFT JOIN LATERAL") && left.contains("ON TRUE"))
+    // flipped inequality side and direction: right >= outer → earliest ≥ → ASC
+    val fwd = DuckDbDialect.rewrite(
+      "SELECT a.id FROM ticks a ASOF JOIN quotes b ON b.k = a.k AND b.ts >= a.ts")
+    assert(fwd.contains("ORDER BY b.ts ASC NULLS FIRST LIMIT 1"))
+  }
+
+  test("ASOF JOIN bounds fail loudly") {
+    val e1 = intercept[IllegalArgumentException] {
+      DuckDbDialect.rewrite("SELECT 1 FROM a ASOF JOIN (SELECT * FROM q) b ON b.k = a.k AND a.t >= b.t")
+    }
+    assert(e1.getMessage.contains("subquery"))
+    val e2 = intercept[IllegalArgumentException] {
+      DuckDbDialect.rewrite("SELECT 1 FROM a ASOF JOIN q b ON b.k = a.k")
+    }
+    assert(e2.getMessage.contains("exactly one inequality"))
+    val e3 = intercept[IllegalArgumentException] {
+      DuckDbDialect.rewrite("SELECT 1 FROM a ASOF JOIN q b ON a.t >= b.t AND a.u <= b.u")
+    }
+    assert(e3.getMessage.contains("inequality"))
+    // 'asof' inside a string literal is untouched
+    assert(DuckDbDialect.rewrite("SELECT 'asof join' AS w") == "SELECT 'asof join' AS w")
+  }
+
+  test("ASOF JOIN matches the AsOf operator end-to-end") {
+    import spark.implicits._
+    Seq((1, "k", "2024-01-01 00:00:05"), (2, "k", "2024-01-01 00:00:02"),
+        (3, "k", "2024-01-01 00:00:00"), (4, "z", "2024-01-01 00:00:10"))
+      .toDF("id", "k", "ts")
+      .selectExpr("id", "k", "CAST(ts AS TIMESTAMP) AS ts")
+      .createOrReplaceTempView("asof_l")
+    Seq(("k", "2024-01-01 00:00:01", 10.0), ("k", "2024-01-01 00:00:04", 20.0),
+        ("q", "2024-01-01 00:00:00", 99.0))
+      .toDF("k", "ts", "v")
+      .selectExpr("k", "CAST(ts AS TIMESTAMP) AS ts", "v")
+      .createOrReplaceTempView("asof_r")
+    val rows = SqlGateway.run(spark,
+      "SELECT a.id, b.v FROM asof_l a ASOF LEFT JOIN asof_r b " +
+        "ON b.k = a.k AND a.ts >= b.ts ORDER BY a.id").collect()
+    // id1@5s→20.0 (latest ≤5s), id2@2s→10.0, id3@0s→no match (NULL), id4 key z→NULL
+    assert(rows.map(r => (r.getInt(0), Option(r.get(1)))).toSeq == Seq(
+      (1, Some(20.0)), (2, Some(10.0)), (3, None), (4, None)))
+    // inner variant drops the unmatched rows
+    val inner = SqlGateway.run(spark,
+      "SELECT a.id, b.v FROM asof_l a ASOF JOIN asof_r b " +
+        "ON b.k = a.k AND a.ts >= b.ts ORDER BY a.id").collect()
+    assert(inner.map(_.getInt(0)).toSeq == Seq(1, 2))
+  }
 }

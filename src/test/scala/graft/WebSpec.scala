@@ -230,5 +230,45 @@ class WebSpec extends AnyFunSuite {
     }
   }
 
+  test("multi-file ask: cross-file join through the gateway (reference roadmap)") {
+    // two frames sharing a join column; totals are hand-computed so the
+    // markdown is checked against the DuckDB-oracle answer for this input
+    def uploadNamed(name: String, content: String, cookie: String = ""): (String, String) = {
+      val boundary = "graftBoundaryM"
+      val b = HttpRequest.newBuilder()
+        .uri(URI.create(s"$base/api/upload"))
+        .header("Content-Type", s"multipart/form-data; boundary=$boundary")
+      if (cookie.nonEmpty) b.header("Cookie", cookie)
+      val resp = http.send(b.POST(HttpRequest.BodyPublishers.ofByteArray(
+        multipartBody(name, content.getBytes(StandardCharsets.UTF_8), boundary))).build(),
+        HttpResponse.BodyHandlers.ofString())
+      assert(resp.statusCode() == 200, resp.body())
+      val ck = resp.headers().firstValue("Set-Cookie").orElse("").split(";").head
+      (Json.getString(resp.body(), "file_id").get, if (cookie.nonEmpty) cookie else ck)
+    }
+    val (dimsId, cookie) = uploadNamed("dims.csv",
+      "region,manager\neast,alice\nwest,bob\nnorth,carol\n")
+    val (salesId, _) = uploadNamed("sales2.csv",
+      "region,amount\neast,10.5\neast,2.0\nwest,4.25\n", cookie)
+    val r = post("/api/ask_question",
+      s"""{"file_ids": ["$dimsId", "$salesId"], "question": "total amount by region"}""",
+      "application/json", cookie)
+    assert(r.statusCode() == 200, r.body())
+    val md = Json.getString(r.body(), "markdown_result").get
+    // inner join drops the unmatched 'north' dim; totals are exact
+    assert(md.contains("12.50") && md.contains("4.25"), md.take(600))
+    assert(!md.contains("north"), md.take(600))
+    // rendered SQL references the stable stem-named views, not ephemerals
+    assert(md.contains("dims") && md.contains("sales2"), md.take(600))
+    assert(!md.contains("data_1") || !md.matches("(?s).*data_[0-9a-f]{32}.*"), md.take(600))
+    // overview lists both frames
+    assert(md.contains("3 rows") && md.contains("2 columns"), md.take(600))
+    // a missing id in the list 404s with the offending id named
+    val bad = post("/api/ask_question",
+      s"""{"file_ids": ["$dimsId", "nope"], "question": "q"}""",
+      "application/json", cookie)
+    assert(bad.statusCode() == 404 && bad.body().contains("nope"))
+  }
+
   test("shutdown") { server.stop() }
 }
