@@ -268,6 +268,120 @@ class StreamingSpec extends AnyFunSuite {
   /** Serve `lines` on a loopback socket; returns (host, port, closer).
     * The connection stays OPEN after the last line — an unbounded source
     * never "ends"; the test stops the query, then closes. */
+  /** Phased socket server: the test pushes line batches explicitly, so
+    * watermark advancement can be observed BETWEEN deliveries — the only
+    * way to pin late-data drop accounting deterministically on a live
+    * socket (a one-shot feed can land a late row in the same micro-batch
+    * as the row that would have advanced the watermark past it, where it
+    * is legitimately accepted). */
+  private def servePhased(): (String, Int, Seq[String] => Unit, () => Unit) = {
+    val server = new java.net.ServerSocket(
+      0, 1, java.net.InetAddress.getLoopbackAddress)
+    @volatile var out: java.io.PrintWriter = null
+    val t = new Thread(() => {
+      try {
+        val sock = server.accept()
+        out = new java.io.PrintWriter(sock.getOutputStream, true)
+        Thread.sleep(120000) // hold open until closer fires or JVM exits
+      } catch { case _: Throwable => () }
+    })
+    t.setDaemon(true)
+    t.start()
+    val send = (lines: Seq[String]) => {
+      val t0 = System.nanoTime()
+      while (out == null && (System.nanoTime() - t0) / 1e6 < 10000) Thread.sleep(20)
+      assert(out != null, "socket consumer never connected")
+      lines.foreach(out.println)
+      out.flush()
+    }
+    (server.getInetAddress.getHostAddress, server.getLocalPort, send,
+      () => server.close())
+  }
+
+  /** Total rows dropped by the watermark across the query so far (the
+    * state operator's own accounting — not inferred from output). */
+  private def droppedByWatermark(q: org.apache.spark.sql.streaming.StreamingQuery): Long =
+    q.recentProgress.flatMap(_.stateOperators).map(_.numRowsDroppedByWatermark).sum
+
+  test("late socket data: append mode drops beyond-watermark rows, keeps within-watermark stragglers") {
+    val (host, port, send, close) = servePhased()
+    try {
+      val q = EventStream.tumbling(EventStream.socketSource(spark, host, port))
+        .writeStream.format("memory").queryName("late_sock_append")
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime("100 milliseconds"))
+        .start()
+      def sink() = spark.table("late_sock_append").collect()
+        .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+      // phase 1: on-time hour-00 events
+      send(Seq("1,2024-01-01 00:05:00,1,a,1.0",
+               "2,2024-01-01 00:20:00,1,a,1.0",
+               "3,2024-01-01 00:30:00,2,b,1.0"))
+      // phase 2: 02:00 advances the watermark to 01:50 → hour-00 closes
+      // and its windows emit exactly once
+      send(Seq("4,2024-01-01 02:00:00,3,c,1.0"))
+      awaitSink(q) { () => sink().contains(("2024-01-01 00:00:00", "a", 2L)) }
+      assert(sink() == Set(("2024-01-01 00:00:00", "a", 2L),
+                           ("2024-01-01 00:00:00", "b", 1L)), s"got ${sink()}")
+      // phase 3 (delivered strictly after the watermark reached 01:50):
+      //  - 00:40 is BEYOND the watermark → dropped by the state operator
+      //  - 01:55 is out-of-order but AT/ABOVE the watermark → kept (hour 01)
+      send(Seq("5,2024-01-01 00:40:00,1,a,1.0",
+               "6,2024-01-01 01:55:00,4,d,1.0"))
+      // phase 4: 05:00 closes hours 01 and 02
+      send(Seq("7,2024-01-01 05:00:00,3,c,1.0"))
+      awaitSink(q) { () => sink().contains(("2024-01-01 02:00:00", "c", 1L)) }
+      awaitSink(q) { () => droppedByWatermark(q) >= 1 }
+      // exact emitted set: hour 00 unchanged (no duplicate emission, late
+      // 'a' never re-opens it), the straggler landed in hour 01
+      assert(sink() == Set(
+        ("2024-01-01 00:00:00", "a", 2L),
+        ("2024-01-01 00:00:00", "b", 1L),
+        ("2024-01-01 01:00:00", "d", 1L),
+        ("2024-01-01 02:00:00", "c", 1L)), s"got ${sink()}")
+      // and the drop is accounted by the operator itself: exactly the one
+      // beyond-watermark row
+      assert(droppedByWatermark(q) == 1L, s"dropped=${droppedByWatermark(q)}")
+      q.stop()
+    } finally close()
+  }
+
+  test("late socket data: update mode re-emits within-watermark corrections but drops the same rows") {
+    val (host, port, send, close) = servePhased()
+    try {
+      val q = EventStream.tumbling(EventStream.socketSource(spark, host, port))
+        .writeStream.format("memory").queryName("late_sock_update")
+        .outputMode("update")
+        .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime("100 milliseconds"))
+        .start()
+      // update mode appends a row to the sink on EVERY state change; the
+      // final value per key is the last (= max n, counts only grow)
+      def finalCounts() = spark.table("late_sock_update").collect()
+        .map(r => ((r.getString(0), r.getString(1)), r.getLong(2)))
+        .groupBy(_._1).map { case (k, vs) => (k, vs.map(_._2).max) }
+      // phase 1: hour-00 'a' lands and emits an update eagerly (no
+      // window-close wait — the append/update contract difference)
+      send(Seq("1,2024-01-01 00:05:00,1,a,1.0"))
+      awaitSink(q) { () => finalCounts().get(("2024-01-01 00:00:00", "a")).contains(1L) }
+      // phase 2: an out-of-order row for the SAME window arrives before
+      // any watermark passed it → state updates, corrected count emits
+      send(Seq("2,2024-01-01 00:20:00,1,a,1.0"))
+      awaitSink(q) { () => finalCounts().get(("2024-01-01 00:00:00", "a")).contains(2L) }
+      // phase 3: advance the watermark to 01:50
+      send(Seq("3,2024-01-01 02:00:00,3,c,1.0"))
+      awaitSink(q) { () => finalCounts().contains(("2024-01-01 02:00:00", "c")) }
+      // phase 4: beyond-watermark straggler for hour 00 → dropped; the
+      // count must NOT advance to 3 even in update mode
+      send(Seq("4,2024-01-01 00:40:00,1,a,1.0",
+               "5,2024-01-01 05:00:00,3,c,1.0"))
+      awaitSink(q) { () => droppedByWatermark(q) >= 1 }
+      assert(finalCounts()(("2024-01-01 00:00:00", "a")) == 2L,
+        s"beyond-watermark row must not update closed state: ${finalCounts()}")
+      assert(droppedByWatermark(q) == 1L, s"dropped=${droppedByWatermark(q)}")
+      q.stop()
+    } finally close()
+  }
+
   private def serveLines(lines: Seq[String]): (String, Int, () => Unit) = {
     val server = new java.net.ServerSocket(
       0, 1, java.net.InetAddress.getLoopbackAddress)
