@@ -368,7 +368,12 @@ object DuckDbDialect {
     * inequality (>=, <=, >, <) whose operands are qualified so the
     * right-table side is identifiable. Ties on the inequality bound are
     * deterministic only when the ordering expression is unique per key —
-    * the same caveat DuckDB's ASOF documents. */
+    * the same caveat DuckDB's ASOF documents. NULL ordering values are
+    * 3VL here (a NULL timestamp matches nothing); DuckDB's sort-based
+    * ASOF gives them implementation-defined behavior instead (observed
+    * on 1.0.0: NULL ≈ +∞ under `>=` but direction-dependent artifacts
+    * under `<=`), so rows with NULL ordering keys are outside the
+    * equivalence bound — filter them explicitly when they can occur. */
   private def rewriteAsOfJoin(sql: String): String = {
     val in = inString(sql)
     def wordAt(i: Int, w: String): Boolean =

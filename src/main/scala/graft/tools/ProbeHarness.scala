@@ -32,6 +32,28 @@ object ProbeHarness {
       .map(_.split(",").toSeq.map(_.trim.toInt))
       .getOrElse(default)
 
+  /** `GRAFT_PROBE_QS` (comma list) restricts a probe to named queries —
+    * e.g. re-running just the simhash/minhash rungs at K=128 without
+    * paying the documented-quadratic Jaccard expansion. */
+  def qs(default: Seq[String]): Seq[String] =
+    sys.env.get("GRAFT_PROBE_QS")
+      .map(_.split(",").toSeq.map(_.trim).filter(_.nonEmpty))
+      .getOrElse(default)
+
+  /** Shuffle-partition policy per K (VERDICT r12 #3: demonstrate the
+    * partition-scaling claim, don't argue it). Default: the session's
+    * fixed 16 — the config every recorded ladder ran under. Set
+    * `GRAFT_PROBE_PARTS=scaled` for partitions ∝ K (max(16, 2K): 16 up
+    * to K=8, 64 at K=32, 128 at K=64, 256 at K=128 — what a real
+    * cluster sized to the data would use), or an integer for a fixed
+    * override. Applied via runtime conf before each K's timings, so one
+    * probe process compares like-for-like. */
+  def partitionsFor(k: Int): Option[Int] =
+    sys.env.get("GRAFT_PROBE_PARTS").map {
+      case "scaled" => math.max(16, 2 * k)
+      case n => n.trim.toInt
+    }
+
   /** Generate each K's dataset via `gen(k, dir)`, run one untimed K=1
     * warmup (codegen + JIT for the whole family), then time every query
     * cold-cache per K and print the table + linearity ratio.
@@ -46,7 +68,17 @@ object ProbeHarness {
   def run(spark: SparkSession, queries: Seq[String], kLadder: Seq[Int],
       outBase: String, gen: (Int, String) => Unit,
       maxKFor: Map[String, Int] = Map.empty): Unit = {
-    kLadder.foreach(k => gen(k, s"$outBase/k$k"))
+    // GRAFT_PROBE_REUSE=1 skips regeneration when the K's dataset dir
+    // already exists — the fixed-vs-scaled partition comparison runs the
+    // same ladder twice and the 128× corpus is minutes of writing.
+    val reuse = sys.env.get("GRAFT_PROBE_REUSE").contains("1")
+    kLadder.foreach { k =>
+      val dir = s"$outBase/k$k"
+      if (!reuse || !new java.io.File(s"$dir/_PROBE_DONE").exists()) {
+        gen(k, dir)
+        new java.io.File(s"$dir/_PROBE_DONE").createNewFile()
+      }
+    }
 
     def timeOnce(name: String, dir: String): Double = {
       System.err.println(s"[probe] $name @ $dir")
@@ -67,8 +99,14 @@ object ProbeHarness {
       // fresh timings per K: drop every cached frame from the previous
       // scale so each K pays its own materialization
       spark.sharedState.cacheManager.clearCache()
+      partitionsFor(k).foreach { p =>
+        System.err.println(s"[probe] K=$k: spark.sql.shuffle.partitions=$p")
+        spark.conf.set("spark.sql.shuffle.partitions", p.toString)
+      }
       k -> active(k).map(q => q -> timeOnce(q, s"$outBase/k$k")).toMap
     }
+    println("partitions per K: " + kLadder.map(k =>
+      s"K=$k:${partitionsFor(k).getOrElse(16)}").mkString(", "))
     println(f"${"query"}%-26s" + kLadder.map(k => f"K=$k%-7d").mkString)
     queries.foreach { q =>
       println(f"$q%-26s" + results.map { case (_, m) =>

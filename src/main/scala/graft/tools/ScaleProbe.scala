@@ -42,7 +42,7 @@ object ScaleProbe {
       col("lang"), col("source"),
       col("n_chars"))
 
-    ProbeHarness.run(spark, Queries,
+    ProbeHarness.run(spark, ProbeHarness.qs(Queries),
       ProbeHarness.ks(Seq(1, 2, 4, 8, 32, 64)), outBase, (k, dir) =>
         (0 until k).map(replica).reduce(_ unionAll _)
           .write.mode("overwrite").parquet(s"$dir/documents.parquet"))

@@ -70,14 +70,15 @@ class FuzzSpec extends AnyFunSuite {
     // every query carries the determinism rules AND at least one
     // DuckDB-only spelling the shim must translate
     val duckisms = Seq("strftime(", "epoch(", "epoch_ms(", "//",
-      "time_bucket(", "list_", "string_split(", "regexp_matches(", "QUALIFY")
+      "time_bucket(", "list_", "string_split(", "regexp_matches(", "QUALIFY",
+      "* REPLACE (", "ASOF")
     dial.foreach { case (name, sql) =>
       assert(sql.contains("ORDER BY") && sql.contains("LIMIT"), s"$name: $sql")
       assert(duckisms.exists(sql.contains), s"$name has no DuckDB-ism: $sql")
     }
     val spark = TestSpark.spark
     import graft.ops.Tables
-    Seq("orders", "lineitem", "documents").foreach { t =>
+    Seq("orders", "lineitem", "documents", "customer").foreach { t =>
       Tables.t(spark, TestSpark.Sf, t).createOrReplaceTempView(t)
     }
     Tables.events(spark, TestSpark.Sf).createOrReplaceTempView("events")
@@ -88,6 +89,42 @@ class FuzzSpec extends AnyFunSuite {
         try spark.sql(rewritten).collect()
         catch { case e: Throwable =>
           fail(s"$name failed on Spark after rewrite: ${e.getMessage}\n$sql\n→ $rewritten")
+        }
+      }
+  }
+
+  test("corr suite: seeded, ordered, and every query is genuinely correlated or LATERAL") {
+    val corr = new SqlFuzzer(12L).corrQueries(200)
+    assert(corr == new SqlFuzzer(12L).corrQueries(200)) // seeded
+    corr.foreach { case (name, sql) =>
+      assert(sql.contains("ORDER BY") && sql.contains("LIMIT"), s"$name: $sql")
+      assert(sql.contains("NULLS FIRST") || sql.contains("NULLS LAST"), s"$name: $sql")
+      // the decorrelation surface is the point: an outer reference from
+      // inside the subquery (alias a.) or a LATERAL derived table
+      assert(sql.contains("LATERAL") ||
+        sql.matches("(?s).*\\(SELECT .*\\ba\\..*"),
+        s"$name has no correlation: $sql")
+    }
+    // all six kinds present in a 200-query suite
+    Seq("csel", "cwhr", "cex", "cin", "lat", "latk").foreach { kind =>
+      assert(corr.exists(_._1.endsWith(s"_$kind")), s"missing kind $kind")
+    }
+  }
+
+  test("corr sample runs on Spark over sf0.001") {
+    val spark = TestSpark.spark
+    import graft.ops.Tables
+    Seq("region", "nation", "customer", "supplier", "part", "orders",
+      "lineitem", "documents").foreach { t =>
+      Tables.t(spark, TestSpark.Sf, t).createOrReplaceTempView(t)
+    }
+    Tables.events(spark, TestSpark.Sf).createOrReplaceTempView("events")
+    val corr = new SqlFuzzer(12L).corrQueries(200)
+    corr.zipWithIndex.collect { case (q, i) if i % 5 == 0 => q }
+      .foreach { case (name, sql) =>
+        try spark.sql(sql).collect()
+        catch { case e: Throwable =>
+          fail(s"$name failed on Spark: ${e.getMessage}\n$sql")
         }
       }
   }
