@@ -18,7 +18,12 @@ def main():
     con = duckdb.connect()
     for t in TABLES:
         p = os.path.join(sf_dir, f"{t}.parquet")
-        if os.path.exists(p):
+        if os.path.isdir(p):
+            # Spark-written table (directory of part files) — e.g. the
+            # synthesized sf≈1 replicas; driver testdata is flat files
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM "
+                        f"read_parquet('{os.path.join(p, '*.parquet')}')")
+        elif os.path.exists(p):
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
     times = {}
     for name in sorted(oracles):

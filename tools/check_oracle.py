@@ -40,14 +40,15 @@ def cmp_values(a, b):
     n_bad, n_close, first = 0, 0, None
     for col in a.columns:
         av, bv = a[col].tolist(), b[col].tolist()
-        # Materialization artifact, not a divergence: a NULL BOOLEAN (or
-        # other non-float) column comes back as dtype object/None from
-        # pyarrow (Spark side) but float64/NaN from DuckDB's fetchdf.
-        # None ≡ NaN is accepted ONLY when the two sides materialized the
-        # column with different dtype kinds (one object/bool, one float)
-        # — a float column nulled on just one engine still fails.
+        # Materialization artifact, not a divergence: a NULL in a
+        # non-float column (BOOLEAN, VARCHAR) comes back as None from
+        # pyarrow (Spark side) but as float NaN from DuckDB's fetchdf
+        # (which uses NaN as its null sentinel in object columns too).
+        # None ≡ NaN is accepted ONLY when at least one side materialized
+        # the column as object/bool — two genuine float64 columns where
+        # one engine nulled and the other NaN'd still fail.
         kinds = {a[col].dtype.kind, b[col].dtype.kind}
-        nullnan_ok = ("O" in kinds or "b" in kinds) and "f" in kinds
+        nullnan_ok = "O" in kinds or "b" in kinds
         for i, (x, y) in enumerate(zip(av, bv)):
             if x is None and y is None:
                 continue
