@@ -228,6 +228,57 @@ class EngineSpec extends AnyFunSuite {
     assert(Json.getString(s"""{"k":"${bsU}00e"}""", "k").nonEmpty) // truncated hex
   }
 
+  test("Json.getStringArray reads top-level string arrays, skipping junk") {
+    assert(Json.getStringArray("""{"file_ids":["a","b"],"q":"x"}""", "file_ids")
+      .contains(Seq("a", "b")))
+    // non-string elements are skipped, not misparsed
+    assert(Json.getStringArray("""{"file_ids":["a",1,{"k":"v"},"b"]}""", "file_ids")
+      .contains(Seq("a", "b")))
+    assert(Json.getStringArray("""{"file_ids":[]}""", "file_ids").contains(Seq()))
+    // a string (not array) value, nested same-named keys, absence
+    assert(Json.getStringArray("""{"file_ids":"a"}""", "file_ids").isEmpty)
+    assert(Json.getStringArray("""{"meta":{"file_ids":["x"]},"q":"y"}""", "file_ids").isEmpty)
+    // the key name inside an earlier string value must not misroute
+    assert(Json.getStringArray(
+      """{"q":"about \"file_ids\": huh","file_ids":["z"]}""", "file_ids")
+      .contains(Seq("z")))
+  }
+
+  test("multi-table generation: prompt contract and deterministic stub join") {
+    val sales = Ingest.load(spark, TestSpark.resource("sample_sales_data.csv"))
+    val info = Profile(sales)
+    import spark.implicits._
+    import org.apache.spark.sql.functions.lit
+    // dim cities drawn from the live data so the join actually matches
+    val dims = sales.select("customer_city").distinct().limit(2)
+      .withColumn("manager", lit("m"))
+    val dinfo = Profile(dims)
+    // single-table call routes to the single-table contract
+    assert(SqlGenerator.Stub.generateMulti("show rows", Seq(("t1", info)))
+      == SqlGenerator.Stub.generate("show rows", info, "t1"))
+    // two tables: join on the first shared column; totals → SUM shape
+    val sql = SqlGenerator.Stub.generateMulti("total price by city",
+      Seq(("cities", dinfo), ("sales", info)))
+    assert(sql.contains("JOIN") && sql.contains("customer_city"), sql)
+    assert(sql.toUpperCase.contains("SUM("), sql)
+    // the multi prompt lists every table and the join permission
+    val prompt = SqlGenerator.buildPromptMulti("q",
+      Seq(("cities", dinfo), ("sales", info)))
+    assert(prompt.contains("cities") && prompt.contains("sales"))
+    assert(prompt.contains("JOINed"))
+    // no shared column → loud failure, not a guessed cross join
+    val disjoint = Profile(Seq((1, "x")).toDF("zz_a", "zz_b"))
+    intercept[IllegalArgumentException] {
+      SqlGenerator.Stub.generateMulti("q", Seq(("t1", dinfo), ("t2", disjoint)))
+    }
+    // the generated join runs through the gateway against live views
+    Catalog.register(sales, "sales")
+    Catalog.register(dims, "cities")
+    val rows = SqlGateway.run(spark, sql).collect()
+    assert(rows.nonEmpty)
+    spark.catalog.dropTempView("sales"); spark.catalog.dropTempView("cities")
+  }
+
   test("Gemini transport: response parsing and fence stripping (no network)") {
     val g = new GeminiSqlGenerator(apiKey = "unused-in-tests")
     val resp = """{"candidates":[{"content":{"parts":[{"text":
