@@ -351,29 +351,47 @@ object DuckDbDialect {
 
   /** DuckDB `ASOF [LEFT] JOIN t [alias] ON eq-conds AND one-inequality`
     * (the reference's contract includes it; Spark has no ASOF operator).
-    * Rewritten to the correlated-lateral formulation — per left row, the
-    * single best right row under the inequality direction:
+    * Rewritten to the domain-join + window formulation — ASOF's match
+    * depends only on the left row's (key…, ordering-value) tuple, so the
+    * best right row is computed once per DISTINCT tuple and equi-joined
+    * back:
     *
     *   a ASOF JOIN b ON b.k = a.k AND a.ts >= b.ts
-    *     → a CROSS JOIN LATERAL (SELECT * FROM b WHERE b.k = a.k AND
-    *         a.ts >= b.ts ORDER BY b.ts DESC LIMIT 1) b
-    *   ASOF LEFT JOIN → LEFT JOIN LATERAL ( … ) b ON TRUE
+    *     → a JOIN ( SELECT * FROM (
+    *           SELECT d.*, b.*, ROW_NUMBER() OVER (PARTITION BY
+    *             d.__asof_c1, d.__asof_t ORDER BY b.ts DESC) AS __asof_rn
+    *           FROM (SELECT DISTINCT a.k AS __asof_c1, a.ts AS __asof_t
+    *                 FROM lefttable a) d
+    *           JOIN b ON b.k = d.__asof_c1 AND d.__asof_t >= b.ts
+    *         ) __asof_w WHERE __asof_rn = 1
+    *       ) b ON b.__asof_c1 = a.k AND b.__asof_t = a.ts
     *
-    * Catalyst decorrelates the LIMIT-1 lateral into a ranked window over
-    * a regular join — the shuffle-once shape; the dedicated
-    * [[graft.ops.AsOf]] merge formulation remains the scale path for the
-    * DataFrame API. Bounds (throws, never silently wrong): the right
-    * side must be a plain table name (no subquery), the ON clause a
-    * top-level AND-conjunction of `=` equalities plus EXACTLY one
-    * inequality (>=, <=, >, <) whose operands are qualified so the
-    * right-table side is identifiable. Ties on the inequality bound are
-    * deterministic only when the ordering expression is unique per key —
-    * the same caveat DuckDB's ASOF documents. NULL ordering values are
-    * 3VL here (a NULL timestamp matches nothing); DuckDB's sort-based
-    * ASOF gives them implementation-defined behavior instead (observed
-    * on 1.0.0: NULL ≈ +∞ under `>=` but direction-dependent artifacts
-    * under `<=`), so rows with NULL ordering keys are outside the
-    * equivalence bound — filter them explicitly when they can occur. */
+    * Every join here is an EQUI-join (domain⋈right on the keys, derived
+    * ⋈ left on keys + ordering value) and the rank-1 filter plans as
+    * WindowGroupLimit — shuffle-bounded at any size. The obvious
+    * alternative, a correlated `ORDER BY … LIMIT 1` LATERAL, decorrelates
+    * in Catalyst to a BroadcastNestedLoopJoin of the ordering-value
+    * domain against the ENTIRE right table (measured; the equality gets
+    * pulled to the outer join, leaving only the inequality for the
+    * domain join) — a mandatory unbounded broadcast, disqualifying at
+    * scale. The dedicated [[graft.ops.AsOf]] merge formulation remains
+    * the preferred DataFrame-API path (one shuffle, no expansion).
+    *
+    * Bounds (throws, never silently wrong): the right side must be a
+    * plain table/view/CTE name (no subquery); the ON clause a top-level
+    * AND-conjunction of `=` equalities plus EXACTLY one inequality
+    * (>=, <=, >, <); all left-side operands qualified by ONE alias whose
+    * relation is the plain name immediately before ASOF; and the outer
+    * select list must name its columns (a bare `*` would surface the
+    * synthetic `__asof_*` join columns). Ties on the inequality bound
+    * are deterministic only when the ordering expression is unique per
+    * key — the same caveat DuckDB's ASOF documents. NULL ordering values
+    * are 3VL here (a NULL timestamp matches nothing); DuckDB's
+    * sort-based ASOF gives them implementation-defined behavior instead
+    * (observed on 1.0.0: NULL ≈ +∞ under `>=` but direction-dependent
+    * artifacts under `<=`), so rows with NULL ordering keys are outside
+    * the equivalence bound — filter them explicitly when they can
+    * occur. */
   private def rewriteAsOfJoin(sql: String): String = {
     val in = inString(sql)
     def wordAt(i: Int, w: String): Boolean =
@@ -446,37 +464,120 @@ object DuckDbDialect {
     val parsed = conjuncts.map(c => (c, opOf(c)))
     parsed.collectFirst { case (c, None) => c }.foreach(c =>
       throw new IllegalArgumentException(s"ASOF: unsupported ON conjunct (no comparison): $c"))
-    val ineqs = parsed.collect { case (_, Some(t @ (_, op, _)))
-      if op == "<" || op == ">" || op == "<=" || op == ">=" => t }
-    val eqs = parsed.collect { case (_, Some((_, op, _))) if op == "=" => () }
-    require(ineqs.size == 1,
-      s"ASOF: expected exactly one inequality in ON, found ${ineqs.size}")
-    require(eqs.size + ineqs.size == parsed.size,
-      "ASOF: ON conjuncts must be `=` equalities plus one inequality")
-    val (lhs, op, rhs) = ineqs.head
     val refsRight = (e: String) =>
       ("(?i)(^|[^A-Za-z0-9_])" + java.util.regex.Pattern.quote(alias) + "\\s*\\.").r
         .findFirstIn(e).isDefined
-    val (rexpr, rightOnLeft) = (refsRight(lhs), refsRight(rhs)) match {
-      case (true, false) => (lhs, true)
-      case (false, true) => (rhs, false)
-      case _ => throw new IllegalArgumentException(
-        "ASOF: exactly one side of the inequality must reference the joined " +
-          s"table's alias '$alias' (qualify the columns)")
-    }
-    // outer >= right / right <= outer → latest right at-or-before → DESC
-    val dir = (op, rightOnLeft) match {
-      case (">=" | ">", false) => "DESC"  // outer op right
-      case ("<=" | "<", false) => "ASC"
-      case (">=" | ">", true)  => "ASC"   // right op outer
-      case ("<=" | "<", true)  => "DESC"
-    }
+    // split each conjunct into (leftSideExpr, rightSideExpr) with the
+    // joined table's side identified
+    def sides(lhs: String, rhs: String, what: String): (String, String) =
+      (refsRight(lhs), refsRight(rhs)) match {
+        case (false, true) => (lhs, rhs)
+        case (true, false) => (rhs, lhs)
+        case _ => throw new IllegalArgumentException(
+          s"ASOF: exactly one side of each $what must reference the joined " +
+            s"table's alias '$alias' (qualify the columns)")
+      }
+    val ineqs = parsed.collect { case (_, Some(t @ (_, op, _)))
+      if op == "<" || op == ">" || op == "<=" || op == ">=" => t }
+    val eqTriples = parsed.collect { case (_, Some(t @ (_, "=", _))) => t }
+    require(ineqs.size == 1,
+      s"ASOF: expected exactly one inequality in ON, found ${ineqs.size}")
+    require(eqTriples.size + ineqs.size == parsed.size,
+      "ASOF: ON conjuncts must be `=` equalities plus one inequality")
+    val eqs = eqTriples.map { case (l, _, r) => sides(l, r, "equality") }
+    val (ilhs, iop, irhs) = ineqs.head
+    val (itL, itR) = sides(ilhs, irhs, "inequality")
+    // direction in outer-op-right orientation
+    val outerOp =
+      if (!refsRight(ilhs)) iop // already outer op right
+      else iop match { case ">=" => "<="; case "<=" => ">="; case ">" => "<"; case "<" => ">" }
+    // outer >= right → latest right at-or-before → DESC
+    val dir = if (outerOp == ">=" || outerOp == ">") "DESC" else "ASC"
     val nf = if (dir == "DESC") "NULLS LAST" else "NULLS FIRST"
-    val lat = s"SELECT * FROM $table $alias WHERE $cond " +
-      s"ORDER BY $rexpr $dir $nf LIMIT 1"
-    val repl =
-      if (isLeft) s"LEFT JOIN LATERAL ( $lat ) $alias ON TRUE"
-      else s"CROSS JOIN LATERAL ( $lat ) $alias"
+    // the ONE alias qualifying every left-side operand
+    val aliasOf = (e: String) =>
+      "([A-Za-z_][A-Za-z0-9_]*)\\s*\\.".r.findFirstMatchIn(e).map(_.group(1))
+    val leftAliases = (eqs.map(_._1) :+ itL).flatMap(aliasOf).distinct
+    require(leftAliases.size == 1, "ASOF: left-side operands must all be " +
+      s"qualified by one alias (found: ${leftAliases.mkString(", ")})")
+    val la = leftAliases.head
+    // the relation named immediately before ASOF must define that alias
+    val leftTable = {
+      var p = start - 1
+      def wordBack(): String = {
+        while (p >= 0 && sql(p).isWhitespace) p -= 1
+        val e = p
+        while (p >= 0 && isIdentChar(sql(p))) p -= 1
+        sql.substring(p + 1, e + 1)
+      }
+      val w2 = wordBack()
+      val w1 = wordBack()
+      if (w2.equalsIgnoreCase(la) && w1.equalsIgnoreCase("from")) la
+      else if (w2.equalsIgnoreCase(la) && w1.nonEmpty &&
+               !w1.equalsIgnoreCase("join") && !w1.equalsIgnoreCase("as")) w1
+      else if (w2.equalsIgnoreCase(la) && w1.equalsIgnoreCase("as")) wordBack()
+      else throw new IllegalArgumentException(
+        s"ASOF: the relation immediately before ASOF must be the plain " +
+          s"table of alias '$la' (multi-join left sides are outside the " +
+          "shim's bounded support — wrap them in a CTE)")
+    }
+    // a bare star in the governing select list would surface the
+    // synthetic __asof_* columns — refuse rather than silently widen
+    locally {
+      var selAt = -1; var fromAt = -1; var d0 = 0; var h = 0
+      while (h < start) {
+        val c = sql(h)
+        if (!in(h)) {
+          if (c == '(') d0 += 1
+          else if (c == ')') d0 -= 1
+          else if (d0 == 0) {
+            if (wordAt(h, "select")) { selAt = h; fromAt = -1 }
+            else if (fromAt < 0 && wordAt(h, "from")) fromAt = h
+          }
+        }
+        h += 1
+      }
+      if (selAt >= 0 && fromAt > selAt) {
+        val items = sql.substring(selAt + 6, fromAt)
+        val itemsIn = inString(items)
+        var d1 = 0
+        for (i <- 0 until items.length) {
+          if (!itemsIn(i)) {
+            if (items(i) == '(') d1 += 1
+            else if (items(i) == ')') d1 -= 1
+            else if (items(i) == '*' && d1 == 0) {
+              // multiplication has an operand before the star
+              var q = i - 1
+              while (q >= 0 && items(q).isWhitespace) q -= 1
+              val isMul = q >= 0 && (isIdentChar(items(q)) || items(q) == ')' ||
+                items(q) == '\'' || items(q) == '"')
+              if (!isMul) throw new IllegalArgumentException(
+                "ASOF with a bare * select list is outside the shim's bounded " +
+                  "support (the rewrite would surface synthetic __asof_ columns) " +
+                  "— name the output columns")
+            }
+          }
+        }
+      }
+    }
+    val domainCols = eqs.map(_._1) :+ itL
+    val names = domainCols.indices.map(i =>
+      if (i == domainCols.size - 1) "__asof_t" else s"__asof_c${i + 1}")
+    val domainSel = domainCols.zip(names)
+      .map { case (e, n) => s"$e AS $n" }.mkString(", ")
+    val innerOn = (eqs.map(_._2).zip(names.init)
+      .map { case (r, n) => s"$r = d.$n" } :+
+      s"d.${names.last} $outerOp $itR").mkString(" AND ")
+    val outerOn = domainCols.zip(names)
+      .map { case (e, n) => s"$alias.$n = $e" }.mkString(" AND ")
+    val derived =
+      s"SELECT * EXCEPT (__asof_rn) FROM ( SELECT d.*, $alias.*, ROW_NUMBER() OVER (PARTITION BY " +
+        names.map(n => s"d.$n").mkString(", ") +
+        s" ORDER BY $itR $dir $nf) AS __asof_rn " +
+        s"FROM (SELECT DISTINCT $domainSel FROM $leftTable $la) d " +
+        s"JOIN $table $alias ON $innerOn ) __asof_w WHERE __asof_rn = 1"
+    val joinKw = if (isLeft) "LEFT JOIN" else "JOIN"
+    val repl = s"$joinKw ( $derived ) $alias ON $outerOn"
     rewriteAsOfJoin(sql.substring(0, start) + repl + " " + sql.substring(condEnd))
   }
 

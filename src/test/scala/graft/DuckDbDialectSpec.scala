@@ -300,18 +300,25 @@ class DuckDbDialectSpec extends AnyFunSuite {
 
   // ---- ASOF JOIN -------------------------------------------------------
 
-  test("ASOF JOIN rewrites to the correlated-lateral formulation") {
+  test("ASOF JOIN rewrites to the domain-join + window formulation") {
     val out = DuckDbDialect.rewrite(
       "SELECT a.id, b.v FROM ticks a ASOF JOIN quotes b ON b.k = a.k AND a.ts >= b.ts")
-    assert(out.contains("CROSS JOIN LATERAL"))
-    assert(out.contains("ORDER BY b.ts DESC NULLS LAST LIMIT 1"))
+    // distinct left-domain, equi-join to the right, rank-1 per domain tuple
+    assert(out.contains("SELECT DISTINCT a.k AS __asof_c1, a.ts AS __asof_t FROM ticks a"), out)
+    assert(out.contains("JOIN quotes b ON b.k = d.__asof_c1 AND d.__asof_t >= b.ts"), out)
+    assert(out.contains("ORDER BY b.ts DESC NULLS LAST) AS __asof_rn"), out)
+    assert(out.contains("WHERE __asof_rn = 1"), out)
+    // the equi-join back to the outer left row
+    assert(out.contains("ON b.__asof_c1 = a.k AND b.__asof_t = a.ts"), out)
+    assert(!out.contains("LATERAL"), out)
     val left = DuckDbDialect.rewrite(
       "SELECT a.id, b.v FROM ticks a ASOF LEFT JOIN quotes b ON b.k = a.k AND a.ts >= b.ts")
-    assert(left.contains("LEFT JOIN LATERAL") && left.contains("ON TRUE"))
+    assert(left.contains("LEFT JOIN ( SELECT"), left)
     // flipped inequality side and direction: right >= outer → earliest ≥ → ASC
     val fwd = DuckDbDialect.rewrite(
       "SELECT a.id FROM ticks a ASOF JOIN quotes b ON b.k = a.k AND b.ts >= a.ts")
-    assert(fwd.contains("ORDER BY b.ts ASC NULLS FIRST LIMIT 1"))
+    assert(fwd.contains("ORDER BY b.ts ASC NULLS FIRST) AS __asof_rn"), fwd)
+    assert(fwd.contains("d.__asof_t <= b.ts"), fwd)
   }
 
   test("ASOF JOIN bounds fail loudly") {
@@ -327,8 +334,42 @@ class DuckDbDialectSpec extends AnyFunSuite {
       DuckDbDialect.rewrite("SELECT 1 FROM a ASOF JOIN q b ON a.t >= b.t AND a.u <= b.u")
     }
     assert(e3.getMessage.contains("inequality"))
+    // a bare * select list would surface the synthetic __asof_ columns
+    val e4 = intercept[IllegalArgumentException] {
+      DuckDbDialect.rewrite(
+        "SELECT * FROM ticks a ASOF JOIN quotes b ON b.k = a.k AND a.ts >= b.ts")
+    }
+    assert(e4.getMessage.contains("__asof_"))
+    // ...but multiplication in the select list is not a star
+    DuckDbDialect.rewrite(
+      "SELECT a.x * 2 AS y FROM ticks a ASOF JOIN quotes b ON b.k = a.k AND a.ts >= b.ts")
+    // a multi-join left side is refused, not mis-rewritten
+    val e5 = intercept[IllegalArgumentException] {
+      DuckDbDialect.rewrite("SELECT a.x FROM t1 x JOIN t2 a ON a.i = x.i " +
+        "ASOF JOIN quotes b ON b.k = a.k AND a.ts >= b.ts")
+    }
+    assert(e5.getMessage.toLowerCase.contains("bounded support"))
     // 'asof' inside a string literal is untouched
     assert(DuckDbDialect.rewrite("SELECT 'asof join' AS w") == "SELECT 'asof join' AS w")
+  }
+
+  test("ASOF rewrite decorrelates to a join, never a per-row nested loop") {
+    // the scale question: Catalyst must decorrelate the LIMIT-1 lateral
+    // (DecorrelateInnerQuery → ranked window over a regular join); a
+    // BroadcastNestedLoopJoin/CartesianProduct here would be O(n·m) and
+    // disqualify the rewrite at any real size
+    import graft.ops.Tables
+    Seq("lineitem", "orders").foreach { t =>
+      Tables.t(spark, TestSpark.Sf, t).createOrReplaceTempView(t)
+    }
+    for (variant <- Seq("ASOF JOIN", "ASOF LEFT JOIN")) {
+      val sql = DuckDbDialect.rewrite(
+        s"SELECT a.l_orderkey AS k, b.o_totalprice AS v FROM lineitem a $variant orders b " +
+          "ON b.o_orderkey = a.l_orderkey AND a.l_shipdate >= b.o_orderdate")
+      val plan = spark.sql(sql).queryExecution.executedPlan.toString
+      assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+        s"$variant planned a nested loop:\n$plan")
+    }
   }
 
   test("ASOF JOIN matches the AsOf operator end-to-end") {
