@@ -75,6 +75,7 @@ object DuckDbDialect {
   def rewrite(sql: String): String = {
     var s = sql
     s = rewriteQualify(s)
+    s = rewriteDistinctOn(s)
     s = rewriteStarReplace(s)
     s = rewriteAsOfJoin(s)
     s = rewriteOperatorIntDiv(s)
@@ -277,6 +278,139 @@ object DuckDbDialect {
   private def epochCall(args: Seq[String]): String = {
     require(args.size == 1, s"epoch: expected 1 argument, got ${args.size}")
     s"(unix_micros(${args.head}) / 1.0E6)"
+  }
+
+  // ---- DISTINCT ON -----------------------------------------------------
+
+  /** PostgreSQL-style `SELECT DISTINCT ON (keys) items … ORDER BY …`
+    * (DuckDB supports it; Spark does not): keep the FIRST row of each
+    * distinct key tuple under the query's ORDER BY. Rewritten to the
+    * window formulation:
+    *
+    *   SELECT items FROM ( SELECT *, ROW_NUMBER() OVER (PARTITION BY
+    *     keys ORDER BY <order-tail>) AS __don_rn FROM <from-part>
+    *   ) __don WHERE __don_rn = 1 [ORDER BY …] [LIMIT …]
+    *
+    * Bounds (throws, never silently wrong): an ORDER BY is REQUIRED
+    * (without one the picked row is engine-arbitrary — refusing beats
+    * silently diverging); no GROUP BY/HAVING in the same block; one
+    * top-level DISTINCT ON per statement (none inside subqueries); and
+    * bare `*` select items become `* EXCEPT (__don_rn)` so the
+    * synthetic rank column never leaks. Window ORDER BY reuses the
+    * query's ORDER BY text verbatim; ordinal ORDER BY is rejected
+    * (ordinals would re-bind inside the window). */
+  private def rewriteDistinctOn(sql: String): String = {
+    val in = inString(sql)
+    def wordAt(i: Int, w: String): Boolean =
+      !in(i) && sql.regionMatches(true, i, w, 0, w.length) &&
+        (i == 0 || !isIdentChar(sql(i - 1))) &&
+        (i + w.length >= sql.length || !isIdentChar(sql(i + w.length)))
+    // locate top-level SELECT DISTINCT ON (
+    var i = 0; var depth = 0; var at = -1
+    while (i < sql.length && at < 0) {
+      if (!in(i)) {
+        if (sql(i) == '(') depth += 1
+        else if (sql(i) == ')') depth -= 1
+        else if (wordAt(i, "select")) {
+          var j = i + 6
+          while (j < sql.length && sql(j).isWhitespace) j += 1
+          if (sql.regionMatches(true, j, "distinct", 0, 8)) {
+            var k = j + 8
+            while (k < sql.length && sql(k).isWhitespace) k += 1
+            if (sql.regionMatches(true, k, "on", 0, 2) &&
+                (k + 2 >= sql.length || !isIdentChar(sql(k + 2)))) {
+              if (depth > 0) throw new IllegalArgumentException(
+                "DISTINCT ON inside a subquery is outside the shim's bounded support")
+              at = i
+            }
+          }
+        }
+      }
+      i += 1
+    }
+    if (at < 0) return sql
+    // keys list
+    var p = sql.indexOf('(', at)
+    var d2 = 1; var k2 = p + 1
+    while (d2 > 0 && k2 < sql.length) {
+      if (!in(k2)) {
+        if (sql(k2) == '(') d2 += 1 else if (sql(k2) == ')') d2 -= 1
+      }
+      k2 += 1
+    }
+    require(d2 == 0, "DISTINCT ON: unbalanced key list")
+    val keys = sql.substring(p + 1, k2 - 1).trim
+    require(keys.nonEmpty, "DISTINCT ON: empty key list")
+    // select items run to the top-level FROM
+    val itemsStart = k2
+    var q2 = itemsStart; var d3 = 0; var fromAt = -1
+    while (q2 < sql.length && fromAt < 0) {
+      if (!in(q2)) {
+        if (sql(q2) == '(') d3 += 1
+        else if (sql(q2) == ')') d3 -= 1
+        else if (d3 == 0 && wordAt(q2, "from")) fromAt = q2
+      }
+      q2 += 1
+    }
+    require(fromAt > 0, "DISTINCT ON: could not locate FROM")
+    val items = sql.substring(itemsStart, fromAt).trim
+    // from-part runs to the top-level ORDER BY / LIMIT / OFFSET (GROUP/
+    // HAVING/QUALIFY/set ops are out of bounds)
+    var r2 = fromAt; var d4 = 0; var tailAt = -1
+    while (r2 < sql.length && tailAt < 0) {
+      if (!in(r2)) {
+        if (sql(r2) == '(') d4 += 1
+        else if (sql(r2) == ')') d4 -= 1
+        else if (d4 == 0) {
+          if (wordAt(r2, "group") || wordAt(r2, "having") ||
+              wordAt(r2, "qualify") || wordAt(r2, "union") ||
+              wordAt(r2, "intersect") ||
+              (wordAt(r2, "except") && { // not the star modifier
+                var s2 = r2 - 1
+                while (s2 >= 0 && sql(s2).isWhitespace) s2 -= 1
+                s2 < 0 || sql(s2) != '*'
+              }))
+            throw new IllegalArgumentException(
+              "DISTINCT ON combined with GROUP BY/HAVING/QUALIFY/set operations " +
+                "is outside the shim's bounded support")
+          else if (wordAt(r2, "order") || wordAt(r2, "limit") || wordAt(r2, "offset"))
+            tailAt = r2
+        }
+      }
+      r2 += 1
+    }
+    val fromPart = sql.substring(fromAt + 4,
+      if (tailAt < 0) sql.length else tailAt).trim
+    val tail = if (tailAt < 0) "" else sql.substring(tailAt).trim
+    require(tail.toLowerCase.startsWith("order"),
+      "DISTINCT ON without ORDER BY picks an engine-arbitrary row — add an " +
+        "ORDER BY naming the keys first (the shim refuses rather than diverge)")
+    // window order = the ORDER BY expressions, verbatim
+    val obIn = inString(tail)
+    var obEnd = tail.length; var d5 = 0
+    var t2 = 0
+    while (t2 < tail.length && obEnd == tail.length) {
+      if (!obIn(t2)) {
+        if (tail(t2) == '(') d5 += 1
+        else if (tail(t2) == ')') d5 -= 1
+        else if (d5 == 0 && (tail.regionMatches(true, t2, "limit", 0, 5) ||
+                 tail.regionMatches(true, t2, "offset", 0, 6)) &&
+                 (t2 == 0 || !isIdentChar(tail(t2 - 1))))
+          obEnd = t2
+      }
+      t2 += 1
+    }
+    val orderExprs = tail.substring(tail.toLowerCase.indexOf("by") + 2, obEnd).trim
+    require(!orderExprs.split(',').exists(_.trim.matches("[0-9]+.*")),
+      "DISTINCT ON with ordinal ORDER BY is outside the shim's bounded " +
+        "support — name the expressions")
+    // a bare * item must not surface the synthetic rank column
+    val outItems = splitTopLevel(items, ',')
+      .map(it => if (it.trim == "*") "* EXCEPT (__don_rn)" else it.trim)
+      .mkString(", ")
+    s"SELECT $outItems FROM ( SELECT *, ROW_NUMBER() OVER (PARTITION BY $keys " +
+      s"ORDER BY $orderExprs) AS __don_rn FROM $fromPart ) __don " +
+      s"WHERE __don_rn = 1 $tail"
   }
 
   // ---- * REPLACE (expr AS col, ...) ------------------------------------

@@ -869,11 +869,26 @@ final class SqlFuzzer(seed: Long) {
       s"WHERE a.${basePred(lineitem)} ${orderAll(3)} ${limit()}"
   }
 
+  /** PostgreSQL/DuckDB `DISTINCT ON`: first row per key under a total
+    * ORDER (keys first, a value column, the table's UNIQUE key as the
+    * tiebreak — so the picked row is well-defined on both engines). */
+  private def qDialectDistinctOn(): String = {
+    val (t, key, value) = pick(Seq(
+      (orders, "o_custkey", "o_totalprice"),
+      (events, "user_id", "value"),
+      (part, "p_brand", "p_retailprice")))
+    val uk = t.uniqueKey.get
+    val dir = pick(Seq("ASC NULLS FIRST", "DESC NULLS LAST"))
+    s"SELECT DISTINCT ON ($key) $key AS c1, $uk AS c2, $value AS c3 " +
+      s"FROM ${t.name} WHERE ${pred(t, 1)} " +
+      s"ORDER BY $key ASC NULLS FIRST, $value $dir, $uk ASC NULLS FIRST ${limit()}"
+  }
+
   /** DuckDB-dialect suite: run verbatim on DuckDB, through
     * [[graft.engine.DuckDbDialect.rewrite]] on Spark. */
   def dialectQueries(count: Int): Vector[(String, String)] =
     (1 to count).map { i =>
-      val (kind, sql) = rnd.nextInt(9) match {
+      val (kind, sql) = rnd.nextInt(10) match {
         case 0 => ("dsel", qDialectProj())
         case 1 => ("dgrp", qDialectGroup())
         case 2 => ("dtb", qDialectBucket())
@@ -882,6 +897,7 @@ final class SqlFuzzer(seed: Long) {
         case 5 => ("dqual", qDialectQualify())
         case 6 => ("drep", qDialectReplace())
         case 7 => ("dasof", qDialectAsof())
+        case 8 => ("ddon", qDialectDistinctOn())
         case _ => ("ddiv", qDialectDivFilter())
       }
       (f"fz_$i%04d_$kind", sql)

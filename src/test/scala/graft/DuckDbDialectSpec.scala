@@ -298,6 +298,55 @@ class DuckDbDialectSpec extends AnyFunSuite {
     }
   }
 
+  // ---- DISTINCT ON -----------------------------------------------------
+
+  test("DISTINCT ON rewrites to the window formulation") {
+    val out = DuckDbDialect.rewrite(
+      "SELECT DISTINCT ON (k) k, v FROM t ORDER BY k, ts DESC")
+    assert(out.contains("ROW_NUMBER() OVER (PARTITION BY k ORDER BY k, ts DESC)"), out)
+    assert(out.contains("WHERE __don_rn = 1 ORDER BY k, ts DESC"), out)
+    // bare * never leaks the synthetic rank
+    val star = DuckDbDialect.rewrite("SELECT DISTINCT ON (k) * FROM t ORDER BY k, ts DESC")
+    assert(star.contains("SELECT * EXCEPT (__don_rn) FROM"), star)
+    // plain DISTINCT (no ON) is untouched
+    val plain = "SELECT DISTINCT k FROM t ORDER BY k"
+    assert(DuckDbDialect.rewrite(plain) == plain)
+    // and a column merely NAMED "on" is untouched too
+    val named = "SELECT DISTINCT only_col FROM t ORDER BY only_col"
+    assert(DuckDbDialect.rewrite(named) == named)
+  }
+
+  test("DISTINCT ON bounds fail loudly") {
+    val e1 = intercept[IllegalArgumentException] {
+      DuckDbDialect.rewrite("SELECT DISTINCT ON (k) v FROM t")
+    }
+    assert(e1.getMessage.contains("ORDER BY"))
+    val e2 = intercept[IllegalArgumentException] {
+      DuckDbDialect.rewrite("SELECT DISTINCT ON (k) v FROM t GROUP BY k ORDER BY k")
+    }
+    assert(e2.getMessage.contains("bounded support"))
+    val e3 = intercept[IllegalArgumentException] {
+      DuckDbDialect.rewrite(
+        "SELECT x FROM (SELECT DISTINCT ON (k) k AS x FROM t ORDER BY k, v) s")
+    }
+    assert(e3.getMessage.contains("subquery"))
+    val e4 = intercept[IllegalArgumentException] {
+      DuckDbDialect.rewrite("SELECT DISTINCT ON (k) v FROM t ORDER BY 1, 2")
+    }
+    assert(e4.getMessage.contains("ordinal"))
+  }
+
+  test("DISTINCT ON matches DuckDB semantics end-to-end") {
+    import spark.implicits._
+    Seq((1, "a", 10), (2, "a", 30), (3, "a", 20), (4, "b", 5))
+      .toDF("id", "k", "v").createOrReplaceTempView("don_t")
+    // top row per k under ORDER BY k, v DESC → a picks id2 (v=30), b picks id4
+    val rows = SqlGateway.run(spark,
+      "SELECT DISTINCT ON (k) k, id, v FROM don_t ORDER BY k, v DESC").collect()
+    assert(rows.map(r => (r.getString(0), r.getInt(1), r.getInt(2))).toSeq
+      == Seq(("a", 2, 30), ("b", 4, 5)))
+  }
+
   // ---- ASOF JOIN -------------------------------------------------------
 
   test("ASOF JOIN rewrites to the domain-join + window formulation") {

@@ -71,14 +71,14 @@ class FuzzSpec extends AnyFunSuite {
     // DuckDB-only spelling the shim must translate
     val duckisms = Seq("strftime(", "epoch(", "epoch_ms(", "//",
       "time_bucket(", "list_", "string_split(", "regexp_matches(", "QUALIFY",
-      "* REPLACE (", "ASOF")
+      "* REPLACE (", "ASOF", "DISTINCT ON (")
     dial.foreach { case (name, sql) =>
       assert(sql.contains("ORDER BY") && sql.contains("LIMIT"), s"$name: $sql")
       assert(duckisms.exists(sql.contains), s"$name has no DuckDB-ism: $sql")
     }
     val spark = TestSpark.spark
     import graft.ops.Tables
-    Seq("orders", "lineitem", "documents", "customer").foreach { t =>
+    Seq("orders", "lineitem", "documents", "customer", "part").foreach { t =>
       Tables.t(spark, TestSpark.Sf, t).createOrReplaceTempView(t)
     }
     Tables.events(spark, TestSpark.Sf).createOrReplaceTempView("events")
