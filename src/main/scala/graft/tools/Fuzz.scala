@@ -711,17 +711,74 @@ final class SqlFuzzer(seed: Long) {
       s"LATERAL ($sub) l WHERE a.${basePred(lt)} ${orderAll(3)} ${limit()}"
   }
 
+  /** TWO-level nesting: EXISTS whose inner predicate compares against a
+    * scalar subquery correlated to the MIDDLE relation — each level
+    * correlates one hop, the shape Catalyst must decorrelate twice. */
+  private def qCorrNested(): String = {
+    val shape = rnd.nextInt(2)
+    val not = if (rnd.nextBoolean()) "NOT " else ""
+    val n = 2
+    if (shape == 0)
+      // customer → orders (corr to a) → lineitem (corr to b)
+      s"SELECT ${projList(customer, n).mkString(", ")} FROM customer a " +
+        s"WHERE a.${basePred(customer)} AND ${not}EXISTS (" +
+        s"SELECT 1 FROM orders b WHERE b.o_custkey = a.c_custkey AND " +
+        s"b.o_totalprice > (SELECT COALESCE(${oSumSql("c.l_extendedprice")}, 0.0) " +
+        s"FROM lineitem c WHERE c.l_orderkey = b.o_orderkey AND c.${basePred(lineitem)})" +
+        s") ${orderAll(n)} ${limit()}"
+    else
+      // orders → lineitem (corr to a) → part (corr to b)
+      s"SELECT ${projList(orders, n).mkString(", ")} FROM orders a " +
+        s"WHERE a.${basePred(orders)} AND ${not}EXISTS (" +
+        s"SELECT 1 FROM lineitem b WHERE b.l_orderkey = a.o_orderkey AND " +
+        s"b.l_extendedprice > (SELECT COALESCE(MIN(c.p_retailprice), 0.0) " +
+        s"FROM part c WHERE c.p_partkey = b.l_partkey)" +
+        s") ${orderAll(n)} ${limit()}"
+  }
+
+  /** Correlated scalar inside a CASE WHEN projection — the subquery sits
+    * under a conditional, so decorrelation must preserve the lazy
+    * branch semantics (empty-group NULLs surface through COALESCE). */
+  private def qCorrCaseProj(): String = {
+    val (lt, rt, lc, rc) = pick(joins)
+    val agg = pick(Seq("CAST(COUNT(*) AS BIGINT)", s"MAX(b.${pick(cols(rt, IntK)).name})"))
+    val sub = s"SELECT $agg FROM ${rt.name} b WHERE b.$rc = a.$lc AND b.${basePred(rt)}"
+    s"SELECT a.$lc AS c1, " +
+      s"(CASE WHEN a.${basePred(lt)} THEN COALESCE(($sub), ${intLit(0, 9)}) " +
+      s"ELSE ${intLit(100, 999)} END) AS c2 " +
+      s"FROM ${lt.name} a WHERE a.${basePred(lt)} ${orderAll(2)} ${limit()}"
+  }
+
+  /** Chained LATERALs: the second derived table references BOTH the
+    * outer row and the first lateral's output. */
+  private def qLateralChain(): String = {
+    val (lt, rt, lc, rc) = pick(Seq(
+      (customer, orders, "c_custkey", "o_custkey"),
+      (supplier, lineitem, "s_suppkey", "l_suppkey")))
+    val m = if (cols(rt, MoneyK).nonEmpty) pick(cols(rt, MoneyK)).name
+    else pick(cols(rt, IntK)).name
+    s"SELECT a.$lc AS c1, l1.lcnt AS c2, l2.lbig AS c3 FROM ${lt.name} a, " +
+      s"LATERAL (SELECT CAST(COUNT(*) AS BIGINT) AS lcnt FROM ${rt.name} b " +
+      s"WHERE b.$rc = a.$lc) l1, " +
+      s"LATERAL (SELECT CAST(COUNT(*) AS BIGINT) AS lbig FROM ${rt.name} b " +
+      s"WHERE b.$rc = a.$lc AND CAST(b.$m AS DOUBLE) > CAST(l1.lcnt AS DOUBLE)) l2 " +
+      s"WHERE a.${basePred(lt)} ${orderAll(3)} ${limit()}"
+  }
+
   /** Correlated-subquery / LATERAL suite (--corr mode): ANSI-common text,
     * both engines run it verbatim. */
   def corrQueries(count: Int): Vector[(String, String)] =
     (1 to count).map { i =>
-      val (kind, sql) = rnd.nextInt(6) match {
+      val (kind, sql) = rnd.nextInt(9) match {
         case 0 => ("csel", qCorrScalarSelect())
         case 1 => ("cwhr", qCorrScalarWhere())
         case 2 => ("cex", qCorrExistsRich())
         case 3 => ("cin", qCorrIn())
         case 4 => ("lat", qLateralAgg())
-        case _ => ("latk", qLateralTopK())
+        case 5 => ("latk", qLateralTopK())
+        case 6 => ("cnest", qCorrNested())
+        case 7 => ("ccase", qCorrCaseProj())
+        case _ => ("latc", qLateralChain())
       }
       (f"fz_$i%04d_$kind", sql)
     }.toVector

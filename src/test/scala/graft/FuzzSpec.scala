@@ -105,8 +105,9 @@ class FuzzSpec extends AnyFunSuite {
         sql.matches("(?s).*\\(SELECT .*\\ba\\..*"),
         s"$name has no correlation: $sql")
     }
-    // all six kinds present in a 200-query suite
-    Seq("csel", "cwhr", "cex", "cin", "lat", "latk").foreach { kind =>
+    // all nine kinds present in a 200-query suite
+    Seq("csel", "cwhr", "cex", "cin", "lat", "latk",
+        "cnest", "ccase", "latc").foreach { kind =>
       assert(corr.exists(_._1.endsWith(s"_$kind")), s"missing kind $kind")
     }
   }
