@@ -139,7 +139,18 @@ object EventStream {
     * bound the join state retention — the canonical streaming-join shape
     * (state is evicted once event time passes view_ts + 1h + watermark).
     */
-  def viewToPurchase(events: DataFrame): DataFrame = {
+  def viewToPurchase(events: DataFrame): DataFrame =
+    viewToPurchaseJoin(events, "inner")
+
+  /** Left-outer variant: every view, NULL-padded when no purchase
+    * followed within the hour. In streaming, the NULL-padded row for an
+    * unmatched view can only be emitted once the watermark has passed
+    * the join window's end (before that a matching purchase could still
+    * arrive) — StreamingSpec pins that state-expiry timing. */
+  def viewToPurchaseLeft(events: DataFrame): DataFrame =
+    viewToPurchaseJoin(events, "left_outer")
+
+  private def viewToPurchaseJoin(events: DataFrame, joinType: String): DataFrame = {
     val views = events.filter(col("event_type") === "view")
       .select(col("user_id"), col("ts").as("view_ts"))
       .withWatermark("view_ts", "1 hour")
@@ -149,7 +160,8 @@ object EventStream {
     views.join(purchases,
       col("user_id") === col("p_user") &&
         col("purchase_ts") >= col("view_ts") &&
-        col("purchase_ts") <= col("view_ts") + expr("INTERVAL 1 HOUR"))
+        col("purchase_ts") <= col("view_ts") + expr("INTERVAL 1 HOUR"),
+      joinType)
       .select(col("user_id"),
         date_format(col("view_ts"), "yyyy-MM-dd HH:mm:ss").as("view_time"),
         date_format(col("purchase_ts"), "yyyy-MM-dd HH:mm:ss").as("purchase_time"))

@@ -62,6 +62,42 @@ class StreamingSpec extends AnyFunSuite {
     assertSameRows(streamed, EventStream.viewToPurchase(batchEvents))
   }
 
+  test("stream-stream LEFT OUTER join: NULL-pad emits only after the join window expires") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[(Long, java.sql.Timestamp, Long, String, Double)]
+    val df = mem.toDF().toDF("event_id", "ts", "user_id", "event_type", "value")
+    val q = EventStream.viewToPurchaseLeft(df)
+      .writeStream.format("memory").queryName("ss_left").outputMode("append").start()
+    def ts(s: String) = java.sql.Timestamp.valueOf(s"2024-01-01 $s")
+    def rows() = spark.table("ss_left").collect()
+      .map(r => (r.getLong(0), r.getString(1), Option(r.getString(2)))).toSet
+    // user 1 views at 10:00 and purchases at 10:30 (inside the hour);
+    // user 2 views at 10:05 and never purchases
+    mem.addData((1L, ts("10:00:00"), 1L, "view", 0.0),
+                (2L, ts("10:30:00"), 1L, "purchase", 9.0),
+                (3L, ts("10:05:00"), 2L, "view", 0.0))
+    q.processAllAvailable()
+    // the matched pair emits promptly; user 2 must NOT be NULL-padded yet
+    // (a purchase inside their hour could still arrive)
+    assert(rows().contains((1L, "2024-01-01 10:00:00", Some("2024-01-01 10:30:00"))), rows())
+    assert(!rows().exists(r => r._1 == 2L), s"premature NULL-pad: ${rows()}")
+    // advance BOTH sides' event time far past 10:05 + 1h join window +
+    // 1h watermark delay → user 2's state expires and the NULL-pad emits
+    mem.addData((4L, ts("14:00:00"), 9L, "view", 0.0),
+                (5L, ts("14:00:00"), 9L, "purchase", 1.0))
+    q.processAllAvailable()
+    mem.addData((6L, ts("16:00:00"), 9L, "view", 0.0),
+                (7L, ts("16:00:00"), 9L, "purchase", 1.0))
+    q.processAllAvailable()
+    assert(rows().contains((2L, "2024-01-01 10:05:00", None)),
+      s"expired view should NULL-pad: ${rows()}")
+    // and user 1 never double-emits as NULL-padded
+    assert(!rows().contains((1L, "2024-01-01 10:00:00", None)), rows())
+    q.stop()
+  }
+
   test("foreachBatch parquet sink lands the tumbling aggregate") {
     val out = java.nio.file.Files.createTempDirectory("fb_out").toString
     val ckpt = java.nio.file.Files.createTempDirectory("fb_ckpt").toString
