@@ -294,6 +294,47 @@ object Joins {
         rightValue = "o_orderdate", outName = "asof_ts")
         .select(col("event_id"), date_format(col("asof_ts"), "yyyy-MM-dd").as("asof_day"))
         .orderBy("event_id")
+    },
+
+    // Multi-payload as-of join: the matched order's date, key AND price
+    // carried from ONE matched row (N independent single-column as-of
+    // joins would not guarantee same-row payloads under duplicate
+    // timestamps). The right side is pre-deduplicated to one order per
+    // (custkey, orderdate) — max orderkey, the only tie-free formulation
+    // BOTH engines' arbitrary-tie ASOF semantics agree on — then the
+    // payloads ride one struct through the merge window (one state
+    // column regardless of payload width).
+    OpQuery("q_asof_join_multi",
+      """WITH o1 AS (
+        |  SELECT o_custkey, o_orderdate, MAX(o_orderkey) AS o_orderkey
+        |  FROM orders GROUP BY 1, 2),
+        |o2 AS (
+        |  SELECT o1.o_custkey, o1.o_orderdate, o1.o_orderkey, o.o_totalprice
+        |  FROM o1 JOIN orders o ON o.o_orderkey = o1.o_orderkey)
+        |SELECT e.event_id,
+        |       strftime(o2.o_orderdate, '%Y-%m-%d') AS asof_day,
+        |       o2.o_orderkey AS asof_orderkey,
+        |       o2.o_totalprice AS asof_price
+        |FROM events e
+        |ASOF LEFT JOIN o2
+        |  ON e.user_id = o2.o_custkey AND e.ts >= o2.o_orderdate
+        |ORDER BY e.event_id""".stripMargin) { (s, d) =>
+      val o = orders(s, d).select("o_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
+      val o1 = o.groupBy(col("o_custkey"), col("o_orderdate"))
+        .agg(max(col("o_orderkey")).as("o_orderkey"))
+      val o2 = o1.join(
+        o.select(col("o_orderkey").as("_ok"), col("o_totalprice")),
+        col("o_orderkey") === col("_ok")).drop("_ok")
+      AsOf.asofJoinCols(
+        events(s, d).select("event_id", "user_id", "ts"), o2,
+        leftKey = "user_id", rightKey = "o_custkey",
+        leftTime = "ts", rightTime = "o_orderdate",
+        payload = Seq("o_orderdate" -> "asof_ts",
+          "o_orderkey" -> "asof_orderkey", "o_totalprice" -> "asof_price"))
+        .select(col("event_id"),
+          date_format(col("asof_ts"), "yyyy-MM-dd").as("asof_day"),
+          col("asof_orderkey"), col("asof_price"))
+        .orderBy("event_id")
     }
   )
 }

@@ -93,6 +93,37 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("multi-payload as-of join carries all payloads from ONE matched row") {
+    val gen = for {
+      lefts  <- Gen.listOfN(20, Gen.zip(Gen.chooseNum(0, 2), Gen.chooseNum(0L, 500L)))
+      rights <- Gen.listOfN(12, Gen.zip(Gen.chooseNum(0, 2), Gen.chooseNum(0L, 500L)))
+    } yield (lefts, rights)
+    forAll(gen, 8) { case (lefts, rights) =>
+      // unique right (key, time) so the match is well-defined; payloads
+      // (v1, v2) are derived from (key, time) so same-row carry is checkable
+      val rUniq = rights.distinct
+      val l = lefts.zipWithIndex.map { case ((k, t), i) =>
+        (i.toLong, k.toLong, new java.sql.Timestamp(t * 1000000L)) }
+        .toDF("lid", "k", "lt")
+      val r = rUniq.map { case (k, t) =>
+        (k.toLong, new java.sql.Timestamp(t * 1000000L), t * 10 + k, s"p${k}_$t") }
+        .toDF("rk", "rt", "v1", "v2")
+      val got = ops.AsOf.asofJoinCols(l, r, "k", "rk", "lt", "rt",
+        Seq("v1" -> "o1", "v2" -> "o2", "rt" -> "ot"))
+        .collect().map(row => row.getAs[Long]("lid") ->
+          (Option(row.getAs[java.lang.Long]("o1")),
+           Option(row.getAs[String]("o2")))).toMap
+      lefts.zipWithIndex.foreach { case ((k, t), i) =>
+        val m = rUniq.filter { case (rk, rt) => rk == k && rt <= t }
+          .sortBy(_._2).lastOption
+        val expect = (m.map(x => Long.box(x._2 * 10 + x._1)),
+          m.map(x => s"p${x._1}_${x._2}"))
+        assert(got(i.toLong) == expect,
+          s"left $i (k=$k, t=$t): got ${got(i.toLong)}, want $expect")
+      }
+    }
+  }
+
   test("bucket-prune exact quantiles equal Spark's exact percentile") {
     import graft.ops.Quantiles
     val gen = Gen.zip(
