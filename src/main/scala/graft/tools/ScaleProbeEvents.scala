@@ -26,7 +26,8 @@ object ScaleProbeEvents {
 
   private val Queries = Seq("q_events_tumbling", "q_events_sliding",
     "q_events_session", "q_events_dedup", "q_events_gapfill",
-    "q_events_anomaly", "q_events_funnel", "q_events_bursts")
+    "q_events_anomaly", "q_events_funnel", "q_events_bursts",
+    "q_asof_join", "q_asof_join_multi")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
@@ -35,16 +36,29 @@ object ScaleProbeEvents {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
 
     val ev = spark.read.parquet(s"$sfDir/events.parquet")
-    val uOff = ev.agg(max(col("user_id"))).head().getLong(0) + 1
+    val ord = spark.read.parquet(s"$sfDir/orders.parquet")
+    // the as-of join keys user_id against o_custkey, so both sides must
+    // shift the SHARED key domain by one offset for joins to resolve
+    // within a replica
+    val uOff = math.max(
+      ev.agg(max(col("user_id"))).head().getLong(0),
+      ord.agg(max(col("o_custkey"))).head().getLong(0)) + 1
     val eOff = ev.agg(max(col("event_id"))).head().getLong(0) + 1
+    val oOff = ord.agg(max(col("o_orderkey"))).head().getLong(0) + 1
 
     def replica(r: Int): DataFrame = ev
       .withColumn("user_id", col("user_id") + lit(r * uOff))
       .withColumn("event_id", col("event_id") + lit(r * eOff))
+    def ordReplica(r: Int): DataFrame = ord
+      .withColumn("o_custkey", col("o_custkey") + lit(r * uOff))
+      .withColumn("o_orderkey", col("o_orderkey") + lit(r * oOff))
 
-    ProbeHarness.run(spark, Queries,
-      ProbeHarness.ks(Seq(1, 4, 16, 64)), outBase, (k, dir) =>
+    ProbeHarness.run(spark, ProbeHarness.qs(Queries),
+      ProbeHarness.ks(Seq(1, 4, 16, 64)), outBase, (k, dir) => {
         (0 until k).map(replica).reduce(_ unionAll _)
-          .write.mode("overwrite").parquet(s"$dir/events.parquet"))
+          .write.mode("overwrite").parquet(s"$dir/events.parquet")
+        (0 until k).map(ordReplica).reduce(_ unionAll _)
+          .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+      })
   }
 }
