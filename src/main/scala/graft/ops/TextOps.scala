@@ -317,6 +317,80 @@ object TextOps {
         .select(col("doc_id"), col("tok").as("term"), col("score"),
                 col("rn").cast("long").as("rn"))
         .orderBy("doc_id", "rn")
+    },
+
+    // Sequence-length bucketing for training-batch packing: each doc is
+    // padded up to its power-of-two length bucket; per bucket, the doc
+    // count, real tokens, padding tokens, and waste ratio — the numbers
+    // a batch-packing planner needs to pick bucket boundaries. The
+    // bucket is an explicit CASE ladder, NOT ceil(log2(n)): Spark's
+    // LOG2 is Math.log(x)/Math.log(2), whose last-ulp error around
+    // exact powers of two could flip CEIL across engines, and real
+    // packing code uses a fixed bucket set anyway. Integer arithmetic
+    // throughout; one final division for the ratio. Shape at scale: a
+    // map-side length computation + one ~12-group aggregate.
+    OpQuery("q_text_packing",
+      """WITH t AS (
+        |  SELECT doc_id,
+        |         CAST(len(string_split(text, ' ')) AS BIGINT) AS toks
+        |  FROM documents),
+        |b AS (
+        |  SELECT doc_id, toks,
+        |         CAST(CASE WHEN toks <= 16 THEN 16 WHEN toks <= 32 THEN 32
+        |              WHEN toks <= 64 THEN 64 WHEN toks <= 128 THEN 128
+        |              WHEN toks <= 256 THEN 256 WHEN toks <= 512 THEN 512
+        |              WHEN toks <= 1024 THEN 1024 WHEN toks <= 2048 THEN 2048
+        |              WHEN toks <= 4096 THEN 4096 ELSE 8192 END AS BIGINT) AS bucket
+        |  FROM t)
+        |SELECT bucket,
+        |       CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |       CAST(SUM(toks) AS BIGINT) AS real_tokens,
+        |       CAST(bucket * COUNT(*) - SUM(toks) AS BIGINT) AS pad_tokens,
+        |       ROUND(CAST(bucket * COUNT(*) - SUM(toks) AS DOUBLE)
+        |             / (bucket * COUNT(*)), 6) AS waste_ratio
+        |FROM b GROUP BY bucket ORDER BY bucket""".stripMargin) { (s, d) =>
+      val toks = size(split(col("text"), " ")).cast("long")
+      val bucket = when(toks <= 16, 16L).when(toks <= 32, 32L)
+        .when(toks <= 64, 64L).when(toks <= 128, 128L)
+        .when(toks <= 256, 256L).when(toks <= 512, 512L)
+        .when(toks <= 1024, 1024L).when(toks <= 2048, 2048L)
+        .when(toks <= 4096, 4096L).otherwise(8192L)
+      documents(s, d)
+        .select(bucket.as("bucket"), toks.as("toks"))
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("n_docs"), sum(col("toks")).as("real_tokens"))
+        .select(col("bucket"), col("n_docs"),
+          col("real_tokens"),
+          (col("bucket") * col("n_docs") - col("real_tokens")).as("pad_tokens"),
+          round((col("bucket") * col("n_docs") - col("real_tokens")).cast("double")
+            / (col("bucket") * col("n_docs")), 6).as("waste_ratio"))
+        .orderBy("bucket")
+    },
+
+    // PII-style scrubbing (the redaction step of a training-data
+    // pipeline): mask digit runs, count what was redacted, and emit an
+    // md5 fingerprint of the scrubbed text (comparing the hash pins the
+    // full redacted string without shipping it). Runs over customer
+    // names — the one text column in the testdata that actually CARRIES
+    // digits ("Customer#000000042"), so the redaction path is exercised
+    // on real hits, not vacuously (documents.text has zero digits).
+    // The character class [0-9] behaves identically in Java regex
+    // (Spark) and RE2 (DuckDB); DuckDB's regexp_replace needs the 'g'
+    // flag for replace-all, which Spark does natively. Map-side pure
+    // column expressions.
+    OpQuery("q_text_scrub",
+      """SELECT c_custkey,
+        |       CAST(length(c_name) - length(regexp_replace(c_name, '[0-9]', '', 'g')) AS BIGINT) AS n_digits,
+        |       CAST(len(regexp_extract_all(c_name, '[0-9]+')) AS BIGINT) AS n_digit_runs,
+        |       md5(regexp_replace(c_name, '[0-9]', '#', 'g')) AS scrub_hash
+        |FROM customer ORDER BY c_custkey""".stripMargin) { (s, d) =>
+      customer(s, d)
+        .select(col("c_custkey"),
+          (length(col("c_name")) - length(regexp_replace(col("c_name"), "[0-9]", "")))
+            .cast("long").as("n_digits"),
+          size(expr("regexp_extract_all(c_name, '[0-9]+', 0)")).cast("long").as("n_digit_runs"),
+          md5(regexp_replace(col("c_name"), "[0-9]", "#").cast("binary")).as("scrub_hash"))
+        .orderBy("c_custkey")
     }
   )
 }
