@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -279,6 +279,167 @@ object Corpus {
 
     // Unpivot / melt — wide metrics to long (Spark's native unpivot
     // operator; the oracle is the portable UNION ALL formulation).
+    // Per-source document cap (the CCNet/C4 "domain cap" pass): keep at
+    // most K=5 documents per source, selected deterministically by md5
+    // order so the subsample is reproducible across engines, runs and
+    // retries. Two-stage shape for 100 TB: a broadcast O(#sources) count
+    // table derives a per-source hash-prefix threshold that prunes each
+    // source to an expected C·K survivors BEFORE the windowed top-K, so
+    // the per-source sort the window performs is O(C·K log C·K) no
+    // matter how head-heavy the domain distribution is — the naive
+    // window alone would sort the entire dominant domain. C=2 here
+    // (prune exercised even at this SF: f = 10/25 = 0.4); a production
+    // run uses C≈8, where P(a source with ≥K docs yields <K survivors)
+    // is negligible. Semantics are "at most K": if the prefilter leaves
+    // fewer, both engines agree on the smaller result.
+    OpQuery("q_corpus_source_cap",
+      """WITH cnt AS (SELECT source, COUNT(*) AS n FROM documents GROUP BY source),
+        |surv AS (
+        |  SELECT d.doc_id, d.source, md5(CAST(d.doc_id AS VARCHAR)) AS h
+        |  FROM documents d JOIN cnt USING (source)
+        |  WHERE CAST('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8) AS BIGINT)
+        |        < CAST(ceil(least(1.0, 2.0 * 5 / cnt.n) * 4294967296.0) AS BIGINT)),
+        |ranked AS (
+        |  SELECT doc_id, source,
+        |         ROW_NUMBER() OVER (PARTITION BY source ORDER BY h, doc_id) AS rn
+        |  FROM surv)
+        |SELECT source, CAST(rn AS BIGINT) AS rn, doc_id
+        |FROM ranked WHERE rn <= 5 ORDER BY source, rn""".stripMargin) { (s, d) =>
+      val docs = documents(s, d)
+      val cnt = docs.groupBy("source").agg(count(lit(1)).as("n"))
+      val h = md5(col("doc_id").cast("string"))
+      val h32 = conv(substring(h, 1, 8), 16, 10).cast("long")
+      val thresh = ceil(least(lit(1.0), lit(2.0) * lit(5) / col("n")) * lit(4294967296.0))
+        .cast("long")
+      docs.join(broadcast(cnt), Seq("source"))
+        .filter(h32 < thresh)
+        .select(col("source"), col("doc_id"), h.as("h"))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("source").orderBy(col("h"), col("doc_id"))).cast("long"))
+        .filter(col("rn") <= 5)
+        .select(col("source"), col("rn"), col("doc_id"))
+        .orderBy("source", "rn")
+    },
+
+    // Corpus-wide segment-level exact dedup (the fixed-window
+    // granularity of Lee et al. 2022's "remove duplicated spans"):
+    // documents are cut into consecutive 8-token segments; a segment
+    // that already occurred anywhere earlier in the corpus (first
+    // occurrence = smallest (doc_id, seg_idx)) is dropped, and each
+    // document is reassembled from its surviving segments. Exactly two
+    // shuffles: group-by segment text to elect first occurrences
+    // (map-side combine on the MIN; at 100 TB hash the segment for a
+    // narrower exchange — same plan shape) and group-by doc_id to
+    // reassemble. The per-doc collect_list is bounded by document
+    // length, never by corpus size. Invariant (pinned in PropertySpec):
+    // Σ n_kept over all docs = the corpus-wide distinct-segment count —
+    // every distinct segment survives exactly once.
+    OpQuery("q_text_segment_dedup",
+      """WITH segs AS (
+        |  SELECT doc_id, i AS seg_idx,
+        |         array_to_string(list_slice(tk, i*8 + 1, i*8 + 8), ' ') AS seg
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS tk FROM documents) t,
+        |       UNNEST(range(0, GREATEST(1, CAST(ceil(len(tk) / 8.0) AS BIGINT)))) AS u(i)),
+        |keyed AS (SELECT *, doc_id * 1000000 + seg_idx AS k FROM segs),
+        |firsts AS (SELECT seg, MIN(k) AS fk FROM keyed GROUP BY seg)
+        |SELECT k.doc_id,
+        |       CAST(COUNT(*) AS BIGINT) AS n_segs,
+        |       CAST(SUM(CASE WHEN k.k = f.fk THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+        |       COALESCE(string_agg(CASE WHEN k.k = f.fk THEN k.seg END, ' ' ORDER BY k.seg_idx), '')
+        |         AS cleaned_text
+        |FROM keyed k JOIN firsts f ON k.seg = f.seg
+        |GROUP BY k.doc_id ORDER BY k.doc_id""".stripMargin) { (s, d) =>
+      val toks = split(col("text"), " ")
+      val nseg = greatest(lit(1), ceil(size(toks) / lit(8.0))).cast("int")
+      val segs = documents(s, d)
+        .select(col("doc_id"), toks.as("tk"),
+          explode(sequence(lit(0), nseg - 1)).as("i"))
+        .select(col("doc_id"), col("i").cast("long").as("seg_idx"),
+          array_join(slice(col("tk"), col("i") * 8 + 1, lit(8)), " ").as("seg"))
+      val keyed = segs.withColumn("k", col("doc_id") * lit(1000000L) + col("seg_idx"))
+      val firsts = keyed.groupBy("seg").agg(min("k").as("fk"))
+      keyed.join(firsts, Seq("seg"))
+        .withColumn("keep", col("k") === col("fk"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).cast("long").as("n_segs"),
+          sum(when(col("keep"), 1).otherwise(0)).cast("long").as("n_kept"),
+          array_join(transform(
+            array_sort(collect_list(when(col("keep"), struct(col("seg_idx"), col("seg"))))),
+            x => x.getField("seg")), " ").as("cleaned_text"))
+        .orderBy("doc_id")
+    },
+
+    // Bloom-screened decontamination — the 100 TB shape of
+    // q_corpus_contamination. The held-out (test) shingle set is folded
+    // into an m=65536-bit / k=4 Bloom filter (set-bit positions are a
+    // DISTINCT aggregate bounded by m rows regardless of corpus size;
+    // the materialized filter is 8 KiB — the one driver read, like the
+    // IVF query vector). Train-side shingles are then screened MAP-SIDE
+    // by the broadcast-literal bit array (pure codegen: element_at +
+    // bitwiseAND, no UDF), and only the bloom-positive survivors reach
+    // the membership shuffle join. n_exact is computed over those
+    // survivors ONLY — the oracle computes it over ALL train shingles —
+    // so the driver's hash compare itself proves the filter admits no
+    // false negatives; pruned_frac records the shuffle volume the screen
+    // removed (the win that matters when the train side is 100 TB).
+    OpQuery("q_corpus_bloom_screen",
+      s"""WITH sh AS (${Dedup.oracleShingles}),
+         |te AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 2 = 1),
+         |tepos AS (
+         |  SELECT CAST('0x' || substr(md5(shingle), 1, 8) AS BIGINT) % 65536 AS p FROM te
+         |  UNION SELECT CAST('0x' || substr(md5(shingle), 9, 8) AS BIGINT) % 65536 FROM te
+         |  UNION SELECT CAST('0x' || substr(md5(shingle), 17, 8) AS BIGINT) % 65536 FROM te
+         |  UNION SELECT CAST('0x' || substr(md5(shingle), 25, 8) AS BIGINT) % 65536 FROM te),
+         |trb AS (
+         |  SELECT doc_id, shingle,
+         |         (CAST('0x' || substr(md5(shingle), 1, 8) AS BIGINT) % 65536 IN (SELECT p FROM tepos))
+         |     AND (CAST('0x' || substr(md5(shingle), 9, 8) AS BIGINT) % 65536 IN (SELECT p FROM tepos))
+         |     AND (CAST('0x' || substr(md5(shingle), 17, 8) AS BIGINT) % 65536 IN (SELECT p FROM tepos))
+         |     AND (CAST('0x' || substr(md5(shingle), 25, 8) AS BIGINT) % 65536 IN (SELECT p FROM tepos))
+         |       AS bpos
+         |  FROM sh WHERE doc_id % 2 = 0)
+         |SELECT doc_id,
+         |       CAST(COUNT(*) AS BIGINT) AS n_shingles,
+         |       CAST(SUM(CASE WHEN bpos THEN 1 ELSE 0 END) AS BIGINT) AS n_bloom,
+         |       CAST(SUM(CASE WHEN shingle IN (SELECT shingle FROM te) THEN 1 ELSE 0 END) AS BIGINT)
+         |         AS n_exact,
+         |       ROUND(1.0 - CAST(SUM(CASE WHEN bpos THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*), 6)
+         |         AS pruned_frac
+         |FROM trb GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val sh = Dedup.shingleTable(s, d)
+      def posEx(c: Column, off: Int) =
+        conv(substring(md5(c), off, 8), 16, 10).cast("long") % 65536
+      val offs = Seq(1, 9, 17, 25)
+      val te = sh.filter(col("doc_id") % 2 === 1).select("shingle").distinct()
+      // Build: distinct set-bit positions (≤ m rows by construction) →
+      // 8 KiB bit array on the driver, shipped as a codegen literal.
+      val setBits = te
+        .select(explode(array(offs.map(o => posEx(col("shingle"), o)): _*)).as("p"))
+        .distinct().collect().map(_.getLong(0))
+      val words = new Array[Long](1024)
+      setBits.foreach(p => words((p / 64).toInt) |= 1L << (p % 64))
+      val bits = typedlit(words.toSeq)
+      val pow2 = typedlit((0 until 64).map(i => 1L << i))
+      def bitTest(p: Column) =
+        element_at(bits, (p / lit(64)).cast("int") + 1)
+          .bitwiseAND(element_at(pow2, (p % 64).cast("int") + 1)) =!= lit(0L)
+      val bpos = offs.map(o => bitTest(posEx(col("shingle"), o))).reduce(_ && _)
+      val tr = sh.filter(col("doc_id") % 2 === 0).withColumn("bpos", bpos)
+      val perDoc = tr.groupBy("doc_id").agg(
+        count(lit(1)).cast("long").as("n_shingles"),
+        sum(when(col("bpos"), 1).otherwise(0)).cast("long").as("n_bloom"))
+      val exact = tr.filter(col("bpos"))
+        .join(te.withColumn("hit", lit(1)), Seq("shingle"), "left")
+        .groupBy("doc_id")
+        .agg(sum(coalesce(col("hit"), lit(0))).cast("long").as("n_exact"))
+      perDoc.join(exact, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_shingles"), col("n_bloom"),
+          coalesce(col("n_exact"), lit(0L)).as("n_exact"),
+          round(lit(1.0) - col("n_bloom").cast("double") / col("n_shingles"), 6)
+            .as("pruned_frac"))
+        .orderBy("doc_id")
+    },
+
     OpQuery("q_unpivot",
       """SELECT p_partkey, 'p_retailprice' AS metric, p_retailprice AS value FROM part
         |UNION ALL

@@ -254,4 +254,83 @@ class PropertySpec extends AnyFunSuite {
       .collect()
     assert(bad.isEmpty, s"blocking cover violated for: ${bad.take(3).mkString("; ")}")
   }
+
+  private def md5hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
+  // Definitional re-derivation of the segment dedup: walk documents in
+  // (doc_id, seg_idx) order keeping first occurrences, compare the full
+  // reassembled output; plus the global invariant Σ n_kept ≡ number of
+  // distinct segments in the corpus.
+  test("segment dedup equals the sequential first-occurrence definition") {
+    val docs = ops.Tables.documents(spark, TestSpark.Sf)
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
+    def segsOf(text: String): Seq[String] = {
+      val tk = text.split(" ", -1)
+      val n = math.max(1, math.ceil(tk.length / 8.0).toInt)
+      (0 until n).map(i => tk.slice(i * 8, math.min(tk.length, i * 8 + 8)).mkString(" "))
+    }
+    val seen = collection.mutable.HashSet[String]()
+    val expected = docs.map { case (id, text) =>
+      val ss = segsOf(text)
+      val kept = ss.filter(seen.add)
+      (id, ss.size.toLong, kept.size.toLong, kept.mkString(" "))
+    }.toSeq
+    val actual = SparkEntry.queries("q_text_segment_dedup")(spark, TestSpark.Sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3))).toSeq
+    assert(actual == expected)
+    assert(actual.map(_._3).sum == seen.size,
+      "sum of kept segments must equal the corpus-wide distinct segment count")
+  }
+
+  // Source cap: re-derive the exact pick set (count → threshold →
+  // md5-ordered top-5) sequentially and compare; cap and rank-sequence
+  // invariants hold per source.
+  test("per-source cap equals the sequential hash-order definition") {
+    val docs = ops.Tables.documents(spark, TestSpark.Sf)
+      .select("doc_id", "source").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val expected = docs.groupBy(_._2).toSeq.flatMap { case (src, rows) =>
+      val n = rows.size
+      val thresh = math.ceil(math.min(1.0, 2.0 * 5 / n) * 4294967296.0).toLong
+      rows.map(_._1)
+        .filter(id => java.lang.Long.parseLong(md5hex(id.toString).take(8), 16) < thresh)
+        .sortBy(id => (md5hex(id.toString), id))
+        .take(5).zipWithIndex
+        .map { case (id, i) => (src, (i + 1).toLong, id) }
+    }.sortBy(t => (t._1, t._2))
+    val actual = SparkEntry.queries("q_corpus_source_cap")(spark, TestSpark.Sf)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(actual == expected)
+    actual.groupBy(_._1).foreach { case (src, rows) =>
+      assert(rows.size <= 5, s"source $src over cap")
+      assert(rows.map(_._2).sorted == (1L to rows.size).toSeq, s"rank gap in $src")
+    }
+  }
+
+  // Bloom screen: n_exact must equal the driver-derived exact
+  // containment (proving the map-side screen admitted every true hit),
+  // and the bloom candidate count can only over-approximate it.
+  test("bloom screen never loses a true containment hit") {
+    val docs = ops.Tables.documents(spark, TestSpark.Sf)
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    def shingles(text: String): Set[String] = {
+      val tk = text.split(" ", -1)
+      if (tk.length < 3) Set.empty
+      else tk.sliding(3).map(_.mkString(" ")).toSet
+    }
+    val teSet = docs.filter(_._1 % 2 == 1).flatMap(d => shingles(d._2)).toSet
+    val expected = docs.filter(_._1 % 2 == 0).map { case (id, text) =>
+      val sh = shingles(text)
+      (id, sh.size.toLong, sh.count(teSet.contains).toLong)
+    }.filter(_._2 > 0).sortBy(_._1).toSeq
+    val actual = SparkEntry.queries("q_corpus_bloom_screen")(spark, TestSpark.Sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(actual.map(t => (t._1, t._2, t._4)) == expected)
+    actual.foreach(t => assert(t._3 >= t._4,
+      s"doc ${t._1}: bloom candidates ${t._3} < exact hits ${t._4}"))
+  }
 }
