@@ -105,7 +105,28 @@ object PlanAudit {
       // threshold the tiny exploded supplier legitimately broadcasts,
       // under -1 the same (b, salt) key feeds the shuffle
       Check("q_join_range", "band-join key carries the salt",
-        p => "Left keys \\[2\\]: \\[b#\\d+L?, salt#".r.findFirstIn(p).isDefined)
+        p => "Left keys \\[2\\]: \\[b#\\d+L?, salt#".r.findFirstIn(p).isDefined),
+      // round-13: the per-source cap's window must partition by source
+      // (no global sort), and the hash-prefix prune must be a plain
+      // Filter feeding it (the O(C·K)-per-source bound)
+      Check("q_corpus_source_cap", "cap window partitioned by source, top-5 pruned map-side",
+        p => "windowspecdefinition\\(source#".r.findFirstIn(p).isDefined &&
+          "conv\\(substring\\(md5".r.findFirstIn(p).isDefined &&
+          p.contains("WindowGroupLimit") && p.contains("Partial")),
+      // round-13: the bloom screen must evaluate as a pure-expression
+      // Filter (element_at on the literal bit words — codegen, no UDF),
+      // and the post-screen membership join must stay shuffled (te is
+      // O(test corpus); the default-zero sweep enforces the latter)
+      Check("q_corpus_bloom_screen", "bloom probe is a codegen Filter on literal bits",
+        p => "Condition : .*element_at".r.findFirstIn(p).isDefined &&
+          !p.contains("BatchEvalPython")),
+      // round-13: segment dedup's reassembly must be a two-phase
+      // ObjectHashAggregate (map-side partial collect_list — the per-doc
+      // bound) — the firsts join may broadcast at tiny SF by size; the
+      // default-zero -1 sweep proves it falls back to a shuffle
+      Check("q_text_segment_dedup", "reassembly is two-phase ObjectHashAggregate",
+        p => "ObjectHashAggregate".r.findAllIn(p).length >= 2 &&
+          p.contains("partial_collect_list"))
     )
 
     val plans = scala.collection.mutable.LinkedHashMap[String, String]()
@@ -167,6 +188,7 @@ object PlanAudit {
     val bcastAllow = Map(
       "q_agg_stringagg" -> 1,       // region: fixed 5 rows at every SF
       "q_agg_hll_merge" -> 2,       // 1-row exact-global + 1-row merged-bool frames
+      "q_corpus_source_cap" -> 1,   // per-source doc counts: bounded source domain
       "q_cte_maxrev" -> 1,          // 1-row scalar MAX subquery
       // round 8: the Dedup family needs NO allowance — the stop-set
       // prune is a shuffle_hash anti join (its build side is bounded by
