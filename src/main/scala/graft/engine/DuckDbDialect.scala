@@ -23,12 +23,20 @@ package graft.engine
   *    C-style codes to Spark's pattern letters; an unrecognized `%` code
   *    throws with the offending code named.
   *  - `time_bucket(INTERVAL 'N unit', ts)` maps to `date_trunc` for
-  *    single whole units and to epoch-floor arithmetic for N-second/
+  *    single whole units, to epoch-floor arithmetic for N-second/
   *    minute/hour/day multiples (DuckDB's epoch-aligned buckets agree
-  *    for these sizes); multi-month buckets and the 3-arg origin form
-  *    throw.
-  *  - `//` becomes Spark's ` div ` (integral division; DuckDB's float
-  *    floor-division is out of scope).
+  *    for these sizes), and to pmod-floored add_months from DuckDB's
+  *    measured 2000-01-01 month origin for N-month/year multiples. The
+  *    3-arg explicit-origin form is supported for every unit (second
+  *    granularity keeps the origin's full sub-bucket offset; month
+  *    granularity truncates the origin to its month start — both
+  *    measured). Only multi-week buckets WITHOUT an origin throw.
+  *  - `//` becomes Spark's ` div `. This matches DuckDB's INTEGER `//`
+  *    exactly (measured on 1.0.0: -5//2 = -2 — truncating, not floor).
+  *    DuckDB's FLOAT `//` is measured to be plain division (-5.0//2 =
+  *    -2.5), so the faithful rewrite is type-dependent; a string-level
+  *    shim cannot infer operand types, hence float `//` stays out of
+  *    scope (a user gets Spark's div type error, not a wrong answer).
   */
 object DuckDbDialect {
 
@@ -74,7 +82,7 @@ object DuckDbDialect {
 
   def rewrite(sql: String): String = {
     var s = sql
-    s = rewriteQualify(s)
+    s = rewriteQualifyDeep(s)
     s = rewriteDistinctOn(s)
     s = rewriteStarReplace(s)
     s = rewriteAsOfJoin(s)
@@ -103,10 +111,56 @@ object DuckDbDialect {
     * semantics), the predicate references the alias, and an outer
     * `* EXCEPT` drops the synthetic columns from the result schema.
     *
-    * Bounded (throws, never silently wrong): QUALIFY inside a subquery,
-    * followed at top level by a set operation, or combining an inline
-    * window with SELECT DISTINCT (appending a column would change the
-    * distinct key) is rejected with a message naming the limitation. */
+    * Subquery-level QUALIFY is handled by [[rewriteQualifyDeep]], which
+    * reduces every nested occurrence to this top-level case. Bounded
+    * (throws, never silently wrong): QUALIFY followed at the same block's
+    * top level by a set operation, or combining an inline window with
+    * SELECT DISTINCT (appending a column would change the distinct key),
+    * is rejected with a message naming the limitation. */
+  /** Recursive QUALIFY driver (round 13 — closes the r12 "QUALIFY inside
+    * a subquery" bound): locate a QUALIFY token at paren depth > 0, take
+    * its innermost enclosing `( ... )` block — relative to that block's
+    * content the QUALIFY is top-level — rewrite the content (recursively,
+    * so deeper nests resolve first), splice it back, and repeat until
+    * only a top-level QUALIFY (or none) remains for [[rewriteQualify]].
+    * Each step eliminates one QUALIFY token, so the recursion is finite;
+    * the per-block guards (set operations, DISTINCT + inline windows)
+    * still apply within whichever block carries the clause. */
+  private def rewriteQualifyDeep(sql: String): String = {
+    val in = inString(sql)
+    def wordAt(i: Int, w: String): Boolean =
+      !in(i) && sql.regionMatches(true, i, w, 0, w.length) &&
+        (i == 0 || !isIdentChar(sql(i - 1))) &&
+        (i + w.length >= sql.length || !isIdentChar(sql(i + w.length)))
+    var opens = List.empty[Int]
+    var i = 0
+    while (i < sql.length) {
+      if (!in(i)) {
+        val c = sql(i)
+        if (c == '(') opens ::= i
+        else if (c == ')') opens = opens.drop(1)
+        else if (opens.nonEmpty && wordAt(i, "qualify")) {
+          val start = opens.head
+          var d = 0
+          var end = start
+          while (end < sql.length && {
+            if (!in(end)) {
+              if (sql(end) == '(') d += 1
+              else if (sql(end) == ')') d -= 1
+            }
+            d != 0
+          }) end += 1
+          require(end < sql.length, "QUALIFY: unbalanced parentheses")
+          val inner = rewriteQualifyDeep(sql.substring(start + 1, end))
+          return rewriteQualifyDeep(
+            sql.substring(0, start + 1) + inner + sql.substring(end))
+        }
+      }
+      i += 1
+    }
+    rewriteQualify(sql)
+  }
+
   private def rewriteQualify(sql: String): String = {
     val in = inString(sql)
     def wordAt(i: Int, w: String): Boolean =
@@ -132,9 +186,9 @@ object DuckDbDialect {
                     p < 0 || sql(p) != '*'
                   }))) setOp = true
         else if (wordAt(i, "qualify")) {
-          if (depth > 0) throw new IllegalArgumentException(
-            "QUALIFY inside a subquery is outside the shim's bounded support " +
-              "— rewrite the inner block as SELECT * FROM (...) WHERE ...")
+          if (depth > 0) throw new IllegalStateException(
+            "QUALIFY at depth > 0 reached rewriteQualify — " +
+              "rewriteQualifyDeep should have reduced it first")
           if (q >= 0) throw new IllegalArgumentException(
             "multiple top-level QUALIFY clauses")
           q = i
@@ -927,17 +981,51 @@ object DuckDbDialect {
     * epoch-floor arithmetic (both engines bucket these relative to an
     * epoch-aligned origin). */
   private def timeBucket(args: Seq[String]): String = {
-    require(args.size == 2,
-      s"time_bucket: only the 2-argument form is supported, got ${args.size} args " +
-        "(the explicit-origin form has no Spark equivalent here)")
+    require(args.size == 2 || args.size == 3,
+      s"time_bucket: expected 2 or 3 arguments, got ${args.size}")
     val ts = args(1)
+    val origin = args.lift(2).map(_.trim)
     args(0).trim match {
       case IntervalRe(n, unit) =>
         val cnt = n.toLong
         val u = unit.toLowerCase
-        if (cnt == 1L)
+        // Explicit-origin form (round 13). Measured on DuckDB 1.0:
+        // second-granularity buckets keep the origin's FULL sub-bucket
+        // offset (3-day origin 2024-01-02 12:00 → boundaries at 12:00),
+        // month-granularity buckets truncate the origin to its month
+        // start (origin 2024-02-15 06:00 → boundaries 02-01, 04-01, …),
+        // and instants before the origin floor downward in both.
+        if (origin.isDefined && (u == "month" || u == "year")) {
+          val nM = if (u == "year") cnt * 12 else cnt
+          val o = origin.get
+          val md = s"(((year($ts) - year($o)) * 12 + month($ts) - month($o)))"
+          s"CAST(add_months(date_trunc('month', $o), $md - pmod($md, $nM)) AS TIMESTAMP)"
+        } else if (origin.isDefined) {
+          val secs = u match {
+            case "second" => 1L
+            case "minute" => 60L
+            case "hour" => 3600L
+            case "day" => 86400L
+            case "week" => 604800L
+            case other => throw new IllegalArgumentException(
+              s"time_bucket: unsupported origin-form unit $other")
+          }
+          val w = cnt * secs
+          val o = origin.get
+          val oe = s"unix_timestamp($o)"
+          s"timestamp_seconds(CAST(FLOOR((unix_timestamp($ts) - $oe) / $w) AS BIGINT) * $w + $oe)"
+        } else if (cnt == 1L)
           s"date_trunc('$u', $ts)"
-        else {
+        else if (u == "month" || u == "year") {
+          // DuckDB aligns month-granularity buckets to origin 2000-01-01
+          // and floors toward it (measured: 2-month bucket of 1999-02-03
+          // → 1999-01-01; 2-year of 1997-07-14 → 1996-01-01). Months
+          // since the origin, floored with pmod so pre-2000 instants
+          // round DOWN, then re-anchored with add_months.
+          val n = if (u == "year") cnt * 12 else cnt
+          val mm = s"((year($ts) - 2000) * 12 + month($ts) - 1)"
+          s"CAST(add_months(DATE '2000-01-01', $mm - pmod($mm, $n)) AS TIMESTAMP)"
+        } else {
           val secs = u match {
             case "second" => 1L
             case "minute" => 60L

@@ -429,6 +429,57 @@ final class SqlFuzzer(seed: Long) {
       having + orderAll(n) + " " + limit()
   }
 
+  /** Window functions over an aggregated derived table — ranking groups
+    * by their aggregate. The inner GROUP BY makes the group key unique,
+    * so a window ORDER BY ending in that key is total and every ranking
+    * function is deterministic; the ranked measure is COUNT / exact-image
+    * SUM (integer-exact in both engines), so no ulp can flip a rank. */
+  private def qAggWindow(): String = {
+    val t = pick(tables)
+    val g = rnd.nextInt(3) match {
+      case 0 if t.pools.nonEmpty => pick(t.pools.keys.toSeq.sorted)
+      case 1 if cols(t, TsK).nonEmpty =>
+        s"EXTRACT(YEAR FROM ${pick(cols(t, TsK)).name})"
+      case _ => s"(${pick(cols(t, IntK)).name} % ${intLit(2, 12)})"
+    }
+    val measure = rnd.nextInt(3) match {
+      case 0 => "CAST(COUNT(*) AS BIGINT)"
+      case 1 => s"CAST(SUM(${intExpr(t, 0)}) AS BIGINT)"
+      case _ => s"CAST(COUNT(DISTINCT ${pick(t.cols).name}) AS BIGINT)"
+    }
+    val inner = s"(SELECT $g AS k, $measure AS m FROM ${t.name} " +
+      s"WHERE ${pred(t, 1)} GROUP BY 1)"
+    val over = "OVER (ORDER BY m DESC NULLS LAST, k ASC NULLS FIRST)"
+    val wexpr = rnd.nextInt(4) match {
+      case 0 => s"CAST(RANK() $over AS BIGINT)"
+      case 1 => s"CAST(ROW_NUMBER() $over AS BIGINT)"
+      case 2 => s"CAST(NTILE(${intLit(2, 5)}) $over AS BIGINT)"
+      case _ => s"CAST(SUM(m) $over AS BIGINT)"
+    }
+    s"SELECT k AS c1, m AS c2, $wexpr AS c3 FROM $inner g " +
+      s"${orderAll(3)} ${limit()}"
+  }
+
+  /** HAVING against an uncorrelated scalar subquery — group filtering by
+    * a global statistic from a possibly different table. The comparison
+    * stays integer-exact (COUNT scaled by an integer literal vs a COUNT
+    * scalar), so the threshold can never flip on a float ulp. */
+  private def qHavingSub(): String = {
+    val t = pick(tables)
+    val t2 = pick(tables)
+    val g = rnd.nextInt(2) match {
+      case 0 if t.pools.nonEmpty => pick(t.pools.keys.toSeq.sorted)
+      case _ => s"(${pick(cols(t, IntK)).name} % ${intLit(2, 10)})"
+    }
+    val scalar =
+      s"(SELECT CAST(COUNT(*) AS BIGINT) FROM ${t2.name} WHERE ${basePred(t2)})"
+    val having =
+      s"HAVING COUNT(*) * ${intLit(2, 50)} ${pick(cmpOps)} $scalar"
+    s"SELECT $g AS c1, CAST(COUNT(*) AS BIGINT) AS c2, ${aggExpr(t)} AS c3 " +
+      s"FROM ${t.name} WHERE ${pred(t, 1)} GROUP BY 1 $having " +
+      s"${orderAll(3)} ${limit()}"
+  }
+
   private def qWindow(): String = {
     val t = pick(tables.filter(_.uniqueKey.nonEmpty))
     val key = t.uniqueKey.get
@@ -820,11 +871,32 @@ final class SqlFuzzer(seed: Long) {
       s"WHERE ${pred(events, 1)} GROUP BY 1 ${orderAll(3)} ${limit()}"
   }
 
-  private def qDialectBucket(): String = {
-    val bucket = pick(Seq("5 minutes", "15 minutes", "1 hour", "1 day"))
-    s"SELECT time_bucket(INTERVAL '$bucket', ts) AS c1, " +
-      s"CAST(COUNT(*) AS BIGINT) AS c2 FROM events " +
-      s"WHERE ${pred(events, 1)} GROUP BY 1 ${orderAll(2)} ${limit()}"
+  private def qDialectBucket(): String = rnd.nextInt(3) match {
+    case 0 =>
+      val bucket = pick(Seq("5 minutes", "15 minutes", "1 hour", "1 day"))
+      s"SELECT time_bucket(INTERVAL '$bucket', ts) AS c1, " +
+        s"CAST(COUNT(*) AS BIGINT) AS c2 FROM events " +
+        s"WHERE ${pred(events, 1)} GROUP BY 1 ${orderAll(2)} ${limit()}"
+    case 1 =>
+      // month-granularity buckets (round 13: pmod-floored add_months
+      // from DuckDB's 2000-01-01 origin) over the 1995-2001 order dates
+      // — both pre- and post-origin months exercised
+      val bucket = pick(Seq("2 months", "3 months", "6 months", "1 year", "2 years"))
+      s"SELECT time_bucket(INTERVAL '$bucket', o_orderdate) AS c1, " +
+        s"CAST(COUNT(*) AS BIGINT) AS c2 FROM orders " +
+        s"WHERE ${pred(orders, 1)} GROUP BY 1 ${orderAll(2)} ${limit()}"
+    case _ =>
+      // 3-arg explicit-origin form (round 13): a sub-bucket origin
+      // offset for second-granularity, a mid-month origin for months
+      val (bucket, origin, t, ts, tbl) = pick(Seq(
+        ("15 minutes", "TIMESTAMP '2024-01-01 00:07:00'", "events", "ts", events),
+        ("2 hours", "TIMESTAMP '2024-01-01 01:30:00'", "events", "ts", events),
+        ("3 days", "TIMESTAMP '2024-01-02 12:00:00'", "events", "ts", events),
+        ("2 months", "TIMESTAMP '1996-02-15 06:00:00'", "orders", "o_orderdate", orders),
+        ("1 year", "TIMESTAMP '1995-07-01 00:00:00'", "orders", "o_orderdate", orders)))
+      s"SELECT time_bucket(INTERVAL '$bucket', $ts, $origin) AS c1, " +
+        s"CAST(COUNT(*) AS BIGINT) AS c2 FROM $t " +
+        s"WHERE ${pred(tbl, 1)} GROUP BY 1 ${orderAll(2)} ${limit()}"
   }
 
   private def qDialectList(): String = rnd.nextInt(3) match {
@@ -873,12 +945,18 @@ final class SqlFuzzer(seed: Long) {
     // under --nulls injection) would silently diverge row_number.
     val nf = if (dir == "ASC") "NULLS FIRST" else "NULLS LAST"
     val win = s"ROW_NUMBER() OVER (PARTITION BY $part ORDER BY $ord $dir $nf, $key ASC NULLS FIRST)"
-    if (rnd.nextBoolean()) // alias form: predicate names the select-list alias
-      s"SELECT $part AS c1, CAST(($key) AS BIGINT) AS c2, $win AS c3 " +
-        s"FROM $t WHERE ${pred(tbl, 1)} QUALIFY c3 <= $n ${orderAll(3)} ${limit()}"
-    else // inline form: the shim hoists the window into the select list
-      s"SELECT $part AS c1, CAST(($key) AS BIGINT) AS c2 " +
-        s"FROM $t WHERE ${pred(tbl, 1)} QUALIFY $win <= $n ${orderAll(2)} ${limit()}"
+    rnd.nextInt(3) match {
+      case 0 => // alias form: predicate names the select-list alias
+        s"SELECT $part AS c1, CAST(($key) AS BIGINT) AS c2, $win AS c3 " +
+          s"FROM $t WHERE ${pred(tbl, 1)} QUALIFY c3 <= $n ${orderAll(3)} ${limit()}"
+      case 1 => // inline form: the shim hoists the window into the select list
+        s"SELECT $part AS c1, CAST(($key) AS BIGINT) AS c2 " +
+          s"FROM $t WHERE ${pred(tbl, 1)} QUALIFY $win <= $n ${orderAll(2)} ${limit()}"
+      case _ => // round 13: QUALIFY inside a derived table (the deep rewrite)
+        s"SELECT c1, c3 FROM (SELECT $part AS c1, CAST(($key) AS BIGINT) AS c2, " +
+          s"$win AS c3 FROM $t WHERE ${pred(tbl, 1)} QUALIFY c3 <= $n) q " +
+          s"${orderAll(2)} ${limit()}"
+    }
   }
 
   /** `* REPLACE` over an aliased projection: the shim moves replaced
@@ -963,7 +1041,7 @@ final class SqlFuzzer(seed: Long) {
   /** The full deterministic suite for this seed. */
   def queries(count: Int): Vector[(String, String)] =
     (1 to count).map { i =>
-      val (kind, sql) = rnd.nextInt(14) match {
+      val (kind, sql) = rnd.nextInt(16) match {
         case 0 | 1 | 2 => ("sel", qSimple())
         case 3 | 4 | 5 => ("grp", qGroupAgg())
         case 6 => ("win", qWindow())
@@ -973,6 +1051,8 @@ final class SqlFuzzer(seed: Long) {
         case 10 => ("ex", qExists())
         case 11 => ("j3", qJoin3())
         case 12 => ("fj", qFullJoin())
+        case 13 => ("aw", qAggWindow())
+        case 14 => ("hs", qHavingSub())
         case _ => ("vj", qValuesJoin())
       }
       (f"fz_$i%04d_$kind", sql)

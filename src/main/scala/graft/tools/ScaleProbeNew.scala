@@ -35,7 +35,12 @@ object ScaleProbeNew {
 
   private val Named = Seq("q_text_entropy", "q_dedup_prefix",
     "q_agg_entropy", "q_agg_histogram",
-    "q_text_tfidf", "q_events_streaks", "q_events_retention")
+    "q_text_tfidf", "q_events_streaks", "q_events_retention",
+    // round-13 corpus ops: replicas share sources (per-source doc count
+    // grows K× — exercises the cap's hash-prefix prune at shrinking f),
+    // while the ~r token suffix keeps replica text disjoint (distinct
+    // segments and shingles grow linearly — true work is linear)
+    "q_corpus_source_cap", "q_text_segment_dedup", "q_corpus_bloom_screen")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")

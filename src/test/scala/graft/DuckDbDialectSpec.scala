@@ -95,10 +95,57 @@ class DuckDbDialectSpec extends AnyFunSuite {
       "SELECT date_trunc('hour', ts)")
     assert(DuckDbDialect.rewrite("SELECT time_bucket(INTERVAL '15 minutes', ts)") ==
       "SELECT timestamp_seconds(CAST(FLOOR(unix_timestamp(ts) / 900) AS BIGINT) * 900)")
+    // month-granularity multiples: pmod-floored add_months from the
+    // measured 2000-01-01 origin (pre-origin instants round DOWN —
+    // DuckDB 2-month bucket of 1999-02-03 is 1999-01-01, and the pmod
+    // keeps the negative month index flooring instead of truncating)
+    assert(DuckDbDialect.rewrite("SELECT time_bucket(INTERVAL '2 months', ts)") ==
+      "SELECT CAST(add_months(DATE '2000-01-01', ((year(ts) - 2000) * 12 + month(ts) - 1) " +
+        "- pmod(((year(ts) - 2000) * 12 + month(ts) - 1), 2)) AS TIMESTAMP)")
+    assert(DuckDbDialect.rewrite("SELECT time_bucket(INTERVAL '2 years', ts)")
+      .contains("pmod(((year(ts) - 2000) * 12 + month(ts) - 1), 24)"))
+    // multi-week buckets stay bounded (calendar alignment differs)
     val e = intercept[IllegalArgumentException] {
-      DuckDbDialect.rewrite("SELECT time_bucket(INTERVAL '2 months', ts)")
+      DuckDbDialect.rewrite("SELECT time_bucket(INTERVAL '2 weeks', ts)")
     }
-    assert(e.getMessage.contains("month"))
+    assert(e.getMessage.contains("week"))
+  }
+
+  test("month buckets match DuckDB's measured origin semantics in-engine") {
+    // the three probed DuckDB answers, evaluated through the rewrite on
+    // Spark: 3mo of 2026-08-14 → 2026-07-01; 2mo of 1999-02-03 →
+    // 1999-01-01 (pre-origin floor); 2yr of 1997-07-14 → 1996-01-01
+    val rows = spark.sql(DuckDbDialect.rewrite(
+      "SELECT time_bucket(INTERVAL '3 months', TIMESTAMP '2026-08-14 10:00:00') AS a, " +
+        "time_bucket(INTERVAL '2 months', TIMESTAMP '1999-02-03 00:00:01') AS b, " +
+        "time_bucket(INTERVAL '2 years', TIMESTAMP '1997-07-14 00:00:00') AS c")).head()
+    assert(rows.getTimestamp(0).toString.startsWith("2026-07-01"))
+    assert(rows.getTimestamp(1).toString.startsWith("1999-01-01"))
+    assert(rows.getTimestamp(2).toString.startsWith("1996-01-01"))
+  }
+
+  test("3-arg time_bucket matches DuckDB's measured origin semantics") {
+    // probed DuckDB 1.0 answers: 15-min buckets keep the origin's :07
+    // offset (10:23 → 10:22; pre-origin 23:59 → 23:52 floors down);
+    // 3-day buckets keep the 12:00 offset; 2-month buckets truncate the
+    // origin to its month start (02-15 06:00 → 02-01/04-01 boundaries,
+    // and 02-14 — BEFORE the origin's day — still lands in 02-01)
+    val r = spark.sql(DuckDbDialect.rewrite(
+      "SELECT time_bucket(INTERVAL '15 minutes', TIMESTAMP '2024-01-05 10:23:00', " +
+        "TIMESTAMP '2024-01-01 00:07:00') AS a, " +
+        "time_bucket(INTERVAL '15 minutes', TIMESTAMP '2023-12-31 23:59:00', " +
+        "TIMESTAMP '2024-01-01 00:07:00') AS b, " +
+        "time_bucket(INTERVAL '3 days', TIMESTAMP '2024-01-07 05:00:00', " +
+        "TIMESTAMP '2024-01-02 12:00:00') AS c, " +
+        "time_bucket(INTERVAL '2 months', TIMESTAMP '2024-05-05', " +
+        "TIMESTAMP '2024-02-15 06:00:00') AS d, " +
+        "time_bucket(INTERVAL '2 months', TIMESTAMP '2024-02-14', " +
+        "TIMESTAMP '2024-02-15 06:00:00') AS e")).head()
+    assert(r.getTimestamp(0).toString.startsWith("2024-01-05 10:22:00"))
+    assert(r.getTimestamp(1).toString.startsWith("2023-12-31 23:52:00"))
+    assert(r.getTimestamp(2).toString.startsWith("2024-01-05 12:00:00"))
+    assert(r.getTimestamp(3).toString.startsWith("2024-04-01"))
+    assert(r.getTimestamp(4).toString.startsWith("2024-02-01"))
   }
 
   // ---- executed through the gateway -----------------------------------
@@ -217,12 +264,36 @@ class DuckDbDialectSpec extends AnyFunSuite {
     assert(q == sub && q.nonEmpty)
   }
 
-  test("QUALIFY in a subquery or before a set op fails loudly") {
-    val e1 = intercept[IllegalArgumentException] {
+  test("QUALIFY inside a subquery rewrites the inner block (round 13)") {
+    // the inner block is wrapped exactly as a top-level QUALIFY would be
+    assert(DuckDbDialect.rewrite(
+      "SELECT * FROM (SELECT a, ROW_NUMBER() OVER (ORDER BY a) AS rn FROM t QUALIFY rn = 1) s")
+      == "SELECT * FROM (SELECT * FROM ( SELECT a, ROW_NUMBER() OVER (ORDER BY a) AS rn FROM t ) " +
+        "__qualify WHERE rn = 1) s")
+    // two independent subqueries, each carrying its own QUALIFY
+    val both = DuckDbDialect.rewrite(
+      "SELECT x.a FROM (SELECT a, RANK() OVER (ORDER BY a) AS r FROM t QUALIFY r <= 2) x " +
+        "JOIN (SELECT b, RANK() OVER (ORDER BY b) AS r2 FROM u QUALIFY r2 <= 3) y ON x.a = y.b")
+    assert(both.contains("WHERE r <= 2") && both.contains("WHERE r2 <= 3") &&
+      "(?i)(?<![A-Za-z0-9_])qualify(?![A-Za-z0-9_])".r.findFirstIn(both).isEmpty)
+    // nested two levels deep resolves innermost-first
+    val nested = DuckDbDialect.rewrite(
+      "SELECT * FROM (SELECT * FROM (SELECT a, ROW_NUMBER() OVER (ORDER BY a) AS rn " +
+        "FROM t QUALIFY rn <= 5) i QUALIFY rn <= 2) o")
+    assert(nested.contains("WHERE rn <= 5") && nested.contains("WHERE rn <= 2"))
+    // inline window form inside a subquery still hoists + drops synthetics
+    val inl = DuckDbDialect.rewrite(
+      "SELECT c FROM (SELECT a AS c FROM t QUALIFY ROW_NUMBER() OVER (ORDER BY a) = 1) s")
+    assert(inl.contains("__qualify_w1") && inl.contains("EXCEPT (__qualify_w1)"))
+    // and the per-block set-op guard still applies INSIDE the subquery
+    val eSub = intercept[IllegalArgumentException] {
       DuckDbDialect.rewrite(
-        "SELECT * FROM (SELECT a, ROW_NUMBER() OVER (ORDER BY a) AS rn FROM t QUALIFY rn = 1)")
+        "SELECT * FROM (SELECT a, rn FROM t QUALIFY rn = 1 UNION ALL SELECT a, 1 FROM u) s")
     }
-    assert(e1.getMessage.contains("subquery"))
+    assert(eSub.getMessage.contains("set operation"))
+  }
+
+  test("QUALIFY before a set op fails loudly") {
     val e2 = intercept[IllegalArgumentException] {
       DuckDbDialect.rewrite(
         "SELECT a, rn FROM t QUALIFY rn = 1 UNION ALL SELECT a, 1 FROM u")
