@@ -47,6 +47,11 @@ object ScaleProbeNew {
     val outBase = args.lift(1).getOrElse("/tmp/graft_scale_new")
     val spark = ProbeHarness.session()
     val kLadder = ProbeHarness.ks(Seq(1, 2, 4, 8, 16))
+    // GRAFT_PROBE_QS restricts the rung set; the three semantic-dedup
+    // ladders run only when unfiltered (the fixed-k=8 instance is the
+    // documented-quadratic non-goal — not meaningful past small K)
+    val named = ProbeHarness.qs(Named).filter(Named.contains)
+    val withSemantic = sys.env.get("GRAFT_PROBE_QS").isEmpty
 
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
     val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
@@ -102,35 +107,39 @@ object ScaleProbeNew {
     }
 
     // warmup at K=1 (codegen + JIT for the whole family)
-    Named.foreach(q => time(s"warmup $q",
+    named.foreach(q => time(s"warmup $q",
       graft.SparkEntry.queries(q)(spark, s"$outBase/k${kLadder.head}")))
-    time("warmup semantic",
+    if (withSemantic) time("warmup semantic",
       graft.ops.Dedup.semanticDedup(spark, s"$outBase/k${kLadder.head}", 8, 0.3))
 
     val rows = kLadder.map { k =>
       spark.sharedState.cacheManager.clearCache()
       val dir = s"$outBase/k$k"
-      val named = Named.map(q =>
+      val namedTimes = named.map(q =>
         q -> time(s"$q @K=$k", graft.SparkEntry.queries(q)(spark, dir)))
-      // fixed k=8 cells (documented non-goal past small K: pair work ~K²)
-      val semFixed = "q_dedup_semantic(k=8)" ->
-        time(s"semantic k=8 @K=$k",
-          graft.ops.Dedup.semanticDedup(spark, dir, 8, 0.3))
-      // the scale path: cells grow with the corpus, cluster size constant
-      val semScaled = s"q_dedup_semantic(k=8K)" ->
-        time(s"semantic k=${8 * k} @K=$k",
-          graft.ops.Dedup.semanticDedup(spark, dir, 8 * k, 0.3))
-      // same scaled k through the two-level coarse/fine assignment
-      // (g≈√k): N×(g + k/g) dots instead of N×k
-      val g = math.max(1, math.round(math.sqrt(8.0 * k)).toInt)
-      val semCoarse = s"q_dedup_semantic(k=8K,2lv)" ->
-        time(s"semantic k=${8 * k} g=$g @K=$k",
-          graft.ops.Dedup.semanticDedup(spark, dir, 8 * k, 0.3, Some(g)))
-      k -> (named :+ semFixed :+ semScaled :+ semCoarse).toMap
+      val sem = if (!withSemantic) Nil else {
+        // fixed k=8 cells (documented non-goal past small K: pair work ~K²)
+        val semFixed = "q_dedup_semantic(k=8)" ->
+          time(s"semantic k=8 @K=$k",
+            graft.ops.Dedup.semanticDedup(spark, dir, 8, 0.3))
+        // the scale path: cells grow with the corpus, cluster size constant
+        val semScaled = s"q_dedup_semantic(k=8K)" ->
+          time(s"semantic k=${8 * k} @K=$k",
+            graft.ops.Dedup.semanticDedup(spark, dir, 8 * k, 0.3))
+        // same scaled k through the two-level coarse/fine assignment
+        // (g≈√k): N×(g + k/g) dots instead of N×k
+        val g = math.max(1, math.round(math.sqrt(8.0 * k)).toInt)
+        val semCoarse = s"q_dedup_semantic(k=8K,2lv)" ->
+          time(s"semantic k=${8 * k} g=$g @K=$k",
+            graft.ops.Dedup.semanticDedup(spark, dir, 8 * k, 0.3, Some(g)))
+        Seq(semFixed, semScaled, semCoarse)
+      }
+      k -> (namedTimes ++ sem).toMap
     }
 
-    val names = Named ++ Seq("q_dedup_semantic(k=8)", "q_dedup_semantic(k=8K)",
-      "q_dedup_semantic(k=8K,2lv)")
+    val names = named ++ (if (withSemantic)
+      Seq("q_dedup_semantic(k=8)", "q_dedup_semantic(k=8K)",
+        "q_dedup_semantic(k=8K,2lv)") else Nil)
     println(f"${"query"}%-26s" + kLadder.map(k => f"K=$k%-8d").mkString)
     names.foreach { q =>
       println(f"$q%-26s" + rows.map { case (_, m) => f"${m(q)}%-8.2f" }.mkString)
