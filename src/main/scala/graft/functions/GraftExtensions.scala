@@ -19,6 +19,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   def apply(e: SparkSessionExtensions): Unit = {
     e.injectFunction(GraftExtensions.dotProduct)
     e.injectFunction(GraftExtensions.cosineSim)
+    e.injectFunction(GraftExtensions.kllSketchAgg)
+    e.injectFunction(GraftExtensions.kllMergeAgg)
+    e.injectFunction(GraftExtensions.kllQuantile)
   }
 }
 
@@ -36,9 +39,25 @@ object GraftExtensions {
     info("cosine_sim", "cosine_sim(a, b) - fused cosine similarity of two float/double arrays"),
     (exprs: Seq[Expression]) => CosineSim(exprs(0), exprs(1)))
 
+  val kllSketchAgg: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("kll_sketch_agg"),
+    info("kll_sketch_agg", "kll_sketch_agg(v) - mergeable KLL quantile sketch of a double column (binary image)"),
+    (exprs: Seq[Expression]) => KllSketchAgg(exprs.head))
+
+  val kllMergeAgg: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("kll_merge_agg"),
+    info("kll_merge_agg", "kll_merge_agg(sk) - union of serialized KLL sketch images (binary image)"),
+    (exprs: Seq[Expression]) => KllMergeAgg(exprs.head))
+
+  val kllQuantile: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("kll_sketch_quantile"),
+    info("kll_sketch_quantile", "kll_sketch_quantile(sk, p) - quantile estimate from a KLL sketch image"),
+    (exprs: Seq[Expression]) => KllQuantile(exprs(0), exprs(1)))
+
   /** Register on an already-built session (idempotent). */
   def register(spark: SparkSession): Unit =
-    Seq(dotProduct, cosineSim).foreach { case (id, i, builder) =>
-      spark.sessionState.functionRegistry.registerFunction(id, i, builder)
-    }
+    Seq(dotProduct, cosineSim, kllSketchAgg, kllMergeAgg, kllQuantile)
+      .foreach { case (id, i, builder) =>
+        spark.sessionState.functionRegistry.registerFunction(id, i, builder)
+      }
 }

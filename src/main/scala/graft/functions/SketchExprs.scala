@@ -1,0 +1,171 @@
+package graft.functions
+
+import org.apache.datasketches.kll.KllDoublesSketch
+import org.apache.datasketches.memory.Memory
+import org.apache.datasketches.quantilescommon.QuantileSearchCriteria
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.trees.UnaryLike
+import org.apache.spark.sql.types._
+
+/** Mergeable KLL quantile sketches (Datasketches) as native Catalyst
+  * aggregates — the quantile twin of Spark's built-in hll_sketch_agg /
+  * hll_union_agg / hll_sketch_estimate trio, which Spark 4 does not
+  * ship for quantiles.
+  *
+  * Why TypedImperativeAggregate and not an Aggregator UDAF: the buffer
+  * is the live heap sketch object, serialized ONLY at partial-exchange
+  * boundaries (one toByteArray per map task, not per row); an
+  * Aggregator with a BINARY encoder would round-trip the sketch through
+  * bytes on every reduce call. This is the "custom Catalyst Expression
+  * beats a Scala UDF" preference applied to aggregation state.
+  *
+  * 100 TB role: per-group/per-partition/per-day sketches are computed
+  * once (map-side, bounded ~[K=200] buffer each), persisted as BINARY,
+  * and re-aggregated along any rollup dimension with kll_merge_agg —
+  * quantile rollups without rescanning, the property exact quantiles
+  * fundamentally lack. Rank error for K=200 is ~1.65% (normalized),
+  * which the operator query pins with an exact-vs-merged agreement
+  * bound, same convention as q_agg_hll_merge.
+  */
+case class KllSketchAgg(
+    child: Expression,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[KllDoublesSketch]
+  with UnaryLike[Expression] {
+
+  /** Sketch accuracy parameter (normalized rank error ~1.65%). */
+  private val SketchK = 200
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == DoubleType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"kll_sketch_agg expects a DOUBLE input, got ${child.dataType.simpleString}")
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = false
+
+  override def createAggregationBuffer(): KllDoublesSketch =
+    KllDoublesSketch.newHeapInstance(SketchK)
+
+  override def update(buffer: KllDoublesSketch, input: InternalRow): KllDoublesSketch = {
+    val v = child.eval(input)
+    if (v != null) buffer.update(v.asInstanceOf[Double])
+    buffer
+  }
+
+  override def merge(buffer: KllDoublesSketch, other: KllDoublesSketch): KllDoublesSketch = {
+    buffer.merge(other)
+    buffer
+  }
+
+  override def eval(buffer: KllDoublesSketch): Any = buffer.toByteArray
+
+  override def serialize(buffer: KllDoublesSketch): Array[Byte] = buffer.toByteArray
+
+  override def deserialize(storage: Array[Byte]): KllDoublesSketch =
+    KllDoublesSketch.heapify(Memory.wrap(storage))
+
+  override def withNewMutableAggBufferOffset(n: Int): KllSketchAgg =
+    copy(mutableAggBufferOffset = n)
+  override def withNewInputAggBufferOffset(n: Int): KllSketchAgg =
+    copy(inputAggBufferOffset = n)
+  override protected def withNewChildInternal(newChild: Expression): KllSketchAgg =
+    copy(child = newChild)
+  override def prettyName: String = "kll_sketch_agg"
+}
+
+/** Union of serialized KLL sketches — the rollup re-aggregation step.
+  * Input rows are BINARY images produced by [[KllSketchAgg]] (or an
+  * earlier kll_merge_agg); the buffer merges them heap-side and emits
+  * the merged image. */
+case class KllMergeAgg(
+    child: Expression,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[KllDoublesSketch]
+  with UnaryLike[Expression] {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == BinaryType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"kll_merge_agg expects BINARY sketch images, got ${child.dataType.simpleString}")
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = false
+
+  override def createAggregationBuffer(): KllDoublesSketch =
+    KllDoublesSketch.newHeapInstance(200)
+
+  override def update(buffer: KllDoublesSketch, input: InternalRow): KllDoublesSketch = {
+    val v = child.eval(input)
+    if (v != null)
+      buffer.merge(KllDoublesSketch.heapify(Memory.wrap(v.asInstanceOf[Array[Byte]])))
+    buffer
+  }
+
+  override def merge(buffer: KllDoublesSketch, other: KllDoublesSketch): KllDoublesSketch = {
+    buffer.merge(other)
+    buffer
+  }
+
+  override def eval(buffer: KllDoublesSketch): Any = buffer.toByteArray
+
+  override def serialize(buffer: KllDoublesSketch): Array[Byte] = buffer.toByteArray
+
+  override def deserialize(storage: Array[Byte]): KllDoublesSketch =
+    KllDoublesSketch.heapify(Memory.wrap(storage))
+
+  override def withNewMutableAggBufferOffset(n: Int): KllMergeAgg =
+    copy(mutableAggBufferOffset = n)
+  override def withNewInputAggBufferOffset(n: Int): KllMergeAgg =
+    copy(inputAggBufferOffset = n)
+  override protected def withNewChildInternal(newChild: Expression): KllMergeAgg =
+    copy(child = newChild)
+  override def prettyName: String = "kll_merge_agg"
+}
+
+/** kll_sketch_quantile(sketch_bytes, fraction) → the sketch's quantile
+  * estimate (INCLUSIVE search criteria), NULL for an empty sketch.
+  * Evaluated once per sketch image (a handful of rows after the
+  * aggregate), so CodegenFallback costs nothing measurable. */
+case class KllQuantile(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (left.dataType == BinaryType && right.dataType == DoubleType)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      "kll_sketch_quantile expects (BINARY, DOUBLE), got " +
+        s"${left.dataType.simpleString} / ${right.dataType.simpleString}")
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+
+  override def nullSafeEval(bytes: Any, frac: Any): Any = {
+    val sk = KllDoublesSketch.heapify(Memory.wrap(bytes.asInstanceOf[Array[Byte]]))
+    if (sk.isEmpty) null
+    else sk.getQuantile(frac.asInstanceOf[Double], QuantileSearchCriteria.INCLUSIVE)
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): KllQuantile =
+    copy(left = newLeft, right = newRight)
+  override def prettyName: String = "kll_sketch_quantile"
+}
+
+/** Column-API entry points (the operator library path; the SQL names are
+  * registered by [[GraftExtensions]] for the gateway surface). */
+object SketchExprs {
+  import org.apache.spark.sql.{Column, GraftShim}
+  import org.apache.spark.sql.catalyst.expressions.Literal
+
+  def kllSketchAgg(c: Column): Column =
+    GraftShim.column(KllSketchAgg(GraftShim.expression(c)).toAggregateExpression())
+  def kllMergeAgg(c: Column): Column =
+    GraftShim.column(KllMergeAgg(GraftShim.expression(c)).toAggregateExpression())
+  def kllQuantile(c: Column, p: Double): Column =
+    GraftShim.column(KllQuantile(GraftShim.expression(c), Literal(p)))
+}

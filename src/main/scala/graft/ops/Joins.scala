@@ -252,6 +252,60 @@ object Joins {
         .orderBy(col("revenue").desc, col("n_name"))
     },
 
+    // TPC-H Q7 shape (volume shipping): revenue flowing between two
+    // named nations in BOTH directions, by shipment year. Two bounded
+    // nation dims broadcast onto supplier and customer; the fact-fact
+    // join (lineitem x orders) is a spillable sort-merge join, same
+    // policy as Q5; the pair filter (supp_nation <> cust_nation over
+    // the two-nation slice) reproduces Q7's symmetric OR predicate.
+    OpQuery("q_tpch_q7_shape",
+      s"""SELECT supp_nation, cust_nation, CAST(l_year AS BIGINT) AS l_year,
+         |       ${oSum6("volume")} AS revenue
+         |FROM (
+         |  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+         |         EXTRACT(YEAR FROM l_shipdate) AS l_year,
+         |         l_extendedprice * (1 - l_discount) AS volume
+         |  FROM supplier, lineitem, orders, customer, nation n1, nation n2
+         |  WHERE s_suppkey = l_suppkey AND o_orderkey = l_orderkey
+         |    AND c_custkey = o_custkey AND s_nationkey = n1.n_nationkey
+         |    AND c_nationkey = n2.n_nationkey
+         |    AND ((n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_19')
+         |      OR (n1.n_name = 'NATION_19' AND n2.n_name = 'NATION_3'))
+         |    AND l_shipdate >= TIMESTAMP '1995-01-01'
+         |    AND l_shipdate < TIMESTAMP '1997-01-01') shipping
+         |GROUP BY supp_nation, cust_nation, l_year
+         |ORDER BY supp_nation, cust_nation, l_year""".stripMargin) { (s, d) =>
+      val pair = Seq("NATION_3", "NATION_19")
+      val n1 = nation(s, d).filter(col("n_name").isin(pair: _*))
+        .select(col("n_nationkey").as("nk1"), col("n_name").as("supp_nation"))
+      val n2 = nation(s, d).filter(col("n_name").isin(pair: _*))
+        .select(col("n_nationkey").as("nk2"), col("n_name").as("cust_nation"))
+      val supp = supplier(s, d).select("s_suppkey", "s_nationkey")
+        .join(broadcast(n1), col("s_nationkey") === col("nk1"))
+        .select("s_suppkey", "supp_nation")
+      val cust = customer(s, d).select("c_custkey", "c_nationkey")
+        .join(broadcast(n2), col("c_nationkey") === col("nk2"))
+        .select("c_custkey", "cust_nation")
+      // orders x (two-nation customers): customer-derived O(SF) side —
+      // no hint, AQE may broadcast the slice at runtime (Q5 policy)
+      val ord = orders(s, d).select("o_orderkey", "o_custkey")
+        .join(cust, col("o_custkey") === col("c_custkey"))
+        .select("o_orderkey", "cust_nation")
+      lineitem(s, d)
+        .filter(col("l_shipdate") >= to_timestamp(lit("1995-01-01")) &&
+                col("l_shipdate") < to_timestamp(lit("1997-01-01")))
+        .select(col("l_orderkey"), col("l_suppkey"),
+          (col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("volume"),
+          year(col("l_shipdate")).cast("long").as("l_year"))
+        .join(supp, col("l_suppkey") === col("s_suppkey"))
+        .hint("merge")
+        .join(ord, col("l_orderkey") === col("o_orderkey"))
+        .filter(col("supp_nation") =!= col("cust_nation"))
+        .groupBy("supp_nation", "cust_nation", "l_year")
+        .agg(dsum6(col("volume")).as("revenue"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    },
+
     // Join against a derived aggregate (the reference's session-list shape,
     // /root/reference/database.py:217–232: join on per-group MAX).
     OpQuery("q_join_derived",

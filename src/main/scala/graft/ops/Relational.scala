@@ -278,6 +278,55 @@ object Relational {
         .orderBy("l_returnflag")
     },
 
+    // Mergeable QUANTILE-sketch rollup — the quantile twin of
+    // q_agg_hll_merge, built on the custom Catalyst KLL aggregates
+    // (functions/SketchExprs: TypedImperativeAggregate over Datasketches
+    // KllDoublesSketch; Spark 4 ships the HLL trio but no quantile
+    // sketch). Per-group sketches are computed map-side (bounded K=200
+    // buffers, serialized only at exchange boundaries), then UNIONED
+    // into a global sketch whose p50 estimate must land within 5% of
+    // the exact global median — the oracle pins TRUE, so sketch or
+    // merge drift breaks the hash match. Exact values come from the
+    // bucket-prune Quantiles operator, whose interpolated doubles match
+    // DuckDB's quantile_cont bitwise.
+    OpQuery("q_agg_kll_merge",
+      """WITH h AS (
+        |  SELECT l_returnflag AS f, l_extendedprice AS v, COUNT(*) AS c
+        |  FROM lineitem GROUP BY 1, 2),
+        |cum AS (
+        |  SELECT f, v,
+        |         CAST(SUM(c) OVER (PARTITION BY f ORDER BY v) AS BIGINT) AS cum,
+        |         CAST(SUM(c) OVER (PARTITION BY f) AS BIGINT) AS n
+        |  FROM h),
+        |br AS (
+        |  SELECT f, MAX(n) AS n,
+        |         MIN(CASE WHEN cum >= floor(1.0 + CAST(n - 1 AS DOUBLE) * 0.5) THEN v END) AS lo50,
+        |         MIN(CASE WHEN cum >= ceil(1.0 + CAST(n - 1 AS DOUBLE) * 0.5) THEN v END) AS hi50
+        |  FROM cum GROUP BY f)
+        |SELECT f AS l_returnflag,
+        |       lo50 + (1.0 + CAST(n - 1 AS DOUBLE) * 0.5
+        |               - floor(1.0 + CAST(n - 1 AS DOUBLE) * 0.5)) * (hi50 - lo50) AS p50,
+        |       TRUE AS merged_ok
+        |FROM br ORDER BY l_returnflag""".stripMargin) { (s, d) =>
+      import graft.functions.SketchExprs
+      val exact = Quantiles.groupQuantiles(
+        lineitem(s, d).withColumnRenamed("l_returnflag", "f"), "f", Seq(
+          Quantiles.Measure("p50", "l_extendedprice", 0.5, 4096.0)))
+      val globalExact = Quantiles.groupQuantiles(
+        lineitem(s, d).withColumn("g", lit("ALL")), "g", Seq(
+          Quantiles.Measure("gp50", "l_extendedprice", 0.5, 4096.0)))
+        .select("gp50")
+      val merged = lineitem(s, d)
+        .groupBy("l_returnflag")
+        .agg(SketchExprs.kllSketchAgg(col("l_extendedprice")).as("sk"))
+        .agg(SketchExprs.kllQuantile(SketchExprs.kllMergeAgg(col("sk")), 0.5).as("est"))
+      val ok = merged.crossJoin(broadcast(globalExact))
+        .select((abs(col("est") - col("gp50")) / col("gp50") <= 0.05).as("merged_ok"))
+      exact.select(col("f").as("l_returnflag"), col("p50"))
+        .crossJoin(broadcast(ok))
+        .orderBy("l_returnflag")
+    },
+
     // Greenwald-Khanna approximate quantiles, oracle-checked: the GK
     // sketch itself is engine-specific, so the query outputs the EXACT
     // p50/p99 (distributed bucket-prune operator, same formulation the

@@ -118,4 +118,33 @@ class StatsSpec extends AnyFunSuite {
       .select("drop_id").as[Long].collect().toSet
     assert(dropped == Set(11L, 12L, 14L))
   }
+
+  test("KLL sketch aggregates: SQL surface, merge ≈ whole, small-n exactness") {
+    graft.functions.GraftExtensions.register(spark)
+    // small n (< sketch K=200): the sketch retains every value, so its
+    // median is EXACTLY the inclusive-rank sample median
+    val small = spark.sql(
+      "SELECT kll_sketch_quantile(kll_sketch_agg(CAST(v AS DOUBLE)), 0.5d) AS m " +
+        "FROM VALUES (1), (2), (3), (4), (5) t(v)").head().getDouble(0)
+    assert(small == 3.0)
+    // mergeability: union of two disjoint halves' sketches ≈ the exact
+    // median of the union (both halves exceed K, so compaction ran)
+    import spark.implicits._
+    val xs = (1 to 4000).map(_.toDouble)
+    val half1 = xs.take(2000).toDF("v")
+    val half2 = xs.drop(2000).toDF("v")
+    val parts = half1.agg(graft.functions.SketchExprs
+        .kllSketchAgg($"v").as("sk"))
+      .unionAll(half2.agg(graft.functions.SketchExprs.kllSketchAgg($"v").as("sk")))
+    val est = parts
+      .agg(graft.functions.SketchExprs.kllQuantile(
+        graft.functions.SketchExprs.kllMergeAgg($"sk"), 0.5).as("m"))
+      .head().getDouble(0)
+    assert(math.abs(est - 2000.0) / 2000.0 <= 0.05, s"merged p50 $est drifted")
+    // empty input → NULL estimate, not a crash
+    val empty = spark.sql(
+      "SELECT kll_sketch_quantile(kll_sketch_agg(CAST(v AS DOUBLE)), 0.5d) AS m " +
+        "FROM (SELECT 1.0 AS v WHERE 1 = 0)").head()
+    assert(empty.isNullAt(0))
+  }
 }
