@@ -188,6 +188,7 @@ object PlanAudit {
     val bcastAllow = Map(
       "q_agg_stringagg" -> 1,       // region: fixed 5 rows at every SF
       "q_agg_hll_merge" -> 2,       // 1-row exact-global + 1-row merged-bool frames
+      "q_agg_kll_merge" -> 2,       // 1-row exact-global-median + 1-row merged-bool frames
       "q_corpus_source_cap" -> 1,   // per-source doc counts: bounded source domain
       "q_cte_maxrev" -> 1,          // 1-row scalar MAX subquery
       // round 8: the Dedup family needs NO allowance — the stop-set
@@ -218,6 +219,7 @@ object PlanAudit {
       "q_text_length_filter" -> 1,  // per-language thresholds: bounded label domain
       "q_text_tfidf" -> 1,          // 1-row corpus doc count (the IDF N)
       "q_tpch_q10_shape" -> 1,      // nation: fixed 25 rows
+      "q_tpch_q7_shape" -> 2,       // two 2-row nation-pair dims (both ≤25 at every SF)
       "q_tpch_q20_shape" -> 1,      // one-nation dim: fixed ≤25 rows at every SF
       "q_window_ntile" -> 1,        // O(value buckets) offset table
       "q_window_range_frame" -> 1)  // O(value buckets) offset table
