@@ -391,6 +391,68 @@ object TextOps {
           size(expr("regexp_extract_all(c_name, '[0-9]+', 0)")).cast("long").as("n_digit_runs"),
           md5(regexp_replace(col("c_name"), "[0-9]", "#").cast("binary")).as("scrub_hash"))
         .orderBy("c_custkey")
+    },
+
+    // Unicode-script profile (the mC4/CCNet script filter): per-document
+    // character fractions by script class — Latin letters, digits, CJK
+    // ideographs, whitespace. Pure map-side regexp_replace + length
+    // arithmetic (codegen, no shuffle before the output sort); fractions
+    // are integer-count ratios rounded to 6 dp, so both engines agree
+    // bitwise. The two SQL dialects spell the CJK class differently
+    // (RE2 \x{4e00} vs Java 一) — same character set.
+    OpQuery("q_text_script_profile",
+      """SELECT doc_id, lang,
+        |       CAST(length(text) AS BIGINT) AS n_chars,
+        |       ROUND(CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE)
+        |             / GREATEST(1, length(text)), 6) AS frac_latin,
+        |       ROUND(CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS DOUBLE)
+        |             / GREATEST(1, length(text)), 6) AS frac_digit,
+        |       ROUND(CAST(length(regexp_replace(text, '[^\x{4e00}-\x{9fff}]', '', 'g')) AS DOUBLE)
+        |             / GREATEST(1, length(text)), 6) AS frac_cjk,
+        |       ROUND(CAST(length(text) - length(replace(text, ' ', '')) AS DOUBLE)
+        |             / GREATEST(1, length(text)), 6) AS frac_space
+        |FROM documents ORDER BY doc_id""".stripMargin) { (s, d) =>
+      def frac(cls: String) =
+        round(length(regexp_replace(col("text"), cls, "")).cast("double") /
+          greatest(lit(1), length(col("text"))), 6)
+      documents(s, d).select(col("doc_id"), col("lang"),
+          length(col("text")).cast("long").as("n_chars"),
+          frac("[^A-Za-z]").as("frac_latin"),
+          frac("[^0-9]").as("frac_digit"),
+          frac("[^一-鿿]").as("frac_cjk"),
+          round((length(col("text")) - length(regexp_replace(col("text"), " ", "")))
+            .cast("double") / greatest(lit(1), length(col("text"))), 6).as("frac_space"))
+        .orderBy("doc_id")
+    },
+
+    // Corpus-relative lexical novelty: the fraction of a document's
+    // token OCCURRENCES that are corpus hapaxes (the token appears
+    // exactly once in the whole corpus — necessarily in this document).
+    // A high hapax rate flags neologism/noise-heavy documents; a
+    // near-zero rate flags boilerplate. One token-keyed shuffle to
+    // count corpus frequencies (map-side combinable), one doc-keyed
+    // aggregate; all-integer arithmetic until the final 6-dp ratio.
+    OpQuery("q_text_novelty",
+      """WITH toks AS (
+        |  SELECT doc_id, UNNEST(string_split(text, ' ')) AS tok FROM documents),
+        |df AS (SELECT tok, COUNT(*) AS n FROM toks GROUP BY tok)
+        |SELECT t.doc_id,
+        |       CAST(COUNT(*) AS BIGINT) AS n_tokens,
+        |       CAST(SUM(CASE WHEN df.n = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax,
+        |       ROUND(CAST(SUM(CASE WHEN df.n = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+        |             / COUNT(*), 6) AS hapax_rate
+        |FROM toks t JOIN df ON t.tok = df.tok
+        |GROUP BY t.doc_id ORDER BY t.doc_id""".stripMargin) { (s, d) =>
+      val toks = documents(s, d)
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      val df = toks.groupBy("tok").agg(count(lit(1)).as("n"))
+      toks.join(df, Seq("tok"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_tokens"),
+          sum(when(col("n") === 1, 1).otherwise(0)).cast("long").as("n_hapax"))
+        .select(col("doc_id"), col("n_tokens"), col("n_hapax"),
+          round(col("n_hapax").cast("double") / col("n_tokens"), 6).as("hapax_rate"))
+        .orderBy("doc_id")
     }
   )
 }
