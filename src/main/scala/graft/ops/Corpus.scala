@@ -440,6 +440,83 @@ object Corpus {
         .orderBy("doc_id")
     },
 
+    // Corpus snapshot diff — the daily-crawl incremental-update shape:
+    // two corpus versions (simulated as overlapping doc_id slices, with
+    // v2 "re-crawling" some docs to different text) FULL OUTER joined on
+    // the document key, each row classified added / removed / changed /
+    // unchanged by md5 comparison. One doc_id-keyed shuffle; the md5s
+    // are computed map-side so the join carries 32-byte digests, not
+    // document bodies — at 100 TB the diff never moves text.
+    OpQuery("q_corpus_diff",
+      """WITH v1 AS (
+        |  SELECT doc_id, md5(text) AS h FROM documents WHERE doc_id % 4 <> 3),
+        |v2 AS (
+        |  SELECT doc_id,
+        |         md5(CASE WHEN doc_id % 5 = 0 THEN text || ' v2' ELSE text END) AS h
+        |  FROM documents WHERE doc_id % 4 <> 0)
+        |SELECT COALESCE(v1.doc_id, v2.doc_id) AS doc_id,
+        |       CASE WHEN v1.doc_id IS NULL THEN 'added'
+        |            WHEN v2.doc_id IS NULL THEN 'removed'
+        |            WHEN v1.h <> v2.h THEN 'changed'
+        |            ELSE 'unchanged' END AS status
+        |FROM v1 FULL OUTER JOIN v2 ON v1.doc_id = v2.doc_id
+        |ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val docs = documents(s, d)
+      val v1 = docs.filter(col("doc_id") % 4 =!= 3)
+        .select(col("doc_id").as("id1"), md5(col("text")).as("h1"))
+      val v2 = docs.filter(col("doc_id") % 4 =!= 0)
+        .select(col("doc_id").as("id2"),
+          md5(when(col("doc_id") % 5 === 0, concat(col("text"), lit(" v2")))
+            .otherwise(col("text"))).as("h2"))
+      v1.join(v2, col("id1") === col("id2"), "full_outer")
+        .select(coalesce(col("id1"), col("id2")).as("doc_id"),
+          when(col("id1").isNull, "added")
+            .when(col("id2").isNull, "removed")
+            .when(col("h1") =!= col("h2"), "changed")
+            .otherwise("unchanged").as("status"))
+        .orderBy("doc_id")
+    },
+
+    // Token-budget quota sampling — the "take ~N tokens per source"
+    // subsample (mixture building by token mass, not document count;
+    // complements q_corpus_source_cap's count cap). Documents are
+    // ordered per source by md5 (reproducible), a running token sum is
+    // computed, and a doc is kept while the PRECEDING mass is under the
+    // budget — so the budget is always exceeded by at most one document
+    // and every source with any documents contributes at least one.
+    // Same scale note as the cap: the per-source window sees the whole
+    // source; a production pass bounds it with the count-table prefilter
+    // when K_eff = budget/avg_tokens is known.
+    OpQuery("q_corpus_token_budget",
+      """WITH toks AS (
+        |  SELECT doc_id, source, md5(CAST(doc_id AS VARCHAR)) AS h,
+        |         len(string_split(text, ' ')) AS nt
+        |  FROM documents),
+        |runs AS (
+        |  SELECT doc_id, source, nt,
+        |         CAST(COALESCE(SUM(nt) OVER (PARTITION BY source ORDER BY h, doc_id
+        |                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |              AS BIGINT) AS prior
+        |  FROM toks)
+        |SELECT source,
+        |       CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |       CAST(SUM(nt) AS BIGINT) AS n_tokens
+        |FROM runs WHERE prior < 120
+        |GROUP BY source ORDER BY source""".stripMargin) { (s, d) =>
+      val nt = size(split(col("text"), " "))
+      val w = Window.partitionBy("source")
+        .orderBy(col("h"), col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      documents(s, d)
+        .select(col("doc_id"), col("source"),
+          md5(col("doc_id").cast("string")).as("h"), nt.as("nt"))
+        .withColumn("prior", coalesce(sum(col("nt")).over(w), lit(0)).cast("long"))
+        .filter(col("prior") < 120)
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"), sum(col("nt")).cast("long").as("n_tokens"))
+        .orderBy("source")
+    },
+
     OpQuery("q_unpivot",
       """SELECT p_partkey, 'p_retailprice' AS metric, p_retailprice AS value FROM part
         |UNION ALL
