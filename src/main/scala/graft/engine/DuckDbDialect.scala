@@ -37,6 +37,11 @@ package graft.engine
   *    -2.5), so the faithful rewrite is type-dependent; a string-level
   *    shim cannot infer operand types, hence float `//` stays out of
   *    scope (a user gets Spark's div type error, not a wrong answer).
+  *  - `USING SAMPLE n[%|PERCENT|ROWS]` after a table reference becomes
+  *    `TABLESAMPLE (n PERCENT|ROWS)` — an acceptance rewrite: both draw
+  *    the requested sample size, by different algorithms (sampling is
+  *    nondeterministic in the reference too). Query-level placement
+  *    (after WHERE) surfaces Spark's parse error.
   */
 object DuckDbDialect {
 
@@ -57,6 +62,11 @@ object DuckDbDialect {
     "list_slice" -> "slice",
     "list_min" -> "array_min",
     "list_max" -> "array_max",
+    // both inclusive-end list builders with an optional step; the TABLE-
+    // function placement (FROM generate_series(...)) has no Spark twin
+    // and surfaces Spark's parse error after the rename — clear, not
+    // silently wrong
+    "generate_series" -> "sequence",
     "string_split" -> "split",
     "str_split" -> "split",
     "string_to_array" -> "split",
@@ -87,6 +97,7 @@ object DuckDbDialect {
     s = rewriteStarReplace(s)
     s = rewriteAsOfJoin(s)
     s = rewriteOperatorIntDiv(s)
+    s = rewriteUsingSample(s)
     s = rewriteCalls(s, "strftime")(fmtCall("date_format"))
     s = rewriteCalls(s, "strptime")(fmtCall("to_timestamp"))
     s = rewriteCalls(s, "time_bucket")(timeBucket)
@@ -845,6 +856,56 @@ object DuckDbDialect {
     c.isLetterOrDigit || c == '_'
 
   /** Replace `//` with ` div ` outside string literals. */
+  /** DuckDB `USING SAMPLE n[%|PERCENT|ROWS]` after a table reference →
+    * Spark `TABLESAMPLE (n PERCENT|ROWS)` (round 13). A bare count is
+    * rows (DuckDB's default). Equivalence bound, stated: both engines
+    * then draw a sample of the requested size — the sampling ALGORITHM
+    * differs (DuckDB reservoir vs Spark bernoulli/row-limit), so this
+    * is an acceptance rewrite (the statement runs and means the same
+    * thing), not a row-identical one; sampling is nondeterministic in
+    * the reference too. DuckDB also allows the clause at query level
+    * (after WHERE); Spark's TABLESAMPLE is table-level only, so that
+    * placement surfaces Spark's parse error — a clear message, never a
+    * silently different result. */
+  private def rewriteUsingSample(sql: String): String = {
+    val in = inString(sql)
+    def wordAt(i: Int, w: String): Boolean =
+      !in(i) && sql.regionMatches(true, i, w, 0, w.length) &&
+        (i == 0 || !isIdentChar(sql(i - 1))) &&
+        (i + w.length >= sql.length || !isIdentChar(sql(i + w.length)))
+    val b = new StringBuilder
+    var i = 0
+    while (i < sql.length) {
+      if (wordAt(i, "using")) {
+        var j = i + "using".length
+        while (j < sql.length && sql(j).isWhitespace) j += 1
+        if (j < sql.length && wordAt(j, "sample")) {
+          var k = j + "sample".length
+          while (k < sql.length && sql(k).isWhitespace) k += 1
+          val numStart = k
+          while (k < sql.length && (sql(k).isDigit || sql(k) == '.')) k += 1
+          require(k > numStart,
+            "USING SAMPLE: expected a numeric sample size")
+          val num = sql.substring(numStart, k)
+          var m = k
+          while (m < sql.length && sql(m).isWhitespace) m += 1
+          val (unit, end) =
+            if (m < sql.length && sql(m) == '%') ("PERCENT", m + 1)
+            else if (m < sql.length && sql.regionMatches(true, m, "percent", 0, 7) &&
+                     (m + 7 >= sql.length || !isIdentChar(sql(m + 7))))
+              ("PERCENT", m + 7)
+            else if (m < sql.length && sql.regionMatches(true, m, "rows", 0, 4) &&
+                     (m + 4 >= sql.length || !isIdentChar(sql(m + 4))))
+              ("ROWS", m + 4)
+            else ("ROWS", k)
+          b.append(s"TABLESAMPLE ($num $unit)")
+          i = end
+        } else { b.append(sql(i)); i += 1 }
+      } else { b.append(sql(i)); i += 1 }
+    }
+    b.toString
+  }
+
   private def rewriteOperatorIntDiv(sql: String): String = {
     val in = inString(sql)
     val b = new StringBuilder

@@ -64,6 +64,11 @@ class DuckDbDialectSpec extends AnyFunSuite {
       "SELECT array_contains(array(1,2,3), 2)")
     assert(DuckDbDialect.rewrite("SELECT LIST_LENGTH(xs)") ==
       "SELECT array_size(xs)")
+    // generate_series → sequence: both inclusive-end with optional step
+    assert(DuckDbDialect.rewrite("SELECT generate_series(1, 5)") ==
+      "SELECT sequence(1, 5)")
+    assert(spark.sql(DuckDbDialect.rewrite("SELECT generate_series(0, 10, 2) AS xs"))
+      .head().getSeq[Int](0) == Seq(0, 2, 4, 6, 8, 10))
   }
 
   test("star EXCLUDE rewrites to EXCEPT; frame EXCLUDE and strings stay") {
@@ -122,6 +127,31 @@ class DuckDbDialectSpec extends AnyFunSuite {
     assert(rows.getTimestamp(0).toString.startsWith("2026-07-01"))
     assert(rows.getTimestamp(1).toString.startsWith("1999-01-01"))
     assert(rows.getTimestamp(2).toString.startsWith("1996-01-01"))
+  }
+
+  test("USING SAMPLE rewrites to TABLESAMPLE; JOIN ... USING is untouched") {
+    assert(DuckDbDialect.rewrite("SELECT * FROM t USING SAMPLE 10%")
+      == "SELECT * FROM t TABLESAMPLE (10 PERCENT)")
+    assert(DuckDbDialect.rewrite("SELECT * FROM t USING SAMPLE 5 PERCENT")
+      == "SELECT * FROM t TABLESAMPLE (5 PERCENT)")
+    assert(DuckDbDialect.rewrite("SELECT * FROM t USING SAMPLE 50 ROWS")
+      == "SELECT * FROM t TABLESAMPLE (50 ROWS)")
+    // bare count defaults to rows (DuckDB semantics)
+    assert(DuckDbDialect.rewrite("SELECT * FROM t USING SAMPLE 50")
+      == "SELECT * FROM t TABLESAMPLE (50 ROWS)")
+    // the USING of a join-condition clause must not be touched
+    val ju = "SELECT * FROM a JOIN b USING (k)"
+    assert(DuckDbDialect.rewrite(ju) == ju)
+    // and the words inside a string literal stay verbatim
+    val lit = "SELECT 'USING SAMPLE 10%' AS s"
+    assert(DuckDbDialect.rewrite(lit) == lit)
+    // end-to-end: the rewritten statement runs and samples
+    import spark.implicits._
+    (1 to 1000).toDF("v").createOrReplaceTempView("sample_t")
+    val n = spark.sql(DuckDbDialect.rewrite(
+      "SELECT CAST(COUNT(*) AS BIGINT) AS n FROM sample_t USING SAMPLE 100 ROWS"))
+      .head().getLong(0)
+    assert(n == 100)
   }
 
   test("3-arg time_bucket matches DuckDB's measured origin semantics") {
