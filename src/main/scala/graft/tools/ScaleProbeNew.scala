@@ -40,7 +40,12 @@ object ScaleProbeNew {
     // grows K× — exercises the cap's hash-prefix prune at shrinking f),
     // while the ~r token suffix keeps replica text disjoint (distinct
     // segments and shingles grow linearly — true work is linear)
-    "q_corpus_source_cap", "q_text_segment_dedup", "q_corpus_bloom_screen")
+    "q_corpus_source_cap", "q_text_segment_dedup", "q_corpus_bloom_screen",
+    // round-13 text/corpus additions: script profile and snapshot diff
+    // are map-side + one doc-keyed join; novelty's token shuffle and
+    // token-budget's per-source window grow with the corpus
+    "q_text_script_profile", "q_text_novelty",
+    "q_corpus_diff", "q_corpus_token_budget")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")

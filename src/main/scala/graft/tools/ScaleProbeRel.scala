@@ -28,7 +28,11 @@ object ScaleProbeRel {
 
   private val Queries = Seq("q_agg_group", "q_grouping_sets", "q_agg_stats",
     "q_topn_per_group", "q_tpch_q3_shape", "q_tpch_q18_shape",
-    "q_join_multiway", "q_cte_maxrev")
+    "q_join_multiway", "q_cte_maxrev",
+    // round 13: the two-nation star (dims verbatim per replica — the
+    // pair slice grows linearly) and the KLL rollup (sketch count is
+    // O(#groups); per-sketch work O(rows))
+    "q_tpch_q7_shape", "q_agg_kll_merge")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
@@ -50,7 +54,7 @@ object ScaleProbeRel {
     def custRep(r: Int): DataFrame =
       cust.withColumn("c_custkey", col("c_custkey") + lit(r * cOff))
 
-    ProbeHarness.run(spark, Queries,
+    ProbeHarness.run(spark, ProbeHarness.qs(Queries).filter(Queries.contains),
       ProbeHarness.ks(Seq(1, 4, 16, 64)), outBase, (k, dir) => {
         (0 until k).map(liRep).reduce(_ unionAll _)
           .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")

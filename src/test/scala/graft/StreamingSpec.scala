@@ -43,6 +43,24 @@ class StreamingSpec extends AnyFunSuite {
     assertSameRows(streamed, EventStream.sliding(batchEvents))
   }
 
+  test("KLL quantile monitor: stream == batch (sub-capacity windows are exact)") {
+    val streamed = runStream(EventStream.quantiles, "complete")
+    assertSameRows(streamed, EventStream.quantiles(batchEvents))
+    // and the estimates are genuine per-window medians: bounded by the
+    // window's min/max values recomputed from the raw events
+    import org.apache.spark.sql.functions._
+    val bounds = batchEvents
+      .groupBy(window(col("ts"), "1 hour").as("w"))
+      .agg(min("value").as("lo"), max("value").as("hi"))
+      .select(date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss").as("wstart"),
+        col("lo"), col("hi"))
+    val bad = streamed.join(bounds, "wstart")
+      .filter(col("p50") < col("lo") || col("p50") > col("hi") ||
+        col("p95") < col("lo") || col("p95") > col("hi"))
+      .collect()
+    assert(bad.isEmpty, s"quantile outside window bounds: ${bad.take(3).mkString(";")}")
+  }
+
   test("session windows: stream == batch") {
     val streamed = runStream(EventStream.sessions, "complete")
     assertSameRows(streamed, EventStream.sessions(batchEvents))
