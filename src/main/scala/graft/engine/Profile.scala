@@ -35,6 +35,70 @@ object Profile {
     * map-side combined), so it scales like a single groupBy. */
   case class ColumnStats(nullCount: Long, approxDistinct: Long)
 
+  /** DuckDB-`SUMMARIZE`-shaped per-column profile (round 13: the
+    * gateway accepts `SUMMARIZE <table|SELECT …>` and routes here). One
+    * aggregation pass regardless of column count — up to 10 agg
+    * expressions per column, map-side combined — then one bounded
+    * O(#columns) driver materialization, the same contract as the
+    * reference's data_info profile. Quartiles/avg/std are NULL for
+    * non-numeric columns (DuckDB's convention); min/max are rendered as
+    * strings so one output schema fits every column type. */
+  def summarize(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val spark = df.sparkSession
+    val fields = df.schema.fields
+    val outSchema = StructType(Seq(
+      StructField("column_name", StringType, nullable = false),
+      StructField("column_type", StringType, nullable = false),
+      StructField("min", StringType),
+      StructField("max", StringType),
+      StructField("approx_unique", LongType),
+      StructField("avg", DoubleType),
+      StructField("std", DoubleType),
+      StructField("q25", DoubleType),
+      StructField("q50", DoubleType),
+      StructField("q75", DoubleType),
+      StructField("count", LongType),
+      StructField("null_percentage", DoubleType)))
+    if (fields.isEmpty)
+      return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[Row], outSchema)
+    val aggs = scala.collection.mutable.ArrayBuffer[org.apache.spark.sql.Column](
+      count(lit(1)).as("__rows"))
+    fields.zipWithIndex.foreach { case (f, i) =>
+      val c = col(df.columns(i))
+      aggs += min(c).cast("string").as(s"mn_$i")
+      aggs += max(c).cast("string").as(s"mx_$i")
+      aggs += approx_count_distinct(c).as(s"au_$i")
+      aggs += count(c).as(s"ct_$i")
+      if (f.dataType.isInstanceOf[NumericType]) {
+        aggs += avg(c).cast("double").as(s"av_$i")
+        aggs += stddev_samp(c).cast("double").as(s"sd_$i")
+        aggs += percentile_approx(c.cast("double"), lit(0.25), lit(1000)).as(s"q1_$i")
+        aggs += percentile_approx(c.cast("double"), lit(0.5), lit(1000)).as(s"q2_$i")
+        aggs += percentile_approx(c.cast("double"), lit(0.75), lit(1000)).as(s"q3_$i")
+      }
+    }
+    val r = df.agg(aggs.head, aggs.tail.toSeq: _*).collect()(0)
+    val rows = r.getAs[Long]("__rows")
+    def d(name: String): Any =
+      if (r.schema.fieldNames.contains(name)) r.getAs[Any](name) else null
+    val out = fields.zipWithIndex.map { case (f, i) =>
+      val nonNull = r.getAs[Long](s"ct_$i")
+      Row(f.name, f.dataType.simpleString,
+        r.getAs[String](s"mn_$i"), r.getAs[String](s"mx_$i"),
+        r.getAs[Long](s"au_$i"),
+        d(s"av_$i"), d(s"sd_$i"), d(s"q1_$i"), d(s"q2_$i"), d(s"q3_$i"),
+        nonNull,
+        if (rows == 0L) 0.0
+        else math.rint((rows - nonNull).toDouble / rows * 10000) / 100)
+    }
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(out.toIndexedSeq, 1), outSchema)
+  }
+
   def extended(df: DataFrame): Map[String, ColumnStats] = {
     import org.apache.spark.sql.functions._
     val names = df.columns.toSeq

@@ -50,8 +50,28 @@ object SqlGateway {
     * user pasting DuckDB SQL (the reference's pinned dialect,
     * /root/reference/doc.py:186-188) got a parse error here. */
   def run(spark: SparkSession, rawSql: String): DataFrame = {
-    val sql = DuckDbDialect.rewrite(sanitize(rawSql))
-    validate(spark, sql)
-    spark.sql(sql)
+    val s0 = sanitize(rawSql)
+    // DuckDB's SUMMARIZE statement (round 13): `SUMMARIZE <table>` or
+    // `SUMMARIZE SELECT …` produces the per-column profile. The inner
+    // query (if any) still passes through the dialect shim and the
+    // structural SELECT-only gate — `SUMMARIZE DROP TABLE t` is
+    // rejected exactly like `DROP TABLE t`.
+    val Summarize = "(?is)^summarize\\b(.*)$".r
+    s0 match {
+      case Summarize(rest0) =>
+        val rest = rest0.trim
+        val df =
+          if (rest.matches("[A-Za-z_][A-Za-z0-9_.]*")) spark.table(rest)
+          else {
+            val inner = DuckDbDialect.rewrite(rest)
+            validate(spark, inner)
+            spark.sql(inner)
+          }
+        Profile.summarize(df)
+      case _ =>
+        val sql = DuckDbDialect.rewrite(s0)
+        validate(spark, sql)
+        spark.sql(sql)
+    }
   }
 }

@@ -412,16 +412,22 @@ object TextOps {
         |       ROUND(CAST(length(text) - length(replace(text, ' ', '')) AS DOUBLE)
         |             / GREATEST(1, length(text)), 6) AS frac_space
         |FROM documents ORDER BY doc_id""".stripMargin) { (s, d) =>
-      def frac(cls: String) =
-        round(length(regexp_replace(col("text"), cls, "")).cast("double") /
-          greatest(lit(1), length(col("text"))), 6)
-      documents(s, d).select(col("doc_id"), col("lang"),
-          length(col("text")).cast("long").as("n_chars"),
-          frac("[^A-Za-z]").as("frac_latin"),
-          frac("[^0-9]").as("frac_digit"),
-          frac("[^一-鿿]").as("frac_cjk"),
-          round((length(col("text")) - length(regexp_replace(col("text"), " ", "")))
-            .cast("double") / greatest(lit(1), length(col("text"))), 6).as("frac_space"))
+      // ONE codepoint walk via the codegen ScriptCounts expression
+      // ([n, latin, digit, cjk, space]) — the four-regexp_replace SQL
+      // formulation measured exactly linear and regex-bound on the 64×
+      // ladder (43.7 s → 3.9 s with this kernel); the oracle keeps the
+      // regex spelling, whose classes the kernel matches exactly.
+      val den = greatest(lit(1L), element_at(col("sc"), 1))
+      def frac(idx: Int) =
+        round(element_at(col("sc"), idx).cast("double") / den, 6)
+      documents(s, d)
+        .withColumn("sc", graft.functions.TextExprs.scriptCounts(col("text")))
+        .select(col("doc_id"), col("lang"),
+          element_at(col("sc"), 1).as("n_chars"),
+          frac(2).as("frac_latin"),
+          frac(3).as("frac_digit"),
+          frac(4).as("frac_cjk"),
+          frac(5).as("frac_space"))
         .orderBy("doc_id")
     },
 

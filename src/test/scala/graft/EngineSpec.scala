@@ -25,6 +25,29 @@ class EngineSpec extends AnyFunSuite {
     assert(math.abs(r(0).getDouble(1) - 7729.62) < 1e-9)
   }
 
+  test("SUMMARIZE statement returns the per-column profile through the gateway") {
+    val df = Ingest.load(spark, TestSpark.resource("sample_sales_data.csv"))
+    Catalog.register(df)
+    val s = SqlGateway.run(spark, "SUMMARIZE data_table")
+    assert(s.columns.toSeq == Seq("column_name", "column_type", "min", "max",
+      "approx_unique", "avg", "std", "q25", "q50", "q75", "count", "null_percentage"))
+    val rows = s.collect().map(r => r.getString(0) -> r).toMap
+    assert(rows.size == df.columns.length)
+    val id = rows("id")
+    assert(id.getString(2) == "1" && id.getAs[Long]("count") == 40 &&
+      id.getAs[Double]("null_percentage") == 0.0)
+    // numeric columns carry quartiles; string columns leave them NULL
+    assert(!rows("price").isNullAt(rows("price").fieldIndex("q50")))
+    assert(rows("product_name").isNullAt(rows("product_name").fieldIndex("q50")))
+    // SUMMARIZE over an inline query (DuckDB's second form)
+    val q = SqlGateway.run(spark,
+      "SUMMARIZE SELECT price, quantity FROM data_table WHERE quantity > 1")
+    assert(q.collect().map(_.getString(0)).toSeq == Seq("price", "quantity"))
+    // the inner statement still passes the SELECT-only gate
+    intercept[SecurityException](
+      SqlGateway.run(spark, "SUMMARIZE DROP TABLE data_table"))
+  }
+
   test("profile mirrors data_info: counts, dtypes, head-5") {
     val df = Ingest.load(spark, TestSpark.resource("sample_sales_data.csv"))
     val info = Profile(df)

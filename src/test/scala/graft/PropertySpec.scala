@@ -310,6 +310,38 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  // The one-pass ScriptCounts kernel must agree with the regex
+  // formulation it replaced, on arbitrary text including CJK,
+  // supplementary-plane codepoints (surrogate pairs), and empties.
+  test("script_counts kernel equals the four-regex formulation") {
+    val texts = Seq("", " ", "abc XYZ 123", "北京 hello 42",
+      "一鿿 edge of the cjk block", "emoji 😀 astral",
+      "mixed 北京123 abc  double  space", "\t\nnon-space whitespace") ++
+      samples(Gen.listOf(Gen.oneOf(
+        Gen.alphaNumChar, Gen.const(' '), Gen.const('北'),
+        Gen.const('一'), Gen.const('鿿'), Gen.const('\uD83D'))
+      ).map(_.mkString), 40).map(s =>
+        // strip lone high surrogates ScalaCheck may synthesize — they
+        // are not valid UTF-8 scalar values and never reach the kernel
+        // through Spark's UTF8String
+        s.filterNot(c => Character.isSurrogate(c)))
+    val df = texts.toDF("t")
+    val viaKernel = df.select(
+      graft.functions.TextExprs.scriptCounts(col("t")).as("c")).collect()
+      .map(_.getSeq[Long](0))
+    val viaRegex = df.select(
+      length(col("t")).cast("long"),
+      length(regexp_replace(col("t"), "[^A-Za-z]", "")).cast("long"),
+      length(regexp_replace(col("t"), "[^0-9]", "")).cast("long"),
+      length(regexp_replace(col("t"), "[^一-鿿]", "")).cast("long"),
+      (length(col("t")) - length(regexp_replace(col("t"), " ", ""))).cast("long"))
+      .collect().map(r => Seq(r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    viaKernel.zip(viaRegex).zip(texts).foreach { case ((k, r), t) =>
+      assert(k == r, s"kernel/regex disagree on ${t.take(40)}: $k vs $r")
+    }
+  }
+
   // Bloom screen: n_exact must equal the driver-derived exact
   // containment (proving the map-side screen admitted every true hit),
   // and the bloom candidate count can only over-approximate it.
