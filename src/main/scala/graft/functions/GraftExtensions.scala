@@ -22,6 +22,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectFunction(GraftExtensions.kllSketchAgg)
     e.injectFunction(GraftExtensions.kllMergeAgg)
     e.injectFunction(GraftExtensions.kllQuantile)
+    e.injectFunction(GraftExtensions.scriptCounts)
   }
 }
 
@@ -54,9 +55,14 @@ object GraftExtensions {
     info("kll_sketch_quantile", "kll_sketch_quantile(sk, p) - quantile estimate from a KLL sketch image"),
     (exprs: Seq[Expression]) => KllQuantile(exprs(0), exprs(1)))
 
+  val scriptCounts: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("script_counts"),
+    info("script_counts", "script_counts(s) - [codepoints, latin, digits, cjk, spaces] in one pass"),
+    (exprs: Seq[Expression]) => ScriptCounts(exprs.head))
+
   /** Register on an already-built session (idempotent). */
   def register(spark: SparkSession): Unit =
-    Seq(dotProduct, cosineSim, kllSketchAgg, kllMergeAgg, kllQuantile)
+    Seq(dotProduct, cosineSim, kllSketchAgg, kllMergeAgg, kllQuantile, scriptCounts)
       .foreach { case (id, i, builder) =>
         spark.sessionState.functionRegistry.registerFunction(id, i, builder)
       }
