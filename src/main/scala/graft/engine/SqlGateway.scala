@@ -30,7 +30,14 @@ object SqlGateway {
     */
   def validate(spark: SparkSession, sql: String): LogicalPlan = {
     val plan = spark.sessionState.sqlParser.parsePlan(sql)
-    val offending = plan.collectFirst {
+    // EXPLAIN is read-only: unwrap it and gate the INNER statement, so
+    // `EXPLAIN SELECT …` works while `EXPLAIN DROP TABLE …` is rejected
+    // exactly like the bare DROP (round 13).
+    val toCheck = plan match {
+      case e: org.apache.spark.sql.execution.command.ExplainCommand => e.logicalPlan
+      case p => p
+    }
+    val offending = toCheck.collectFirst {
       case c: Command               => c.nodeName
       case i: InsertIntoStatement   => i.nodeName
     }

@@ -48,6 +48,14 @@ class EngineSpec extends AnyFunSuite {
       SqlGateway.run(spark, "SUMMARIZE DROP TABLE data_table"))
   }
 
+  test("EXPLAIN of a SELECT passes the gate; EXPLAIN of DDL is rejected") {
+    val plan = SqlGateway.run(spark, "EXPLAIN SELECT 1 AS x")
+      .collect().map(_.getString(0)).mkString("\n")
+    assert(plan.contains("Physical Plan"))
+    intercept[SecurityException](
+      SqlGateway.run(spark, "EXPLAIN DROP TABLE data_table"))
+  }
+
   test("profile mirrors data_info: counts, dtypes, head-5") {
     val df = Ingest.load(spark, TestSpark.resource("sample_sales_data.csv"))
     val info = Profile(df)
