@@ -24,6 +24,13 @@ object SqlGateway {
     s.trim
   }
 
+  /** Read-only metadata statements a DuckDB user types at the prompt
+    * (round 13): DESCRIBE and SHOW TABLES/COLUMNS inspect the catalog
+    * and mutate nothing, so the SELECT-only gate admits them by node
+    * name. Everything else that parses to a Command stays rejected. */
+  private val ReadOnlyCommands = Set(
+    "DescribeRelation", "DescribeColumn", "ShowTables", "ShowColumns")
+
   /** Structural SELECT-only enforcement: walk the parsed plan and reject
     * commands (DDL: CREATE/DROP/ALTER/…) and DML (INSERT/UPDATE/MERGE).
     * Subqueries/CTEs/set-ops all parse to non-Command query plans and pass.
@@ -38,7 +45,7 @@ object SqlGateway {
       case p => p
     }
     val offending = toCheck.collectFirst {
-      case c: Command               => c.nodeName
+      case c: Command if !ReadOnlyCommands(c.nodeName) => c.nodeName
       case i: InsertIntoStatement   => i.nodeName
     }
     offending.foreach { node =>

@@ -48,6 +48,19 @@ class EngineSpec extends AnyFunSuite {
       SqlGateway.run(spark, "SUMMARIZE DROP TABLE data_table"))
   }
 
+  test("DESCRIBE and SHOW TABLES pass the gate as read-only metadata") {
+    val df = Ingest.load(spark, TestSpark.resource("sample_sales_data.csv"))
+    Catalog.register(df)
+    val desc = SqlGateway.run(spark, "DESCRIBE data_table").collect()
+    assert(desc.map(_.getString(0)).contains("sales_rep"))
+    val tables = SqlGateway.run(spark, "SHOW TABLES").collect()
+    assert(tables.map(_.getString(1)).contains("data_table"))
+    // mutating commands stay rejected
+    intercept[SecurityException](SqlGateway.run(spark, "DROP TABLE data_table"))
+    intercept[SecurityException](
+      SqlGateway.run(spark, "CREATE TABLE t2 AS SELECT 1"))
+  }
+
   test("EXPLAIN of a SELECT passes the gate; EXPLAIN of DDL is rejected") {
     val plan = SqlGateway.run(spark, "EXPLAIN SELECT 1 AS x")
       .collect().map(_.getString(0)).mkString("\n")
