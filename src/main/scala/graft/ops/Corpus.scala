@@ -277,6 +277,84 @@ object Corpus {
         .orderBy("source")
     },
 
+    // Flagship round-13 composite: the pretraining-corpus build as ONE
+    // declarative plan — length gate → corpus-wide segment dedup
+    // (8-token first-occurrence; docs keeping < 60% of their segments
+    // are dropped as near-duplicates) → per-source md5-ordered cap
+    // (K=8) → temperature-0.5 mixture weights over the surviving token
+    // mass. Every stage is the already-audited operator shape (segment
+    // MIN election, windowed cap, decimal-summed mixture denominator);
+    // the point of the composite is that they COMPOSE into one Catalyst
+    // plan with no materialization barriers between stages.
+    OpQuery("q_pipeline_pretrain",
+      """WITH gated AS (
+        |  SELECT doc_id, source, text, CAST(len(string_split(text, ' ')) AS BIGINT) AS nt
+        |  FROM documents WHERE len(string_split(text, ' ')) BETWEEN 25 AND 80),
+        |segs AS (
+        |  SELECT doc_id, i AS seg_idx,
+        |         array_to_string(list_slice(tk, i*8 + 1, i*8 + 8), ' ') AS seg
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS tk FROM gated) t,
+        |       UNNEST(range(0, GREATEST(1, CAST(ceil(len(tk) / 8.0) AS BIGINT)))) AS u(i)),
+        |keyed AS (SELECT *, doc_id * 1000000 + seg_idx AS k FROM segs),
+        |firsts AS (SELECT seg, MIN(k) AS fk FROM keyed GROUP BY seg),
+        |kept AS (
+        |  SELECT k.doc_id,
+        |         COUNT(*) AS n_segs,
+        |         SUM(CASE WHEN k.k = f.fk THEN 1 ELSE 0 END) AS n_kept
+        |  FROM keyed k JOIN firsts f ON k.seg = f.seg GROUP BY k.doc_id),
+        |dd AS (
+        |  SELECT g.doc_id, g.source, g.nt FROM gated g
+        |  JOIN kept ON g.doc_id = kept.doc_id
+        |  WHERE CAST(kept.n_kept AS DOUBLE) / kept.n_segs >= 0.6),
+        |capped AS (
+        |  SELECT doc_id, source, nt FROM (
+        |    SELECT dd.*, ROW_NUMBER() OVER (PARTITION BY source
+        |             ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+        |    FROM dd) WHERE rn <= 8),
+        |agg AS (
+        |  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |         CAST(SUM(nt) AS BIGINT) AS n_tokens,
+        |         CAST(sqrt(CAST(SUM(nt) AS DOUBLE)) AS DECIMAL(18,6)) AS w
+        |  FROM capped GROUP BY source)
+        |SELECT source, n_docs, n_tokens,
+        |       ROUND(CAST(w AS DOUBLE) / CAST((SELECT SUM(w) FROM agg) AS DOUBLE), 6)
+        |         AS mix_weight
+        |FROM agg ORDER BY source""".stripMargin) { (s, d) =>
+      val toks = split(col("text"), " ")
+      val gated = documents(s, d)
+        .withColumn("nt", size(toks).cast("long"))
+        .filter(col("nt").between(25, 80))
+        .select("doc_id", "source", "text", "nt")
+      val nseg = greatest(lit(1), ceil(size(toks) / lit(8.0))).cast("int")
+      val segs = gated
+        .select(col("doc_id"), toks.as("tk"),
+          explode(sequence(lit(0), nseg - 1)).as("i"))
+        .select(col("doc_id"), col("i").cast("long").as("seg_idx"),
+          array_join(slice(col("tk"), col("i") * 8 + 1, lit(8)), " ").as("seg"))
+      val keyed = segs.withColumn("k", col("doc_id") * lit(1000000L) + col("seg_idx"))
+      val firsts = keyed.groupBy("seg").agg(min("k").as("fk"))
+      val kept = keyed.join(firsts, Seq("seg"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_segs"),
+          sum(when(col("k") === col("fk"), 1).otherwise(0)).as("n_kept"))
+      val dd = gated.join(kept, Seq("doc_id"))
+        .filter(col("n_kept").cast("double") / col("n_segs") >= 0.6)
+        .select("doc_id", "source", "nt")
+      val capped = dd
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("source")
+            .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))))
+        .filter(col("rn") <= 8)
+      val agg = capped.groupBy("source")
+        .agg(count(lit(1)).as("n_docs"), sum(col("nt")).as("n_tokens"))
+        .withColumn("w", sqrt(col("n_tokens").cast("double")).cast("decimal(18,6)"))
+      val total = agg.agg(sum(col("w")).as("tw"))
+      agg.crossJoin(broadcast(total))
+        .select(col("source"), col("n_docs"), col("n_tokens"),
+          round(col("w").cast("double") / col("tw").cast("double"), 6).as("mix_weight"))
+        .orderBy("source")
+    },
+
     // Unpivot / melt — wide metrics to long (Spark's native unpivot
     // operator; the oracle is the portable UNION ALL formulation).
     // Per-source document cap (the CCNet/C4 "domain cap" pass): keep at

@@ -211,6 +211,7 @@ object PlanAudit {
       "q_join_multiway" -> 2,       // region + ASIA-nation dims: fixed 5/25 rows
       "q_media_learned_encoder" -> 1, // 1-row learned stats (9 longs)
       "q_mixture_weights" -> 1,     // 1-row corpus total
+      "q_pipeline_pretrain" -> 1,   // 1-row mixture-denominator frame
       "q_sim_ann_lsh" -> 2,         // 1-row min-id + 1-row query vector
       "q_sim_cosine_topk" -> 2,     // 1-row min-id + 1-row query vector
       "q_sim_ivf" -> 5,             // 1-row min-id/query (x2 uses) + 4-row probe-cell set
