@@ -242,6 +242,31 @@ object Scalars {
           |FROM graft_nr_sa GROUP BY r_name ORDER BY r_name""".stripMargin)
     },
 
+    // arg_max / arg_min (DuckDB) ↔ max_by / min_by (Spark) — "key of
+    // the extreme row" without a self-join (round 13). The ordering
+    // value is made UNIQUE by compositing the cent-grid price with the
+    // orderkey (cents ≤ ~1.05e7 × 1e5 + key < 2^63 — exact BIGINT), so
+    // ties can never make the picked key engine-dependent.
+    OpQuery("q_agg_argminmax",
+      """SELECT l_returnflag,
+        |       CAST(arg_max(l_orderkey, CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT)
+        |                                 * 100000 + l_orderkey) AS BIGINT) AS key_of_max,
+        |       CAST(arg_min(l_orderkey, CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT)
+        |                                 * 100000 + l_orderkey) AS BIGINT) AS key_of_min,
+        |       MAX(l_extendedprice) AS max_price,
+        |       MIN(l_extendedprice) AS min_price
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin) { (s, d) =>
+      val vkey = (floor(col("l_extendedprice") * 100 + 0.5).cast("long") * 100000 +
+        col("l_orderkey"))
+      lineitem(s, d)
+        .groupBy("l_returnflag")
+        .agg(max_by(col("l_orderkey"), vkey).cast("long").as("key_of_max"),
+          min_by(col("l_orderkey"), vkey).cast("long").as("key_of_min"),
+          max(col("l_extendedprice")).as("max_price"),
+          min(col("l_extendedprice")).as("min_price"))
+        .orderBy("l_returnflag")
+    },
+
     // Correlation / covariance aggregates.
     OpQuery("q_agg_corr",
       """SELECT l_returnflag,

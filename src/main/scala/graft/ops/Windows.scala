@@ -153,6 +153,30 @@ object Windows {
         .orderBy("event_id")
     },
 
+    // NTH_VALUE over the full partition frame (round 13 — the one
+    // analytic value-picker the family didn't name). The frame is
+    // explicit on BOTH sides: the default running frame would make the
+    // first row's nth NULL in both engines, but pinning the full frame
+    // removes any default-frame ambiguity; the ORDER BY inside the
+    // window ends in the unique event_id, so "2nd" and "3rd" are
+    // well-defined under value ties.
+    OpQuery("q_window_nth",
+      """SELECT event_id,
+        |       nth_value(value, 2) OVER w AS second_v,
+        |       nth_value(value, 3) OVER w AS third_v
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY event_id
+        |             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        |ORDER BY event_id""".stripMargin) { (s, d) =>
+      val w = Window.partitionBy(col("user_id")).orderBy(col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      events(s, d)
+        .select(col("event_id"),
+          nth_value(col("value"), 2).over(w).as("second_v"),
+          nth_value(col("value"), 3).over(w).as("third_v"))
+        .orderBy("event_id")
+    },
+
     // Top-N per group: rank inside the partition, then filter — the
     // standard distributed replacement for per-group ORDER BY ... LIMIT.
     OpQuery("q_topn_per_group",
