@@ -329,13 +329,18 @@ final class SqlFuzzer(seed: Long) {
     }
 
   // ---- aggregate expressions (order-independent by construction) -------
-  private def aggExpr(t: Table): String = rnd.nextInt(7) match {
+  private def aggExpr(t: Table): String = rnd.nextInt(9) match {
     case 0 => "CAST(COUNT(*) AS BIGINT)"
     case 1 => s"CAST(COUNT(DISTINCT ${pick(t.cols).name}) AS BIGINT)"
     case 2 => s"MIN(${pick(t.cols).name})"
     case 3 => s"MAX(${pick(t.cols).name})"
     case 4 => s"CAST(SUM(${intExpr(t, 1)}) AS BIGINT)"
     case 5 => s"CAST(COUNT(*) FILTER (WHERE ${basePred(t)}) AS BIGINT)"
+    // boolean aggregates over a predicate (round 13); under --nulls a
+    // group of all-NULL predicate rows yields NULL in both engines —
+    // the documented NULL-boolean materialization rule covers it
+    case 6 => s"BOOL_OR(${basePred(t)})"
+    case 7 => s"BOOL_AND(${basePred(t)})"
     case _ if cols(t, MoneyK).nonEmpty => oSumSql(pick(cols(t, MoneyK)).name)
     case _ => "CAST(COUNT(*) AS BIGINT)"
   }
