@@ -278,6 +278,37 @@ object Relational {
         .orderBy("l_returnflag")
     },
 
+    // Recursive CTE (round 13 — Spark 4.1 executes WITH RECURSIVE
+    // natively, so the last "DuckDB-only SQL shape" joins the oracle
+    // set): a calendar-spine generator densifying monthly order counts,
+    // zero-filled months included. The recursion generates the tiny
+    // DIMENSION (24 rows, data-independent) and the fact table joins it
+    // once — the only recursion shape that belongs at 100 TB (the
+    // corpus-sized transitive closure runs as the label-propagation
+    // operator, q_dedup_cluster, not as a recursive CTE).
+    OpQuery("q_cte_recursive",
+      """WITH RECURSIVE months(m) AS (
+        |  SELECT DATE '1995-01-01'
+        |  UNION ALL SELECT m + INTERVAL 1 MONTH FROM months
+        |  WHERE m < DATE '1996-12-01')
+        |SELECT strftime(m, '%Y-%m') AS month,
+        |       CAST(COUNT(o_orderkey) AS BIGINT) AS n_orders
+        |FROM months LEFT JOIN orders
+        |  ON date_trunc('month', o_orderdate) = CAST(m AS TIMESTAMP)
+        |GROUP BY m ORDER BY month""".stripMargin) { (s, d) =>
+      orders(s, d).createOrReplaceTempView("graft_orders_rec")
+      s.sql(
+        """WITH RECURSIVE months(m) AS (
+          |  SELECT DATE '1995-01-01'
+          |  UNION ALL SELECT m + INTERVAL '1' MONTH FROM months
+          |  WHERE m < DATE '1996-12-01')
+          |SELECT date_format(m, 'yyyy-MM') AS month,
+          |       CAST(COUNT(o_orderkey) AS BIGINT) AS n_orders
+          |FROM months LEFT JOIN graft_orders_rec
+          |  ON date_trunc('MONTH', o_orderdate) = CAST(m AS TIMESTAMP)
+          |GROUP BY m ORDER BY month""".stripMargin)
+    },
+
     // Mergeable QUANTILE-sketch rollup — the quantile twin of
     // q_agg_hll_merge, built on the custom Catalyst KLL aggregates
     // (functions/SketchExprs: TypedImperativeAggregate over Datasketches

@@ -586,6 +586,35 @@ final class SqlFuzzer(seed: Long) {
       s"GROUP BY 1 ${orderAll(2)} ${limit()}"
   }
 
+  /** WITH RECURSIVE (round 13 — Spark 4.1 executes it natively, same
+    * spelling as DuckDB): a bounded spine generator (integer chain or
+    * month chain) LEFT-JOINed to a fact table — recursion generates the
+    * tiny dimension, facts join it once. All-integer/date arithmetic,
+    * so both engines agree exactly. */
+  private def qRecursive(): String = rnd.nextInt(2) match {
+    case 0 =>
+      val step = intLit(1, 7)
+      val m = intLit(83, 97)
+      val (t, key) = pick(Seq((lineitem, "l_orderkey"), (orders, "o_orderkey")))
+      s"WITH RECURSIVE r(n) AS (SELECT CAST(0 AS BIGINT) " +
+        s"UNION ALL SELECT n + $step FROM r WHERE n + $step < $m) " +
+        s"SELECT CAST(r.n AS BIGINT) AS c1, CAST(COUNT(x.$key) AS BIGINT) AS c2 " +
+        s"FROM r LEFT JOIN (SELECT $key FROM ${t.name} WHERE ${basePred(t)}) x " +
+        s"ON x.$key % $m = r.n " +
+        s"GROUP BY r.n ${orderAll(2)} ${limit()}"
+    case _ =>
+      val (lo, hi) = pick(Seq(
+        ("1995-01-01", "1995-12-01"), ("1996-03-01", "1997-02-01"),
+        ("1997-01-01", "1998-06-01")))
+      s"WITH RECURSIVE d(m) AS (SELECT DATE '$lo' " +
+        s"UNION ALL SELECT m + INTERVAL 1 MONTH FROM d WHERE m < DATE '$hi') " +
+        "SELECT CAST(EXTRACT(YEAR FROM m) * 100 + EXTRACT(MONTH FROM m) AS BIGINT) AS c1, " +
+        "CAST(COUNT(o_orderkey) AS BIGINT) AS c2 " +
+        s"FROM d LEFT JOIN orders ON date_trunc('month', o_orderdate) = CAST(m AS TIMESTAMP) " +
+        s"AND ${basePred(orders)} " +
+        s"GROUP BY m ${orderAll(2)} ${limit()}"
+  }
+
   private def qSetOp(): String = {
     val t = pick(tables)
     val n = 2 + rnd.nextInt(2)
@@ -1046,7 +1075,7 @@ final class SqlFuzzer(seed: Long) {
   /** The full deterministic suite for this seed. */
   def queries(count: Int): Vector[(String, String)] =
     (1 to count).map { i =>
-      val (kind, sql) = rnd.nextInt(16) match {
+      val (kind, sql) = rnd.nextInt(17) match {
         case 0 | 1 | 2 => ("sel", qSimple())
         case 3 | 4 | 5 => ("grp", qGroupAgg())
         case 6 => ("win", qWindow())
@@ -1058,6 +1087,7 @@ final class SqlFuzzer(seed: Long) {
         case 12 => ("fj", qFullJoin())
         case 13 => ("aw", qAggWindow())
         case 14 => ("hs", qHavingSub())
+        case 15 => ("rec", qRecursive())
         case _ => ("vj", qValuesJoin())
       }
       (f"fz_$i%04d_$kind", sql)
