@@ -428,7 +428,11 @@ final class SqlFuzzer(seed: Long) {
       if (rnd.nextInt(3) == 0) s"HAVING COUNT(*) > ${intLit(1, 20)} "
       else if (superAgg.nonEmpty) "HAVING COUNT(*) > 0 "
       else ""
-    val groupClause = superAgg.getOrElse((1 to nG).mkString(", "))
+    // GROUP BY ALL (round 13): DuckDB's idiomatic spelling, which Spark
+    // ≥3.4 shares — both infer the grouping set as the non-aggregated
+    // select items, here exactly the nG leading group expressions
+    val groupClause = superAgg.getOrElse(
+      if (rnd.nextInt(4) == 0) "ALL" else (1 to nG).mkString(", "))
     s"SELECT ${(groups ++ aggs ++ gcol).mkString(", ")} FROM ${t.name} " +
       s"WHERE ${pred(t, 1)} GROUP BY $groupClause " +
       having + orderAll(n) + " " + limit()
