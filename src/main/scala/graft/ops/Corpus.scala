@@ -411,7 +411,11 @@ object Corpus {
     // reassemble. The per-doc collect_list is bounded by document
     // length, never by corpus size. Invariant (pinned in PropertySpec):
     // Σ n_kept over all docs = the corpus-wide distinct-segment count —
-    // every distinct segment survives exactly once.
+    // every distinct segment survives exactly once. Bound, stated: the
+    // first-occurrence key packs (doc_id, seg_idx) as doc_id·10⁶+idx,
+    // valid while docs stay under 8M tokens (10⁶ segments) and doc ids
+    // under ~9.2e12; a corpus beyond either widens the key to a MIN
+    // over a (doc_id, seg_idx) struct — same plan, two-field ordering.
     OpQuery("q_text_segment_dedup",
       """WITH segs AS (
         |  SELECT doc_id, i AS seg_idx,
