@@ -46,6 +46,16 @@ class EngineSpec extends AnyFunSuite {
     // the inner statement still passes the SELECT-only gate
     intercept[SecurityException](
       SqlGateway.run(spark, "SUMMARIZE DROP TABLE data_table"))
+    // non-numeric columns (arrays, timestamps) summarize without error:
+    // min/max render as strings, quartiles stay NULL
+    import spark.implicits._
+    val exotic = Seq((1L, Seq(0.5f, 1.5f), java.sql.Timestamp.valueOf("2024-01-01 00:00:00")),
+        (2L, Seq(2.5f, 3.5f), java.sql.Timestamp.valueOf("2024-02-01 00:00:00")))
+      .toDF("id", "vec", "ts")
+    val es = Profile.summarize(exotic).collect().map(r => r.getString(0) -> r).toMap
+    assert(es("vec").isNullAt(es("vec").fieldIndex("q50")) &&
+      es("vec").getString(2).startsWith("["))
+    assert(es("ts").getString(2).startsWith("2024-01-01"))
   }
 
   test("DESCRIBE and SHOW TABLES pass the gate as read-only metadata") {
