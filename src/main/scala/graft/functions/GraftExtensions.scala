@@ -23,6 +23,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectFunction(GraftExtensions.kllMergeAgg)
     e.injectFunction(GraftExtensions.kllQuantile)
     e.injectFunction(GraftExtensions.scriptCounts)
+    e.injectFunction(GraftExtensions.freqSketchAgg)
+    e.injectFunction(GraftExtensions.freqMergeAgg)
+    e.injectFunction(GraftExtensions.freqEstimate)
   }
 }
 
@@ -60,9 +63,25 @@ object GraftExtensions {
     info("script_counts", "script_counts(s) - [codepoints, latin, digits, cjk, spaces] in one pass"),
     (exprs: Seq[Expression]) => ScriptCounts(exprs.head))
 
+  val freqSketchAgg: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("freq_sketch_agg"),
+    info("freq_sketch_agg", "freq_sketch_agg(v) - mergeable frequency (heavy-hitter) sketch of a bigint column"),
+    (exprs: Seq[Expression]) => FreqSketchAgg(exprs.head))
+
+  val freqMergeAgg: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("freq_merge_agg"),
+    info("freq_merge_agg", "freq_merge_agg(sk) - union of serialized frequency sketch images"),
+    (exprs: Seq[Expression]) => FreqMergeAgg(exprs.head))
+
+  val freqEstimate: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("freq_sketch_estimate"),
+    info("freq_sketch_estimate", "freq_sketch_estimate(sk, item) - frequency estimate for an item"),
+    (exprs: Seq[Expression]) => FreqEstimate(exprs(0), exprs(1)))
+
   /** Register on an already-built session (idempotent). */
   def register(spark: SparkSession): Unit =
-    Seq(dotProduct, cosineSim, kllSketchAgg, kllMergeAgg, kllQuantile, scriptCounts)
+    Seq(dotProduct, cosineSim, kllSketchAgg, kllMergeAgg, kllQuantile, scriptCounts,
+        freqSketchAgg, freqMergeAgg, freqEstimate)
       .foreach { case (id, i, builder) =>
         spark.sessionState.functionRegistry.registerFunction(id, i, builder)
       }

@@ -156,6 +156,129 @@ case class KllQuantile(left: Expression, right: Expression)
   override def prettyName: String = "kll_sketch_quantile"
 }
 
+/** Frequency (heavy-hitter) sketch aggregate over LONG items —
+  * Datasketches LongsSketch, the Misra-Gries-family summary. Unlike
+  * KLL it is fully DETERMINISTIC: while the item domain stays under
+  * the map capacity no eviction occurs and every estimate is EXACT,
+  * which is what lets the operator query hash-match its oracle; above
+  * capacity the guarantee degrades gracefully to ±n/maxMapSize bounds.
+  * Completes the mergeable-sketch triad (HLL distinct / KLL quantile /
+  * frequency). */
+case class FreqSketchAgg(
+    child: Expression,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[org.apache.datasketches.frequencies.LongsSketch]
+  with UnaryLike[Expression] {
+
+  private type FSketch = org.apache.datasketches.frequencies.LongsSketch
+
+  /** Map capacity (power of two); exact while #distinct items < ~0.75·this. */
+  private val MaxMapSize = 512
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == LongType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"freq_sketch_agg expects a BIGINT input, got ${child.dataType.simpleString}")
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = false
+
+  override def createAggregationBuffer(): FSketch =
+    new org.apache.datasketches.frequencies.LongsSketch(MaxMapSize)
+
+  override def update(buffer: FSketch, input: InternalRow): FSketch = {
+    val v = child.eval(input)
+    if (v != null) buffer.update(v.asInstanceOf[Long])
+    buffer
+  }
+
+  override def merge(buffer: FSketch, other: FSketch): FSketch =
+    buffer.merge(other)
+
+  override def eval(buffer: FSketch): Any = buffer.toByteArray
+  override def serialize(buffer: FSketch): Array[Byte] = buffer.toByteArray
+  override def deserialize(storage: Array[Byte]): FSketch =
+    org.apache.datasketches.frequencies.LongsSketch.getInstance(Memory.wrap(storage))
+
+  override def withNewMutableAggBufferOffset(n: Int): FreqSketchAgg =
+    copy(mutableAggBufferOffset = n)
+  override def withNewInputAggBufferOffset(n: Int): FreqSketchAgg =
+    copy(inputAggBufferOffset = n)
+  override protected def withNewChildInternal(newChild: Expression): FreqSketchAgg =
+    copy(child = newChild)
+  override def prettyName: String = "freq_sketch_agg"
+}
+
+/** Union of serialized frequency sketches — the rollup step. */
+case class FreqMergeAgg(
+    child: Expression,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[org.apache.datasketches.frequencies.LongsSketch]
+  with UnaryLike[Expression] {
+
+  private type FSketch = org.apache.datasketches.frequencies.LongsSketch
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == BinaryType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"freq_merge_agg expects BINARY sketch images, got ${child.dataType.simpleString}")
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = false
+
+  override def createAggregationBuffer(): FSketch =
+    new org.apache.datasketches.frequencies.LongsSketch(512)
+
+  override def update(buffer: FSketch, input: InternalRow): FSketch = {
+    val v = child.eval(input)
+    if (v != null)
+      buffer.merge(org.apache.datasketches.frequencies.LongsSketch
+        .getInstance(Memory.wrap(v.asInstanceOf[Array[Byte]])))
+    buffer
+  }
+
+  override def merge(buffer: FSketch, other: FSketch): FSketch =
+    buffer.merge(other)
+
+  override def eval(buffer: FSketch): Any = buffer.toByteArray
+  override def serialize(buffer: FSketch): Array[Byte] = buffer.toByteArray
+  override def deserialize(storage: Array[Byte]): FSketch =
+    org.apache.datasketches.frequencies.LongsSketch.getInstance(Memory.wrap(storage))
+
+  override def withNewMutableAggBufferOffset(n: Int): FreqMergeAgg =
+    copy(mutableAggBufferOffset = n)
+  override def withNewInputAggBufferOffset(n: Int): FreqMergeAgg =
+    copy(inputAggBufferOffset = n)
+  override protected def withNewChildInternal(newChild: Expression): FreqMergeAgg =
+    copy(child = newChild)
+  override def prettyName: String = "freq_merge_agg"
+}
+
+/** freq_sketch_estimate(sketch_bytes, item) → the sketch's frequency
+  * estimate for the item (exact below capacity). */
+case class FreqEstimate(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (left.dataType == BinaryType && right.dataType == LongType)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      "freq_sketch_estimate expects (BINARY, BIGINT), got " +
+        s"${left.dataType.simpleString} / ${right.dataType.simpleString}")
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+
+  override def nullSafeEval(bytes: Any, item: Any): Any =
+    org.apache.datasketches.frequencies.LongsSketch
+      .getInstance(Memory.wrap(bytes.asInstanceOf[Array[Byte]]))
+      .getEstimate(item.asInstanceOf[Long])
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): FreqEstimate =
+    copy(left = newLeft, right = newRight)
+  override def prettyName: String = "freq_sketch_estimate"
+}
+
 /** Column-API entry points (the operator library path; the SQL names are
   * registered by [[GraftExtensions]] for the gateway surface). */
 object SketchExprs {
@@ -168,4 +291,10 @@ object SketchExprs {
     GraftShim.column(KllMergeAgg(GraftShim.expression(c)).toAggregateExpression())
   def kllQuantile(c: Column, p: Double): Column =
     GraftShim.column(KllQuantile(GraftShim.expression(c), Literal(p)))
+  def freqSketchAgg(c: Column): Column =
+    GraftShim.column(FreqSketchAgg(GraftShim.expression(c)).toAggregateExpression())
+  def freqMergeAgg(c: Column): Column =
+    GraftShim.column(FreqMergeAgg(GraftShim.expression(c)).toAggregateExpression())
+  def freqEstimate(sk: Column, item: Column): Column =
+    GraftShim.column(FreqEstimate(GraftShim.expression(sk), GraftShim.expression(item)))
 }

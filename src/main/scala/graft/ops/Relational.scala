@@ -358,6 +358,49 @@ object Relational {
         .orderBy("l_returnflag")
     },
 
+    // Mergeable FREQUENCY-sketch rollup (round 13) — completes the
+    // sketch triad (HLL distinct / KLL quantile / heavy-hitter
+    // frequency). Per-group Misra-Gries-family LongsSketches over
+    // l_suppkey merge into a global summary; the supplier domain
+    // (O(100) at every tested SF) stays under the map capacity, so no
+    // eviction occurs, the sketch is DETERMINISTIC AND EXACT, and the
+    // merged estimate of the global top supplier EQUALS its exact count
+    // — pinned by the hash compare itself (freq_ok must be TRUE). The
+    // per-group exact top supplier uses the composite integer ordering
+    // value (count·100000 + (99999 − suppkey)) so ties resolve to the
+    // lowest key identically on both engines.
+    OpQuery("q_agg_freq_merge",
+      """WITH h AS (
+        |  SELECT l_returnflag, l_suppkey, CAST(COUNT(*) AS BIGINT) AS c
+        |  FROM lineitem GROUP BY 1, 2)
+        |SELECT l_returnflag,
+        |       CAST(arg_max(l_suppkey, c * 100000 + (99999 - l_suppkey)) AS BIGINT) AS top_supp,
+        |       CAST(MAX(c) AS BIGINT) AS top_n,
+        |       TRUE AS freq_ok
+        |FROM h GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin) { (s, d) =>
+      import graft.functions.SketchExprs
+      val h = lineitem(s, d).groupBy("l_returnflag", "l_suppkey")
+        .agg(count(lit(1)).as("c"))
+      val perGroup = h.groupBy("l_returnflag")
+        .agg(max_by(col("l_suppkey"),
+            col("c") * 100000 + (lit(99999) - col("l_suppkey"))).cast("long").as("top_supp"),
+          max(col("c")).cast("long").as("top_n"))
+      // the sketch path: per-group sketches → merged global summary
+      val merged = lineitem(s, d).groupBy("l_returnflag")
+        .agg(SketchExprs.freqSketchAgg(col("l_suppkey")).as("sk"))
+        .agg(SketchExprs.freqMergeAgg(col("sk")).as("g"))
+      val globalTop = h.groupBy("l_suppkey").agg(sum("c").as("n"))
+        .agg(max_by(col("l_suppkey"),
+            col("n") * 100000 + (lit(99999) - col("l_suppkey"))).as("gs"),
+          max(col("n")).as("gn"))
+      val ok = merged.crossJoin(broadcast(globalTop))
+        .select((SketchExprs.freqEstimate(col("g"), col("gs")) === col("gn"))
+          .as("freq_ok"))
+      perGroup.crossJoin(broadcast(ok))
+        .select(col("l_returnflag"), col("top_supp"), col("top_n"), col("freq_ok"))
+        .orderBy("l_returnflag")
+    },
+
     // Greenwald-Khanna approximate quantiles, oracle-checked: the GK
     // sketch itself is engine-specific, so the query outputs the EXACT
     // p50/p99 (distributed bucket-prune operator, same formulation the

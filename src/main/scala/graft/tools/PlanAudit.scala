@@ -189,6 +189,7 @@ object PlanAudit {
       "q_agg_stringagg" -> 1,       // region: fixed 5 rows at every SF
       "q_agg_hll_merge" -> 2,       // 1-row exact-global + 1-row merged-bool frames
       "q_agg_kll_merge" -> 2,       // 1-row exact-global-median + 1-row merged-bool frames
+      "q_agg_freq_merge" -> 2,      // 1-row global-top + 1-row agreement-bool frames
       "q_corpus_source_cap" -> 1,   // per-source doc counts: bounded source domain
       "q_cte_maxrev" -> 1,          // 1-row scalar MAX subquery
       // round 8: the Dedup family needs NO allowance — the stop-set

@@ -148,6 +148,30 @@ class StatsSpec extends AnyFunSuite {
     assert(empty.isNullAt(0))
   }
 
+  test("frequency sketch: exact below capacity, bounds hold above it") {
+    graft.functions.GraftExtensions.register(spark)
+    import graft.functions.SketchExprs
+    import spark.implicits._
+    // below capacity (100 distinct < 512): estimates are exact
+    val small = (1 to 5000).map(i => (i % 100).toLong).toDF("v")
+    val skS = small.agg(SketchExprs.freqSketchAgg($"v").as("sk"))
+    assert(skS.select(SketchExprs.freqEstimate($"sk", lit(7L))).head().getLong(0) == 50)
+    // SQL surface
+    small.createOrReplaceTempView("freq_t")
+    assert(spark.sql(
+      "SELECT freq_sketch_estimate(freq_sketch_agg(v), 7L) FROM freq_t")
+      .head().getLong(0) == 50)
+    // above capacity (5000 distinct > 512): a Zipf-ish heavy item's
+    // estimate stays within the sketch's error envelope n/maxMapSize
+    val heavy = ((1 to 5000).map(_.toLong) ++ Seq.fill(800)(42L)).toDF("v")
+    val est = heavy.agg(SketchExprs.freqSketchAgg($"v").as("sk"))
+      .select(SketchExprs.freqEstimate($"sk", lit(42L))).head().getLong(0)
+    val trueN = 801L
+    val n = 5800L
+    assert(est >= trueN - n / 512 && est <= trueN + n / 512,
+      s"estimate $est outside [${trueN - n / 512}, ${trueN + n / 512}]")
+  }
+
   test("KLL sketch images round-trip through parquet and re-aggregate") {
     // the claimed 100 TB pattern end-to-end: per-day sketches PERSISTED
     // as BINARY, reloaded later, and merged along the rollup dimension
