@@ -32,7 +32,10 @@ object ScaleProbeRel {
     // round 13: the two-nation star (dims verbatim per replica — the
     // pair slice grows linearly) and the KLL rollup (sketch count is
     // O(#groups); per-sketch work O(rows))
-    "q_tpch_q7_shape", "q_agg_kll_merge")
+    "q_tpch_q7_shape", "q_agg_kll_merge",
+    // frequency-sketch rollup: sketch count O(#groups), map capacity
+    // fixed — per-row update cost tracks the scan
+    "q_agg_freq_merge")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
