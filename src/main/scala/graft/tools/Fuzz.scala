@@ -340,7 +340,11 @@ final class SqlFuzzer(seed: Long) {
     // group of all-NULL predicate rows yields NULL in both engines —
     // the documented NULL-boolean materialization rule covers it
     case 6 => s"BOOL_OR(${basePred(t)})"
-    case 7 => s"BOOL_AND(${basePred(t)})"
+    case 7 => if (rnd.nextBoolean()) s"BOOL_AND(${basePred(t)})"
+      // bitwise aggregates (round 13): same names and semantics in both
+      // engines over non-negative integral columns
+      else s"CAST(${pick(Seq("BIT_AND", "BIT_OR", "BIT_XOR"))}" +
+        s"(${pick(cols(t, IntK)).name}) AS BIGINT)"
     case _ if cols(t, MoneyK).nonEmpty => oSumSql(pick(cols(t, MoneyK)).name)
     case _ => "CAST(COUNT(*) AS BIGINT)"
   }
