@@ -858,11 +858,31 @@ final class SqlFuzzer(seed: Long) {
       s"WHERE a.${basePred(lt)} ${orderAll(3)} ${limit()}"
   }
 
+  /** Correlated scalar aggregate in HAVING — the correlation key is the
+    * outer GROUP BY column, the one outer reference ANSI allows from
+    * under an Aggregate, so Catalyst must decorrelate through the
+    * Aggregate node rather than a plain Filter/Project (a different
+    * rewrite path from qCorrScalarWhere). Integer COUNT-vs-COUNT
+    * compares can't flip on a float ulp; the inner basePred makes some
+    * groups empty, exercising COUNT-on-empty → 0 (not NULL) after the
+    * rewrite-to-outer-join on BOTH engines. */
+  private def qCorrHaving(): String = {
+    val (lt, rt, lc, rc) = pick(joins)
+    val sub = s"SELECT CAST(COUNT(*) AS BIGINT) FROM ${rt.name} b " +
+      s"WHERE b.$rc = a.$lc AND b.${basePred(rt)}"
+    val probe = if (rnd.nextBoolean()) s"($sub)"
+    else s"COALESCE(($sub), ${intLit(0, 3)})"
+    s"SELECT a.$lc AS c1, CAST(COUNT(*) AS BIGINT) AS c2 " +
+      s"FROM ${lt.name} a WHERE a.${basePred(lt)} GROUP BY a.$lc " +
+      s"HAVING CAST(COUNT(*) AS BIGINT) ${pick(cmpOps)} $probe " +
+      s"${orderAll(2)} ${limit()}"
+  }
+
   /** Correlated-subquery / LATERAL suite (--corr mode): ANSI-common text,
     * both engines run it verbatim. */
   def corrQueries(count: Int): Vector[(String, String)] =
     (1 to count).map { i =>
-      val (kind, sql) = rnd.nextInt(9) match {
+      val (kind, sql) = rnd.nextInt(10) match {
         case 0 => ("csel", qCorrScalarSelect())
         case 1 => ("cwhr", qCorrScalarWhere())
         case 2 => ("cex", qCorrExistsRich())
@@ -871,6 +891,7 @@ final class SqlFuzzer(seed: Long) {
         case 5 => ("latk", qLateralTopK())
         case 6 => ("cnest", qCorrNested())
         case 7 => ("ccase", qCorrCaseProj())
+        case 8 => ("chav", qCorrHaving())
         case _ => ("latc", qLateralChain())
       }
       (f"fz_$i%04d_$kind", sql)
