@@ -491,9 +491,12 @@ object DuckDbDialect {
     * (`price * replace(s,'a','b')`): the star-modifier's `*` is itself a
     * select item, so the non-space char before it is `,` or the keyword
     * SELECT/DISTINCT; any other left context is arithmetic and skipped.
-    * A combined `* EXCLUDE (...) REPLACE (...)` chain is NOT rewritten
-    * (the `)` left of REPLACE reads as arithmetic context) and surfaces
-    * as a Spark parse error rather than silently-wrong columns. */
+    * The combined chain `* EXCLUDE (cols) REPLACE (e AS c)` (DuckDB's
+    * modifier order) is recognized by looking through the EXCLUDE list
+    * when the char before REPLACE is its `)`: the exclusion columns are
+    * merged into the EXCEPT (`* EXCEPT (cols, c), e AS c`). The reversed
+    * spelling `* REPLACE (...) EXCLUDE (...)` is not DuckDB grammar and
+    * surfaces as a parse error rather than silently-wrong columns. */
   private def rewriteStarReplace(sql: String): String = {
     val in = inString(sql)
     var i = 0
@@ -501,14 +504,48 @@ object DuckDbDialect {
       if (!in(i) && sql.regionMatches(true, i, "replace", 0, 7) &&
           (i == 0 || !isIdentChar(sql(i - 1))) &&
           (i + 7 >= sql.length || !isIdentChar(sql(i + 7)))) {
-        // star immediately before (modifier), '(' after (argument list)
+        // star immediately before (modifier), '(' after (argument list);
+        // OR the chain form `* EXCLUDE (cols) REPLACE (...)`, where the
+        // non-space char before REPLACE is the EXCLUDE list's ')'.
         var p = i - 1
         while (p >= 0 && sql(p).isWhitespace) p -= 1
         var a = i + 7
         while (a < sql.length && sql(a).isWhitespace) a += 1
-        if (p >= 0 && sql(p) == '*' && a < sql.length && sql(a) == '(') {
+        // starPos = the modifier's '*'; for the chain form also collect
+        // the EXCLUDE column list (merged into the EXCEPT below).
+        var starPos = -1
+        var excludeCols: Seq[String] = Nil
+        if (p >= 0 && sql(p) == '*') starPos = p
+        else if (p >= 0 && sql(p) == ')') {
+          var depth = 1; var b = p - 1
+          while (depth > 0 && b >= 0) {
+            if (!in(b)) {
+              if (sql(b) == ')') depth += 1
+              else if (sql(b) == '(') depth -= 1
+            }
+            if (depth > 0) b -= 1
+          }
+          if (depth == 0) {
+            var q2 = b - 1
+            while (q2 >= 0 && sql(q2).isWhitespace) q2 -= 1
+            var e2 = q2
+            while (e2 >= 0 && isIdentChar(sql(e2))) e2 -= 1
+            val kw = sql.substring(e2 + 1, q2 + 1).toLowerCase
+            if (kw == "exclude" || kw == "except") {
+              var s2 = e2
+              while (s2 >= 0 && sql(s2).isWhitespace) s2 -= 1
+              if (s2 >= 0 && sql(s2) == '*') {
+                starPos = s2
+                excludeCols =
+                  splitTopLevel(sql.substring(b + 1, p), ',').map(_.trim)
+              }
+            }
+          }
+        }
+        if (starPos >= 0 && a < sql.length && sql(a) == '(') {
+          val p0 = starPos
           // context before the star: ',' or SELECT/DISTINCT → modifier
-          var q = p - 1
+          var q = p0 - 1
           while (q >= 0 && sql(q).isWhitespace) q -= 1
           val isModifier = q < 0 || sql(q) == ',' || {
             var e = q
@@ -534,9 +571,9 @@ object DuckDbDialect {
                   s"* REPLACE: expected `expr AS column`, got: ${it.trim}"))
               (m.group(1), m.group(2))
             }
-            val except = pairs.map(_._2).mkString(", ")
+            val except = (excludeCols ++ pairs.map(_._2)).mkString(", ")
             val repl = pairs.map { case (e, c) => s"$e AS $c" }.mkString(", ")
-            val out = sql.substring(0, p) + s"* EXCEPT ($except), $repl" + sql.substring(k)
+            val out = sql.substring(0, p0) + s"* EXCEPT ($except), $repl" + sql.substring(k)
             return rewriteStarReplace(out) // handle any further occurrence
           }
         }

@@ -1038,10 +1038,16 @@ final class SqlFuzzer(seed: Long) {
       case 1 => s"(c1 + ${intLit(1, 50)}) AS c1"
       case _ => s"(c2 * 2.0) AS c2, (c1 % ${intLit(2, 97)}) AS c1"
     }
-    val ord = Seq("c1", "c2", "c3").map { n =>
+    // half the suite chains DuckDB's other star modifier in front:
+    // `* EXCLUDE (c3) REPLACE (...)` — the shim merges both into one
+    // EXCEPT. The ORDER BY then omits the excluded column.
+    val exclude = rnd.nextBoolean() && !repl.contains("c3")
+    val star = if (exclude) "* EXCLUDE (c3) REPLACE" else "* REPLACE"
+    val outCols = if (exclude) Seq("c1", "c2") else Seq("c1", "c2", "c3")
+    val ord = outCols.map { n =>
       if (rnd.nextInt(4) == 0) s"$n DESC NULLS LAST" else s"$n ASC NULLS FIRST"
     }.mkString("ORDER BY ", ", ", "")
-    s"SELECT * REPLACE ($repl) FROM ($inner) u $ord ${limit()}"
+    s"SELECT $star ($repl) FROM ($inner) u $ord ${limit()}"
   }
 
   /** ASOF joins on an edge whose RIGHT key is unique (orders.o_orderkey):

@@ -384,6 +384,40 @@ class DuckDbDialectSpec extends AnyFunSuite {
     assert(DuckDbDialect.rewrite(fn) == fn)
   }
 
+  test("star EXCLUDE + REPLACE chain merges into one EXCEPT") {
+    assert(DuckDbDialect.rewrite(
+      "SELECT * EXCLUDE (sk) REPLACE (price * 2 AS price) FROM t")
+      == "SELECT * EXCEPT (sk, price), price * 2 AS price FROM t")
+    // multiple exclusions and replacements, with a WHERE tail
+    assert(DuckDbDialect.rewrite(
+      "SELECT * EXCLUDE (a, b) REPLACE (c + 1 AS c, UPPER(d) AS d) FROM t WHERE c > 0")
+      == "SELECT * EXCEPT (a, b, c, d), c + 1 AS c, UPPER(d) AS d FROM t WHERE c > 0")
+    // Spark's EXCEPT spelling chains the same way
+    assert(DuckDbDialect.rewrite(
+      "SELECT * EXCEPT (a) REPLACE (b * 2 AS b) FROM t")
+      == "SELECT * EXCEPT (a, b), b * 2 AS b FROM t")
+    // a parenthesized multiplication by REPLACE() is still arithmetic:
+    // the keyword before the paren group is not EXCLUDE/EXCEPT
+    val mul2 = "SELECT (a + b) * REPLACE(name, 'a', 'b') FROM t"
+    assert(DuckDbDialect.rewrite(mul2) == mul2)
+  }
+
+  test("star EXCLUDE + REPLACE chain runs end-to-end") {
+    Ingest.load(spark, TestSpark.resource("sample_sales_data.csv"))
+      .createOrReplaceTempView("data_table")
+    val df = SqlGateway.run(spark,
+      "SELECT * EXCLUDE (category) REPLACE (price * 10 AS price) " +
+        "FROM data_table ORDER BY id LIMIT 3")
+    val plain = SqlGateway.run(spark,
+      "SELECT * FROM data_table ORDER BY id LIMIT 3")
+    assert(df.columns.sorted.toSeq ==
+      plain.columns.filterNot(_ == "category").sorted.toSeq)
+    val byId = plain.collect().map(r => r.getAs[Int]("id") -> r.getAs[Double]("price")).toMap
+    df.collect().foreach { r =>
+      assert(math.abs(r.getAs[Double]("price") - byId(r.getAs[Int]("id")) * 10) < 1e-9)
+    }
+  }
+
   test("star REPLACE runs end-to-end with replaced values") {
     Ingest.load(spark, TestSpark.resource("sample_sales_data.csv"))
       .createOrReplaceTempView("data_table")
