@@ -599,6 +599,41 @@ object Corpus {
         .orderBy("source")
     },
 
+    // Stratified EXACT train/val/test split (80/10/10 per language):
+    // every pipeline's last step before export. Hash-ordered (md5 of the
+    // doc key) so the assignment is a pure function of the corpus — no
+    // RNG, rerun-stable, and adding a shard re-derives identically.
+    // Exact-count boundaries per stratum (floor(n*0.8)/floor(n*0.9)),
+    // unlike the probabilistic hash-mod sampler (q_sample_stratified)
+    // whose split sizes only converge in expectation. Scale shape: one
+    // window per stratum partition (no global sort); the per-stratum
+    // count rides the same window spec, so it is ONE shuffle total.
+    OpQuery("q_corpus_split",
+      """WITH r AS (
+        |  SELECT doc_id, lang,
+        |         ROW_NUMBER() OVER (PARTITION BY lang
+        |             ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn,
+        |         COUNT(*) OVER (PARTITION BY lang) AS n
+        |  FROM documents)
+        |SELECT doc_id, lang,
+        |       CASE WHEN rn <= CAST(FLOOR(n * 8 / 10.0) AS BIGINT) THEN 'train'
+        |            WHEN rn <= CAST(FLOOR(n * 9 / 10.0) AS BIGINT) THEN 'val'
+        |            ELSE 'test' END AS split
+        |FROM r ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val byHash = Window.partitionBy("lang")
+        .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+      val whole = Window.partitionBy("lang")
+      documents(s, d)
+        .select(col("doc_id"), col("lang"),
+          row_number().over(byHash).cast("long").as("rn"),
+          count(lit(1)).over(whole).as("n"))
+        .select(col("doc_id"), col("lang"),
+          when(col("rn") <= floor(col("n") * 8 / 10.0).cast("long"), "train")
+            .when(col("rn") <= floor(col("n") * 9 / 10.0).cast("long"), "val")
+            .otherwise("test").as("split"))
+        .orderBy("doc_id")
+    },
+
     OpQuery("q_unpivot",
       """SELECT p_partkey, 'p_retailprice' AS metric, p_retailprice AS value FROM part
         |UNION ALL

@@ -459,6 +459,101 @@ object TextOps {
         .select(col("doc_id"), col("n_tokens"), col("n_hapax"),
           round(col("n_hapax").cast("double") / col("n_tokens"), 6).as("hapax_rate"))
         .orderBy("doc_id")
+    },
+
+    // Model-based quality filtering (the CCNet/GPT-3 pattern): a tiny
+    // Fisher-style linear scorer FIT IN-PLAN against a trusted reference
+    // class (here lang='en' stands in for "looks like the curated set"),
+    // then applied to every document — fit + transform in one plan, the
+    // text twin of q_media_learned_encoder. Features are integer-exact
+    // per-doc counts (tokens, chars, non-ASCII chars), so the class
+    // sums/sum-of-squares are exact integers and the derived means/
+    // variances/weights are identical doubles on both engines (the
+    // oracle mirrors the expression tree operation-for-operation).
+    // Scale shape: one O(N) feature map, one global conditional
+    // aggregation to a single 9-number model row, broadcast back over
+    // the corpus — no per-class shuffle, no iteration, no collect.
+    OpQuery("q_text_quality_classifier",
+      """WITH f AS (
+        |  SELECT doc_id,
+        |         CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS label,
+        |         CAST(len(string_split(text, ' ')) AS BIGINT) AS t,
+        |         CAST(n_chars AS BIGINT) AS c,
+        |         CAST(length(regexp_replace(text, '[ -~]', '', 'g')) AS BIGINT) AS a
+        |  FROM documents),
+        |m AS (
+        |  SELECT CAST(SUM(label) AS BIGINT) AS n1,
+        |         CAST(SUM(1 - label) AS BIGINT) AS n0,
+        |         CAST(SUM(t * label) AS BIGINT) AS st1, CAST(SUM(t * (1 - label)) AS BIGINT) AS st0,
+        |         CAST(SUM(c * label) AS BIGINT) AS sc1, CAST(SUM(c * (1 - label)) AS BIGINT) AS sc0,
+        |         CAST(SUM(a * label) AS BIGINT) AS sa1, CAST(SUM(a * (1 - label)) AS BIGINT) AS sa0,
+        |         CAST(SUM(t * t * label) AS BIGINT) AS qt1, CAST(SUM(t * t * (1 - label)) AS BIGINT) AS qt0,
+        |         CAST(SUM(c * c * label) AS BIGINT) AS qc1, CAST(SUM(c * c * (1 - label)) AS BIGINT) AS qc0,
+        |         CAST(SUM(a * a * label) AS BIGINT) AS qa1, CAST(SUM(a * a * (1 - label)) AS BIGINT) AS qa0
+        |  FROM f),
+        |w AS (
+        |  SELECT (CAST(st1 AS DOUBLE) / n1) AS mt1, (CAST(st0 AS DOUBLE) / n0) AS mt0,
+        |         (CAST(sc1 AS DOUBLE) / n1) AS mc1, (CAST(sc0 AS DOUBLE) / n0) AS mc0,
+        |         (CAST(sa1 AS DOUBLE) / n1) AS ma1, (CAST(sa0 AS DOUBLE) / n0) AS ma0,
+        |         ((CAST(qt1 AS DOUBLE) - (CAST(st1 AS DOUBLE) / n1) * st1)
+        |          + (CAST(qt0 AS DOUBLE) - (CAST(st0 AS DOUBLE) / n0) * st0))
+        |           / (n1 + n0) AS vt,
+        |         ((CAST(qc1 AS DOUBLE) - (CAST(sc1 AS DOUBLE) / n1) * sc1)
+        |          + (CAST(qc0 AS DOUBLE) - (CAST(sc0 AS DOUBLE) / n0) * sc0))
+        |           / (n1 + n0) AS vc,
+        |         ((CAST(qa1 AS DOUBLE) - (CAST(sa1 AS DOUBLE) / n1) * sa1)
+        |          + (CAST(qa0 AS DOUBLE) - (CAST(sa0 AS DOUBLE) / n0) * sa0))
+        |           / (n1 + n0) AS va
+        |  FROM m)
+        |SELECT f.doc_id, CAST(f.label AS BIGINT) AS label,
+        |       ROUND((w.mt1 - w.mt0) / (w.vt + 1.0) * (f.t - (w.mt1 + w.mt0) / 2)
+        |           + (w.mc1 - w.mc0) / (w.vc + 1.0) * (f.c - (w.mc1 + w.mc0) / 2)
+        |           + (w.ma1 - w.ma0) / (w.va + 1.0) * (f.a - (w.ma1 + w.ma0) / 2), 6) AS score,
+        |       CASE WHEN ROUND((w.mt1 - w.mt0) / (w.vt + 1.0) * (f.t - (w.mt1 + w.mt0) / 2)
+        |           + (w.mc1 - w.mc0) / (w.vc + 1.0) * (f.c - (w.mc1 + w.mc0) / 2)
+        |           + (w.ma1 - w.ma0) / (w.va + 1.0) * (f.a - (w.ma1 + w.ma0) / 2), 6) > 0.0
+        |            THEN 1 ELSE 0 END AS predicted
+        |FROM f CROSS JOIN w ORDER BY f.doc_id""".stripMargin) { (s, d) =>
+      val f = documents(s, d).select(
+        col("doc_id"),
+        when(col("lang") === "en", 1).otherwise(0).as("label"),
+        size(split(col("text"), " ")).cast("long").as("t"),
+        col("n_chars").cast("long").as("c"),
+        length(regexp_replace(col("text"), "[ -~]", "")).cast("long").as("a"))
+      def s1(e: org.apache.spark.sql.Column) = sum(e * col("label")).cast("long")
+      def s0(e: org.apache.spark.sql.Column) = sum(e * (lit(1) - col("label"))).cast("long")
+      val m = f.agg(
+        sum(col("label")).cast("long").as("n1"),
+        sum(lit(1) - col("label")).cast("long").as("n0"),
+        s1(col("t")).as("st1"), s0(col("t")).as("st0"),
+        s1(col("c")).as("sc1"), s0(col("c")).as("sc0"),
+        s1(col("a")).as("sa1"), s0(col("a")).as("sa0"),
+        s1(col("t") * col("t")).as("qt1"), s0(col("t") * col("t")).as("qt0"),
+        s1(col("c") * col("c")).as("qc1"), s0(col("c") * col("c")).as("qc0"),
+        s1(col("a") * col("a")).as("qa1"), s0(col("a") * col("a")).as("qa0"))
+      // mean / pooled-population-variance per feature, mirroring the
+      // oracle's expression tree exactly (same association order)
+      def mean(sc: String, nc: String) = col(sc).cast("double") / col(nc)
+      def pooled(q1: String, s1c: String, q0: String, s0c: String) =
+        ((col(q1).cast("double") - mean(s1c, "n1") * col(s1c))
+          + (col(q0).cast("double") - mean(s0c, "n0") * col(s0c))) /
+          (col("n1") + col("n0"))
+      val w = m.select(
+        mean("st1", "n1").as("mt1"), mean("st0", "n0").as("mt0"),
+        mean("sc1", "n1").as("mc1"), mean("sc0", "n0").as("mc0"),
+        mean("sa1", "n1").as("ma1"), mean("sa0", "n0").as("ma0"),
+        pooled("qt1", "st1", "qt0", "st0").as("vt"),
+        pooled("qc1", "sc1", "qc0", "sc0").as("vc"),
+        pooled("qa1", "sa1", "qa0", "sa0").as("va"))
+      val score =
+        (col("mt1") - col("mt0")) / (col("vt") + 1.0) * (col("t") - (col("mt1") + col("mt0")) / 2) +
+        (col("mc1") - col("mc0")) / (col("vc") + 1.0) * (col("c") - (col("mc1") + col("mc0")) / 2) +
+        (col("ma1") - col("ma0")) / (col("va") + 1.0) * (col("a") - (col("ma1") + col("ma0")) / 2)
+      f.crossJoin(broadcast(w))
+        .select(col("doc_id"), col("label").cast("long").as("label"),
+          round(score, 6).as("score"),
+          when(round(score, 6) > 0.0, 1).otherwise(0).as("predicted"))
+        .orderBy("doc_id")
     }
   )
 }

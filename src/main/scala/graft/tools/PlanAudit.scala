@@ -126,7 +126,18 @@ object PlanAudit {
       // default-zero -1 sweep proves it falls back to a shuffle
       Check("q_text_segment_dedup", "reassembly is two-phase ObjectHashAggregate",
         p => "ObjectHashAggregate".r.findAllIn(p).length >= 2 &&
-          p.contains("partial_collect_list"))
+          p.contains("partial_collect_list")),
+      // round-13b: the learned quality classifier fits via ONE global
+      // two-phase aggregation (map-side partials over the corpus) and
+      // applies the 1-row model with a broadcast NL join — never a
+      // shuffle of the corpus against the model
+      Check("q_text_quality_classifier", "fit is two-phase agg + 1-row model broadcast",
+        p => "HashAggregate".r.findAllIn(p).length >= 2 &&
+          p.contains("BroadcastNestedLoopJoin")),
+      // the stratified split's ranking window is partitioned by the
+      // stratum key — no single-partition global sort over the corpus
+      Check("q_corpus_split", "split window partitioned by stratum (lang)",
+        p => "row_number().*windowspecdefinition\\(lang#".r.findFirstIn(p).isDefined)
     )
 
     val plans = scala.collection.mutable.LinkedHashMap[String, String]()
@@ -219,6 +230,7 @@ object PlanAudit {
       "q_subquery_scalar" -> 1,     // 1-row scalar average
       "q_subquery_select" -> 1,     // 1-row scalar total
       "q_text_length_filter" -> 1,  // per-language thresholds: bounded label domain
+      "q_text_quality_classifier" -> 1, // 1-row fitted model (15 numbers)
       "q_text_tfidf" -> 1,          // 1-row corpus doc count (the IDF N)
       "q_tpch_q10_shape" -> 1,      // nation: fixed 25 rows
       "q_tpch_q7_shape" -> 2,       // two 2-row nation-pair dims (both ≤25 at every SF)

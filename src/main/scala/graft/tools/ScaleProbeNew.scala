@@ -45,7 +45,11 @@ object ScaleProbeNew {
     // are map-side + one doc-keyed join; novelty's token shuffle and
     // token-budget's per-source window grow with the corpus
     "q_text_script_profile", "q_text_novelty",
-    "q_corpus_diff", "q_corpus_token_budget")
+    "q_corpus_diff", "q_corpus_token_budget",
+    // round-13b: the learned classifier is one global agg + broadcast
+    // apply (expected ~linear); the stratified split is one window per
+    // lang stratum (5 strata at every K — per-stratum rows grow K×)
+    "q_text_quality_classifier", "q_corpus_split")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
