@@ -520,7 +520,7 @@ final class SqlFuzzer(seed: Long) {
     // distinction still exercises each engine's peer handling
     val ranged = s"OVER (PARTITION BY $partCol ORDER BY $ord " +
       "RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"
-    val wexpr = rnd.nextInt(12) match {
+    val wexpr = rnd.nextInt(14) match {
       case 0 => s"CAST(RANK() $over AS BIGINT)"
       case 1 => s"CAST(DENSE_RANK() $over AS BIGINT)"
       case 2 => s"CAST(ROW_NUMBER() $over AS BIGINT)"
@@ -533,6 +533,11 @@ final class SqlFuzzer(seed: Long) {
       case 9 => s"FIRST_VALUE(${pick(cols(t, IntK)).name}) $over"
       case 10 => s"LAST_VALUE(${pick(cols(t, IntK)).name}) $framed"
       case 11 => s"CAST(SUM(${pick(cols(t, IntK)).name}) $ranged AS BIGINT)"
+      // distribution ranks: (rank-1)/(N-1) and peers/N — one double
+      // division of exact small ints, identical in both engines; the
+      // 6-dp round is the house float-output convention
+      case 12 => s"ROUND(PERCENT_RANK() $over, 6)"
+      case 13 => s"ROUND(CUME_DIST() $over, 6)"
     }
     s"SELECT $key AS c1, $partCol AS c2, $wexpr AS c3 FROM ${t.name} " +
       s"WHERE ${pred(t, 1)} ${orderAll(3)} ${limit()}"
