@@ -1070,10 +1070,15 @@ final class SqlFuzzer(seed: Long) {
   private def qDialectAsof(): String = {
     val op = pick(Seq(">=", ">", "<=", "<"))
     val left = if (rnd.nextBoolean()) " LEFT" else ""
+    // half the suite names the CTE, half joins a parenthesized subquery
+    // directly (the shim's round-13b right-side widening)
+    val right = if (rnd.nextBoolean()) "ob"
+      else "(SELECT o_orderkey, o_orderdate, o_totalprice FROM ob " +
+        s"WHERE o_orderkey % ${intLit(2, 5)} >= 0)"
     s"WITH la AS (SELECT * FROM lineitem WHERE l_shipdate IS NOT NULL AND l_orderkey IS NOT NULL), " +
       s"ob AS (SELECT * FROM orders WHERE o_orderdate IS NOT NULL) " +
       s"SELECT a.l_orderkey AS c1, a.l_linenumber AS c2, b.o_totalprice AS c3 " +
-      s"FROM la a ASOF$left JOIN ob b ON b.o_orderkey = a.l_orderkey " +
+      s"FROM la a ASOF$left JOIN $right b ON b.o_orderkey = a.l_orderkey " +
       s"AND a.l_shipdate $op b.o_orderdate " +
       s"WHERE a.${basePred(lineitem)} ${orderAll(3)} ${limit()}"
   }
@@ -1112,10 +1117,66 @@ final class SqlFuzzer(seed: Long) {
       (f"fz_$i%04d_$kind", sql)
     }.toVector
 
+  /** Deep-composition generator (round 13b): a random 2-4 level chain of
+    * derived-table wraps — filter, group-agg, self equi-join, UNION ALL,
+    * ranking window — over a typed 3-int-column base, so the engines are
+    * compared on COMPOSED plans (pushdown through nested derived tables,
+    * agg-over-setop, window-over-join, join-over-agg), not the single
+    * shapes the other kinds sample. Determinism invariants per level:
+    *  - all columns integer; aggregates CAST AS BIGINT (exact);
+    *  - a `uniq` flag tracks whether c1 is unique (base key; after an
+    *    agg, the group key) — the self-join only fires while c1 is
+    *    unique, so row counts never multiply (a non-unique self-join on
+    *    a %-bucketed key would be O(rows²/k) — a generator bug, not an
+    *    engine comparison);
+    *  - the ranking window orders by ALL columns with explicit NULLS
+    *    placement, so tied rows are full-row duplicates and the output
+    *    MULTISET is engine-independent even where rank assignment within
+    *    a tie group is not;
+    *  - the final SELECT orders the whole output (orderAll) + LIMIT. */
+  private def qDeep(): String = {
+    val t = pick(tables.filter(_.uniqueKey.nonEmpty))
+    val key = t.uniqueKey.get
+    val i1 = pick(cols(t, IntK)).name
+    val i2 = pick(cols(t, IntK)).name
+    var sql = s"SELECT $key AS c1, ($i1 % ${intLit(5, 40)}) AS c2, " +
+      s"($i2 % ${intLit(5, 40)}) AS c3 FROM ${t.name} WHERE ${basePred(t)}"
+    var uniq = true
+    var alias = 0
+    def wrap(body: String): String = { alias += 1; s"($body) d$alias" }
+    (1 to (2 + rnd.nextInt(3))).foreach { _ =>
+      rnd.nextInt(5) match {
+        case 0 => // filter on a derived column
+          val c = pick(Seq("c2", "c3"))
+          sql = s"SELECT c1, c2, c3 FROM ${wrap(sql)} " +
+            s"WHERE $c ${pick(cmpOps)} ${intLit(0, 30)}"
+        case 1 => // group-agg: the bucketed key becomes the new unique c1
+          sql = s"SELECT (c2 % ${intLit(2, 9)}) AS c1, " +
+            s"CAST(COUNT(*) AS BIGINT) AS c2, CAST(SUM(c3) AS BIGINT) AS c3 " +
+            s"FROM ${wrap(sql)} GROUP BY 1"
+          uniq = true
+        case 2 if uniq => // self equi-join on the unique c1: row-preserving
+          sql = s"SELECT a.c1 AS c1, a.c2 AS c2, b.c3 AS c3 " +
+            s"FROM ${wrap(sql)} a JOIN ${wrap(sql)} b ON a.c1 = b.c1"
+        case 3 => // UNION ALL with a filtered copy of the same chain
+          sql = s"SELECT c1, c2, c3 FROM ${wrap(sql)} UNION ALL " +
+            s"SELECT c1, c2, c3 FROM ${wrap(sql)} " +
+            s"WHERE c3 ${pick(cmpOps)} ${intLit(0, 30)}"
+          uniq = false
+        case _ => // ranking window over all columns (multiset-deterministic)
+          sql = s"SELECT c1, c2, CAST(ROW_NUMBER() OVER (" +
+            s"PARTITION BY (c2 % ${intLit(2, 5)}) " +
+            s"ORDER BY c3 ASC NULLS FIRST, c1 ASC NULLS FIRST, " +
+            s"c2 ASC NULLS FIRST) AS BIGINT) AS c3 FROM ${wrap(sql)}"
+      }
+    }
+    s"SELECT c1, c2, c3 FROM ${wrap(sql)} ${orderAll(3)} ${limit()}"
+  }
+
   /** The full deterministic suite for this seed. */
   def queries(count: Int): Vector[(String, String)] =
     (1 to count).map { i =>
-      val (kind, sql) = rnd.nextInt(17) match {
+      val (kind, sql) = rnd.nextInt(18) match {
         case 0 | 1 | 2 => ("sel", qSimple())
         case 3 | 4 | 5 => ("grp", qGroupAgg())
         case 6 => ("win", qWindow())
