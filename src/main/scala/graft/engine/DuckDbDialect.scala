@@ -613,8 +613,10 @@ object DuckDbDialect {
     * scale. The dedicated [[graft.ops.AsOf]] merge formulation remains
     * the preferred DataFrame-API path (one shuffle, no expansion).
     *
-    * Bounds (throws, never silently wrong): the right side must be a
-    * plain table/view/CTE name (no subquery); the ON clause a top-level
+    * Bounds (throws, never silently wrong): the right side is a plain
+    * table/view/CTE name or an aliased parenthesized subquery (the
+    * relation text appears once in the rewrite, so a derived table
+    * drops in verbatim); the ON clause a top-level
     * AND-conjunction of `=` equalities plus EXACTLY one inequality
     * (>=, <=, >, <); all left-side operands qualified by ONE alias whose
     * relation is the plain name immediately before ASOF; and the outer
@@ -651,14 +653,30 @@ object DuckDbDialect {
     require(w1.equalsIgnoreCase("join"),
       s"ASOF: expected [LEFT] JOIN after ASOF, got '$w1' (RIGHT/FULL ASOF is outside the shim's bounded support)")
     skipWs()
-    require(j < sql.length && sql(j) != '(',
-      "ASOF JOIN over a subquery is outside the shim's bounded support — name a registered table/view")
-    val table = word()
-    require(table.nonEmpty, "ASOF: expected a table name after JOIN")
+    // right side: a plain table/view/CTE name, or (round 13b) a
+    // parenthesized subquery — the relation text appears exactly once in
+    // the rewrite (the domain join), so a derived table drops in as-is;
+    // it must carry an alias (the ON clause references its columns)
+    val table =
+      if (j < sql.length && sql(j) == '(') {
+        val s0 = j
+        var d = 1; j += 1
+        while (d > 0 && j < sql.length) {
+          if (!in(j)) {
+            if (sql(j) == '(') d += 1 else if (sql(j) == ')') d -= 1
+          }
+          j += 1
+        }
+        require(d == 0, "ASOF: unbalanced subquery after JOIN")
+        sql.substring(s0, j)
+      } else word()
+    require(table.nonEmpty, "ASOF: expected a table name or subquery after JOIN")
     var nxt = word()
-    var alias = table
+    var alias = if (table.startsWith("(")) "" else table
     if (nxt.equalsIgnoreCase("as")) { alias = word(); nxt = word() }
     else if (!nxt.equalsIgnoreCase("on") && nxt.nonEmpty) { alias = nxt; nxt = word() }
+    require(alias.nonEmpty,
+      "ASOF JOIN over a subquery needs an alias (its columns are referenced in ON)")
     require(nxt.equalsIgnoreCase("on"), s"ASOF: expected ON, got '$nxt'")
     // condition runs to the next top-level clause keyword or join, or EOS
     val terminators = Seq("where", "group", "having", "order", "limit",

@@ -505,11 +505,22 @@ class DuckDbDialectSpec extends AnyFunSuite {
     assert(fwd.contains("d.__asof_t <= b.ts"), fwd)
   }
 
+  test("ASOF JOIN accepts an aliased subquery right side") {
+    val out = DuckDbDialect.rewrite(
+      "SELECT a.id, b.v FROM ticks a ASOF JOIN " +
+        "(SELECT k, ts, v FROM quotes WHERE v > 0) b ON b.k = a.k AND a.ts >= b.ts")
+    // the derived table drops into the domain join verbatim
+    assert(out.contains("JOIN (SELECT k, ts, v FROM quotes WHERE v > 0) b ON"), out)
+    assert(out.contains("ROW_NUMBER() OVER"), out)
+    assert(!out.toUpperCase.contains("ASOF JOIN"), out)
+  }
+
   test("ASOF JOIN bounds fail loudly") {
     val e1 = intercept[IllegalArgumentException] {
-      DuckDbDialect.rewrite("SELECT 1 FROM a ASOF JOIN (SELECT * FROM q) b ON b.k = a.k AND a.t >= b.t")
+      // a subquery right side WITHOUT an alias has no name for ON to reference
+      DuckDbDialect.rewrite("SELECT 1 FROM a ASOF JOIN (SELECT * FROM q) ON k = a.k AND a.t >= t")
     }
-    assert(e1.getMessage.contains("subquery"))
+    assert(e1.getMessage.contains("alias"))
     val e2 = intercept[IllegalArgumentException] {
       DuckDbDialect.rewrite("SELECT 1 FROM a ASOF JOIN q b ON b.k = a.k")
     }
@@ -579,5 +590,13 @@ class DuckDbDialectSpec extends AnyFunSuite {
       "SELECT a.id, b.v FROM asof_l a ASOF JOIN asof_r b " +
         "ON b.k = a.k AND a.ts >= b.ts ORDER BY a.id").collect()
     assert(inner.map(_.getInt(0)).toSeq == Seq(1, 2))
+    // subquery right side: prefiltering to v <= 10 leaves only the
+    // 00:00:01/10.0 quote, so both matching rows now take it
+    val sub = SqlGateway.run(spark,
+      "SELECT a.id, b.v FROM asof_l a ASOF JOIN " +
+        "(SELECT k, ts, v FROM asof_r WHERE v <= 10) b " +
+        "ON b.k = a.k AND a.ts >= b.ts ORDER BY a.id").collect()
+    assert(sub.map(r => (r.getInt(0), r.getDouble(1))).toSeq ==
+      Seq((1, 10.0), (2, 10.0)))
   }
 }
