@@ -274,6 +274,125 @@ object Analytics {
         .orderBy("s_name")
     },
 
+    // TPC-H Q2 shape (correlated MIN subquery): cheapest supplier per
+    // part within a region. The testdata has no partsupp table, so the
+    // part-supplier cost relation derives from lineitem (MIN price per
+    // (part, supplier) pair — MIN is order-independent, no sum
+    // convention needed). The oracle's correlated scalar subquery — the
+    // Q2 signature Catalyst must decorrelate — becomes a per-part MIN
+    // aggregation equi-joined back in the DataFrame program: the
+    // decorrelation is written out by hand, which is exactly the
+    // rewrite the optimizer performs. Scale shape: everything hashes on
+    // partkey/suppkey; nation and region are fixed-size hinted dims.
+    OpQuery("q_tpch_q2_shape",
+      """WITH ps AS (
+        |  SELECT l_partkey, l_suppkey, MIN(l_extendedprice) AS cost
+        |  FROM lineitem GROUP BY l_partkey, l_suppkey),
+        |psr AS (
+        |  SELECT ps.l_partkey, ps.l_suppkey, ps.cost, s.s_name, n.n_name
+        |  FROM ps
+        |  JOIN supplier s ON s.s_suppkey = ps.l_suppkey
+        |  JOIN nation n ON n.n_nationkey = s.s_nationkey
+        |  JOIN region r ON r.r_regionkey = n.n_regionkey AND r.r_name = 'ASIA')
+        |SELECT p.p_partkey, psr.s_name, psr.n_name, psr.cost
+        |FROM psr
+        |JOIN part p ON p.p_partkey = psr.l_partkey AND p.p_size <= 15
+        |WHERE psr.cost = (SELECT MIN(ps2.cost) FROM psr ps2
+        |                  WHERE ps2.l_partkey = psr.l_partkey)
+        |ORDER BY psr.cost, p.p_partkey, psr.s_name LIMIT 100""".stripMargin) { (s, d) =>
+      val ps = lineitem(s, d)
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(min(col("l_extendedprice")).as("cost"))
+      val psr = ps
+        .join(supplier(s, d), col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(nation(s, d)), col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(region(s, d).filter(col("r_name") === "ASIA")),
+          col("n_regionkey") === col("r_regionkey"))
+        .select("l_partkey", "l_suppkey", "cost", "s_name", "n_name")
+      val minCost = psr.groupBy("l_partkey").agg(min(col("cost")).as("min_cost"))
+      psr.join(minCost, Seq("l_partkey"))
+        .filter(col("cost") === col("min_cost"))
+        .join(part(s, d).filter(col("p_size") <= 15),
+          col("l_partkey") === col("p_partkey"))
+        .select(col("p_partkey"), col("s_name"), col("n_name"), col("cost"))
+        .orderBy(col("cost"), col("p_partkey"), col("s_name"))
+        .limit(100)
+    },
+
+    // TPC-H Q21 shape (EXISTS + NOT EXISTS self-joins): suppliers on a
+    // finished multi-supplier order whose lineitem shipped LAST (the
+    // testdata has no receipt/commit dates, so "kept the order waiting"
+    // is expressed on l_shipdate — same three-way self-join structure).
+    // The DataFrame program writes the decorrelation out: EXISTS → a
+    // LeftSemi join (equi on the order key, non-equi supplier
+    // inequality in the condition), NOT EXISTS → a LeftAnti join with
+    // the extra later-shipdate conjunct. Scale shape: both self-joins
+    // hash on l_orderkey (co-partitioned with the probe side, no
+    // broadcast of the O(SF) lineitem); nation is a hinted fixed dim.
+    OpQuery("q_tpch_q21_shape",
+      """SELECT s.s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+        |FROM lineitem l1
+        |JOIN orders o ON o.o_orderkey = l1.l_orderkey AND o.o_orderstatus = 'F'
+        |JOIN supplier s ON s.s_suppkey = l1.l_suppkey
+        |JOIN nation n ON n.n_nationkey = s.s_nationkey AND n.n_name = 'NATION_12'
+        |WHERE EXISTS (SELECT 1 FROM lineitem l2
+        |              WHERE l2.l_orderkey = l1.l_orderkey
+        |                AND l2.l_suppkey <> l1.l_suppkey)
+        |  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+        |                  WHERE l3.l_orderkey = l1.l_orderkey
+        |                    AND l3.l_suppkey <> l1.l_suppkey
+        |                    AND l3.l_shipdate > l1.l_shipdate)
+        |GROUP BY s.s_name ORDER BY numwait DESC, s.s_name""".stripMargin) { (s, d) =>
+      val li = lineitem(s, d)
+      val l1 = li.select(col("l_orderkey"), col("l_suppkey"), col("l_shipdate"))
+      val l2 = li.select(col("l_orderkey").as("k2"), col("l_suppkey").as("sk2"))
+      val l3 = li.select(col("l_orderkey").as("k3"), col("l_suppkey").as("sk3"),
+        col("l_shipdate").as("sd3"))
+      l1.join(orders(s, d).filter(col("o_orderstatus") === "F"),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(l2, col("k2") === col("l_orderkey") &&
+          col("sk2") =!= col("l_suppkey"), "left_semi")
+        .join(l3, col("k3") === col("l_orderkey") &&
+          col("sk3") =!= col("l_suppkey") &&
+          col("sd3") > col("l_shipdate"), "left_anti")
+        .join(supplier(s, d), col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(nation(s, d).filter(col("n_name") === "NATION_12")),
+          col("s_nationkey") === col("n_nationkey"))
+        .groupBy("s_name")
+        .agg(count(lit(1)).as("numwait"))
+        .orderBy(col("numwait").desc, col("s_name"))
+    },
+
+    // TPC-H Q22 shape (scalar-avg subquery + anti join): above-average-
+    // balance customers who never placed an urgent order, rolled up by
+    // market segment (the testdata has no phone column, so the country-
+    // code grouping becomes the segment). The balance threshold uses the
+    // decimal-exact average image so the filter boundary is identical
+    // on both engines; the NOT EXISTS is a LeftAnti on the customer key
+    // (co-partitioned, no O(customers) broadcast).
+    OpQuery("q_tpch_q22_shape",
+      s"""SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS numcust,
+         |       ${oSum("c_acctbal")} AS totacctbal
+         |FROM customer c
+         |WHERE c_acctbal > (SELECT ${oAvg("c_acctbal")} FROM customer
+         |                   WHERE c_acctbal > 0.0)
+         |  AND NOT EXISTS (SELECT 1 FROM orders o
+         |                  WHERE o.o_custkey = c.c_custkey
+         |                    AND o.o_orderpriority = '1-URGENT')
+         |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin) { (s, d) =>
+      val c = customer(s, d)
+      val avgDf = c.filter(col("c_acctbal") > 0.0)
+        .agg((dsum(col("c_acctbal")) / count(lit(1))).as("avg_bal"))
+      c.crossJoin(broadcast(avgDf))
+        .filter(col("c_acctbal") > col("avg_bal"))
+        .join(orders(s, d).filter(col("o_orderpriority") === "1-URGENT")
+            .select(col("o_custkey")),
+          col("o_custkey") === col("c_custkey"), "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("numcust"), dsum(col("c_acctbal")).as("totacctbal"))
+        .orderBy("c_mktsegment")
+    },
+
     // Cohort retention: users grouped by first-seen day, with day-1 and
     // day-7 return rates — the classic product-analytics composite.
     // Days are integer indexes from a fixed epoch (both engines compute

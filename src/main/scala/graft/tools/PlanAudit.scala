@@ -137,7 +137,15 @@ object PlanAudit {
       // the stratified split's ranking window is partitioned by the
       // stratum key — no single-partition global sort over the corpus
       Check("q_corpus_split", "split window partitioned by stratum (lang)",
-        p => "row_number().*windowspecdefinition\\(lang#".r.findFirstIn(p).isDefined)
+        p => "row_number().*windowspecdefinition\\(lang#".r.findFirstIn(p).isDefined),
+      // round-13b TPC-H correlated shapes: the hand-decorrelated
+      // programs must stay equi-join plans — a BroadcastNestedLoopJoin
+      // would mean the correlation leaked back into a per-row loop
+      Check("q_tpch_q2_shape", "correlated-min rewrite stays equi-join (no NL join)",
+        p => !p.contains("BroadcastNestedLoopJoin") &&
+          !p.contains("CartesianProduct")),
+      Check("q_tpch_q21_shape", "EXISTS/NOT EXISTS plan as semi + anti self-joins",
+        p => p.contains("LeftSemi") && p.contains("LeftAnti"))
     )
 
     val plans = scala.collection.mutable.LinkedHashMap[String, String]()
@@ -233,6 +241,12 @@ object PlanAudit {
       "q_text_quality_classifier" -> 1, // 1-row fitted model (15 numbers)
       "q_text_tfidf" -> 1,          // 1-row corpus doc count (the IDF N)
       "q_tpch_q10_shape" -> 1,      // nation: fixed 25 rows
+      "q_tpch_q2_shape" -> 4,       // nation + one-region dims (fixed 25/5 rows),
+                                    // ×2 because the per-part MIN reuses the
+                                    // region-scoped cost subtree — both sites
+                                    // broadcast only the bounded dims
+      "q_tpch_q21_shape" -> 1,      // one-nation dim: fixed ≤25 rows
+      "q_tpch_q22_shape" -> 1,      // 1-row decimal-exact average
       "q_tpch_q7_shape" -> 2,       // two 2-row nation-pair dims (both ≤25 at every SF)
       "q_tpch_q20_shape" -> 1,      // one-nation dim: fixed ≤25 rows at every SF
       "q_window_ntile" -> 1,        // O(value buckets) offset table

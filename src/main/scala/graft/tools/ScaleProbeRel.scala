@@ -35,7 +35,13 @@ object ScaleProbeRel {
     "q_tpch_q7_shape", "q_agg_kll_merge",
     // frequency-sketch rollup: sketch count O(#groups), map capacity
     // fixed — per-row update cost tracks the scan
-    "q_agg_freq_merge")
+    "q_agg_freq_merge",
+    // round 13b: the decorrelation composites. Q21's semi/anti
+    // self-joins hash on l_orderkey (disjoint per replica → per-order
+    // work constant); Q2's (part,supplier) MIN has a fixed group domain
+    // so only the scan+partial-agg grows; Q22 anti-joins on the
+    // replicated customer key
+    "q_tpch_q2_shape", "q_tpch_q21_shape", "q_tpch_q22_shape")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
