@@ -71,7 +71,7 @@ object ScaleProbeRel {
           .write.mode("overwrite").parquet(s"$dir/orders.parquet")
         (0 until k).map(custRep).reduce(_ unionAll _)
           .write.mode("overwrite").parquet(s"$dir/customer.parquet")
-        Seq("nation", "region", "supplier").foreach { t =>
+        Seq("nation", "region", "supplier", "part").foreach { t =>
           spark.read.parquet(s"$sfDir/$t.parquet")
             .write.mode("overwrite").parquet(s"$dir/$t.parquet")
         }
