@@ -29,7 +29,7 @@ object SparkEntry {
     Relational.queries ++ Joins.queries ++ Windows.queries ++ Scalars.queries ++
       Dedup.queries ++ TextOps.queries ++ VectorOps.queries ++
       EventWindows.queries ++ Multimodal.queries ++ Analytics.queries ++
-      Corpus.queries ++ Stats.queries
+      Corpus.queries ++ Stats.queries ++ TpchShapes.queries
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * TPC-H Q5 shape: star joins + broadcast dims + grouped revenue. */

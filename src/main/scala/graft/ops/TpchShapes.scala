@@ -1,0 +1,363 @@
+package graft.ops
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import Tables._
+
+/** The eleven TPC-H query shapes not yet covered by [[Analytics]] /
+  * [[Joins]] / [[Relational]] (which carry Q1/Q2/Q3/Q5/Q7/Q10/Q15/Q18/
+  * Q20/Q21/Q22) — completing all 22 shapes of the benchmark the
+  * reference's "any SELECT over registered data" contract
+  * (/root/reference/doc.py:186-188) is most commonly exercised with.
+  * Columns the driver testdata lacks (partsupp, ship modes, receipt/
+  * commit dates, phone prefixes) are substituted with structurally
+  * equivalent predicates on existing columns — each query keeps the
+  * SHAPE that makes its original interesting (the EXISTS probe of Q4,
+  * the two-sided nation ratio of Q8, the global-threshold HAVING of
+  * Q11, the count-distribution of Q13, the NOT IN of Q16, the
+  * correlated-average dominance of Q17, the disjunctive join residual
+  * of Q19), so the oracle checks the same optimizer machinery.
+  *
+  * Scale conventions follow the house rules: money sums go through the
+  * order-independent fixed-point images ([[Tables.dsum]]/[[Tables.dsum6]]),
+  * only fixed-cardinality dims (nation/region, ≤25/5 rows at every SF)
+  * or 1-row scalar frames carry broadcast() hints, and every
+  * correlated subquery in the oracle SQL is written out as its
+  * decorrelated equi-join in the DataFrame program.
+  */
+object TpchShapes {
+
+  val queries: Seq[OpQuery] = Seq(
+
+    // TPC-H Q4 shape: EXISTS-probed order counts per priority. The
+    // testdata has no commit/receipt dates, so "a lineitem arrived
+    // late" becomes "a lineitem was returned" (l_returnflag = 'R') —
+    // same decorrelation: EXISTS → LeftSemi on the order key, hashed
+    // on o_orderkey/l_orderkey (co-partitioned, nothing broadcast).
+    OpQuery("q_tpch_q4_shape",
+      """SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS order_count
+        |FROM orders o
+        |WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+        |  AND o_orderdate <  TIMESTAMP '1997-01-01'
+        |  AND EXISTS (SELECT 1 FROM lineitem l
+        |              WHERE l.l_orderkey = o.o_orderkey
+        |                AND l.l_returnflag = 'R')
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin) { (s, d) =>
+      val li = lineitem(s, d).filter(col("l_returnflag") === "R")
+        .select(col("l_orderkey"))
+      orders(s, d)
+        .filter(col("o_orderdate") >= to_timestamp(lit("1996-01-01")) &&
+          col("o_orderdate") < to_timestamp(lit("1997-01-01")))
+        .join(li, col("o_orderkey") === col("l_orderkey"), "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("order_count"))
+        .orderBy("o_orderpriority")
+    },
+
+    // TPC-H Q6 shape: the pure scan-filter-aggregate (forecast revenue
+    // change). One pass, map-side partials, no shuffle beyond the
+    // 1-row final agg — at 100 TB this is the query whose whole cost
+    // is the parquet scan, so the filters must reach PushedFilters.
+    OpQuery("q_tpch_q6_shape",
+      s"""SELECT ${oSum6("l_extendedprice * l_discount")} AS revenue
+         |FROM lineitem
+         |WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+         |  AND l_shipdate <  TIMESTAMP '1998-01-01'
+         |  AND l_discount BETWEEN 0.05 AND 0.07
+         |  AND l_quantity < 24.0""".stripMargin) { (s, d) =>
+      lineitem(s, d)
+        .filter(col("l_shipdate") >= to_timestamp(lit("1997-01-01")) &&
+          col("l_shipdate") < to_timestamp(lit("1998-01-01")) &&
+          col("l_discount").between(0.05, 0.07) &&
+          col("l_quantity") < 24.0)
+        .agg(dsum6(col("l_extendedprice") * col("l_discount")).as("revenue"))
+    },
+
+    // TPC-H Q8 shape: national market share — the two-sided star (the
+    // customer side walks to region, the supplier side to nation) with
+    // a CASE-guarded share ratio per year. Both sums use the 6-dp
+    // fixed-point image, so the final division sees bit-identical
+    // doubles on both engines. nation/region are the only broadcast
+    // hints (fixed ≤25/5 rows); part/customer/supplier stay shuffled.
+    OpQuery("q_tpch_q8_shape",
+      s"""SELECT CAST(EXTRACT(YEAR FROM o_orderdate) AS BIGINT) AS o_year,
+         |       ${oSum6("CASE WHEN n2.n_name = 'NATION_7' THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END")}
+         |         / ${oSum6("l_extendedprice * (1 - l_discount)")} AS mkt_share
+         |FROM lineitem
+         |JOIN orders   ON o_orderkey = l_orderkey
+         |JOIN customer ON c_custkey = o_custkey
+         |JOIN nation n1 ON n1.n_nationkey = c_nationkey
+         |JOIN region   ON r_regionkey = n1.n_regionkey AND r_name = 'ASIA'
+         |JOIN supplier ON s_suppkey = l_suppkey
+         |JOIN nation n2 ON n2.n_nationkey = s_nationkey
+         |JOIN part     ON p_partkey = l_partkey AND p_type = 'ECONOMY'
+         |WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+         |  AND o_orderdate <  TIMESTAMP '1998-01-01'
+         |GROUP BY EXTRACT(YEAR FROM o_orderdate) ORDER BY o_year""".stripMargin) { (s, d) =>
+      val vol = (col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("vol")
+      val n1 = broadcast(nation(s, d)
+        .select(col("n_nationkey").as("n1_key"), col("n_regionkey")))
+      val n2 = broadcast(nation(s, d)
+        .select(col("n_nationkey").as("n2_key"), col("n_name").as("supp_nation")))
+      lineitem(s, d)
+        .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"), vol)
+        .join(orders(s, d)
+            .filter(col("o_orderdate") >= to_timestamp(lit("1996-01-01")) &&
+              col("o_orderdate") < to_timestamp(lit("1998-01-01")))
+            .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate")),
+          col("o_orderkey") === col("l_orderkey"))
+        .join(customer(s, d).select("c_custkey", "c_nationkey"),
+          col("o_custkey") === col("c_custkey"))
+        .join(n1, col("n1_key") === col("c_nationkey"))
+        .join(broadcast(region(s, d).filter(col("r_name") === "ASIA")),
+          col("r_regionkey") === col("n_regionkey"))
+        .join(supplier(s, d).select("s_suppkey", "s_nationkey"),
+          col("s_suppkey") === col("l_suppkey"))
+        .join(n2, col("n2_key") === col("s_nationkey"))
+        .join(part(s, d).filter(col("p_type") === "ECONOMY").select("p_partkey"),
+          col("p_partkey") === col("l_partkey"))
+        .groupBy(year(col("o_orderdate")).cast("long").as("o_year"))
+        .agg((dsum6(when(col("supp_nation") === "NATION_7", col("vol"))
+            .otherwise(lit(0.0))) / dsum6(col("vol"))).as("mkt_share"))
+        .orderBy("o_year")
+    },
+
+    // TPC-H Q9 shape: product-type profit — profit = revenue minus an
+    // input-cost proxy (the testdata has no partsupp.ps_supplycost, so
+    // cost is 10% of p_retailprice per unit), grouped by supplier
+    // nation and order year. Negative amounts exercise the signed path
+    // of the fixed-point sum. Only nation is hinted.
+    OpQuery("q_tpch_q9_shape",
+      s"""SELECT n_name AS nation, CAST(EXTRACT(YEAR FROM o_orderdate) AS BIGINT) AS o_year,
+         |       ${oSum6("l_extendedprice * (1 - l_discount) - p_retailprice * 0.1 * l_quantity")} AS sum_profit
+         |FROM lineitem
+         |JOIN part     ON p_partkey = l_partkey AND p_name LIKE '%red%'
+         |JOIN supplier ON s_suppkey = l_suppkey
+         |JOIN nation   ON n_nationkey = s_nationkey
+         |JOIN orders   ON o_orderkey = l_orderkey
+         |GROUP BY n_name, EXTRACT(YEAR FROM o_orderdate)
+         |ORDER BY nation, o_year DESC""".stripMargin) { (s, d) =>
+      val amount = col("l_extendedprice") * (lit(1.0) - col("l_discount")) -
+        col("p_retailprice") * lit(0.1) * col("l_quantity")
+      lineitem(s, d)
+        .join(part(s, d).filter(col("p_name").like("%red%"))
+            .select("p_partkey", "p_retailprice"),
+          col("p_partkey") === col("l_partkey"))
+        .join(supplier(s, d).select("s_suppkey", "s_nationkey"),
+          col("s_suppkey") === col("l_suppkey"))
+        .join(broadcast(nation(s, d).select("n_nationkey", "n_name")),
+          col("n_nationkey") === col("s_nationkey"))
+        .join(orders(s, d).select("o_orderkey", "o_orderdate"),
+          col("o_orderkey") === col("l_orderkey"))
+        .select(col("n_name").as("nation"),
+          year(col("o_orderdate")).cast("long").as("o_year"), amount.as("amount"))
+        .groupBy("nation", "o_year")
+        .agg(dsum6(col("amount")).as("sum_profit"))
+        .orderBy(col("nation"), col("o_year").desc)
+    },
+
+    // TPC-H Q11 shape: per-part inventory value filtered by a HAVING
+    // against a fraction of the GLOBAL total — the scalar-subquery-in-
+    // HAVING signature. Value derives from lineitem (cents × integer
+    // quantity — all-integer, so the 1/1000 threshold compare is exact
+    // integer division on both engines, no float boundary to flip).
+    // The 1-row total is the only non-dim broadcast.
+    OpQuery("q_tpch_q11_shape",
+      """WITH sv AS (
+        |  SELECT l_partkey,
+        |         SUM(CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT)
+        |             * CAST(l_quantity AS BIGINT)) AS val_c
+        |  FROM lineitem
+        |  JOIN supplier ON s_suppkey = l_suppkey
+        |  JOIN nation   ON n_nationkey = s_nationkey AND n_name = 'NATION_3'
+        |  GROUP BY l_partkey)
+        |SELECT l_partkey, CAST(val_c AS DOUBLE) / 100.0 AS part_value
+        |FROM sv
+        |WHERE val_c > (SELECT SUM(val_c) // 1000 FROM sv)
+        |ORDER BY part_value DESC, l_partkey LIMIT 100""".stripMargin) { (s, d) =>
+      val sv = lineitem(s, d)
+        .join(supplier(s, d).select("s_suppkey", "s_nationkey"),
+          col("s_suppkey") === col("l_suppkey"))
+        .join(broadcast(nation(s, d).filter(col("n_name") === "NATION_3")),
+          col("n_nationkey") === col("s_nationkey"))
+        .groupBy("l_partkey")
+        .agg(sum(cents(col("l_extendedprice")) * col("l_quantity").cast("long"))
+          .as("val_c"))
+      val total = sv.agg((sum(col("val_c")) / lit(1000L)).cast("long").as("thresh"))
+      sv.crossJoin(broadcast(total))
+        .filter(col("val_c") > col("thresh"))
+        .select(col("l_partkey"), (col("val_c").cast("double") / 100.0).as("part_value"))
+        .orderBy(col("part_value").desc, col("l_partkey"))
+        .limit(100)
+    },
+
+    // TPC-H Q12 shape: priority-split line counts per status (the ship
+    // mode column doesn't exist; l_returnflag ∈ {'A','R'} stands in
+    // for the two audited modes). CASE-counted aggregation over one
+    // orders⋈lineitem join, hashed on the order key.
+    OpQuery("q_tpch_q12_shape",
+      """SELECT l_linestatus,
+        |       CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |                     THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+        |       CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+        |                     THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+        |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |WHERE l_returnflag IN ('A', 'R')
+        |  AND l_shipdate >= TIMESTAMP '1997-01-01'
+        |  AND l_shipdate <  TIMESTAMP '1998-01-01'
+        |GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin) { (s, d) =>
+      val hi = col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+      lineitem(s, d)
+        .filter(col("l_returnflag").isin("A", "R") &&
+          col("l_shipdate") >= to_timestamp(lit("1997-01-01")) &&
+          col("l_shipdate") < to_timestamp(lit("1998-01-01")))
+        .select("l_orderkey", "l_linestatus")
+        .join(orders(s, d).select("o_orderkey", "o_orderpriority"),
+          col("o_orderkey") === col("l_orderkey"))
+        .groupBy("l_linestatus")
+        .agg(sum(when(hi, 1L).otherwise(0L)).as("high_line_count"),
+          sum(when(hi, 0L).otherwise(1L)).as("low_line_count"))
+        .orderBy("l_linestatus")
+    },
+
+    // TPC-H Q13 shape: the distribution of per-customer order counts —
+    // a LEFT join that must preserve zero-order customers, then an
+    // aggregate OF an aggregate. Both groupings hash on their keys
+    // (c_custkey, then the count value — bounded domain); nothing
+    // broadcasts.
+    OpQuery("q_tpch_q13_shape",
+      """WITH co AS (
+        |  SELECT c_custkey, CAST(COUNT(o_orderkey) AS BIGINT) AS c_count
+        |  FROM customer LEFT JOIN orders
+        |    ON c_custkey = o_custkey AND o_orderpriority <> '5-LOW'
+        |  GROUP BY c_custkey)
+        |SELECT c_count, CAST(COUNT(*) AS BIGINT) AS custdist
+        |FROM co GROUP BY c_count
+        |ORDER BY custdist DESC, c_count DESC""".stripMargin) { (s, d) =>
+      val co = customer(s, d).select("c_custkey")
+        .join(orders(s, d).filter(col("o_orderpriority") =!= "5-LOW")
+            .select("o_custkey", "o_orderkey"),
+          col("c_custkey") === col("o_custkey"), "left")
+        .groupBy("c_custkey")
+        .agg(count(col("o_orderkey")).as("c_count"))
+      co.groupBy("c_count")
+        .agg(count(lit(1)).as("custdist"))
+        .orderBy(col("custdist").desc, col("c_count").desc)
+    },
+
+    // TPC-H Q14 shape: promo revenue share in one month — CASE ratio
+    // over a lineitem⋈part join. Numerator and denominator both use
+    // the 6-dp image; (100.0 × a) / b over bit-identical doubles is
+    // deterministic on both engines.
+    OpQuery("q_tpch_q14_shape",
+      s"""SELECT 100.0 * ${oSum6("CASE WHEN p_type = 'PROMO' THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END")}
+         |       / ${oSum6("l_extendedprice * (1 - l_discount)")} AS promo_revenue
+         |FROM lineitem JOIN part ON l_partkey = p_partkey
+         |WHERE l_shipdate >= TIMESTAMP '1997-03-01'
+         |  AND l_shipdate <  TIMESTAMP '1997-04-01'""".stripMargin) { (s, d) =>
+      val vol = col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+      lineitem(s, d)
+        .filter(col("l_shipdate") >= to_timestamp(lit("1997-03-01")) &&
+          col("l_shipdate") < to_timestamp(lit("1997-04-01")))
+        .select(col("l_partkey"), vol.as("vol"))
+        .join(part(s, d).select("p_partkey", "p_type"),
+          col("p_partkey") === col("l_partkey"))
+        .agg((lit(100.0) * dsum6(when(col("p_type") === "PROMO", col("vol"))
+          .otherwise(lit(0.0))) / dsum6(col("vol"))).as("promo_revenue"))
+    },
+
+    // TPC-H Q16 shape: distinct-supplier counts per (brand, size) with
+    // a NOT IN exclusion subquery. The excluded-supplier set is
+    // O(suppliers) = O(SF), so it planes as a shuffled LeftAnti (the
+    // key is never NULL, making NOT IN ≡ anti join); the distinct
+    // count is the two-shuffle hash-agg Spark picks for
+    // COUNT(DISTINCT) over a grouped frame.
+    OpQuery("q_tpch_q16_shape",
+      """SELECT p_brand, p_size, CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+        |FROM lineitem JOIN part ON p_partkey = l_partkey
+        |WHERE p_brand <> 'Brand#1' AND p_type <> 'PROMO'
+        |  AND p_size IN (1, 5, 9, 14, 19, 23, 36, 45)
+        |  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0.0)
+        |GROUP BY p_brand, p_size
+        |ORDER BY supplier_cnt DESC, p_brand, p_size""".stripMargin) { (s, d) =>
+      val excl = supplier(s, d).filter(col("s_acctbal") < 0.0).select("s_suppkey")
+      lineitem(s, d).select("l_partkey", "l_suppkey")
+        .join(part(s, d)
+            .filter(col("p_brand") =!= "Brand#1" && col("p_type") =!= "PROMO" &&
+              col("p_size").isin(1, 5, 9, 14, 19, 23, 36, 45))
+            .select("p_partkey", "p_brand", "p_size"),
+          col("p_partkey") === col("l_partkey"))
+        .join(excl, col("l_suppkey") === col("s_suppkey"), "left_anti")
+        .groupBy("p_brand", "p_size")
+        .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+        .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_size"))
+    },
+
+    // TPC-H Q17 shape: revenue lost to small-quantity orders — each
+    // lineitem compared against 20% of ITS PART's average quantity.
+    // The oracle keeps the correlated scalar subqueries (the Q17
+    // signature DuckDB decorrelates); the program writes the rewrite
+    // out as a per-part aggregate equi-joined back. The threshold
+    // compare is all-integer (5·q_cents·n < Σq_cents ⟺ q < 0.2·avg),
+    // so no float boundary can flip a row between engines.
+    OpQuery("q_tpch_q17_shape",
+      s"""SELECT ${oSum("l_extendedprice")} / 7.0 AS avg_yearly
+         |FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+         |WHERE p.p_brand = 'Brand#3'
+         |  AND 5 * CAST(FLOOR(l.l_quantity * 100 + 0.5) AS BIGINT)
+         |        * (SELECT CAST(COUNT(*) AS BIGINT) FROM lineitem l2
+         |           WHERE l2.l_partkey = l.l_partkey)
+         |      < (SELECT SUM(CAST(FLOOR(l2.l_quantity * 100 + 0.5) AS BIGINT))
+         |         FROM lineitem l2 WHERE l2.l_partkey = l.l_partkey)""".stripMargin) { (s, d) =>
+      val pq = lineitem(s, d)
+        .groupBy(col("l_partkey").as("pq_partkey"))
+        .agg(sum(cents(col("l_quantity"))).as("sum_qc"),
+          count(lit(1)).as("n_li"))
+      lineitem(s, d).select("l_partkey", "l_quantity", "l_extendedprice")
+        .join(part(s, d).filter(col("p_brand") === "Brand#3").select("p_partkey"),
+          col("p_partkey") === col("l_partkey"))
+        .join(pq, col("pq_partkey") === col("l_partkey"))
+        .filter(lit(5L) * cents(col("l_quantity")) * col("n_li") < col("sum_qc"))
+        .agg((dsum(col("l_extendedprice")) / lit(7.0)).as("avg_yearly"))
+    },
+
+    // TPC-H Q19 shape: the disjunctive-predicate join — three OR'd
+    // conjunct groups mixing part attributes and lineitem quantities.
+    // The planner must keep the p_partkey equi-join (hash/SMJ) and
+    // evaluate the disjunction as a post-join residual; a
+    // BroadcastNestedLoopJoin here would mean the OR leaked into the
+    // join condition (PlanAudit pins this).
+    OpQuery("q_tpch_q19_shape",
+      s"""SELECT ${oSum6("l_extendedprice * (1 - l_discount)")} AS revenue
+         |FROM lineitem JOIN part ON p_partkey = l_partkey
+         |WHERE (p_brand = 'Brand#12' AND p_type IN ('SMALL', 'MEDIUM')
+         |       AND p_size BETWEEN 1 AND 5
+         |       AND l_quantity >= 1.0 AND l_quantity <= 11.0)
+         |   OR (p_brand = 'Brand#23' AND p_type IN ('MEDIUM', 'LARGE')
+         |       AND p_size BETWEEN 1 AND 10
+         |       AND l_quantity >= 10.0 AND l_quantity <= 20.0)
+         |   OR (p_brand = 'Brand#3' AND p_type IN ('LARGE', 'ECONOMY', 'STANDARD')
+         |       AND p_size BETWEEN 1 AND 15
+         |       AND l_quantity >= 20.0 AND l_quantity <= 30.0)""".stripMargin) { (s, d) =>
+      val disj =
+        (col("p_brand") === "Brand#12" && col("p_type").isin("SMALL", "MEDIUM") &&
+          col("p_size").between(1, 5) &&
+          col("l_quantity") >= 1.0 && col("l_quantity") <= 11.0) ||
+        (col("p_brand") === "Brand#23" && col("p_type").isin("MEDIUM", "LARGE") &&
+          col("p_size").between(1, 10) &&
+          col("l_quantity") >= 10.0 && col("l_quantity") <= 20.0) ||
+        (col("p_brand") === "Brand#3" &&
+          col("p_type").isin("LARGE", "ECONOMY", "STANDARD") &&
+          col("p_size").between(1, 15) &&
+          col("l_quantity") >= 20.0 && col("l_quantity") <= 30.0)
+      lineitem(s, d)
+        .select(col("l_partkey"), col("l_quantity"),
+          (col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("vol"))
+        .join(part(s, d).select("p_partkey", "p_brand", "p_type", "p_size"),
+          col("p_partkey") === col("l_partkey"))
+        .filter(disj)
+        .agg(dsum6(col("vol")).as("revenue"))
+    }
+  )
+}

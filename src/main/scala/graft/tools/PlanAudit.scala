@@ -145,7 +145,25 @@ object PlanAudit {
         p => !p.contains("BroadcastNestedLoopJoin") &&
           !p.contains("CartesianProduct")),
       Check("q_tpch_q21_shape", "EXISTS/NOT EXISTS plan as semi + anti self-joins",
-        p => p.contains("LeftSemi") && p.contains("LeftAnti"))
+        p => p.contains("LeftSemi") && p.contains("LeftAnti")),
+      // round-13c TPC-H completions: Q4's EXISTS is a LeftSemi on the
+      // order key; Q16's NOT IN is a LeftAnti (never a null-aware NL
+      // join — l_suppkey is non-nullable); Q17's correlated-average
+      // rewrite stays equi-join; Q19's OR-of-conjuncts must remain a
+      // p_partkey equi-join with the disjunction as a residual, not a
+      // nested-loop join
+      Check("q_tpch_q4_shape", "EXISTS plans as LeftSemi on the order key",
+        p => p.contains("LeftSemi") && !p.contains("BroadcastNestedLoopJoin")),
+      Check("q_tpch_q16_shape", "NOT IN plans as LeftAnti, no NL join",
+        p => p.contains("LeftAnti") && !p.contains("BroadcastNestedLoopJoin")),
+      Check("q_tpch_q17_shape", "per-part average rewrite stays equi-join",
+        p => !p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct")),
+      Check("q_tpch_q19_shape", "disjunction is a residual on the partkey equi-join",
+        p => !p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct")),
+      // Q6 is the pure scan-agg: its filters must reach the parquet
+      // scan (PushedFilters on shipdate/discount/quantity)
+      Check("q_tpch_q6_shape", "Q6 filters pushed to the parquet scan",
+        p => "PushedFilters: \\[[^\\]]*l_shipdate".r.findFirstIn(p).isDefined)
     )
 
     val plans = scala.collection.mutable.LinkedHashMap[String, String]()
@@ -246,6 +264,11 @@ object PlanAudit {
                                     // region-scoped cost subtree — both sites
                                     // broadcast only the bounded dims
       "q_tpch_q21_shape" -> 1,      // one-nation dim: fixed ≤25 rows
+      "q_tpch_q8_shape" -> 3,       // two nation dims + one-region dim (≤25/5 rows)
+      "q_tpch_q9_shape" -> 1,       // nation: fixed 25 rows
+      "q_tpch_q11_shape" -> 3,      // one-nation dim ×2 (the global-threshold
+                                    // scalar reuses the sv subtree, duplicating
+                                    // the dim site) + the 1-row threshold itself
       "q_tpch_q22_shape" -> 1,      // 1-row decimal-exact average
       "q_tpch_q7_shape" -> 2,       // two 2-row nation-pair dims (both ≤25 at every SF)
       "q_tpch_q20_shape" -> 1,      // one-nation dim: fixed ≤25 rows at every SF
