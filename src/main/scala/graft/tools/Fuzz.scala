@@ -1156,8 +1156,11 @@ final class SqlFuzzer(seed: Long) {
             s"FROM ${wrap(sql)} GROUP BY 1"
           uniq = true
         case 2 if uniq => // self equi-join on the unique c1: row-preserving
+          // a/b ARE the derived-table aliases here (wrap's d$n alias
+          // would double-alias: "(...) d2 a" is a syntax error — the
+          // bug that proved this kind had never actually run)
           sql = s"SELECT a.c1 AS c1, a.c2 AS c2, b.c3 AS c3 " +
-            s"FROM ${wrap(sql)} a JOIN ${wrap(sql)} b ON a.c1 = b.c1"
+            s"FROM ($sql) a JOIN ($sql) b ON a.c1 = b.c1"
         case 3 => // UNION ALL with a filtered copy of the same chain
           sql = s"SELECT c1, c2, c3 FROM ${wrap(sql)} UNION ALL " +
             s"SELECT c1, c2, c3 FROM ${wrap(sql)} " +
@@ -1173,10 +1176,55 @@ final class SqlFuzzer(seed: Long) {
     s"SELECT c1, c2, c3 FROM ${wrap(sql)} ${orderAll(3)} ${limit()}"
   }
 
+  /** TPC-H Q19 signature (round 13c): an equi-join whose WHERE is an OR
+    * of 2-3 conjunct groups mixing columns from BOTH sides — the planner
+    * must keep the partkey equi-join and evaluate the disjunction as a
+    * post-join residual. Grouped on a pooled column so the output is a
+    * small deterministic rollup; the money sum uses the fixed-point
+    * image. */
+  private def qDisjJoin(): String = {
+    def armGroup(): String = {
+      val brand = pick(part.pools("p_brand"))
+      val types = rnd.shuffle(part.pools("p_type")).take(1 + rnd.nextInt(3)).sorted
+      val szLo = intLit(1, 25); val szHi = szLo + intLit(3, 20)
+      val qLo = intLit(1, 30); val qHi = qLo + intLit(5, 20)
+      s"(p_brand = '$brand' AND p_type IN (${types.map(t => s"'$t'").mkString(", ")}) " +
+        s"AND p_size BETWEEN $szLo AND $szHi " +
+        s"AND l_quantity >= $qLo.0 AND l_quantity <= $qHi.0)"
+    }
+    val arms = (1 to (2 + rnd.nextInt(2))).map(_ => armGroup())
+    s"SELECT p_brand AS c1, CAST(COUNT(*) AS BIGINT) AS c2, " +
+      s"${oSumSql("l_extendedprice")} AS c3 " +
+      s"FROM lineitem JOIN part ON p_partkey = l_partkey " +
+      s"WHERE ${arms.mkString(" OR ")} " +
+      s"GROUP BY 1 ${orderAll(3)} ${limit()}"
+  }
+
+  /** TPC-H Q13 signature (round 13c): count-of-counts over a LEFT join
+    * whose extra predicate sits INSIDE the ON clause — zero-match
+    * parents must survive with count 0 (a WHERE would silently drop
+    * them), and COUNT(col) vs COUNT(*) differ exactly on those rows.
+    * Under --nulls the FK itself can be NULL, exercising the
+    * null-join-key path through both aggregation levels. */
+  private def qCountDist(): String = {
+    val (child, parent, fk, pk) = pick(Seq(
+      (orders, customer, "o_custkey", "c_custkey"),
+      (lineitem, orders, "l_orderkey", "o_orderkey"),
+      (lineitem, part, "l_partkey", "p_partkey"),
+      (lineitem, supplier, "l_suppkey", "s_suppkey")))
+    val onPred = "b." + basePred(child)
+    val counted = if (rnd.nextBoolean()) s"b.$fk" else "b." + pick(cols(child, IntK)).name
+    s"WITH co AS (SELECT a.$pk AS k, CAST(COUNT($counted) AS BIGINT) AS cc " +
+      s"FROM ${parent.name} a LEFT JOIN ${child.name} b " +
+      s"ON a.$pk = b.$fk AND $onPred GROUP BY 1) " +
+      s"SELECT cc AS c1, CAST(COUNT(*) AS BIGINT) AS c2 " +
+      s"FROM co GROUP BY 1 ${orderAll(2)} ${limit()}"
+  }
+
   /** The full deterministic suite for this seed. */
   def queries(count: Int): Vector[(String, String)] =
     (1 to count).map { i =>
-      val (kind, sql) = rnd.nextInt(18) match {
+      val (kind, sql) = rnd.nextInt(20) match {
         case 0 | 1 | 2 => ("sel", qSimple())
         case 3 | 4 | 5 => ("grp", qGroupAgg())
         case 6 => ("win", qWindow())
@@ -1189,6 +1237,13 @@ final class SqlFuzzer(seed: Long) {
         case 13 => ("aw", qAggWindow())
         case 14 => ("hs", qHavingSub())
         case 15 => ("rec", qRecursive())
+        case 16 => ("dj", qDisjJoin())
+        case 17 => ("cd", qCountDist())
+        // the deep kind was DEAD until round 13c: the commit that added
+        // qDeep widened nextInt(17)→18 but never dispatched it, so the
+        // "deep" soak seeds exercised the default vj arm instead
+        // (FUZZ_NOTES corrects the record)
+        case 18 => ("deep", qDeep())
         case _ => ("vj", qValuesJoin())
       }
       (f"fz_$i%04d_$kind", sql)

@@ -41,7 +41,17 @@ object ScaleProbeRel {
     // work constant); Q2's (part,supplier) MIN has a fixed group domain
     // so only the scan+partial-agg grows; Q22 anti-joins on the
     // replicated customer key
-    "q_tpch_q2_shape", "q_tpch_q21_shape", "q_tpch_q22_shape")
+    "q_tpch_q2_shape", "q_tpch_q21_shape", "q_tpch_q22_shape",
+    // round 13c: the heavy new TPC-H completions. Q8/Q9 walk the full
+    // star (part/supplier verbatim per replica → per-part/supplier
+    // groups grow ×K but stay partial-agg-combinable); Q13's two-level
+    // aggregate hashes on the replicated custkey then the bounded count
+    // domain; Q16's anti join + COUNT DISTINCT hash on verbatim
+    // supplier/part keys; Q17's per-part average join is the
+    // agg-dominance shape; Q19 is scan-dominated with the disjunction
+    // as a post-join residual
+    "q_tpch_q8_shape", "q_tpch_q9_shape", "q_tpch_q13_shape",
+    "q_tpch_q16_shape", "q_tpch_q17_shape", "q_tpch_q19_shape")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
