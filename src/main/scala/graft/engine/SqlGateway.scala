@@ -82,10 +82,143 @@ object SqlGateway {
             spark.sql(inner)
           }
         Profile.summarize(df)
+      case _ if s0.matches("(?is)^pivot\\b.*") => runPivot(spark, s0)
+      case _ if s0.matches("(?is)^unpivot\\b.*") => runUnpivot(spark, s0)
       case _ =>
         val sql = DuckDbDialect.rewrite(s0)
         validate(spark, sql)
         spark.sql(sql)
     }
+  }
+
+  /** Split `<dataset> <rest>` where dataset is either a (possibly
+    * qualified) identifier or a parenthesized subquery — paren matching
+    * is quote-aware so a `')'` inside a string literal can't end it. */
+  private def splitDataset(rest: String): (String, String) = {
+    val s = rest.trim
+    if (s.startsWith("(")) {
+      var depth = 0; var i = 0; var inStr = false
+      var end = -1
+      while (i < s.length && end < 0) {
+        s(i) match {
+          case '\'' => inStr = !inStr
+          case '(' if !inStr => depth += 1
+          case ')' if !inStr => depth -= 1; if (depth == 0) end = i
+          case _ =>
+        }
+        i += 1
+      }
+      require(end > 0, s"PIVOT/UNPIVOT: unbalanced parens in dataset: $s")
+      (s.substring(1, end).trim, s.substring(end + 1))
+    } else {
+      val m = "^[A-Za-z_][A-Za-z0-9_.]*".r.findFirstIn(s).getOrElse(
+        throw new IllegalArgumentException(
+          s"PIVOT/UNPIVOT: expected a table name or (subquery), got: $s"))
+      (m, s.substring(m.length))
+    }
+  }
+
+  /** Resolve the dataset half to a DataFrame (subqueries pass through
+    * the dialect shim and the SELECT-only gate like any other text). */
+  private def datasetDf(spark: SparkSession, ds: String): DataFrame =
+    if (ds.matches("[A-Za-z_][A-Za-z0-9_.]*")) spark.table(ds)
+    else {
+      val inner = DuckDbDialect.rewrite(ds)
+      validate(spark, inner)
+      spark.sql(inner)
+    }
+
+  /** DuckDB's PIVOT statement (round 13c):
+    * `PIVOT ds ON col [IN (v, …)] [USING agg(arg) [AS a]] [GROUP BY g, …]`.
+    * DuckDB's binder runs a DISTINCT query to discover the pivot values
+    * when no IN list is given; this does the same (sorted ascending,
+    * DuckDB's documented column order), then expands to a grouped
+    * conditional aggregation via the DataFrame pivot — with the value
+    * set always EXPLICIT, so no extra enumeration job hides in the
+    * plan. Without GROUP BY the group keys are every column not named
+    * in ON or USING (DuckDB's implicit-key rule). COUNT cells backfill
+    * 0 where no rows matched (DuckDB counts an empty cell as 0; a
+    * naive pivot leaves NULL).
+    *
+    * Bounds (throws, never silently wrong): one ON column, one USING
+    * aggregate over `*` or a plain column, and a pivot-value domain
+    * capped at 10,000 (each value becomes a physical output column —
+    * past that the statement is almost certainly a mistake; DuckDB
+    * itself caps at 100k grouped sets). */
+  private def runPivot(spark: SparkSession, s0: String): DataFrame = {
+    import org.apache.spark.sql.functions.{col, lit, count, sum, min, max, avg}
+    val (ds, rest) = splitDataset(s0.trim.substring("pivot".length))
+    val m = ("(?is)^\\s*on\\s+([A-Za-z_][A-Za-z0-9_]*)" +
+      "(?:\\s+in\\s*\\(([^)]*)\\))?" +
+      "(?:\\s+using\\s+([A-Za-z_][A-Za-z0-9_]*)\\s*\\(\\s*(\\*|[A-Za-z_][A-Za-z0-9_]*)\\s*\\)" +
+      "(?:\\s+as\\s+[A-Za-z_][A-Za-z0-9_]*)?)?" +
+      "(?:\\s+group\\s+by\\s+(.+?))?\\s*;?\\s*$").r
+    val mm = m.findFirstMatchIn(rest).getOrElse(throw new IllegalArgumentException(
+      "PIVOT: supported form is PIVOT <ds> ON <col> [IN (values)] " +
+        s"[USING <agg>(<col>|*)] [GROUP BY cols] — got: $rest"))
+    val (pcol, inList, fnName, fnArg, groupBy) =
+      (mm.group(1), Option(mm.group(2)), Option(mm.group(3)),
+        Option(mm.group(4)), Option(mm.group(5)))
+    val df = datasetDf(spark, ds)
+    val vals: Seq[Any] = inList match {
+      case Some(l) =>
+        l.split(",").map(_.trim).filter(_.nonEmpty).map { v =>
+          if (v.startsWith("'") && v.endsWith("'"))
+            v.substring(1, v.length - 1).replace("''", "'")
+          else v // numeric literal: Spark matches it by string form
+        }.toSeq
+      case None =>
+        // binder-style discovery: the pivot domain is the data
+        val rows = df.select(col(pcol)).distinct().orderBy(col(pcol))
+          .limit(10001).collect()
+        require(rows.length <= 10000,
+          s"PIVOT: more than 10000 distinct values in $pcol")
+        rows.map(_.get(0)).toSeq
+    }
+    val fn = fnName.getOrElse("count").toLowerCase
+    val arg = fnArg.getOrElse("*")
+    val groups: Seq[String] = groupBy match {
+      case Some(g) => g.split(",").map(_.trim).toSeq
+      case None => df.columns.toSeq.filterNot(c => c == pcol || c == arg)
+    }
+    val aggCol = (fn, arg) match {
+      case ("count", "*") => count(lit(1))
+      case ("count", a) => count(col(a))
+      case ("sum", a) => sum(col(a))
+      case ("min", a) => min(col(a))
+      case ("max", a) => max(col(a))
+      case ("avg" | "mean", a) => avg(col(a))
+      case (other, _) => throw new IllegalArgumentException(
+        s"PIVOT: unsupported aggregate $other (count/sum/min/max/avg)")
+    }
+    val out = df.groupBy(groups.map(col): _*).pivot(pcol, vals).agg(aggCol)
+    // count over an empty cell is 0 in DuckDB, NULL from a naive pivot
+    if (fn == "count") {
+      val valueCols = out.columns.filterNot(groups.contains)
+      out.na.fill(0L, valueCols)
+    } else out
+  }
+
+  /** DuckDB's UNPIVOT statement (round 13c):
+    * `UNPIVOT ds ON c1, c2, … INTO NAME n VALUE v` — rewritten to
+    * Spark's own UNPIVOT clause (same NULL-dropping default in both
+    * engines). Columns must share a least common type, as in DuckDB. */
+  private def runUnpivot(spark: SparkSession, s0: String): DataFrame = {
+    val (ds, rest) = splitDataset(s0.trim.substring("unpivot".length))
+    val m = ("(?is)^\\s*on\\s+(.+?)\\s+into\\s+name\\s+([A-Za-z_][A-Za-z0-9_]*)" +
+      "\\s+value\\s+([A-Za-z_][A-Za-z0-9_]*)\\s*;?\\s*$").r
+    val mm = m.findFirstMatchIn(rest).getOrElse(throw new IllegalArgumentException(
+      "UNPIVOT: supported form is UNPIVOT <ds> ON <cols> INTO NAME <n> " +
+        s"VALUE <v> — got: $rest"))
+    val cols = mm.group(1).split(",").map(_.trim)
+    require(cols.forall(_.matches("[A-Za-z_][A-Za-z0-9_]*")),
+      s"UNPIVOT: ON must list plain column names, got: ${mm.group(1)}")
+    val (nameCol, valueCol) = (mm.group(2), mm.group(3))
+    val base = if (ds.matches("[A-Za-z_][A-Za-z0-9_.]*")) ds
+      else { val inner = DuckDbDialect.rewrite(ds); validate(spark, inner); s"($inner)" }
+    val sql = s"SELECT * FROM $base UNPIVOT ($valueCol FOR $nameCol IN " +
+      s"(${cols.mkString(", ")}))"
+    validate(spark, sql)
+    spark.sql(sql)
   }
 }

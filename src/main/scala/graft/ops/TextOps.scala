@@ -554,6 +554,74 @@ object TextOps {
           round(score, 6).as("score"),
           when(round(score, 6) > 0.0, 1).otherwise(0).as("predicted"))
         .orderBy("doc_id")
+    },
+
+    // CCNet-style LM perplexity scoring (Wenzek et al. 2020: filter web
+    // text by the perplexity of a reference-domain language model —
+    // the classic companion to the classifier above). A bigram model
+    // with add-one smoothing is fit IN-PLAN on the trusted slice
+    // (source = 'src0') and every English doc is scored by its average
+    // per-token surprisal in bits: -log2((B(w1,w2)+1)/(U(w1)+V)).
+    // Scale shape: tokenization is a map-side posexplode; unigram and
+    // bigram counts shuffle on the token keys; the scoring joins hash
+    // on the same keys (the model tables are O(vocab)/O(vocab²-seen) —
+    // corpus-dependent, so they are NEVER broadcast); the only
+    // broadcast is the 1-row vocabulary size V. The bigram window
+    // partitions by doc_id — bounded per-doc state. Rounded at 6 dp,
+    // the same libm-ulp convention as the entropy/TF-IDF operators.
+    OpQuery("q_text_perplexity",
+      """WITH tok AS (
+        |  SELECT doc_id, source, string_split(text, ' ') AS l
+        |  FROM documents WHERE lang = 'en'),
+        |pos AS (
+        |  SELECT doc_id, source, g.i AS pos, l[g.i] AS w
+        |  FROM tok, (SELECT UNNEST(generate_series(1, 2000)) AS i) g
+        |  WHERE g.i <= len(l)),
+        |uni AS (
+        |  SELECT w, CAST(COUNT(*) AS BIGINT) AS u FROM pos
+        |  WHERE source = 'src0' GROUP BY 1),
+        |v AS (SELECT CAST(COUNT(DISTINCT w) AS BIGINT) AS v FROM pos
+        |      WHERE source = 'src0'),
+        |big AS (
+        |  SELECT doc_id, source, pos, w,
+        |         LAG(w) OVER (PARTITION BY doc_id ORDER BY pos) AS pw
+        |  FROM pos),
+        |bg AS (SELECT * FROM big WHERE pw IS NOT NULL),
+        |btr AS (
+        |  SELECT pw, w, CAST(COUNT(*) AS BIGINT) AS b FROM bg
+        |  WHERE source = 'src0' GROUP BY 1, 2)
+        |SELECT bg.doc_id,
+        |       ROUND(AVG(-LOG2((CAST(COALESCE(btr.b, 0) + 1 AS DOUBLE))
+        |                       / (CAST(COALESCE(uni.u, 0) + v.v AS DOUBLE)))), 6)
+        |         AS ppl_bits
+        |FROM bg LEFT JOIN btr ON bg.pw = btr.pw AND bg.w = btr.w
+        |        LEFT JOIN uni ON bg.pw = uni.w
+        |        CROSS JOIN v
+        |GROUP BY bg.doc_id ORDER BY bg.doc_id""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val pos = documents(s, d).filter(col("lang") === "en")
+        .select(col("doc_id"), col("source"),
+          posexplode(split(col("text"), " ")).as(Seq("pos", "w")))
+      val bg = pos
+        .withColumn("pw",
+          lag(col("w"), 1).over(Window.partitionBy("doc_id").orderBy("pos")))
+        .filter(col("pw").isNotNull)
+      val trustedPos = pos.filter(col("source") === "src0")
+      val uni = trustedPos.groupBy(col("w").as("u_w"))
+        .agg(count(lit(1)).as("u"))
+      val vocab = trustedPos.agg(countDistinct(col("w")).as("v"))
+      val btr = bg.filter(col("source") === "src0")
+        .groupBy(col("pw").as("b_pw"), col("w").as("b_w"))
+        .agg(count(lit(1)).as("b"))
+      bg.join(btr, col("pw") === col("b_pw") && col("w") === col("b_w"), "left")
+        .join(uni, col("pw") === col("u_w"), "left")
+        .crossJoin(broadcast(vocab))
+        .groupBy("doc_id")
+        .agg(round(avg(-log2(
+          (coalesce(col("b"), lit(0L)) + lit(1L)).cast("double") /
+            (coalesce(col("u"), lit(0L)) + col("v")).cast("double"))), 6)
+          .as("ppl_bits"))
+        .orderBy("doc_id")
     }
   )
 }

@@ -257,6 +257,9 @@ object PlanAudit {
       "q_subquery_select" -> 1,     // 1-row scalar total
       "q_text_length_filter" -> 1,  // per-language thresholds: bounded label domain
       "q_text_quality_classifier" -> 1, // 1-row fitted model (15 numbers)
+      "q_text_perplexity" -> 1,     // 1-row vocabulary size V; the unigram/
+                                    // bigram model tables are O(vocab) —
+                                    // corpus-dependent, never hinted
       "q_text_tfidf" -> 1,          // 1-row corpus doc count (the IDF N)
       "q_tpch_q10_shape" -> 1,      // nation: fixed 25 rows
       "q_tpch_q2_shape" -> 4,       // nation + one-region dims (fixed 25/5 rows),

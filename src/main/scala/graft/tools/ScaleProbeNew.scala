@@ -49,7 +49,12 @@ object ScaleProbeNew {
     // round-13b: the learned classifier is one global agg + broadcast
     // apply (expected ~linear); the stratified split is one window per
     // lang stratum (5 strata at every K — per-stratum rows grow K×)
-    "q_text_quality_classifier", "q_corpus_split")
+    "q_text_quality_classifier", "q_corpus_split",
+    // round-13c: bigram-LM perplexity — the ~r token suffix keeps
+    // replica vocabularies disjoint, so the unigram/bigram model
+    // tables grow linearly and the token-keyed scoring joins see
+    // constant per-key cardinality (true work linear in rows)
+    "q_text_perplexity")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")

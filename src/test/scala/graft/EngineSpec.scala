@@ -58,6 +58,76 @@ class EngineSpec extends AnyFunSuite {
     assert(es("ts").getString(2).startsWith("2024-01-01"))
   }
 
+  // --- DuckDB PIVOT/UNPIVOT statements (round 13c) ----------------------
+  // Goldens computed by DuckDB 1.x on the same sample CSV (PIVOT ... ON
+  // category USING sum(quantity) GROUP BY sales_rep, etc.) — the gateway
+  // must reproduce DuckDB's semantics: binder-style value discovery in
+  // ascending order, sum cells NULL where no rows matched, count cells 0.
+  test("PIVOT statement: discovery, GROUP BY, count-zero backfill, IN list") {
+    val df = Ingest.load(spark, TestSpark.resource("sample_sales_data.csv"))
+    Catalog.register(df)
+    val p = SqlGateway.run(spark,
+      "PIVOT data_table ON category USING sum(quantity) GROUP BY sales_rep")
+    assert(p.columns.toSeq ==
+      Seq("sales_rep", "Electronics", "Fashion", "Food", "Home", "Sports"))
+    val rows = p.collect().map(r => r.getString(0) -> r).toMap
+    assert(rows.size == 3)
+    def cell(rep: String, c: String): Option[Long] = {
+      val r = rows(rep); val i = r.fieldIndex(c)
+      if (r.isNullAt(i)) None else Some(r.getLong(i))
+    }
+    // DuckDB golden: 李明 → [20, NULL, 16, 5, 2]; 张丽 Electronics NULL
+    assert(cell("李明", "Electronics").contains(20L))
+    assert(cell("李明", "Fashion").isEmpty)
+    assert(cell("李明", "Food").contains(16L))
+    assert(cell("张丽", "Electronics").isEmpty)
+    assert(cell("王红", "Home").isEmpty)
+    assert(cell("王红", "Food").contains(15L))
+    // count backfills zero where sum left NULL (DuckDB golden: 张丽
+    // Electronics 0, 王红 Home 0) — over a subquery dataset with
+    // implicit group keys (every column not in ON/USING)
+    val c = SqlGateway.run(spark,
+      "PIVOT (SELECT sales_rep, category FROM data_table) ON category USING count(*)")
+    val crows = c.collect().map(r => r.getString(0) -> r).toMap
+    assert(crows("张丽").getLong(crows("张丽").fieldIndex("Electronics")) == 0L)
+    assert(crows("王红").getLong(crows("王红").fieldIndex("Home")) == 0L)
+    assert(crows("李明").getLong(crows("李明").fieldIndex("Electronics")) == 6L)
+    // explicit IN list restricts and orders the output columns
+    val in = SqlGateway.run(spark,
+      "PIVOT data_table ON category IN ('Food', 'Home') USING sum(quantity) GROUP BY sales_rep")
+    assert(in.columns.toSeq == Seq("sales_rep", "Food", "Home"))
+    // the dataset subquery still passes the SELECT-only gate
+    intercept[SecurityException](
+      SqlGateway.run(spark, "PIVOT (DROP TABLE data_table) ON category USING count(*)"))
+    // unsupported spellings throw with the offending form named
+    intercept[IllegalArgumentException](
+      SqlGateway.run(spark, "PIVOT data_table ON category USING median(price)"))
+  }
+
+  test("UNPIVOT statement: NAME/VALUE melt, NULL rows dropped") {
+    val df = Ingest.load(spark, TestSpark.resource("sample_sales_data.csv"))
+    Catalog.register(df)
+    val u = SqlGateway.run(spark,
+      "UNPIVOT (SELECT id, price, quantity FROM data_table WHERE id <= 2) " +
+        "ON price, quantity INTO NAME k VALUE v")
+    assert(u.columns.toSeq == Seq("id", "k", "v"))
+    val got = u.collect()
+      .map(r => (r.getAs[Number](0).longValue, r.getString(1), r.getDouble(2)))
+      .sortBy(t => (t._1, t._2)).toSeq
+    // DuckDB golden on the same statement
+    assert(got == Seq((1L, "price", 999.99), (1L, "quantity", 2.0),
+      (2L, "price", 2499.99), (2L, "quantity", 1.0)))
+    // NULL-dropping default matches DuckDB: a column that is NULL for a
+    // row contributes no output row
+    import spark.implicits._
+    Seq((1L, Some(5.0), None: Option[Double]), (2L, None: Option[Double], Some(7.0)))
+      .toDF("rid", "a", "b").createOrReplaceTempView("unpiv_nulls")
+    val n = SqlGateway.run(spark,
+      "UNPIVOT unpiv_nulls ON a, b INTO NAME k VALUE v")
+    assert(n.collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSet ==
+      Set((1L, "a", 5.0), (2L, "b", 7.0)))
+  }
+
   test("DESCRIBE and SHOW TABLES pass the gate as read-only metadata") {
     val df = Ingest.load(spark, TestSpark.resource("sample_sales_data.csv"))
     Catalog.register(df)
