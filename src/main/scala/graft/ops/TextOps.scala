@@ -622,6 +622,70 @@ object TextOps {
             (coalesce(col("u"), lit(0L)) + col("v")).cast("double"))), 6)
           .as("ppl_bits"))
         .orderBy("doc_id")
+    },
+
+    // Okapi BM25 retrieval scoring (Robertson/Sparck Jones; k1=1.2,
+    // b=0.75, the robust +1 IDF): top-20 docs for a fixed query term
+    // set — the ranking companion to q_text_tfidf for corpus search
+    // and curation. All statistics are computed in-plan: doc lengths
+    // (one doc-keyed shuffle), term frequencies (the IN filter
+    // prunes the token stream map-side BEFORE its shuffle, so the tf
+    // table is O(matching postings), not O(tokens)), document
+    // frequencies derived from tf. N/avgdl is a 1-row broadcast and
+    // df is O(|query|) rows — both bounded; len/avgdl is inlined as
+    // len·N/total so both engines evaluate one identical expression
+    // tree over exact integers. Ranking on the 6-dp-rounded score
+    // (the libm-ln convention shared with TF-IDF/perplexity).
+    OpQuery("q_text_bm25",
+      """WITH tok AS (
+        |  SELECT doc_id, string_split(text, ' ') AS l FROM documents
+        |  WHERE lang = 'en'),
+        |pos AS (
+        |  SELECT doc_id, g.i AS pos, l[g.i] AS w
+        |  FROM tok, (SELECT UNNEST(generate_series(1, 2000)) AS i) g
+        |  WHERE g.i <= len(l)),
+        |dl AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS len FROM pos GROUP BY 1),
+        |st AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(len) AS BIGINT) AS tot
+        |       FROM dl),
+        |tf AS (
+        |  SELECT doc_id, w, CAST(COUNT(*) AS BIGINT) AS tf FROM pos
+        |  WHERE w IN ('spark', 'join', 'fast') GROUP BY 1, 2),
+        |df AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY 1)
+        |SELECT tf.doc_id,
+        |       ROUND(SUM(LN((CAST(st.n - df.df AS DOUBLE) + 0.5)
+        |                    / (CAST(df.df AS DOUBLE) + 0.5) + 1.0)
+        |                 * (CAST(tf.tf AS DOUBLE) * 2.2)
+        |                 / (CAST(tf.tf AS DOUBLE)
+        |                    + 1.2 * (0.25 + 0.75 * CAST(dl.len AS DOUBLE)
+        |                             * CAST(st.n AS DOUBLE)
+        |                             / CAST(st.tot AS DOUBLE)))), 6) AS bm25
+        |FROM tf JOIN dl ON tf.doc_id = dl.doc_id
+        |        JOIN df ON tf.w = df.w
+        |        CROSS JOIN st
+        |GROUP BY tf.doc_id ORDER BY bm25 DESC, tf.doc_id LIMIT 20""".stripMargin) { (s, d) =>
+      val terms = Seq("spark", "join", "fast")
+      val pos = documents(s, d).filter(col("lang") === "en")
+        .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos", "w")))
+      val dl = pos.groupBy("doc_id").agg(count(lit(1)).as("len"))
+      val st = dl.agg(count(lit(1)).as("n"), sum(col("len")).as("tot"))
+      val tf = pos.filter(col("w").isin(terms: _*))
+        .groupBy(col("doc_id").as("tf_doc"), col("w"))
+        .agg(count(lit(1)).as("tf"))
+      val df = tf.groupBy(col("w").as("df_w")).agg(count(lit(1)).as("df"))
+      tf.join(dl, col("tf_doc") === col("doc_id"))
+        .join(broadcast(df), col("w") === col("df_w"))
+        .crossJoin(broadcast(st))
+        .groupBy(col("tf_doc").as("doc_id"))
+        .agg(round(sum(
+          log(((col("n") - col("df")).cast("double") + lit(0.5)) /
+              (col("df").cast("double") + lit(0.5)) + lit(1.0)) *
+            (col("tf").cast("double") * lit(2.2)) /
+            (col("tf").cast("double") +
+              lit(1.2) * (lit(0.25) + lit(0.75) * col("len").cast("double") *
+                col("n").cast("double") / col("tot").cast("double")))), 6)
+          .as("bm25"))
+        .orderBy(col("bm25").desc, col("doc_id"))
+        .limit(20)
     }
   )
 }

@@ -260,6 +260,9 @@ object PlanAudit {
       "q_text_perplexity" -> 1,     // 1-row vocabulary size V; the unigram/
                                     // bigram model tables are O(vocab) —
                                     // corpus-dependent, never hinted
+      "q_text_bm25" -> 2,           // 1-row N/avgdl stats + O(|query terms|)
+                                    // df frame — both bounded by the query,
+                                    // not the corpus
       "q_text_tfidf" -> 1,          // 1-row corpus doc count (the IDF N)
       "q_tpch_q10_shape" -> 1,      // nation: fixed 25 rows
       "q_tpch_q2_shape" -> 4,       // nation + one-region dims (fixed 25/5 rows),

@@ -54,7 +54,11 @@ object ScaleProbeNew {
     // replica vocabularies disjoint, so the unigram/bigram model
     // tables grow linearly and the token-keyed scoring joins see
     // constant per-key cardinality (true work linear in rows)
-    "q_text_perplexity")
+    "q_text_perplexity",
+    // BM25: the IN filter prunes the token stream map-side before the
+    // tf shuffle — the posting list for 3 fixed terms grows linearly,
+    // everything else is the doc-length shuffle
+    "q_text_bm25")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
