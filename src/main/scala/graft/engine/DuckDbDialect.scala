@@ -98,6 +98,7 @@ object DuckDbDialect {
     s = rewriteAsOfJoin(s)
     s = rewriteOperatorIntDiv(s)
     s = rewriteUsingSample(s)
+    s = rewriteSimilarTo(s)
     s = rewriteCalls(s, "strftime")(fmtCall("date_format"))
     s = rewriteCalls(s, "strptime")(fmtCall("to_timestamp"))
     s = rewriteCalls(s, "time_bucket")(timeBucket)
@@ -922,6 +923,33 @@ object DuckDbDialect {
     * (after WHERE); Spark's TABLESAMPLE is table-level only, so that
     * placement surfaces Spark's parse error — a clear message, never a
     * silently different result. */
+  /** `expr [NOT] SIMILAR TO '<pattern>'` → `expr [NOT] RLIKE
+    * '^(?:<pattern>)$'`. The SQL standard (and DuckDB's own docs) says
+    * SIMILAR TO treats `%`/`_` as LIKE wildcards, but DuckDB 1.0.0 —
+    * the oracle this engine answers to — implements it as a plain
+    * ANCHORED regex full-match with NO wildcard translation (measured:
+    * `'abbbc' SIMILAR TO 'a%c'` is FALSE, `'abc' SIMILAR TO 'a(.|x)c'`
+    * is TRUE); `\x` escapes the next char in both regex dialects. So
+    * the faithful rewrite is anchor + pass-through, with backslashes
+    * doubled for Spark's escaping string-literal parser. Bounds
+    * (throws, never silently wrong): an ESCAPE clause. */
+  private def rewriteSimilarTo(sql: String): String = {
+    val in = inString(sql)
+    val re = "(?i)\\b(not\\s+)?similar\\s+to\\s+('(?:[^']|'')*')".r
+    re.replaceAllIn(sql, m => {
+      if (in(m.start)) scala.util.matching.Regex.quoteReplacement(m.matched)
+      else {
+        if (sql.substring(m.end).matches("(?is)\\s*escape\\b.*"))
+          throw new IllegalArgumentException(
+            "SIMILAR TO ... ESCAPE is not supported by the dialect shim")
+        val lit = m.group(2)
+        val pat = lit.substring(1, lit.length - 1).replace("\\", "\\\\")
+        val neg = if (m.group(1) != null) "not " else ""
+        scala.util.matching.Regex.quoteReplacement(s"${neg}rlike '^(?:$pat)$$'")
+      }
+    })
+  }
+
   private def rewriteUsingSample(sql: String): String = {
     val in = inString(sql)
     def wordAt(i: Int, w: String): Boolean =

@@ -298,7 +298,11 @@ final class SqlFuzzer(seed: Long) {
           s"$c IN (${subset.sorted.map(v => s"'$v'").mkString(", ")})"
         case 2 =>
           val v = pick(pool)
-          pick(Seq(s"$c LIKE '${v.take(1)}%'", s"$c LIKE '%${v.takeRight(1)}'"))
+          // ILIKE is shared syntax (Spark ≥3.3 and DuckDB); uppercasing
+          // the probe slice exercises real case-insensitivity on the
+          // known-ASCII pools
+          pick(Seq(s"$c LIKE '${v.take(1)}%'", s"$c LIKE '%${v.takeRight(1)}'",
+            s"$c ILIKE '${v.take(2).toUpperCase}%'"))
       }
     case 3 if t.tsRange.nonEmpty =>
       val c = pick(cols(t, TsK)).name
@@ -1098,11 +1102,37 @@ final class SqlFuzzer(seed: Long) {
       s"ORDER BY $key ASC NULLS FIRST, $value $dir, $uk ASC NULLS FIRST ${limit()}"
   }
 
+  /** SIMILAR TO over pooled ASCII columns (round 13c): DuckDB 1.0 runs
+    * it as an ANCHORED regex full-match with NO %/_ translation
+    * (measured — see the shim's scaladoc); the shim's anchored-RLIKE
+    * rewrite must agree on alternations, regex dots, quantified
+    * classes, and escaped literals. */
+  private def qDialectSimilar(): String = {
+    val (t, c, pool) = {
+      val tt = pick(Seq(lineitem, orders, customer, part, documents, events))
+      val (cc, pp) = pick(tt.pools.toSeq.sortBy(_._1))
+      (tt, cc, pp)
+    }
+    val v = pick(pool)
+    val pat = rnd.nextInt(5) match {
+      case 0 => // alternation of two pool values
+        val w = pick(pool)
+        s"(${v}|${w})"
+      case 1 => s"${v.take(1)}.*"              // regex wildcard tail
+      case 2 => s".${v.drop(1)}"               // regex dot head
+      case 3 => s"[${v.take(1)}${pick(pool).take(1)}].*" // class head
+      case _ => s"${v.take(2)}.+"              // one-or-more tail
+    }
+    val neg = if (rnd.nextInt(4) == 0) "NOT " else ""
+    s"SELECT $c AS c1, CAST(COUNT(*) AS BIGINT) AS c2 FROM ${t.name} " +
+      s"WHERE $c ${neg}SIMILAR TO '$pat' GROUP BY 1 ${orderAll(2)} ${limit()}"
+  }
+
   /** DuckDB-dialect suite: run verbatim on DuckDB, through
     * [[graft.engine.DuckDbDialect.rewrite]] on Spark. */
   def dialectQueries(count: Int): Vector[(String, String)] =
     (1 to count).map { i =>
-      val (kind, sql) = rnd.nextInt(10) match {
+      val (kind, sql) = rnd.nextInt(11) match {
         case 0 => ("dsel", qDialectProj())
         case 1 => ("dgrp", qDialectGroup())
         case 2 => ("dtb", qDialectBucket())
@@ -1112,6 +1142,7 @@ final class SqlFuzzer(seed: Long) {
         case 6 => ("drep", qDialectReplace())
         case 7 => ("dasof", qDialectAsof())
         case 8 => ("ddon", qDialectDistinctOn())
+        case 9 => ("dsim", qDialectSimilar())
         case _ => ("ddiv", qDialectDivFilter())
       }
       (f"fz_$i%04d_$kind", sql)

@@ -599,4 +599,39 @@ class DuckDbDialectSpec extends AnyFunSuite {
     assert(sub.map(r => (r.getInt(0), r.getDouble(1))).toSeq ==
       Seq((1, 10.0), (2, 10.0)))
   }
+
+  test("SIMILAR TO rewrites to anchored RLIKE (DuckDB 1.0 measured semantics)") {
+    // anchored pass-through — DuckDB 1.0 does NOT translate %/_ (its
+    // docs say otherwise; the engine is the oracle, measured in the
+    // shim's scaladoc)
+    assert(DuckDbDialect.rewrite("SELECT * FROM t WHERE c SIMILAR TO 'ab.*'")
+      == "SELECT * FROM t WHERE c rlike '^(?:ab.*)$'")
+    assert(DuckDbDialect.rewrite("SELECT * FROM t WHERE c NOT SIMILAR TO '(a|b).'")
+      == "SELECT * FROM t WHERE c not rlike '^(?:(a|b).)$'")
+    // backslash escapes survive Spark's escaping string-literal parser
+    assert(DuckDbDialect.rewrite("SELECT 1 WHERE x SIMILAR TO 'a\\.c'")
+      == "SELECT 1 WHERE x rlike '^(?:a\\\\.c)$'")
+    // keyword inside a string literal is untouched
+    val lit = "SELECT 'x SIMILAR TO y' AS s FROM t"
+    assert(DuckDbDialect.rewrite(lit) == lit)
+    // ESCAPE clause is a documented bound
+    intercept[IllegalArgumentException](
+      DuckDbDialect.rewrite("SELECT * FROM t WHERE c SIMILAR TO 'a%' ESCAPE '!'"))
+    // end-to-end through Spark, pinned against DuckDB 1.0 goldens:
+    // 'a(.|x)c' matches abc/a.c/axc (regex dot IS a wildcard there);
+    // escaped \. matches only the literal dot; NOT RLIKE parses in
+    // Spark 4
+    val spark = TestSpark.spark
+    import spark.implicits._
+    Seq("abc", "a.c", "axc", "ab").toDF("s").createOrReplaceTempView("simto")
+    val got = SqlGateway.run(spark,
+      "SELECT s FROM simto WHERE s SIMILAR TO 'a(.|x)c' ORDER BY s").collect()
+    assert(got.map(_.getString(0)).toSeq == Seq("a.c", "abc", "axc"))
+    val esc = SqlGateway.run(spark,
+      "SELECT s FROM simto WHERE s SIMILAR TO 'a\\.c' ORDER BY s").collect()
+    assert(esc.map(_.getString(0)).toSeq == Seq("a.c"))
+    val neg = SqlGateway.run(spark,
+      "SELECT s FROM simto WHERE s NOT SIMILAR TO 'a.c' ORDER BY s").collect()
+    assert(neg.map(_.getString(0)).toSeq == Seq("ab"))
+  }
 }
