@@ -152,6 +152,44 @@ object Analytics {
         .orderBy("lang")
     },
 
+    // Exponentially-weighted moving average per user (round 13c): the
+    // classic smoothing signal EWMA_n = α·x_n + (1-α)·EWMA_{n-1} is a
+    // sequential recurrence, but its CLOSED FORM is one weighted sum —
+    // final EWMA = (1-α)^(n-1)·x_1 + Σ_{i≥2} α(1-α)^(n-i)·x_i — so it
+    // computes as a user-partitioned window (rn, n) plus one grouped
+    // sum: one shuffle on user_id, no per-row recursion, no driver
+    // loop. POWER underflows to +0.0 identically in both engines for
+    // deep tails; the sum is rounded at 6 dp (the libm convention).
+    // α = 0.25; ties on ts break on the unique event_id.
+    OpQuery("q_events_ewma",
+      """WITH seq AS (
+        |  SELECT user_id, value,
+        |         ROW_NUMBER() OVER (PARTITION BY user_id
+        |                            ORDER BY ts ASC NULLS FIRST, event_id) AS rn,
+        |         COUNT(*) OVER (PARTITION BY user_id) AS n
+        |  FROM events WHERE event_type = 'purchase')
+        |SELECT user_id, CAST(MAX(n) AS BIGINT) AS n_events,
+        |       ROUND(SUM(CASE WHEN rn = 1 THEN POWER(0.75, CAST(n - 1 AS DOUBLE)) * value
+        |                      ELSE 0.25 * POWER(0.75, CAST(n - rn AS DOUBLE)) * value
+        |                 END), 6) AS ewma
+        |FROM seq GROUP BY user_id ORDER BY user_id""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("user_id").orderBy(col("ts").asc, col("event_id"))
+      val wAll = Window.partitionBy("user_id")
+      val seq = events(s, d).filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("value"),
+          row_number().over(w).as("rn"),
+          count(lit(1)).over(wAll).as("n"))
+      seq.groupBy("user_id")
+        .agg(max(col("n")).as("n_events"),
+          round(sum(when(col("rn") === 1,
+              pow(lit(0.75), (col("n") - 1).cast("double")) * col("value"))
+            .otherwise(lit(0.25) *
+              pow(lit(0.75), (col("n") - col("rn")).cast("double")) * col("value"))), 6)
+            .as("ewma"))
+        .orderBy("user_id")
+    },
+
     // Anomaly detection (the reference blog's 金额异常高 scenario,
     // SURVEY.md §2 [blog:177]): events whose value exceeds the per-type
     // mean by 3 sample standard deviations.

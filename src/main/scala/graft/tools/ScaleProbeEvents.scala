@@ -27,7 +27,11 @@ object ScaleProbeEvents {
   private val Queries = Seq("q_events_tumbling", "q_events_sliding",
     "q_events_session", "q_events_dedup", "q_events_gapfill",
     "q_events_anomaly", "q_events_funnel", "q_events_bursts",
-    "q_asof_join", "q_asof_join_multi")
+    "q_asof_join", "q_asof_join_multi",
+    // round 13c: EWMA — replicas offset user_id, so per-user sequence
+    // length is constant across K; the window + grouped sum both hash
+    // on user_id (work linear in rows)
+    "q_events_ewma")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
