@@ -543,6 +543,16 @@ final class SqlFuzzer(seed: Long) {
       case 12 => s"ROUND(PERCENT_RANK() $over, 6)"
       case 13 => s"ROUND(CUME_DIST() $over, 6)"
     }
+    // named WINDOW clause (round 13c — shared Spark/DuckDB syntax):
+    // rewrite OVER (spec) to OVER w ... WINDOW w AS (spec), with two
+    // expressions sharing the named spec some of the time
+    if (rnd.nextInt(4) == 0) {
+      val over2 = s"(PARTITION BY $partCol ORDER BY $ord)"
+      val w1 = s"CAST(ROW_NUMBER() OVER w AS BIGINT)"
+      val w2 = s"CAST(SUM(${pick(cols(t, IntK)).name}) OVER w AS BIGINT)"
+      s"SELECT $key AS c1, $w1 AS c2, $w2 AS c3 FROM ${t.name} " +
+        s"WHERE ${pred(t, 1)} WINDOW w AS $over2 ${orderAll(3)} ${limit()}"
+    } else
     s"SELECT $key AS c1, $partCol AS c2, $wexpr AS c3 FROM ${t.name} " +
       s"WHERE ${pred(t, 1)} ${orderAll(3)} ${limit()}"
   }
