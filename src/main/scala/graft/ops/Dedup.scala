@@ -282,7 +282,7 @@ object Dedup {
     * joins the session working set like [[shingleTable]]'s cache (one
     * entry per data directory, released with the session or an explicit
     * clearCache; same policy as `Tables.t`). */
-  private def thresholdedPairs(sh: DataFrame, dfCap: Int): DataFrame = {
+  private[graft] def thresholdedPairs(sh: DataFrame, dfCap: Int): DataFrame = {
     val p = jaccardPairs(sh, dfCap).filter(col("jac") >= JaccardThreshold)
     p.cache()
     p
@@ -493,72 +493,95 @@ object Dedup {
     * doc_id in the component (singletons keep their own id).
     *
     * Spark has no recursive CTE; labels are computed by iterative
-    * min-label propagation — one join + aggregate per round,
-    * O(diameter) rounds (dup clusters are shallow), the same shape
-    * GraphX's connected components uses. The driver loop only
-    * *schedules* rounds and checks a convergence bit; all data stays
-    * distributed.
+    * min-label propagation, O(diameter) rounds (dup clusters are
+    * shallow) — the same shape GraphX's connected components uses. The
+    * driver loop only *schedules* rounds and checks a convergence bit;
+    * all data stays distributed.
+    *
+    * The loop itself runs on co-partitioned RDDs, not DataFrames — the
+    * one place in the repo where the imperative API is the right tool.
+    * A DataFrame loop re-enters Catalyst every round (analysis +
+    * optimization + codegen over a plan that references the previous
+    * round's cache), and with AQE enabled each round ALSO pays per-stage
+    * re-planning; measured on the sf0.1 dup graph that overhead was
+    * 0.8 s/round with AQE off and 2-12 s/round with AQE on, against
+    * ~0.05 s of actual work (BENCH_NOTES round 13 "cluster under AQE").
+    * RDD rounds are planned once by the DAG scheduler: `edges` is
+    * hash-partitioned ONCE and every round's join/leftOuterJoin reuses
+    * that partitioner (zero-shuffle co-partitioned joins), so one round
+    * is exactly one reduceByKey shuffle of the (tiny) changed-label
+    * stream. The same property holds on a 1000-executor cluster: the
+    * partitioner is the cluster-wide hash partitioning, and rounds add
+    * no exchange beyond the single min-combine.
     *
     * Σlbl strictly decreases every round until the fixpoint, so an
     * unchanged sum IS convergence — one scan per round instead of a
-    * changed-rows join. SUM over an empty frame is NULL (a corpus with
-    * no dup pairs is valid input), so the sum is read null-safe. The
-    * nbrMin side (≤ one row per dup-edge doc) carries no broadcast
-    * hint: it is O(dup subgraph) — unbounded at 100 TB — so the
-    * optimizer/AQE picks broadcast only when it actually fits. Loop
-    * hygiene for long sessions: the previous round's cache is
-    * unpersisted once the next round is materialized, and lineage is
-    * truncated with localCheckpoint every 5 rounds (otherwise the plan
-    * grows one join deeper per round and optimizer time — plus any
-    * recovery recompute — compounds). */
+    * changed-rows join. The sum is exact BigInt (a 100 TB corpus has
+    * enough 63-bit doc ids to wrap a Long sum; BigInt closes the
+    * wrap-collision hole the DataFrame version tolerated). Loop hygiene
+    * for long sessions: each round's RDD is unpersisted once the next is
+    * materialized, and lineage is truncated with localCheckpoint every 5
+    * rounds (bounds recovery recompute; DAG depth itself is harmless). */
   private[graft] def clusterLabels(docs: DataFrame, dupPairs: DataFrame): DataFrame = {
-    val edges = dupPairs.select(col("id_a").as("src"), col("id_b").as("dst"))
-      .unionAll(dupPairs.select(col("id_b").as("src"), col("id_a").as("dst")))
-      .cache()
-    var labels = edges.select(col("src").as("doc_id")).distinct()
-      .select(col("doc_id"), col("doc_id").as("lbl")).cache()
-    def lblSum(df: DataFrame): Long = {
-      val row = df.agg(sum(col("lbl"))).head()
-      if (row.isNullAt(0)) 0L else row.getLong(0)
+    val spark = docs.sparkSession
+    import org.apache.spark.HashPartitioner
+    import org.apache.spark.rdd.RDD
+    import org.apache.spark.storage.StorageLevel
+    // GRAFT_CLUSTER_TRACE=1 prints per-round wall times to stderr — the
+    // dev knob that separated loop latency from dup-pair compute when
+    // diagnosing the AQE-on regression (see BENCH_NOTES round 13).
+    val trace = sys.env.contains("GRAFT_CLUSTER_TRACE")
+    def traced[A](what: String)(f: => A): A = {
+      val t0 = System.nanoTime()
+      val r = f
+      if (trace) System.err.println(
+        f"[cluster-trace] $what%-12s ${(System.nanoTime() - t0) / 1e9}%.3f s")
+      r
+    }
+    val part = new HashPartitioner(spark.sessionState.conf.numShufflePartitions)
+    // Leaving the SQL world happens exactly once, here: the dup-pair
+    // frame (already the output of the planned/pushed-down Jaccard
+    // pipeline) becomes a symmetric (src, dst) pair RDD partitioned by
+    // src. MEMORY_AND_DISK: the edge list is O(dup subgraph) and must
+    // survive executor-memory pressure by spilling, not recompute.
+    val edges = dupPairs.select(col("id_a").cast("long"), col("id_b").cast("long"))
+      .rdd.flatMap(r => Seq((r.getLong(0), r.getLong(1)), (r.getLong(1), r.getLong(0))))
+      .partitionBy(part).persist(StorageLevel.MEMORY_AND_DISK)
+    // seed: every doc on a dup edge labels itself (reduceByKey into the
+    // shared partitioner; mapPartitions preserves it)
+    var labels: RDD[(Long, Long)] = traced("seed") {
+      val l = edges.reduceByKey(part, (a, _) => a)
+        .mapPartitions(_.map { case (k, _) => (k, k) }, preservesPartitioning = true)
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      l.count() // materialize so edge-building cost is not billed to round 0
+      l
+    }
+    def lblSum(l: RDD[(Long, Long)]): BigInt =
+      l.aggregate(BigInt(0))((acc, kv) => acc + kv._2, _ + _)
+    // one min-label propagation step; both joins are co-partitioned on
+    // `part` (no shuffle) — the reduceByKey is the round's one exchange
+    def step(l: RDD[(Long, Long)]): RDD[(Long, Long)] = {
+      val nbrMin = edges.join(l, part)
+        .map { case (_, (dst, lab)) => (dst, lab) }
+        .reduceByKey(part, (a: Long, b: Long) => math.min(a, b))
+      l.leftOuterJoin(nbrMin, part)
+        .mapValues { case (lab, m) => math.min(lab, m.getOrElse(lab)) }
     }
     val MaxRounds = 25 // >> diameter of any realistic dup cluster
     var prevSum = lblSum(labels)
-    var converged = prevSum == 0L // no edges → nothing to propagate
+    // sum 0 ⇔ no edges (a dup pair always involves two distinct non-
+    // negative ids, so a non-empty seed sums > 0) → nothing to propagate
+    var converged = prevSum == 0
     var round = 0
-    var labelsIsCheckpoint = false
-    // Checkpointed frames a live plain cache may still recompute through
-    // (local-checkpoint data is unrecoverable, so they can only be
-    // released once a NEWER checkpoint makes them unreachable).
-    var pinned: List[DataFrame] = Nil
-    // one min-label propagation step, composed lazily
-    def step(lbls: DataFrame): DataFrame = {
-      val nbrMin = edges.join(lbls.withColumnRenamed("doc_id", "src"), Seq("src"))
-        .groupBy(col("dst").as("doc_id")).agg(min(col("lbl")).as("nlbl"))
-      lbls.join(nbrMin, Seq("doc_id"), "left")
-        .select(col("doc_id"),
-          least(col("lbl"), coalesce(col("nlbl"), col("lbl"))).as("lbl"))
-    }
     while (!converged && round < MaxRounds) {
       // TWO propagation steps per materialized job: same shuffle work,
-      // half the job-scheduling round-trips (the loop is latency-bound —
-      // every frame in it is tiny relative to the corpus). Convergence
-      // still holds: Σlbl strictly decreases while any step changes a
-      // label, so an unchanged sum across a double step is a fixpoint.
-      val joined = step(step(labels))
-      val checkpointRound = round % 5 == 4
-      // localCheckpoint is eager (materializes + truncates lineage);
-      // plain rounds cache() and materialize via the convergence scan.
-      val next = if (checkpointRound) joined.localCheckpoint() else joined.cache()
-      val s = lblSum(next)
-      // Once `next` is materialized: a plain-cached `labels` is always
-      // safe to drop; a checkpointed one only when `next` is itself a
-      // checkpoint (nothing can recompute through it any more) —
-      // otherwise it stays pinned until the next checkpoint round.
-      if (!labelsIsCheckpoint) labels.unpersist()
-      else if (checkpointRound) labels.unpersist()
-      else pinned ::= labels
-      if (checkpointRound) { pinned.foreach(_.unpersist()); pinned = Nil }
-      labelsIsCheckpoint = checkpointRound
+      // half the job round-trips. Convergence still holds: Σlbl strictly
+      // decreases while any step changes a label, so an unchanged sum
+      // across a double step is a fixpoint.
+      val next = step(step(labels)).persist(StorageLevel.MEMORY_AND_DISK)
+      if (round % 5 == 4) next.localCheckpoint()
+      val s = traced(s"round $round")(lblSum(next))
+      labels.unpersist(blocking = false)
       converged = s == prevSum
       prevSum = s
       labels = next
@@ -569,18 +592,13 @@ object Dedup {
         s"converge in $MaxRounds double-step rounds (${2 * MaxRounds} steps) — " +
         s"a component with diameter > ${2 * MaxRounds} would be split; " +
         "results may disagree with the transitive-closure oracle")
-    // Release every loop intermediate before returning: the final labels
-    // are re-materialized as one localCheckpoint (O(dup-edge docs), the
-    // only frame the lazy result still needs), then edges + the last
-    // round's cache + any pinned checkpoints are dropped. The result
-    // checkpoint itself is reclaimed by Spark's ContextCleaner once the
-    // caller releases the returned DataFrame — nothing accumulates
-    // across invocations in a long-lived session.
-    val finalLabels =
-      if (labelsIsCheckpoint) labels
-      else { val c = labels.localCheckpoint(); labels.unpersist(); c }
-    edges.unpersist()
-    pinned.foreach(_.unpersist())
+    edges.unpersist(blocking = false)
+    // Back to SQL: the label RDD (O(dup-edge docs)) joins the full doc
+    // list as a DataFrame so Catalyst plans the big-side join. The
+    // persisted RDD backs the frame until the caller drops it; Spark's
+    // ContextCleaner reclaims it — nothing accumulates across calls.
+    import spark.implicits._
+    val finalLabels = labels.toDF("doc_id", "lbl")
     docs.join(finalLabels, Seq("doc_id"), "left")
       .select(col("doc_id"), coalesce(col("lbl"), col("doc_id")).as("cluster_id"))
       .orderBy("doc_id")
