@@ -634,6 +634,77 @@ object Corpus {
         .orderBy("doc_id")
     },
 
+    // DSIR-style importance-weighted data selection (Xie et al. 2023,
+    // "Data Selection for Language Models via Importance Resampling"):
+    // features are hashed unigrams (md5-derived 60-bit hash mod 1024
+    // buckets — the same md5 spelling both engines evaluate
+    // identically, cf. the MinHash oracle); bag-of-buckets unigram LMs
+    // with Laplace smoothing are fit IN-PLAN on the target slice
+    // (source = 'src0', the trusted-domain convention shared with
+    // q_text_perplexity) and on the raw rest; each document scores
+    // log p_target(doc) - log p_raw(doc) = Σ_b c_b·(ln p_t(b) - ln p_r(b)),
+    // and the top-50 by weight are selected (the paper resamples with
+    // Gumbel noise; the deterministic top-k variant keeps the oracle
+    // exact). Scale shape: tokenize + hash map-side; per-(doc, bucket)
+    // counts are ONE doc-keyed shuffle; both LM tables are EXACTLY
+    // ≤1024 rows by construction (the hash modulus), so their joins are
+    // hint-broadcast — bounded by the feature space, not the corpus —
+    // and the 1-row token totals ride a broadcast cross join; the
+    // final top-50 plans as TakeOrderedAndProject (no global sort).
+    // Rounded at 6 dp, the shared libm-ln convention.
+    OpQuery("q_corpus_dsir",
+      """WITH tk AS (
+        |  SELECT doc_id, source,
+        |         CAST('0x' || substr(md5(w), 1, 15) AS BIGINT) % 1024 AS b
+        |  FROM (SELECT doc_id, source, UNNEST(string_split(text, ' ')) AS w
+        |        FROM documents) t
+        |  WHERE w <> ''),
+        |tgt AS (SELECT b, CAST(COUNT(*) AS BIGINT) AS ct FROM tk
+        |        WHERE source = 'src0' GROUP BY 1),
+        |rw AS (SELECT b, CAST(COUNT(*) AS BIGINT) AS cr FROM tk
+        |       WHERE source <> 'src0' GROUP BY 1),
+        |tot AS (SELECT CAST(SUM(CASE WHEN source = 'src0' THEN 1 ELSE 0 END) AS BIGINT) AS ctot,
+        |               CAST(SUM(CASE WHEN source <> 'src0' THEN 1 ELSE 0 END) AS BIGINT) AS rtot
+        |        FROM tk),
+        |dc AS (SELECT doc_id, b, CAST(COUNT(*) AS BIGINT) AS c FROM tk GROUP BY 1, 2)
+        |SELECT dc.doc_id,
+        |       ROUND(SUM(dc.c * (LN(CAST(COALESCE(tgt.ct, 0) + 1 AS DOUBLE)
+        |                            / CAST(tot.ctot + 1024 AS DOUBLE))
+        |                       - LN(CAST(COALESCE(rw.cr, 0) + 1 AS DOUBLE)
+        |                            / CAST(tot.rtot + 1024 AS DOUBLE)))), 6) AS lw
+        |FROM dc LEFT JOIN tgt ON dc.b = tgt.b
+        |        LEFT JOIN rw ON dc.b = rw.b
+        |        CROSS JOIN tot
+        |GROUP BY dc.doc_id
+        |ORDER BY lw DESC, dc.doc_id LIMIT 50""".stripMargin) { (s, d) =>
+      val tk = documents(s, d)
+        .select(col("doc_id"), col("source"),
+          explode(split(col("text"), " ")).as("w"))
+        .filter(col("w") =!= "")
+        .select(col("doc_id"), col("source"),
+          (conv(substring(md5(col("w")), 1, 15), 16, 10).cast("long") % 1024).as("b"))
+      val tgt = tk.filter(col("source") === "src0")
+        .groupBy("b").agg(count(lit(1)).as("ct"))
+      val rw = tk.filter(col("source") =!= "src0")
+        .groupBy("b").agg(count(lit(1)).as("cr"))
+      val tot = tk.agg(
+        sum(when(col("source") === "src0", 1).otherwise(0)).cast("long").as("ctot"),
+        sum(when(col("source") =!= "src0", 1).otherwise(0)).cast("long").as("rtot"))
+      val dc = tk.groupBy("doc_id", "b").agg(count(lit(1)).as("c"))
+      // mirrors the oracle's association exactly: c · (ln p_t − ln p_r)
+      val lnPt = log((coalesce(col("ct"), lit(0L)) + lit(1L)).cast("double") /
+        (col("ctot") + lit(1024L)).cast("double"))
+      val lnPr = log((coalesce(col("cr"), lit(0L)) + lit(1L)).cast("double") /
+        (col("rtot") + lit(1024L)).cast("double"))
+      dc.join(broadcast(tgt), Seq("b"), "left")
+        .join(broadcast(rw), Seq("b"), "left")
+        .crossJoin(broadcast(tot))
+        .groupBy("doc_id")
+        .agg(round(sum(col("c") * (lnPt - lnPr)), 6).as("lw"))
+        .orderBy(col("lw").desc, col("doc_id"))
+        .limit(50)
+    },
+
     OpQuery("q_unpivot",
       """SELECT p_partkey, 'p_retailprice' AS metric, p_retailprice AS value FROM part
         |UNION ALL

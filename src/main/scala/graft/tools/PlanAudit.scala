@@ -227,6 +227,9 @@ object PlanAudit {
       "q_agg_hll_merge" -> 2,       // 1-row exact-global + 1-row merged-bool frames
       "q_agg_kll_merge" -> 2,       // 1-row exact-global-median + 1-row merged-bool frames
       "q_agg_freq_merge" -> 2,      // 1-row global-top + 1-row agreement-bool frames
+      "q_corpus_dsir" -> 3,         // two ≤1024-row hashed-bucket LM tables
+                                    // (bounded by the hash modulus, not the
+                                    // corpus) + the 1-row token totals
       "q_corpus_source_cap" -> 1,   // per-source doc counts: bounded source domain
       "q_cte_maxrev" -> 1,          // 1-row scalar MAX subquery
       // round 8: the Dedup family needs NO allowance — the stop-set
