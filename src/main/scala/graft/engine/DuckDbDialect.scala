@@ -99,6 +99,7 @@ object DuckDbDialect {
     s = rewriteOperatorIntDiv(s)
     s = rewriteUsingSample(s)
     s = rewriteSimilarTo(s)
+    s = rewriteIgnoreNulls(s)
     s = rewriteCalls(s, "strftime")(fmtCall("date_format"))
     s = rewriteCalls(s, "strptime")(fmtCall("to_timestamp"))
     s = rewriteCalls(s, "time_bucket")(timeBucket)
@@ -948,6 +949,26 @@ object DuckDbDialect {
         scala.util.matching.Regex.quoteReplacement(s"${neg}rlike '^(?:$pat)$$'")
       }
     })
+  }
+
+  /** DuckDB spells IGNORE/RESPECT NULLS INSIDE a window function's call
+    * parens, as the last token after the arguments (`last_value(x IGNORE
+    * NULLS)`, `lag(x, 1 IGNORE NULLS)`); Spark only parses the ANSI
+    * TRAILING position (`last_value(x) IGNORE NULLS OVER ...`). Both
+    * facts measured on DuckDB 1.0 / Spark 4.1 — neither engine accepts
+    * the other's spelling, so this hoists the in-paren form out:
+    * `<args> IGNORE NULLS ) OVER` → `<args> ) IGNORE NULLS OVER`. The
+    * OVER lookahead pins the rewrite to window calls (the only place
+    * DuckDB accepts the modifier), so ordinary identifiers named
+    * `ignore`/`nulls` elsewhere are untouched. Spark-style input has no
+    * in-paren form to match and passes through byte-identical. */
+  private def rewriteIgnoreNulls(sql: String): String = {
+    val in = inString(sql)
+    val re = "(?i)\\s+(ignore|respect)\\s+nulls\\s*\\)(?=\\s*over\\b)".r
+    re.replaceAllIn(sql, m =>
+      if (in(m.start)) scala.util.matching.Regex.quoteReplacement(m.matched)
+      else scala.util.matching.Regex.quoteReplacement(
+        s") ${m.group(1).toUpperCase(java.util.Locale.ROOT)} NULLS"))
   }
 
   private def rewriteUsingSample(sql: String): String = {

@@ -333,7 +333,7 @@ final class SqlFuzzer(seed: Long) {
     }
 
   // ---- aggregate expressions (order-independent by construction) -------
-  private def aggExpr(t: Table): String = rnd.nextInt(9) match {
+  private def aggExpr(t: Table): String = rnd.nextInt(10) match {
     case 0 => "CAST(COUNT(*) AS BIGINT)"
     case 1 => s"CAST(COUNT(DISTINCT ${pick(t.cols).name}) AS BIGINT)"
     case 2 => s"MIN(${pick(t.cols).name})"
@@ -349,6 +349,18 @@ final class SqlFuzzer(seed: Long) {
       // engines over non-negative integral columns
       else s"CAST(${pick(Seq("BIT_AND", "BIT_OR", "BIT_XOR"))}" +
         s"(${pick(cols(t, IntK)).name}) AS BIGINT)"
+    // ordered-set aggregate (round 13c): PERCENTILE_CONT/DISC WITHIN
+    // GROUP — identical ANSI spelling in Spark 4 and DuckDB. CONT
+    // interpolates between two exact ints: both engines' results agree
+    // well inside the 6-dp round (values ≤1e7 → double error ≪1e-6);
+    // DISC picks an actual value, exact. NULL ordering values are
+    // ignored by both per ANSI (an all-NULL group yields NULL).
+    case 8 =>
+      val q = pick(Seq("0.25", "0.5", "0.9"))
+      val c = pick(cols(t, IntK)).name
+      if (rnd.nextBoolean())
+        s"ROUND(PERCENTILE_CONT($q) WITHIN GROUP (ORDER BY $c), 6)"
+      else s"CAST(PERCENTILE_DISC($q) WITHIN GROUP (ORDER BY $c) AS BIGINT)"
     case _ if cols(t, MoneyK).nonEmpty => oSumSql(pick(cols(t, MoneyK)).name)
     case _ => "CAST(COUNT(*) AS BIGINT)"
   }
@@ -542,6 +554,11 @@ final class SqlFuzzer(seed: Long) {
       // 6-dp round is the house float-output convention
       case 12 => s"ROUND(PERCENT_RANK() $over, 6)"
       case 13 => s"ROUND(CUME_DIST() $over, 6)"
+      // NOTE: IGNORE NULLS is NOT shared syntax — DuckDB parses it only
+      // INSIDE the call parens (`last_value(x IGNORE NULLS)`), Spark
+      // only TRAILING (`last_value(x) IGNORE NULLS`); measured, not
+      // assumed. It lives in the dialect grammar (dign) via the shim's
+      // rewriteIgnoreNulls, not here.
     }
     // named WINDOW clause (round 13c — shared Spark/DuckDB syntax):
     // rewrite OVER (spec) to OVER w ... WINDOW w AS (spec), with two
@@ -1138,11 +1155,42 @@ final class SqlFuzzer(seed: Long) {
       s"WHERE $c ${neg}SIMILAR TO '$pat' GROUP BY 1 ${orderAll(2)} ${limit()}"
   }
 
+  /** IGNORE/RESPECT NULLS through the shim's rewriteIgnoreNulls: the
+    * query uses DuckDB's in-paren spelling (`lag(v, 1 IGNORE NULLS)`,
+    * `last_value(v IGNORE NULLS)`), which Spark can only run after the
+    * shim hoists the modifier to the ANSI trailing position. A no-op
+    * skip on null-free base data; live value-skipping under --nulls.
+    * The window order ends in the unique key with explicit NULLS
+    * placement, so the skip target is deterministic in both engines. */
+  private def qDialectIgnoreNulls(): String = {
+    val (t, part, ord, key) = pick(Seq(
+      ("orders", "o_custkey", "o_totalprice", "o_orderkey"),
+      ("lineitem", "l_suppkey", "l_extendedprice", "l_orderkey * 10 + l_linenumber"),
+      ("events", "user_id", "value", "event_id")))
+    val tbl = tables.find(_.name == t).get
+    val v = pick(cols(tbl, IntK)).name
+    val dir = pick(Seq("ASC", "DESC"))
+    val nf = if (dir == "ASC") "NULLS FIRST" else "NULLS LAST"
+    val spec = s"PARTITION BY $part ORDER BY $ord $dir $nf, $key ASC NULLS FIRST"
+    val framed = s"OVER ($spec ROWS BETWEEN ${1 + rnd.nextInt(4)} PRECEDING AND CURRENT ROW)"
+    val over = s"OVER ($spec)"
+    val kw = if (rnd.nextInt(5) == 0) "RESPECT NULLS" else "IGNORE NULLS"
+    val expr = rnd.nextInt(5) match {
+      case 0 => s"LAG($v, 1 $kw) $over"
+      case 1 => s"LEAD($v, 1 $kw) $over"
+      case 2 => s"FIRST_VALUE($v $kw) $framed"
+      case 3 => s"LAST_VALUE($v $kw) $framed"
+      case _ => s"NTH_VALUE($v, 2 $kw) $framed"
+    }
+    s"SELECT $key AS c1, CAST(($v) AS BIGINT) AS c2, CAST($expr AS BIGINT) AS c3 " +
+      s"FROM $t WHERE ${pred(tbl, 1)} ${orderAll(3)} ${limit()}"
+  }
+
   /** DuckDB-dialect suite: run verbatim on DuckDB, through
     * [[graft.engine.DuckDbDialect.rewrite]] on Spark. */
   def dialectQueries(count: Int): Vector[(String, String)] =
     (1 to count).map { i =>
-      val (kind, sql) = rnd.nextInt(11) match {
+      val (kind, sql) = rnd.nextInt(12) match {
         case 0 => ("dsel", qDialectProj())
         case 1 => ("dgrp", qDialectGroup())
         case 2 => ("dtb", qDialectBucket())
@@ -1153,6 +1201,7 @@ final class SqlFuzzer(seed: Long) {
         case 7 => ("dasof", qDialectAsof())
         case 8 => ("ddon", qDialectDistinctOn())
         case 9 => ("dsim", qDialectSimilar())
+        case 10 => ("dign", qDialectIgnoreNulls())
         case _ => ("ddiv", qDialectDivFilter())
       }
       (f"fz_$i%04d_$kind", sql)

@@ -634,4 +634,41 @@ class DuckDbDialectSpec extends AnyFunSuite {
       "SELECT s FROM simto WHERE s NOT SIMILAR TO 'a.c' ORDER BY s").collect()
     assert(neg.map(_.getString(0)).toSeq == Seq("ab"))
   }
+
+  test("in-paren IGNORE NULLS hoists to Spark's trailing position") {
+    // DuckDB parses the modifier only INSIDE the call parens; Spark only
+    // trailing — both measured (shim scaladoc). The OVER lookahead pins
+    // the rewrite to window calls.
+    assert(DuckDbDialect.rewrite(
+      "SELECT last_value(x IGNORE NULLS) OVER (ORDER BY k) FROM t")
+      == "SELECT last_value(x) IGNORE NULLS OVER (ORDER BY k) FROM t")
+    assert(DuckDbDialect.rewrite(
+      "SELECT lag(x, 1 IGNORE NULLS) OVER (PARTITION BY p ORDER BY k) FROM t")
+      == "SELECT lag(x, 1) IGNORE NULLS OVER (PARTITION BY p ORDER BY k) FROM t")
+    assert(DuckDbDialect.rewrite(
+      "SELECT nth_value(x, 2 respect nulls) OVER (ORDER BY k) FROM t")
+      == "SELECT nth_value(x, 2) RESPECT NULLS OVER (ORDER BY k) FROM t")
+    // nested call in the argument: the rewrite anchors on the CLOSING
+    // paren before OVER, not the first one
+    assert(DuckDbDialect.rewrite(
+      "SELECT first_value(coalesce(x, y) IGNORE NULLS) OVER (ORDER BY k) FROM t")
+      == "SELECT first_value(coalesce(x, y)) IGNORE NULLS OVER (ORDER BY k) FROM t")
+    // no OVER → not a window call → untouched (and a string literal too)
+    val lit = "SELECT 'a IGNORE NULLS) OVER' AS s FROM t"
+    assert(DuckDbDialect.rewrite(lit) == lit)
+    // Spark-style input (already trailing) passes through byte-identical
+    val sparkStyle = "SELECT last_value(x) IGNORE NULLS OVER (ORDER BY k) FROM t"
+    assert(DuckDbDialect.rewrite(sparkStyle) == sparkStyle)
+    // end-to-end: skip back over a NULL, pinned against the DuckDB
+    // golden [(1,10),(2,10),(3,30)] measured for this exact frame
+    val spark = TestSpark.spark
+    import spark.implicits._
+    Seq((1, Some(10)), (2, None: Option[Int]), (3, Some(30)))
+      .toDF("a", "b").createOrReplaceTempView("ign")
+    val got = SqlGateway.run(spark,
+      "SELECT a, last_value(b IGNORE NULLS) OVER (ORDER BY a " +
+        "ROWS BETWEEN 1 PRECEDING AND CURRENT ROW) AS lv FROM ign ORDER BY a")
+      .collect().map(r => (r.getInt(0), r.getInt(1)))
+    assert(got.toSeq == Seq((1, 10), (2, 10), (3, 30)))
+  }
 }
