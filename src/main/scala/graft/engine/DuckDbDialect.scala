@@ -100,6 +100,7 @@ object DuckDbDialect {
     s = rewriteUsingSample(s)
     s = rewriteSimilarTo(s)
     s = rewriteIgnoreNulls(s)
+    s = rewriteFrameExclude(s)
     s = rewriteCalls(s, "strftime")(fmtCall("date_format"))
     s = rewriteCalls(s, "strptime")(fmtCall("to_timestamp"))
     s = rewriteCalls(s, "time_bucket")(timeBucket)
@@ -949,6 +950,186 @@ object DuckDbDialect {
         scala.util.matching.Regex.quoteReplacement(s"${neg}rlike '^(?:$pat)$$'")
       }
     })
+  }
+
+  /** DuckDB window frames accept an ANSI frame-exclusion clause
+    * (`ROWS BETWEEN ... EXCLUDE CURRENT ROW`); Spark has none. For the
+    * decomposable aggregates the rewrite subtracts the current row's
+    * contribution from the un-excluded frame (which this pass verified
+    * CONTAINS the current row — otherwise the exclusion is a no-op and
+    * is simply dropped, as is `EXCLUDE NO OTHERS`):
+    *
+    *   COUNT(*)  → COUNT(*) OVER spec − 1
+    *   COUNT(x)  → COUNT(x) OVER spec − (x IS NOT NULL)
+    *   SUM(x)    → SUM(x) OVER spec − COALESCE(x, 0), NULL when no
+    *               other non-null row remains (SUM over ∅ is NULL)
+    *   AVG(x)    → the SUM/COUNT pair above, divided, NULL-guarded
+    *
+    * Bounded (throws, never silently wrong): EXCLUDE GROUP/TIES (no
+    * decomposable rewrite — peers are data-dependent), GROUPS frames
+    * (Spark has none), DISTINCT arguments, and non-decomposable
+    * functions (MIN/MAX/...) are rejected with the limitation named. */
+  private def rewriteFrameExclude(sql0: String): String = {
+    var sql = sql0
+    var guard = 0
+    while (guard < 50) {
+      guard += 1
+      val in = inString(sql)
+      // find an EXCLUDE token whose enclosing paren group follows OVER
+      var found = -1; var open = -1
+      var i = 0
+      while (i < sql.length && found < 0) {
+        if (!in(i) && sql.regionMatches(true, i, "exclude", 0, 7) &&
+            (i == 0 || !isIdentChar(sql(i - 1))) &&
+            (i + 7 >= sql.length || !isIdentChar(sql(i + 7)))) {
+          var depth = 0; var b = i - 1; var op = -1
+          while (b >= 0 && op < 0) {
+            if (!in(b)) {
+              if (sql(b) == ')') depth += 1
+              else if (sql(b) == '(') { if (depth == 0) op = b else depth -= 1 }
+            }
+            b -= 1
+          }
+          if (op > 0) {
+            var w = op - 1
+            while (w >= 0 && sql(w).isWhitespace) w -= 1
+            var e = w
+            while (e >= 0 && isIdentChar(sql(e))) e -= 1
+            if (sql.substring(e + 1, w + 1).equalsIgnoreCase("over")) {
+              found = i; open = op
+            }
+          }
+        }
+        if (found < 0) i += 1
+      }
+      if (found < 0) return sql
+      val m = "(?is)^exclude\\s+(current\\s+row|group|ties|no\\s+others)".r
+        .findFirstMatchIn(sql.substring(found))
+        .getOrElse(throw new IllegalArgumentException(
+          "window frame EXCLUDE: expected CURRENT ROW, GROUP, TIES or NO OTHERS"))
+      val kind = m.group(1).toLowerCase(java.util.Locale.ROOT).replaceAll("\\s+", " ")
+      if (kind == "group" || kind == "ties")
+        throw new IllegalArgumentException(
+          s"window frame EXCLUDE ${kind.toUpperCase(java.util.Locale.ROOT)} has no " +
+            "decomposable rewrite (peer sets are data-dependent) — the dialect shim " +
+            "supports EXCLUDE CURRENT ROW and EXCLUDE NO OTHERS")
+      var exclStart = found - 1
+      while (exclStart >= 0 && sql(exclStart).isWhitespace) exclStart -= 1
+      exclStart += 1
+      val exclEnd = found + m.matched.length
+      // matching close paren of the OVER spec
+      var depth2 = 1; var k = open + 1
+      while (depth2 > 0 && k < sql.length) {
+        if (!in(k)) {
+          if (sql(k) == '(') depth2 += 1 else if (sql(k) == ')') depth2 -= 1
+        }
+        k += 1
+      }
+      require(depth2 == 0, "window frame EXCLUDE: unbalanced OVER specification")
+      val specClose = k - 1
+      require(exclEnd <= specClose, "window frame EXCLUDE: exclusion outside the OVER spec")
+      val specNoExcl = (sql.substring(open, exclStart) + sql.substring(exclEnd, specClose + 1))
+        .replaceAll("\\s+\\)$", ")")
+      // Does the (un-excluded) frame contain the current row? When it
+      // does NOT, DuckDB 1.0's exclusion is NOT the ANSI no-op: it
+      // computes the segments [start, cur-1] ∪ [cur+1, end] without
+      // checking membership, so a frame ENDING at k PRECEDING (k ≥ 1)
+      // silently EXTENDS its end to cur-1, and one STARTING at
+      // k FOLLOWING extends its start to cur+1 — measured:
+      // SUM over ROWS BETWEEN 3 PRECEDING AND 2 PRECEDING EXCLUDE
+      // CURRENT ROW on b=10i returns 60 at i=4 (= rows 1..3), not the
+      // ANSI 30 (= rows 1..2). The engine is the oracle (the SIMILAR TO
+      // precedent), so the rewrite reproduces the measured frame.
+      val inner = specNoExcl.substring(1, specNoExcl.length - 1)
+      val frameM = "(?is)\\b(rows|range|groups)\\b(.*)$".r.findFirstMatchIn(inner)
+      frameM.foreach { fm =>
+        if (fm.group(1).equalsIgnoreCase("groups"))
+          throw new IllegalArgumentException(
+            "GROUPS frames are not supported (Spark has no GROUPS frame type)")
+      }
+      // (startsAfter, endsBefore, frame pieces) when an explicit BETWEEN
+      // frame exists; shorthand/absent frames always contain the current row
+      val betweenInfo: Option[(String, String, String, Int)] = frameM.flatMap { fm =>
+        val body = fm.group(2).trim
+        val parts = splitTopLevelKeyword(body, "and")
+        if (body.toLowerCase(java.util.Locale.ROOT).startsWith("between") && parts.length == 2)
+          Some((parts(0).replaceAll("(?i)^between\\s+", "").trim, parts(1).trim,
+            fm.group(1), fm.start))
+        else None
+      }
+      val (startsAfter, endsBefore) = betweenInfo match {
+        case Some((a, bnd, _, _)) =>
+          ("(?is)^\\S+\\s+following$".r.findFirstIn(a).isDefined &&
+             !a.toLowerCase(java.util.Locale.ROOT).startsWith("unbounded"),
+           "(?is)^\\S+\\s+preceding$".r.findFirstIn(bnd).isDefined &&
+             !bnd.toLowerCase(java.util.Locale.ROOT).startsWith("unbounded"))
+        case None => (false, false)
+      }
+      if (kind == "no others") {
+        // the ANSI no-op spelling — frame unchanged in both engines
+        sql = sql.substring(0, exclStart) + sql.substring(exclEnd)
+      } else if (startsAfter || endsBefore) {
+        // current row outside the frame: reproduce DuckDB's measured
+        // segment arithmetic by moving the offending bound to the row
+        // adjacent to current, then drop the exclusion
+        val (a, bnd, kw, fStart) = betweenInfo.get
+        val newA = if (startsAfter) "1 FOLLOWING" else a
+        val newB = if (endsBefore) "1 PRECEDING" else bnd
+        val specAdj = "(" + inner.substring(0, fStart) +
+          s"$kw BETWEEN $newA AND $newB" + ")"
+        sql = sql.substring(0, open) + specAdj + sql.substring(specClose + 1)
+      } else {
+        // fn(args) immediately before OVER
+        var w2 = open - 1
+        while (w2 >= 0 && sql(w2).isWhitespace) w2 -= 1
+        val overWordEnd = w2 + 1
+        var e2 = w2
+        while (e2 >= 0 && isIdentChar(sql(e2))) e2 -= 1
+        require(sql.substring(e2 + 1, overWordEnd).equalsIgnoreCase("over"),
+          "window frame EXCLUDE: lost the OVER anchor")
+        var p2 = e2
+        while (p2 >= 0 && sql(p2).isWhitespace) p2 -= 1
+        require(p2 >= 0 && sql(p2) == ')',
+          "window frame EXCLUDE: expected fn(...) immediately before OVER")
+        var d3 = 1; var q3 = p2 - 1
+        while (d3 > 0 && q3 >= 0) {
+          if (!in(q3)) {
+            if (sql(q3) == ')') d3 += 1 else if (sql(q3) == '(') d3 -= 1
+          }
+          if (d3 > 0) q3 -= 1
+        }
+        require(d3 == 0, "window frame EXCLUDE: unbalanced window function call")
+        var idStart = q3 - 1
+        while (idStart >= 0 && isIdentChar(sql(idStart))) idStart -= 1
+        idStart += 1
+        require(idStart < q3, "window frame EXCLUDE: expected a function name before OVER")
+        val fn = sql.substring(idStart, q3).toLowerCase(java.util.Locale.ROOT)
+        val arg = sql.substring(q3 + 1, p2).trim
+        if ("(?is)^distinct\\b.*".r.findFirstIn(arg).isDefined)
+          throw new IllegalArgumentException(
+            "window frame EXCLUDE over a DISTINCT aggregate is not supported")
+        val nonNullCur = s"(CASE WHEN ($arg) IS NULL THEN 0 ELSE 1 END)"
+        val repl = fn match {
+          case "count" if arg == "*" =>
+            s"(COUNT(*) OVER $specNoExcl - 1)"
+          case "count" =>
+            s"(COUNT($arg) OVER $specNoExcl - $nonNullCur)"
+          case "sum" =>
+            s"(CASE WHEN COUNT($arg) OVER $specNoExcl - $nonNullCur > 0 " +
+              s"THEN SUM($arg) OVER $specNoExcl - COALESCE($arg, 0) ELSE NULL END)"
+          case "avg" =>
+            s"(CASE WHEN COUNT($arg) OVER $specNoExcl - $nonNullCur > 0 " +
+              s"THEN (SUM($arg) OVER $specNoExcl - COALESCE($arg, 0)) " +
+              s"/ (COUNT($arg) OVER $specNoExcl - $nonNullCur) ELSE NULL END)"
+          case other =>
+            throw new IllegalArgumentException(
+              s"window frame EXCLUDE CURRENT ROW over $other() has no decomposable " +
+                "rewrite — the dialect shim supports COUNT/SUM/AVG")
+        }
+        sql = sql.substring(0, idStart) + repl + sql.substring(specClose + 1)
+      }
+    }
+    throw new IllegalArgumentException("window frame EXCLUDE rewriting did not converge")
   }
 
   /** DuckDB spells IGNORE/RESPECT NULLS INSIDE a window function's call

@@ -1186,11 +1186,44 @@ final class SqlFuzzer(seed: Long) {
       s"FROM $t WHERE ${pred(tbl, 1)} ${orderAll(3)} ${limit()}"
   }
 
+  /** Window-frame EXCLUDE through the shim's rewriteFrameExclude:
+    * DuckDB runs the ANSI frame-exclusion clause natively; Spark gets
+    * the frame-minus-current decomposition (SUM/COUNT/AVG) or the
+    * exclusion dropped when the frame provably misses the current row.
+    * AVG is rounded 6 dp (double division); SUM/COUNT are exact. */
+  private def qDialectFrameExclude(): String = {
+    val (t, part, ord, key) = pick(Seq(
+      ("orders", "o_custkey", "o_totalprice", "o_orderkey"),
+      ("lineitem", "l_suppkey", "l_extendedprice", "l_orderkey * 10 + l_linenumber"),
+      ("events", "user_id", "value", "event_id")))
+    val tbl = tables.find(_.name == t).get
+    val v = pick(cols(tbl, IntK)).name
+    val dir = pick(Seq("ASC", "DESC"))
+    val nf = if (dir == "ASC") "NULLS FIRST" else "NULLS LAST"
+    val spec = s"PARTITION BY $part ORDER BY $ord $dir $nf, $key ASC NULLS FIRST"
+    val frame = rnd.nextInt(4) match {
+      case 0 => s"ROWS BETWEEN ${1 + rnd.nextInt(4)} PRECEDING AND CURRENT ROW"
+      case 1 => s"ROWS BETWEEN ${1 + rnd.nextInt(4)} PRECEDING AND ${1 + rnd.nextInt(3)} FOLLOWING"
+      case 2 => s"ROWS BETWEEN CURRENT ROW AND ${1 + rnd.nextInt(3)} FOLLOWING"
+      case _ => "ROWS BETWEEN 3 PRECEDING AND 2 PRECEDING" // current NOT in frame → drop path
+    }
+    val excl = if (rnd.nextInt(5) == 0) "EXCLUDE NO OTHERS" else "EXCLUDE CURRENT ROW"
+    val over = s"OVER ($spec $frame $excl)"
+    val expr = rnd.nextInt(4) match {
+      case 0 => s"CAST(SUM($v) $over AS BIGINT)"
+      case 1 => s"CAST(COUNT($v) $over AS BIGINT)"
+      case 2 => s"CAST(COUNT(*) $over AS BIGINT)"
+      case _ => s"ROUND(AVG($v) $over, 6)"
+    }
+    s"SELECT $key AS c1, CAST(($v) AS BIGINT) AS c2, $expr AS c3 " +
+      s"FROM $t WHERE ${pred(tbl, 1)} ${orderAll(3)} ${limit()}"
+  }
+
   /** DuckDB-dialect suite: run verbatim on DuckDB, through
     * [[graft.engine.DuckDbDialect.rewrite]] on Spark. */
   def dialectQueries(count: Int): Vector[(String, String)] =
     (1 to count).map { i =>
-      val (kind, sql) = rnd.nextInt(12) match {
+      val (kind, sql) = rnd.nextInt(13) match {
         case 0 => ("dsel", qDialectProj())
         case 1 => ("dgrp", qDialectGroup())
         case 2 => ("dtb", qDialectBucket())
@@ -1202,6 +1235,7 @@ final class SqlFuzzer(seed: Long) {
         case 8 => ("ddon", qDialectDistinctOn())
         case 9 => ("dsim", qDialectSimilar())
         case 10 => ("dign", qDialectIgnoreNulls())
+        case 11 => ("dexc", qDialectFrameExclude())
         case _ => ("ddiv", qDialectDivFilter())
       }
       (f"fz_$i%04d_$kind", sql)
@@ -1397,8 +1431,15 @@ object Fuzz {
       if (n == "events") Tables.events(spark, sfDir) else Tables.t(spark, sfDir, n)
     if (flags.contains("--nulls")) {
       val dataDir = s"$outDir/_data"
+      // row-identity columns stay non-null: the single-column unique keys
+      // plus lineitem's COMPOSITE identity (l_orderkey, l_linenumber) —
+      // the grammar's window total-order anchor `l_orderkey * 10 +
+      // l_linenumber` must never be NULL, or rows with tied ordering
+      // values become mutually unordered and ROWS-frame contents (found
+      // by the dexc kind, seed 8484: 2/300) and ROW_NUMBER assignment
+      // turn engine-dependent
       val keep = Set("o_orderkey", "c_custkey", "p_partkey", "s_suppkey",
-        "doc_id", "event_id", "n_nationkey")
+        "doc_id", "event_id", "n_nationkey", "l_orderkey", "l_linenumber")
       tableNames.foreach { n =>
         val df0 = loadT(n)
         val outCols = df0.schema.fields.zipWithIndex.map { case (f, i) =>

@@ -74,9 +74,10 @@ class DuckDbDialectSpec extends AnyFunSuite {
   test("star EXCLUDE rewrites to EXCEPT; frame EXCLUDE and strings stay") {
     assert(DuckDbDialect.rewrite("SELECT * EXCLUDE (b) FROM t") ==
       "SELECT * except (b) FROM t") // keywords are case-insensitive
-    // no paren follows → window-frame exclusion / arbitrary text untouched
-    assert(DuckDbDialect.rewrite("SUM(x) OVER (ORDER BY y ROWS 1 PRECEDING EXCLUDE CURRENT ROW)")
-      .contains("EXCLUDE CURRENT ROW"))
+    // frame-level EXCLUDE is consumed by rewriteFrameExclude (its own
+    // test below), never left for the star-level exclude→except rename
+    assert(!DuckDbDialect.rewrite("SUM(x) OVER (ORDER BY y ROWS 1 PRECEDING EXCLUDE CURRENT ROW)")
+      .toLowerCase.contains("exclude"))
     assert(DuckDbDialect.rewrite("SELECT 'exclude (b)' AS s") ==
       "SELECT 'exclude (b)' AS s")
   }
@@ -670,5 +671,54 @@ class DuckDbDialectSpec extends AnyFunSuite {
         "ROWS BETWEEN 1 PRECEDING AND CURRENT ROW) AS lv FROM ign ORDER BY a")
       .collect().map(r => (r.getInt(0), r.getInt(1)))
     assert(got.toSeq == Seq((1, 10), (2, 10), (3, 30)))
+  }
+
+  test("window frame EXCLUDE CURRENT ROW rewrites to the frame-minus-current form") {
+    // end-to-end against DuckDB 1.0 goldens measured on
+    // t(a,b) = (1,10),(2,NULL),(3,30),(4,40); every case below was run
+    // verbatim in DuckDB and the expected rows copied from its output
+    val spark = TestSpark.spark
+    import spark.implicits._
+    Seq((1, Some(10)), (2, None: Option[Int]), (3, Some(30)), (4, Some(40)))
+      .toDF("a", "b").createOrReplaceTempView("exc")
+    def run(sel: String): Seq[Any] =
+      SqlGateway.run(spark, s"SELECT $sel AS v FROM exc ORDER BY a")
+        .collect().map(r => if (r.isNullAt(0)) null else r.get(0)).toSeq
+    // SUM: golden [NULL, 40, 40, 30] (NULL when no other non-null remains)
+    assert(run("SUM(b) OVER (ORDER BY a ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING " +
+      "EXCLUDE CURRENT ROW)").map(v => Option(v).map(_.toString.toLong))
+      == Seq(None, Some(40L), Some(40L), Some(30L)))
+    // single-row frame → empty after exclusion → all NULL
+    assert(run("SUM(b) OVER (ORDER BY a ROWS BETWEEN CURRENT ROW AND CURRENT ROW " +
+      "EXCLUDE CURRENT ROW)").forall(_ == null))
+    // COUNT(x): golden [0, 1, 0, 1]
+    assert(run("COUNT(b) OVER (ORDER BY a ROWS BETWEEN 1 PRECEDING AND CURRENT ROW " +
+      "EXCLUDE CURRENT ROW)").map(_.toString.toLong) == Seq(0L, 1L, 0L, 1L))
+    // AVG: golden [NULL, 20.0, 40.0, 30.0]
+    assert(run("AVG(b) OVER (ORDER BY a ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING " +
+      "EXCLUDE CURRENT ROW)").map(v => Option(v).map(_.toString.toDouble))
+      == Seq(None, Some(20.0), Some(40.0), Some(30.0)))
+    // current row not in frame: DuckDB 1.0's exclusion is NOT the ANSI
+    // no-op — its segment arithmetic extends the near bound to the row
+    // adjacent to current (measured; found by the dexc fuzz kind, seed
+    // 8282). The rewrite reproduces the measured frame.
+    assert(DuckDbDialect.rewrite("SELECT SUM(b) OVER (ORDER BY a ROWS BETWEEN 3 " +
+      "PRECEDING AND 2 PRECEDING EXCLUDE CURRENT ROW) FROM t")
+      == "SELECT SUM(b) OVER (ORDER BY a ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING) FROM t")
+    assert(DuckDbDialect.rewrite("SELECT SUM(b) OVER (ORDER BY a ROWS BETWEEN 2 " +
+      "FOLLOWING AND 3 FOLLOWING EXCLUDE CURRENT ROW) FROM t")
+      == "SELECT SUM(b) OVER (ORDER BY a ROWS BETWEEN 1 FOLLOWING AND 3 FOLLOWING) FROM t")
+    // EXCLUDE NO OTHERS is the ANSI no-op spelling
+    assert(DuckDbDialect.rewrite("SELECT COUNT(*) OVER (ORDER BY a ROWS BETWEEN 1 " +
+      "PRECEDING AND 1 FOLLOWING EXCLUDE NO OTHERS) FROM t")
+      == "SELECT COUNT(*) OVER (ORDER BY a ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING) FROM t")
+    // documented bounds fail loudly
+    intercept[IllegalArgumentException](DuckDbDialect.rewrite(
+      "SELECT SUM(b) OVER (ORDER BY a ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING EXCLUDE TIES) FROM t"))
+    intercept[IllegalArgumentException](DuckDbDialect.rewrite(
+      "SELECT MIN(b) OVER (ORDER BY a ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING EXCLUDE CURRENT ROW) FROM t"))
+    // star EXCLUDE is untouched by the frame pass (no OVER context)
+    assert(DuckDbDialect.rewrite("SELECT * EXCLUDE (b) FROM t")
+      == "SELECT * except (b) FROM t")
   }
 }

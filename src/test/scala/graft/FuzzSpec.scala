@@ -71,7 +71,10 @@ class FuzzSpec extends AnyFunSuite {
     // DuckDB-only spelling the shim must translate
     val duckisms = Seq("strftime(", "epoch(", "epoch_ms(", "//",
       "time_bucket(", "list_", "string_split(", "regexp_matches(", "QUALIFY",
-      "* REPLACE (", "* EXCLUDE (", "ASOF", "DISTINCT ON (", "SIMILAR TO ")
+      "* REPLACE (", "* EXCLUDE (", "ASOF", "DISTINCT ON (", "SIMILAR TO ",
+      // in-paren null-skip and frame exclusion (round 13c): both are
+      // DuckDB-only spellings the shim hoists/decomposes
+      "IGNORE NULLS)", "RESPECT NULLS)", "EXCLUDE CURRENT ROW", "EXCLUDE NO OTHERS")
     dial.foreach { case (name, sql) =>
       assert(sql.contains("ORDER BY") && sql.contains("LIMIT"), s"$name: $sql")
       assert(duckisms.exists(sql.contains), s"$name has no DuckDB-ism: $sql")
