@@ -37,6 +37,12 @@ package graft.engine
   *    -2.5), so the faithful rewrite is type-dependent; a string-level
   *    shim cannot infer operand types, hence float `//` stays out of
   *    scope (a user gets Spark's div type error, not a wrong answer).
+  *  - Window-frame `EXCLUDE CURRENT ROW` decomposes to frame-minus-
+  *    current for SUM/COUNT/AVG (and reproduces DuckDB 1.0's measured
+  *    off-frame extension quirk — see [[rewriteFrameExclude]]);
+  *    `EXCLUDE NO OTHERS` drops. EXCLUDE GROUP/TIES and other
+  *    aggregate functions throw: peer sets are data-dependent and
+  *    MIN/MAX have no subtractive decomposition.
   *  - `USING SAMPLE n[%|PERCENT|ROWS]` after a table reference becomes
   *    `TABLESAMPLE (n PERCENT|ROWS)` — an acceptance rewrite: both draw
   *    the requested sample size, by different algorithms (sampling is
