@@ -31,12 +31,15 @@ package graft.engine
   *    granularity keeps the origin's full sub-bucket offset; month
   *    granularity truncates the origin to its month start — both
   *    measured). Only multi-week buckets WITHOUT an origin throw.
-  *  - `//` becomes Spark's ` div `. This matches DuckDB's INTEGER `//`
-  *    exactly (measured on 1.0.0: -5//2 = -2 — truncating, not floor).
-  *    DuckDB's FLOAT `//` is measured to be plain division (-5.0//2 =
-  *    -2.5), so the faithful rewrite is type-dependent; a string-level
-  *    shim cannot infer operand types, hence float `//` stays out of
-  *    scope (a user gets Spark's div type error, not a wrong answer).
+  *  - `//` becomes Spark's ` div `, whose analyzed [[IntegralDivide]]
+  *    is then replaced by the type-aware
+  *    [[graft.functions.DuckDiv]] via an injected resolution rule
+  *    (the analyzer knows the operand types a string-level shim
+  *    cannot): INTEGER `//` truncates toward zero (-5//2 = -2,
+  *    measured), any FLOAT operand gives plain division (-5.0//2 =
+  *    -2.5 — the docs say floor; the engine disagrees), and divisor 0
+  *    yields NULL in both regimes. This closed what was a documented
+  *    bound (float `//` previously surfaced Spark's div type error).
   *  - Window-frame `EXCLUDE CURRENT ROW` decomposes to frame-minus-
   *    current for SUM/COUNT/AVG (and reproduces DuckDB 1.0's measured
   *    off-frame extension quirk — see [[rewriteFrameExclude]]);

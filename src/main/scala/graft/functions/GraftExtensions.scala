@@ -26,6 +26,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectFunction(GraftExtensions.freqSketchAgg)
     e.injectFunction(GraftExtensions.freqMergeAgg)
     e.injectFunction(GraftExtensions.freqEstimate)
+    e.injectFunction(GraftExtensions.duckDiv)
+    // `div` (the shim's image of DuckDB `//`) gets DuckDB's measured
+    // type-aware semantics — see [[DuckDiv]] for the contract
+    e.injectResolutionRule(_ => DuckDivRule)
   }
 }
 
@@ -78,10 +82,15 @@ object GraftExtensions {
     info("freq_sketch_estimate", "freq_sketch_estimate(sk, item) - frequency estimate for an item"),
     (exprs: Seq[Expression]) => FreqEstimate(exprs(0), exprs(1)))
 
+  val duckDiv: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("duck_div"),
+    info("duck_div", "duck_div(a, b) - DuckDB // semantics: truncating int division / plain float division, 0 divisor -> NULL"),
+    (exprs: Seq[Expression]) => DuckDiv(exprs(0), exprs(1)))
+
   /** Register on an already-built session (idempotent). */
   def register(spark: SparkSession): Unit =
     Seq(dotProduct, cosineSim, kllSketchAgg, kllMergeAgg, kllQuantile, scriptCounts,
-        freqSketchAgg, freqMergeAgg, freqEstimate)
+        freqSketchAgg, freqMergeAgg, freqEstimate, duckDiv)
       .foreach { case (id, i, builder) =>
         spark.sessionState.functionRegistry.registerFunction(id, i, builder)
       }

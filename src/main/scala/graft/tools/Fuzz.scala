@@ -1025,7 +1025,17 @@ final class SqlFuzzer(seed: Long) {
   }
 
   private def qDialectDivFilter(): String = {
-    s"SELECT l_orderkey AS c1, (l_orderkey // ${intLit(2, 9)}) AS c2, " +
+    // round 13d: the float and zero-divisor regimes ride too — DuckDB's
+    // measured `//` is type-aware (int: truncating; any float operand:
+    // plain division) and NULL on divisor 0; the shim's div image gets
+    // the same semantics from functions.DuckDivRule
+    val c2 = rnd.nextInt(4) match {
+      case 0 => s"(l_orderkey // ${intLit(2, 9)})"
+      case 1 => s"ROUND(l_extendedprice // ${intLit(2, 9)}, 6)"       // float // int → plain division
+      case 2 => s"ROUND(l_extendedprice // ${intLit(2, 5)}.5, 6)"    // float // float
+      case _ => s"(l_orderkey // (l_linenumber - l_linenumber))"      // divisor 0 → NULL in both
+    }
+    s"SELECT l_orderkey AS c1, $c2 AS c2, " +
       s"l_linenumber AS c3 FROM lineitem " +
       s"WHERE (l_suppkey // ${intLit(2, 7)}) % ${intLit(2, 5)} = 1 " +
       s"AND ${basePred(lineitem)} ${orderAll(3)} ${limit()}"

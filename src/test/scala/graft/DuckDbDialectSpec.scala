@@ -33,6 +33,26 @@ class DuckDbDialectSpec extends AnyFunSuite {
       "SELECT 'http://x' , 9 div 4")
   }
 
+  test("// runs with DuckDB's measured type-aware semantics (DuckDivRule)") {
+    // goldens measured on DuckDB 1.0: int//int truncates toward zero,
+    // any float operand → PLAIN division (the docs say floor; the
+    // engine disagrees), divisor 0 → NULL in both regimes
+    assert(one[Long]("SELECT 7 // 2") == 3L)
+    assert(one[Long]("SELECT -5 // 2") == -2L)
+    assert(one[Double]("SELECT -5.0 // 2") == -2.5)
+    assert(one[Double]("SELECT 7.5 // 2") == 3.75)
+    assert(one[Double]("SELECT 5.5 // 2.0") == 2.75)
+    val z = SqlGateway.run(spark, "SELECT 1 // 0 AS a, 1.0 // 0 AS b").collect()(0)
+    assert(z.isNullAt(0) && z.isNullAt(1))
+    // NULL operands propagate
+    assert(SqlGateway.run(spark, "SELECT CAST(NULL AS INT) // 2 AS a").collect()(0).isNullAt(0))
+    // and over a real column through the gateway
+    import spark.implicits._
+    Seq(-5, 7, 9).toDF("v").createOrReplaceTempView("ddiv_t")
+    assert(SqlGateway.run(spark, "SELECT v // 2 AS q FROM ddiv_t ORDER BY v")
+      .collect().map(_.getLong(0)).toSeq == Seq(-2L, 3L, 4L))
+  }
+
   test("strftime accepts both argument orders and converts %-codes") {
     assert(DuckDbDialect.rewrite("SELECT strftime(ts, '%Y-%m-%d')") ==
       "SELECT date_format(ts, 'yyyy-MM-dd')")

@@ -8,6 +8,11 @@ object TestSpark {
     val s = { graft.engine.Session.pinLocale(); SparkSession.builder() }
       .master("local[4]")
       .appName("graft-test")
+      // the same extensions the production gateway session gets
+      // (engine.Session.local): custom functions AND the DuckDivRule
+      // analyzer rule — function registration alone can be retrofitted
+      // post-build, injected rules cannot
+      .withExtensions(new graft.functions.GraftExtensions)
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.warehouse.dir",
