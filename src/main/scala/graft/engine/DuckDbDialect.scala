@@ -190,45 +190,59 @@ object DuckDbDialect {
       !in(i) && sql.regionMatches(true, i, w, 0, w.length) &&
         (i == 0 || !isIdentChar(sql(i - 1))) &&
         (i + w.length >= sql.length || !isIdentChar(sql(i + w.length)))
+    // one scan: the FIRST top-level QUALIFY, plus every top-level set
+    // operation keyword span (UNION/INTERSECT/EXCEPT with its optional
+    // ALL/DISTINCT modifier) — QUALIFY binds to ITS OWN branch of a
+    // compound (measured: `A UNION ALL B QUALIFY p` filters only B;
+    // trailing ORDER BY/LIMIT binds to the whole compound), so the
+    // rewrite wraps just the branch between the surrounding set ops.
+    def setOpAt(i: Int): Boolean =
+      wordAt(i, "union") || wordAt(i, "intersect") ||
+        // EXCEPT is also Spark's star-exclusion (`* EXCEPT (c)`);
+        // only the set operation (not preceded by `*`) counts
+        (wordAt(i, "except") && {
+          var p = i - 1
+          while (p >= 0 && sql(p).isWhitespace) p -= 1
+          p < 0 || sql(p) != '*'
+        })
+    def setOpEnd(i: Int): Int = {
+      // end of the keyword plus an optional ALL/DISTINCT modifier
+      var e = i
+      while (e < sql.length && isIdentChar(sql(e))) e += 1
+      var w = e
+      while (w < sql.length && sql(w).isWhitespace) w += 1
+      if (wordAt(w, "all") || wordAt(w, "distinct")) {
+        var e2 = w
+        while (e2 < sql.length && isIdentChar(sql(e2))) e2 += 1
+        e2
+      } else e
+    }
     var depth = 0
     var q = -1
-    var setOp = false
+    var branchStart = 0
     var i = 0
-    while (i < sql.length) {
+    while (i < sql.length && q < 0) {
       val c = sql(i)
       if (!in(i)) {
         if (c == '(') depth += 1
         else if (c == ')') depth -= 1
-        else if (depth == 0 &&
-                 (wordAt(i, "union") || wordAt(i, "intersect") ||
-                  // EXCEPT is also Spark's star-exclusion (`* EXCEPT (c)`);
-                  // only the set operation (not preceded by `*`) counts
-                  (wordAt(i, "except") && {
-                    var p = i - 1
-                    while (p >= 0 && sql(p).isWhitespace) p -= 1
-                    p < 0 || sql(p) != '*'
-                  }))) setOp = true
+        else if (depth == 0 && setOpAt(i)) branchStart = setOpEnd(i)
         else if (wordAt(i, "qualify")) {
           if (depth > 0) throw new IllegalStateException(
             "QUALIFY at depth > 0 reached rewriteQualify — " +
               "rewriteQualifyDeep should have reduced it first")
-          if (q >= 0) throw new IllegalArgumentException(
-            "multiple top-level QUALIFY clauses")
           q = i
         }
       }
       i += 1
     }
     if (q < 0) return sql
-    // A set operation ANYWHERE at top level changes what QUALIFY binds
-    // to (DuckDB applies it to the last SELECT branch only; wrapping the
-    // whole compound would filter every branch — silently wrong rows).
-    if (setOp) throw new IllegalArgumentException(
-      "QUALIFY combined with a top-level set operation is outside the " +
-        "shim's bounded support — parenthesize the QUALIFY branch")
-    val head = sql.substring(0, q).trim
+    val prefix =
+      if (branchStart == 0) "" else sql.substring(0, branchStart) + " "
+    val head = sql.substring(branchStart, q).trim
     val rest = sql.substring(q + "qualify".length)
-    // split the tail: the earliest top-level ORDER BY / LIMIT / OFFSET
+    // the predicate ends at the earliest top-level ORDER BY / LIMIT /
+    // OFFSET (compound-level tail) or set operation (the next branch)
     val restIn = inString(rest)
     var d2 = 0; var tailAt = -1; var j = 0
     def restWord(i: Int, w: String): Boolean =
@@ -241,7 +255,13 @@ object DuckDbDialect {
         if (c == '(') d2 += 1
         else if (c == ')') d2 -= 1
         else if (d2 == 0 &&
-                 (restWord(j, "order") || restWord(j, "limit") || restWord(j, "offset")))
+                 (restWord(j, "order") || restWord(j, "limit") || restWord(j, "offset") ||
+                  restWord(j, "union") || restWord(j, "intersect") ||
+                  (restWord(j, "except") && {
+                    var p = j - 1
+                    while (p >= 0 && rest(p).isWhitespace) p -= 1
+                    p < 0 || rest(p) != '*'
+                  })))
           tailAt = j
       }
       j += 1
@@ -251,7 +271,8 @@ object DuckDbDialect {
       else (rest.substring(0, tailAt).trim, " " + rest.substring(tailAt).trim)
     val (pred, hoisted) = hoistWindows(pred0)
     if (hoisted.isEmpty)
-      s"SELECT * FROM ( $head ) __qualify WHERE $pred$tail"
+      // recurse: a later branch of the compound may carry its own QUALIFY
+      rewriteQualify(s"${prefix}SELECT * FROM ( $head ) __qualify WHERE $pred$tail")
     else {
       // Locate the head's MAIN select (the LAST top-level SELECT — a
       // WITH-prefixed head keeps its CTE bodies inside parens) and its
@@ -286,7 +307,8 @@ object DuckDbDialect {
       val headWithSynth =
         head.substring(0, fromAt) + s", $synth " + head.substring(fromAt)
       val drop = hoisted.map(_._2).mkString(", ")
-      s"SELECT * EXCEPT ($drop) FROM ( $headWithSynth ) __qualify WHERE $pred$tail"
+      rewriteQualify(
+        s"${prefix}SELECT * EXCEPT ($drop) FROM ( $headWithSynth ) __qualify WHERE $pred$tail")
     }
   }
 

@@ -1054,17 +1054,27 @@ final class SqlFuzzer(seed: Long) {
     // under --nulls injection) would silently diverge row_number.
     val nf = if (dir == "ASC") "NULLS FIRST" else "NULLS LAST"
     val win = s"ROW_NUMBER() OVER (PARTITION BY $part ORDER BY $ord $dir $nf, $key ASC NULLS FIRST)"
-    rnd.nextInt(3) match {
+    rnd.nextInt(4) match {
       case 0 => // alias form: predicate names the select-list alias
         s"SELECT $part AS c1, CAST(($key) AS BIGINT) AS c2, $win AS c3 " +
           s"FROM $t WHERE ${pred(tbl, 1)} QUALIFY c3 <= $n ${orderAll(3)} ${limit()}"
       case 1 => // inline form: the shim hoists the window into the select list
         s"SELECT $part AS c1, CAST(($key) AS BIGINT) AS c2 " +
           s"FROM $t WHERE ${pred(tbl, 1)} QUALIFY $win <= $n ${orderAll(2)} ${limit()}"
-      case _ => // round 13: QUALIFY inside a derived table (the deep rewrite)
+      case 2 => // round 13: QUALIFY inside a derived table (the deep rewrite)
         s"SELECT c1, c3 FROM (SELECT $part AS c1, CAST(($key) AS BIGINT) AS c2, " +
           s"$win AS c3 FROM $t WHERE ${pred(tbl, 1)} QUALIFY c3 <= $n) q " +
           s"${orderAll(2)} ${limit()}"
+      case _ => // round 13d: QUALIFY bound to its own branch of a UNION ALL
+        // (measured: filters only that branch; the trailing ORDER BY /
+        // LIMIT binds to the whole compound)
+        val qualSel = s"SELECT $part AS c1, CAST(($key) AS BIGINT) AS c2, " +
+          s"CAST($win AS BIGINT) AS c3 FROM $t WHERE ${pred(tbl, 1)} QUALIFY c3 <= $n"
+        val plainSel = s"SELECT $part AS c1, CAST(($key) AS BIGINT) AS c2, " +
+          s"CAST(0 AS BIGINT) AS c3 FROM $t WHERE ${pred(tbl, 1)}"
+        val compound = if (rnd.nextBoolean()) s"$qualSel UNION ALL $plainSel"
+          else s"$plainSel UNION ALL $qualSel"
+        s"$compound ${orderAll(3)} ${limit()}"
     }
   }
 

@@ -336,29 +336,34 @@ class DuckDbDialectSpec extends AnyFunSuite {
     val inl = DuckDbDialect.rewrite(
       "SELECT c FROM (SELECT a AS c FROM t QUALIFY ROW_NUMBER() OVER (ORDER BY a) = 1) s")
     assert(inl.contains("__qualify_w1") && inl.contains("EXCEPT (__qualify_w1)"))
-    // and the per-block set-op guard still applies INSIDE the subquery
-    val eSub = intercept[IllegalArgumentException] {
-      DuckDbDialect.rewrite(
-        "SELECT * FROM (SELECT a, rn FROM t QUALIFY rn = 1 UNION ALL SELECT a, 1 FROM u) s")
-    }
-    assert(eSub.getMessage.contains("set operation"))
+    // set ops INSIDE the subquery block rewrite branch-locally too
+    val sub = DuckDbDialect.rewrite(
+      "SELECT * FROM (SELECT a, rn FROM t QUALIFY rn = 1 UNION ALL SELECT a, 1 FROM u) s")
+    assert(sub.contains("WHERE rn = 1") && sub.contains("UNION ALL SELECT a, 1 FROM u"))
   }
 
-  test("QUALIFY before a set op fails loudly") {
-    val e2 = intercept[IllegalArgumentException] {
-      DuckDbDialect.rewrite(
-        "SELECT a, rn FROM t QUALIFY rn = 1 UNION ALL SELECT a, 1 FROM u")
-    }
-    assert(e2.getMessage.contains("set operation"))
-    // a set operation BEFORE the QUALIFY binds it to the last branch in
-    // DuckDB — wrapping the whole compound would silently filter every
-    // branch, so the shim must refuse that too
-    val e3 = intercept[IllegalArgumentException] {
-      DuckDbDialect.rewrite(
-        "SELECT val AS rn FROM a UNION ALL " +
-          "SELECT ROW_NUMBER() OVER (ORDER BY x) AS rn FROM b QUALIFY rn <= 1")
-    }
-    assert(e3.getMessage.contains("set operation"))
+  test("QUALIFY binds to its own branch of a set operation (round 13d — bound closed)") {
+    // measured DuckDB 1.0 semantics on t(a) = {1,2,3}: QUALIFY filters
+    // ONLY its branch; a trailing ORDER BY/LIMIT binds to the compound
+    val spark = TestSpark.spark
+    import spark.implicits._
+    Seq(1, 2, 3).toDF("a").createOrReplaceTempView("qset_t")
+    def rows(sql: String): Seq[(Int, Long)] =
+      SqlGateway.run(spark, sql).collect().map(r => (r.getInt(0), r.getLong(1))).toSeq
+    // QUALIFY in the FIRST branch: golden [(1,1),(1,9),(2,9),(3,9)]
+    assert(rows("SELECT a, ROW_NUMBER() OVER (ORDER BY a) AS r FROM qset_t QUALIFY r <= 1 " +
+      "UNION ALL SELECT a, CAST(9 AS BIGINT) FROM qset_t").sorted ==
+      Seq((1, 1L), (1, 9L), (2, 9L), (3, 9L)))
+    // QUALIFY in the LAST branch: golden multiset {(1,9),(2,9),(3,9),(1,1)}
+    assert(rows("SELECT a, CAST(9 AS BIGINT) AS r FROM qset_t UNION ALL " +
+      "SELECT a, ROW_NUMBER() OVER (ORDER BY a) AS r FROM qset_t QUALIFY r <= 1").sorted ==
+      Seq((1, 1L), (1, 9L), (2, 9L), (3, 9L)))
+    // trailing ORDER BY/LIMIT binds to the WHOLE compound: golden
+    // [(1,1),(1,9),(2,9)] (DuckDB-measured)
+    assert(rows("SELECT a, CAST(9 AS BIGINT) AS r FROM qset_t UNION ALL " +
+      "SELECT a, ROW_NUMBER() OVER (ORDER BY a) AS r FROM qset_t QUALIFY r <= 1 " +
+      "ORDER BY 2, 1 LIMIT 3") ==
+      Seq((1, 1L), (1, 9L), (2, 9L)))
     // ...but Spark's star-exclusion EXCEPT is NOT a set operation
     assert(DuckDbDialect.rewrite(
       "SELECT * EXCEPT (b), ROW_NUMBER() OVER (ORDER BY a) AS rn FROM t QUALIFY rn = 1")
