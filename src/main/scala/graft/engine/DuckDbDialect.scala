@@ -1039,11 +1039,6 @@ object DuckDbDialect {
         .getOrElse(throw new IllegalArgumentException(
           "window frame EXCLUDE: expected CURRENT ROW, GROUP, TIES or NO OTHERS"))
       val kind = m.group(1).toLowerCase(java.util.Locale.ROOT).replaceAll("\\s+", " ")
-      if (kind == "group" || kind == "ties")
-        throw new IllegalArgumentException(
-          s"window frame EXCLUDE ${kind.toUpperCase(java.util.Locale.ROOT)} has no " +
-            "decomposable rewrite (peer sets are data-dependent) — the dialect shim " +
-            "supports EXCLUDE CURRENT ROW and EXCLUDE NO OTHERS")
       var exclStart = found - 1
       while (exclStart >= 0 && sql(exclStart).isWhitespace) exclStart -= 1
       exclStart += 1
@@ -1100,6 +1095,10 @@ object DuckDbDialect {
         // the ANSI no-op spelling — frame unchanged in both engines
         sql = sql.substring(0, exclStart) + sql.substring(exclEnd)
       } else if (startsAfter || endsBefore) {
+        if (kind != "current row")
+          throw new IllegalArgumentException(
+            s"window frame EXCLUDE ${kind.toUpperCase(java.util.Locale.ROOT)} on a frame " +
+              "that does not contain the current row is not supported by the dialect shim")
         // current row outside the frame: reproduce DuckDB's measured
         // segment arithmetic by moving the offending bound to the row
         // adjacent to current, then drop the exclusion
@@ -1140,7 +1139,10 @@ object DuckDbDialect {
           throw new IllegalArgumentException(
             "window frame EXCLUDE over a DISTINCT aggregate is not supported")
         val nonNullCur = s"(CASE WHEN ($arg) IS NULL THEN 0 ELSE 1 END)"
-        val repl = fn match {
+        def unsupportedFn(): Nothing = throw new IllegalArgumentException(
+          s"window frame EXCLUDE ${kind.toUpperCase(java.util.Locale.ROOT)} over $fn() has " +
+            "no decomposable rewrite — the dialect shim supports COUNT/SUM/AVG")
+        val repl = if (kind == "current row") fn match {
           case "count" if arg == "*" =>
             s"(COUNT(*) OVER $specNoExcl - 1)"
           case "count" =>
@@ -1152,10 +1154,44 @@ object DuckDbDialect {
             s"(CASE WHEN COUNT($arg) OVER $specNoExcl - $nonNullCur > 0 " +
               s"THEN (SUM($arg) OVER $specNoExcl - COALESCE($arg, 0)) " +
               s"/ (COUNT($arg) OVER $specNoExcl - $nonNullCur) ELSE NULL END)"
-          case other =>
+          case _ => unsupportedFn()
+        } else {
+          // EXCLUDE GROUP / TIES (round 13d): exactly decomposable when
+          // the frame is RANGE-typed and contains the current row — a
+          // RANGE frame whose bounds include the current row contains
+          // its ENTIRE peer group (peers sit at value-distance 0), so
+          // the peers' aggregate is its own window over
+          // RANGE BETWEEN CURRENT ROW AND CURRENT ROW:
+          //   GROUP: frame − peers;  TIES: frame − peers + current.
+          // ROWS frames stay a documented throw: a row-offset boundary
+          // can cut through the peer group, and the in-frame peer
+          // subset is not expressible as a second window. Goldens for
+          // every branch measured on DuckDB 1.0 (DuckDbDialectSpec).
+          val (_, _, kw, fStart) = betweenInfo.getOrElse(throw new IllegalArgumentException(
+            s"window frame EXCLUDE ${kind.toUpperCase(java.util.Locale.ROOT)} needs an " +
+              "explicit RANGE BETWEEN frame (DuckDB requires the frame clause too)"))
+          if (!kw.equalsIgnoreCase("range"))
             throw new IllegalArgumentException(
-              s"window frame EXCLUDE CURRENT ROW over $other() has no decomposable " +
-                "rewrite — the dialect shim supports COUNT/SUM/AVG")
+              s"window frame EXCLUDE ${kind.toUpperCase(java.util.Locale.ROOT)} over a " +
+                "ROWS frame has no decomposable rewrite (a row-offset bound can cut " +
+                "through the peer group) — use a RANGE frame")
+          val peersSpec = "(" + inner.substring(0, fStart) +
+            "RANGE BETWEEN CURRENT ROW AND CURRENT ROW" + ")"
+          val cntS = if (arg == "*") s"COUNT(*) OVER $specNoExcl" else s"COUNT($arg) OVER $specNoExcl"
+          val cntP = if (arg == "*") s"COUNT(*) OVER $peersSpec" else s"COUNT($arg) OVER $peersSpec"
+          val keepCur = if (kind == "ties") (if (arg == "*") " + 1" else s" + $nonNullCur") else ""
+          val remCnt = s"($cntS - $cntP$keepCur)"
+          val sumBack = if (kind == "ties") s" + COALESCE($arg, 0)" else ""
+          fn match {
+            case "count" => remCnt
+            case "sum" =>
+              s"(CASE WHEN $remCnt > 0 THEN SUM($arg) OVER $specNoExcl " +
+                s"- COALESCE(SUM($arg) OVER $peersSpec, 0)$sumBack ELSE NULL END)"
+            case "avg" =>
+              s"(CASE WHEN $remCnt > 0 THEN (SUM($arg) OVER $specNoExcl " +
+                s"- COALESCE(SUM($arg) OVER $peersSpec, 0)$sumBack) / $remCnt ELSE NULL END)"
+            case _ => unsupportedFn()
+          }
         }
         sql = sql.substring(0, idStart) + repl + sql.substring(specClose + 1)
       }

@@ -1228,6 +1228,30 @@ final class SqlFuzzer(seed: Long) {
       case _ => "ROWS BETWEEN 3 PRECEDING AND 2 PRECEDING" // current NOT in frame → drop path
     }
     val excl = if (rnd.nextInt(5) == 0) "EXCLUDE NO OTHERS" else "EXCLUDE CURRENT ROW"
+    if (rnd.nextInt(3) == 0) {
+      // RANGE-frame GROUP/TIES (round 13d): the window orders by a
+      // NON-unique integer expression so peer groups are real; RANGE
+      // aggregates are tie-order-insensitive, so c3 stays deterministic
+      // and the final orderAll totalizes output order. The ordering
+      // value is prefiltered IS NOT NULL: the pinned agreed surface,
+      // like dasof (NULL peer-group frame semantics are their own
+      // engine-specific corner).
+      val gv = s"($v % ${intLit(3, 9)})"
+      val rframe = rnd.nextInt(3) match {
+        case 0 => "RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW"
+        case 1 => s"RANGE BETWEEN ${intLit(1, 3)} PRECEDING AND ${intLit(1, 3)} FOLLOWING"
+        case _ => "RANGE BETWEEN CURRENT ROW AND CURRENT ROW"
+      }
+      val gexcl = if (rnd.nextBoolean()) "EXCLUDE GROUP" else "EXCLUDE TIES"
+      val gover = s"OVER (PARTITION BY $part ORDER BY $gv ASC $rframe $gexcl)"
+      val gexpr = rnd.nextInt(3) match {
+        case 0 => s"CAST(SUM($v) $gover AS BIGINT)"
+        case 1 => s"CAST(COUNT(*) $gover AS BIGINT)"
+        case _ => s"ROUND(AVG($v) $gover, 6)"
+      }
+      s"SELECT $key AS c1, CAST(($v) AS BIGINT) AS c2, $gexpr AS c3 " +
+        s"FROM $t WHERE $v IS NOT NULL AND ${pred(tbl, 1)} ${orderAll(3)} ${limit()}"
+    } else {
     val over = s"OVER ($spec $frame $excl)"
     val expr = rnd.nextInt(4) match {
       case 0 => s"CAST(SUM($v) $over AS BIGINT)"
@@ -1237,6 +1261,7 @@ final class SqlFuzzer(seed: Long) {
     }
     s"SELECT $key AS c1, CAST(($v) AS BIGINT) AS c2, $expr AS c3 " +
       s"FROM $t WHERE ${pred(tbl, 1)} ${orderAll(3)} ${limit()}"
+    }
   }
 
   /** DuckDB-dialect suite: run verbatim on DuckDB, through

@@ -737,7 +737,8 @@ class DuckDbDialectSpec extends AnyFunSuite {
     assert(DuckDbDialect.rewrite("SELECT COUNT(*) OVER (ORDER BY a ROWS BETWEEN 1 " +
       "PRECEDING AND 1 FOLLOWING EXCLUDE NO OTHERS) FROM t")
       == "SELECT COUNT(*) OVER (ORDER BY a ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING) FROM t")
-    // documented bounds fail loudly
+    // documented bounds fail loudly (ROWS + GROUP/TIES: a row-offset
+    // bound can cut through the peer group; MIN has no decomposition)
     intercept[IllegalArgumentException](DuckDbDialect.rewrite(
       "SELECT SUM(b) OVER (ORDER BY a ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING EXCLUDE TIES) FROM t"))
     intercept[IllegalArgumentException](DuckDbDialect.rewrite(
@@ -745,5 +746,47 @@ class DuckDbDialectSpec extends AnyFunSuite {
     // star EXCLUDE is untouched by the frame pass (no OVER context)
     assert(DuckDbDialect.rewrite("SELECT * EXCLUDE (b) FROM t")
       == "SELECT * except (b) FROM t")
+  }
+
+  test("window frame EXCLUDE GROUP/TIES decompose over RANGE frames (round 13d)") {
+    // goldens measured on DuckDB 1.0 over
+    // t(k,d,b) = (1,1,10),(2,2,20),(3,2,NULL),(4,2,25),(5,3,30) —
+    // d=2 is a 3-row peer group with one NULL value inside it
+    val spark = TestSpark.spark
+    import spark.implicits._
+    Seq((1, 1, Some(10)), (2, 2, Some(20)), (3, 2, None: Option[Int]),
+        (4, 2, Some(25)), (5, 3, Some(30)))
+      .toDF("k", "d", "b").createOrReplaceTempView("excg")
+    def rows(expr: String): Seq[Any] =
+      SqlGateway.run(spark, s"SELECT $expr AS v FROM excg ORDER BY k")
+        .collect().map(r => if (r.isNullAt(0)) null else r.get(0)).toSeq
+    val cum = "RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW"
+    // SUM GROUP: [NULL, 10, 10, 10, 55]
+    assert(rows(s"SUM(b) OVER (ORDER BY d $cum EXCLUDE GROUP)")
+      .map(Option(_).map(_.toString.toLong)) ==
+      Seq(None, Some(10L), Some(10L), Some(10L), Some(55L)))
+    // SUM TIES (keeps current): [10, 30, 10, 35, 85]
+    assert(rows(s"SUM(b) OVER (ORDER BY d $cum EXCLUDE TIES)")
+      .map(_.toString.toLong) == Seq(10L, 30L, 10L, 35L, 85L))
+    // COUNT(b) GROUP: [0, 1, 1, 1, 3]; COUNT(*) TIES: [1, 2, 2, 2, 5]
+    assert(rows(s"COUNT(b) OVER (ORDER BY d $cum EXCLUDE GROUP)")
+      .map(_.toString.toLong) == Seq(0L, 1L, 1L, 1L, 3L))
+    assert(rows(s"COUNT(*) OVER (ORDER BY d $cum EXCLUDE TIES)")
+      .map(_.toString.toLong) == Seq(1L, 2L, 2L, 2L, 5L))
+    // AVG GROUP: [NULL, 10.0, 10.0, 10.0, 55/3]
+    val avg = rows(s"AVG(b) OVER (ORDER BY d $cum EXCLUDE GROUP)")
+      .map(Option(_).map(_.toString.toDouble))
+    assert(avg.head.isEmpty && avg(1).contains(10.0) &&
+      math.abs(avg(4).get - 55.0 / 3) < 1e-9)
+    // value-offset RANGE frame: golden [45, 40, 40, 40, 45]
+    assert(rows("SUM(b) OVER (ORDER BY d RANGE BETWEEN 1 PRECEDING AND 1 FOLLOWING " +
+      "EXCLUDE GROUP)").map(_.toString.toLong) == Seq(45L, 40L, 40L, 40L, 45L))
+    // frame == peer group → empty remainder → all NULL
+    assert(rows("SUM(b) OVER (ORDER BY d RANGE BETWEEN CURRENT ROW AND CURRENT ROW " +
+      "EXCLUDE GROUP)").forall(_ == null))
+    // GROUP/TIES without an explicit frame throws (DuckDB itself
+    // requires the frame clause before an exclusion)
+    intercept[IllegalArgumentException](DuckDbDialect.rewrite(
+      "SELECT SUM(b) OVER (ORDER BY d EXCLUDE GROUP) FROM t"))
   }
 }

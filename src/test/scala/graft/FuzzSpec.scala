@@ -74,7 +74,8 @@ class FuzzSpec extends AnyFunSuite {
       "* REPLACE (", "* EXCLUDE (", "ASOF", "DISTINCT ON (", "SIMILAR TO ",
       // in-paren null-skip and frame exclusion (round 13c): both are
       // DuckDB-only spellings the shim hoists/decomposes
-      "IGNORE NULLS)", "RESPECT NULLS)", "EXCLUDE CURRENT ROW", "EXCLUDE NO OTHERS")
+      "IGNORE NULLS)", "RESPECT NULLS)", "EXCLUDE CURRENT ROW", "EXCLUDE NO OTHERS",
+      "EXCLUDE GROUP", "EXCLUDE TIES")
     dial.foreach { case (name, sql) =>
       assert(sql.contains("ORDER BY") && sql.contains("LIMIT"), s"$name: $sql")
       assert(duckisms.exists(sql.contains), s"$name has no DuckDB-ism: $sql")
