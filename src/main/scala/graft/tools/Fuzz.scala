@@ -782,8 +782,23 @@ final class SqlFuzzer(seed: Long) {
     val extra =
       if (cols(lt, MoneyK).nonEmpty && cols(rt, MoneyK).nonEmpty && rnd.nextBoolean())
         s" AND b.${pick(cols(rt, MoneyK)).name} > a.${pick(cols(lt, MoneyK)).name}"
-      else
-        s" AND b.${pick(cols(rt, IntK)).name} ${pick(Seq("<", ">", "<>"))} a.${pick(cols(lt, IntK)).name}"
+      else {
+        // never re-use the FK equality pair for the extra inequality:
+        // `b.rc = a.lc AND b.rc > a.lc` is unsatisfiable, and DuckDB
+        // 1.0's decorrelation GARBLES it when a constant range conjunct
+        // is also present (divergence class #7: it returns rows for a
+        // contradictory EXISTS — Spark's empty result is the correct
+        // one). The degenerate pair tests nothing; a distinct column
+        // exercises real decorrelation.
+        val rCand = cols(rt, IntK).filterNot(_.name == rc)
+        val lCand = cols(lt, IntK).filterNot(_.name == lc)
+        if (rCand.isEmpty && lCand.isEmpty) ""
+        else {
+          val rCol = pick(if (rCand.nonEmpty) rCand else cols(rt, IntK)).name
+          val lCol = pick(if (lCand.nonEmpty) lCand else cols(lt, IntK)).name
+          s" AND b.$rCol ${pick(Seq("<", ">", "<>"))} a.$lCol"
+        }
+      }
     val not = if (rnd.nextBoolean()) "NOT " else ""
     val n = 2
     s"SELECT ${projList(lt, n).mkString(", ")} FROM ${lt.name} a " +
