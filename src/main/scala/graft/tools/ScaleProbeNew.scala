@@ -58,7 +58,11 @@ object ScaleProbeNew {
     // BM25: the IN filter prunes the token stream map-side before the
     // tf shuffle — the posting list for 3 fixed terms grows linearly,
     // everything else is the doc-length shuffle
-    "q_text_bm25")
+    "q_text_bm25",
+    // round-13d DSIR: tokenize + hash map-side, ONE doc-keyed shuffle
+    // for per-(doc,bucket) counts; the LM tables are ≤1024 rows at any
+    // K (the hash modulus), the top-50 is TakeOrdered — expected linear
+    "q_corpus_dsir")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
