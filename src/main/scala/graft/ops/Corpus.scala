@@ -705,6 +705,76 @@ object Corpus {
         .limit(50)
     },
 
+    // Corpus distribution drift: per-language KL divergence between the
+    // trusted slice's token distribution (source = 'src0', the same
+    // convention as q_text_perplexity/q_corpus_dsir) and the rest of
+    // the corpus — the monitoring metric a pretraining pipeline tracks
+    // across crawl snapshots (Wenzek et al. 2020 track LM perplexity;
+    // KL over hashless unigram histograms is its model-free twin).
+    // Laplace-smoothed over the per-language UNION vocabulary:
+    // KL(P||Q) = Σ_w p·ln(p/q), p = (c_p+1)/(N_p+V). Scale shape: one
+    // map-combinable (lang, token)-keyed shuffle per slice, a same-key
+    // histogram join, and O(#langs) total/vocab frames joined WITHOUT
+    // broadcast hints (Catalyst may broadcast them when small; under
+    // autoBroadcast=-1 they degrade to spillable SMJ — nothing is
+    // mandatory). Rounded 6 dp per the libm-ln convention.
+    OpQuery("q_corpus_drift",
+      """WITH tk AS (
+        |  SELECT lang, source, w FROM (
+        |    SELECT lang, source, UNNEST(string_split(text, ' ')) AS w
+        |    FROM documents) t
+        |  WHERE w <> ''),
+        |cp AS (SELECT lang, w, CAST(COUNT(*) AS BIGINT) AS c FROM tk
+        |       WHERE source = 'src0' GROUP BY 1, 2),
+        |cq AS (SELECT lang, w, CAST(COUNT(*) AS BIGINT) AS c FROM tk
+        |       WHERE source <> 'src0' GROUP BY 1, 2),
+        |u AS (SELECT lang, w FROM cp UNION SELECT lang, w FROM cq),
+        |tot AS (SELECT lang,
+        |        CAST(SUM(CASE WHEN source = 'src0' THEN 1 ELSE 0 END) AS BIGINT) AS np,
+        |        CAST(SUM(CASE WHEN source <> 'src0' THEN 1 ELSE 0 END) AS BIGINT) AS nq
+        |        FROM tk GROUP BY 1),
+        |v AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS v FROM u GROUP BY 1)
+        |SELECT u.lang,
+        |       ROUND(SUM((CAST(COALESCE(cp.c, 0) + 1 AS DOUBLE) / CAST(tot.np + v.v AS DOUBLE))
+        |                 * LN((CAST(COALESCE(cp.c, 0) + 1 AS DOUBLE) / CAST(tot.np + v.v AS DOUBLE))
+        |                      / (CAST(COALESCE(cq.c, 0) + 1 AS DOUBLE) / CAST(tot.nq + v.v AS DOUBLE)))), 6)
+        |         AS kl,
+        |       MAX(v.v) AS vocab, MAX(tot.np) AS n_trusted, MAX(tot.nq) AS n_rest
+        |FROM u LEFT JOIN cp ON u.lang = cp.lang AND u.w = cp.w
+        |       LEFT JOIN cq ON u.lang = cq.lang AND u.w = cq.w
+        |       JOIN tot ON u.lang = tot.lang
+        |       JOIN v ON u.lang = v.lang
+        |GROUP BY u.lang ORDER BY u.lang""".stripMargin) { (s, d) =>
+      val tk = documents(s, d)
+        .select(col("lang"), col("source"),
+          explode(split(col("text"), " ")).as("w"))
+        .filter(col("w") =!= "")
+      val cp = tk.filter(col("source") === "src0")
+        .groupBy("lang", "w").agg(count(lit(1)).as("cp"))
+      val cq = tk.filter(col("source") =!= "src0")
+        .groupBy("lang", "w").agg(count(lit(1)).as("cq"))
+      val u = cp.select("lang", "w").union(cq.select("lang", "w")).distinct()
+      val tot = tk.groupBy("lang").agg(
+        sum(when(col("source") === "src0", 1).otherwise(0)).cast("long").as("np"),
+        sum(when(col("source") =!= "src0", 1).otherwise(0)).cast("long").as("nq"))
+      val v = u.groupBy("lang").agg(count(lit(1)).as("v"))
+      // mirrors the oracle's association: p · ln(p / q), each
+      // probability written as the same CAST/COALESCE tree
+      val p = (coalesce(col("cp"), lit(0L)) + lit(1L)).cast("double") /
+        (col("np") + col("v")).cast("double")
+      val q = (coalesce(col("cq"), lit(0L)) + lit(1L)).cast("double") /
+        (col("nq") + col("v")).cast("double")
+      u.join(cp, Seq("lang", "w"), "left")
+        .join(cq, Seq("lang", "w"), "left")
+        .join(tot, Seq("lang"))
+        .join(v, Seq("lang"))
+        .groupBy("lang")
+        .agg(round(sum(p * log(p / q)), 6).as("kl"),
+          max(col("v")).as("vocab"),
+          max(col("np")).as("n_trusted"), max(col("nq")).as("n_rest"))
+        .orderBy("lang")
+    },
+
     OpQuery("q_unpivot",
       """SELECT p_partkey, 'p_retailprice' AS metric, p_retailprice AS value FROM part
         |UNION ALL

@@ -62,7 +62,11 @@ object ScaleProbeNew {
     // round-13d DSIR: tokenize + hash map-side, ONE doc-keyed shuffle
     // for per-(doc,bucket) counts; the LM tables are ≤1024 rows at any
     // K (the hash modulus), the top-50 is TakeOrdered — expected linear
-    "q_corpus_dsir")
+    "q_corpus_dsir",
+    // round-13d drift: the ~r suffix keeps replica vocabularies
+    // disjoint, so the (lang, token) histograms and union vocab grow
+    // linearly and the histogram join sees constant per-key cardinality
+    "q_corpus_drift")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
