@@ -527,6 +527,56 @@ object Multimodal {
         .orderBy("doc_id")
     },
 
+    // Perceptual-hash near-dup detection over the binary payload — the
+    // image-dedup stage of a multimodal pipeline (pHash: downscale →
+    // DCT → sign bits; two re-encodes/crops of one image differ in few
+    // bits). The STUB transform replaces the pixel DCT with md5 nibbles
+    // of 15 FIXED 64-char content windows (4 bits per window → a 60-bit
+    // hash), preserving the structural property the real pHash has and
+    // the join needs: each bit region depends on a LOCAL region of the
+    // content, so payloads sharing most windows land within small
+    // Hamming distance. Candidate generation reuses the Manku C(6,3)
+    // block keys pinned by q_dedup_simhash/PropertySpec (complete for
+    // Hamming ≤ 3, collisions N²/2³⁰); the oracle verifies with an
+    // exact all-pairs join — obviously correct at oracle scale, and the
+    // hash compare then proves the banded path finds exactly the same
+    // pairs. The payload must cover every window (length ≥ 240 = 15
+    // windows × 16 chars): a shorter payload hashes empty tail
+    // windows, making ALL short payloads mutual near-dups — a
+    // quadratic OUTPUT class the 64× ladder measured at 956 s before
+    // the gate (production pHash pipelines gate on minimum image size
+    // for exactly this reason: every tiny thumbnail "looks alike" once
+    // downscaled). Scale shape: per-doc map → 20N explode → key-equi
+    // join; no corpus broadcast anywhere.
+    OpQuery("q_media_phash_dedup",
+      """WITH ph AS (
+        |  SELECT doc_id,
+        |         CAST(list_sum(list_transform(range(0, 15), b ->
+        |           CAST('0x' || substr(md5(substr(text, CAST(1 + 16 * b AS INT), 16)), 1, 1) AS BIGINT)
+        |           * CAST(pow(16, b) AS BIGINT))) AS BIGINT) AS ph
+        |  FROM documents WHERE length(text) >= 240)
+        |SELECT x.doc_id AS id_a, y.doc_id AS id_b,
+        |       CAST(bit_count(xor(x.ph, y.ph)) AS BIGINT) AS hamming
+        |FROM ph x JOIN ph y ON x.doc_id < y.doc_id
+        |WHERE bit_count(xor(x.ph, y.ph)) <= 3
+        |ORDER BY id_a, id_b""".stripMargin) { (s, d) =>
+      val phash = (0 until 15).map { b =>
+        conv(substring(md5(substring(col("text"), 1 + 16 * b, 16)), 1, 1), 16, 10)
+          .cast("long") * lit(1L << (4 * b))
+      }.reduce(_ + _)
+      val sig = documents(s, d).filter(length(col("text")) >= 240)
+        .select(col("doc_id"), phash.as("ph")).cache()
+      val blocks = sig.select(col("doc_id"), col("ph"),
+        explode(array(Dedup.simhashBlockKeys(col("ph")): _*)).as("bkey"))
+      blocks.as("x").join(blocks.as("y"),
+          col("x.bkey") === col("y.bkey") && col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"),
+          bit_count(col("x.ph").bitwiseXOR(col("y.ph"))).cast("long").as("hamming"))
+        .distinct()
+        .filter(col("hamming") <= 3)
+        .orderBy("id_a", "id_b")
+    },
+
     // Learned encoder, fit+transform in one plan: the training
     // aggregation is the 1-row scalar-subquery pattern (bounded 9-long
     // broadcast), the transform a per-row narrow map — at 100 TB the

@@ -66,7 +66,11 @@ object ScaleProbeNew {
     // round-13d drift: the ~r suffix keeps replica vocabularies
     // disjoint, so the (lang, token) histograms and union vocab grow
     // linearly and the histogram join sees constant per-key cardinality
-    "q_corpus_drift")
+    "q_corpus_drift",
+    // round-13d phash: suffixed replicas share no content windows, so
+    // cross-replica hashes are ~random (Manku keys collide at N²/2³⁰)
+    // and true pair structure grows linearly with the replicas
+    "q_media_phash_dedup")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
