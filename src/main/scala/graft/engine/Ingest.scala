@@ -27,7 +27,7 @@ import org.apache.spark.sql.functions._
   */
 object Ingest {
   val SupportedExtensions: Set[String] =
-    Set("parquet", "csv", "tsv", "xlsx", "xls", "json", "orc")
+    Set("parquet", "csv", "tsv", "xlsx", "xls", "json", "orc", "xml")
 
   /** Codec suffixes Spark's text readers decompress transparently —
     * stripped so `data.csv.gz` dispatches on the inner `.csv`. */
@@ -54,6 +54,8 @@ object Ingest {
       // Excel is often really OOXML (zip) and vice versa
       case "xlsx" | "xls"   =>
         if (Xls.isCfb(path)) Xls.read(spark, path) else Xlsx.read(spark, path)
+      // flat row-set XML — the reference's roadmap format (README:104)
+      case "xml"            => Xml.read(spark, path)
       case other =>
         throw new IllegalArgumentException(s"Unsupported file type: .$other " +
           s"(supported: ${SupportedExtensions.mkString(", ")})")
