@@ -200,6 +200,9 @@
         $('submitBtn').disabled = false;
         if (d.error) { showError(d.error); return; }
         addMessage('graft', '', renderMarkdown(d.markdown_result));
+        // server-rendered auto-chart (labels are XML-escaped server-side;
+        // the SVG is generated by our own server, never by the model)
+        if (d.chart_svg) { addMessage('graft', 'chart', d.chart_svg); }
         $('questionInput').value = '';
         loadHistory();
       })

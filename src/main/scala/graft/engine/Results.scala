@@ -42,6 +42,54 @@ object Results {
     case other                  => other.toString
   }
 
+  /** Auto-chart (reference roadmap README:102 "可视化图表"): a
+    * self-contained inline SVG horizontal bar chart when the result has
+    * the classic label+measure shape — first column as the label, first
+    * NUMERIC column as the measure, ≥2 rows, every charted measure
+    * non-null and finite. Like the table, the chart shows the FIRST
+    * DisplayCap rows (an aggregate result is conventionally ORDER BY
+    * measure DESC, so these are the top-10; the title says so). None
+    * otherwise — charting is opportunistic, never a failure path. No CDN chart lib can exist in a zero-egress
+    * deployment, so the server renders the SVG itself; labels are
+    * XML-escaped here (data is untrusted — the web UI injects this
+    * string as markup). Negative values draw from a shared baseline. */
+  def toSvgChart(r0: QueryResult): Option[String] = {
+    val r = r0.copy(rows = r0.rows.take(DisplayCap))
+    if (r.rows.size < 2 || r.columns.size < 2) return None
+    def num(v: Any): Option[Double] = v match {
+      case d: Double => Some(d)
+      case f: Float => Some(f.toDouble)
+      case i: Int => Some(i.toDouble)
+      case l: Long => Some(l.toDouble)
+      case s: Short => Some(s.toDouble)
+      case b: java.math.BigDecimal => Some(b.doubleValue())
+      case d: BigDecimal => Some(d.toDouble)
+      case _ => None
+    }
+    val vIdx = (1 until r.columns.size).find(i => r.rows.forall(row =>
+      num(row(i)).exists(d => !d.isNaN && !d.isInfinite))).getOrElse(return None)
+    def esc(s: String): String = s.replace("&", "&amp;").replace("<", "&lt;")
+      .replace(">", "&gt;").replace("\"", "&quot;")
+    val labels = r.rows.map(row => esc(formatCell(row.head)))
+    val values = r.rows.map(row => num(row(vIdx)).get)
+    val maxAbs = math.max(values.map(math.abs).max, 1e-12)
+    val (rowH, chartW, labelW) = (22, 360, 140)
+    val h = r.rows.size * rowH + 24
+    val sb = new StringBuilder
+    sb ++= s"""<svg xmlns="http://www.w3.org/2000/svg" width="${labelW + chartW + 70}" height="$h" font-family="sans-serif" font-size="11">"""
+    val suffix = if (r0.rowCount > DisplayCap) s" (first $DisplayCap of ${r0.rowCount})" else ""
+    sb ++= s"""<text x="0" y="12" font-weight="bold">${esc(r.columns(vIdx))} by ${esc(r.columns.head)}$suffix</text>"""
+    values.zipWithIndex.foreach { case (v, i) =>
+      val y = 20 + i * rowH
+      val w = math.max(1, (math.abs(v) / maxAbs * chartW).round.toInt)
+      sb ++= s"""<text x="${labelW - 6}" y="${y + 14}" text-anchor="end">${labels(i)}</text>"""
+      sb ++= s"""<rect x="$labelW" y="${y + 3}" width="$w" height="${rowH - 8}" fill="${if (v < 0) "#c0504d" else "#4a7ebb"}"/>"""
+      sb ++= s"""<text x="${labelW + w + 4}" y="${y + 14}">${esc(formatCell(r.rows(i)(vIdx)))}</text>"""
+    }
+    sb ++= "</svg>"
+    Some(sb.toString)
+  }
+
   /** GitHub-style markdown table with the reference's display rules. */
   def toMarkdown(r: QueryResult): String = {
     val sb = new StringBuilder

@@ -182,10 +182,16 @@ final class WebServer(spark: SparkSession, workDir: String, port: Int = 0,
               val chatId = UUID.randomUUID().toString
               store.addChat(chatId, sid, files.head._1, question, displaySql, md,
                 System.currentTimeMillis())
-              Response(200, "application/json", Json.obj(
+              // opportunistic auto-chart (reference roadmap "可视化图表"):
+              // a server-rendered SVG — no CDN chart lib exists in a
+              // zero-egress deployment; labels are XML-escaped by the
+              // renderer since the client injects this as markup
+              val chart = Results.toSvgChart(result)
+              Response(200, "application/json", Json.obj((Seq(
                 "success" -> "true",
                 "chat_id" -> Json.str(chatId),
-                "markdown_result" -> Json.str(md)))
+                "markdown_result" -> Json.str(md)) ++
+                chart.map(svg => "chart_svg" -> Json.str(svg))): _*))
             } catch {
               case e: Exception =>
                 Response(400, "application/json",

@@ -313,6 +313,29 @@ class EngineSpec extends AnyFunSuite {
     assert(md.contains("showing first 10 of 15 rows"))
   }
 
+  test("auto-chart: label+measure shapes render an escaped SVG; others opt out") {
+    import graft.engine.Results
+    // classic shape → horizontal bars, labels/values escaped
+    val ok = Results.toSvgChart(QueryResult(Seq("city", "rev"),
+      Seq(Seq[Any]("北京", 100L), Seq[Any]("<tag>&", -40L), Seq[Any]("c", 70L)), 3)).get
+    assert(ok.startsWith("<svg") && ok.count(_ == 'r') > 0)
+    assert(ok.contains("&lt;tag&gt;&amp;") && !ok.contains("<tag>")) // XML-escaped label
+    assert(ok.contains("#c0504d")) // negative bar gets the negative fill
+    // first numeric column is found past non-numeric ones
+    assert(Results.toSvgChart(QueryResult(Seq("k", "note", "v"),
+      Seq(Seq[Any]("a", "x", 1.5), Seq[Any]("b", "y", 2.5)), 2)).isDefined)
+    // a long result charts its first DisplayCap rows, titled as such
+    val long = Results.toSvgChart(QueryResult(Seq("k", "v"),
+      (1 to 40).map(i => Seq[Any](s"k$i", i.toLong)), 40)).get
+    assert(long.contains("(first 10 of 40)") && !long.contains("k11"))
+    // opt-outs: single row, no numeric column, null in the charted rows
+    assert(Results.toSvgChart(QueryResult(Seq("k", "v"), Seq(Seq[Any]("a", 1L)), 1)).isEmpty)
+    assert(Results.toSvgChart(QueryResult(Seq("k", "s"),
+      Seq(Seq[Any]("a", "x"), Seq[Any]("b", "y")), 2)).isEmpty)
+    assert(Results.toSvgChart(QueryResult(Seq("k", "v"),
+      Seq(Seq[Any]("a", 1L), Seq[Any]("b", null)), 2)).isEmpty)
+  }
+
   // --- NL stub (CJK routing must happen in-JVM: CLI args mangle CJK) ----
   test("NL stub routes the documented question shapes") {
     val df = Ingest.load(spark, TestSpark.resource("sample_sales_data.csv"))

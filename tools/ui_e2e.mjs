@@ -58,8 +58,15 @@ if (out.includes('<script') ) throw new Error('unescaped script!');
 // XSS probe: hostile markdown must come out inert
 const hostile = renderMarkdown('## hi <script>alert(1)</script>\n| a | <img onerror=x> |\n| - | - |\n');
 if (hostile.includes('<script>') || hostile.includes('<img')) throw new Error('XSS: ' + hostile);
+// auto-chart: the city-revenue result is the classic label+measure
+// shape, so the server must attach a rendered SVG bar chart
+if (!askj.chart_svg) throw new Error('chart_svg missing: ' + Object.keys(askj));
+if (!askj.chart_svg.startsWith('<svg') || !askj.chart_svg.includes('<rect'))
+  throw new Error('chart_svg is not an svg bar chart: ' + askj.chart_svg.slice(0, 120));
+if (askj.chart_svg.includes('<script')) throw new Error('chart XSS!');
 // history renders too
 const hist = await (await fetch(base + '/api/chat_history', { headers: { Cookie: cookie } })).json();
 if (!hist.history.length) throw new Error('history empty');
-console.log('UI E2E PASS — rendered', out.length, 'chars;', hist.history.length, 'history item(s)');
+console.log('UI E2E PASS — rendered', out.length, 'chars;', hist.history.length,
+  'history item(s); chart', askj.chart_svg.length, 'chars');
 console.log(out.slice(0, 400));
