@@ -6,7 +6,8 @@ import org.apache.spark.sql.functions._
 /** Multi-format ingestion → DataFrame (SURVEY.md §2 Tier A1–A6).
   *
   * Mirrors the reference's format surface (/root/reference/doc.py:16–83):
-  * parquet, csv, json (three-tier fallback), xlsx/xls — but re-expressed on
+  * parquet, csv, json (three-tier fallback), xlsx/xls — plus flat
+  * row-set XML, the reference's own roadmap format — re-expressed on
   * Spark readers so ingestion is distributed wherever the format allows:
   *
   *  - CSV/Parquet/JSONL: `spark.read`, fully parallel, schema inferred
