@@ -95,13 +95,19 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
       Runtime.getRuntime.availableProcessors().toString)
-    // Latency-optimized defaults for sub-second interactive queries at
-    // this scale: AQE's per-stage re-planning costs ~0.1-0.2 s per query
-    // here and pays off only on genuinely large shuffles (production
-    // Session.local keeps it on); 16 shuffle partitions beat `cpus` for
-    // the same reason (fewer tiny tasks to schedule). Both overridable.
-    val shufflePartitions = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", "16")
-    val aqe = sys.env.getOrElse("SPARK_GRAFT_AQE", "false")
+    // The bench now defaults to the PRODUCTION configuration (AQE on,
+    // 32 shuffle partitions — what Session.local gives a real user).
+    // History: rounds 9-13 ran AQE off / 16 partitions because AQE's
+    // per-round re-planning made the iterative label-propagation loop
+    // pathological (up to 12 s/round); with that loop moved to
+    // co-partitioned RDDs (round 13, Dedup.clusterLabels) the penalty
+    // vanished, and an interleaved A/B at 173 queries × 12 streams
+    // measured AQE-on/32 at 15.5-16.9 s vs AQE-off/16 at 21.0-22.4 s —
+    // the finer partitioning feeds 32 cores better under concurrency
+    // and coalescing handles the tiny shuffles (BENCH_NOTES round 13d
+    // "config flip"). Both knobs stay overridable.
+    val shufflePartitions = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", "32")
+    val aqe = sys.env.getOrElse("SPARK_GRAFT_AQE", "true")
     val spark = { graft.engine.Session.pinLocale(); SparkSession.builder() }
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", shufflePartitions)

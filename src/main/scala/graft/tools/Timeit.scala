@@ -15,13 +15,15 @@ object Timeit {
     val names = args.tail.toSeq
     // env var, not a sys prop: sbt forks the runMain JVM, which drops -D flags
     val reps = sys.env.get("GRAFT_TIMEIT_REPS").map(_.toInt).getOrElse(3)
-    // mirror Bench's latency-tuned session so solo numbers measure the
-    // same configuration the driver benches (AQE off, 16 partitions,
-    // no constraint propagation, small range-sort sampling)
+    // mirror Bench's session so solo numbers measure the same
+    // configuration the driver benches (round 13d: the production
+    // config — AQE on, 32 partitions — measured FASTER than the old
+    // latency tuning once the cluster loop moved off per-round
+    // re-planning; see Bench.scala)
     val spark = { graft.engine.Session.pinLocale(); SparkSession.builder() }
       .master("local[32]")
-      .config("spark.sql.shuffle.partitions", "16")
-      .config("spark.sql.adaptive.enabled", "false")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.constraintPropagation.enabled", "false")
       .config("spark.sql.execution.rangeExchange.sampleSizePerPartition", "20")
       .config("spark.sql.session.timeZone", "UTC")
