@@ -15,6 +15,12 @@ import org.apache.spark.sql.SparkSession
 object ProbeHarness {
 
   def session(): SparkSession = {
+    // NOTE: probes keep AQE OFF deliberately even after the round-13d
+    // bench config flip — a ladder measures how PLANNED shuffle work
+    // grows with K, and AQE's runtime coalescing would re-shape stages
+    // differently per rung, confounding the growth signal with plan
+    // variance. Absolute probe times are therefore not comparable to
+    // Bench walls; only the K-to-K ratios matter here.
     val spark = { graft.engine.Session.pinLocale(); SparkSession.builder() }
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", "16")
