@@ -126,6 +126,38 @@ object EventStream {
         round(SketchExprs.kllQuantile(col("sk"), 0.95), 6).as("p95"))
   }
 
+  /** Streaming distribution-drift monitor: per tumbling hour, the KL
+    * divergence of the window's event-type distribution against a
+    * STATIC reference distribution (e.g. last month's corpus mix) — the
+    * continuous-ingestion twin of q_corpus_drift, and the alarm shape a
+    * pipeline hangs on "did the crawl mix shift this hour?". One
+    * streaming aggregation only (Spark forbids stacking them): the
+    * per-type counts are conditional sums over the reference's FIXED
+    * support, so the KL folds into the same projection. Laplace-
+    * smoothed like the batch operator; types outside the reference
+    * support count toward n (they shift every p down — drift by
+    * construction) but carry no term of their own. State per window is
+    * |support|+1 longs — bounded. */
+  def drift(events: DataFrame, ref: Map[String, Double]): DataFrame = {
+    require(ref.nonEmpty && math.abs(ref.values.sum - 1.0) < 1e-9,
+      "reference must be a normalized distribution over event types")
+    val types = ref.keys.toSeq.sorted
+    val counts = types.map(t =>
+      sum(when(col("event_type") === t, 1L).otherwise(0L)).as(s"c_$t"))
+    val n = count(lit(1)).as("n")
+    val agg = events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 hour").as("w"))
+      .agg(counts.head, (counts.tail :+ n): _*)
+    val tCount = lit(types.size)
+    val kl = types.map { t =>
+      val p = (col(s"c_$t") + lit(1L)).cast("double") / (col("n") + tCount).cast("double")
+      p * log(p / lit(ref(t)))
+    }.reduce(_ + _)
+    agg.select(date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss").as("wstart"),
+      col("n"), round(kl, 6).as("kl"))
+  }
+
   /** Sliding 1-hour window every 15 minutes. */
   def sliding(events: DataFrame): DataFrame =
     events

@@ -61,6 +61,36 @@ class StreamingSpec extends AnyFunSuite {
     assert(bad.isEmpty, s"quantile outside window bounds: ${bad.take(3).mkString(";")}")
   }
 
+  test("drift monitor: stream == batch; a shifted window scores higher KL") {
+    import org.apache.spark.sql.functions._
+    // reference = the corpus's own global type distribution (normalized)
+    val total = batchEvents.count().toDouble
+    val ref = batchEvents.groupBy("event_type").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1) / total).toMap
+    val streamed = runStream(EventStream.drift(_, ref), "complete")
+    assertSameRows(streamed, EventStream.drift(batchEvents, ref))
+    // sanity on the metric itself: every windowed KL is finite and ≥ a
+    // tiny negative rounding epsilon (Laplace smoothing vs the unsmoothed
+    // reference can dip microscopically below zero)
+    val kls = streamed.collect().map(_.getAs[Double]("kl"))
+    assert(kls.nonEmpty && kls.forall(k => !k.isNaN && k > -0.05))
+    // and a deliberately SHIFTED distribution scores strictly higher
+    // than the self-referenced corpus: score the same events against a
+    // reference that concentrates 99% of the mass on one type
+    val skewType = ref.keys.min
+    val skewRef = ref.map { case (t, _) =>
+      t -> (if (t == skewType) 0.99 else 0.01 / (ref.size - 1)) }
+    val selfKl = EventStream.drift(batchEvents, ref)
+      .agg(avg("kl")).head().getDouble(0)
+    val skewKl = EventStream.drift(batchEvents, skewRef)
+      .agg(avg("kl")).head().getDouble(0)
+    assert(skewKl > selfKl,
+      s"shifted reference must score higher drift: $skewKl <= $selfKl")
+    // malformed references are rejected loudly
+    intercept[IllegalArgumentException](
+      EventStream.drift(batchEvents, Map("view" -> 0.5)))
+  }
+
   test("session windows: stream == batch") {
     val streamed = runStream(EventStream.sessions, "complete")
     assertSameRows(streamed, EventStream.sessions(batchEvents))
