@@ -1268,12 +1268,24 @@ final class SqlFuzzer(seed: Long) {
         s"FROM $t WHERE $v IS NOT NULL AND ${pred(tbl, 1)} ${orderAll(3)} ${limit()}"
     } else {
     val over = s"OVER ($spec $frame $excl)"
-    val expr = rnd.nextInt(4) match {
+    val exprKind = rnd.nextInt(4)
+    val expr = exprKind match {
       case 0 => s"CAST(SUM($v) $over AS BIGINT)"
       case 1 => s"CAST(COUNT($v) $over AS BIGINT)"
       case 2 => s"CAST(COUNT(*) $over AS BIGINT)"
       case _ => s"ROUND(AVG($v) $over, 6)"
     }
+    // composition (round 13d): 1/4 of the integer-typed EXCLUDE queries
+    // wrap the window in a derived table and aggregate over it — the
+    // shim must rewrite INSIDE the subquery and Catalyst must push
+    // through the derived boundary (the oracle runs the verbatim
+    // nesting). BIGINT c3 only: an outer SUM over the AVG case's
+    // doubles would be an order-dependent float sum.
+    if (exprKind < 3 && rnd.nextInt(4) == 0)
+      s"SELECT c1, CAST(SUM(c3) AS BIGINT) AS c2, CAST(COUNT(*) AS BIGINT) AS c3 " +
+        s"FROM (SELECT $part AS c1, $key AS ck, $expr AS c3 " +
+        s"FROM $t WHERE ${pred(tbl, 1)}) q GROUP BY c1 ${orderAll(3)} ${limit()}"
+    else
     s"SELECT $key AS c1, CAST(($v) AS BIGINT) AS c2, $expr AS c3 " +
       s"FROM $t WHERE ${pred(tbl, 1)} ${orderAll(3)} ${limit()}"
     }
