@@ -1083,12 +1083,22 @@ object DuckDbDialect {
             fm.group(1), fm.start))
         else None
       }
+      // Bounds are classified by their TRAILING keyword so multi-token
+      // offsets (e.g. INTERVAL '5' DAY PRECEDING) are positively
+      // recognized — the old ^\S+\s+preceding$ single-token matcher let
+      // such a bound fall through to the subtraction rewrite below,
+      // which assumes the frame holds the current row (silent wrong
+      // result). Any bound text the classifier cannot place throws.
+      def boundKind(b: String): Int = {
+        val t = b.trim.replaceAll("\\s+", " ").toLowerCase(java.util.Locale.ROOT)
+        if (t == "current row" || t.startsWith("unbounded")) 0
+        else if (t.endsWith(" following")) 1
+        else if (t.endsWith(" preceding")) -1
+        else throw new IllegalArgumentException(
+          s"window frame EXCLUDE: unrecognized frame bound '${b.trim}'")
+      }
       val (startsAfter, endsBefore) = betweenInfo match {
-        case Some((a, bnd, _, _)) =>
-          ("(?is)^\\S+\\s+following$".r.findFirstIn(a).isDefined &&
-             !a.toLowerCase(java.util.Locale.ROOT).startsWith("unbounded"),
-           "(?is)^\\S+\\s+preceding$".r.findFirstIn(bnd).isDefined &&
-             !bnd.toLowerCase(java.util.Locale.ROOT).startsWith("unbounded"))
+        case Some((a, bnd, _, _)) => (boundKind(a) > 0, boundKind(bnd) < 0)
         case None => (false, false)
       }
       if (kind == "no others") {
@@ -1101,8 +1111,21 @@ object DuckDbDialect {
               "that does not contain the current row is not supported by the dialect shim")
         // current row outside the frame: reproduce DuckDB's measured
         // segment arithmetic by moving the offending bound to the row
-        // adjacent to current, then drop the exclusion
+        // adjacent to current, then drop the exclusion. ROWS frames
+        // only: the extension is in ROW space — measured on DuckDB
+        // 1.0.0 with a RANGE frame over duplicate ORDER BY values
+        // ((5,100),(10,1),(10,2),(10,4) ORDER BY a RANGE BETWEEN 100
+        // PRECEDING AND 5 PRECEDING EXCLUDE CURRENT ROW gives 100/101/
+        // 103 at the a=10 rows — the extension INCLUDES earlier peers
+        // of the current row), which a value-based RANGE bound cannot
+        // express, so a RANGE spelling throws rather than approximate.
         val (a, bnd, kw, fStart) = betweenInfo.get
+        if (!kw.equalsIgnoreCase("rows"))
+          throw new IllegalArgumentException(
+            "window frame EXCLUDE CURRENT ROW on a RANGE frame that does not " +
+              "contain the current row is not supported by the dialect shim " +
+              "(DuckDB 1.0 extends such frames in ROW space, including ORDER " +
+              "BY peers — not expressible as a RANGE bound)")
         val newA = if (startsAfter) "1 FOLLOWING" else a
         val newB = if (endsBefore) "1 PRECEDING" else bnd
         val specAdj = "(" + inner.substring(0, fStart) +

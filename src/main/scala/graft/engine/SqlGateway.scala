@@ -147,22 +147,56 @@ object SqlGateway {
     * itself caps at 100k grouped sets). */
   private def runPivot(spark: SparkSession, s0: String): DataFrame = {
     import org.apache.spark.sql.functions.{col, lit, count, sum, min, max, avg}
-    val (ds, rest) = splitDataset(s0.trim.substring("pivot".length))
-    val m = ("(?is)^\\s*on\\s+([A-Za-z_][A-Za-z0-9_]*)" +
-      "(?:\\s+in\\s*\\(([^)]*)\\))?" +
+    val (ds, rest0) = splitDataset(s0.trim.substring("pivot".length))
+    // The IN (...) list is extracted with a quote-aware scan BEFORE the
+    // shape regex: a quoted pivot value containing ',' or ')' (e.g.
+    // IN ('a,b')) would otherwise be split at the wrong boundary —
+    // silently wrong pivot columns (round-13 advice).
+    val onM = "(?is)^\\s*on\\s+([A-Za-z_][A-Za-z0-9_]*)".r
+      .findFirstMatchIn(rest0).getOrElse(throw new IllegalArgumentException(
+        "PIVOT: supported form is PIVOT <ds> ON <col> [IN (values)] " +
+          s"[USING <agg>(<col>|*)] [GROUP BY cols] — got: $rest0"))
+    val pcol = onM.group(1)
+    val afterOn = rest0.substring(onM.matched.length)
+    val (inList, rest) = "(?is)^\\s+in\\s*\\(".r.findFirstIn(afterOn) match {
+      case Some(pre) =>
+        var i = pre.length; var inStr = false; var end = -1
+        while (i < afterOn.length && end < 0) {
+          afterOn(i) match {
+            case '\'' => inStr = !inStr
+            case ')' if !inStr => end = i
+            case _ =>
+          }
+          i += 1
+        }
+        require(end > 0, s"PIVOT: unbalanced IN list: $afterOn")
+        (Some(afterOn.substring(pre.length, end)), afterOn.substring(end + 1))
+      case None => (None, afterOn)
+    }
+    val m = ("(?is)^" +
       "(?:\\s+using\\s+([A-Za-z_][A-Za-z0-9_]*)\\s*\\(\\s*(\\*|[A-Za-z_][A-Za-z0-9_]*)\\s*\\)" +
       "(?:\\s+as\\s+[A-Za-z_][A-Za-z0-9_]*)?)?" +
       "(?:\\s+group\\s+by\\s+(.+?))?\\s*;?\\s*$").r
     val mm = m.findFirstMatchIn(rest).getOrElse(throw new IllegalArgumentException(
       "PIVOT: supported form is PIVOT <ds> ON <col> [IN (values)] " +
         s"[USING <agg>(<col>|*)] [GROUP BY cols] — got: $rest"))
-    val (pcol, inList, fnName, fnArg, groupBy) =
-      (mm.group(1), Option(mm.group(2)), Option(mm.group(3)),
-        Option(mm.group(4)), Option(mm.group(5)))
+    val (fnName, fnArg, groupBy) =
+      (Option(mm.group(1)), Option(mm.group(2)), Option(mm.group(3)))
     val df = datasetDf(spark, ds)
+    // quote-aware comma split ('' stays an escaped quote inside a value)
+    def splitVals(l: String): Seq[String] = {
+      val out = Seq.newBuilder[String]
+      val cur = new StringBuilder; var inStr = false
+      l.foreach {
+        case ',' if !inStr => out += cur.result(); cur.clear()
+        case c => if (c == '\'') inStr = !inStr; cur += c
+      }
+      out += cur.result()
+      out.result()
+    }
     val vals: Seq[Any] = inList match {
       case Some(l) =>
-        l.split(",").map(_.trim).filter(_.nonEmpty).map { v =>
+        splitVals(l).map(_.trim).filter(_.nonEmpty).map { v =>
           if (v.startsWith("'") && v.endsWith("'"))
             v.substring(1, v.length - 1).replace("''", "'")
           else v // numeric literal: Spark matches it by string form

@@ -573,15 +573,30 @@ object Dedup {
     // negative ids, so a non-empty seed sums > 0) → nothing to propagate
     var converged = prevSum == 0
     var round = 0
+    // The most recent localCheckpoint()ed labels RDD stays PINNED
+    // (never unpersisted) until a NEWER checkpoint has materialized:
+    // localCheckpoint truncates lineage, so its blocks ARE the only
+    // recovery source for every later round's persisted-but-
+    // unchekpointed RDD — unpersisting it on the next round (as the
+    // naive loop did) deletes checkpoint data a block-loss recompute
+    // still needs, failing with "checkpoint data not found" instead of
+    // recomputing (round-13 advice; the replaced DataFrame-loop version
+    // pinned checkpointed frames for exactly this reason).
+    var pinnedCkpt: RDD[(Long, Long)] = null
     while (!converged && round < MaxRounds) {
       // TWO propagation steps per materialized job: same shuffle work,
       // half the job round-trips. Convergence still holds: Σlbl strictly
       // decreases while any step changes a label, so an unchanged sum
       // across a double step is a fixpoint.
+      val isCkptRound = round % 5 == 4
       val next = step(step(labels)).persist(StorageLevel.MEMORY_AND_DISK)
-      if (round % 5 == 4) next.localCheckpoint()
-      val s = traced(s"round $round")(lblSum(next))
-      labels.unpersist(blocking = false)
+      if (isCkptRound) next.localCheckpoint()
+      val s = traced(s"round $round")(lblSum(next)) // materializes next (and any checkpoint)
+      if (labels ne pinnedCkpt) labels.unpersist(blocking = false)
+      if (isCkptRound) {
+        if (pinnedCkpt != null) pinnedCkpt.unpersist(blocking = false)
+        pinnedCkpt = next
+      }
       converged = s == prevSum
       prevSum = s
       labels = next

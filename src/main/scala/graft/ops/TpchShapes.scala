@@ -184,7 +184,11 @@ object TpchShapes {
         .groupBy("l_partkey")
         .agg(sum(cents(col("l_extendedprice")) * col("l_quantity").cast("long"))
           .as("val_c"))
-      val total = sv.agg((sum(col("val_c")) / lit(1000L)).cast("long").as("thresh"))
+      // integral DIV, not double division + cast: the double path loses
+      // exactness once the global cents sum exceeds 2^53, so threshold
+      // rows could flip at large SF (round-13 advice); DIV keeps the
+      // compare bit-identical to the oracle's integer '//'
+      val total = sv.agg(expr("CAST(SUM(val_c) DIV 1000 AS BIGINT)").as("thresh"))
       sv.crossJoin(broadcast(total))
         .filter(col("val_c") > col("thresh"))
         .select(col("l_partkey"), (col("val_c").cast("double") / 100.0).as("part_value"))

@@ -743,6 +743,27 @@ class DuckDbDialectSpec extends AnyFunSuite {
       "SELECT SUM(b) OVER (ORDER BY a ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING EXCLUDE TIES) FROM t"))
     intercept[IllegalArgumentException](DuckDbDialect.rewrite(
       "SELECT MIN(b) OVER (ORDER BY a ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING EXCLUDE CURRENT ROW) FROM t"))
+    // multi-token bounds are classified by their trailing keyword — an
+    // INTERVAL offset ending before the current row must NOT fall
+    // through to the subtraction rewrite (round-13 advice: the old
+    // single-token matcher silently removed the current row's
+    // contribution from a frame that never held it). Off-frame RANGE
+    // exclusion throws: DuckDB 1.0 extends such frames in ROW space
+    // (measured: peers of the current row enter the extension), which
+    // no value-based RANGE bound can express.
+    val offFrameRange = intercept[IllegalArgumentException](DuckDbDialect.rewrite(
+      "SELECT SUM(b) OVER (ORDER BY d RANGE BETWEEN INTERVAL '5' DAY PRECEDING " +
+        "AND INTERVAL '1' DAY PRECEDING EXCLUDE CURRENT ROW) FROM t"))
+    assert(offFrameRange.getMessage.contains("ROW space"))
+    intercept[IllegalArgumentException](DuckDbDialect.rewrite(
+      "SELECT SUM(b) OVER (ORDER BY a RANGE BETWEEN 100 PRECEDING AND 5 PRECEDING " +
+        "EXCLUDE CURRENT ROW) FROM t"))
+    // an in-frame INTERVAL RANGE exclusion still takes the subtraction
+    // path (the classifier recognizes the multi-token bounds as
+    // containing the current row)
+    assert(DuckDbDialect.rewrite("SELECT SUM(b) OVER (ORDER BY d RANGE BETWEEN " +
+      "INTERVAL '5' DAY PRECEDING AND CURRENT ROW EXCLUDE CURRENT ROW) FROM t")
+      .contains(" - "))
     // star EXCLUDE is untouched by the frame pass (no OVER context)
     assert(DuckDbDialect.rewrite("SELECT * EXCLUDE (b) FROM t")
       == "SELECT * except (b) FROM t")

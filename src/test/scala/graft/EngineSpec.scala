@@ -96,6 +96,20 @@ class EngineSpec extends AnyFunSuite {
     val in = SqlGateway.run(spark,
       "PIVOT data_table ON category IN ('Food', 'Home') USING sum(quantity) GROUP BY sales_rep")
     assert(in.columns.toSeq == Seq("sales_rep", "Food", "Home"))
+    // IN-list parsing is quote-aware: values containing ',' or ')' are
+    // kept whole (round-13 advice — a naive [^)]*/split(',') silently
+    // split them into wrong pivot columns). DuckDB golden:
+    // PIVOT t ON cat IN ('a,b', 'c)d') USING sum(q) GROUP BY k →
+    // columns [k, "a,b", "c)d"], rows r1→(2,3), r2→(5,NULL).
+    spark.sql("SELECT * FROM VALUES ('r1','a,b',2),('r1','c)d',3)," +
+      "('r2','a,b',5),('r2','plain',7) AS v(k, cat, q)")
+      .createOrReplaceTempView("pivq")
+    val q = SqlGateway.run(spark,
+      "PIVOT pivq ON cat IN ('a,b', 'c)d') USING sum(q) GROUP BY k").orderBy("k")
+    assert(q.columns.toSeq == Seq("k", "a,b", "c)d"))
+    val qr = q.collect()
+    assert(qr(0).getString(0) == "r1" && qr(0).getLong(1) == 2L && qr(0).getLong(2) == 3L)
+    assert(qr(1).getString(0) == "r2" && qr(1).getLong(1) == 5L && qr(1).isNullAt(2))
     // the dataset subquery still passes the SELECT-only gate
     intercept[SecurityException](
       SqlGateway.run(spark, "PIVOT (DROP TABLE data_table) ON category USING count(*)"))
