@@ -686,6 +686,39 @@ object TextOps {
           .as("bm25"))
         .orderBy(col("bm25").desc, col("doc_id"))
         .limit(20)
+    },
+
+    // Overlapping token-window chunking — the embedding-pipeline
+    // pre-step (split every document into 32-token windows at stride
+    // 24, 8 tokens of overlap, final partial window kept). Pure
+    // map-side work: per-row sequence generation + explode + array
+    // slicing, zero shuffles at any corpus size — the ORDER BY exists
+    // only for the oracle compare. chunk_idx = start/stride is dense
+    // per document, so (doc_id, chunk_idx) is a stable chunk key for
+    // the downstream embed step.
+    OpQuery("q_text_chunk",
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |c AS (
+        |  SELECT doc_id, CAST(st // 24 AS BIGINT) AS chunk_idx,
+        |         toks[st + 1 : st + 32] AS ct
+        |  FROM t, UNNEST(range(0, len(toks), 24)) AS u(st))
+        |SELECT doc_id, chunk_idx,
+        |       CAST(len(ct) AS BIGINT) AS n_tokens,
+        |       array_to_string(ct, ' ') AS chunk_text
+        |FROM c ORDER BY doc_id, chunk_idx""".stripMargin) { (s, d) =>
+      val W = 32; val S = 24
+      documents(s, d)
+        .select(col("doc_id"), split(col("text"), " ").as("toks"))
+        // sequence(0, n-1, S) = range(0, n, S): starts strictly below the
+        // token count (split yields ≥1 token, so n-1 ≥ 0 always holds)
+        .select(col("doc_id"), col("toks"),
+          explode(sequence(lit(0), size(col("toks")) - 1, lit(S))).as("st"))
+        .select(col("doc_id"), expr(s"CAST(st DIV $S AS BIGINT)").as("chunk_idx"),
+          slice(col("toks"), col("st") + 1, lit(W)).as("ct"))
+        .select(col("doc_id"), col("chunk_idx"),
+          size(col("ct")).cast("long").as("n_tokens"),
+          array_join(col("ct"), " ").as("chunk_text"))
+        .orderBy("doc_id", "chunk_idx")
     }
   )
 }

@@ -395,6 +395,134 @@ object VectorOps {
       dots.select(col("label"), col("vec_id"),
           round(col("dxc") / (sqrt(col("dxx")) * sqrt(col("dcc"))), 4).as("cos_to_centroid"))
         .orderBy("label", "vec_id")
+    },
+
+    // Product-quantization ANN (the Jégou/Douze/Schmid TPAMI'11 ADC
+    // pattern), oracle-checked end to end: the vector space splits into
+    // m=4 subspaces, each with a 16-codeword codebook (the md5-sampled
+    // first 16 corpus vectors' subvectors — deterministic, both engines
+    // derive them identically), every vector encodes to 4 nibbles by
+    // per-subspace L2 argmin, and the query scores the WHOLE corpus by
+    // summing 4 lookups in its precomputed O(m·k) distance table — the
+    // memory-bounded serving path for 100 TB of embeddings (4 bytes/vec
+    // instead of 256). All distances are micro-scaled exact BIGINTs
+    // (FLOOR(l2·1e6 + 0.5)), so argmin ties (→ smaller codeword id),
+    // the 4-term ADC sum, and the shortlist order are integer-exact on
+    // both engines. Spark plan: codebook and distance table are 1-row
+    // nested-array broadcasts; encoding + ADC is a single map-side
+    // projection over the corpus (ZERO shuffles), the top-50 shortlist
+    // is a TakeOrdered, and only those 50 rows reach the exact cosine
+    // re-rank — the standard ADC-shortlist + exact-rerank serving shape.
+    OpQuery("q_sim_pq",
+      """WITH p AS (SELECT CAST(MAX(len(embedding)) // 4 AS INT) AS sub FROM embeddings),
+        |e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |      FROM embeddings),
+        |train AS (
+        |  SELECT ROW_NUMBER() OVER (ORDER BY h, vec_id) - 1 AS j, v
+        |  FROM (SELECT vec_id, v, md5(CAST(vec_id AS VARCHAR)) AS h
+        |        FROM e ORDER BY h, vec_id LIMIT 16)),
+        |cb AS (
+        |  SELECT CAST(s AS INT) AS s, j, v[CAST(s AS INT) * sub + 1 : CAST(s AS INT) * sub + sub] AS cw
+        |  FROM train CROSS JOIN p, UNNEST(range(0, 4)) AS us(s)),
+        |q AS (SELECT vec_id AS qid, v AS qv FROM e
+        |      WHERE vec_id = (SELECT MIN(vec_id) FROM e)),
+        |asg AS (
+        |  SELECT e.vec_id, cb.s, cb.j,
+        |         CAST(FLOOR(list_dot_product(
+        |           list_transform(range(1, p.sub + 1), i -> e.v[cb.s * p.sub + CAST(i AS INT)] - cb.cw[i]),
+        |           list_transform(range(1, p.sub + 1), i -> e.v[cb.s * p.sub + CAST(i AS INT)] - cb.cw[i])
+        |         ) * 1000000 + 0.5) AS BIGINT) AS d6
+        |  FROM e CROSS JOIN p CROSS JOIN cb),
+        |codes AS (
+        |  SELECT vec_id, s, j AS code FROM (
+        |    SELECT vec_id, s, j,
+        |           ROW_NUMBER() OVER (PARTITION BY vec_id, s ORDER BY d6, j) AS rn
+        |    FROM asg) WHERE rn = 1),
+        |tab AS (
+        |  SELECT cb.s, cb.j,
+        |         CAST(FLOOR(list_dot_product(
+        |           list_transform(range(1, p.sub + 1), i -> q.qv[cb.s * p.sub + CAST(i AS INT)] - cb.cw[i]),
+        |           list_transform(range(1, p.sub + 1), i -> q.qv[cb.s * p.sub + CAST(i AS INT)] - cb.cw[i])
+        |         ) * 1000000 + 0.5) AS BIGINT) AS qd6
+        |  FROM cb CROSS JOIN q CROSS JOIN p),
+        |ad AS (
+        |  SELECT c.vec_id, SUM(t.qd6) AS adm
+        |  FROM codes c JOIN tab t ON c.s = t.s AND c.code = t.j
+        |  GROUP BY c.vec_id),
+        |short AS (
+        |  SELECT ad.vec_id, CAST(adm AS DOUBLE) / 1000000.0 AS approx_dist
+        |  FROM ad CROSS JOIN q WHERE ad.vec_id <> q.qid
+        |  ORDER BY adm, ad.vec_id LIMIT 50)
+        |SELECT s.vec_id, s.approx_dist,
+        |       ROUND(list_dot_product(e.v, q.qv)
+        |             / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(q.qv, q.qv))), 6) AS cos_sim
+        |FROM short s JOIN e ON s.vec_id = e.vec_id CROSS JOIN q
+        |ORDER BY cos_sim DESC, s.vec_id LIMIT 10""".stripMargin) { (s, d) =>
+      val e0 = embeddings(s, d)
+      val m = 4
+      // MAX over the corpus, the q_sim_ivf convention (a head()-derived
+      // width would be plan-dependent on a ragged corpus)
+      val dim = e0.agg(max(size(col("embedding")))).head().getInt(0)
+      require(dim % m == 0, s"q_sim_pq: corpus dimension $dim is not divisible by m=$m")
+      val sub = dim / m
+      val e = e0.select(col("vec_id"),
+        transform(col("embedding"), x => x.cast("double")).as("v"))
+      // 16 md5-sampled training vectors: orderBy+limit plans as a
+      // distributed TakeOrdered; the row_number window then runs over
+      // 16 rows only (never a corpus-wide single-partition sort)
+      val h = md5(col("vec_id").cast("string"))
+      val train = e.select(col("vec_id"), col("v"), h.as("h"))
+        .orderBy(col("h"), col("vec_id")).limit(16)
+        .withColumn("j", row_number().over(
+          org.apache.spark.sql.expressions.Window.orderBy(col("h"), col("vec_id"))) - 1)
+      // one-row nested codebook cbn[s+1][j+1] = codeword — O(m·16·sub)
+      val cbn = train
+        .select(explode(sequence(lit(0), lit(m - 1))).as("s"), col("j"), col("v"))
+        .select(col("s"), col("j"), slice(col("v"), col("s") * sub + 1, lit(sub)).as("cw"))
+        .groupBy("s")
+        .agg(transform(array_sort(collect_list(struct(col("j"), col("cw")))),
+          t => t.getField("cw")).as("cws"))
+        .groupBy()
+        .agg(transform(array_sort(collect_list(struct(col("s"), col("cws")))),
+          t => t.getField("cws")).as("cbn"))
+      // micro-scaled exact-integer L2 (squares summed in dimension order
+      // on both engines; the FLOOR(x·1e6 + 0.5) spelling is the repo's
+      // cents convention)
+      def l2m(a: Column, b: Column): Column =
+        floor(aggregate(zip_with(a, b, (x, c) => (x - c) * (x - c)),
+          lit(0.0), (acc, t) => acc + t) * 1000000.0 + 0.5).cast("long")
+      val q = e.orderBy(col("vec_id")).limit(1)
+        .select(col("vec_id").as("qid"), col("v").as("qv"))
+      // one-row ADC table tabn[s+1][j+1] = micro-L2(query subvector, cw)
+      val tab = q.crossJoin(broadcast(cbn))
+        .select(col("qid"),
+          transform(col("cbn"), (cws, ss) =>
+            transform(cws, cw => l2m(slice(col("qv"), ss * sub + 1, lit(sub)), cw)))
+            .as("tabn"))
+      // encode + ADC in ONE map-side projection: per subspace, argmin
+      // over the 16 broadcast codewords (ties → smaller j), then the
+      // exact integer sum of the 4 table lookups
+      val zero = struct(lit(Long.MaxValue).as("dist"), lit(-1).as("j"))
+      val scored = e.crossJoin(broadcast(cbn)).crossJoin(broadcast(tab))
+        .select(col("vec_id"), col("v"), col("qid"),
+          aggregate(sequence(lit(0), lit(m - 1)), lit(0L), (acc, ss) => {
+            val vs = slice(col("v"), ss * sub + 1, lit(sub))
+            val code = aggregate(sequence(lit(0), lit(15)), zero, (accJ, jj) => {
+              val dd = l2m(vs, element_at(element_at(col("cbn"), ss + 1), jj + 1))
+              when(dd < accJ.getField("dist"),
+                struct(dd.as("dist"), jj.as("j"))).otherwise(accJ)
+            }).getField("j")
+            acc + element_at(element_at(col("tabn"), ss + 1), code + 1)
+          }).as("adm"))
+      val short = scored.filter(col("vec_id") =!= col("qid"))
+        .orderBy(col("adm"), col("vec_id")).limit(50)
+        .select(col("vec_id"), col("v"),
+          (col("adm").cast("double") / 1000000.0).as("approx_dist"))
+      short.crossJoin(broadcast(q))
+        .select(col("vec_id"), col("approx_dist"),
+          round(graft.functions.CosineSim.cosine_sim(col("v"), col("qv")), 6).as("cos_sim"))
+        .orderBy(col("cos_sim").desc, col("vec_id"))
+        .limit(10)
     }
   )
 }

@@ -163,7 +163,19 @@ object PlanAudit {
       // Q6 is the pure scan-agg: its filters must reach the parquet
       // scan (PushedFilters on shipdate/discount/quantity)
       Check("q_tpch_q6_shape", "Q6 filters pushed to the parquet scan",
-        p => "PushedFilters: \\[[^\\]]*l_shipdate".r.findFirstIn(p).isDefined)
+        p => "PushedFilters: \\[[^\\]]*l_shipdate".r.findFirstIn(p).isDefined),
+      // chunking is map-side: the ONLY exchange is the output-order
+      // rangepartitioning the oracle compare needs — no hash shuffle
+      // anywhere (round 14)
+      Check("q_text_chunk", "map-side chunking (single range-exchange, no hash shuffle)",
+        p => !p.contains("hashpartitioning") && p.contains("rangepartitioning") &&
+          "\\(\\d+\\) Exchange".r.findAllMatchIn(p).map(_.matched).size == 1),
+      // PQ encode+ADC is a map-side projection over the corpus; both
+      // the 50-row shortlist and the 10-row rerank plan as TakeOrdered
+      // (never a corpus-wide Sort) (round 14)
+      Check("q_sim_pq", "ADC shortlist + rerank are TakeOrdered, corpus never globally sorted",
+        p => "TakeOrderedAndProject".r.findAllMatchIn(p).size >= 2 &&
+          !"Sort \\[cos_sim".r.findFirstIn(p).isDefined)
     )
 
     val plans = scala.collection.mutable.LinkedHashMap[String, String]()
@@ -256,6 +268,10 @@ object PlanAudit {
       "q_sim_ann_lsh" -> 2,         // 1-row min-id + 1-row query vector
       "q_sim_cosine_topk" -> 2,     // 1-row min-id + 1-row query vector
       "q_sim_ivf" -> 5,             // 1-row min-id/query (x2 uses) + 4-row probe-cell set
+      "q_sim_pq" -> 4,              // 1-row nested codebook (4×16×16 doubles,
+                                    // bounded by m·k·sub not the corpus; ×2
+                                    // because the ADC table derivation reuses
+                                    // it) + 1-row ADC table + 1-row query
       "q_subquery_scalar" -> 1,     // 1-row scalar average
       "q_subquery_select" -> 1,     // 1-row scalar total
       "q_text_length_filter" -> 1,  // per-language thresholds: bounded label domain

@@ -171,6 +171,27 @@ class DedupVectorSpec extends AnyFunSuite {
     assert(recall >= 0.2, s"KMeans IVF recall@10 = $recall (4/16 cells probed)")
   }
 
+  test("PQ ADC: rerank scores are exact; shortlist recall beats chance") {
+    val brute = q("q_sim_cosine_topk").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val pq = q("q_sim_pq").collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2)))
+    assert(pq.size == 10)
+    // approx distances are micro-exact non-negative L2 sums
+    pq.foreach { case (id, ad, _) => assert(ad >= 0.0, s"negative ADC dist for $id") }
+    // the re-rank is EXACT cosine: any id shared with brute force must
+    // carry the identical score
+    pq.foreach { case (id, _, cos) =>
+      brute.get(id).foreach(b => assert(math.abs(b - cos) < 1e-9,
+        s"PQ rerank score for $id diverges: $cos vs $b"))
+    }
+    // a random 50-of-500 shortlist would retain 10% of the true top-10
+    // in expectation; the ADC shortlist must do strictly better (the
+    // pipeline is deterministic — measured 0.2 on this corpus)
+    val recall = pq.count { case (id, _, _) => brute.contains(id) }.toDouble / brute.size
+    assert(recall >= 0.2, s"PQ recall@10 = $recall (50-vector ADC shortlist)")
+  }
+
   test("salted join is row-identical to the plain equi-join") {
     val li = ops.Tables.lineitem(spark, TestSpark.Sf).select("l_orderkey", "l_quantity", "l_linenumber")
     val o = ops.Tables.orders(spark, TestSpark.Sf).select("o_orderkey", "o_orderstatus")

@@ -285,6 +285,33 @@ class PropertySpec extends AnyFunSuite {
       "sum of kept segments must equal the corpus-wide distinct segment count")
   }
 
+  test("token chunking equals the sequential stride-window definition") {
+    val W = 32; val S = 24
+    val docs = ops.Tables.documents(spark, TestSpark.Sf)
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
+    val expected = docs.flatMap { case (id, text) =>
+      val tk = text.split(" ", -1)
+      val starts = 0 until tk.length by S
+      starts.map { st =>
+        val ct = tk.slice(st, math.min(tk.length, st + W))
+        (id, (st / S).toLong, ct.length.toLong, ct.mkString(" "))
+      }
+    }.toSeq
+    val actual = SparkEntry.queries("q_text_chunk")(spark, TestSpark.Sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3))).toSeq
+    assert(actual == expected)
+    // chunk-count closure: per doc, ceil(n/S) chunks and the last chunk
+    // ends exactly at the token count (full coverage, no phantom tail)
+    val byDoc = actual.groupBy(_._1)
+    docs.foreach { case (id, text) =>
+      val n = text.split(" ", -1).length
+      val ch = byDoc(id).sortBy(_._2)
+      assert(ch.size == math.ceil(n.toDouble / S).toInt)
+      assert(ch.last._2 * S + ch.last._3 == n)
+    }
+  }
+
   // Source cap: re-derive the exact pick set (count → threshold →
   // md5-ordered top-5) sequentially and compare; cap and rank-sequence
   // invariants hold per source.
