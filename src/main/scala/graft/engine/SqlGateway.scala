@@ -176,12 +176,14 @@ object SqlGateway {
     val m = ("(?is)^" +
       "(?:\\s+using\\s+([A-Za-z_][A-Za-z0-9_]*)\\s*\\(\\s*(\\*|[A-Za-z_][A-Za-z0-9_]*)\\s*\\)" +
       "(?:\\s+as\\s+[A-Za-z_][A-Za-z0-9_]*)?)?" +
-      "(?:\\s+group\\s+by\\s+(.+?))?\\s*;?\\s*$").r
+      "(?:\\s+group\\s+by\\s+(.+?))?" +
+      "(?:\\s+order\\s+by\\s+(.+?))?(?:\\s+limit\\s+(\\d+))?\\s*;?\\s*$").r
     val mm = m.findFirstMatchIn(rest).getOrElse(throw new IllegalArgumentException(
       "PIVOT: supported form is PIVOT <ds> ON <col> [IN (values)] " +
-        s"[USING <agg>(<col>|*)] [GROUP BY cols] — got: $rest"))
-    val (fnName, fnArg, groupBy) =
-      (Option(mm.group(1)), Option(mm.group(2)), Option(mm.group(3)))
+        s"[USING <agg>(<col>|*)] [GROUP BY cols] [ORDER BY cols] [LIMIT n] — got: $rest"))
+    val (fnName, fnArg, groupBy, orderBy, limitN) =
+      (Option(mm.group(1)), Option(mm.group(2)), Option(mm.group(3)),
+        Option(mm.group(4)), Option(mm.group(5)))
     val df = datasetDf(spark, ds)
     // quote-aware comma split ('' stays an escaped quote inside a value)
     def splitVals(l: String): Seq[String] = {
@@ -227,10 +229,26 @@ object SqlGateway {
     }
     val out = df.groupBy(groups.map(col): _*).pivot(pcol, vals).agg(aggCol)
     // count over an empty cell is 0 in DuckDB, NULL from a naive pivot
-    if (fn == "count") {
+    val filled = if (fn == "count") {
       val valueCols = out.columns.filterNot(groups.contains)
       out.na.fill(0L, valueCols)
     } else out
+    // trailing ORDER BY / LIMIT apply to the pivoted result, exactly
+    // DuckDB's statement semantics (round 14; simple identifiers with
+    // optional ASC/DESC — anything else throws via the regex)
+    val sorted = orderBy match {
+      case Some(ob) =>
+        val items = ob.split(",").map(_.trim).map { it =>
+          val om = "(?is)^([A-Za-z_][A-Za-z0-9_]*)(?:\\s+(asc|desc))?$".r
+            .findFirstMatchIn(it).getOrElse(throw new IllegalArgumentException(
+              s"PIVOT: ORDER BY supports plain columns [ASC|DESC] — got: $it"))
+          if (Option(om.group(2)).exists(_.equalsIgnoreCase("desc")))
+            col(om.group(1)).desc else col(om.group(1)).asc
+        }
+        filled.orderBy(items.toIndexedSeq: _*)
+      case None => filled
+    }
+    limitN.fold(sorted)(n => sorted.limit(n.toInt))
   }
 
   /** DuckDB's UNPIVOT statement (round 13c):

@@ -1152,6 +1152,56 @@ final class SqlFuzzer(seed: Long) {
   /** PostgreSQL/DuckDB `DISTINCT ON`: first row per key under a total
     * ORDER (keys first, a value column, the table's UNIQUE key as the
     * tiebreak — so the picked row is well-defined on both engines). */
+  /** DuckDB PIVOT statements (round 14): run verbatim by the oracle,
+    * executed by the GATEWAY's runPivot on the Spark side (not the
+    * dialect shim — PIVOT is a statement, not a SELECT), so the
+    * statement parser itself is differentially tested: quote-aware IN
+    * lists (values containing ',' or ')'), absent-value columns
+    * (count-0 backfill vs sum-NULL), binder-style value discovery, and
+    * the trailing ORDER BY/LIMIT. The dataset is always a derived
+    * SELECT with IS NOT NULL guards on the ON and GROUP BY columns:
+    * NULL pivot keys are engine-defined in discovery order, and a NULL
+    * group key would sort NULLS FIRST in Spark but NULLS LAST in
+    * DuckDB's default ORDER BY. The measure column is always integer
+    * (sums exact; AVG divides two exact numbers identically). */
+  private def qDialectPivot(): String = {
+    val (t, cat, key, num) = pick(Seq(
+      (documents, "lang", "source", "n_chars"),
+      (documents, "source", "lang", "doc_id"),
+      (orders, "o_orderstatus", "o_orderpriority", "o_custkey"),
+      (orders, "o_orderpriority", "o_orderstatus", "o_orderkey"),
+      (lineitem, "l_returnflag", "l_linestatus", "l_linenumber"),
+      (lineitem, "l_linestatus", "l_returnflag", "l_suppkey")))
+    val ds = s"(SELECT $key, $cat, $num FROM ${t.name} " +
+      s"WHERE $cat IS NOT NULL AND $key IS NOT NULL AND ${pred(t, 1)})"
+    val pool = t.pools(cat)
+    val inList = rnd.nextInt(3) match {
+      case 0 => "" // binder-style discovery (sorted ascending, both engines)
+      case 1 =>
+        val n = 1 + rnd.nextInt(pool.size)
+        val vs = rnd.shuffle(pool).take(n).sorted
+        s" IN (${vs.map(v => s"'$v'").mkString(", ")})"
+      case _ =>
+        // absent values, including one with a comma and a paren — the
+        // quote-aware list parser must keep them whole (empty columns
+        // on both engines)
+        val vs = rnd.shuffle(pool).take(1 + rnd.nextInt(2)) ++
+          Seq(pick(Seq("'zz,9'", "'no)pe'", "'absent'")))
+        s" IN (${vs.map(v => if (v.startsWith("'")) v else s"'$v'").mkString(", ")})"
+    }
+    val using = rnd.nextInt(6) match {
+      case 0 => "count(*)"
+      case 1 => s"count($num)"
+      case 2 => s"sum($num)"
+      case 3 => s"min($num)"
+      case 4 => s"max($num)"
+      case _ => s"avg($num)"
+    }
+    val dir = if (rnd.nextBoolean()) "" else " DESC"
+    val lim = if (rnd.nextInt(3) == 0) s" LIMIT ${1 + rnd.nextInt(5)}" else ""
+    s"PIVOT $ds ON $cat$inList USING $using GROUP BY $key ORDER BY $key$dir$lim"
+  }
+
   private def qDialectDistinctOn(): String = {
     val (t, key, value) = pick(Seq(
       (orders, "o_custkey", "o_totalprice"),
@@ -1295,7 +1345,7 @@ final class SqlFuzzer(seed: Long) {
     * [[graft.engine.DuckDbDialect.rewrite]] on Spark. */
   def dialectQueries(count: Int): Vector[(String, String)] =
     (1 to count).map { i =>
-      val (kind, sql) = rnd.nextInt(13) match {
+      val (kind, sql) = rnd.nextInt(14) match {
         case 0 => ("dsel", qDialectProj())
         case 1 => ("dgrp", qDialectGroup())
         case 2 => ("dtb", qDialectBucket())
@@ -1308,6 +1358,7 @@ final class SqlFuzzer(seed: Long) {
         case 9 => ("dsim", qDialectSimilar())
         case 10 => ("dign", qDialectIgnoreNulls())
         case 11 => ("dexc", qDialectFrameExclude())
+        case 12 => ("dpivot", qDialectPivot())
         case _ => ("ddiv", qDialectDivFilter())
       }
       (f"fz_$i%04d_$kind", sql)
@@ -1555,8 +1606,13 @@ object Fuzz {
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
     var done = 0
     suite.foreach { case (name, sql) =>
-      val sparkSql = if (dialect) graft.engine.DuckDbDialect.rewrite(sql) else sql
-      try spark.sql(sparkSql).coalesce(1).write.mode("overwrite")
+      // PIVOT is a STATEMENT: it goes through the gateway's runPivot
+      // (the unit under test), not the SELECT-level dialect shim
+      def sparkDf() =
+        if (dialect && sql.trim.regionMatches(true, 0, "pivot", 0, 5))
+          graft.engine.SqlGateway.run(spark, sql)
+        else spark.sql(if (dialect) graft.engine.DuckDbDialect.rewrite(sql) else sql)
+      try sparkDf().coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[fuzz] $name FAILED: ${e.getMessage}\n  $sql")

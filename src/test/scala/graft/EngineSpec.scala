@@ -110,6 +110,16 @@ class EngineSpec extends AnyFunSuite {
     val qr = q.collect()
     assert(qr(0).getString(0) == "r1" && qr(0).getLong(1) == 2L && qr(0).getLong(2) == 3L)
     assert(qr(1).getString(0) == "r2" && qr(1).getLong(1) == 5L && qr(1).isNullAt(2))
+    // trailing ORDER BY/LIMIT order the PIVOTED result (round 14;
+    // DuckDB golden on pv2(k,cat,q) = (r1,a,2),(r1,b,3),(r2,a,5),
+    // (r3,c,7): ORDER BY k DESC LIMIT 2 → r3(c=7), r2(a=5))
+    spark.sql("SELECT * FROM VALUES ('r1','a',2),('r1','b',3)," +
+      "('r2','a',5),('r3','c',7) AS v(k, cat, q)").createOrReplaceTempView("pv2")
+    val ord = SqlGateway.run(spark,
+      "PIVOT pv2 ON cat USING sum(q) GROUP BY k ORDER BY k DESC LIMIT 2").collect()
+    assert(ord.length == 2)
+    assert(ord(0).getString(0) == "r3" && ord(0).getLong(3) == 7L && ord(0).isNullAt(1))
+    assert(ord(1).getString(0) == "r2" && ord(1).getLong(1) == 5L && ord(1).isNullAt(3))
     // the dataset subquery still passes the SELECT-only gate
     intercept[SecurityException](
       SqlGateway.run(spark, "PIVOT (DROP TABLE data_table) ON category USING count(*)"))
