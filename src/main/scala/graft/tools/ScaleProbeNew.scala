@@ -70,7 +70,11 @@ object ScaleProbeNew {
     // round-13d phash: suffixed replicas share no content windows, so
     // cross-replica hashes are ~random (Manku keys collide at N²/2³⁰)
     // and true pair structure grows linearly with the replicas
-    "q_media_phash_dedup")
+    "q_media_phash_dedup",
+    // round-14 chunking: per-row sequence+explode+slice, zero shuffles
+    // except the output range-sort — expected LINEAR (output rows grow
+    // K×, ~n/24 chunks per doc)
+    "q_text_chunk")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")

@@ -45,6 +45,10 @@ object ScaleProbeVec {
 
   private val Queries = Seq("q_sim_cosine_topk", "q_sim_ann_lsh",
     "q_sim_ivf", "q_embed_quantize", "q_sim_centroid_dist",
+    // round-14 PQ: the codebook is 16 md5-sampled vectors (TakeOrdered,
+    // constant size at any K), encode+ADC is one map-side projection
+    // over the corpus, the shortlist is TakeOrdered-50 — expected LINEAR
+    "q_sim_pq",
     "q_dedup_embedding")
 
   def main(args: Array[String]): Unit = {
