@@ -41,11 +41,16 @@ package graft.engine
   *    yields NULL in both regimes. This closed what was a documented
   *    bound (float `//` previously surfaced Spark's div type error).
   *  - Window-frame `EXCLUDE CURRENT ROW` decomposes to frame-minus-
-  *    current for SUM/COUNT/AVG (and reproduces DuckDB 1.0's measured
-  *    off-frame extension quirk — see [[rewriteFrameExclude]]);
-  *    `EXCLUDE NO OTHERS` drops. EXCLUDE GROUP/TIES and other
-  *    aggregate functions throw: peer sets are data-dependent and
-  *    MIN/MAX have no subtractive decomposition.
+  *    current for SUM/COUNT/AVG; `EXCLUDE GROUP`/`TIES` decompose over
+  *    RANGE frames (frame − peer-window [+ current for TIES], round
+  *    13d); `EXCLUDE NO OTHERS` drops. Frame bounds are classified by
+  *    their TRAILING keyword (multi-token INTERVAL offsets included —
+  *    round 14); an off-frame ROWS exclusion reproduces DuckDB 1.0's
+  *    measured adjacent-row extension, while an off-frame RANGE
+  *    exclusion THROWS (the measured extension is in ROW space,
+  *    including ORDER BY peers — inexpressible as a RANGE bound).
+  *    ROWS+GROUP/TIES and non-decomposable aggregates (MIN/MAX) throw:
+  *    peer sets are data-dependent and have no subtractive form.
   *  - `USING SAMPLE n[%|PERCENT|ROWS]` after a table reference becomes
   *    `TABLESAMPLE (n PERCENT|ROWS)` — an acceptance rewrite: both draw
   *    the requested sample size, by different algorithms (sampling is

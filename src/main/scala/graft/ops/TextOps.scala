@@ -719,6 +719,51 @@ object TextOps {
           size(col("ct")).cast("long").as("n_tokens"),
           array_join(col("ct"), " ").as("chunk_text"))
         .orderBy("doc_id", "chunk_idx")
+    },
+
+    // Winnowing document fingerprints (Schleimer/Wilkerson/Aiken,
+    // SIGMOD'03 — the MOSS scheme): token-trigram hashes, then the MIN
+    // hash of every 4-gram-hash window is selected (leftmost-min
+    // variant: array_min takes the smallest VALUE, ties don't matter
+    // because equal hashes are the same fingerprint), giving a
+    // position-robust fingerprint set whose density is guaranteed
+    // (one fingerprint per window). Output per doc: fingerprint count
+    // + an md5 digest of the sorted set — the match INDEX a
+    // plagiarism/near-dup system would invert. Entirely map-side
+    // higher-order functions over the token array (hashing, windowed
+    // mins, distinct, sort): zero shuffles at any corpus size. Hashes
+    // are 60-bit md5 prefixes, the repo's MinHash spelling — exact
+    // BIGINTs on both engines.
+    OpQuery("q_text_winnow",
+      """WITH t AS (
+        |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+        |  WHERE len(string_split(text, ' ')) >= 6),
+        |g AS (
+        |  SELECT doc_id, list_transform(range(0, len(toks) - 2),
+        |    i -> CAST('0x' || substr(md5(array_to_string(toks[i+1 : i+3], ' ')), 1, 15) AS BIGINT)) AS gh
+        |  FROM t),
+        |f AS (
+        |  SELECT doc_id, list_sort(list_distinct(list_transform(range(0, len(gh) - 3),
+        |    j -> list_min(gh[j+1 : j+4])))) AS fps
+        |  FROM g)
+        |SELECT doc_id, CAST(len(fps) AS BIGINT) AS n_fp,
+        |       md5(array_to_string(list_transform(fps, x -> CAST(x AS VARCHAR)), ',')) AS fp_digest
+        |FROM f ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val K = 3; val Wn = 4
+      documents(s, d)
+        .select(col("doc_id"), split(col("text"), " ").as("toks"))
+        .filter(size(col("toks")) >= K + Wn - 1)
+        .select(col("doc_id"), transform(
+          sequence(lit(0), size(col("toks")) - K),
+          i => conv(substring(md5(array_join(slice(col("toks"), i + 1, lit(K)), " ")),
+            1, 15), 16, 10).cast("long")).as("gh"))
+        .select(col("doc_id"), array_sort(array_distinct(transform(
+          sequence(lit(0), size(col("gh")) - Wn),
+          j => array_min(slice(col("gh"), j + 1, lit(Wn)))))).as("fps"))
+        .select(col("doc_id"),
+          size(col("fps")).cast("long").as("n_fp"),
+          md5(array_join(transform(col("fps"), x => x.cast("string")), ",")).as("fp_digest"))
+        .orderBy("doc_id")
     }
   )
 }

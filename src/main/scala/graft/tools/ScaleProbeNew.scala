@@ -74,7 +74,10 @@ object ScaleProbeNew {
     // round-14 chunking: per-row sequence+explode+slice, zero shuffles
     // except the output range-sort — expected LINEAR (output rows grow
     // K×, ~n/24 chunks per doc)
-    "q_text_chunk")
+    "q_text_chunk",
+    // round-14 winnowing: per-row higher-order hashing + windowed mins,
+    // zero shuffles — expected LINEAR
+    "q_text_winnow")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")

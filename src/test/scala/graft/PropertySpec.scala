@@ -312,6 +312,30 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("winnowing fingerprints equal the sequential definition; subset of gram hashes") {
+    val K = 3; val W = 4
+    def h(s: String): Long =
+      java.lang.Long.parseLong(md5hex(s).substring(0, 15), 16)
+    val docs = ops.Tables.documents(spark, TestSpark.Sf)
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
+    val expected = docs.flatMap { case (id, text) =>
+      val tk = text.split(" ", -1)
+      if (tk.length < K + W - 1) None else {
+        val gh = (0 to tk.length - K).map(i => h(tk.slice(i, i + K).mkString(" ")))
+        val fps = (0 to gh.length - W).map(j => gh.slice(j, j + W).min)
+          .distinct.sorted
+        // every gram window contributes its min → fingerprint density ≥
+        // one per window; and every fingerprint IS some gram hash
+        assert(fps.toSet.subsetOf(gh.toSet))
+        Some((id, fps.size.toLong, md5hex(fps.mkString(","))))
+      }
+    }.toSeq
+    val actual = SparkEntry.queries("q_text_winnow")(spark, TestSpark.Sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSeq
+    assert(actual == expected)
+  }
+
   // Source cap: re-derive the exact pick set (count → threshold →
   // md5-ordered top-5) sequentially and compare; cap and rank-sequence
   // invariants hold per source.
