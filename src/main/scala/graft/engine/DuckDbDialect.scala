@@ -23,14 +23,16 @@ package graft.engine
   *    C-style codes to Spark's pattern letters; an unrecognized `%` code
   *    throws with the offending code named.
   *  - `time_bucket(INTERVAL 'N unit', ts)` maps to `date_trunc` for
-  *    single whole units, to epoch-floor arithmetic for N-second/
-  *    minute/hour/day multiples (DuckDB's epoch-aligned buckets agree
-  *    for these sizes), and to pmod-floored add_months from DuckDB's
-  *    measured 2000-01-01 month origin for N-month/year multiples. The
-  *    3-arg explicit-origin form is supported for every unit (second
-  *    granularity keeps the origin's full sub-bucket offset; month
-  *    granularity truncates the origin to its month start — both
-  *    measured). Only multi-week buckets WITHOUT an origin throw.
+  *    single whole units, to floor arithmetic aligned to DuckDB's
+  *    measured default origin 2000-01-03 00:00:00 UTC for N-second/
+  *    minute/hour/day/WEEK multiples (round 14 — the previous epoch
+  *    alignment agreed only for widths dividing 946857600 s, which
+  *    every earlier-fuzzed width coincidentally did), and to
+  *    pmod-floored add_months from DuckDB's measured 2000-01-01 month
+  *    origin for N-month/year multiples. The 3-arg explicit-origin
+  *    form is supported for every unit (second granularity keeps the
+  *    origin's full sub-bucket offset; month granularity truncates the
+  *    origin to its month start — both measured).
   *  - `//` becomes Spark's ` div `, whose analyzed [[IntegralDivide]]
   *    is then replaced by the type-aware
   *    [[graft.functions.DuckDiv]] via an injected resolution rule
@@ -1472,12 +1474,22 @@ object DuckDbDialect {
             case "minute" => 60L
             case "hour" => 3600L
             case "day" => 86400L
+            case "week" => 604800L
             case other => throw new IllegalArgumentException(
-              s"time_bucket: $cnt-$other buckets are not translatable " +
-                "(calendar-variable length); use a 1-unit bucket or seconds")
+              s"time_bucket: unsupported unit $other")
           }
           val w = cnt * secs
-          s"timestamp_seconds(CAST(FLOOR(unix_timestamp($ts) / $w) AS BIGINT) * $w)"
+          // DuckDB aligns EVERY sub-month no-origin bucket to origin
+          // 2000-01-03 00:00:00 UTC (946857600 s — its documented
+          // default origin, measured here on 2-day/5-hour/90-minute/
+          // 7-second/2-week widths incl. pre-origin floors). The shim's
+          // previous epoch alignment agreed only for widths DIVIDING
+          // 946857600 — true of every width the dtb fuzz kind happened
+          // to draw (300/900/3600/86400 s), false for e.g. 5-hour or
+          // 2-day buckets (round 14). FLOOR of the double quotient is
+          // exact: both operands stay far below 2^53.
+          s"timestamp_seconds(CAST(FLOOR((unix_timestamp($ts) - 946857600) / $w) " +
+            s"AS BIGINT) * $w + 946857600)"
         }
       case other => throw new IllegalArgumentException(
         s"time_bucket: first argument must be an INTERVAL literal, got $other")

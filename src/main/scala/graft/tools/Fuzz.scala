@@ -987,7 +987,12 @@ final class SqlFuzzer(seed: Long) {
 
   private def qDialectBucket(): String = rnd.nextInt(3) match {
     case 0 =>
-      val bucket = pick(Seq("5 minutes", "15 minutes", "1 hour", "1 day"))
+      // round 14: widths that do NOT divide the 946857600 s offset of
+      // DuckDB's default origin (5 hours, 2 days, 90 minutes, 2 weeks,
+      // 7 seconds) — these distinguish true 2000-01-03 alignment from
+      // the epoch alignment the shim used before round 14
+      val bucket = pick(Seq("5 minutes", "15 minutes", "1 hour", "1 day",
+        "5 hours", "2 days", "90 minutes", "2 weeks", "7 seconds"))
       s"SELECT time_bucket(INTERVAL '$bucket', ts) AS c1, " +
         s"CAST(COUNT(*) AS BIGINT) AS c2 FROM events " +
         s"WHERE ${pred(events, 1)} GROUP BY 1 ${orderAll(2)} ${limit()}"

@@ -116,11 +116,17 @@ class DuckDbDialectSpec extends AnyFunSuite {
       "SELECT (unix_micros(ts) / 1.0E6), unix_millis(ts)")
   }
 
-  test("time_bucket: whole unit → date_trunc; multiple → epoch floor") {
+  test("time_bucket: whole unit → date_trunc; multiple → origin-aligned floor") {
     assert(DuckDbDialect.rewrite("SELECT time_bucket(INTERVAL '1 hour', ts)") ==
       "SELECT date_trunc('hour', ts)")
+    // sub-month multiples align to DuckDB's default origin 2000-01-03
+    // 00:00:00 UTC (946857600 s) — for widths dividing 946857600 (like
+    // this 900 s one) that is indistinguishable from epoch alignment,
+    // which is why the pre-round-14 epoch spelling survived the dtb
+    // fuzz; 5-hour/2-day/2-week widths need the true origin
     assert(DuckDbDialect.rewrite("SELECT time_bucket(INTERVAL '15 minutes', ts)") ==
-      "SELECT timestamp_seconds(CAST(FLOOR(unix_timestamp(ts) / 900) AS BIGINT) * 900)")
+      "SELECT timestamp_seconds(CAST(FLOOR((unix_timestamp(ts) - 946857600) / 900) " +
+        "AS BIGINT) * 900 + 946857600)")
     // month-granularity multiples: pmod-floored add_months from the
     // measured 2000-01-01 origin (pre-origin instants round DOWN —
     // DuckDB 2-month bucket of 1999-02-03 is 1999-01-01, and the pmod
@@ -130,11 +136,31 @@ class DuckDbDialectSpec extends AnyFunSuite {
         "- pmod(((year(ts) - 2000) * 12 + month(ts) - 1), 2)) AS TIMESTAMP)")
     assert(DuckDbDialect.rewrite("SELECT time_bucket(INTERVAL '2 years', ts)")
       .contains("pmod(((year(ts) - 2000) * 12 + month(ts) - 1), 24)"))
-    // multi-week buckets stay bounded (calendar alignment differs)
-    val e = intercept[IllegalArgumentException] {
-      DuckDbDialect.rewrite("SELECT time_bucket(INTERVAL '2 weeks', ts)")
-    }
-    assert(e.getMessage.contains("week"))
+    // multi-week buckets are 604800·N-second widths on the same origin
+    // (2000-01-03 is a Monday — DuckDB's week boundary) — the round-13
+    // documented bound is CLOSED
+    assert(DuckDbDialect.rewrite("SELECT time_bucket(INTERVAL '2 weeks', ts)")
+      .contains("/ 1209600"))
+  }
+
+  test("sub-month buckets match DuckDB's measured 2000-01-03 alignment in-engine") {
+    // DuckDB 1.0 goldens (measured this round): 5-hour of 2024-01-10
+    // 05:00 → 03:00 (epoch alignment says 02:00 — the pre-round-14
+    // divergence); 2-day of 2024-01-10 → 2024-01-09; 2-week of
+    // 1999-12-20 → 1999-12-20 (pre-origin floor lands ON the instant);
+    // 90-minute of 2024-01-10 05:17 → 04:30; 7-second of
+    // 05:00:13 → 05:00:13
+    val rows = spark.sql(DuckDbDialect.rewrite(
+      "SELECT time_bucket(INTERVAL '5 hours', TIMESTAMP '2024-01-10 05:00:00') AS a, " +
+        "time_bucket(INTERVAL '2 days', TIMESTAMP '2024-01-10 05:00:00') AS b, " +
+        "time_bucket(INTERVAL '2 weeks', TIMESTAMP '1999-12-20 00:00:00') AS c, " +
+        "time_bucket(INTERVAL '90 minutes', TIMESTAMP '2024-01-10 05:17:00') AS d, " +
+        "time_bucket(INTERVAL '7 seconds', TIMESTAMP '2024-01-10 05:00:13') AS e")).head()
+    assert(rows.getTimestamp(0).toString.startsWith("2024-01-10 03:00"))
+    assert(rows.getTimestamp(1).toString.startsWith("2024-01-09 00:00"))
+    assert(rows.getTimestamp(2).toString.startsWith("1999-12-20 00:00"))
+    assert(rows.getTimestamp(3).toString.startsWith("2024-01-10 04:30"))
+    assert(rows.getTimestamp(4).toString.startsWith("2024-01-10 05:00:13"))
   }
 
   test("month buckets match DuckDB's measured origin semantics in-engine") {
