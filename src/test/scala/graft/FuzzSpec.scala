@@ -75,9 +75,16 @@ class FuzzSpec extends AnyFunSuite {
       // in-paren null-skip and frame exclusion (round 13c): both are
       // DuckDB-only spellings the shim hoists/decomposes
       "IGNORE NULLS)", "RESPECT NULLS)", "EXCLUDE CURRENT ROW", "EXCLUDE NO OTHERS",
-      "EXCLUDE GROUP", "EXCLUDE TIES")
+      "EXCLUDE GROUP", "EXCLUDE TIES",
+      // PIVOT statements (round 14): the statement spelling itself is
+      // the DuckDB-ism — the gateway's runPivot executes it
+      "PIVOT ")
     dial.foreach { case (name, sql) =>
-      assert(sql.contains("ORDER BY") && sql.contains("LIMIT"), s"$name: $sql")
+      // PIVOT outputs are bounded by the pivot-key domain (≤ a few
+      // dozen groups here), so LIMIT is optional for dpivot; the
+      // ORDER BY row determinism rule still applies to every kind
+      assert(sql.contains("ORDER BY"), s"$name: $sql")
+      assert(sql.contains("LIMIT") || name.endsWith("dpivot"), s"$name: $sql")
       assert(duckisms.exists(sql.contains), s"$name has no DuckDB-ism: $sql")
     }
     val spark = TestSpark.spark
@@ -88,11 +95,18 @@ class FuzzSpec extends AnyFunSuite {
     Tables.events(spark, TestSpark.Sf).createOrReplaceTempView("events")
     dial.zipWithIndex.collect { case (q, i) if i % 6 == 0 => q }
       .foreach { case (name, sql) =>
-        val rewritten = graft.engine.DuckDbDialect.rewrite(sql)
-        assert(rewritten != sql, s"$name: shim left a dialect query untouched")
-        try spark.sql(rewritten).collect()
-        catch { case e: Throwable =>
-          fail(s"$name failed on Spark after rewrite: ${e.getMessage}\n$sql\n→ $rewritten")
+        try {
+          // PIVOT statements route through the gateway (Fuzz main does
+          // the same); everything else through the shim + spark.sql
+          if (sql.trim.regionMatches(true, 0, "pivot", 0, 5))
+            graft.engine.SqlGateway.run(spark, sql).collect()
+          else {
+            val rewritten = graft.engine.DuckDbDialect.rewrite(sql)
+            assert(rewritten != sql, s"$name: shim left a dialect query untouched")
+            spark.sql(rewritten).collect()
+          }
+        } catch { case e: Throwable =>
+          fail(s"$name failed on Spark: ${e.getMessage}\n$sql")
         }
       }
   }
