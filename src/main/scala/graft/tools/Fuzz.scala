@@ -273,8 +273,13 @@ final class SqlFuzzer(seed: Long) {
       case 5 => (s"date_trunc('${pick(Seq("month", "day", "hour"))}', $c)", TsK)
       // unquoted-count INTERVAL literals are the shared spelling
       // (Spark also takes INTERVAL '3' DAY; DuckDB also INTERVAL '3 days')
-      case 6 => (s"($c + INTERVAL ${intLit(1, 72)} ${pick(Seq("DAY", "HOUR", "MINUTE"))})", TsK)
-      case 7 => (s"($c - INTERVAL ${intLit(1, 24)} ${pick(Seq("DAY", "HOUR"))})", TsK)
+      // MONTH/YEAR included since round 14: both engines clamp
+      // month-end arithmetic identically (measured: 01-31 + 1 MONTH →
+      // 02-29, 02-29 + 12 MONTH → 02-28, 03-31 − 1 MONTH → 02-29)
+      case 6 => (s"($c + INTERVAL ${intLit(1, 72)} " +
+        s"${pick(Seq("DAY", "HOUR", "MINUTE", "MONTH"))})", TsK)
+      case 7 => (s"($c - INTERVAL ${intLit(1, 24)} " +
+        s"${pick(Seq("DAY", "HOUR", "MONTH", "YEAR"))})", TsK)
     }
   }
 
