@@ -785,6 +785,65 @@ object Corpus {
         .unpivot(Array(col("p_partkey")),
           Array(col("p_retailprice"), col("p_size")), "metric", "value")
         .orderBy("p_partkey", "metric")
+    },
+
+    // Cross-document duplicated-span detection (the Lee et al. 2022
+    // exact-substring signal at 16-token window granularity, stride 1):
+    // every sliding 16-token window is hashed map-side (60-bit md5
+    // prefix, the MinHash spelling); a window hash seen in ≥2 DISTINCT
+    // documents marks all its positions as cross-doc duplicated, and
+    // each doc reports its duplicated-window fraction — the
+    // "boilerplate/syndicated span" filter signal span-removal
+    // pipelines threshold on. Shape at scale: the window explode is
+    // map-side (n_tokens rows/doc); then three key-bounded shuffles —
+    // (hash,doc) distinct, per-hash doc counts, per-doc position
+    // counts — and a hash-keyed semi join that must NOT broadcast (the
+    // dup-hash set is corpus-sized). Within-doc repetition is
+    // deliberately not counted (q_text_repetition covers it).
+    OpQuery("q_text_substring_dup",
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |w AS (
+        |  SELECT doc_id,
+        |         CAST('0x' || substr(md5(array_to_string(toks[i+1 : i+16], ' ')), 1, 15) AS BIGINT) AS h
+        |  FROM t, UNNEST(range(0, len(toks) - 15)) AS u(i)
+        |  WHERE len(toks) >= 16),
+        |dup AS (
+        |  SELECT h FROM (SELECT h, doc_id FROM w GROUP BY h, doc_id)
+        |  GROUP BY h HAVING COUNT(*) >= 2),
+        |pd AS (
+        |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_dup
+        |  FROM w WHERE h IN (SELECT h FROM dup) GROUP BY doc_id)
+        |SELECT t.doc_id,
+        |       CAST(greatest(len(toks) - 15, 0) AS BIGINT) AS n_win,
+        |       CAST(COALESCE(pd.n_dup, 0) AS BIGINT) AS n_dup,
+        |       CASE WHEN len(toks) < 16 THEN 0.0
+        |            ELSE ROUND(CAST(COALESCE(pd.n_dup, 0) AS DOUBLE) / (len(toks) - 15), 6)
+        |       END AS dup_frac
+        |FROM t LEFT JOIN pd USING (doc_id) ORDER BY t.doc_id""".stripMargin) { (s, d) =>
+      val W = 16
+      val docs0 = documents(s, d)
+        .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      val win = docs0
+        .filter(size(col("toks")) >= W)
+        .select(col("doc_id"), explode(transform(
+          sequence(lit(0), size(col("toks")) - W),
+          i => conv(substring(md5(array_join(slice(col("toks"), i + 1, lit(W)), " ")),
+            1, 15), 16, 10).cast("long"))).as("h"))
+      val dup = win.select("h", "doc_id").distinct()
+        .groupBy("h").agg(count(lit(1)).as("nd"))
+        .filter(col("nd") >= 2)
+        .select("h")
+      val perDoc = win.join(dup.hint("merge"), Seq("h"), "left_semi")
+        .groupBy("doc_id").agg(count(lit(1)).as("n_dup"))
+      docs0.select(col("doc_id"),
+          greatest(size(col("toks")) - W + 1, lit(0)).cast("long").as("n_win"))
+        .join(perDoc, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_win"),
+          coalesce(col("n_dup"), lit(0L)).as("n_dup"),
+          when(col("n_win") === 0, lit(0.0))
+            .otherwise(round(coalesce(col("n_dup"), lit(0L)).cast("double")
+              / col("n_win"), 6)).as("dup_frac"))
+        .orderBy("doc_id")
     }
   )
 }

@@ -77,7 +77,11 @@ object ScaleProbeNew {
     "q_text_chunk",
     // round-14 winnowing: per-row higher-order hashing + windowed mins,
     // zero shuffles — expected LINEAR
-    "q_text_winnow")
+    "q_text_winnow",
+    // round-14 duplicated spans: the ~r suffix keeps replica windows
+    // disjoint, so the (hash,doc) frame, per-hash counts, and the dup
+    // semi join all grow linearly — expected LINEAR
+    "q_text_substring_dup")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")

@@ -336,6 +336,31 @@ class PropertySpec extends AnyFunSuite {
     assert(actual == expected)
   }
 
+  test("cross-doc duplicated windows equal the sequential definition") {
+    val W = 16
+    def h(s: String): String = md5hex(s)
+    val docs = ops.Tables.documents(spark, TestSpark.Sf)
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
+    val winOf = docs.map { case (id, text) =>
+      val tk = text.split(" ", -1)
+      id -> (0 to tk.length - W).map(i => h(tk.slice(i, i + W).mkString(" ")))
+    }.toMap
+    val docsPerHash = winOf.toSeq.flatMap { case (id, ws) => ws.distinct.map(_ -> id) }
+      .groupBy(_._1).map { case (k, v) => k -> v.size }
+    val expected = docs.map { case (id, _) =>
+      val ws = winOf(id)
+      val nd = ws.count(w => docsPerHash(w) >= 2)
+      val frac = if (ws.isEmpty) 0.0
+        else BigDecimal(nd.toDouble / ws.size).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      (id, ws.size.toLong, nd.toLong, frac)
+    }.toSeq
+    val actual = SparkEntry.queries("q_text_substring_dup")(spark, TestSpark.Sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSeq
+    assert(actual == expected)
+    assert(actual.exists(_._3 > 0), "corpus should contain cross-doc duplicated spans")
+  }
+
   // Source cap: re-derive the exact pick set (count → threshold →
   // md5-ordered top-5) sequentially and compare; cap and rank-sequence
   // invariants hold per source.
