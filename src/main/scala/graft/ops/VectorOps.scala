@@ -145,6 +145,89 @@ object VectorOps {
       .limit(10)
   }
 
+  /** Learned-codebook PQ (the trained twin of `q_sim_pq`, mirroring the
+    * ivfProbe/KMeans precedent): per-subspace codebooks are fit with
+    * Lloyd's algorithm on a BOUNDED md5-ordered sample (256 vectors —
+    * training PQ on a sample is standard practice; the sample size, not
+    * the corpus, bounds driver memory), then the whole corpus is
+    * encoded and ADC-scored in ONE map-side projection against the
+    * codebooks as literals — zero shuffles before the TakeOrdered
+    * shortlist, exact cosine re-rank on the 50 candidates. Determinism:
+    * md5-ordered sample, argmin ties to the lower codeword id, empty
+    * clusters keep their previous centroid. */
+  def pqProbe(e0: org.apache.spark.sql.DataFrame, m: Int = 4, k: Int = 16,
+      iters: Int = 5, sampleN: Int = 256): org.apache.spark.sql.DataFrame = {
+    val dim = e0.agg(max(size(col("embedding")))).head().getInt(0)
+    require(dim % m == 0, s"pqProbe: dim $dim not divisible by m=$m")
+    val sub = dim / m
+    val e = e0.select(col("vec_id"),
+      transform(col("embedding"), x => x.cast("double")).as("v"))
+    val sample = e.select(col("vec_id"), col("v"), md5(col("vec_id").cast("string")).as("h"))
+      .orderBy(col("h"), col("vec_id")).limit(sampleN)
+      .select("v").collect().map(_.getSeq[Double](0).toArray)
+    require(sample.length >= k, s"pqProbe: corpus smaller than k=$k")
+    // driver-side Lloyd per subspace over the bounded sample
+    def l2(a: Array[Double], b: Array[Double]): Double = {
+      var i = 0; var acc = 0.0
+      while (i < a.length) { val d = a(i) - b(i); acc += d * d; i += 1 }
+      acc
+    }
+    val codebooks: Array[Array[Array[Double]]] = Array.tabulate(m) { s =>
+      val pts = sample.map(v => java.util.Arrays.copyOfRange(v, s * sub, (s + 1) * sub))
+      var cent = pts.take(k).map(_.clone)
+      (0 until iters).foreach { _ =>
+        val assign = pts.map { p =>
+          var best = 0; var bd = Double.MaxValue
+          var j = 0
+          while (j < k) { val d = l2(p, cent(j)); if (d < bd) { bd = d; best = j }; j += 1 }
+          best
+        }
+        cent = Array.tabulate(k) { j =>
+          val mine = pts.indices.filter(assign(_) == j)
+          if (mine.isEmpty) cent(j)
+          else {
+            val c = new Array[Double](sub)
+            mine.foreach(i => (0 until sub).foreach(d => c(d) += pts(i)(d)))
+            (0 until sub).foreach(d => c(d) /= mine.length)
+            c
+          }
+        }
+      }
+      cent
+    }
+    // query = lowest vec_id (the family's probe convention)
+    val qRow = e.orderBy("vec_id").limit(1).select("vec_id", "v").collect()(0)
+    val qid = qRow.getLong(0)
+    val qv = qRow.getSeq[Double](1).toArray
+    // ADC table + codebook as LITERALS: encode+score is pure expression
+    val tab: Seq[Seq[Double]] = (0 until m).map { s =>
+      val qs = java.util.Arrays.copyOfRange(qv, s * sub, (s + 1) * sub)
+      (0 until k).map(j => l2(qs, codebooks(s)(j)))
+    }
+    val cbLit = typedLit(codebooks.map(_.map(_.toSeq).toSeq).toSeq)
+    val tabLit = typedLit(tab)
+    val zero = struct(lit(Double.MaxValue).as("dist"), lit(-1).as("j"))
+    val scored = e.select(col("vec_id"), col("v"),
+      aggregate(sequence(lit(0), lit(m - 1)), lit(0.0), (acc, ss) => {
+        val vs = slice(col("v"), ss * sub + 1, lit(sub))
+        val code = aggregate(sequence(lit(0), lit(k - 1)), zero, (accJ, jj) => {
+          val cw = element_at(element_at(cbLit, ss + 1), jj + 1)
+          val dd = aggregate(zip_with(vs, cw, (x, c) => (x - c) * (x - c)),
+            lit(0.0), (a2, t) => a2 + t)
+          when(dd < accJ.getField("dist"),
+            struct(dd.as("dist"), jj.as("j"))).otherwise(accJ)
+        }).getField("j")
+        acc + element_at(element_at(tabLit, ss + 1), code + 1)
+      }).as("adist"))
+    val qLit = typedLit(qv.toSeq)
+    scored.filter(col("vec_id") =!= qid)
+      .orderBy(col("adist"), col("vec_id")).limit(50)
+      .select(col("vec_id"),
+        round(graft.functions.CosineSim.cosine_sim(col("v"), qLit), 6).as("cos_sim"))
+      .orderBy(col("cos_sim").desc, col("vec_id"))
+      .limit(10)
+  }
+
   val queries: Seq[OpQuery] = Seq(
 
     // IVF ANN, oracle-checked end to end: the coarse quantizer is a

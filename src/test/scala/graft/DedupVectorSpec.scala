@@ -192,6 +192,21 @@ class DedupVectorSpec extends AnyFunSuite {
     assert(recall >= 0.2, s"PQ recall@10 = $recall (50-vector ADC shortlist)")
   }
 
+  test("learned-codebook PQ (pqProbe): scores exact; recall at least the sampled codebook's") {
+    val brute = q("q_sim_cosine_topk").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val e = ops.Tables.embeddings(spark, TestSpark.Sf)
+    val pq = ops.VectorOps.pqProbe(e)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(pq.size == 10)
+    pq.foreach { case (id, cos) =>
+      brute.get(id).foreach(b => assert(math.abs(b - cos) < 1e-9,
+        s"pqProbe rerank score for $id diverges: $cos vs $b"))
+    }
+    val recall = pq.count { case (id, _) => brute.contains(id) }.toDouble / brute.size
+    assert(recall >= 0.2, s"pqProbe recall@10 = $recall (Lloyd codebooks, 50-shortlist)")
+  }
+
   test("salted join is row-identical to the plain equi-join") {
     val li = ops.Tables.lineitem(spark, TestSpark.Sf).select("l_orderkey", "l_quantity", "l_linenumber")
     val o = ops.Tables.orders(spark, TestSpark.Sf).select("o_orderkey", "o_orderstatus")
