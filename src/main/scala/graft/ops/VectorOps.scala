@@ -312,6 +312,65 @@ object VectorOps {
         .limit(10)
     },
 
+    // k-NN JOIN — the BATCH retrieval shape (many queries at once, not
+    // the single-probe-vector searches above): 8 md5-chosen query
+    // vectors are each matched against their own LSH cell's population
+    // and exact-cosine-ranked to a top-5, via one cell-keyed join whose
+    // query side is a bounded (8-row) broadcast. At 100 TB the corpus
+    // is partitioned by cell, each query touches ~1/16 of it, and the
+    // per-query top-5 prunes map-side through WindowGroupLimit — the
+    // serving shape for bulk retrieval / hard-negative mining. Cell
+    // assignment is the same md5-hyperplane quantizer q_sim_ivf proves
+    // engine-identical.
+    OpQuery("q_sim_knn_join",
+      """WITH e AS (
+        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings),
+        |planes AS (
+        |  SELECT p, list_transform(range(0, (SELECT MAX(len(embedding)) FROM embeddings)), i ->
+        |    CASE WHEN CAST('0x' || substr(md5(CAST(p AS VARCHAR) || ':' || CAST(i AS VARCHAR)), 1, 1) AS INT) % 2 = 1
+        |         THEN 1.0 ELSE -1.0 END) AS pv
+        |  FROM UNNEST(range(0, 4)) AS up(p)),
+        |b AS (
+        |  SELECT vec_id,
+        |         CAST(SUM(CASE WHEN ROUND(list_dot_product(v, pv), 6) >= 0
+        |                       THEN (CAST(1 AS BIGINT) << p) ELSE 0 END) AS BIGINT) AS cell
+        |  FROM e CROSS JOIN planes GROUP BY vec_id),
+        |q AS (
+        |  SELECT vec_id AS qid, v AS qv, cell AS qcell FROM (
+        |    SELECT e.vec_id, e.v, b.cell, md5(CAST(e.vec_id AS VARCHAR)) AS h
+        |    FROM e JOIN b USING (vec_id) ORDER BY h, e.vec_id LIMIT 8)),
+        |p AS (
+        |  SELECT q.qid, e.vec_id,
+        |         ROUND(list_dot_product(e.v, q.qv)
+        |               / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(q.qv, q.qv))), 6) AS cos_sim
+        |  FROM e JOIN b USING (vec_id) JOIN q ON b.cell = q.qcell
+        |  WHERE e.vec_id <> q.qid),
+        |r AS (
+        |  SELECT qid, vec_id, cos_sim,
+        |         ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos_sim DESC, vec_id) AS rnk
+        |  FROM p)
+        |SELECT qid, CAST(rnk AS BIGINT) AS rnk, vec_id, cos_sim
+        |FROM r WHERE rnk <= 5 ORDER BY qid, rnk""".stripMargin) { (s, d) =>
+      val e0 = embeddings(s, d)
+      val dim = e0.agg(max(size(col("embedding")))).head().getInt(0)
+      val e = lshAssigned(e0, dim, bits = 4)
+      val qs = e.select(col("vec_id"), col("v"), col("cell"),
+          md5(col("vec_id").cast("string")).as("h"))
+        .orderBy(col("h"), col("vec_id")).limit(8)
+        .select(col("vec_id").as("qid"), col("v").as("qv"), col("cell"))
+      val pairs = e.join(broadcast(qs), Seq("cell"))
+        .filter(col("vec_id") =!= col("qid"))
+        .select(col("qid"), col("vec_id"),
+          round(graft.functions.CosineSim.cosine_sim(col("v"), col("qv")), 6).as("cos_sim"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("qid").orderBy(col("cos_sim").desc, col("vec_id"))
+      pairs.withColumn("rnk", row_number().over(w).cast("long"))
+        .filter(col("rnk") <= 5)
+        .select("qid", "rnk", "vec_id", "cos_sim")
+        .orderBy("qid", "rnk")
+    },
+
     // int8-style embedding quantization: per-dimension min/max over the
     // corpus → scale each component to an integer in [0, 255], plus the
     // per-component reconstruction error — the 4× storage compression an

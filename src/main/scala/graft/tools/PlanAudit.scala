@@ -175,7 +175,12 @@ object PlanAudit {
       // (never a corpus-wide Sort) (round 14)
       Check("q_sim_pq", "ADC shortlist + rerank are TakeOrdered, corpus never globally sorted",
         p => "TakeOrderedAndProject".r.findAllMatchIn(p).size >= 2 &&
-          !"Sort \\[cos_sim".r.findFirstIn(p).isDefined)
+          !"Sort \\[cos_sim".r.findFirstIn(p).isDefined),
+      // the batch k-NN join's per-query top-5 must prune map-side
+      // (WindowGroupLimit), never rank the whole cell population through
+      // a plain window (round 14)
+      Check("q_sim_knn_join", "per-query top-5 prunes via WindowGroupLimit",
+        p => p.contains("WindowGroupLimit"))
     )
 
     val plans = scala.collection.mutable.LinkedHashMap[String, String]()
@@ -268,6 +273,8 @@ object PlanAudit {
       "q_sim_ann_lsh" -> 2,         // 1-row min-id + 1-row query vector
       "q_sim_cosine_topk" -> 2,     // 1-row min-id + 1-row query vector
       "q_sim_ivf" -> 5,             // 1-row min-id/query (x2 uses) + 4-row probe-cell set
+      "q_sim_knn_join" -> 1,        // 8-row query-vector frame (bounded by the
+                                    // batch size, not the corpus)
       "q_sim_pq" -> 4,              // 1-row nested codebook (4×16×16 doubles,
                                     // bounded by m·k·sub not the corpus; ×2
                                     // because the ADC table derivation reuses

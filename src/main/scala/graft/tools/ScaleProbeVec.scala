@@ -49,6 +49,10 @@ object ScaleProbeVec {
     // constant size at any K), encode+ADC is one map-side projection
     // over the corpus, the shortlist is TakeOrdered-50 — expected LINEAR
     "q_sim_pq",
+    // round-14 batch k-NN join: 8-row broadcast query side, cell-keyed
+    // join (per-cell population grows K×), WindowGroupLimit top-5 —
+    // expected LINEAR
+    "q_sim_knn_join",
     "q_dedup_embedding")
 
   def main(args: Array[String]): Unit = {
