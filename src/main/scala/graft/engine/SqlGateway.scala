@@ -233,20 +233,26 @@ object SqlGateway {
       val valueCols = out.columns.filterNot(groups.contains)
       out.na.fill(0L, valueCols)
     } else out
-    // trailing ORDER BY / LIMIT apply to the pivoted result, exactly
-    // DuckDB's statement semantics (round 14; simple identifiers with
-    // optional ASC/DESC — anything else throws via the regex)
+    applyOrderLimit(filled, orderBy, limitN)
+  }
+
+  /** Trailing ORDER BY / LIMIT on PIVOT/UNPIVOT statements, exactly
+    * DuckDB's statement semantics (round 14; simple identifiers with
+    * optional ASC/DESC — anything else throws via the regex). */
+  private def applyOrderLimit(df: DataFrame, orderBy: Option[String],
+      limitN: Option[String]): DataFrame = {
+    import org.apache.spark.sql.functions.col
     val sorted = orderBy match {
       case Some(ob) =>
         val items = ob.split(",").map(_.trim).map { it =>
           val om = "(?is)^([A-Za-z_][A-Za-z0-9_]*)(?:\\s+(asc|desc))?$".r
             .findFirstMatchIn(it).getOrElse(throw new IllegalArgumentException(
-              s"PIVOT: ORDER BY supports plain columns [ASC|DESC] — got: $it"))
+              s"PIVOT/UNPIVOT: ORDER BY supports plain columns [ASC|DESC] — got: $it"))
           if (Option(om.group(2)).exists(_.equalsIgnoreCase("desc")))
             col(om.group(1)).desc else col(om.group(1)).asc
         }
-        filled.orderBy(items.toIndexedSeq: _*)
-      case None => filled
+        df.orderBy(items.toIndexedSeq: _*)
+      case None => df
     }
     limitN.fold(sorted)(n => sorted.limit(n.toInt))
   }
@@ -258,10 +264,11 @@ object SqlGateway {
   private def runUnpivot(spark: SparkSession, s0: String): DataFrame = {
     val (ds, rest) = splitDataset(s0.trim.substring("unpivot".length))
     val m = ("(?is)^\\s*on\\s+(.+?)\\s+into\\s+name\\s+([A-Za-z_][A-Za-z0-9_]*)" +
-      "\\s+value\\s+([A-Za-z_][A-Za-z0-9_]*)\\s*;?\\s*$").r
+      "\\s+value\\s+([A-Za-z_][A-Za-z0-9_]*)" +
+      "(?:\\s+order\\s+by\\s+(.+?))?(?:\\s+limit\\s+(\\d+))?\\s*;?\\s*$").r
     val mm = m.findFirstMatchIn(rest).getOrElse(throw new IllegalArgumentException(
       "UNPIVOT: supported form is UNPIVOT <ds> ON <cols> INTO NAME <n> " +
-        s"VALUE <v> — got: $rest"))
+        s"VALUE <v> [ORDER BY cols] [LIMIT n] — got: $rest"))
     val cols = mm.group(1).split(",").map(_.trim)
     require(cols.forall(_.matches("[A-Za-z_][A-Za-z0-9_]*")),
       s"UNPIVOT: ON must list plain column names, got: ${mm.group(1)}")
@@ -271,6 +278,6 @@ object SqlGateway {
     val sql = s"SELECT * FROM $base UNPIVOT ($valueCol FOR $nameCol IN " +
       s"(${cols.mkString(", ")}))"
     validate(spark, sql)
-    spark.sql(sql)
+    applyOrderLimit(spark.sql(sql), Option(mm.group(4)), Option(mm.group(5)))
   }
 }

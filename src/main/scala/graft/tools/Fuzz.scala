@@ -1212,6 +1212,27 @@ final class SqlFuzzer(seed: Long) {
     s"PIVOT $ds ON $cat$inList USING $using GROUP BY $key ORDER BY $key$dir$lim"
   }
 
+  /** DuckDB UNPIVOT statements (round 14, the dpivot twin): melt two
+    * same-type integer measures into NAME/VALUE rows through the
+    * gateway's runUnpivot vs DuckDB verbatim. NULL measures are dropped
+    * by BOTH engines (pinned in EngineSpec); the kept key columns get
+    * IS NOT NULL guards because the trailing ORDER BY has no NULLS
+    * placement syntax and the engines' defaults differ. The ORDER BY
+    * covers every output column, so row order is fully pinned. */
+  private def qDialectUnpivot(): String = {
+    val (t, keep, cols) = pick(Seq(
+      (documents, Seq("lang", "source"), Seq("doc_id", "n_chars")),
+      (orders, Seq("o_orderstatus", "o_orderpriority"), Seq("o_orderkey", "o_custkey")),
+      (lineitem, Seq("l_returnflag", "l_linestatus"), Seq("l_partkey", "l_suppkey"))))
+    val guards = keep.map(k => s"$k IS NOT NULL").mkString(" AND ")
+    val ds = s"(SELECT ${(keep ++ cols).mkString(", ")} FROM ${t.name} " +
+      s"WHERE $guards AND ${pred(t, 1)})"
+    val dir = if (rnd.nextBoolean()) "" else " DESC"
+    val ord = (keep ++ Seq("k", "v")).mkString(", ")
+    val lim = s" LIMIT ${20 + rnd.nextInt(80)}"
+    s"UNPIVOT $ds ON ${cols.mkString(", ")} INTO NAME k VALUE v ORDER BY $ord$dir$lim"
+  }
+
   private def qDialectDistinctOn(): String = {
     val (t, key, value) = pick(Seq(
       (orders, "o_custkey", "o_totalprice"),
@@ -1355,7 +1376,7 @@ final class SqlFuzzer(seed: Long) {
     * [[graft.engine.DuckDbDialect.rewrite]] on Spark. */
   def dialectQueries(count: Int): Vector[(String, String)] =
     (1 to count).map { i =>
-      val (kind, sql) = rnd.nextInt(14) match {
+      val (kind, sql) = rnd.nextInt(15) match {
         case 0 => ("dsel", qDialectProj())
         case 1 => ("dgrp", qDialectGroup())
         case 2 => ("dtb", qDialectBucket())
@@ -1369,6 +1390,7 @@ final class SqlFuzzer(seed: Long) {
         case 10 => ("dign", qDialectIgnoreNulls())
         case 11 => ("dexc", qDialectFrameExclude())
         case 12 => ("dpivot", qDialectPivot())
+        case 13 => ("dunpivot", qDialectUnpivot())
         case _ => ("ddiv", qDialectDivFilter())
       }
       (f"fz_$i%04d_$kind", sql)
@@ -1616,10 +1638,12 @@ object Fuzz {
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
     var done = 0
     suite.foreach { case (name, sql) =>
-      // PIVOT is a STATEMENT: it goes through the gateway's runPivot
-      // (the unit under test), not the SELECT-level dialect shim
+      // PIVOT/UNPIVOT are STATEMENTS: they go through the gateway's
+      // runPivot/runUnpivot (the units under test), not the
+      // SELECT-level dialect shim
+      def isStmt(kw: String) = sql.trim.regionMatches(true, 0, kw, 0, kw.length)
       def sparkDf() =
-        if (dialect && sql.trim.regionMatches(true, 0, "pivot", 0, 5))
+        if (dialect && (isStmt("pivot") || isStmt("unpivot")))
           graft.engine.SqlGateway.run(spark, sql)
         else spark.sql(if (dialect) graft.engine.DuckDbDialect.rewrite(sql) else sql)
       try sparkDf().coalesce(1).write.mode("overwrite")

@@ -150,6 +150,15 @@ class EngineSpec extends AnyFunSuite {
       "UNPIVOT unpiv_nulls ON a, b INTO NAME k VALUE v")
     assert(n.collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSet ==
       Set((1L, "a", 5.0), (2L, "b", 7.0)))
+    // trailing ORDER BY/LIMIT (round 14; DuckDB golden on up2(k,g,m1,m2)
+    // = (r1,a,2,9),(r2,b,5,7): ORDER BY k, k2 DESC LIMIT 3 →
+    // (r1,a,m2,9),(r1,a,m1,2),(r2,b,m2,7))
+    spark.sql("SELECT * FROM VALUES ('r1','a',2,9),('r2','b',5,7) " +
+      "AS v(k, g, m1, m2)").createOrReplaceTempView("up2")
+    val o = SqlGateway.run(spark,
+      "UNPIVOT up2 ON m1, m2 INTO NAME k2 VALUE v ORDER BY k, k2 DESC LIMIT 3")
+      .collect().map(r => (r.getString(0), r.getString(2), r.getInt(3))).toSeq
+    assert(o == Seq(("r1", "m2", 9), ("r1", "m1", 2), ("r2", "m2", 7)))
   }
 
   test("DESCRIBE and SHOW TABLES pass the gate as read-only metadata") {

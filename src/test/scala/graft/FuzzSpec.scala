@@ -96,9 +96,10 @@ class FuzzSpec extends AnyFunSuite {
     dial.zipWithIndex.collect { case (q, i) if i % 6 == 0 => q }
       .foreach { case (name, sql) =>
         try {
-          // PIVOT statements route through the gateway (Fuzz main does
-          // the same); everything else through the shim + spark.sql
-          if (sql.trim.regionMatches(true, 0, "pivot", 0, 5))
+          // PIVOT/UNPIVOT statements route through the gateway (Fuzz
+          // main does the same); everything else through the shim
+          if (sql.trim.regionMatches(true, 0, "pivot", 0, 5) ||
+              sql.trim.regionMatches(true, 0, "unpivot", 0, 7))
             graft.engine.SqlGateway.run(spark, sql).collect()
           else {
             val rewritten = graft.engine.DuckDbDialect.rewrite(sql)
