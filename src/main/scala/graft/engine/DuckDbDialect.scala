@@ -83,7 +83,6 @@ object DuckDbDialect {
     // and surfaces Spark's parse error after the rename — clear, not
     // silently wrong
     "generate_series" -> "sequence",
-    "string_split" -> "split",
     "str_split" -> "split",
     "string_to_array" -> "split",
     "regexp_matches" -> "regexp_like",
@@ -117,6 +116,7 @@ object DuckDbDialect {
     s = rewriteSimilarTo(s)
     s = rewriteIgnoreNulls(s)
     s = rewriteFrameExclude(s)
+    s = rewriteCalls(s, "string_split")(stringSplitCall)
     s = rewriteCalls(s, "strftime")(fmtCall("date_format"))
     s = rewriteCalls(s, "strptime")(fmtCall("to_timestamp"))
     s = rewriteCalls(s, "time_bucket")(timeBucket)
@@ -1423,6 +1423,36 @@ object DuckDbDialect {
     * date_trunc; N-multiples of second/minute/hour/day become
     * epoch-floor arithmetic (both engines bucket these relative to an
     * epoch-aligned origin). */
+  /** DuckDB's string_split splits on a LITERAL delimiter; Spark's split
+    * takes a Java REGEX — so the old token rename silently broke any
+    * metachar delimiter (measured: string_split('a.b.c', '.') is
+    * ['a','b','c'] in DuckDB but six empty strings through a bare
+    * split-on-'.'). A literal delimiter is regex-escaped per character;
+    * a non-literal delimiter expression throws (wrapping an arbitrary
+    * expression in \Q..\E would itself break on values containing \E —
+    * bounded, never silently wrong). With the escape in place the edge
+    * behaviors are measured identical: trailing empties kept, empty
+    * delimiter splits per character, empty input gives [''], and
+    * consecutive delimiters yield empty middle elements. */
+  private def stringSplitCall(args: Seq[String]): String = {
+    require(args.size == 2, s"string_split: expected 2 arguments, got ${args.size}")
+    val d = args(1).trim
+    "(?s)^'(.*)'$".r.findFirstMatchIn(d) match {
+      case Some(m) =>
+        val raw = m.group(1).replace("''", "'")
+        val meta = "\\^$.|?*+()[]{}"
+        val escaped = raw.flatMap(c =>
+          if (meta.indexOf(c.toInt) >= 0) s"\\$c" else c.toString)
+        // SQL literal image: Spark string literals themselves treat
+        // backslash as an escape, so each regex backslash doubles again
+        val sqlLit = "'" + escaped.replace("\\", "\\\\").replace("'", "''") + "'"
+        s"split(${args(0)}, $sqlLit)"
+      case None => throw new IllegalArgumentException(
+        "string_split: only a string-literal delimiter is supported by the dialect shim " +
+          "(a non-literal delimiter cannot be regex-quoted safely)")
+    }
+  }
+
   private def timeBucket(args: Seq[String]): String = {
     require(args.size == 2 || args.size == 3,
       s"time_bucket: expected 2 or 3 arguments, got ${args.size}")

@@ -1033,9 +1033,12 @@ final class SqlFuzzer(seed: Long) {
       val f = pick(Seq("list_min", "list_max"))
       s"SELECT o_orderkey AS c1, $f(list_value(o_custkey, ${intLit(0, 1500)})) AS c2 " +
         s"FROM orders WHERE ${pred(orders, 1)} ${orderAll(2)} ${limit()}"
-    case _ => // string_split + list_contains over a token column
+    case _ => // string_split + list_contains over a token column; the
+      // delimiter pool includes regex metachars since round 14 (DuckDB
+      // splits literally — the shim must regex-escape, not rename)
       s"SELECT doc_id AS c1, " +
-        s"list_contains(string_split(source, 'c'), '${pick(Seq("sr", "0", "12"))}') AS c2 " +
+        s"list_contains(string_split(source, '${pick(Seq("c", ".", "|", "r", "1"))}'), " +
+        s"'${pick(Seq("sr", "0", "12", "src12", "s"))}') AS c2 " +
         s"FROM documents WHERE ${pred(documents, 1)} ${orderAll(2)} ${limit()}"
   }
 

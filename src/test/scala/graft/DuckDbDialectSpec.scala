@@ -176,6 +176,30 @@ class DuckDbDialectSpec extends AnyFunSuite {
     assert(rows.getTimestamp(2).toString.startsWith("1996-01-01"))
   }
 
+  test("string_split regex-escapes literal delimiters (DuckDB splits literally)") {
+    // rewrite image: '.' must become the regex \. (doubled in the SQL
+    // literal); a plain-letter delimiter stays bare
+    assert(DuckDbDialect.rewrite("SELECT string_split(s, '.') FROM t")
+      == "SELECT split(s, '\\\\.') FROM t")
+    assert(DuckDbDialect.rewrite("SELECT string_split(s, 'x') FROM t")
+      == "SELECT split(s, 'x') FROM t")
+    // in-engine goldens, all measured on DuckDB 1.0: metachar split,
+    // trailing empty kept, empty delimiter = per-char, empty input
+    val r = spark.sql(DuckDbDialect.rewrite(
+      "SELECT string_split('a.b.c', '.') AS a, string_split('a|b|', '|') AS b, " +
+        "string_split('abc', '') AS c, string_split('', '|') AS d, " +
+        "string_split('a||b', '|') AS e")).head()
+    assert(r.getSeq[String](0) == Seq("a", "b", "c"))
+    assert(r.getSeq[String](1) == Seq("a", "b", ""))
+    assert(r.getSeq[String](2) == Seq("a", "b", "c"))
+    assert(r.getSeq[String](3) == Seq(""))
+    assert(r.getSeq[String](4) == Seq("a", "", "b"))
+    // non-literal delimiters are a documented bound (throws, never
+    // silently wrong — \Q..\E quoting breaks on values containing \E)
+    intercept[IllegalArgumentException](
+      DuckDbDialect.rewrite("SELECT string_split(s, d) FROM t"))
+  }
+
   test("USING SAMPLE rewrites to TABLESAMPLE; JOIN ... USING is untouched") {
     assert(DuckDbDialect.rewrite("SELECT * FROM t USING SAMPLE 10%")
       == "SELECT * FROM t TABLESAMPLE (10 PERCENT)")
