@@ -70,12 +70,10 @@ object DuckDbDialect {
     "list_has" -> "array_contains",
     "list_length" -> "array_size",
     "list_sort" -> "array_sort",
-    "list_distinct" -> "array_distinct",
     "list_concat" -> "concat",
     "list_cat" -> "concat",
     "list_position" -> "array_position",
     "list_indexof" -> "array_position",
-    "list_slice" -> "slice",
     "list_min" -> "array_min",
     "list_max" -> "array_max",
     // both inclusive-end list builders with an optional step; the TABLE-
@@ -83,8 +81,6 @@ object DuckDbDialect {
     // and surfaces Spark's parse error after the rename — clear, not
     // silently wrong
     "generate_series" -> "sequence",
-    "str_split" -> "split",
-    "string_to_array" -> "split",
     "regexp_matches" -> "regexp_like",
     "epoch_ms" -> "unix_millis",
     "epoch_us" -> "unix_micros",
@@ -117,6 +113,11 @@ object DuckDbDialect {
     s = rewriteIgnoreNulls(s)
     s = rewriteFrameExclude(s)
     s = rewriteCalls(s, "string_split")(stringSplitCall)
+    s = rewriteCalls(s, "str_split")(stringSplitCall)
+    s = rewriteCalls(s, "string_to_array")(stringSplitCall)
+    s = rewriteCalls(s, "list_slice")(listSliceCall)
+    s = rewriteCalls(s, "list_distinct")(listDistinctCall)
+    s = rewriteCalls(s, "array_to_string")(arrayToStringCall)
     s = rewriteCalls(s, "strftime")(fmtCall("date_format"))
     s = rewriteCalls(s, "strptime")(fmtCall("to_timestamp"))
     s = rewriteCalls(s, "time_bucket")(timeBucket)
@@ -1451,6 +1452,52 @@ object DuckDbDialect {
         "string_split: only a string-literal delimiter is supported by the dialect shim " +
           "(a non-literal delimiter cannot be regex-quoted safely)")
     }
+  }
+
+  /** DuckDB's list_slice(l, b, e) takes a 1-based INCLUSIVE end index
+    * (negative indexes count from the end, 0 behaves as 1, out-of-range
+    * bounds clamp — all measured), while Spark's slice takes a LENGTH —
+    * the old token rename silently returned one extra element for every
+    * positive-end call (round 14). Translated positionally:
+    * start = clamp(b), length = max(0, pos(e) − pos(b) + 1). The 3-arg
+    * step form throws. */
+  private def listSliceCall(args: Seq[String]): String = {
+    require(args.size == 3,
+      s"list_slice: expected (list, begin, end) — got ${args.size} arguments " +
+        "(the 4-arg step form is not supported)")
+    val l = args(0).trim
+    val b = s"(${args(1).trim})"
+    val e = s"(${args(2).trim})"
+    val pb = s"(CASE WHEN $b < 0 THEN greatest(1, size($l) + $b + 1) ELSE greatest(1, $b) END)"
+    val pe = s"(CASE WHEN $e < 0 THEN size($l) + $e + 1 ELSE $e END)"
+    s"slice($l, $pb, greatest(0, $pe - $pb + 1))"
+  }
+
+  /** DuckDB's list_distinct REMOVES NULL elements (measured:
+    * list_distinct([1,NULL,1,2,NULL]) = [2,1]); a bare array_distinct
+    * keeps one NULL. The rewrite filters NULLs first. Element ORDER is
+    * an ACCEPTANCE bound (the USING SAMPLE precedent): DuckDB returns
+    * hash order ([3,1,3,2] → [2,1,3] — measured, not first-occurrence),
+    * Spark first-occurrence order — both are "the distinct elements",
+    * deterministically per engine, but not bit-identical; wrap in
+    * list_sort for a cross-engine-stable spelling. */
+  private def listDistinctCall(args: Seq[String]): String = {
+    require(args.size == 1, s"list_distinct: expected 1 argument, got ${args.size}")
+    s"array_distinct(filter(${args(0).trim}, __ls_t -> __ls_t IS NOT NULL))"
+  }
+
+  /** DuckDB's array_to_string returns NULL when the list has NO
+    * non-null elements — empty list, [NULL], or a NULL list — and joins
+    * the non-null elements otherwise (measured: [''] gives '', ['','x']
+    * gives '+x', [NULL,'x'] gives 'x'). Spark's array_join returns ''
+    * for the empty cases, so the bare rename (round-14 dlst fuzz,
+    * seed 14011, 2/300) silently turned NULL into ''. Both engines skip
+    * NULL elements once something non-null remains. */
+  private def arrayToStringCall(args: Seq[String]): String = {
+    require(args.size == 2, s"array_to_string: expected 2 arguments, got ${args.size}")
+    val l = args(0).trim
+    s"(CASE WHEN size(filter($l, __ats_t -> __ats_t IS NOT NULL)) = 0 THEN NULL " +
+      s"ELSE array_join($l, ${args(1).trim}) END)"
   }
 
   private def timeBucket(args: Seq[String]): String = {

@@ -1023,7 +1023,20 @@ final class SqlFuzzer(seed: Long) {
         s"WHERE ${pred(tbl, 1)} GROUP BY 1 ${orderAll(2)} ${limit()}"
   }
 
-  private def qDialectList(): String = rnd.nextInt(3) match {
+  private def qDialectList(): String = rnd.nextInt(5) match {
+    case 3 => // inclusive-end list_slice (round 14: the shim translates
+      // the positional end to Spark's length arg; negative ends count
+      // from the end) — re-joined to a scalar so the compare is typed
+      val (b, e) = (1 + rnd.nextInt(3), pick(Seq("2", "3", "-1", "-2")))
+      s"SELECT doc_id AS c1, " +
+        s"array_to_string(list_slice(string_split(source, 'r'), $b, $e), '+') AS c2 " +
+        s"FROM documents WHERE ${pred(documents, 1)} ${orderAll(2)} ${limit()}"
+    case 4 => // list_distinct drops NULLs; order is engine-defined so
+      // the cross-engine spelling wraps in list_sort (round 14)
+      s"SELECT doc_id AS c1, " +
+        s"array_to_string(list_sort(list_distinct(string_split(source || source, " +
+        s"'${pick(Seq("s", "r", "1"))}'))), '+') AS c2 " +
+        s"FROM documents WHERE ${pred(documents, 1)} ${orderAll(2)} ${limit()}"
     case 0 => // membership of a column in an inline list
       val langs = rnd.shuffle(Seq("de", "en", "es", "fr", "zh"))
         .take(2 + rnd.nextInt(3)).sorted.map(l => s"'$l'").mkString(", ")

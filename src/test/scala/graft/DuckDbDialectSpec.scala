@@ -200,6 +200,40 @@ class DuckDbDialectSpec extends AnyFunSuite {
       DuckDbDialect.rewrite("SELECT string_split(s, d) FROM t"))
   }
 
+  test("list_slice is inclusive-end positional; list_distinct drops NULLs") {
+    // DuckDB 1.0 goldens (measured this round): list_slice takes a
+    // 1-based INCLUSIVE end (the old rename to Spark's length-arg slice
+    // silently returned one extra element), negative indexes count from
+    // the end, 0 behaves as 1, out-of-range clamps, inverted bounds are
+    // empty; list_distinct removes NULLs (order is engine-defined, so
+    // the cross-engine spelling wraps in list_sort)
+    val r = spark.sql(DuckDbDialect.rewrite(
+      "SELECT list_slice(list_value(10,20,30,40), 2, 3) AS a, " +
+        "list_slice(list_value(10,20,30,40), 2, -1) AS b, " +
+        "list_slice(list_value(10,20,30,40), -10, -1) AS c, " +
+        "list_slice(list_value(10,20,30,40), 0, 2) AS d, " +
+        "list_slice(list_value(10,20,30,40), 3, 2) AS e, " +
+        "list_sort(list_distinct(list_value(1, NULL, 1, 2, NULL))) AS f")).head()
+    assert(r.getSeq[Int](0) == Seq(20, 30))
+    assert(r.getSeq[Int](1) == Seq(20, 30, 40))
+    assert(r.getSeq[Int](2) == Seq(10, 20, 30, 40))
+    assert(r.getSeq[Int](3) == Seq(10, 20))
+    assert(r.getSeq[Int](4) == Seq.empty)
+    assert(r.getSeq[Int](5) == Seq(1, 2))
+    // the step form throws rather than approximating
+    intercept[IllegalArgumentException](
+      DuckDbDialect.rewrite("SELECT list_slice(l, 1, 5, 2) FROM t"))
+    // array_to_string: NULL when no non-null element remains (DuckDB
+    // goldens: [] → NULL, [NULL] → NULL, [''] → '', ['','x'] → '+x',
+    // [NULL,'x'] → 'x' — a bare array_join rename said '' for the
+    // first two; found by the dlst fuzz, seed 14011)
+    val a = spark.sql(DuckDbDialect.rewrite(
+      "SELECT array_to_string(list_slice(list_value('a'), 3, 2), '+') AS a, " +
+        "array_to_string(list_value(''), '+') AS b, " +
+        "array_to_string(list_value('', 'x'), '+') AS c")).head()
+    assert(a.isNullAt(0) && a.getString(1) == "" && a.getString(2) == "+x")
+  }
+
   test("USING SAMPLE rewrites to TABLESAMPLE; JOIN ... USING is untouched") {
     assert(DuckDbDialect.rewrite("SELECT * FROM t USING SAMPLE 10%")
       == "SELECT * FROM t TABLESAMPLE (10 PERCENT)")
