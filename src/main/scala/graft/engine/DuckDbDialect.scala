@@ -70,8 +70,7 @@ object DuckDbDialect {
     "list_has" -> "array_contains",
     "list_length" -> "array_size",
     "list_sort" -> "array_sort",
-    "list_concat" -> "concat",
-    "list_cat" -> "concat",
+
     "list_position" -> "array_position",
     "list_indexof" -> "array_position",
     "list_min" -> "array_min",
@@ -118,6 +117,8 @@ object DuckDbDialect {
     s = rewriteCalls(s, "list_slice")(listSliceCall)
     s = rewriteCalls(s, "list_distinct")(listDistinctCall)
     s = rewriteCalls(s, "array_to_string")(arrayToStringCall)
+    s = rewriteCalls(s, "list_concat")(listConcatCall)
+    s = rewriteCalls(s, "list_cat")(listConcatCall)
     s = rewriteCalls(s, "strftime")(fmtCall("date_format"))
     s = rewriteCalls(s, "strptime")(fmtCall("to_timestamp"))
     s = rewriteCalls(s, "time_bucket")(timeBucket)
@@ -1498,6 +1499,18 @@ object DuckDbDialect {
     val l = args(0).trim
     s"(CASE WHEN size(filter($l, __ats_t -> __ats_t IS NOT NULL)) = 0 THEN NULL " +
       s"ELSE array_join($l, ${args(1).trim}) END)"
+  }
+
+  /** DuckDB's list_concat treats a NULL side as EMPTY (measured:
+    * list_concat(NULL, [1,2]) = [1,2]; both-NULL = NULL), while Spark's
+    * concat is NULL-propagating — the bare rename silently nulled any
+    * concat with one NULL side (round 14). Exactly two arguments in
+    * DuckDB 1.0 (the variadic spelling is a binder error there too). */
+  private def listConcatCall(args: Seq[String]): String = {
+    require(args.size == 2, s"list_concat: expected 2 arguments, got ${args.size}")
+    val a = s"(${args(0).trim})"
+    val b = s"(${args(1).trim})"
+    s"(CASE WHEN $a IS NULL THEN $b WHEN $b IS NULL THEN $a ELSE concat($a, $b) END)"
   }
 
   private def timeBucket(args: Seq[String]): String = {

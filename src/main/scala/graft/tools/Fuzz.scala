@@ -1023,7 +1023,13 @@ final class SqlFuzzer(seed: Long) {
         s"WHERE ${pred(tbl, 1)} GROUP BY 1 ${orderAll(2)} ${limit()}"
   }
 
-  private def qDialectList(): String = rnd.nextInt(5) match {
+  private def qDialectList(): String = rnd.nextInt(6) match {
+    case 5 => // list_concat: DuckDB treats a NULL side as EMPTY (round
+      // 14); under --nulls the split inputs go NULL for real
+      s"SELECT doc_id AS c1, " +
+        s"array_to_string(list_concat(string_split(lang, 'n'), " +
+        s"string_split(source, '${pick(Seq("r", "c"))}')), '+') AS c2 " +
+        s"FROM documents WHERE ${pred(documents, 1)} ${orderAll(2)} ${limit()}"
     case 3 => // inclusive-end list_slice (round 14: the shim translates
       // the positional end to Spark's length arg; negative ends count
       // from the end) — re-joined to a scalar so the compare is typed

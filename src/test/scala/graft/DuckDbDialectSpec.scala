@@ -232,6 +232,15 @@ class DuckDbDialectSpec extends AnyFunSuite {
         "array_to_string(list_value(''), '+') AS b, " +
         "array_to_string(list_value('', 'x'), '+') AS c")).head()
     assert(a.isNullAt(0) && a.getString(1) == "" && a.getString(2) == "+x")
+    // list_concat treats a NULL side as EMPTY (DuckDB: NULL ++ [1,2] =
+    // [1,2], both-NULL = NULL) — Spark's concat would null the result
+    val lc = spark.sql(DuckDbDialect.rewrite(
+      "SELECT list_concat(CAST(NULL AS ARRAY<INT>), list_value(1, 2)) AS a, " +
+        "list_concat(list_value(1), CAST(NULL AS ARRAY<INT>)) AS b, " +
+        "list_concat(CAST(NULL AS ARRAY<INT>), CAST(NULL AS ARRAY<INT>)) AS c")).head()
+    assert(lc.getSeq[Int](0) == Seq(1, 2))
+    assert(lc.getSeq[Int](1) == Seq(1))
+    assert(lc.isNullAt(2))
   }
 
   test("USING SAMPLE rewrites to TABLESAMPLE; JOIN ... USING is untouched") {
