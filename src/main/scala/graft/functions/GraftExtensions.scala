@@ -27,6 +27,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectFunction(GraftExtensions.freqMergeAgg)
     e.injectFunction(GraftExtensions.freqEstimate)
     e.injectFunction(GraftExtensions.duckDiv)
+    e.injectFunction(GraftExtensions.duckLen)
+    e.injectFunction(GraftExtensions.arrayLength)
     // `div` (the shim's image of DuckDB `//`) gets DuckDB's measured
     // type-aware semantics — see [[DuckDiv]] for the contract
     e.injectResolutionRule(_ => DuckDivRule)
@@ -87,10 +89,20 @@ object GraftExtensions {
     info("duck_div", "duck_div(a, b) - DuckDB // semantics: truncating int division / plain float division, 0 divisor -> NULL"),
     (exprs: Seq[Expression]) => DuckDiv(exprs(0), exprs(1)))
 
+  val duckLen: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("len"),
+    info("len", "len(x) - DuckDB len: chars of a string, bytes of a blob, elements of a list (BIGINT)"),
+    (exprs: Seq[Expression]) => { require(exprs.size == 1, "len takes 1 argument"); DuckLen(exprs.head) })
+
+  val arrayLength: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("array_length"),
+    info("array_length", "array_length(l) - DuckDB array_length: element count of a list (BIGINT)"),
+    (exprs: Seq[Expression]) => { require(exprs.size == 1, "array_length takes 1 argument"); DuckLen(exprs.head) })
+
   /** Register on an already-built session (idempotent). */
   def register(spark: SparkSession): Unit =
     Seq(dotProduct, cosineSim, kllSketchAgg, kllMergeAgg, kllQuantile, scriptCounts,
-        freqSketchAgg, freqMergeAgg, freqEstimate, duckDiv)
+        freqSketchAgg, freqMergeAgg, freqEstimate, duckDiv, duckLen, arrayLength)
       .foreach { case (id, i, builder) =>
         spark.sessionState.functionRegistry.registerFunction(id, i, builder)
       }

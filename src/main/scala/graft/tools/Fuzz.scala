@@ -974,10 +974,14 @@ final class SqlFuzzer(seed: Long) {
     // the shim now emits the same micros division — bit-identical IEEE.
     // (A CAST AS BIGINT would diverge: DuckDB rounds double→int, Spark
     // truncates.) epoch_ms is BIGINT in both already.
-    val c2 = rnd.nextInt(3) match {
+    val c2 = rnd.nextInt(4) match {
       case 0 => "epoch(ts)"
       case 1 => "epoch_ms(ts)"
       case 2 => s"(user_id // ${intLit(2, 9)})"
+      // DuckDB len(): chars of a string / elements of a list — the
+      // gateway registers the type-dispatching DuckLen (round 14)
+      case 3 => pick(Seq("len(event_type)",
+        "len(string_split(event_type, 'c'))", "array_length(list_value(1, 2, event_id))"))
     }
     s"SELECT strftime(ts, '$fmt') AS c1, $c2 AS c2, event_id AS c3 " +
       s"FROM events WHERE ${pred(events, 1)} ${orderAll(3)} ${limit()}"

@@ -474,6 +474,15 @@ class EngineSpec extends AnyFunSuite {
   test("custom SQL functions: dot_product expression + geo_mean udaf") {
     graft.functions.GraftExtensions.register(spark)
     graft.functions.Udfs.register(spark)
+    // DuckDB len()/array_length() via the type-dispatching DuckLen
+    // (round 14; DuckDB goldens: len('héllo')=5 CHARS, len('王红ab')=4,
+    // len([1,2,3])=3, BIGINT, NULL→NULL)
+    val ln = spark.sql("SELECT len('héllo') AS a, len('王红ab') AS b, " +
+      "len(array(1, 2, 3)) AS c, len(CAST(NULL AS STRING)) AS d, " +
+      "array_length(array(5, 6)) AS e").head()
+    assert(ln.getLong(0) == 5L && ln.getLong(1) == 4L && ln.getLong(2) == 3L)
+    assert(ln.isNullAt(3) && ln.getLong(4) == 2L)
+    intercept[Exception](spark.sql("SELECT len(42)").collect())
     val d = spark.sql(
       "SELECT dot_product(array(1.0D, 2.0D), array(3.0D, 4.0D)) AS d").collect()(0).getDouble(0)
     assert(d == 11.0)
