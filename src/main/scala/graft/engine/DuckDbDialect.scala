@@ -53,6 +53,18 @@ package graft.engine
   *    including ORDER BY peers — inexpressible as a RANGE bound).
   *    ROWS+GROUP/TIES and non-decomposable aggregates (MIN/MAX) throw:
   *    peer sets are data-dependent and have no subtractive form.
+  *  - List functions carry DuckDB's MEASURED semantics where a bare
+  *    rename would silently diverge (round 14): `string_split`/
+  *    `str_split`/`string_to_array` regex-escape their literal
+  *    delimiter (DuckDB splits literally, Spark's split is a regex;
+  *    non-literal delimiters throw), `list_slice` translates its
+  *    1-based inclusive end to Spark's length argument (0-as-1,
+  *    clamped, negative-from-end; the step form throws),
+  *    `list_distinct` filters NULLs first (element ORDER is an
+  *    acceptance bound — DuckDB returns hash order), `array_to_string`
+  *    returns NULL when no non-null element remains, `list_concat`
+  *    treats a NULL side as empty, and `len`/`array_length` resolve via
+  *    the type-dispatching [[graft.functions.DuckLen]] expression.
   *  - `USING SAMPLE n[%|PERCENT|ROWS]` after a table reference becomes
   *    `TABLESAMPLE (n PERCENT|ROWS)` — an acceptance rewrite: both draw
   *    the requested sample size, by different algorithms (sampling is
