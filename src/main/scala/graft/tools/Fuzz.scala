@@ -966,7 +966,11 @@ final class SqlFuzzer(seed: Long) {
   // divergent results).
 
   private val strftimeFmts = Seq(
-    "%Y-%m", "%Y-%m-%d", "%d/%m/%Y", "%H:%M", "%Y-%m-%d %H:%M:%S", "%b %Y")
+    "%Y-%m", "%Y-%m-%d", "%d/%m/%Y", "%H:%M", "%Y-%m-%d %H:%M:%S", "%b %Y",
+    // name / 12-hour / day-of-year codes (round 14): %a %A %b %B %j %p
+    // %I %y measured bit-identical between date_format under the pinned
+    // ROOT locale and DuckDB's C-locale names
+    "%a %d %b %Y", "%A, %B %d", "%j/%Y", "%I:%M %p", "%y-%j %a")
 
   private def qDialectProj(): String = {
     val fmt = pick(strftimeFmts)
