@@ -114,6 +114,7 @@ object DuckDbDialect {
 
   def rewrite(sql: String): String = {
     var s = sql
+    s = rewriteFromFirst(s)
     s = rewriteQualifyDeep(s)
     s = rewriteDistinctOn(s)
     s = rewriteStarReplace(s)
@@ -137,6 +138,120 @@ object DuckDbDialect {
     s = rewriteCalls(s, "epoch")(epochCall)
     renames.foreach { case (from, to) => s = renameFn(s, from, to) }
     s
+  }
+
+  // ---- FROM-first syntax -------------------------------------------------
+
+  /** DuckDB's FROM-first "friendly SQL" (promoted throughout its docs):
+    * `FROM t`, `FROM t WHERE …`, and `FROM t SELECT list …` are all
+    * legal statements. Measured forms (each verified on DuckDB 1.0):
+    * bare FROM = SELECT *; a SELECT clause may appear after the source
+    * and before WHERE/GROUP/…; trailing clauses bind as usual. The
+    * rewrite relocates the SELECT list (or inserts `SELECT *`) in front
+    * of each top-level set-operation branch that starts with FROM.
+    * TOP-LEVEL only — a parenthesized FROM-first subquery surfaces
+    * Spark's parse error (loud, documented), and set-op EXCEPT is
+    * distinguished from `* EXCEPT (cols)` by peeking at the token after
+    * the paren. */
+  private def rewriteFromFirst(sql: String): String = {
+    if ("(?is)^\\s*from\\b".r.findFirstIn(sql).isEmpty) return sql
+    val in = inString(sql)
+    // segment boundaries: top-level set-op keywords whose next token
+    // (after optional ALL/DISTINCT) is FROM — only those branches need
+    // the rewrite, and this sidesteps the star-EXCEPT ambiguity here
+    var bounds = List.empty[Int]
+    var depth = 0
+    var i = 0
+    while (i < sql.length) {
+      if (!in(i)) {
+        val c = sql(i)
+        if (c == '(') depth += 1 else if (c == ')') depth -= 1
+        else if (depth == 0 && isIdentChar(c) && (i == 0 || !isIdentChar(sql(i - 1)))) {
+          Seq("union", "intersect", "except").find(k =>
+            sql.regionMatches(true, i, k, 0, k.length) &&
+              (i + k.length >= sql.length || !isIdentChar(sql(i + k.length)))).foreach { k =>
+            val after = "(?is)^\\s+(?:(?:all|distinct)\\s+)?from\\b".r
+              .findFirstIn(sql.substring(i + k.length))
+            if (after.isDefined) bounds ::= i
+          }
+        }
+      }
+      i += 1
+    }
+    val cuts = (0 :: bounds).distinct.sorted :+ sql.length
+    // every cut lands exactly at a set-op keyword, so each segment is
+    // rewritten (trimmed) and the single-space join restores separation
+    cuts.sliding(2).map { case Seq(a, b) =>
+      rewriteFromFirstSegment(sql.substring(a, b)).trim
+    }.mkString(" ")
+  }
+
+  /** One set-op branch: `[UNION|INTERSECT|EXCEPT [ALL|DISTINCT]] FROM
+    * <source> [SELECT <list>] <rest>` → prefix + `SELECT <list|*> FROM
+    * <source> <rest>`. */
+  private def rewriteFromFirstSegment(seg: String): String = {
+    val m = ("(?is)^((?:\\s*(?:union|intersect|except)(?:\\s+(?:all|distinct))?)?\\s*)" +
+      "from(?![A-Za-z0-9_])").r.findFirstMatchIn(seg).getOrElse(return seg)
+    val prefix = m.group(1)
+    val afterFrom = m.end
+    val in = inString(seg)
+    // clause keywords ending the FROM source / the SELECT list. EXCEPT
+    // counts only as a set-op boundary when NOT introducing a
+    // parenthesized star-exclusion (`* EXCEPT (cols)`) — peek: set-op
+    // EXCEPT is followed by ALL/DISTINCT/SELECT/FROM/( SELECT|FROM.
+    def isClauseKw(i: Int): Boolean = {
+      val kws = Seq("select", "where", "group", "having", "qualify",
+        "window", "order", "limit", "offset", "union", "intersect", "except")
+      kws.exists { k =>
+        seg.regionMatches(true, i, k, 0, k.length) &&
+          (i + k.length >= seg.length || !isIdentChar(seg(i + k.length))) && {
+            if (k != "except") true
+            else {
+              val tail = seg.substring(i + k.length)
+              val paren = "(?is)^\\s*\\(\\s*([A-Za-z]+)".r.findFirstMatchIn(tail)
+              paren match {
+                case Some(pm) => // set-op iff the paren opens a query
+                  pm.group(1).equalsIgnoreCase("select") ||
+                    pm.group(1).equalsIgnoreCase("from")
+                case None => true // ALL/DISTINCT/SELECT/FROM/identifier
+              }
+            }
+          }
+      }
+    }
+    var depth = 0
+    var i = afterFrom
+    var selPos = -1   // first top-level SELECT (starts the relocated list)
+    var selEnd = -1   // first clause keyword after it (ends the list)
+    var clausePos = -1 // first clause keyword when no SELECT came first
+    while (i < seg.length) {
+      if (!in(i)) {
+        val c = seg(i)
+        if (c == '(') depth += 1 else if (c == ')') depth -= 1
+        else if (depth == 0 && isIdentChar(c) && !isIdentChar(seg(i - 1)) && isClauseKw(i)) {
+          val isSelect = seg.regionMatches(true, i, "select", 0, 6) &&
+            (i + 6 >= seg.length || !isIdentChar(seg(i + 6)))
+          if (isSelect) { if (selPos < 0 && clausePos < 0) selPos = i }
+          else if (selPos >= 0) { if (selEnd < 0) selEnd = i }
+          else if (clausePos < 0) clausePos = i
+        }
+      }
+      i += 1
+    }
+    if (selPos >= 0) {
+      val listEnd = if (selEnd >= 0) selEnd else seg.length
+      val source = seg.substring(afterFrom, selPos)
+      val list = seg.substring(selPos + 6, listEnd)
+      val rest = seg.substring(listEnd).trim
+      prefix + "SELECT " + list.trim + " FROM " + source.trim +
+        (if (rest.isEmpty) "" else " " + rest)
+    } else {
+      val srcEnd = if (clausePos >= 0) clausePos else seg.length
+      val source = seg.substring(afterFrom, srcEnd)
+      val rest = seg.substring(srcEnd).trim
+      prefix + "SELECT * FROM " + source.trim +
+        (if (rest.isEmpty) "" else " " + rest)
+    }
   }
 
   // ---- QUALIFY ---------------------------------------------------------

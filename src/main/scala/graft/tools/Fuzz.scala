@@ -1263,6 +1263,28 @@ final class SqlFuzzer(seed: Long) {
     s"UNPIVOT $ds ON ${cols.mkString(", ")} INTO NAME k VALUE v ORDER BY $ord$dir$lim"
   }
 
+  /** FROM-first statements (round 14): DuckDB's promoted "friendly
+    * SQL" — bare FROM, FROM…WHERE, FROM…SELECT list, and FROM-first
+    * set-op branches. The oracle runs them verbatim; the shim
+    * canonicalizes to SELECT-first. Row order pins on the unique key
+    * (NULL-protected under --nulls). */
+  private def qDialectFromFirst(): String = {
+    val t = pick(Seq(orders, documents, events, customer))
+    val uk = t.uniqueKey.get
+    val ic = pick(cols(t, IntK)).name
+    rnd.nextInt(3) match {
+      case 0 =>
+        s"FROM ${t.name} WHERE ${pred(t, 1)} ORDER BY $uk ASC NULLS FIRST ${limit()}"
+      case 1 =>
+        s"FROM ${t.name} SELECT $uk AS c1, ($ic % ${intLit(3, 20)}) AS c2 " +
+          s"WHERE ${pred(t, 1)} ${orderAll(2)} ${limit()}"
+      case _ =>
+        s"FROM ${t.name} SELECT $uk AS c1 WHERE ${pred(t, 1)} " +
+          s"UNION ALL FROM ${t.name} SELECT $uk AS c1 WHERE ${pred(t, 1)} " +
+          s"ORDER BY 1 ASC NULLS FIRST ${limit()}"
+    }
+  }
+
   private def qDialectDistinctOn(): String = {
     val (t, key, value) = pick(Seq(
       (orders, "o_custkey", "o_totalprice"),
@@ -1406,7 +1428,7 @@ final class SqlFuzzer(seed: Long) {
     * [[graft.engine.DuckDbDialect.rewrite]] on Spark. */
   def dialectQueries(count: Int): Vector[(String, String)] =
     (1 to count).map { i =>
-      val (kind, sql) = rnd.nextInt(15) match {
+      val (kind, sql) = rnd.nextInt(16) match {
         case 0 => ("dsel", qDialectProj())
         case 1 => ("dgrp", qDialectGroup())
         case 2 => ("dtb", qDialectBucket())
@@ -1421,6 +1443,7 @@ final class SqlFuzzer(seed: Long) {
         case 11 => ("dexc", qDialectFrameExclude())
         case 12 => ("dpivot", qDialectPivot())
         case 13 => ("dunpivot", qDialectUnpivot())
+        case 14 => ("dfrom", qDialectFromFirst())
         case _ => ("ddiv", qDialectDivFilter())
       }
       (f"fz_$i%04d_$kind", sql)

@@ -243,6 +243,37 @@ class DuckDbDialectSpec extends AnyFunSuite {
     assert(lc.isNullAt(2))
   }
 
+  test("FROM-first statements rewrite to canonical SELECT (round 14)") {
+    assert(DuckDbDialect.rewrite("FROM t") == "SELECT * FROM t")
+    assert(DuckDbDialect.rewrite("FROM t WHERE a >= 2 ORDER BY a DESC")
+      == "SELECT * FROM t WHERE a >= 2 ORDER BY a DESC")
+    assert(DuckDbDialect.rewrite("FROM t SELECT a, b*2 AS c WHERE a > 1 ORDER BY a LIMIT 2")
+      == "SELECT a, b*2 AS c FROM t WHERE a > 1 ORDER BY a LIMIT 2")
+    assert(DuckDbDialect.rewrite("FROM t SELECT SUM(b) AS s GROUP BY a % 2 ORDER BY s")
+      == "SELECT SUM(b) AS s FROM t GROUP BY a % 2 ORDER BY s")
+    // every set-op branch that starts with FROM gets its own SELECT *
+    assert(DuckDbDialect.rewrite("FROM t UNION ALL FROM u")
+      == "SELECT * FROM t UNION ALL SELECT * FROM u")
+    // joins belong to the source; subquery SELECTs are not boundaries
+    assert(DuckDbDialect.rewrite(
+      "FROM a JOIN b ON a.k = b.k WHERE a.x IN (SELECT y FROM c)")
+      == "SELECT * FROM a JOIN b ON a.k = b.k WHERE a.x IN (SELECT y FROM c)")
+    // a star-exclusion in the relocated list is NOT a set-op EXCEPT
+    assert(DuckDbDialect.rewrite("FROM t SELECT * EXCLUDE (b) WHERE a > 0")
+      == "SELECT * except (b) FROM t WHERE a > 0")
+    // ordinary SELECT statements pass through this stage untouched
+    assert(DuckDbDialect.rewrite("SELECT a FROM t") == "SELECT a FROM t")
+    // end-to-end through the gateway (DuckDB goldens measured: FROM t
+    // SELECT a, b*2 WHERE a > 1 ORDER BY a LIMIT 2 → (2,40),(3,60))
+    val spark = TestSpark.spark
+    spark.sql("SELECT * FROM VALUES (1,10),(2,20),(3,30) AS v(a,b)")
+      .createOrReplaceTempView("ff")
+    val got = SqlGateway.run(spark,
+      "FROM ff SELECT a, b*2 AS c WHERE a > 1 ORDER BY a LIMIT 2")
+      .collect().map(r => (r.getInt(0), r.getInt(1))).toSeq
+    assert(got == Seq((2, 40), (3, 60)))
+  }
+
   test("USING SAMPLE rewrites to TABLESAMPLE; JOIN ... USING is untouched") {
     assert(DuckDbDialect.rewrite("SELECT * FROM t USING SAMPLE 10%")
       == "SELECT * FROM t TABLESAMPLE (10 PERCENT)")
