@@ -787,6 +787,51 @@ object Corpus {
         .orderBy("p_partkey", "metric")
     },
 
+    // Per-source dataset card — the summary table a corpus release
+    // ships with: document and token counts, mean document length,
+    // exact-duplicate rate, and language-mix entropy per source. Two
+    // map-combinable grouped aggregations (per source, per
+    // source×lang) plus an O(#sources) join — nothing corpus-sized
+    // moves. The -0.0 guard (+0.0 before ROUND) and 6-dp rounding
+    // follow the histogramEntropy convention.
+    OpQuery("q_corpus_datacard",
+      """WITH s AS (
+        |  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |         CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens,
+        |         CAST(COUNT(DISTINCT md5(text)) AS BIGINT) AS n_uniq
+        |  FROM documents GROUP BY source),
+        |l AS (SELECT source, lang, COUNT(*) AS c FROM documents GROUP BY source, lang),
+        |e AS (
+        |  SELECT l.source,
+        |         ROUND((-SUM((CAST(c AS DOUBLE) / t.n) * ln(CAST(c AS DOUBLE) / t.n))) + 0.0, 6) AS lang_entropy
+        |  FROM l JOIN (SELECT source, COUNT(*) AS n FROM documents GROUP BY source) t
+        |    ON l.source = t.source
+        |  GROUP BY l.source)
+        |SELECT s.source, n_docs, n_tokens,
+        |       ROUND(CAST(n_tokens AS DOUBLE) / n_docs, 6) AS mean_tokens,
+        |       ROUND(1.0 - CAST(n_uniq AS DOUBLE) / n_docs, 6) AS dup_rate,
+        |       e.lang_entropy
+        |FROM s JOIN e ON s.source = e.source ORDER BY s.source""".stripMargin) { (s, d) =>
+      val docs = documents(s, d)
+      val stats = docs.groupBy("source").agg(
+        count(lit(1)).as("n_docs"),
+        sum(size(split(col("text"), " ")).cast("long")).as("n_tokens"),
+        countDistinct(md5(col("text"))).as("n_uniq"))
+      val lc = docs.groupBy("source", "lang").agg(count(lit(1)).as("c"))
+      val tot = docs.groupBy(col("source").as("t_source"))
+        .agg(count(lit(1)).as("n"))
+      val p = col("c").cast("double") / col("n")
+      val ent = lc.join(tot, col("source") === col("t_source"))
+        .groupBy("source")
+        .agg(round(-sum(p * log(p)) + lit(0.0), 6).as("lang_entropy"))
+      stats.join(ent, "source")
+        .select(col("source"), col("n_docs"), col("n_tokens"),
+          round(col("n_tokens").cast("double") / col("n_docs"), 6).as("mean_tokens"),
+          round(lit(1.0) - col("n_uniq").cast("double") / col("n_docs"), 6).as("dup_rate"),
+          col("lang_entropy"))
+        .orderBy("source")
+    },
+
     // Cross-document duplicated-span detection (the Lee et al. 2022
     // exact-substring signal at 16-token window granularity, stride 1):
     // every sliding 16-token window is hashed map-side (60-bit md5

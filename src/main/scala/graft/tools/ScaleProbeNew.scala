@@ -81,7 +81,9 @@ object ScaleProbeNew {
     // round-14 duplicated spans: the ~r suffix keeps replica windows
     // disjoint, so the (hash,doc) frame, per-hash counts, and the dup
     // semi join all grow linearly — expected LINEAR
-    "q_text_substring_dup")
+    "q_text_substring_dup",
+    // round-14 data card: two map-combinable grouped aggs — expected LINEAR
+    "q_corpus_datacard")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
