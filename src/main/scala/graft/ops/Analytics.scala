@@ -469,6 +469,48 @@ object Analytics {
              sum(when(col("u1").isNotNull, 1L).otherwise(0L)).as("retained_d1"),
              sum(when(col("u7").isNotNull, 1L).otherwise(0L)).as("retained_d7"))
         .orderBy("cohort_di")
+    },
+
+    // Last-touch attribution — the ad-analytics shape: every purchase
+    // attributes to the user's most recent view/click within the
+    // preceding hour, computed as ONE pass over the user-ordered event
+    // stream (last_value IGNORE NULLS over a marketing-only projection,
+    // frame ending 1 row before current — no self-join, no per-purchase
+    // scan). Unattributed purchases survive with NULLs. One
+    // user-partitioned window; ties on ts break on event_id.
+    OpQuery("q_events_attribution",
+      """WITH s AS (
+        |  SELECT user_id, event_id, event_type, ts,
+        |         last_value(CASE WHEN event_type IN ('view', 'click')
+        |                         THEN event_id END IGNORE NULLS)
+        |           OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS mkt_id,
+        |         last_value(CASE WHEN event_type IN ('view', 'click')
+        |                         THEN ts END IGNORE NULLS)
+        |           OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS mkt_ts
+        |  FROM events)
+        |SELECT event_id, user_id,
+        |       CASE WHEN mkt_ts >= ts - INTERVAL 1 HOUR THEN mkt_id END AS attributed_id,
+        |       CASE WHEN mkt_ts >= ts - INTERVAL 1 HOUR
+        |            THEN CAST(date_diff('second', mkt_ts, ts) AS BIGINT) END AS seconds_since
+        |FROM s WHERE event_type = 'purchase'
+        |ORDER BY event_id""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val isMkt = col("event_type").isin("view", "click")
+      val withMkt = events(s, d)
+        .withColumn("mkt_id", last(when(isMkt, col("event_id")), ignoreNulls = true).over(w))
+        .withColumn("mkt_ts", last(when(isMkt, col("ts")), ignoreNulls = true).over(w))
+      val inWindow = col("mkt_ts") >= col("ts") - expr("INTERVAL 1 HOUR")
+      withMkt.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"),
+          when(inWindow, col("mkt_id")).as("attributed_id"),
+          when(inWindow,
+            (unix_seconds(col("ts")) - unix_seconds(col("mkt_ts"))).cast("long"))
+            .as("seconds_since"))
+        .orderBy("event_id")
     }
   )
 }

@@ -27,6 +27,9 @@ object ScaleProbeEvents {
   private val Queries = Seq("q_events_tumbling", "q_events_sliding",
     "q_events_session", "q_events_dedup", "q_events_gapfill",
     "q_events_anomaly", "q_events_funnel", "q_events_bursts",
+    // round-14 attribution: one user-partitioned window over the
+    // stream (users grow K×, per-user history constant) — expected LINEAR
+    "q_events_attribution",
     "q_asof_join", "q_asof_join_multi",
     // round 13c: EWMA — replicas offset user_id, so per-user sequence
     // length is constant across K; the window + grouped sum both hash
