@@ -43,16 +43,19 @@ package graft.engine
   *    yields NULL in both regimes. This closed what was a documented
   *    bound (float `//` previously surfaced Spark's div type error).
   *  - Window-frame `EXCLUDE CURRENT ROW` decomposes to frame-minus-
-  *    current for SUM/COUNT/AVG; `EXCLUDE GROUP`/`TIES` decompose over
-  *    RANGE frames (frame − peer-window [+ current for TIES], round
-  *    13d); `EXCLUDE NO OTHERS` drops. Frame bounds are classified by
-  *    their TRAILING keyword (multi-token INTERVAL offsets included —
-  *    round 14); an off-frame ROWS exclusion reproduces DuckDB 1.0's
-  *    measured adjacent-row extension, while an off-frame RANGE
-  *    exclusion THROWS (the measured extension is in ROW space,
-  *    including ORDER BY peers — inexpressible as a RANGE bound).
-  *    ROWS+GROUP/TIES and non-decomposable aggregates (MIN/MAX) throw:
-  *    peer sets are data-dependent and have no subtractive form.
+  *    current for SUM/COUNT/AVG; `EXCLUDE GROUP`/`TIES` decompose for
+  *    the same aggregates over BOTH frame types (RANGE round 13d; ROWS
+  *    and non-containing RANGE round 15, via DuckDB's measured segment
+  *    arithmetic [fs, ps−1] ∪ [pe+1, fe] expressed as static prefix
+  *    windows); `EXCLUDE NO OTHERS` drops. Frame bounds are classified
+  *    by their TRAILING keyword (multi-token INTERVAL offsets included
+  *    — round 14); an off-frame ROWS `EXCLUDE CURRENT ROW` reproduces
+  *    DuckDB 1.0's measured adjacent-row extension, while the RANGE
+  *    spelling of that one case THROWS (the measured extension is in
+  *    ROW space, including ORDER BY peers — inexpressible as a RANGE
+  *    bound). GROUPS frames throw because DuckDB 1.0 itself rejects
+  *    them (measured parser error — outside the contract); MIN/MAX
+  *    (non-subtractive) and DISTINCT arguments throw too.
   *  - List functions carry DuckDB's MEASURED semantics where a bare
   *    rename would silently diverge (round 14): `string_split`/
   *    `str_split`/`string_to_array` regex-escape their literal
@@ -154,7 +157,11 @@ object DuckDbDialect {
     * distinguished from `* EXCEPT (cols)` by peeking at the token after
     * the paren. */
   private def rewriteFromFirst(sql: String): String = {
-    if ("(?is)^\\s*from\\b".r.findFirstIn(sql).isEmpty) return sql
+    // The statement needs the rewrite when its FIRST branch is
+    // FROM-first OR when any LATER set-op branch is (legal in DuckDB:
+    // `SELECT 1 UNION ALL FROM t`) — the branch scan below finds the
+    // latter, so the head-only gate decides nothing by itself.
+    val headFromFirst = "(?is)^\\s*from\\b".r.findFirstIn(sql).isDefined
     val in = inString(sql)
     // segment boundaries: top-level set-op keywords whose next token
     // (after optional ALL/DISTINCT) is FROM — only those branches need
@@ -178,12 +185,14 @@ object DuckDbDialect {
       }
       i += 1
     }
+    if (!headFromFirst && bounds.isEmpty) return sql
     val cuts = (0 :: bounds).distinct.sorted :+ sql.length
-    // every cut lands exactly at a set-op keyword, so each segment is
-    // rewritten (trimmed) and the single-space join restores separation
+    // every cut lands exactly at a set-op keyword; segments join on a
+    // NEWLINE (not a space) so a `--` line comment ending one segment
+    // cannot swallow the next branch's keywords
     cuts.sliding(2).map { case Seq(a, b) =>
       rewriteFromFirstSegment(sql.substring(a, b)).trim
-    }.mkString(" ")
+    }.mkString("\n")
   }
 
   /** One set-op branch: `[UNION|INTERSECT|EXCEPT [ALL|DISTINCT]] FROM
@@ -238,19 +247,23 @@ object DuckDbDialect {
       }
       i += 1
     }
+    // Relocated pieces join on NEWLINES: the source (or list) text may
+    // end in a `--` line comment, and a space join would comment out
+    // the clause that follows it (`FROM t -- c\nWHERE …` must not
+    // become `… FROM t -- c WHERE …`).
     if (selPos >= 0) {
       val listEnd = if (selEnd >= 0) selEnd else seg.length
       val source = seg.substring(afterFrom, selPos)
       val list = seg.substring(selPos + 6, listEnd)
       val rest = seg.substring(listEnd).trim
-      prefix + "SELECT " + list.trim + " FROM " + source.trim +
-        (if (rest.isEmpty) "" else " " + rest)
+      prefix + "SELECT " + list.trim + "\nFROM " + source.trim +
+        (if (rest.isEmpty) "" else "\n" + rest)
     } else {
       val srcEnd = if (clausePos >= 0) clausePos else seg.length
       val source = seg.substring(afterFrom, srcEnd)
       val rest = seg.substring(srcEnd).trim
       prefix + "SELECT * FROM " + source.trim +
-        (if (rest.isEmpty) "" else " " + rest)
+        (if (rest.isEmpty) "" else "\n" + rest)
     }
   }
 
@@ -1132,10 +1145,17 @@ object DuckDbDialect {
     *               other non-null row remains (SUM over ∅ is NULL)
     *   AVG(x)    → the SUM/COUNT pair above, divided, NULL-guarded
     *
-    * Bounded (throws, never silently wrong): EXCLUDE GROUP/TIES (no
-    * decomposable rewrite — peers are data-dependent), GROUPS frames
-    * (Spark has none), DISTINCT arguments, and non-decomposable
-    * functions (MIN/MAX/...) are rejected with the limitation named. */
+    * EXCLUDE GROUP/TIES decompose exactly for COUNT/SUM/AVG over BOTH
+    * frame types (round 15 closed the ROWS and non-containing-RANGE
+    * islands): DuckDB evaluates every exclusion as the row-space
+    * segments [frameStart, exclStart−1] ∪ [exclEnd+1, frameEnd], and
+    * each segment is expressible with static prefix windows — see the
+    * three-case derivation at the GROUP/TIES branch below.
+    *
+    * Bounded (throws, never silently wrong): GROUPS frames (DuckDB 1.0
+    * itself rejects them — outside the contract), DISTINCT arguments,
+    * non-decomposable functions (MIN/MAX/...), non-integer-literal ROWS
+    * offsets, and GROUP/TIES without ORDER BY. */
   private def rewriteFrameExclude(sql0: String): String = {
     var sql = sql0
     var guard = 0
@@ -1207,27 +1227,37 @@ object DuckDbDialect {
       frameM.foreach { fm =>
         if (fm.group(1).equalsIgnoreCase("groups"))
           throw new IllegalArgumentException(
-            "GROUPS frames are not supported (Spark has no GROUPS frame type)")
+            "GROUPS frames are rejected: DuckDB 1.0 itself does not parse them " +
+              "(measured: ParserException \"GROUPS mode for window functions is " +
+              "not implemented yet\"), so they are outside the any-DuckDB-SELECT " +
+              "contract this shim serves")
       }
-      // (startsAfter, endsBefore, frame pieces) when an explicit BETWEEN
-      // frame exists; shorthand/absent frames always contain the current row
-      val betweenInfo: Option[(String, String, String, Int)] = frameM.flatMap { fm =>
+      // Frame clause parsed uniformly: explicit BETWEEN keeps both
+      // bounds; the ANSI single-bound shorthand (`ROWS 2 PRECEDING`,
+      // accepted by DuckDB with EXCLUDE — measured) is BETWEEN <bound>
+      // AND CURRENT ROW; an absent clause is left as None (the default
+      // RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW).
+      val betweenInfo: Option[(String, String, String, Int)] = frameM.map { fm =>
         val body = fm.group(2).trim
         val parts = splitTopLevelKeyword(body, "and")
         if (body.toLowerCase(java.util.Locale.ROOT).startsWith("between") && parts.length == 2)
-          Some((parts(0).replaceAll("(?i)^between\\s+", "").trim, parts(1).trim,
-            fm.group(1), fm.start))
-        else None
+          (parts(0).replaceAll("(?i)^between\\s+", "").trim, parts(1).trim,
+            fm.group(1), fm.start)
+        else (body, "CURRENT ROW", fm.group(1), fm.start)
       }
       // Bounds are classified by their TRAILING keyword so multi-token
       // offsets (e.g. INTERVAL '5' DAY PRECEDING) are positively
       // recognized — the old ^\S+\s+preceding$ single-token matcher let
       // such a bound fall through to the subtraction rewrite below,
       // which assumes the frame holds the current row (silent wrong
-      // result). Any bound text the classifier cannot place throws.
+      // result). A zero offset (`0 PRECEDING/FOLLOWING`) is CURRENT ROW
+      // in both engines and classifies as such (the bound-adjust branch
+      // below would otherwise shrink a frame that DOES hold the current
+      // row). Any bound text the classifier cannot place throws.
       def boundKind(b: String): Int = {
         val t = b.trim.replaceAll("\\s+", " ").toLowerCase(java.util.Locale.ROOT)
         if (t == "current row" || t.startsWith("unbounded")) 0
+        else if (t.matches("0+ (preceding|following)")) 0
         else if (t.endsWith(" following")) 1
         else if (t.endsWith(" preceding")) -1
         else throw new IllegalArgumentException(
@@ -1240,11 +1270,7 @@ object DuckDbDialect {
       if (kind == "no others") {
         // the ANSI no-op spelling — frame unchanged in both engines
         sql = sql.substring(0, exclStart) + sql.substring(exclEnd)
-      } else if (startsAfter || endsBefore) {
-        if (kind != "current row")
-          throw new IllegalArgumentException(
-            s"window frame EXCLUDE ${kind.toUpperCase(java.util.Locale.ROOT)} on a frame " +
-              "that does not contain the current row is not supported by the dialect shim")
+      } else if ((startsAfter || endsBefore) && kind == "current row") {
         // current row outside the frame: reproduce DuckDB's measured
         // segment arithmetic by moving the offending bound to the row
         // adjacent to current, then drop the exclusion. ROWS frames
@@ -1315,40 +1341,125 @@ object DuckDbDialect {
               s"/ (COUNT($arg) OVER $specNoExcl - $nonNullCur) ELSE NULL END)"
           case _ => unsupportedFn()
         } else {
-          // EXCLUDE GROUP / TIES (round 13d): exactly decomposable when
-          // the frame is RANGE-typed and contains the current row — a
-          // RANGE frame whose bounds include the current row contains
-          // its ENTIRE peer group (peers sit at value-distance 0), so
-          // the peers' aggregate is its own window over
-          // RANGE BETWEEN CURRENT ROW AND CURRENT ROW:
-          //   GROUP: frame − peers;  TIES: frame − peers + current.
-          // ROWS frames stay a documented throw: a row-offset boundary
-          // can cut through the peer group, and the in-frame peer
-          // subset is not expressible as a second window. Goldens for
-          // every branch measured on DuckDB 1.0 (DuckDbDialectSpec).
-          val (_, _, kw, fStart) = betweenInfo.getOrElse(throw new IllegalArgumentException(
-            s"window frame EXCLUDE ${kind.toUpperCase(java.util.Locale.ROOT)} needs an " +
-              "explicit RANGE BETWEEN frame (DuckDB requires the frame clause too)"))
-          if (!kw.equalsIgnoreCase("range"))
+          // EXCLUDE GROUP / TIES. Three exactly-decomposable cases, all
+          // measured on DuckDB 1.0 (DuckDbDialectSpec goldens):
+          //
+          // 1. RANGE frame CONTAINING the current row (round 13d): such
+          //    a frame holds the ENTIRE peer group (peers sit at value-
+          //    distance 0), so GROUP = frame − peers and TIES = frame −
+          //    peers + current, with peers its own window over
+          //    RANGE BETWEEN CURRENT ROW AND CURRENT ROW.
+          // 2. RANGE frame NOT containing the current row (round 15):
+          //    DuckDB computes the exclusion as the SEGMENTS
+          //    [frameStart, peerStart−1] ∪ [peerEnd+1, frameEnd] — the
+          //    same segment arithmetic round 14 measured for EXCLUDE
+          //    CURRENT ROW, frame EXTENSION included (RANGE BETWEEN 15
+          //    PRECEDING AND 5 PRECEDING EXCLUDE GROUP at v=5 over
+          //    v∈(1,5,10×4,20,25) returns 100 — the ANSI frame is
+          //    empty). In value space the segments are exactly
+          //    {val ∈ [v−a, v)} and {val ∈ (v, v+b]}: each is a static
+          //    window minus the peer window, self-clamping to 0.
+          // 3. ROWS frame, any bounds (round 15): the same segments in
+          //    ROW space, [i−sa, ps−1] ∪ [pe+1, i+sb], via prefix sums
+          //    (goldens: frame 1P..1F over the peer block, 3P..2P and
+          //    2F..4F extension cases, NULL args, shorthand, UNBOUNDED):
+          //      seg1 = P(ps−1) − P(i−sa−1)   if precPeers < sa else ∅
+          //      seg2 = P(i+sb) − P(pe)       if follPeers < sb else ∅
+          //    where P(pe) is the RANGE-unbounded-≤-current sum (all
+          //    peers included), P(ps−1) = P(pe) − peerSum, and the
+          //    positional P(i−sa−1)/P(i+sb) are ROWS UNBOUNDED..k
+          //    prefix windows — every frame bound static. precPeers/
+          //    follPeers come from COUNT(*) windows (follPeers =
+          //    rangeLeCnt − rowsLeCnt = pe − i). ROWS offsets must be
+          //    integer literals (constants in both engines); anything
+          //    else throws.
+          //
+          // All helper windows share the spec's partition/order prefix,
+          // so Spark plans them into a single WindowExec over one sort.
+          val (boundA, boundB, kw, fStart) = betweenInfo.getOrElse(
             throw new IllegalArgumentException(
-              s"window frame EXCLUDE ${kind.toUpperCase(java.util.Locale.ROOT)} over a " +
-                "ROWS frame has no decomposable rewrite (a row-offset bound can cut " +
-                "through the peer group) — use a RANGE frame")
-          val peersSpec = "(" + inner.substring(0, fStart) +
-            "RANGE BETWEEN CURRENT ROW AND CURRENT ROW" + ")"
-          val cntS = if (arg == "*") s"COUNT(*) OVER $specNoExcl" else s"COUNT($arg) OVER $specNoExcl"
-          val cntP = if (arg == "*") s"COUNT(*) OVER $peersSpec" else s"COUNT($arg) OVER $peersSpec"
+              s"window frame EXCLUDE ${kind.toUpperCase(java.util.Locale.ROOT)} needs an " +
+                "explicit frame clause (DuckDB itself rejects a frameless " +
+                "exclusion — measured parse error)"))
+          val oPrefix = inner.substring(0, fStart)
+          val sep = if (oPrefix.isEmpty || oPrefix.last.isWhitespace) "" else " "
+          def w(frame: String) = s"OVER (${oPrefix}${sep}${frame})"
+          val peersF = "RANGE BETWEEN CURRENT ROW AND CURRENT ROW"
+          val cntFn = if (arg == "*") "COUNT(*)" else s"COUNT($arg)"
+          def cnt(frame: String) = s"$cntFn ${w(frame)}"
+          def sum(frame: String) = s"COALESCE(SUM($arg) ${w(frame)}, 0)"
           val keepCur = if (kind == "ties") (if (arg == "*") " + 1" else s" + $nonNullCur") else ""
-          val remCnt = s"($cntS - $cntP$keepCur)"
           val sumBack = if (kind == "ties") s" + COALESCE($arg, 0)" else ""
+          val (remCnt, remSum): (String, String) =
+            if (kw.equalsIgnoreCase("range") &&
+                boundKind(boundA) <= 0 && boundKind(boundB) >= 0) {
+              // case 1 — frame ⊇ peer group
+              val peersSpec = "(" + oPrefix + sep + peersF + ")"
+              (s"($cntFn OVER $specNoExcl - $cntFn OVER $peersSpec$keepCur)",
+                s"(SUM($arg) OVER $specNoExcl " +
+                  s"- COALESCE(SUM($arg) OVER $peersSpec, 0)$sumBack)")
+            } else if (kw.equalsIgnoreCase("range")) {
+              // case 2 — value-space segments
+              val (c1, s1) =
+                if (boundKind(boundA) <= 0)
+                  (s"(${cnt(s"RANGE BETWEEN $boundA AND CURRENT ROW")} - ${cnt(peersF)})",
+                    s"(${sum(s"RANGE BETWEEN $boundA AND CURRENT ROW")} - ${sum(peersF)})")
+                else ("0", "0")
+              val (c2, s2) =
+                if (boundKind(boundB) >= 0)
+                  (s"(${cnt(s"RANGE BETWEEN CURRENT ROW AND $boundB")} - ${cnt(peersF)})",
+                    s"(${sum(s"RANGE BETWEEN CURRENT ROW AND $boundB")} - ${sum(peersF)})")
+                else ("0", "0")
+              (s"($c1 + $c2$keepCur)", s"($s1 + $s2$sumBack)")
+            } else {
+              // case 3 — row-space segments over prefix windows
+              def rowOff(b: String, isStart: Boolean): Option[Long] = {
+                val t = b.trim.replaceAll("\\s+", " ").toLowerCase(java.util.Locale.ROOT)
+                if (t == "current row") Some(0L)
+                else if (t == "unbounded preceding" || t == "unbounded following") None
+                else "^(\\d+) (preceding|following)$".r.findFirstMatchIn(t) match {
+                  case Some(mm) =>
+                    val n = mm.group(1).toLong
+                    val prec = mm.group(2) == "preceding"
+                    Some(if (isStart == prec) n else -n)
+                  case None => throw new IllegalArgumentException(
+                    s"window frame EXCLUDE ${kind.toUpperCase(java.util.Locale.ROOT)} over " +
+                      s"a ROWS frame needs integer-literal offsets — got '${b.trim}'")
+                }
+              }
+              val saO = rowOff(boundA, isStart = true)
+              val sbO = rowOff(boundB, isStart = false)
+              def cstar(frame: String) = s"COUNT(*) ${w(frame)}"
+              val follPeersE =
+                s"(${cstar("RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW")} " +
+                  s"- ${cstar("ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW")})"
+              val precPeersE = s"(${cstar(peersF)} - 1 - $follPeersE)"
+              def segs(g: String => String): String = {
+                val sLe = g("RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW")
+                val sPeer = g(peersF)
+                val s1 = saO match {
+                  case None => s"($sLe - $sPeer)"
+                  case Some(sa) if sa <= 0 => "0"
+                  case Some(sa) =>
+                    val pPrec = g(s"ROWS BETWEEN UNBOUNDED PRECEDING AND ${sa + 1} PRECEDING")
+                    s"(CASE WHEN $precPeersE < $sa THEN ($sLe - $sPeer) - $pPrec ELSE 0 END)"
+                }
+                val s2 = sbO match {
+                  case None =>
+                    s"(${g("ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING")} - $sLe)"
+                  case Some(sb) if sb <= 0 => "0"
+                  case Some(sb) =>
+                    val pFoll = g(s"ROWS BETWEEN UNBOUNDED PRECEDING AND $sb FOLLOWING")
+                    s"(CASE WHEN $follPeersE < $sb THEN $pFoll - $sLe ELSE 0 END)"
+                }
+                s"($s1 + $s2)"
+              }
+              (s"(${segs(cnt)}$keepCur)", s"(${segs(sum)}$sumBack)")
+            }
           fn match {
             case "count" => remCnt
-            case "sum" =>
-              s"(CASE WHEN $remCnt > 0 THEN SUM($arg) OVER $specNoExcl " +
-                s"- COALESCE(SUM($arg) OVER $peersSpec, 0)$sumBack ELSE NULL END)"
-            case "avg" =>
-              s"(CASE WHEN $remCnt > 0 THEN (SUM($arg) OVER $specNoExcl " +
-                s"- COALESCE(SUM($arg) OVER $peersSpec, 0)$sumBack) / $remCnt ELSE NULL END)"
+            case "sum" => s"(CASE WHEN $remCnt > 0 THEN $remSum ELSE NULL END)"
+            case "avg" => s"(CASE WHEN $remCnt > 0 THEN $remSum / $remCnt ELSE NULL END)"
             case _ => unsupportedFn()
           }
         }
@@ -1566,7 +1677,12 @@ object DuckDbDialect {
   private def stringSplitCall(args: Seq[String]): String = {
     require(args.size == 2, s"string_split: expected 2 arguments, got ${args.size}")
     val d = args(1).trim
-    "(?s)^'(.*)'$".r.findFirstMatchIn(d) match {
+    // STRICT quoted-literal pattern (doubled '' is the only interior
+    // quote): the greedy (?s)^'(.*)'$ also matched non-literal
+    // expressions that merely start and end with a quote, e.g.
+    // `'a' || 'b'`, silently splitting on the wrong delimiter instead
+    // of taking the documented non-literal throw below.
+    "(?s)^'((?:[^']|'')*)'$".r.findFirstMatchIn(d) match {
       case Some(m) =>
         val raw = m.group(1).replace("''", "'")
         val meta = "\\^$.|?*+()[]{}"
@@ -1632,7 +1748,19 @@ object DuckDbDialect {
     * list_concat(NULL, [1,2]) = [1,2]; both-NULL = NULL), while Spark's
     * concat is NULL-propagating — the bare rename silently nulled any
     * concat with one NULL side (round 14). Exactly two arguments in
-    * DuckDB 1.0 (the variadic spelling is a binder error there too). */
+    * DuckDB 1.0 (the variadic spelling is a binder error there too).
+    *
+    * DUPLICATION BOUND (applies here, to arrayToStringCall and to
+    * listSliceCall): each argument's TEXT is spliced into the rewritten
+    * expression more than once (NULL guard + value branch). For
+    * deterministic arguments Spark's subexpression elimination folds the
+    * copies; a NONDETERMINISTIC argument (rand() inside the list expr)
+    * is evaluated per splice and the guard can diverge from the value —
+    * same class of bound as the non-literal string_split throw, accepted
+    * because DuckDB's own list functions are only defined on
+    * deterministic inputs in our oracle surface. Deep textual nesting of
+    * these calls also grows the rewritten SQL geometrically; the
+    * rewriteCalls 100-iteration guard aborts loudly rather than hanging. */
   private def listConcatCall(args: Seq[String]): String = {
     require(args.size == 2, s"list_concat: expected 2 arguments, got ${args.size}")
     val a = s"(${args(0).trim})"

@@ -1212,9 +1212,16 @@ final class SqlFuzzer(seed: Long) {
       (orders, "o_orderpriority", "o_orderstatus", "o_orderkey"),
       (lineitem, "l_returnflag", "l_linestatus", "l_linenumber"),
       (lineitem, "l_linestatus", "l_returnflag", "l_suppkey")))
-    val ds = s"(SELECT $key, $cat, $num FROM ${t.name} " +
+    // round 15: 1/4 of datasets suffix the pivot category with ',v' so
+    // PRESENT IN-list values — and binder-discovered pivot columns —
+    // contain a comma, locking the quote-aware IN-list scanner
+    // (SqlGateway round-13 advice fix) on values that actually match
+    // data, not just absent placeholders.
+    val commaCat = rnd.nextInt(4) == 0
+    val catExpr = if (commaCat) s"($cat || ',v')" else cat
+    val ds = s"(SELECT $key, $catExpr AS $cat, $num FROM ${t.name} " +
       s"WHERE $cat IS NOT NULL AND $key IS NOT NULL AND ${pred(t, 1)})"
-    val pool = t.pools(cat)
+    val pool = t.pools(cat).map(v => if (commaCat) v + ",v" else v)
     val inList = rnd.nextInt(3) match {
       case 0 => "" // binder-style discovery (sorted ascending, both engines)
       case 1 =>
@@ -1376,19 +1383,25 @@ final class SqlFuzzer(seed: Long) {
       case _ => "ROWS BETWEEN 3 PRECEDING AND 2 PRECEDING" // current NOT in frame → drop path
     }
     val excl = if (rnd.nextInt(5) == 0) "EXCLUDE NO OTHERS" else "EXCLUDE CURRENT ROW"
-    if (rnd.nextInt(3) == 0) {
-      // RANGE-frame GROUP/TIES (round 13d): the window orders by a
-      // NON-unique integer expression so peer groups are real; RANGE
-      // aggregates are tie-order-insensitive, so c3 stays deterministic
-      // and the final orderAll totalizes output order. The ordering
-      // value is prefiltered IS NOT NULL: the pinned agreed surface,
-      // like dasof (NULL peer-group frame semantics are their own
-      // engine-specific corner).
+    val sub = rnd.nextInt(8)
+    if (sub <= 1) {
+      // RANGE-frame GROUP/TIES (round 13d; off-frame spellings round
+      // 15): the window orders by a NON-unique integer expression so
+      // peer groups are real; RANGE aggregates are tie-order-
+      // insensitive, so c3 stays deterministic and the final orderAll
+      // totalizes output order. The ordering value is prefiltered
+      // IS NOT NULL: the pinned agreed surface, like dasof (NULL
+      // peer-group frame semantics are their own engine-specific
+      // corner).
       val gv = s"($v % ${intLit(3, 9)})"
-      val rframe = rnd.nextInt(3) match {
+      val rframe = rnd.nextInt(5) match {
         case 0 => "RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW"
         case 1 => s"RANGE BETWEEN ${intLit(1, 3)} PRECEDING AND ${intLit(1, 3)} FOLLOWING"
-        case _ => "RANGE BETWEEN CURRENT ROW AND CURRENT ROW"
+        case 2 => "RANGE BETWEEN CURRENT ROW AND CURRENT ROW"
+        // round 15: frames NOT containing the current row — DuckDB's
+        // segment arithmetic vs the shim's value-space half-windows
+        case 3 => s"RANGE BETWEEN ${intLit(3, 9)} PRECEDING AND ${intLit(1, 2)} PRECEDING"
+        case _ => s"RANGE BETWEEN ${intLit(1, 2)} FOLLOWING AND ${intLit(3, 9)} FOLLOWING"
       }
       val gexcl = if (rnd.nextBoolean()) "EXCLUDE GROUP" else "EXCLUDE TIES"
       val gover = s"OVER (PARTITION BY $part ORDER BY $gv ASC $rframe $gexcl)"
@@ -1399,6 +1412,56 @@ final class SqlFuzzer(seed: Long) {
       }
       s"SELECT $key AS c1, CAST(($v) AS BIGINT) AS c2, $gexpr AS c3 " +
         s"FROM $t WHERE $v IS NOT NULL AND ${pred(tbl, 1)} ${orderAll(3)} ${limit()}"
+    } else if (sub <= 3) {
+      // ROWS-frame GROUP/TIES (round 15): positional frames make the
+      // PER-ROW result depend on the engine's tie order (which peer
+      // holds which slot), so determinism comes from structure — the
+      // aggregated value w is a pure function of (partition, order
+      // value), hence CONSTANT within every peer group; each row's
+      // result then depends only on (partition, gv, #earlier-peers)
+      // and the (c1, c2, c3) row MULTISET is tie-order-invariant. The
+      // output omits the unique key and totalizes ORDER BY over all
+      // three columns, so the sorted-hash compare is deterministic.
+      val gv = s"($v % ${intLit(3, 9)})"
+      val w = s"($gv * 7 + ($part % 5))"
+      val rframe = rnd.nextInt(6) match {
+        case 0 => s"ROWS BETWEEN ${1 + rnd.nextInt(3)} PRECEDING AND ${1 + rnd.nextInt(3)} FOLLOWING"
+        case 1 => s"ROWS BETWEEN ${2 + rnd.nextInt(3)} PRECEDING AND ${1 + rnd.nextInt(2)} PRECEDING"
+        case 2 => s"ROWS BETWEEN ${1 + rnd.nextInt(2)} FOLLOWING AND ${2 + rnd.nextInt(3)} FOLLOWING"
+        case 3 => "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW"
+        case 4 => s"ROWS ${1 + rnd.nextInt(3)} PRECEDING" // ANSI shorthand
+        case _ => "ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING"
+      }
+      val gexcl = if (rnd.nextBoolean()) "EXCLUDE GROUP" else "EXCLUDE TIES"
+      val gover = s"OVER (PARTITION BY $part ORDER BY $gv ASC $rframe $gexcl)"
+      val gexpr = rnd.nextInt(3) match {
+        case 0 => s"CAST(SUM($w) $gover AS BIGINT)"
+        case 1 => s"CAST(COUNT(*) $gover AS BIGINT)"
+        case _ => s"ROUND(AVG($w) $gover, 6)"
+      }
+      s"SELECT $part AS c1, CAST($gv AS BIGINT) AS c2, $gexpr AS c3 " +
+        s"FROM $t WHERE $v IS NOT NULL AND $part IS NOT NULL " +
+        s"AND ${pred(tbl, 1)} ${orderAll(3)} ${limit()}"
+    } else if (sub == 4 && t == "orders") {
+      // multi-token INTERVAL frame bounds (round-14 boundKind lock):
+      // containing RANGE frames over a DATE ORDER BY. EXCLUDE CURRENT
+      // ROW subtracts the row's OWN value, so c3 is per-row
+      // deterministic even among date ties.
+      val ivf = rnd.nextInt(3) match {
+        case 0 => s"RANGE BETWEEN INTERVAL '${1 + rnd.nextInt(20)}' DAY PRECEDING AND CURRENT ROW"
+        case 1 => s"RANGE BETWEEN CURRENT ROW AND INTERVAL '${1 + rnd.nextInt(20)}' DAY FOLLOWING"
+        case _ => s"RANGE BETWEEN INTERVAL '${1 + rnd.nextInt(10)}' DAY PRECEDING " +
+          s"AND INTERVAL '${1 + rnd.nextInt(10)}' DAY FOLLOWING"
+      }
+      val iover = s"OVER (PARTITION BY o_custkey ORDER BY o_orderdate ASC $ivf EXCLUDE CURRENT ROW)"
+      val iexpr = rnd.nextInt(3) match {
+        case 0 => s"CAST(SUM(o_orderkey % 97) $iover AS BIGINT)"
+        case 1 => s"CAST(COUNT(*) $iover AS BIGINT)"
+        case _ => s"ROUND(AVG(o_orderkey % 97) $iover, 6)"
+      }
+      s"SELECT o_orderkey AS c1, CAST(o_custkey AS BIGINT) AS c2, $iexpr AS c3 " +
+        s"FROM orders WHERE o_orderdate IS NOT NULL AND o_custkey IS NOT NULL " +
+        s"AND ${pred(tbl, 1)} ${orderAll(3)} ${limit()}"
     } else {
     val over = s"OVER ($spec $frame $excl)"
     val exprKind = rnd.nextInt(4)

@@ -244,22 +244,25 @@ class DuckDbDialectSpec extends AnyFunSuite {
   }
 
   test("FROM-first statements rewrite to canonical SELECT (round 14)") {
+    // relocated pieces join on NEWLINES so a `--` line comment ending
+    // the source can never swallow the clause after it (round-15 advice)
+    def flat(s: String): String = s.replace('\n', ' ')
     assert(DuckDbDialect.rewrite("FROM t") == "SELECT * FROM t")
-    assert(DuckDbDialect.rewrite("FROM t WHERE a >= 2 ORDER BY a DESC")
+    assert(flat(DuckDbDialect.rewrite("FROM t WHERE a >= 2 ORDER BY a DESC"))
       == "SELECT * FROM t WHERE a >= 2 ORDER BY a DESC")
-    assert(DuckDbDialect.rewrite("FROM t SELECT a, b*2 AS c WHERE a > 1 ORDER BY a LIMIT 2")
+    assert(flat(DuckDbDialect.rewrite("FROM t SELECT a, b*2 AS c WHERE a > 1 ORDER BY a LIMIT 2"))
       == "SELECT a, b*2 AS c FROM t WHERE a > 1 ORDER BY a LIMIT 2")
-    assert(DuckDbDialect.rewrite("FROM t SELECT SUM(b) AS s GROUP BY a % 2 ORDER BY s")
+    assert(flat(DuckDbDialect.rewrite("FROM t SELECT SUM(b) AS s GROUP BY a % 2 ORDER BY s"))
       == "SELECT SUM(b) AS s FROM t GROUP BY a % 2 ORDER BY s")
     // every set-op branch that starts with FROM gets its own SELECT *
-    assert(DuckDbDialect.rewrite("FROM t UNION ALL FROM u")
+    assert(flat(DuckDbDialect.rewrite("FROM t UNION ALL FROM u"))
       == "SELECT * FROM t UNION ALL SELECT * FROM u")
     // joins belong to the source; subquery SELECTs are not boundaries
-    assert(DuckDbDialect.rewrite(
-      "FROM a JOIN b ON a.k = b.k WHERE a.x IN (SELECT y FROM c)")
+    assert(flat(DuckDbDialect.rewrite(
+      "FROM a JOIN b ON a.k = b.k WHERE a.x IN (SELECT y FROM c)"))
       == "SELECT * FROM a JOIN b ON a.k = b.k WHERE a.x IN (SELECT y FROM c)")
     // a star-exclusion in the relocated list is NOT a set-op EXCEPT
-    assert(DuckDbDialect.rewrite("FROM t SELECT * EXCLUDE (b) WHERE a > 0")
+    assert(flat(DuckDbDialect.rewrite("FROM t SELECT * EXCLUDE (b) WHERE a > 0"))
       == "SELECT * except (b) FROM t WHERE a > 0")
     // ordinary SELECT statements pass through this stage untouched
     assert(DuckDbDialect.rewrite("SELECT a FROM t") == "SELECT a FROM t")
@@ -272,6 +275,139 @@ class DuckDbDialectSpec extends AnyFunSuite {
       "FROM ff SELECT a, b*2 AS c WHERE a > 1 ORDER BY a LIMIT 2")
       .collect().map(r => (r.getInt(0), r.getInt(1))).toSeq
     assert(got == Seq((2, 40), (3, 60)))
+  }
+
+  test("FROM-first hardening (round-15 advice)") {
+    val spark = TestSpark.spark
+    spark.sql("SELECT * FROM VALUES (1,10),(2,20),(3,30) AS v(a,b)")
+      .createOrReplaceTempView("ff15")
+    // 1. a -- line comment ending the FROM source must NOT swallow the
+    //    relocated WHERE (the old single-space join commented it out,
+    //    silently returning unfiltered rows)
+    val commented = SqlGateway.run(spark,
+      "FROM ff15 -- the source\nWHERE a > 1").collect()
+    assert(commented.length == 2, "line comment must not absorb WHERE")
+    // same hazard on the relocated SELECT-list path
+    val commented2 = SqlGateway.run(spark,
+      "FROM ff15 -- src\nSELECT a -- keep a\nWHERE a > 2").collect()
+    assert(commented2.length == 1 && commented2.head.getInt(0) == 3)
+    // 2. a FROM-first branch AFTER a SELECT-first head is legal DuckDB
+    //    and now rewrites too (the old gate only looked at the head)
+    val mixed = SqlGateway.run(spark,
+      "SELECT 9 AS a, 9 AS b UNION ALL FROM ff15 WHERE a = 1")
+      .collect().map(_.getInt(0)).toSet
+    assert(mixed == Set(9, 1))
+    // 3. string_split requires a strict quoted literal: an expression
+    //    that merely starts and ends with a quote must throw, not split
+    //    on a garbled pattern
+    val e = intercept[IllegalArgumentException] {
+      DuckDbDialect.rewrite("SELECT string_split(s, 'a' || 'b') FROM t")
+    }
+    assert(e.getMessage.contains("string_split"))
+    // strict literal with a doubled quote still works
+    val sp = spark.sql(DuckDbDialect.rewrite(
+      "SELECT string_split('x''y.z', '''') AS p")).head().getSeq[String](0)
+    assert(sp == Seq("x", "y.z"))
+  }
+
+  test("window frame EXCLUDE GROUP/TIES over ROWS and off-frame RANGE (round 15)") {
+    val spark = TestSpark.spark
+    // x is CONSTANT within each peer group so the per-group multiset of
+    // results is independent of tie order (peer-position assignment is
+    // arbitrary in both engines); rows compare sorted by (v, s, c).
+    spark.sql("SELECT * FROM VALUES (1,1,3),(2,5,15),(3,10,30),(4,10,30)," +
+        "(5,10,30),(6,10,30),(7,20,60),(8,25,75) AS t(i,v,x)")
+      .createOrReplaceTempView("exg")
+    def run(frame: String, excl: String): Seq[(Option[Long], Long, Option[Double])] = {
+      val spec = s"ORDER BY v $frame EXCLUDE $excl".replaceAll("\\s+", " ")
+      val q = s"SELECT SUM(x) OVER ($spec) s, COUNT(x) OVER ($spec) c, " +
+        s"AVG(x) OVER ($spec) a FROM exg ORDER BY v, s NULLS FIRST, c"
+      spark.sql(DuckDbDialect.rewrite(q)).collect().toSeq.map { r =>
+        (if (r.isNullAt(0)) None else Some(r.getLong(0)), r.getLong(1),
+          if (r.isNullAt(2)) None else Some(r.getDouble(2)))
+      }
+    }
+    // goldens measured on DuckDB 1.0 over the same rows & sort
+    def g(rows: (Int, Int, Double)*): Seq[(Option[Long], Long, Option[Double])] =
+      rows.map { case (s, c, a) =>
+        (if (c == 0) None else Some(s.toLong), c.toLong,
+          if (c == 0) None else Some(a))
+      }
+    val N = (-1, 0, 0.0) // NULL row (sum NULL, count 0, avg NULL)
+    val cases = Seq(
+      ("ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING", "GROUP",
+        g((15,1,15.0),(33,2,16.5),N,N,(15,1,15.0),(60,1,60.0),(105,2,52.5),(60,1,60.0))),
+      ("ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING", "TIES",
+        g((18,2,9.0),(48,3,16.0),(30,1,30.0),(30,1,30.0),(45,2,22.5),(90,2,45.0),(165,3,55.0),(135,2,67.5))),
+      ("ROWS BETWEEN 3 PRECEDING AND 2 PRECEDING", "GROUP",
+        g(N,(3,1,3.0),N,(15,1,15.0),(18,2,9.0),(18,2,9.0),(90,3,30.0),(120,3,40.0))),
+      ("ROWS BETWEEN 3 PRECEDING AND 2 PRECEDING", "TIES",
+        g((3,1,3.0),(18,2,9.0),(30,1,30.0),(45,2,22.5),(48,3,16.0),(48,3,16.0),(150,4,37.5),(195,4,48.75))),
+      ("ROWS BETWEEN 2 FOLLOWING AND 4 FOLLOWING", "GROUP",
+        g((105,4,26.25),(120,4,30.0),(60,1,60.0),(135,2,67.5),(135,2,67.5),(135,2,67.5),(75,1,75.0),N)),
+      ("ROWS BETWEEN 2 FOLLOWING AND 4 FOLLOWING", "TIES",
+        g((108,5,21.6),(135,5,27.0),(90,2,45.0),(165,3,55.0),(165,3,55.0),(165,3,55.0),(135,2,67.5),(75,1,75.0))),
+      ("ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW", "GROUP",
+        g(N,(3,1,3.0),(18,2,9.0),(18,2,9.0),(18,2,9.0),(18,2,9.0),(138,6,23.0),(198,7,198.0/7))),
+      ("ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW", "TIES",
+        g((3,1,3.0),(18,2,9.0),(48,3,16.0),(48,3,16.0),(48,3,16.0),(48,3,16.0),(198,7,198.0/7),(273,8,34.125))),
+      ("ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING", "GROUP",
+        g((270,7,270.0/7),(255,6,42.5),(135,2,67.5),(135,2,67.5),(135,2,67.5),(135,2,67.5),(75,1,75.0),N)),
+      ("ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING", "TIES",
+        g((273,8,34.125),(270,7,270.0/7),(165,3,55.0),(165,3,55.0),(165,3,55.0),(165,3,55.0),(135,2,67.5),(75,1,75.0))),
+      ("ROWS 2 PRECEDING", "GROUP",
+        g(N,(3,1,3.0),N,N,(15,1,15.0),(18,2,9.0),(60,2,30.0),(90,2,45.0))),
+      ("ROWS 2 PRECEDING", "TIES",
+        g((3,1,3.0),(18,2,9.0),(30,1,30.0),(30,1,30.0),(45,2,22.5),(48,3,16.0),(120,3,40.0),(165,3,55.0))),
+      ("RANGE BETWEEN 15 PRECEDING AND 5 PRECEDING", "GROUP",
+        g(N,(3,1,3.0),(18,2,9.0),(18,2,9.0),(18,2,9.0),(18,2,9.0),(135,5,27.0),(180,5,36.0))),
+      ("RANGE BETWEEN 15 PRECEDING AND 5 PRECEDING", "TIES",
+        g((3,1,3.0),(18,2,9.0),(48,3,16.0),(48,3,16.0),(48,3,16.0),(48,3,16.0),(195,6,32.5),(255,6,42.5))),
+      ("RANGE BETWEEN 5 FOLLOWING AND 15 FOLLOWING", "GROUP",
+        g((135,5,27.0),(180,5,36.0),(135,2,67.5),(135,2,67.5),(135,2,67.5),(135,2,67.5),(75,1,75.0),N)),
+      ("RANGE BETWEEN 5 FOLLOWING AND 15 FOLLOWING", "TIES",
+        g((138,6,23.0),(195,6,32.5),(165,3,55.0),(165,3,55.0),(165,3,55.0),(165,3,55.0),(135,2,67.5),(75,1,75.0))))
+    for ((frame, excl, want) <- cases) {
+      val got = run(frame, excl)
+      assert(got.map(t => (t._1, t._2)) == want.map(t => (t._1, t._2)),
+        s"$frame EXCLUDE $excl (sum/count)")
+      got.zip(want).foreach { case ((_, _, ga), (_, _, wa)) =>
+        (ga, wa) match {
+          case (Some(x), Some(y)) => assert(math.abs(x - y) < 1e-9, s"$frame EXCLUDE $excl avg")
+          case (a, b) => assert(a == b, s"$frame EXCLUDE $excl avg nullity")
+        }
+      }
+    }
+    // multi-token INTERVAL frame bounds (round-14 boundKind fix) run
+    // end-to-end: containing RANGE frames with interval offsets +
+    // EXCLUDE CURRENT ROW. DuckDB goldens over (i, d, x) =
+    // (1,'01-01',10),(2,'01-03',20),(3,'01-03',5),(4,'01-07',40),
+    // (5,'01-08',80): s = [NULL,15,30,NULL,40], c = [2,1,1,1,0].
+    spark.sql("SELECT * FROM VALUES (1, DATE '2024-01-01', 10)," +
+        "(2, DATE '2024-01-03', 20),(3, DATE '2024-01-03', 5)," +
+        "(4, DATE '2024-01-07', 40),(5, DATE '2024-01-08', 80) AS t(i,d,x)")
+      .createOrReplaceTempView("exiv")
+    val iv = spark.sql(DuckDbDialect.rewrite(
+      "SELECT i, SUM(x) OVER (ORDER BY d RANGE BETWEEN INTERVAL '3' DAY " +
+        "PRECEDING AND CURRENT ROW EXCLUDE CURRENT ROW) s, " +
+        "COUNT(x) OVER (ORDER BY d RANGE BETWEEN CURRENT ROW AND INTERVAL '2' " +
+        "DAY FOLLOWING EXCLUDE CURRENT ROW) c FROM exiv ORDER BY i")).collect()
+    assert(iv.map(r => if (r.isNullAt(1)) None else Some(r.getLong(1))).toSeq
+      == Seq(None, Some(15L), Some(30L), None, Some(40L)))
+    assert(iv.map(_.getLong(2)).toSeq == Seq(2L, 1L, 1L, 1L, 0L))
+    // throw surface: GROUPS frames are DuckDB-invalid (measured parser
+    // error) — the shim names that, not a Spark limitation
+    val eg = intercept[IllegalArgumentException](DuckDbDialect.rewrite(
+      "SELECT SUM(x) OVER (ORDER BY v GROUPS BETWEEN 1 PRECEDING AND 1 FOLLOWING EXCLUDE GROUP) FROM t"))
+    assert(eg.getMessage.contains("DuckDB 1.0 itself"))
+    // non-integer ROWS offsets throw, never silently wrong
+    val er = intercept[IllegalArgumentException](DuckDbDialect.rewrite(
+      "SELECT SUM(x) OVER (ORDER BY v ROWS BETWEEN y PRECEDING AND CURRENT ROW EXCLUDE TIES) FROM t"))
+    assert(er.getMessage.contains("integer-literal"))
+    // MIN has no subtractive form — still a named reject
+    val em = intercept[IllegalArgumentException](DuckDbDialect.rewrite(
+      "SELECT MIN(x) OVER (ORDER BY v ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING EXCLUDE TIES) FROM t"))
+    assert(em.getMessage.contains("no decomposable rewrite"))
   }
 
   test("USING SAMPLE rewrites to TABLESAMPLE; JOIN ... USING is untouched") {
@@ -861,10 +997,11 @@ class DuckDbDialectSpec extends AnyFunSuite {
     assert(DuckDbDialect.rewrite("SELECT COUNT(*) OVER (ORDER BY a ROWS BETWEEN 1 " +
       "PRECEDING AND 1 FOLLOWING EXCLUDE NO OTHERS) FROM t")
       == "SELECT COUNT(*) OVER (ORDER BY a ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING) FROM t")
-    // documented bounds fail loudly (ROWS + GROUP/TIES: a row-offset
-    // bound can cut through the peer group; MIN has no decomposition)
-    intercept[IllegalArgumentException](DuckDbDialect.rewrite(
-      "SELECT SUM(b) OVER (ORDER BY a ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING EXCLUDE TIES) FROM t"))
+    // documented bound fails loudly (MIN has no decomposition); ROWS +
+    // GROUP/TIES is SUPPORTED since round 15 (segment algebra — see the
+    // round-15 EXCLUDE test), so it must NOT throw here
+    DuckDbDialect.rewrite(
+      "SELECT SUM(b) OVER (ORDER BY a ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING EXCLUDE TIES) FROM t")
     intercept[IllegalArgumentException](DuckDbDialect.rewrite(
       "SELECT MIN(b) OVER (ORDER BY a ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING EXCLUDE CURRENT ROW) FROM t"))
     // multi-token bounds are classified by their trailing keyword — an
