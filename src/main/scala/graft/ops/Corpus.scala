@@ -453,31 +453,43 @@ object Corpus {
 
     // Bloom-screened decontamination — the 100 TB shape of
     // q_corpus_contamination. The held-out (test) shingle set is folded
-    // into an m=65536-bit / k=4 Bloom filter (set-bit positions are a
-    // DISTINCT aggregate bounded by m rows regardless of corpus size;
-    // the materialized filter is 8 KiB — the one driver read, like the
-    // IVF query vector). Train-side shingles are then screened MAP-SIDE
-    // by the broadcast-literal bit array (pure codegen: element_at +
-    // bitwiseAND, no UDF), and only the bloom-positive survivors reach
-    // the membership shuffle join. n_exact is computed over those
-    // survivors ONLY — the oracle computes it over ALL train shingles —
-    // so the driver's hash compare itself proves the filter admits no
-    // false negatives; pruned_frac records the shuffle volume the screen
-    // removed (the win that matters when the train side is 100 TB).
+    // into a k=4 Bloom filter whose size is DERIVED FROM THE DATA
+    // (round-15 fix: the old fixed m=65536 saturated once the holdout
+    // passed ~10k distinct shingles, driving the false-positive rate
+    // toward 1 and pruned_frac to 0 — the screen degenerated into the
+    // unscreened join): m = nextPow2(16 × |distinct holdout shingles|),
+    // floored at 2^16 and capped at 2^22 bits (the driver-budget bound:
+    // the bit array is at most 512 KiB, the set-bit collect at most
+    // 4 × |holdout| ≤ 2^22 positions). At 16 bits/element, k=4 gives
+    // fpr ≈ (1 − e^(−1/4))^4 ≈ 0.2 % until the cap. The ORACLE derives
+    // the SAME m arithmetically (exact integer powers of two round-trip
+    // through double LOG2/POWER below 2^23), so both engines screen
+    // identically. Set-bit positions are a DISTINCT aggregate bounded
+    // by m rows regardless of corpus size; train-side shingles are then
+    // screened MAP-SIDE by the broadcast-literal bit array (pure
+    // codegen: element_at + bitwiseAND, no UDF), and only the
+    // bloom-positive survivors reach the membership shuffle join.
+    // n_exact is computed over those survivors ONLY — the oracle
+    // computes it over ALL train shingles — so the driver's hash
+    // compare itself proves the filter admits no false negatives;
+    // pruned_frac records the shuffle volume the screen removed (the
+    // win that matters when the train side is 100 TB).
     OpQuery("q_corpus_bloom_screen",
       s"""WITH sh AS (${Dedup.oracleShingles}),
          |te AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 2 = 1),
+         |mv AS (SELECT LEAST(CAST(POWER(2, CEILING(LOG2(GREATEST(
+         |         16 * COUNT(*), 65536)))) AS BIGINT), 4194304) AS m FROM te),
          |tepos AS (
-         |  SELECT CAST('0x' || substr(md5(shingle), 1, 8) AS BIGINT) % 65536 AS p FROM te
-         |  UNION SELECT CAST('0x' || substr(md5(shingle), 9, 8) AS BIGINT) % 65536 FROM te
-         |  UNION SELECT CAST('0x' || substr(md5(shingle), 17, 8) AS BIGINT) % 65536 FROM te
-         |  UNION SELECT CAST('0x' || substr(md5(shingle), 25, 8) AS BIGINT) % 65536 FROM te),
+         |  SELECT CAST('0x' || substr(md5(shingle), 1, 8) AS BIGINT) % (SELECT m FROM mv) AS p FROM te
+         |  UNION SELECT CAST('0x' || substr(md5(shingle), 9, 8) AS BIGINT) % (SELECT m FROM mv) FROM te
+         |  UNION SELECT CAST('0x' || substr(md5(shingle), 17, 8) AS BIGINT) % (SELECT m FROM mv) FROM te
+         |  UNION SELECT CAST('0x' || substr(md5(shingle), 25, 8) AS BIGINT) % (SELECT m FROM mv) FROM te),
          |trb AS (
          |  SELECT doc_id, shingle,
-         |         (CAST('0x' || substr(md5(shingle), 1, 8) AS BIGINT) % 65536 IN (SELECT p FROM tepos))
-         |     AND (CAST('0x' || substr(md5(shingle), 9, 8) AS BIGINT) % 65536 IN (SELECT p FROM tepos))
-         |     AND (CAST('0x' || substr(md5(shingle), 17, 8) AS BIGINT) % 65536 IN (SELECT p FROM tepos))
-         |     AND (CAST('0x' || substr(md5(shingle), 25, 8) AS BIGINT) % 65536 IN (SELECT p FROM tepos))
+         |         (CAST('0x' || substr(md5(shingle), 1, 8) AS BIGINT) % (SELECT m FROM mv) IN (SELECT p FROM tepos))
+         |     AND (CAST('0x' || substr(md5(shingle), 9, 8) AS BIGINT) % (SELECT m FROM mv) IN (SELECT p FROM tepos))
+         |     AND (CAST('0x' || substr(md5(shingle), 17, 8) AS BIGINT) % (SELECT m FROM mv) IN (SELECT p FROM tepos))
+         |     AND (CAST('0x' || substr(md5(shingle), 25, 8) AS BIGINT) % (SELECT m FROM mv) IN (SELECT p FROM tepos))
          |       AS bpos
          |  FROM sh WHERE doc_id % 2 = 0)
          |SELECT doc_id,
@@ -489,16 +501,27 @@ object Corpus {
          |         AS pruned_frac
          |FROM trb GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, d) =>
       val sh = Dedup.shingleTable(s, d)
-      def posEx(c: Column, off: Int) =
-        conv(substring(md5(c), off, 8), 16, 10).cast("long") % 65536
-      val offs = Seq(1, 9, 17, 25)
       val te = sh.filter(col("doc_id") % 2 === 1).select("shingle").distinct()
-      // Build: distinct set-bit positions (≤ m rows by construction) →
-      // 8 KiB bit array on the driver, shipped as a codegen literal.
+      // m from the holdout's distinct-shingle count (te is already
+      // DISTINCT, so count() == the oracle's COUNT(*) over te). One
+      // small-side pass; at real scale substitute approx_count_distinct
+      // — the power-of-two rounding absorbs its error band.
+      val nHold = te.count()
+      val mBits: Long = {
+        val t = math.max(16L * nHold, 65536L)
+        val p = if ((t & (t - 1)) == 0L) t else java.lang.Long.highestOneBit(t) << 1
+        math.min(p, 1L << 22)
+      }
+      def posEx(c: Column, off: Int) =
+        conv(substring(md5(c), off, 8), 16, 10).cast("long") % mBits
+      val offs = Seq(1, 9, 17, 25)
+      // Build: distinct set-bit positions (≤ min(4·|holdout|, m) rows)
+      // → ≤ 512 KiB bit array on the driver, shipped as a codegen
+      // literal.
       val setBits = te
         .select(explode(array(offs.map(o => posEx(col("shingle"), o)): _*)).as("p"))
         .distinct().collect().map(_.getLong(0))
-      val words = new Array[Long](1024)
+      val words = new Array[Long]((mBits / 64).toInt)
       setBits.foreach(p => words((p / 64).toInt) |= 1L << (p % 64))
       val bits = typedlit(words.toSeq)
       val pow2 = typedlit((0 until 64).map(i => 1L << i))

