@@ -119,6 +119,41 @@ object SqlGenerator {
         s"SELECT * FROM $t WHERE rating > 4.5"
       else if (q.contains("库存") && has("stock"))
         s"SELECT * FROM $t WHERE stock < 30"
+      // ---- north-star routes (round 15): the shell's e2e path must
+      // reach the LLM-data-pipeline surface, not just Tier-B shapes.
+      // Each emits the corresponding operator family's SQL twin over
+      // whatever uploaded table carries the needed columns.
+      else if ((q.contains("duplicate") || q.contains("dedup") || q.contains("重复"))
+          && has("text"))
+        // q_dedup_exact's dashboard number: canonical-hash distinct rate
+        s"SELECT COUNT(*) AS n_docs, " +
+          s"COUNT(DISTINCT md5(lower(trim(text)))) AS n_unique, " +
+          s"ROUND(1.0 - COUNT(DISTINCT md5(lower(trim(text)))) / COUNT(*), 4) AS dup_rate " +
+          s"FROM $t"
+      else if ((q.contains("data card") || q.contains("datacard") ||
+          q.contains("per source") || q.contains("数据卡")) && has("source"))
+        // q_corpus_datacard's per-source panel
+        s"SELECT source, COUNT(*) AS n_docs" +
+          (if (has("n_chars")) ", SUM(n_chars) AS total_chars, ROUND(AVG(n_chars), 2) AS avg_chars"
+           else "") +
+          s" FROM $t GROUP BY source ORDER BY n_docs DESC, source"
+      else if (q.contains("attribut") && has("event_type") && has("user_id") && has("ts"))
+        // q_events_attribution's single-pass last-touch window
+        s"SELECT event_id, user_id, " +
+          s"CASE WHEN mkt_ts >= ts - INTERVAL 1 HOUR THEN mkt_id END AS attributed_id " +
+          s"FROM (SELECT event_id, user_id, event_type, ts, " +
+          s"last_value(CASE WHEN event_type IN ('view', 'click') THEN event_id END) " +
+          s"IGNORE NULLS OVER (PARTITION BY user_id ORDER BY ts, event_id " +
+          s"ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS mkt_id, " +
+          s"last_value(CASE WHEN event_type IN ('view', 'click') THEN ts END) " +
+          s"IGNORE NULLS OVER (PARTITION BY user_id ORDER BY ts, event_id " +
+          s"ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS mkt_ts FROM $t) s " +
+          s"WHERE event_type = 'purchase' ORDER BY event_id"
+      else if ((q.contains("language") || q.contains("语言")) && has("lang"))
+        // q_corpus_drift's input panel: the corpus language mix
+        s"SELECT lang, COUNT(*) AS n, " +
+          s"ROUND(COUNT(*) * 100.0 / SUM(COUNT(*)) OVER (), 2) AS pct " +
+          s"FROM $t GROUP BY lang ORDER BY n DESC, lang"
       else
         s"SELECT * FROM $t LIMIT 10" // doc.py:188 fallback analog
     }

@@ -276,6 +276,91 @@ object EventStream {
       }
   }
 
+  /** Per-user attribution state: ONLY the most recent marketing touch
+    * (plus the drop counter) — a fixed-size record per user regardless
+    * of history length, the bounded-state requirement for a production
+    * attribution job. mktId < 0 means "no touch seen yet". */
+  case class TouchState(mktId: Long, mktTsMs: Long, lateDropped: Long) // mktTsMs holds MICROseconds since round 15's precision fix; name kept for state-schema stability
+  case class AttributionRow(event_id: Long, user_id: Long,
+      attributed_id: Option[Long], seconds_since: Option[Long],
+      late_dropped: Long)
+
+  /** Streaming twin of q_events_attribution (Analytics.scala): every
+    * purchase attributes to the user's most recent view/click within
+    * the preceding hour, via flatMapGroupsWithState keeping ONLY the
+    * last marketing touch per user — state is one fixed-size record
+    * per user, not a history (the batch form's full-window scan has no
+    * place in a 100 TB/day stream).
+    *
+    * Semantics and their batch relationship:
+    *  - Within a micro-batch, rows process in (ts, event_id) order, so
+    *    a purchase sees every touch at or before it in the batch
+    *    exactly like the batch window's ROWS UNBOUNDED..1 PRECEDING
+    *    frame (ties on ts: the smaller event_id is "before").
+    *  - Across batches, state carries the last touch forward; when
+    *    arrivals are time-ordered the result EQUALS the batch operator
+    *    row for row (StreamingSpec pins this).
+    *  - LATE DATA is dropped with accounting, not silently: an event
+    *    older than the user's max seen (ts, event_id) order point
+    *    arrived behind state that already advanced past it — a touch
+    *    cannot retro-attribute an already-emitted purchase, and a
+    *    late purchase would attribute against FUTURE state, so both
+    *    are counted into `late_dropped` (cumulative per user, carried
+    *    on every emitted row) and produce no attribution. This is the
+    *    same cannot-retract arrival-order bound as [[admissions]].
+    */
+  def attribution(events: Dataset[EventRow]): Dataset[AttributionRow] = {
+    import events.sparkSession.implicits._
+    // MICROSECOND precision throughout: the events table carries µs
+    // timestamps, and the batch twin compares/attributes at full
+    // precision (a ms truncation here diverged on sub-second gaps —
+    // caught by the equivalence spec on first run)
+    val AttrWindowUs = 3600L * 1000000
+    def us(t: java.sql.Timestamp): Long =
+      t.getTime * 1000L + (t.getNanos / 1000L) % 1000L
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[TouchState, AttributionRow](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (uid: Long, rows: Iterator[EventRow], state: GroupState[TouchState]) =>
+          var st = state.getOption.getOrElse(TouchState(-1L, Long.MinValue, 0L))
+          // high-water mark of the processed order point (ts, event_id);
+          // kept as the pair for correct tie handling. The state's own
+          // order point is the last TOUCH; it is only used to CLASSIFY
+          // lateness, and any event at or after the last touch is
+          // processed identically either way, so touch point + the
+          // batch-local maximum is exact for time-ordered arrivals and
+          // conservative (counts fewer drops) otherwise.
+          var hwUs = st.mktTsMs; var hwId = st.mktId
+          val out = scala.collection.mutable.ArrayBuffer.empty[AttributionRow]
+          rows.toSeq.sortBy(r => (us(r.ts), r.event_id)).foreach { r =>
+            val tUs = us(r.ts)
+            val late = tUs < hwUs || (tUs == hwUs && r.event_id < hwId)
+            if (late) {
+              st = st.copy(lateDropped = st.lateDropped + 1)
+            } else {
+              hwUs = tUs; hwId = r.event_id
+              r.event_type match {
+                case "view" | "click" =>
+                  st = st.copy(mktId = r.event_id, mktTsMs = tUs)
+                case "purchase" =>
+                  val attributed = st.mktId >= 0 && st.mktTsMs >= tUs - AttrWindowUs
+                  // floor-second boundary diff, the batch twin's
+                  // unix_seconds(ts) − unix_seconds(mkt_ts) semantics
+                  out += AttributionRow(r.event_id, uid,
+                    if (attributed) Some(st.mktId) else None,
+                    if (attributed) Some(Math.floorDiv(tUs, 1000000L)
+                      - Math.floorDiv(st.mktTsMs, 1000000L)) else None,
+                    st.lateDropped)
+                case _ => () // non-marketing, non-purchase: no-op
+              }
+            }
+          }
+          state.update(st)
+          out.iterator
+      }
+  }
+
   case class DocRow(doc_id: Long, text: String)
   case class Admission(doc_id: Long, canon_hash: String, decision: String)
 

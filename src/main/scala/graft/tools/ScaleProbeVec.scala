@@ -14,13 +14,14 @@ import org.apache.spark.sql.functions._
   * keeps replicas from being exact copies (which would make every
   * cosine a tie and the top-k ordering a vec_id sort) while leaving
   * the geometry intact, so:
-  *  - the three query-vector searches (brute-force top-k, 8-bit LSH
+  *  - the three query-vector searches (brute-force top-k, LSH
   *    multi-probe, md5-cell IVF) keep their 1-row broadcast query side
-  *    and scan a K×-growing corpus — expected LINEAR. The LSH/IVF
-  *    bucket counts are fixed (256 buckets / 16 cells), so per-bucket
-  *    population — and with it the probed candidate set — grows K×,
-  *    exactly the regime where a candidate-set broadcast or an
-  *    all-pairs fallback would bend the curve;
+  *    and scan a K×-growing corpus — expected LINEAR. Since round 15
+  *    the LSH/IVF widths are CORPUS-DERIVED (lshBitsFor: ~256 vectors
+  *    per cell at any scale), so per-bucket population — and with it
+  *    the probed candidate set — stays roughly CONSTANT across the
+  *    ladder; the per-K cell census printed after the timing table is
+  *    the direct evidence (vs n/16 under the old fixed bits=4);
   *  - quantize/centroid explode to (rows × 64 dims) and re-join
   *    against O(dims) / O(labels×dims) stats frames — LINEAR, and the
   *    stats frames stay broadcast-sized BY CONSTRUCTION (64 / 640
@@ -78,5 +79,26 @@ object ScaleProbeVec {
         (0 until k).map(replica).reduce(_ unionAll _)
           .write.mode("overwrite").parquet(s"$dir/embeddings.parquet"),
       maxKFor = Map("q_dedup_embedding" -> 16))
+
+    // Round-15 cell census: per-cell candidate volume under the DERIVED
+    // LSH width across the ladder — the verdict's fixed-parameter
+    // reservation was per-cell population growing as n/16; derived bits
+    // must hold avg_pop ≈ 256 while fixed4_pop (= n/16) grows 64×.
+    // (ProbeHarness.run stops its session; the census opens a fresh one.)
+    val spark2 = ProbeHarness.session()
+    ProbeHarness.ks(Seq(1, 4, 16, 64)).foreach { k =>
+      val dir = s"$outBase/k$k"
+      val e = spark2.read.parquet(s"$dir/embeddings.parquet")
+      val dn = e.agg(max(size(col("embedding"))), count(lit(1))).head()
+      val (dim, n) = (dn.getInt(0), dn.getLong(1))
+      val bits = graft.ops.VectorOps.lshBitsFor(n)
+      val pop = e.select(graft.ops.VectorOps.lshSignature(
+          transform(col("embedding"), x => x.cast("double")), dim, bits).as("cell"))
+        .groupBy("cell").count()
+        .agg(avg("count"), max("count"), count(lit(1))).head()
+      System.err.println(f"[probe] cells @K=$k: n=$n bits=$bits " +
+        f"cells_used=${pop.getLong(2)} avg_pop=${pop.getDouble(0)}%.1f " +
+        f"max_pop=${pop.getLong(1)} fixed4_pop=${n / 16}")
+    }
   }
 }

@@ -243,6 +243,64 @@ class StreamingSpec extends AnyFunSuite {
     assert(!rows.exists(_._2 > 5L), s"input was reprocessed: $rows")
   }
 
+  test("streaming last-touch attribution == batch on time-ordered arrivals") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val evs = batchEvents
+      .select($"event_id", $"ts", $"user_id", $"event_type", $"value")
+      .as[EventStream.EventRow].collect()
+      .sortBy(r => (r.ts.getTime, r.event_id))
+    val mem = MemoryStream[EventStream.EventRow]
+    val q = EventStream.attribution(mem.toDS())
+      .writeStream.format("memory").queryName("attr_sink")
+      .outputMode("append").start()
+    // four time-ordered micro-batches: a purchase may arrive batches
+    // after its touch — the one-record-per-user state must carry it
+    evs.grouped(math.max(1, evs.length / 4 + 1)).foreach { chunk =>
+      mem.addData(chunk.toSeq); q.processAllAvailable()
+    }
+    q.stop()
+    val streamed = spark.table("attr_sink")
+      .select("event_id", "user_id", "attributed_id", "seconds_since")
+    val batch = graft.SparkEntry.queries("q_events_attribution")(spark, TestSpark.Sf)
+      .select("event_id", "user_id", "attributed_id", "seconds_since")
+    assertSameRows(streamed, batch)
+    // time-ordered arrivals ⇒ nothing was late
+    assert(spark.table("attr_sink").agg(max($"late_dropped")).head().getLong(0) == 0L)
+  }
+
+  test("attribution drops late data with accounting, never retro-attributes") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    def ev(id: Long, hhmm: String, typ: String) = EventStream.EventRow(
+      id, java.sql.Timestamp.valueOf(s"2024-01-01 $hhmm:00"), 42L, typ, 1.0)
+    val mem = MemoryStream[EventStream.EventRow]
+    val q = EventStream.attribution(mem.toDS())
+      .writeStream.format("memory").queryName("attr_late_sink")
+      .outputMode("append").start()
+    mem.addData(ev(1, "10:00", "view"), ev(2, "10:10", "purchase"))
+    q.processAllAvailable()
+    // a touch OLDER than the carried touch point arrives late: it is
+    // dropped with accounting — the already-emitted purchase must not
+    // change, and the old touch must not overwrite the newer state
+    mem.addData(ev(3, "09:50", "view"), ev(4, "10:30", "purchase"))
+    q.processAllAvailable()
+    // beyond the 1-hour window: purchase survives unattributed
+    mem.addData(ev(5, "11:30", "purchase"))
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("attr_late_sink")
+      .collect().map(r => r.getLong(0) ->
+        (Option(r.get(2)).map(_.asInstanceOf[Long]),
+         Option(r.get(3)).map(_.asInstanceOf[Long]), r.getLong(4))).toMap
+    assert(rows(2L) == (Some(1L), Some(600L), 0L), s"got ${rows(2L)}")
+    assert(rows(4L) == (Some(1L), Some(1800L), 1L),
+      s"late view must be dropped+counted, not retro-applied: ${rows(4L)}")
+    assert(rows(5L) == (None, None, 1L), s"out-of-window: ${rows(5L)}")
+  }
+
   test("flatMapGroupsWithState running totals converge to batch totals") {
     import spark.implicits._
     val src = EventStream.source(spark, TestSpark.Sf)

@@ -270,5 +270,58 @@ class WebSpec extends AnyFunSuite {
     assert(bad.statusCode() == 404 && bad.body().contains("nope"))
   }
 
+  test("north-star asks route to the pipeline operators (round 15)") {
+    // the shell's e2e path must reach the LLM-data-pipeline surface:
+    // dedup rate, data card, last-touch attribution, language mix —
+    // each ask lands on the Stub's operator-family SQL and runs through
+    // the SELECT-only gateway against the uploaded table
+    def uploadNamed(name: String, content: String, cookie: String = ""): (String, String) = {
+      val boundary = "graftBoundaryNS"
+      val b = HttpRequest.newBuilder()
+        .uri(URI.create(s"$base/api/upload"))
+        .header("Content-Type", s"multipart/form-data; boundary=$boundary")
+      if (cookie.nonEmpty) b.header("Cookie", cookie)
+      val resp = http.send(b.POST(HttpRequest.BodyPublishers.ofByteArray(
+        multipartBody(name, content.getBytes(StandardCharsets.UTF_8), boundary))).build(),
+        HttpResponse.BodyHandlers.ofString())
+      assert(resp.statusCode() == 200, resp.body())
+      val ck = resp.headers().firstValue("Set-Cookie").orElse("").split(";").head
+      (Json.getString(resp.body(), "file_id").get, if (cookie.nonEmpty) cookie else ck)
+    }
+    def ask(fileId: String, cookie: String, question: String): String = {
+      val r = post("/api/ask_question",
+        Json.obj("file_id" -> Json.str(fileId), "question" -> Json.str(question)),
+        "application/json", cookie)
+      assert(r.statusCode() == 200, r.body())
+      Json.getString(r.body(), "markdown_result").get
+    }
+    val (docsId, cookie) = uploadNamed("docs15.csv",
+      "doc_id,text,lang,source,n_chars\n" +
+        "1,hello world,en,web,11\n" +
+        "2,Hello World,en,web,11\n" +
+        "3,unique text,zh,wiki,11\n")
+    // dedup rate: 3 docs, 2 canonical-distinct → dup_rate 0.3333 (2dp render)
+    val dd = ask(docsId, cookie, "what fraction of the documents are duplicates?")
+    assert(dd.contains("dup_rate") && dd.contains("n_unique"), dd.take(500))
+    assert(dd.contains("| 3 | 2 |"), dd.take(500))
+    // data card per source
+    val dc = ask(docsId, cookie, "show me a data card per source")
+    assert(dc.contains("total_chars") && dc.contains("web") && dc.contains("wiki"),
+      dc.take(500))
+    // language mix
+    val lm = ask(docsId, cookie, "what is the language mix?")
+    assert(lm.contains("pct") && lm.contains("en") && lm.contains("zh"), lm.take(500))
+    // last-touch attribution over an events-shaped upload: purchase 2
+    // attributes to view 1 (10 min gap); purchase 3 is out of window
+    val (evId, _) = uploadNamed("events15.csv",
+      "event_id,ts,user_id,event_type,value\n" +
+        "1,2024-01-01 10:00:00,7,view,1.0\n" +
+        "2,2024-01-01 10:10:00,7,purchase,5.0\n" +
+        "3,2024-01-01 12:00:00,7,purchase,5.0\n", cookie)
+    val at = ask(evId, cookie, "attribute each purchase to the last marketing touch")
+    assert(at.contains("attributed_id"), at.take(500))
+    assert(at.contains("| 2 | 7 | 1 |"), at.take(500))
+  }
+
   test("shutdown") { server.stop() }
 }
