@@ -501,7 +501,14 @@ object Corpus {
          |         AS pruned_frac
          |FROM trb GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, d) =>
       val sh = Dedup.shingleTable(s, d)
-      val te = sh.filter(col("doc_id") % 2 === 1).select("shingle").distinct()
+      // the holdout's distinct set is read three times (count for m,
+      // set-bit collect, exact-containment join) — cache it under the
+      // same size gate as the shingle stream so the distinct shuffle
+      // runs once, not three times (CacheManager dedups by plan, so
+      // repeated invocations share one entry; round-15 solo profile)
+      val te0 = sh.filter(col("doc_id") % 2 === 1).select("shingle").distinct()
+      val te = if (Tables.onDiskBytes(s"$d/documents.parquet") <= Tables.cacheMaxBytes)
+        te0.cache() else te0
       // m from the holdout's distinct-shingle count (te is already
       // DISTINCT, so count() == the oracle's COUNT(*) over te). One
       // small-side pass; at real scale substitute approx_count_distinct
