@@ -56,6 +56,13 @@ package graft.engine
   *    bound). GROUPS frames throw because DuckDB 1.0 itself rejects
   *    them (measured parser error — outside the contract); MIN/MAX
   *    (non-subtractive) and DISTINCT arguments throw too.
+  *  - DISTINCT window aggregates (`COUNT/SUM/AVG/MIN/MAX(DISTINCT x)
+  *    OVER …`, DuckDB-native, rejected outright by Spark) decompose
+  *    over collect_set: COUNT = size(set), SUM = element-typed fold
+  *    seeded by the set's first element (NULL on empty, like the
+  *    engine), AVG = the pair, MIN/MAX drop the redundant DISTINCT
+  *    (round 15; NULL exclusion, frame semantics and empty-frame
+  *    results all measured).
   *  - List functions carry DuckDB's MEASURED semantics where a bare
   *    rename would silently diverge (round 14): `string_split`/
   *    `str_split`/`string_to_array` regex-escape their literal
@@ -126,6 +133,7 @@ object DuckDbDialect {
     s = rewriteUsingSample(s)
     s = rewriteSimilarTo(s)
     s = rewriteIgnoreNulls(s)
+    s = rewriteDistinctWindow(s)
     s = rewriteFrameExclude(s)
     s = rewriteCalls(s, "string_split")(stringSplitCall)
     s = rewriteCalls(s, "str_split")(stringSplitCall)
@@ -1467,6 +1475,120 @@ object DuckDbDialect {
       }
     }
     throw new IllegalArgumentException("window frame EXCLUDE rewriting did not converge")
+  }
+
+  /** DuckDB evaluates DISTINCT aggregates as WINDOW functions
+    * (`COUNT/SUM/AVG/MIN/MAX(DISTINCT x) OVER …`); Spark rejects
+    * DISTINCT inside any window function. Measured on DuckDB 1.0
+    * (DuckDbDialectSpec goldens): NULLs are excluded from the distinct
+    * set, COUNT over an all-NULL/empty frame is 0, SUM/AVG are NULL,
+    * and frames apply (the set is the FRAME's distinct values). Exact
+    * decompositions over Spark's set-valued window aggregate:
+    *
+    *   COUNT → size(collect_set(x) OVER spec)          (empty → 0)
+    *   SUM   → aggregate(cs, try_element_at(cs, 1), (a,b) -> a+b)
+    *             − try_element_at(cs, 1)
+    *           (the first element seeds the fold in the ELEMENT type,
+    *           so integer sums stay exact with no textual type guess;
+    *           it is added once more by the fold and subtracted back;
+    *           empty set → NULL seed → NULL, DuckDB's empty-SUM)
+    *   AVG   → the SUM form / size(cs), NULL-guarded
+    *   MIN/MAX → DISTINCT dropped (identical by definition)
+    *
+    * collect_set's order nondeterminism is immaterial — only the set's
+    * size and a commutative fold are read; the set itself is the
+    * irreducible per-frame state of an exact DISTINCT window on ANY
+    * engine. Ordinary (non-window) DISTINCT aggregates are left alone
+    * (Spark-native). Bound: the collect_set text is spliced 2–4× —
+    * the same deterministic-inputs duplication class documented at the
+    * list-call NULL guards. */
+  private def rewriteDistinctWindow(sql0: String): String = {
+    var sql = sql0
+    var guard = 0
+    val fns = Seq("count", "sum", "avg", "min", "max")
+    while (guard < 100) {
+      guard += 1
+      val in = inString(sql)
+      // first fn( DISTINCT … ) followed by OVER
+      var matched: Option[(Int, String, Int, Int)] = None
+      var idx = 0
+      while (idx < sql.length && matched.isEmpty) {
+        if (!in(idx) && (idx == 0 || !isIdentChar(sql(idx - 1)))) {
+          fns.find(f => sql.regionMatches(true, idx, f, 0, f.length) &&
+              (idx + f.length >= sql.length || !isIdentChar(sql(idx + f.length))))
+            .foreach { f =>
+              var j = idx + f.length
+              while (j < sql.length && sql(j).isWhitespace) j += 1
+              if (j < sql.length && sql(j) == '(') {
+                var k = j + 1
+                while (k < sql.length && sql(k).isWhitespace) k += 1
+                if (sql.regionMatches(true, k, "distinct", 0, 8) &&
+                    k + 8 < sql.length && !isIdentChar(sql(k + 8))) {
+                  var depth = 1; var p = j + 1
+                  while (depth > 0 && p < sql.length) {
+                    if (!in(p)) {
+                      if (sql(p) == '(') depth += 1
+                      else if (sql(p) == ')') depth -= 1
+                    }
+                    p += 1
+                  }
+                  if (depth == 0) {
+                    val close = p - 1
+                    var q = close + 1
+                    while (q < sql.length && sql(q).isWhitespace) q += 1
+                    if (sql.regionMatches(true, q, "over", 0, 4) &&
+                        (q + 4 >= sql.length || !isIdentChar(sql(q + 4))))
+                      matched = Some((idx, f.toLowerCase(java.util.Locale.ROOT),
+                        k + 8, close))
+                  }
+                }
+              }
+            }
+        }
+        idx += 1
+      }
+      matched match {
+        case None => return sql
+        case Some((fnStart, f, distEnd, close)) =>
+          var q = close + 1
+          while (sql(q).isWhitespace) q += 1
+          var ovEnd = q + 4
+          while (ovEnd < sql.length && sql(ovEnd).isWhitespace) ovEnd += 1
+          if (ovEnd < sql.length && sql(ovEnd) == '(') {
+            var depth = 1; ovEnd += 1
+            while (depth > 0 && ovEnd < sql.length) {
+              if (!in(ovEnd)) {
+                if (sql(ovEnd) == '(') depth += 1
+                else if (sql(ovEnd) == ')') depth -= 1
+              }
+              ovEnd += 1
+            }
+            require(depth == 0, "DISTINCT window aggregate: unbalanced OVER specification")
+          } else {
+            val idStart = ovEnd
+            while (ovEnd < sql.length && isIdentChar(sql(ovEnd))) ovEnd += 1
+            require(ovEnd > idStart,
+              "DISTINCT window aggregate: expected a window spec or name after OVER")
+          }
+          val ov = sql.substring(q, ovEnd)
+          val arg = sql.substring(distEnd, close).trim
+          if (arg.isEmpty || arg == "*")
+            throw new IllegalArgumentException(
+              s"window ${f.toUpperCase(java.util.Locale.ROOT)}(DISTINCT ...): " +
+                "expected a column argument")
+          val cs = s"collect_set($arg) $ov"
+          val sumF = s"(aggregate($cs, try_element_at($cs, 1), " +
+            s"(__dw_a, __dw_b) -> __dw_a + __dw_b) - try_element_at($cs, 1))"
+          val repl = f match {
+            case "min" | "max" => s"${f.toUpperCase(java.util.Locale.ROOT)}($arg) $ov"
+            case "count" => s"size(collect_set($arg) $ov)"
+            case "sum" => sumF
+            case _ => s"(CASE WHEN size($cs) > 0 THEN $sumF / size($cs) ELSE NULL END)"
+          }
+          sql = sql.substring(0, fnStart) + repl + sql.substring(ovEnd)
+      }
+    }
+    throw new IllegalArgumentException("DISTINCT window rewriting did not converge")
   }
 
   /** DuckDB spells IGNORE/RESPECT NULLS INSIDE a window function's call

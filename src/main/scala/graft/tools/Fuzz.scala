@@ -1489,9 +1489,42 @@ final class SqlFuzzer(seed: Long) {
 
   /** DuckDB-dialect suite: run verbatim on DuckDB, through
     * [[graft.engine.DuckDbDialect.rewrite]] on Spark. */
+  /** DISTINCT window aggregates (round 15): COUNT/SUM/AVG/MIN(DISTINCT)
+    * over partition-only and ROWS-framed specs, run natively by DuckDB
+    * vs the shim's collect_set decomposition. The aggregand is a
+    * low-cardinality modulus so distinct sets are real; partition-only
+    * frames are tie-order-free, framed specs anchor on the unique key;
+    * SUM/COUNT/MIN cast BIGINT (the decomposed SUM folds in the element
+    * type), AVG rounds 6 dp. */
+  private def qDialectDistinctWindow(): String = {
+    val (t, part, key) = pick(Seq(
+      ("orders", "o_custkey", "o_orderkey"),
+      ("lineitem", "l_suppkey", "l_orderkey * 10 + l_linenumber"),
+      ("events", "user_id", "event_id")))
+    val tbl = tables.find(_.name == t).get
+    val v = pick(cols(tbl, IntK)).name
+    val gv = s"($v % ${intLit(3, 17)})"
+    val spec = rnd.nextInt(3) match {
+      case 0 => s"PARTITION BY $part"
+      case 1 => s"PARTITION BY $part ORDER BY $key ASC NULLS FIRST " +
+        s"ROWS BETWEEN ${1 + rnd.nextInt(5)} PRECEDING AND CURRENT ROW"
+      case _ => s"PARTITION BY $part ORDER BY $key ASC NULLS FIRST " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW"
+    }
+    val expr = rnd.nextInt(4) match {
+      case 0 => s"CAST(COUNT(DISTINCT $gv) OVER ($spec) AS BIGINT)"
+      case 1 => s"CAST(SUM(DISTINCT $gv) OVER ($spec) AS BIGINT)"
+      case 2 => s"ROUND(AVG(DISTINCT $gv) OVER ($spec), 6)"
+      case _ => s"CAST(MIN(DISTINCT $gv) OVER ($spec) AS BIGINT)"
+    }
+    s"SELECT $key AS c1, CAST($gv AS BIGINT) AS c2, $expr AS c3 " +
+      s"FROM $t WHERE $v IS NOT NULL AND $part IS NOT NULL " +
+      s"AND ${pred(tbl, 1)} ${orderAll(3)} ${limit()}"
+  }
+
   def dialectQueries(count: Int): Vector[(String, String)] =
     (1 to count).map { i =>
-      val (kind, sql) = rnd.nextInt(16) match {
+      val (kind, sql) = rnd.nextInt(17) match {
         case 0 => ("dsel", qDialectProj())
         case 1 => ("dgrp", qDialectGroup())
         case 2 => ("dtb", qDialectBucket())
@@ -1507,6 +1540,7 @@ final class SqlFuzzer(seed: Long) {
         case 12 => ("dpivot", qDialectPivot())
         case 13 => ("dunpivot", qDialectUnpivot())
         case 14 => ("dfrom", qDialectFromFirst())
+        case 15 => ("ddw", qDialectDistinctWindow())
         case _ => ("ddiv", qDialectDivFilter())
       }
       (f"fz_$i%04d_$kind", sql)

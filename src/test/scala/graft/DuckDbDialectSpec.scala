@@ -310,6 +310,44 @@ class DuckDbDialectSpec extends AnyFunSuite {
     assert(sp == Seq("x", "y.z"))
   }
 
+  test("DISTINCT window aggregates decompose over collect_set (round 15)") {
+    val spark = TestSpark.spark
+    // goldens measured on DuckDB 1.0 over these rows
+    spark.sql("SELECT * FROM VALUES (1,1,10),(2,1,10),(3,1,20),(4,2,CAST(NULL AS INT))," +
+        "(5,2,30),(6,2,30) AS t(i,g,x)").createOrReplaceTempView("dwt")
+    val r = spark.sql(DuckDbDialect.rewrite(
+      "SELECT i, COUNT(DISTINCT x) OVER (PARTITION BY g) c, " +
+        "SUM(DISTINCT x) OVER (PARTITION BY g) s, " +
+        "AVG(DISTINCT x) OVER (PARTITION BY g) a, " +
+        "COUNT(DISTINCT x) OVER (PARTITION BY g ORDER BY i " +
+        "ROWS BETWEEN 1 PRECEDING AND CURRENT ROW) cf, " +
+        "MIN(DISTINCT x) OVER (PARTITION BY g) mn " +
+        "FROM dwt ORDER BY i")).collect()
+    assert(r.map(_.getInt(1)).toSeq == Seq(2, 2, 2, 1, 1, 1))
+    // the SUM form folds in the ELEMENT type (int here) — callers cast,
+    // exactly like the fuzz grammar's CAST(.. AS BIGINT) convention
+    assert(r.map(_.getAs[Number](2).longValue).toSeq == Seq(30L, 30L, 30L, 30L, 30L, 30L))
+    assert(r.map(_.getDouble(3)).toSeq == Seq(15.0, 15.0, 15.0, 30.0, 30.0, 30.0))
+    assert(r.map(_.getInt(4)).toSeq == Seq(1, 1, 2, 0, 1, 1))
+    assert(r.map(_.getInt(5)).toSeq == Seq(10, 10, 10, 30, 30, 30))
+    // empty frame: COUNT 0, SUM NULL (measured)
+    val off = spark.sql(DuckDbDialect.rewrite(
+      "SELECT i, SUM(DISTINCT x) OVER (ORDER BY i ROWS BETWEEN 3 PRECEDING " +
+        "AND 2 PRECEDING) s, COUNT(DISTINCT x) OVER (ORDER BY i ROWS BETWEEN " +
+        "3 PRECEDING AND 2 PRECEDING) c FROM dwt ORDER BY i LIMIT 3")).collect()
+    assert(off.map(x => if (x.isNullAt(1)) None else Some(x.getAs[Number](1).longValue)).toSeq
+      == Seq(None, None, Some(10L)))
+    assert(off.map(_.getInt(2)).toSeq == Seq(0, 0, 1))
+    // named-window spelling wraps too
+    val nw = spark.sql(DuckDbDialect.rewrite(
+      "SELECT COUNT(DISTINCT x) OVER w c FROM dwt WINDOW w AS (PARTITION BY g) ORDER BY c"))
+      .collect().map(_.getInt(0)).toSeq
+    assert(nw == Seq(1, 1, 1, 2, 2, 2))
+    // ordinary (non-window) DISTINCT aggregates stay untouched
+    assert(DuckDbDialect.rewrite("SELECT COUNT(DISTINCT x) FROM t")
+      == "SELECT COUNT(DISTINCT x) FROM t")
+  }
+
   test("window frame EXCLUDE GROUP/TIES over ROWS and off-frame RANGE (round 15)") {
     val spark = TestSpark.spark
     // x is CONSTANT within each peer group so the per-group multiset of
