@@ -107,6 +107,16 @@ class DuckDbDialectSpec extends AnyFunSuite {
     assert(one[Boolean]("SELECT 'ABC' ILIKE 'a%'"))
     assert(SqlGateway.run(TestSpark.spark,
       "SELECT * EXCLUDE (b) FROM (SELECT 1 AS a, 2 AS b)").columns.toSeq == Seq("a"))
+    // bare SEMI/ANTI JOIN (DuckDB drops the LEFT) — Spark's grammar
+    // also accepts LEFT-less SEMI/ANTI, so these pass through (round 15)
+    val semi = SqlGateway.run(TestSpark.spark,
+      "SELECT a.i FROM (SELECT 1 AS i UNION ALL SELECT 2) a " +
+        "SEMI JOIN (SELECT 1 AS i) b ON a.i = b.i").collect()
+    assert(semi.map(_.getInt(0)).toSeq == Seq(1))
+    val anti = SqlGateway.run(TestSpark.spark,
+      "SELECT a.i FROM (SELECT 1 AS i UNION ALL SELECT 2) a " +
+        "ANTI JOIN (SELECT 1 AS i) b ON a.i = b.i").collect()
+    assert(anti.map(_.getInt(0)).toSeq == Seq(2))
   }
 
   test("epoch family: epoch_ms is not shadowed by the epoch rewrite") {

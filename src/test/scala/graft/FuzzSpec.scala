@@ -78,7 +78,10 @@ class FuzzSpec extends AnyFunSuite {
       "EXCLUDE GROUP", "EXCLUDE TIES",
       // PIVOT statements (round 14): the statement spelling itself is
       // the DuckDB-ism — the gateway's runPivot executes it
-      "PIVOT ")
+      "PIVOT ",
+      // DISTINCT window aggregates (round 15): Spark rejects DISTINCT
+      // in any window function — the spelling is the DuckDB-ism
+      "(DISTINCT ")
     dial.foreach { case (name, sql) =>
       // PIVOT outputs are bounded by the pivot-key domain (≤ a few
       // dozen groups here), so LIMIT is optional for dpivot; the
