@@ -56,6 +56,12 @@ package graft.engine
   *    bound). GROUPS frames throw because DuckDB 1.0 itself rejects
   *    them (measured parser error — outside the contract); MIN/MAX
   *    (non-subtractive) and DISTINCT arguments throw too.
+  *  - Bracket syntax (round 15): list literals `[e, …]` (and the
+  *    `ARRAY[…]` spelling) become array(...); 1-based indexing `x[i]`
+  *    becomes try_element_at — Spark's own bracket indexing is 0-BASED,
+  *    so a pass-through was the silent off-by-one class. NULL at index
+  *    0 / out of bounds / negative-from-end all measured and matched;
+  *    slices `x[a:b]` throw (operand type unknowable from text).
   *  - DISTINCT window aggregates (`COUNT/SUM/AVG/MIN/MAX(DISTINCT x)
   *    OVER …`, DuckDB-native, rejected outright by Spark) decompose
   *    over collect_set: COUNT = size(set), SUM = element-typed fold
@@ -133,6 +139,7 @@ object DuckDbDialect {
     s = rewriteUsingSample(s)
     s = rewriteSimilarTo(s)
     s = rewriteIgnoreNulls(s)
+    s = rewriteBrackets(s)
     s = rewriteDistinctWindow(s)
     s = rewriteFrameExclude(s)
     s = rewriteCalls(s, "string_split")(stringSplitCall)
@@ -1475,6 +1482,164 @@ object DuckDbDialect {
       }
     }
     throw new IllegalArgumentException("window frame EXCLUDE rewriting did not converge")
+  }
+
+  /** DuckDB-keyword set for the bracket classifier: a '[' straight
+    * after one of these is a LIST LITERAL position (`SELECT [1,2]`,
+    * `WHEN [..] THEN`, `ARRAY[..]`), not an index on an operand. */
+  private val BracketKeywords: Set[String] = Set(
+    "select", "from", "where", "when", "then", "else", "end", "and",
+    "or", "not", "in", "on", "by", "as", "all", "distinct", "case",
+    "union", "intersect", "except", "having", "limit", "offset",
+    "join", "cross", "inner", "left", "right", "full", "outer",
+    "semi", "anti", "using", "over", "partition", "order", "group",
+    "between", "like", "ilike", "is", "null", "asc", "desc", "values",
+    "array", "row", "interval", "exists", "any", "some", "escape",
+    "nulls", "first", "last", "filter", "within", "window", "qualify",
+    "lateral", "natural", "if", "struct", "returning", "cast")
+
+  /** DuckDB bracket syntax (all measured on 1.0): list LITERALS
+    * `[e1, e2, …]`, 1-based INDEXING `x[i]` (NULL past either end AND
+    * at index 0; negative counts from the end; `x` may be any operand —
+    * identifier, call, literal, parenthesized expression or a chained
+    * index), and slices `x[a:b]`. Spark parses `x[i]` as 0-BASED
+    * GetArrayItem (throwing out of bounds under the default ANSI mode)
+    * and rejects bracket literals outright — a bare pass-through is
+    * either a parse error or SILENTLY OFF BY ONE, the worst class.
+    *
+    * Rewrites (outside strings/comments, innermost-last by rescan):
+    *  - literal position (bracket follows start of statement, ',', '(',
+    *    an operator, or a keyword) → `array(items)`;
+    *  - operand position → `try_element_at(operand, nullif(idx, 0))` —
+    *    Spark's try_element_at IS DuckDB's indexing (1-based, NULL out
+    *    of bounds, negative from the end), and the nullif zero-guard
+    *    reproduces l[0] = NULL where Spark's element_at family rejects
+    *    index 0 (a NULL index returns NULL on both engines).
+    *
+    * Bounds: slices `x[a:b]` THROW — the text cannot carry the
+    * operand's type (list slice vs string substring); STRING indexing
+    * ('abc'[2] = 'b' in DuckDB) surfaces Spark's type error (loud);
+    * MAP bracket access diverges by design — DuckDB wraps the value in
+    * a one-element LIST, the rewrite yields the scalar (element_at
+    * semantics; documented acceptance). */
+  private def rewriteBrackets(sql0: String): String = {
+    var sql = sql0
+    var guard = 0
+    var changed = true
+    while (changed && guard < 200) {
+      guard += 1
+      changed = false
+      val in = inString(sql)
+      var i = 0
+      while (i < sql.length && !changed) {
+        if (sql(i) == '[' && !in(i)) {
+          // matching close bracket; top-level ':' marks a slice
+          var depth = 1; var pdepth = 0; var j = i + 1; var colon = -1
+          while (depth > 0 && j < sql.length) {
+            if (!in(j)) sql(j) match {
+              case '[' => depth += 1
+              case ']' => depth -= 1
+              case '(' => pdepth += 1
+              case ')' => pdepth -= 1
+              case ':' if depth == 1 && pdepth == 0 => colon = j
+              case _ => ()
+            }
+            if (depth > 0) j += 1
+          }
+          if (depth != 0)
+            throw new IllegalArgumentException("unbalanced '[' in expression")
+          val close = j
+          var p = i - 1
+          while (p >= 0 && sql(p).isWhitespace) p -= 1
+          // keyword just before the bracket ⇒ literal position; the
+          // `ARRAY[...]` spelling consumes its keyword (it abuts the
+          // bracket and `array(...)` already says it), other abutting
+          // keywords get a separating space
+          var kwStart = -1; var kwText = ""
+          if (p >= 0 && isIdentChar(sql(p)) && !in(p)) {
+            var w = p
+            while (w >= 0 && isIdentChar(sql(w))) w -= 1
+            val t = sql.substring(w + 1, p + 1).toLowerCase(java.util.Locale.ROOT)
+            if (BracketKeywords.contains(t)) { kwStart = w + 1; kwText = t }
+          }
+          val kwBefore = kwStart >= 0
+          val operandPos = p >= 0 && !kwBefore &&
+            (in(p) || isIdentChar(sql(p)) || sql(p) == ')' || sql(p) == ']')
+          if (!operandPos) {
+            val spliceAt = if (kwText == "array") kwStart else i
+            val sep = if (spliceAt == i && p == i - 1 && kwBefore) " " else ""
+            sql = sql.substring(0, spliceAt) + sep + "array(" +
+              sql.substring(i + 1, close) + ")" + sql.substring(close + 1)
+            changed = true
+          } else if (colon >= 0) {
+            throw new IllegalArgumentException(
+              "bracket slice x[a:b] is not supported by the dialect shim: the " +
+                "text cannot carry the operand's type (list slice vs string " +
+                "substring) — use list_slice(x, a, b) or substring(x, a, n)")
+          } else {
+            // capture the operand: walk back over a suffix chain of
+            // identifiers, '.'-qualified names, call/paren groups,
+            // bracket groups and literals
+            var s0 = p
+            var cont = true
+            while (cont && s0 >= 0) {
+              if (in(s0)) { while (s0 >= 0 && in(s0)) s0 -= 1 }
+              else if (sql(s0) == ')') {
+                var d = 1; s0 -= 1
+                while (s0 >= 0 && d > 0) {
+                  if (!in(s0)) {
+                    if (sql(s0) == ')') d += 1
+                    else if (sql(s0) == '(') d -= 1
+                  }
+                  s0 -= 1
+                }
+              } else if (sql(s0) == ']') {
+                var d = 1; s0 -= 1
+                while (s0 >= 0 && d > 0) {
+                  if (!in(s0)) {
+                    if (sql(s0) == ']') d += 1
+                    else if (sql(s0) == '[') d -= 1
+                  }
+                  s0 -= 1
+                }
+              } else if (isIdentChar(sql(s0))) {
+                while (s0 >= 0 && isIdentChar(sql(s0))) s0 -= 1
+              } else cont = false
+              if (cont) {
+                if (s0 >= 0 && sql(s0) == '.') s0 -= 1
+                else if (!(s0 >= 0 && isIdentChar(sql(s0)))) cont = false
+              }
+            }
+            val opStart = s0 + 1
+            val operand = sql.substring(opStart, i).trim
+            val idx = sql.substring(i + 1, close).trim
+            require(operand.nonEmpty && idx.nonEmpty,
+              s"bracket index: malformed expression near '${sql.substring(opStart, close + 1)}'")
+            // zero-guard by index SHAPE: a quoted literal is a MAP key
+            // (no zero concept, and nullif(key, 0) would be an ANSI
+            // cast error); an integer literal resolves statically; any
+            // other expression gets the runtime nullif guard (a
+            // COMPUTED string map key through that guard surfaces the
+            // cast error loudly — documented, use element_at there)
+            val guarded =
+              if ("(?s)^'(?:[^']|'')*'$".r.findFirstIn(idx).isDefined)
+                s"try_element_at($operand, $idx)"
+              else if (idx.matches("[0-9]+"))
+                if (idx.toLong == 0L) s"try_element_at($operand, CAST(NULL AS INT))"
+                else s"try_element_at($operand, $idx)"
+              else if (idx.matches("-[0-9]+"))
+                s"try_element_at($operand, $idx)"
+              else s"try_element_at($operand, nullif($idx, 0))"
+            sql = sql.substring(0, opStart) + guarded + sql.substring(close + 1)
+            changed = true
+          }
+        }
+        i += 1
+      }
+    }
+    if (guard >= 200)
+      throw new IllegalArgumentException("bracket rewriting did not converge")
+    sql
   }
 
   /** DuckDB evaluates DISTINCT aggregates as WINDOW functions

@@ -1031,7 +1031,19 @@ final class SqlFuzzer(seed: Long) {
         s"WHERE ${pred(tbl, 1)} GROUP BY 1 ${orderAll(2)} ${limit()}"
   }
 
-  private def qDialectList(): String = rnd.nextInt(6) match {
+  private def qDialectList(): String = rnd.nextInt(8) match {
+    case 6 => // bracket indexing (round 15): DuckDB 1-based with NULL
+      // at 0 / out of bounds / negative from the end — the shim's
+      // try_element_at decomposition vs Spark's 0-based GetArrayItem
+      // (a bare pass-through would be silently off by one)
+      val idx = pick(Seq("1", "2", "3", "-1", "-2", "0", "9"))
+      s"SELECT doc_id AS c1, (string_split(source, 'r'))[$idx] AS c2 " +
+        s"FROM documents WHERE ${pred(documents, 1)} ${orderAll(2)} ${limit()}"
+    case 7 => // bracket LIST LITERALS, nested + indexed (round 15)
+      val i1 = 1 + rnd.nextInt(3)
+      s"SELECT o_orderkey AS c1, " +
+        s"([[o_custkey], [o_custkey + 1, ${intLit(2, 9)}]])[${1 + rnd.nextInt(2)}][$i1] AS c2 " +
+        s"FROM orders WHERE ${pred(orders, 1)} ${orderAll(2)} ${limit()}"
     case 5 => // list_concat: DuckDB treats a NULL side as EMPTY (round
       // 14); under --nulls the split inputs go NULL for real
       s"SELECT doc_id AS c1, " +

@@ -320,6 +320,41 @@ class DuckDbDialectSpec extends AnyFunSuite {
     assert(sp == Seq("x", "y.z"))
   }
 
+  test("bracket syntax: list literals and 1-based indexing (round 15)") {
+    val spark = TestSpark.spark
+    def q1[T](sql: String): T = spark.sql(DuckDbDialect.rewrite(sql)).head().getAs[T](0)
+    def qs(sql: String): Seq[Int] =
+      spark.sql(DuckDbDialect.rewrite(sql)).head().getSeq[Int](0).toSeq
+    // DuckDB goldens (measured): 1-based, NULL at 0 and out of bounds,
+    // negative from the end
+    assert(q1[Int]("SELECT ([10,20,30])[1]") == 10)
+    assert(q1[Int]("SELECT ([10,20,30])[-1]") == 30)
+    assert(spark.sql(DuckDbDialect.rewrite("SELECT ([10,20,30])[5]")).head().isNullAt(0))
+    assert(spark.sql(DuckDbDialect.rewrite("SELECT ([10,20,30])[0]")).head().isNullAt(0))
+    // literals, nested literals, literal-then-index, chained index
+    assert(qs("SELECT [1,2,3]") == Seq(1, 2, 3))
+    assert(qs("SELECT [[1],[2,3]][2]") == Seq(2, 3))
+    assert(q1[Int]("SELECT [1,2][2]") == 2)
+    assert(q1[Int]("SELECT [[1],[2,3]][2][1]") == 2)
+    // operand shapes: call result, identifier, expression index
+    assert(q1[Int]("SELECT list_value(7,8)[2]") == 8)
+    assert(q1[Int]("SELECT a[1+1] FROM (SELECT [10,20] AS a)") == 20)
+    // ARRAY[...] spelling is a literal, not an index on 'array'
+    assert(qs("SELECT ARRAY[4,5]") == Seq(4, 5))
+    // map bracket access yields the SCALAR (documented divergence:
+    // DuckDB wraps it in a one-element list)
+    assert(q1[Int]("SELECT map('a', 5)['a']") == 5)
+    // strings with brackets are untouched
+    assert(DuckDbDialect.rewrite("SELECT 'a[1]' AS s") == "SELECT 'a[1]' AS s")
+    // slices throw with the limitation named
+    val es = intercept[IllegalArgumentException](
+      DuckDbDialect.rewrite("SELECT x[1:2] FROM t"))
+    assert(es.getMessage.contains("slice"))
+    // DuckDB string indexing surfaces Spark's type error — loud, not
+    // silently wrong
+    intercept[Exception](spark.sql(DuckDbDialect.rewrite("SELECT ('abc')[2]")).collect())
+  }
+
   test("DISTINCT window aggregates decompose over collect_set (round 15)") {
     val spark = TestSpark.spark
     // goldens measured on DuckDB 1.0 over these rows
