@@ -81,7 +81,10 @@ class FuzzSpec extends AnyFunSuite {
       "PIVOT ",
       // DISTINCT window aggregates (round 15): Spark rejects DISTINCT
       // in any window function — the spelling is the DuckDB-ism
-      "(DISTINCT ")
+      "(DISTINCT ",
+      // bracket list literals / 1-based indexing (round 15): the
+      // bracket spelling itself is the DuckDB-ism
+      "[", "]")
     dial.foreach { case (name, sql) =>
       // PIVOT outputs are bounded by the pivot-key domain (≤ a few
       // dozen groups here), so LIMIT is optional for dpivot; the
