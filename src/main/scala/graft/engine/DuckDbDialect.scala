@@ -50,10 +50,11 @@ package graft.engine
   *    windows); `EXCLUDE NO OTHERS` drops. Frame bounds are classified
   *    by their TRAILING keyword (multi-token INTERVAL offsets included
   *    — round 14); an off-frame ROWS `EXCLUDE CURRENT ROW` reproduces
-  *    DuckDB 1.0's measured adjacent-row extension, while the RANGE
-  *    spelling of that one case THROWS (the measured extension is in
-  *    ROW space, including ORDER BY peers — inexpressible as a RANGE
-  *    bound). GROUPS frames throw because DuckDB 1.0 itself rejects
+  *    DuckDB 1.0's measured adjacent-row extension, and the RANGE
+  *    spelling — whose measured extension is in ROW space, including
+  *    ORDER BY peers — decomposes over mixed ROWS/RANGE prefix windows
+  *    (round 15; it was the last frame-exclusion throw). GROUPS frames
+  *    throw because DuckDB 1.0 itself rejects
   *    them (measured parser error — outside the contract); MIN/MAX
   *    (non-subtractive) and DISTINCT arguments throw too.
   *  - Bracket syntax (round 15): list literals `[e, …]` (and the
@@ -1170,7 +1171,9 @@ object DuckDbDialect {
     * Bounded (throws, never silently wrong): GROUPS frames (DuckDB 1.0
     * itself rejects them — outside the contract), DISTINCT arguments,
     * non-decomposable functions (MIN/MAX/...), non-integer-literal ROWS
-    * offsets, and GROUP/TIES without ORDER BY. */
+    * offsets, and a frameless exclusion (DuckDB rejects it too). Every
+    * frame-type × exclusion-kind combination over COUNT/SUM/AVG is now
+    * decomposed (the off-frame RANGE CURRENT ROW case closed round 15). */
   private def rewriteFrameExclude(sql0: String): String = {
     var sql = sql0
     var guard = 0
@@ -1285,24 +1288,14 @@ object DuckDbDialect {
       if (kind == "no others") {
         // the ANSI no-op spelling — frame unchanged in both engines
         sql = sql.substring(0, exclStart) + sql.substring(exclEnd)
-      } else if ((startsAfter || endsBefore) && kind == "current row") {
-        // current row outside the frame: reproduce DuckDB's measured
+      } else if ((startsAfter || endsBefore) && kind == "current row" &&
+          betweenInfo.exists(_._3.equalsIgnoreCase("rows"))) {
+        // current row outside a ROWS frame: reproduce DuckDB's measured
         // segment arithmetic by moving the offending bound to the row
-        // adjacent to current, then drop the exclusion. ROWS frames
-        // only: the extension is in ROW space — measured on DuckDB
-        // 1.0.0 with a RANGE frame over duplicate ORDER BY values
-        // ((5,100),(10,1),(10,2),(10,4) ORDER BY a RANGE BETWEEN 100
-        // PRECEDING AND 5 PRECEDING EXCLUDE CURRENT ROW gives 100/101/
-        // 103 at the a=10 rows — the extension INCLUDES earlier peers
-        // of the current row), which a value-based RANGE bound cannot
-        // express, so a RANGE spelling throws rather than approximate.
+        // adjacent to current, then drop the exclusion. The RANGE
+        // spelling of this case routes to the prefix-segment form in
+        // the main branch below (round 15 — it was a documented throw).
         val (a, bnd, kw, fStart) = betweenInfo.get
-        if (!kw.equalsIgnoreCase("rows"))
-          throw new IllegalArgumentException(
-            "window frame EXCLUDE CURRENT ROW on a RANGE frame that does not " +
-              "contain the current row is not supported by the dialect shim " +
-              "(DuckDB 1.0 extends such frames in ROW space, including ORDER " +
-              "BY peers — not expressible as a RANGE bound)")
         val newA = if (startsAfter) "1 FOLLOWING" else a
         val newB = if (endsBefore) "1 PRECEDING" else bnd
         val specAdj = "(" + inner.substring(0, fStart) +
@@ -1342,7 +1335,47 @@ object DuckDbDialect {
         def unsupportedFn(): Nothing = throw new IllegalArgumentException(
           s"window frame EXCLUDE ${kind.toUpperCase(java.util.Locale.ROOT)} over $fn() has " +
             "no decomposable rewrite — the dialect shim supports COUNT/SUM/AVG")
-        val repl = if (kind == "current row") fn match {
+        val repl = if (kind == "current row" && (startsAfter || endsBefore)) {
+          // RANGE frame NOT containing the current row (round 15 — this
+          // closed the last frame-exclusion throw): DuckDB evaluates the
+          // exclusion as the ROW-space segments [fs, i−1] ∪ [i+1, fe]
+          // (round 14 measured the peer-including extension: RANGE 100
+          // PRECEDING..5 PRECEDING EXCLUDE CURRENT ROW over
+          // (5,100),(10,1),(10,2),(10,4) gives 100/101/103 at the a=10
+          // rows). The value bounds fs/fe and the positional i mix, but
+          // every piece is a STATIC prefix window:
+          //   endsBefore:  [fs, i−1] = P(i−1) − P(fs−1)
+          //     P(i−1)  = ROWS UNBOUNDED..1 PRECEDING
+          //     P(fs−1) = RANGE UNBOUNDED..CURRENT − RANGE(start..CURRENT)
+          //   startsAfter: [i+1, fe] = P(fe) − P(i)
+          //     P(fe) = RANGE UNBOUNDED..end,  P(i) = ROWS UNBOUNDED..CURRENT
+          // The other segment is empty by construction (rows before the
+          // current have values ≤ v < v+c, and symmetrically). Goldens
+          // for both directions, counts, AVG, NULL args and INTERVAL
+          // bounds measured on DuckDB 1.0 (DuckDbDialectSpec).
+          val (bA, bB, _, fStart) = betweenInfo.get
+          val oPrefix = inner.substring(0, fStart)
+          val sep = if (oPrefix.isEmpty || oPrefix.last.isWhitespace) "" else " "
+          def w(frame: String) = s"OVER (${oPrefix}${sep}${frame})"
+          val cntFn = if (arg == "*") "COUNT(*)" else s"COUNT($arg)"
+          def cnt(frame: String) = s"$cntFn ${w(frame)}"
+          def sum(frame: String) = s"COALESCE(SUM($arg) ${w(frame)}, 0)"
+          def segs(g: String => String): String =
+            if (endsBefore)
+              s"(${g("ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING")} " +
+                s"- (${g("RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW")} " +
+                s"- ${g(s"RANGE BETWEEN $bA AND CURRENT ROW")}))"
+            else
+              s"(${g(s"RANGE BETWEEN UNBOUNDED PRECEDING AND $bB")} " +
+                s"- ${g("ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW")})"
+          val remCnt = segs(cnt)
+          fn match {
+            case "count" => remCnt
+            case "sum" => s"(CASE WHEN $remCnt > 0 THEN ${segs(sum)} ELSE NULL END)"
+            case "avg" => s"(CASE WHEN $remCnt > 0 THEN ${segs(sum)} / $remCnt ELSE NULL END)"
+            case _ => unsupportedFn()
+          }
+        } else if (kind == "current row") fn match {
           case "count" if arg == "*" =>
             s"(COUNT(*) OVER $specNoExcl - 1)"
           case "count" =>

@@ -1436,15 +1436,23 @@ final class SqlFuzzer(seed: Long) {
       // three columns, so the sorted-hash compare is deterministic.
       val gv = s"($v % ${intLit(3, 9)})"
       val w = s"($gv * 7 + ($part % 5))"
-      val rframe = rnd.nextInt(6) match {
+      val rframe = rnd.nextInt(8) match {
         case 0 => s"ROWS BETWEEN ${1 + rnd.nextInt(3)} PRECEDING AND ${1 + rnd.nextInt(3)} FOLLOWING"
         case 1 => s"ROWS BETWEEN ${2 + rnd.nextInt(3)} PRECEDING AND ${1 + rnd.nextInt(2)} PRECEDING"
         case 2 => s"ROWS BETWEEN ${1 + rnd.nextInt(2)} FOLLOWING AND ${2 + rnd.nextInt(3)} FOLLOWING"
         case 3 => "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW"
         case 4 => s"ROWS ${1 + rnd.nextInt(3)} PRECEDING" // ANSI shorthand
-        case _ => "ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING"
+        case 5 => "ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING"
+        // round 15: off-frame RANGE + EXCLUDE CURRENT ROW — DuckDB's
+        // ROW-space extension includes the current row's PEERS, so the
+        // result depends on peer position and needs this branch's
+        // multiset determinism, not the unique-key form
+        case 6 => s"RANGE BETWEEN ${3 + rnd.nextInt(6)} PRECEDING AND ${1 + rnd.nextInt(2)} PRECEDING"
+        case _ => s"RANGE BETWEEN ${1 + rnd.nextInt(2)} FOLLOWING AND ${3 + rnd.nextInt(6)} FOLLOWING"
       }
-      val gexcl = if (rnd.nextBoolean()) "EXCLUDE GROUP" else "EXCLUDE TIES"
+      val gexcl =
+        if (rframe.startsWith("RANGE")) "EXCLUDE CURRENT ROW"
+        else if (rnd.nextBoolean()) "EXCLUDE GROUP" else "EXCLUDE TIES"
       val gover = s"OVER (PARTITION BY $part ORDER BY $gv ASC $rframe $gexcl)"
       val gexpr = rnd.nextInt(3) match {
         case 0 => s"CAST(SUM($w) $gover AS BIGINT)"

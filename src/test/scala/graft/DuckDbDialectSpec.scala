@@ -491,6 +491,25 @@ class DuckDbDialectSpec extends AnyFunSuite {
     val em = intercept[IllegalArgumentException](DuckDbDialect.rewrite(
       "SELECT MIN(x) OVER (ORDER BY v ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING EXCLUDE TIES) FROM t"))
     assert(em.getMessage.contains("no decomposable rewrite"))
+    // off-frame RANGE + EXCLUDE CURRENT ROW (round 15 — the last
+    // frame-exclusion throw, now decomposed over mixed ROWS/RANGE
+    // prefixes). DuckDB's measured extension includes the current
+    // row's PEERS, so x is group-constant and rows compare sorted.
+    for ((frame, want) <- Seq(
+        ("RANGE BETWEEN 100 PRECEDING AND 5 PRECEDING",
+          g(N,(3,1,3.0),(18,2,9.0),(48,3,16.0),(78,4,19.5),(108,5,21.6),(138,6,23.0),(198,7,198.0/7))),
+        ("RANGE BETWEEN 5 FOLLOWING AND 100 FOLLOWING",
+          g((270,7,270.0/7),(255,6,42.5),(135,2,67.5),(165,3,55.0),(195,4,48.75),(225,5,45.0),(75,1,75.0),N)))) {
+      val got = run(frame, "CURRENT ROW")
+      assert(got.map(t => (t._1, t._2)) == want.map(t => (t._1, t._2)),
+        s"$frame EXCLUDE CURRENT ROW (sum/count)")
+      got.zip(want).foreach { case ((_, _, ga), (_, _, wa)) =>
+        (ga, wa) match {
+          case (Some(x), Some(y)) => assert(math.abs(x - y) < 1e-9, s"$frame avg")
+          case (a2, b2) => assert(a2 == b2, s"$frame avg nullity")
+        }
+      }
+    }
   }
 
   test("USING SAMPLE rewrites to TABLESAMPLE; JOIN ... USING is untouched") {
@@ -1089,19 +1108,20 @@ class DuckDbDialectSpec extends AnyFunSuite {
       "SELECT MIN(b) OVER (ORDER BY a ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING EXCLUDE CURRENT ROW) FROM t"))
     // multi-token bounds are classified by their trailing keyword — an
     // INTERVAL offset ending before the current row must NOT fall
-    // through to the subtraction rewrite (round-13 advice: the old
-    // single-token matcher silently removed the current row's
-    // contribution from a frame that never held it). Off-frame RANGE
-    // exclusion throws: DuckDB 1.0 extends such frames in ROW space
-    // (measured: peers of the current row enter the extension), which
-    // no value-based RANGE bound can express.
-    val offFrameRange = intercept[IllegalArgumentException](DuckDbDialect.rewrite(
+    // through to the subtraction rewrite (round-13 advice). Off-frame
+    // RANGE exclusion is SUPPORTED since round 15 (mixed ROWS/RANGE
+    // prefix segments — see the dedicated test); it must rewrite, not
+    // throw, including with INTERVAL bounds.
+    val offFrameRange = DuckDbDialect.rewrite(
       "SELECT SUM(b) OVER (ORDER BY d RANGE BETWEEN INTERVAL '5' DAY PRECEDING " +
-        "AND INTERVAL '1' DAY PRECEDING EXCLUDE CURRENT ROW) FROM t"))
-    assert(offFrameRange.getMessage.contains("ROW space"))
-    intercept[IllegalArgumentException](DuckDbDialect.rewrite(
+        "AND INTERVAL '1' DAY PRECEDING EXCLUDE CURRENT ROW) FROM t")
+    assert(!offFrameRange.contains("EXCLUDE") &&
+      offFrameRange.contains("ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING"))
+    // the numeric spelling rewrites the same way (round 15 closed the
+    // former throw; end-to-end goldens live in the round-15 test)
+    assert(!DuckDbDialect.rewrite(
       "SELECT SUM(b) OVER (ORDER BY a RANGE BETWEEN 100 PRECEDING AND 5 PRECEDING " +
-        "EXCLUDE CURRENT ROW) FROM t"))
+        "EXCLUDE CURRENT ROW) FROM t").contains("EXCLUDE"))
     // an in-frame INTERVAL RANGE exclusion still takes the subtraction
     // path (the classifier recognizes the multi-token bounds as
     // containing the current row)
