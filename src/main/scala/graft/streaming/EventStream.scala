@@ -276,11 +276,21 @@ object EventStream {
       }
   }
 
-  /** Per-user attribution state: ONLY the most recent marketing touch
-    * (plus the drop counter) — a fixed-size record per user regardless
-    * of history length, the bounded-state requirement for a production
-    * attribution job. mktId < 0 means "no touch seen yet". */
-  case class TouchState(mktId: Long, mktTsMs: Long, lateDropped: Long) // mktTsMs holds MICROseconds since round 15's precision fix; name kept for state-schema stability
+  /** Per-user attribution state: ONLY the most recent marketing touch,
+    * the drop counter, and the processed high-water mark — a fixed-size
+    * record per user regardless of history length, the bounded-state
+    * requirement for a production attribution job. mktId < 0 means "no
+    * touch seen yet". (hwUs, hwId) is the (ts, event_id) order point of
+    * the newest event EVER processed for this user — touches AND
+    * purchases — so lateness is judged against everything already
+    * emitted, not just the last touch (a touch newer than the last
+    * touch but older than an emitted purchase must be late: applying
+    * it would make future output disagree with the purchase already
+    * written). Persisted since round 16; before that the mark was
+    * re-seeded each batch from the last touch only, which silently
+    * applied exactly that class of late touch. */
+  case class TouchState(mktId: Long, mktTsMs: Long, lateDropped: Long,
+      hwUs: Long, hwId: Long) // mktTsMs holds MICROseconds since round 15's precision fix; name kept for state-schema stability
   case class AttributionRow(event_id: Long, user_id: Long,
       attributed_id: Option[Long], seconds_since: Option[Long],
       late_dropped: Long)
@@ -301,13 +311,16 @@ object EventStream {
     *    arrivals are time-ordered the result EQUALS the batch operator
     *    row for row (StreamingSpec pins this).
     *  - LATE DATA is dropped with accounting, not silently: an event
-    *    older than the user's max seen (ts, event_id) order point
-    *    arrived behind state that already advanced past it — a touch
-    *    cannot retro-attribute an already-emitted purchase, and a
-    *    late purchase would attribute against FUTURE state, so both
-    *    are counted into `late_dropped` (cumulative per user, carried
-    *    on every emitted row) and produce no attribution. This is the
-    *    same cannot-retract arrival-order bound as [[admissions]].
+    *    older than the user's max PROCESSED (ts, event_id) order point
+    *    (persisted in state as hwUs/hwId, so the bound holds across
+    *    micro-batches) arrived behind output already emitted — a touch
+    *    cannot retro-attribute an already-emitted purchase, a touch
+    *    behind an emitted purchase applied forward would make future
+    *    rows disagree with that emission, and a late purchase would
+    *    attribute against FUTURE state — so all are counted into
+    *    `late_dropped` (cumulative per user, carried on every emitted
+    *    row) and produce no attribution. This is the same
+    *    cannot-retract arrival-order bound as [[admissions]].
     */
   def attribution(events: Dataset[EventRow]): Dataset[AttributionRow] = {
     import events.sparkSession.implicits._
@@ -323,15 +336,15 @@ object EventStream {
       .flatMapGroupsWithState[TouchState, AttributionRow](
         OutputMode.Append, GroupStateTimeout.NoTimeout) {
         (uid: Long, rows: Iterator[EventRow], state: GroupState[TouchState]) =>
-          var st = state.getOption.getOrElse(TouchState(-1L, Long.MinValue, 0L))
-          // high-water mark of the processed order point (ts, event_id);
-          // kept as the pair for correct tie handling. The state's own
-          // order point is the last TOUCH; it is only used to CLASSIFY
-          // lateness, and any event at or after the last touch is
-          // processed identically either way, so touch point + the
-          // batch-local maximum is exact for time-ordered arrivals and
-          // conservative (counts fewer drops) otherwise.
-          var hwUs = st.mktTsMs; var hwId = st.mktId
+          var st = state.getOption.getOrElse(
+            TouchState(-1L, Long.MinValue, 0L, Long.MinValue, Long.MinValue))
+          // high-water mark of the processed order point (ts, event_id),
+          // persisted in state across batches (kept as the pair for
+          // correct tie handling): any event behind the newest event
+          // already processed — touch OR purchase — is late, because an
+          // emitted purchase cannot be retracted and a behind-the-mark
+          // touch would make future emissions disagree with it.
+          var hwUs = st.hwUs; var hwId = st.hwId
           val out = scala.collection.mutable.ArrayBuffer.empty[AttributionRow]
           rows.toSeq.sortBy(r => (us(r.ts), r.event_id)).foreach { r =>
             val tUs = us(r.ts)
@@ -356,7 +369,7 @@ object EventStream {
               }
             }
           }
-          state.update(st)
+          state.update(st.copy(hwUs = hwUs, hwId = hwId))
           out.iterator
       }
   }

@@ -301,6 +301,39 @@ class StreamingSpec extends AnyFunSuite {
     assert(rows(5L) == (None, None, 1L), s"out-of-window: ${rows(5L)}")
   }
 
+  test("attribution: touch behind an emitted purchase is late even if newer than last touch") {
+    // The round-15 gap: the high-water mark was re-seeded each batch
+    // from the last TOUCH, so a touch newer than that touch but older
+    // than an already-emitted purchase slipped through as on-time and
+    // applied to future purchases — making future output disagree with
+    // the emission already written. The mark is now persisted in state
+    // (TouchState.hwUs/hwId), so that touch must be dropped+counted and
+    // the next purchase must attribute to the ORIGINAL touch.
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    def ev(id: Long, hhmm: String, typ: String) = EventStream.EventRow(
+      id, java.sql.Timestamp.valueOf(s"2024-01-01 $hhmm:00"), 7L, typ, 1.0)
+    val mem = MemoryStream[EventStream.EventRow]
+    val q = EventStream.attribution(mem.toDS())
+      .writeStream.format("memory").queryName("attr_hw_sink")
+      .outputMode("append").start()
+    mem.addData(ev(1, "10:00", "view"), ev(2, "10:10", "purchase"))
+    q.processAllAvailable()
+    // view 3 at 10:05: newer than touch 1 (10:00), older than emitted
+    // purchase 2 (10:10) — behind the processed mark, must be late
+    mem.addData(ev(3, "10:05", "view"), ev(4, "10:30", "purchase"))
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("attr_hw_sink")
+      .collect().map(r => r.getLong(0) ->
+        (Option(r.get(2)).map(_.asInstanceOf[Long]),
+         Option(r.get(3)).map(_.asInstanceOf[Long]), r.getLong(4))).toMap
+    assert(rows(2L) == (Some(1L), Some(600L), 0L), s"got ${rows(2L)}")
+    assert(rows(4L) == (Some(1L), Some(1800L), 1L),
+      s"behind-emission touch must not apply forward: ${rows(4L)}")
+  }
+
   test("flatMapGroupsWithState running totals converge to batch totals") {
     import spark.implicits._
     val src = EventStream.source(spark, TestSpark.Sf)
