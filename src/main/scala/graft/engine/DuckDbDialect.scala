@@ -1550,7 +1550,9 @@ object DuckDbDialect {
     *    index 0 (a NULL index returns NULL on both engines).
     *
     * Bounds: slices `x[a:b]` THROW — the text cannot carry the
-    * operand's type (list slice vs string substring); STRING indexing
+    * operand's type (list slice vs string substring); array-TYPE
+    * brackets (`CAST(x AS INT[])`, `x::INT[3]`) THROW a named error —
+    * Spark spells array types ARRAY<...>; STRING indexing
     * ('abc'[2] = 'b' in DuckDB) surfaces Spark's type error (loud);
     * MAP bracket access diverges by design — DuckDB wraps the value in
     * a one-element LIST, the rewrite yields the scalar (element_at
@@ -1646,6 +1648,29 @@ object DuckDbDialect {
             val opStart = s0 + 1
             val operand = sql.substring(opStart, i).trim
             val idx = sql.substring(i + 1, close).trim
+            // TYPE-position brackets: in CAST(x AS INT[]) / x::INT[3]
+            // the bracket modifies a type name, not a value — treating
+            // it as indexing would emit try_element_at(INT, 3) and
+            // surface a misattributed Spark parse error. Detect the
+            // two spellings (:: or AS immediately before the captured
+            // operand) and throw the NAMED error instead.
+            val beforeOp = {
+              var tp = opStart - 1
+              while (tp >= 0 && sql(tp).isWhitespace) tp -= 1
+              tp
+            }
+            val typePos =
+              (beforeOp >= 1 && sql(beforeOp) == ':' && sql(beforeOp - 1) == ':' && !in(beforeOp)) ||
+              (beforeOp >= 1 && isIdentChar(sql(beforeOp)) && !in(beforeOp) && {
+                var w = beforeOp
+                while (w >= 0 && isIdentChar(sql(w))) w -= 1
+                sql.substring(w + 1, beforeOp + 1).equalsIgnoreCase("as")
+              })
+            if (typePos)
+              throw new IllegalArgumentException(
+                s"array-type bracket syntax ('$operand[...]', as in CAST(x AS $operand[]) " +
+                  s"or x::$operand[n]) is not supported by the dialect shim — " +
+                  "Spark spells array types ARRAY<...>")
             require(operand.nonEmpty && idx.nonEmpty,
               s"bracket index: malformed expression near '${sql.substring(opStart, close + 1)}'")
             // zero-guard by index SHAPE: a quoted literal is a MAP key
@@ -1684,12 +1709,19 @@ object DuckDbDialect {
     * decompositions over Spark's set-valued window aggregate:
     *
     *   COUNT → size(collect_set(x) OVER spec)          (empty → 0)
-    *   SUM   → aggregate(cs, try_element_at(cs, 1), (a,b) -> a+b)
-    *             − try_element_at(cs, 1)
-    *           (the first element seeds the fold in the ELEMENT type,
-    *           so integer sums stay exact with no textual type guess;
-    *           it is added once more by the fold and subtracted back;
-    *           empty set → NULL seed → NULL, DuckDB's empty-SUM)
+    *   SUM   → aggregate(cs, try_element_at(cs, 1) + CAST(0 AS BIGINT),
+    *                     (a,b) -> a+b) − try_element_at(cs, 1)
+    *           (the first element seeds the fold; the `+ 0L` widens the
+    *           accumulator by Spark's binary-arithmetic promotion with
+    *           no textual type guess — int/smallint seeds become
+    *           BIGINT, matching native SUM's long accumulator instead
+    *           of wrapping/ANSI-failing at the element type's range,
+    *           while double/decimal seeds keep their own type (+0L is
+    *           the identity there); the seed is added once more by the
+    *           fold and subtracted back; empty set → NULL seed → NULL,
+    *           DuckDB's empty-SUM. Residual bound vs DuckDB: DuckDB
+    *           sums integers in HUGEINT, so only totals beyond ±2^63
+    *           diverge — the same bound as Spark's native SUM)
     *   AVG   → the SUM form / size(cs), NULL-guarded
     *   MIN/MAX → DISTINCT dropped (identical by definition)
     *
@@ -1775,7 +1807,7 @@ object DuckDbDialect {
               s"window ${f.toUpperCase(java.util.Locale.ROOT)}(DISTINCT ...): " +
                 "expected a column argument")
           val cs = s"collect_set($arg) $ov"
-          val sumF = s"(aggregate($cs, try_element_at($cs, 1), " +
+          val sumF = s"(aggregate($cs, try_element_at($cs, 1) + CAST(0 AS BIGINT), " +
             s"(__dw_a, __dw_b) -> __dw_a + __dw_b) - try_element_at($cs, 1))"
           val repl = f match {
             case "min" | "max" => s"${f.toUpperCase(java.util.Locale.ROOT)}($arg) $ov"

@@ -458,16 +458,20 @@ object Corpus {
     // passed ~10k distinct shingles, driving the false-positive rate
     // toward 1 and pruned_frac to 0 — the screen degenerated into the
     // unscreened join): m = nextPow2(16 × |distinct holdout shingles|),
-    // floored at 2^16 and capped at 2^22 bits (the driver-budget bound:
-    // the bit array is at most 512 KiB, the set-bit collect at most
-    // 4 × |holdout| ≤ 2^22 positions). At 16 bits/element, k=4 gives
+    // floored at 2^16 and capped at 2^26 bits. Round 16 lifted the cap
+    // 16× by building the filter DISTRIBUTED: each holdout partition
+    // ORs its positions into a local bit array and a treeReduce ORs the
+    // arrays (no driver collect of positions, no distinct shuffle), and
+    // the probe ships the words as a codegen REFERENCE OBJECT
+    // (functions/BitSetExprs) instead of a plan literal — the cap is
+    // now only the 8 MiB words array in the stage's task binary, not a
+    // driver-literal budget. At 16 bits/element, k=4 gives
     // fpr ≈ (1 − e^(−1/4))^4 ≈ 0.2 % until the cap. The ORACLE derives
-    // the SAME m arithmetically (exact integer powers of two round-trip
-    // through double LOG2/POWER below 2^23), so both engines screen
-    // identically. Set-bit positions are a DISTINCT aggregate bounded
-    // by m rows regardless of corpus size; train-side shingles are then
-    // screened MAP-SIDE by the broadcast-literal bit array (pure
-    // codegen: element_at + bitwiseAND, no UDF), and only the
+    // the SAME m arithmetically (integers ≤ 2^26 and their powers of
+    // two are exact in doubles, so LOG2/CEILING/POWER round-trip), so
+    // both engines screen identically. Train-side shingles are screened
+    // MAP-SIDE by the bit array (pure codegen: word index + mask test,
+    // no UDF), and only the
     // bloom-positive survivors reach the membership shuffle join.
     // n_exact is computed over those survivors ONLY — the oracle
     // computes it over ALL train shingles — so the driver's hash
@@ -478,7 +482,7 @@ object Corpus {
       s"""WITH sh AS (${Dedup.oracleShingles}),
          |te AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 2 = 1),
          |mv AS (SELECT LEAST(CAST(POWER(2, CEILING(LOG2(GREATEST(
-         |         16 * COUNT(*), 65536)))) AS BIGINT), 4194304) AS m FROM te),
+         |         16 * COUNT(*), 65536)))) AS BIGINT), 67108864) AS m FROM te),
          |tepos AS (
          |  SELECT CAST('0x' || substr(md5(shingle), 1, 8) AS BIGINT) % (SELECT m FROM mv) AS p FROM te
          |  UNION SELECT CAST('0x' || substr(md5(shingle), 9, 8) AS BIGINT) % (SELECT m FROM mv) FROM te
@@ -502,7 +506,7 @@ object Corpus {
          |FROM trb GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, d) =>
       val sh = Dedup.shingleTable(s, d)
       // the holdout's distinct set is read three times (count for m,
-      // set-bit collect, exact-containment join) — cache it under the
+      // filter build, exact-containment join) — cache it under the
       // same size gate as the shingle stream so the distinct shuffle
       // runs once, not three times (CacheManager dedups by plan, so
       // repeated invocations share one entry; round-15 solo profile)
@@ -517,24 +521,38 @@ object Corpus {
       val mBits: Long = {
         val t = math.max(16L * nHold, 65536L)
         val p = if ((t & (t - 1)) == 0L) t else java.lang.Long.highestOneBit(t) << 1
-        math.min(p, 1L << 22)
+        math.min(p, 1L << 26)
       }
       def posEx(c: Column, off: Int) =
         conv(substring(md5(c), off, 8), 16, 10).cast("long") % mBits
       val offs = Seq(1, 9, 17, 25)
-      // Build: distinct set-bit positions (≤ min(4·|holdout|, m) rows)
-      // → ≤ 512 KiB bit array on the driver, shipped as a codegen
-      // literal.
-      val setBits = te
-        .select(explode(array(offs.map(o => posEx(col("shingle"), o)): _*)).as("p"))
-        .distinct().collect().map(_.getLong(0))
-      val words = new Array[Long]((mBits / 64).toInt)
-      setBits.foreach(p => words((p / 64).toInt) |= 1L << (p % 64))
-      val bits = typedlit(words.toSeq)
-      val pow2 = typedlit((0 until 64).map(i => 1L << i))
-      def bitTest(p: Column) =
-        element_at(bits, (p / lit(64)).cast("int") + 1)
-          .bitwiseAND(element_at(pow2, (p % 64).cast("int") + 1)) =!= lit(0L)
+      // Build: DISTRIBUTED. Each holdout partition ORs its 4 positions
+      // per shingle into a local bit array; a treeReduce ORs the
+      // partition arrays (OR is idempotent, so no distinct pass and no
+      // position shuffle — the only data movement is one words array
+      // per partition). The driver holds just the final array, which
+      // the probe references as a codegen object, never a literal.
+      val nWords = (mBits / 64).toInt
+      val words: Array[Long] =
+        if (nHold == 0L) new Array[Long](nWords)
+        else te.select(offs.map(o => posEx(col("shingle"), o)): _*)
+          .rdd.mapPartitions { it =>
+            val w = new Array[Long](nWords)
+            it.foreach { r =>
+              var i = 0
+              while (i < 4) {
+                if (!r.isNullAt(i)) {
+                  val p = r.getLong(i)
+                  w((p >>> 6).toInt) |= 1L << (p & 63L).toInt
+                }
+                i += 1
+              }
+            }
+            Iterator.single(w)
+          }.treeReduce { (a, b) =>
+            var i = 0; while (i < a.length) { a(i) |= b(i); i += 1 }; a
+          }
+      def bitTest(p: Column) = graft.functions.BitSetExprs.bitsetContains(p, words)
       val bpos = offs.map(o => bitTest(posEx(col("shingle"), o))).reduce(_ && _)
       val tr = sh.filter(col("doc_id") % 2 === 0).withColumn("bpos", bpos)
       val perDoc = tr.groupBy("doc_id").agg(

@@ -88,15 +88,37 @@ object BucketBench {
       Seq("multiway" -> multiway, "q3" -> q3, "q18" -> q18)
     }
 
+    // the write executes its OWN QueryExecution — df.queryExecution is
+    // a separate instance that never runs, so under AQE its plan string
+    // is the initial (isFinalPlan=false) plan and misses runtime
+    // conversions (e.g. shuffle → broadcast). Capture the executed
+    // QueryExecution through a QueryExecutionListener instead; events
+    // arrive asynchronously on the listener bus, so poll briefly.
+    @volatile var lastQe: org.apache.spark.sql.execution.QueryExecution = null
+    spark.listenerManager.register(new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution, durationNs: Long): Unit =
+        lastQe = qe
+      override def onFailure(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution, exception: Exception): Unit = ()
+    })
+
     def measure(layout: String, label: String, df: DataFrame): Unit = {
+      lastQe = null
       val t = System.nanoTime()
       df.write.format("noop").mode("overwrite").save()
       val wall = (System.nanoTime() - t) / 1e9
-      // post-execution plan string carries the FINAL adaptive plan;
-      // every shuffle prints as "Exchange hashpartitioning(...)" and
-      // broadcasts as "BroadcastExchange" — count both, same metric on
-      // both layouts
-      val plan = df.queryExecution.executedPlan.toString
+      var polls = 0
+      while (lastQe == null && polls < 250) { Thread.sleep(20); polls += 1 }
+      // the listener's executedPlan is the FINAL adaptive plan of the
+      // run that was timed; every shuffle prints as "Exchange
+      // hashpartitioning(...)" and broadcasts as "BroadcastExchange" —
+      // count both, same metric on both layouts
+      val plan = Option(lastQe).map(_.executedPlan.toString).getOrElse {
+        System.err.println(s"[bucket] WARN: no QueryExecutionListener event for " +
+          s"$layout/$label — falling back to the unexecuted plan (pre-AQE)")
+        df.queryExecution.executedPlan.toString
+      }
       val ex = "Exchange".r.findAllIn(plan).length
       println(f"[bucket] $layout%-9s $label%-10s wall=$wall%7.2f s  exchanges=$ex")
     }

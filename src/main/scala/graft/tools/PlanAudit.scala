@@ -113,12 +113,14 @@ object PlanAudit {
         p => "windowspecdefinition\\(source#".r.findFirstIn(p).isDefined &&
           "conv\\(substring\\(md5".r.findFirstIn(p).isDefined &&
           p.contains("WindowGroupLimit") && p.contains("Partial")),
-      // round-13: the bloom screen must evaluate as a pure-expression
-      // Filter (element_at on the literal bit words — codegen, no UDF),
-      // and the post-screen membership join must stay shuffled (te is
-      // O(test corpus); the default-zero sweep enforces the latter)
-      Check("q_corpus_bloom_screen", "bloom probe is a codegen Filter on literal bits",
-        p => "Condition : .*element_at".r.findFirstIn(p).isDefined &&
+      // round-13 (probe shape updated round 16): the bloom screen must
+      // evaluate as a pure-expression Filter (bitset_contains on the
+      // reference-object bit words — codegen, no UDF, no giant plan
+      // literal), and the post-screen membership join must stay
+      // shuffled (te is O(test corpus); the default-zero sweep enforces
+      // the latter)
+      Check("q_corpus_bloom_screen", "bloom probe is a codegen Filter on reference-object bits",
+        p => "Condition : .*bitset_contains".r.findFirstIn(p).isDefined &&
           !p.contains("BatchEvalPython")),
       // round-13: segment dedup's reassembly must be a two-phase
       // ObjectHashAggregate (map-side partial collect_list — the per-doc

@@ -350,6 +350,17 @@ class DuckDbDialectSpec extends AnyFunSuite {
     val es = intercept[IllegalArgumentException](
       DuckDbDialect.rewrite("SELECT x[1:2] FROM t"))
     assert(es.getMessage.contains("slice"))
+    // array-TYPE brackets (round 16): CAST(x AS INT[]) / x::INT[3] are
+    // type syntax, not indexing — the shim names the limitation instead
+    // of emitting try_element_at(INT, …) and a misattributed parse error
+    val et1 = intercept[IllegalArgumentException](
+      DuckDbDialect.rewrite("SELECT CAST(x AS INT[]) FROM t"))
+    assert(et1.getMessage.contains("array-type"), et1.getMessage)
+    val et2 = intercept[IllegalArgumentException](
+      DuckDbDialect.rewrite("SELECT x::INT[3] FROM t"))
+    assert(et2.getMessage.contains("array-type"), et2.getMessage)
+    // value operands before a bracket keep working around the new check
+    assert(q1[Int]("SELECT CAST([1,2] AS ARRAY<INT>)[2]") == 2)
     // DuckDB string indexing surfaces Spark's type error — loud, not
     // silently wrong
     intercept[Exception](spark.sql(DuckDbDialect.rewrite("SELECT ('abc')[2]")).collect())
@@ -369,8 +380,8 @@ class DuckDbDialectSpec extends AnyFunSuite {
         "MIN(DISTINCT x) OVER (PARTITION BY g) mn " +
         "FROM dwt ORDER BY i")).collect()
     assert(r.map(_.getInt(1)).toSeq == Seq(2, 2, 2, 1, 1, 1))
-    // the SUM form folds in the ELEMENT type (int here) — callers cast,
-    // exactly like the fuzz grammar's CAST(.. AS BIGINT) convention
+    // the SUM fold's accumulator is widened past the element type (the
+    // seed's + 0L), matching native SUM's long accumulator on int input
     assert(r.map(_.getAs[Number](2).longValue).toSeq == Seq(30L, 30L, 30L, 30L, 30L, 30L))
     assert(r.map(_.getDouble(3)).toSeq == Seq(15.0, 15.0, 15.0, 30.0, 30.0, 30.0))
     assert(r.map(_.getInt(4)).toSeq == Seq(1, 1, 2, 0, 1, 1))
@@ -391,6 +402,21 @@ class DuckDbDialectSpec extends AnyFunSuite {
     // ordinary (non-window) DISTINCT aggregates stay untouched
     assert(DuckDbDialect.rewrite("SELECT COUNT(DISTINCT x) FROM t")
       == "SELECT COUNT(DISTINCT x) FROM t")
+    // int SUM(DISTINCT) beyond int range: the widened accumulator sums
+    // exactly where the round-15 element-type fold wrapped (DuckDB
+    // promotes to HUGEINT; Spark native SUM widens to long — the
+    // decomposed form must too). 2^31-1 + 2^31-2 > Int.MaxValue.
+    spark.sql("SELECT * FROM VALUES (1, 2147483647), (2, 2147483646) AS t(i, x)")
+      .createOrReplaceTempView("dwo")
+    val big = spark.sql(DuckDbDialect.rewrite(
+      "SELECT SUM(DISTINCT x) OVER () s FROM dwo LIMIT 1"))
+      .collect().head.getAs[Number](0).longValue
+    assert(big == 4294967293L, s"int-range overflow in DISTINCT SUM fold: $big")
+    // double input keeps its type through the widening (+0L identity)
+    val dbl = spark.sql(DuckDbDialect.rewrite(
+      "SELECT SUM(DISTINCT x) OVER () s FROM (SELECT CAST(i AS DOUBLE) / 2 x " +
+        "FROM dwo) LIMIT 1")).collect().head.getDouble(0)
+    assert(math.abs(dbl - 1.5) < 1e-9, s"double DISTINCT SUM: $dbl")
   }
 
   test("window frame EXCLUDE GROUP/TIES over ROWS and off-frame RANGE (round 15)") {
