@@ -53,10 +53,16 @@ package graft.engine
   *    DuckDB 1.0's measured adjacent-row extension, and the RANGE
   *    spelling — whose measured extension is in ROW space, including
   *    ORDER BY peers — decomposes over mixed ROWS/RANGE prefix windows
-  *    (round 15; it was the last frame-exclusion throw). GROUPS frames
-  *    throw because DuckDB 1.0 itself rejects
-  *    them (measured parser error — outside the contract); MIN/MAX
-  *    (non-subtractive) and DISTINCT arguments throw too.
+  *    (round 15; it was the last frame-exclusion throw). MIN/MAX
+  *    (non-subtractive) and DISTINCT arguments throw.
+  *  - GROUPS frames (round 16 — forward-compat for the reference's
+  *    pinned duckdb>=1.3.2; the LOCAL 1.0 oracle rejects them, so the
+  *    rewrites are spec-pinned against ANSI semantics, not
+  *    driver-oracled): UNBOUNDED/CURRENT bound mixes map in place to
+  *    the equivalent RANGE/ROWS frame; integer offsets decompose to a
+  *    RANGE of ±n over a hoisted DENSE_RANK helper column (dense ranks
+  *    are gapless, so value distance IS group distance — exact),
+  *    wrapping the SELECT once for all such specs.
   *  - Bracket syntax (round 15): list literals `[e, …]` (and the
   *    `ARRAY[…]` spelling) become array(...); 1-based indexing `x[i]`
   *    becomes try_element_at — Spark's own bracket indexing is 0-BASED,
@@ -142,6 +148,7 @@ object DuckDbDialect {
     s = rewriteIgnoreNulls(s)
     s = rewriteBrackets(s)
     s = rewriteDistinctWindow(s)
+    s = rewriteGroupsDeep(s)
     s = rewriteFrameExclude(s)
     s = rewriteCalls(s, "string_split")(stringSplitCall)
     s = rewriteCalls(s, "str_split")(stringSplitCall)
@@ -1148,6 +1155,308 @@ object DuckDbDialect {
     })
   }
 
+  // ---- GROUPS frames -----------------------------------------------------
+
+  private val GroupsBound =
+    "(?:unbounded\\s+(?:preceding|following)|current\\s+row|\\d+\\s+(?:preceding|following))"
+  private val GroupsBetweenRe =
+    s"(?is)^groups\\s+between\\s+($GroupsBound)\\s+and\\s+($GroupsBound)".r
+  private val GroupsSingleRe = s"(?is)^groups\\s+($GroupsBound)".r
+  private val GroupsShapeRe =
+    "(?is)^groups\\s+(between\\s|unbounded\\s+preceding|current\\s+row|\\d+\\s+(preceding|following))".r
+
+  /** Locate the first frame-position GROUPS token: outside strings, at
+    * depth 0 of a paren group whose content is a window SPEC (the word
+    * before the open paren is OVER, or AS for a named-window definition
+    * whose content does not start with SELECT/FROM/WITH/VALUES — an AS
+    * followed by a query is a CTE/derived table, not a spec), with
+    * frame-bound-shaped text following (a mere column named `groups`
+    * inside a spec does not match the bound shape). Returns
+    * (tokenPos, specOpenParen). */
+  private def findGroupsFrame(sql: String): Option[(Int, Int)] = {
+    val in = inString(sql)
+    var opens = List.empty[Int]
+    var i = 0
+    while (i < sql.length) {
+      if (!in(i)) {
+        val c = sql(i)
+        if (c == '(') opens ::= i
+        else if (c == ')') opens = opens.drop(1)
+        else if (opens.nonEmpty && sql.regionMatches(true, i, "groups", 0, 6) &&
+            (i == 0 || !isIdentChar(sql(i - 1))) &&
+            (i + 6 >= sql.length || !isIdentChar(sql(i + 6))) &&
+            GroupsShapeRe.findFirstIn(sql.substring(i)).isDefined) {
+          val sp = opens.head
+          var w = sp - 1
+          while (w >= 0 && sql(w).isWhitespace) w -= 1
+          var e = w
+          while (e >= 0 && isIdentChar(sql(e))) e -= 1
+          val kw = sql.substring(e + 1, w + 1).toLowerCase(java.util.Locale.ROOT)
+          val contentIsSpec = "(?is)^\\s*(select|from|with|values)\\b".r
+            .findFirstIn(sql.substring(sp + 1)).isEmpty
+          if ((kw == "over" || kw == "as") && contentIsSpec) return Some((i, sp))
+        }
+      }
+      i += 1
+    }
+    None
+  }
+
+  /** ANSI GROUPS window frames — forward-compat (round 16) for the
+    * reference's pinned `duckdb>=1.3.2` (pyproject.toml:8), which parses
+    * them; the LOCAL DuckDB 1.0 oracle does not ("GROUPS mode for window
+    * functions is not implemented yet", measured), so these rewrites are
+    * spec-pinned against hand-derived ANSI semantics
+    * (DuckDbDialectSpec) and carry no driver oracle — documented in
+    * COVERAGE.md. Spark has no GROUPS token at all (checked against the
+    * 4.1 SqlBaseLexer), so the shim decomposes EXACTLY:
+    *
+    *  - Bounds drawn only from {UNBOUNDED, CURRENT ROW} (0 PRECEDING/
+    *    FOLLOWING included — both engines read it as CURRENT ROW): the
+    *    frame is directly expressible, rewritten in place —
+    *      UNBOUNDED PRECEDING..CURRENT ROW ≡ RANGE of the same (both
+    *        end at the LAST PEER of the current group);
+    *      CURRENT ROW..UNBOUNDED FOLLOWING ≡ RANGE of the same;
+    *      UNBOUNDED..UNBOUNDED ≡ ROWS UNBOUNDED..UNBOUNDED;
+    *      CURRENT ROW..CURRENT ROW ≡ RANGE CURRENT..CURRENT (the peer
+    *        group).
+    *    Any query shape, named windows included; an EXCLUDE clause is
+    *    preserved (the exclusion pass runs after this one, and its
+    *    row-space segment arithmetic is frame-type-agnostic — ORDER BY
+    *    peers ARE the row's group, so GROUPS exclusion composes).
+    *  - Integer offsets (`GROUPS n PRECEDING/FOLLOWING`): n groups
+    *    back/forward equals a RANGE of ±n over the DENSE_RANK of the
+    *    window's own partition/order — dense ranks are gapless, so
+    *    value distance IS group distance, exact for every bound mix.
+    *    A rank cannot nest inside a window spec, so the query wraps:
+    *      SELECT <list> FROM <rest> [tail]
+    *        → SELECT <list'> FROM ( SELECT *, DENSE_RANK() OVER
+    *            (<partition> <order>) AS __grpN FROM <rest> ) __groups [tail]
+    *    with the spec rewritten to `<partition> ORDER BY __grpN RANGE
+    *    BETWEEN a AND b`. WHERE stays inside the wrap (windows see
+    *    filtered rows, per evaluation order); ORDER BY/LIMIT tails stay
+    *    outside; a bare `*` select list becomes `* EXCEPT (__grpN...)`.
+    *
+    * Bounded (throws, names the limitation — never silently wrong):
+    * numeric offsets combined with top-level GROUP BY/HAVING, a set
+    * operation, a named WINDOW clause, or a qualified star (`t.*`);
+    * non-integer offset expressions; GROUPS without ORDER BY (rejected
+    * by both engines). The single-bound shorthand `GROUPS n PRECEDING`
+    * is BETWEEN n PRECEDING AND CURRENT ROW, as everywhere else. */
+  private def rewriteGroupsDeep(sql: String): String = {
+    findGroupsFrame(sql) match {
+      case None => sql
+      case Some((_, sp)) =>
+        val in = inString(sql)
+        var enclosing = List.empty[Int]
+        var i = 0
+        while (i < sp) {
+          if (!in(i)) {
+            if (sql(i) == '(') enclosing ::= i
+            else if (sql(i) == ')') enclosing = enclosing.drop(1)
+          }
+          i += 1
+        }
+        enclosing match {
+          case Nil => rewriteGroupsTop(sql) // the spec sits at top level
+          case outer :: _ =>
+            // recurse into the innermost block containing the spec —
+            // relative to that block's content the spec is top-level
+            var d = 0; var end = outer
+            while (end < sql.length && {
+              if (!in(end)) {
+                if (sql(end) == '(') d += 1 else if (sql(end) == ')') d -= 1
+              }
+              d != 0
+            }) end += 1
+            require(end < sql.length, "GROUPS frame: unbalanced parentheses")
+            val inner = rewriteGroupsDeep(sql.substring(outer + 1, end))
+            rewriteGroupsDeep(sql.substring(0, outer + 1) + inner + sql.substring(end))
+        }
+    }
+  }
+
+  private def rewriteGroupsTop(sql0: String): String = {
+    var sql = sql0
+    // alias → DENSE_RANK expr, collected across every numeric-offset
+    // spec in this block so the wrap happens ONCE
+    val hoists = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    var guard = 0
+    var next = findGroupsFrame(sql)
+    while (next.isDefined && guard < 50) {
+      guard += 1
+      val (gPos, sp) = next.get
+      val in = inString(sql)
+      val rest = sql.substring(gPos)
+      val (aTxt, bTxt, frameLen) = GroupsBetweenRe.findFirstMatchIn(rest) match {
+        case Some(m) => (m.group(1), m.group(2), m.matched.length)
+        case None =>
+          val m = GroupsSingleRe.findFirstMatchIn(rest).getOrElse(
+            throw new IllegalArgumentException(
+              "GROUPS frame: only integer-literal and UNBOUNDED/CURRENT ROW " +
+                "bounds are supported by the dialect shim (expression offsets " +
+                "cannot be hoisted into the dense-rank decomposition)"))
+          (m.group(1), "current row", m.matched.length)
+      }
+      def classify(t0: String): (Int, Long) = { // (kind: -2 UP / 2 UF / 0 CUR / -1 nPREC / 1 nFOLL, n)
+        val t = t0.trim.replaceAll("\\s+", " ").toLowerCase(java.util.Locale.ROOT)
+        if (t == "unbounded preceding") (-2, 0L)
+        else if (t == "unbounded following") (2, 0L)
+        else if (t == "current row") (0, 0L)
+        else {
+          val Array(n, dir) = t.split(" ")
+          val v = n.toLong
+          if (v == 0L) (0, 0L) else (if (dir == "following") 1 else -1, v)
+        }
+      }
+      val a = classify(aTxt); val b = classify(bTxt)
+      val prefix = sql.substring(sp + 1, gPos)
+      // the spec's own ORDER BY (required for a GROUPS frame by both
+      // engines — and the dense-rank hoist is meaningless without it)
+      val prefIn = inString(prefix)
+      var orderAt = -1; var pd = 0; var pi = 0
+      while (pi < prefix.length && orderAt < 0) {
+        if (!prefIn(pi)) {
+          val c = prefix(pi)
+          if (c == '(') pd += 1
+          else if (c == ')') pd -= 1
+          else if (pd == 0 && prefix.regionMatches(true, pi, "order", 0, 5) &&
+              (pi == 0 || !isIdentChar(prefix(pi - 1))) &&
+              (pi + 5 >= prefix.length || !isIdentChar(prefix(pi + 5))))
+            orderAt = pi
+        }
+        pi += 1
+      }
+      if (orderAt < 0)
+        throw new IllegalArgumentException(
+          "GROUPS frame requires a window ORDER BY (both engines reject it without one)")
+      val inline: Option[String] = (a._1, b._1) match {
+        case (-2, 0) => Some("RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW")
+        case (0, 2) => Some("RANGE BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING")
+        case (-2, 2) => Some("ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING")
+        case (0, 0) => Some("RANGE BETWEEN CURRENT ROW AND CURRENT ROW")
+        case _ => None
+      }
+      inline match {
+        case Some(mapped) =>
+          sql = sql.substring(0, gPos) + mapped + sql.substring(gPos + frameLen)
+        case None =>
+          // numeric offsets → dense-rank hoist. Named-window definitions
+          // (spec paren preceded by AS) would put the helper column out
+          // of the defining block's reach — bounded out.
+          var w = sp - 1
+          while (w >= 0 && sql(w).isWhitespace) w -= 1
+          var e = w
+          while (e >= 0 && isIdentChar(sql(e))) e -= 1
+          if (sql.substring(e + 1, w + 1).equalsIgnoreCase("as"))
+            throw new IllegalArgumentException(
+              "GROUPS frame with integer offsets inside a named WINDOW clause is " +
+                "outside the dialect shim's bounded support — inline the OVER spec")
+          val alias = s"__grp${hoists.size + 1}"
+          val partitionClause = prefix.substring(0, orderAt).trim
+          val orderClause = prefix.substring(orderAt).trim
+          hoists += alias ->
+            s"DENSE_RANK() OVER (${(partitionClause + " " + orderClause).trim})"
+          def boundTxt(k: (Int, Long)): String = k match {
+            case (-2, _) => "UNBOUNDED PRECEDING"
+            case (2, _) => "UNBOUNDED FOLLOWING"
+            case (0, _) => "CURRENT ROW"
+            case (1, n) => s"$n FOLLOWING"
+            case (_, n) => s"$n PRECEDING"
+          }
+          val pb = if (partitionClause.nonEmpty) partitionClause + " " else ""
+          val newSpec = s"${pb}ORDER BY $alias RANGE BETWEEN " +
+            s"${boundTxt(a)} AND ${boundTxt(b)}"
+          sql = sql.substring(0, sp + 1) + newSpec + sql.substring(gPos + frameLen)
+      }
+      next = findGroupsFrame(sql)
+    }
+    if (guard >= 50)
+      throw new IllegalArgumentException("GROUPS frame rewriting did not converge")
+    if (hoists.isEmpty) return sql
+
+    // ---- one wrap for all hoisted dense ranks ----
+    val in2 = inString(sql)
+    def wordAt(i: Int, w: String): Boolean =
+      !in2(i) && sql.regionMatches(true, i, w, 0, w.length) &&
+        (i == 0 || !isIdentChar(sql(i - 1))) &&
+        (i + w.length >= sql.length || !isIdentChar(sql(i + w.length)))
+    var depth = 0; var selAt = -1; var fromAt = -1; var tailAt = -1
+    var j = 0
+    while (j < sql.length) {
+      if (!in2(j)) {
+        val c = sql(j)
+        if (c == '(') depth += 1
+        else if (c == ')') depth -= 1
+        else if (depth == 0) {
+          if (wordAt(j, "union") || wordAt(j, "intersect") ||
+              (wordAt(j, "except") && {
+                var p = j - 1
+                while (p >= 0 && sql(p).isWhitespace) p -= 1
+                p < 0 || sql(p) != '*'
+              }))
+            throw new IllegalArgumentException(
+              "GROUPS frame with integer offsets in a set-operation branch is " +
+                "outside the dialect shim's bounded support — wrap the branch " +
+                "in a subquery")
+          else if (wordAt(j, "select")) { selAt = j; fromAt = -1; tailAt = -1 }
+          else if (selAt >= 0 && fromAt < 0 && wordAt(j, "from")) fromAt = j
+          else if (fromAt >= 0 &&
+              (wordAt(j, "group") || wordAt(j, "having") || wordAt(j, "window")))
+            throw new IllegalArgumentException(
+              "GROUPS frame with integer offsets over a grouped or named-window " +
+                "query is outside the dialect shim's bounded support — compute " +
+                "the aggregate in a subquery first")
+          else if (fromAt >= 0 && tailAt < 0 &&
+              (wordAt(j, "order") || wordAt(j, "limit") || wordAt(j, "offset")))
+            tailAt = j
+        }
+      }
+      j += 1
+    }
+    require(selAt >= 0 && fromAt > selAt,
+      "GROUPS frame: could not locate the SELECT ... FROM block to wrap")
+    val list0 = sql.substring(selAt + "select".length, fromAt)
+    // star handling: a projection star must not leak the helper columns
+    val listIn = inString(list0)
+    var ld = 0; var li = 0; var starAt = -1
+    while (li < list0.length) {
+      if (!listIn(li)) {
+        val c = list0(li)
+        if (c == '(') ld += 1
+        else if (c == ')') ld -= 1
+        else if (c == '*' && ld == 0) {
+          var p = li - 1
+          while (p >= 0 && list0(p).isWhitespace) p -= 1
+          if (p < 0 || list0(p) == ',') starAt = li // projection star
+          else if (list0(p) == '.')
+            throw new IllegalArgumentException(
+              "GROUPS frame with integer offsets and a qualified star (t.*) is " +
+                "outside the dialect shim's bounded support — name the columns")
+        }
+      }
+      li += 1
+    }
+    val aliases = hoists.map(_._1).mkString(", ")
+    val list =
+      if (starAt < 0) list0
+      else {
+        // `* EXCEPT` already present? extend would double-nest — bound out
+        val afterStar = list0.substring(starAt + 1)
+        if ("(?is)^\\s*except\\b".r.findFirstIn(afterStar).isDefined)
+          throw new IllegalArgumentException(
+            "GROUPS frame with integer offsets alongside * EXCEPT is outside " +
+              "the dialect shim's bounded support")
+        list0.substring(0, starAt) + s"* EXCEPT ($aliases)" + afterStar
+      }
+    val restEnd = if (tailAt < 0) sql.length else tailAt
+    val body = sql.substring(fromAt + "from".length, restEnd).trim
+    val tail = if (tailAt < 0) "" else " " + sql.substring(tailAt).trim
+    val synth = hoists.map { case (al, ex) => s"$ex AS $al" }.mkString(", ")
+    sql.substring(0, selAt) + "SELECT " + list.trim +
+      s" FROM ( SELECT *, $synth FROM $body ) __groups" + tail
+  }
+
   /** DuckDB window frames accept an ANSI frame-exclusion clause
     * (`ROWS BETWEEN ... EXCLUDE CURRENT ROW`); Spark has none. For the
     * decomposable aggregates the rewrite subtracts the current row's
@@ -1168,10 +1477,11 @@ object DuckDbDialect {
     * each segment is expressible with static prefix windows — see the
     * three-case derivation at the GROUP/TIES branch below.
     *
-    * Bounded (throws, never silently wrong): GROUPS frames (DuckDB 1.0
-    * itself rejects them — outside the contract), DISTINCT arguments,
+    * Bounded (throws, never silently wrong): DISTINCT arguments,
     * non-decomposable functions (MIN/MAX/...), non-integer-literal ROWS
-    * offsets, and a frameless exclusion (DuckDB rejects it too). Every
+    * offsets, and a frameless exclusion (DuckDB rejects it too). GROUPS
+    * frames no longer reach this pass — [[rewriteGroupsDeep]] decomposes
+    * them to ROWS/RANGE first (round 16). Every
     * frame-type × exclusion-kind combination over COUNT/SUM/AVG is now
     * decomposed (the off-frame RANGE CURRENT ROW case closed round 15). */
   private def rewriteFrameExclude(sql0: String): String = {
@@ -1244,11 +1554,9 @@ object DuckDbDialect {
       val frameM = "(?is)\\b(rows|range|groups)\\b(.*)$".r.findFirstMatchIn(inner)
       frameM.foreach { fm =>
         if (fm.group(1).equalsIgnoreCase("groups"))
-          throw new IllegalArgumentException(
-            "GROUPS frames are rejected: DuckDB 1.0 itself does not parse them " +
-              "(measured: ParserException \"GROUPS mode for window functions is " +
-              "not implemented yet\"), so they are outside the any-DuckDB-SELECT " +
-              "contract this shim serves")
+          throw new IllegalStateException(
+            "GROUPS frame reached rewriteFrameExclude — rewriteGroupsDeep runs " +
+              "first and should have decomposed it to ROWS/RANGE")
       }
       // Frame clause parsed uniformly: explicit BETWEEN keeps both
       // bounds; the ANSI single-bound shorthand (`ROWS 2 PRECEDING`,

@@ -419,6 +419,94 @@ class DuckDbDialectSpec extends AnyFunSuite {
     assert(math.abs(dbl - 1.5) < 1e-9, s"double DISTINCT SUM: $dbl")
   }
 
+  test("GROUPS frames decompose to RANGE/ROWS and dense-rank hoists (round 16)") {
+    // Forward-compat for the reference's pinned duckdb>=1.3.2: the
+    // LOCAL 1.0 oracle rejects GROUPS outright, so these goldens are
+    // HAND-DERIVED from the ANSI definition (frame = all rows of peer
+    // groups G[c-a]..G[c+b]) over power-of-two x values, so each sum
+    // identifies the member set exactly.
+    // Rows (i, o, x): groups by o → G1{1,2}, G2{4}, G3{8,16,32}, G4{64}
+    val spark = TestSpark.spark
+    spark.sql("SELECT * FROM VALUES (1,1,1),(2,1,2),(3,2,4),(4,3,8)," +
+        "(5,3,16),(6,3,32),(7,5,64) AS t(i,o,x)").createOrReplaceTempView("gft")
+    def sums(q: String): Seq[Long] =
+      spark.sql(DuckDbDialect.rewrite(q)).collect()
+        .map(_.getAs[Number]("s").longValue).toSeq
+    // numeric offsets → dense-rank hoist (1 PRECEDING..CURRENT ROW)
+    assert(sums("SELECT i, SUM(x) OVER (ORDER BY o GROUPS BETWEEN 1 PRECEDING " +
+      "AND CURRENT ROW) s FROM gft ORDER BY i")
+      == Seq(3L, 3L, 7L, 60L, 60L, 60L, 120L))
+    // symmetric window (1 PRECEDING..1 FOLLOWING)
+    assert(sums("SELECT i, SUM(x) OVER (ORDER BY o GROUPS BETWEEN 1 PRECEDING " +
+      "AND 1 FOLLOWING) s FROM gft ORDER BY i")
+      == Seq(7L, 7L, 63L, 124L, 124L, 124L, 120L))
+    // single-bound shorthand == BETWEEN n PRECEDING AND CURRENT ROW
+    assert(sums("SELECT i, SUM(x) OVER (ORDER BY o GROUPS 1 PRECEDING) s " +
+      "FROM gft ORDER BY i") == Seq(3L, 3L, 7L, 60L, 60L, 60L, 120L))
+    // UNBOUNDED/CURRENT mixes map in place (no wrap)
+    assert(sums("SELECT i, SUM(x) OVER (ORDER BY o GROUPS BETWEEN UNBOUNDED " +
+      "PRECEDING AND CURRENT ROW) s FROM gft ORDER BY i")
+      == Seq(3L, 3L, 7L, 63L, 63L, 63L, 127L))
+    assert(sums("SELECT i, SUM(x) OVER (ORDER BY o GROUPS BETWEEN CURRENT ROW " +
+      "AND UNBOUNDED FOLLOWING) s FROM gft ORDER BY i")
+      == Seq(127L, 127L, 124L, 120L, 120L, 120L, 64L))
+    // peer group (CURRENT..CURRENT) — COUNT = group size
+    assert(spark.sql(DuckDbDialect.rewrite("SELECT i, COUNT(*) OVER (ORDER BY o " +
+      "GROUPS BETWEEN CURRENT ROW AND CURRENT ROW) s FROM gft ORDER BY i"))
+      .collect().map(_.getLong(1)).toSeq == Seq(2L, 2L, 1L, 3L, 3L, 3L, 1L))
+    // WHERE stays inside the wrap: windows see the FILTERED rows
+    // (drop i=3, the whole G2 group → G3's preceding group becomes G1)
+    assert(sums("SELECT i, SUM(x) OVER (ORDER BY o GROUPS BETWEEN 1 PRECEDING " +
+      "AND CURRENT ROW) s FROM gft WHERE i <> 3 ORDER BY i")
+      == Seq(3L, 3L, 59L, 59L, 59L, 120L))
+    // PARTITION BY carries through the hoist (two copies of the data)
+    spark.sql("SELECT 1 AS p, * FROM gft UNION ALL SELECT 2, * FROM gft")
+      .createOrReplaceTempView("gft2")
+    val part = spark.sql(DuckDbDialect.rewrite("SELECT p, i, SUM(x) OVER " +
+      "(PARTITION BY p ORDER BY o GROUPS BETWEEN 1 PRECEDING AND CURRENT ROW) s " +
+      "FROM gft2 ORDER BY p, i")).collect()
+    assert(part.map(_.getAs[Number]("s").longValue).toSeq
+      == Seq(3L, 3L, 7L, 60L, 60L, 60L, 120L, 3L, 3L, 7L, 60L, 60L, 60L, 120L))
+    // bare * select list: helper columns must not leak into the schema
+    val star = spark.sql(DuckDbDialect.rewrite("SELECT *, SUM(x) OVER (ORDER BY o " +
+      "GROUPS BETWEEN 1 PRECEDING AND CURRENT ROW) s FROM gft ORDER BY i"))
+    assert(star.columns.toSeq == Seq("i", "o", "x", "s"), star.columns.mkString(","))
+    // subquery-level GROUPS reduces through the deep driver
+    assert(spark.sql(DuckDbDialect.rewrite("SELECT count(*) c FROM (SELECT i, " +
+      "SUM(x) OVER (ORDER BY o GROUPS BETWEEN 1 PRECEDING AND CURRENT ROW) s " +
+      "FROM gft) WHERE s > 10")).head().getLong(0) == 4L)
+    // EXCLUDE composes: inline map to RANGE, then the exclusion pass.
+    // Row i=5 (x=16, G3): frame UNBOUNDED..CURRENT = 63; TIES removes
+    // peers 8+32, keeps self → 15; i=7 (singleton G4): 127 unchanged
+    val excl = spark.sql(DuckDbDialect.rewrite("SELECT i, SUM(x) OVER (ORDER BY o " +
+      "GROUPS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW EXCLUDE TIES) s " +
+      "FROM gft ORDER BY i")).collect()
+    assert(excl.map(_.getAs[Number]("s").longValue).toSeq
+      == Seq(1L, 2L, 7L, 15L, 23L, 39L, 127L))
+    // named WINDOW clause: UNBOUNDED/CURRENT maps in place
+    assert(sums("SELECT i, SUM(x) OVER w s FROM gft WINDOW w AS (ORDER BY o " +
+      "GROUPS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) ORDER BY i")
+      == Seq(3L, 3L, 7L, 63L, 63L, 63L, 127L))
+    // a plain column NAMED groups is not hijacked (no frame-bound shape)
+    assert(spark.sql(DuckDbDialect.rewrite("SELECT max(groups) OVER (ORDER BY i) m " +
+      "FROM (SELECT 1 AS i, 2 AS groups)")).head().getInt(0) == 2)
+    // bounded out, with the limitation named: expression offsets,
+    // numeric offsets over GROUP BY, in a named WINDOW clause, or
+    // missing the mandatory ORDER BY
+    def named(q: String, frag: String): Unit = {
+      val ex = intercept[IllegalArgumentException](DuckDbDialect.rewrite(q))
+      assert(ex.getMessage.toLowerCase.contains(frag), ex.getMessage)
+    }
+    named("SELECT SUM(x) OVER (ORDER BY o GROUPS BETWEEN x PRECEDING AND " +
+      "CURRENT ROW) FROM gft", "integer-literal")
+    named("SELECT o, SUM(SUM(x)) OVER (ORDER BY o GROUPS BETWEEN 1 PRECEDING AND " +
+      "CURRENT ROW) FROM gft GROUP BY o", "grouped")
+    named("SELECT SUM(x) OVER w FROM gft WINDOW w AS (ORDER BY o GROUPS " +
+      "BETWEEN 1 PRECEDING AND CURRENT ROW)", "named window")
+    named("SELECT SUM(x) OVER (GROUPS BETWEEN 1 PRECEDING AND CURRENT ROW) " +
+      "FROM gft", "order by")
+  }
+
   test("window frame EXCLUDE GROUP/TIES over ROWS and off-frame RANGE (round 15)") {
     val spark = TestSpark.spark
     // x is CONSTANT within each peer group so the per-group multiset of
@@ -504,11 +592,17 @@ class DuckDbDialectSpec extends AnyFunSuite {
     assert(iv.map(r => if (r.isNullAt(1)) None else Some(r.getLong(1))).toSeq
       == Seq(None, Some(15L), Some(30L), None, Some(40L)))
     assert(iv.map(_.getLong(2)).toSeq == Seq(2L, 1L, 1L, 1L, 0L))
-    // throw surface: GROUPS frames are DuckDB-invalid (measured parser
-    // error) — the shim names that, not a Spark limitation
-    val eg = intercept[IllegalArgumentException](DuckDbDialect.rewrite(
-      "SELECT SUM(x) OVER (ORDER BY v GROUPS BETWEEN 1 PRECEDING AND 1 FOLLOWING EXCLUDE GROUP) FROM t"))
-    assert(eg.getMessage.contains("DuckDB 1.0 itself"))
+    // GROUPS + EXCLUDE composes since round 16 (GROUPS decomposes to a
+    // dense-rank RANGE first, then the exclusion pass applies): on gft's
+    // row i=4 (x=8, G3) the 1 PRECEDING..1 FOLLOWING frame is G2+G3+G4
+    // = 124; EXCLUDE GROUP removes all of G3 (8+16+32) → 68
+    spark.sql("SELECT * FROM VALUES (1,1,1),(2,1,2),(3,2,4),(4,3,8)," +
+        "(5,3,16),(6,3,32),(7,5,64) AS t(i,o,x)").createOrReplaceTempView("gfx")
+    val eg = spark.sql(DuckDbDialect.rewrite(
+      "SELECT i, SUM(x) OVER (ORDER BY o GROUPS BETWEEN 1 PRECEDING AND " +
+        "1 FOLLOWING EXCLUDE GROUP) s FROM gfx ORDER BY i")).collect()
+    assert(eg.map(_.getAs[Number](1).longValue).toSeq
+      == Seq(4L, 4L, 59L, 68L, 68L, 68L, 56L))
     // non-integer ROWS offsets throw, never silently wrong
     val er = intercept[IllegalArgumentException](DuckDbDialect.rewrite(
       "SELECT SUM(x) OVER (ORDER BY v ROWS BETWEEN y PRECEDING AND CURRENT ROW EXCLUDE TIES) FROM t"))
