@@ -1257,11 +1257,19 @@ object DuckDbDialect {
           }
           i += 1
         }
-        enclosing match {
-          case Nil => rewriteGroupsTop(sql) // the spec sits at top level
-          case outer :: _ =>
-            // recurse into the innermost block containing the spec —
-            // relative to that block's content the spec is top-level
+        // recurse only into an enclosing paren whose content is a QUERY
+        // (a subquery/CTE body) — an expression paren (CAST, a function
+        // call) around the OVER spec still belongs to the SAME query
+        // block, and recursing into it would strand a numeric-offset
+        // hoist without its SELECT...FROM (caught by the --groups fuzz
+        // on first run: every CAST-wrapped window failed the wrap)
+        val queryBlock = enclosing.find { op =>
+          "(?is)^\\s*(select|from|with|values)\\b".r
+            .findFirstIn(sql.substring(op + 1)).isDefined
+        }
+        queryBlock match {
+          case None => rewriteGroupsTop(sql) // the spec belongs to the statement
+          case Some(outer) =>
             var d = 0; var end = outer
             while (end < sql.length && {
               if (!in(end)) {

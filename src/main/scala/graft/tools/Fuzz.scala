@@ -1542,6 +1542,94 @@ final class SqlFuzzer(seed: Long) {
       s"AND ${pred(tbl, 1)} ${orderAll(3)} ${limit()}"
   }
 
+  /** GROUPS-frame differential suite (round 16). DuckDB 1.0 cannot
+    * parse GROUPS at all, so unlike every other dialect kind the oracle
+    * text DIFFERS from the Spark text: the generator templates an
+    * equivalent the oracle CAN run — the direct RANGE/ROWS mapping for
+    * UNBOUNDED/CURRENT bound mixes, an explicit DENSE_RANK subquery +
+    * RANGE for integer offsets — independently of the shim's text
+    * machinery. The comparison therefore proves the REWRITE MACHINERY
+    * (spec splicing, the SELECT-level wrap, repeated-spec hoists, WHERE
+    * placement inside the wrap, ORDER BY/LIMIT tails outside) on random
+    * shapes; the decomposition CONCEPT (RANGE over gapless dense ranks
+    * = GROUPS) is pinned separately against hand-derived ANSI goldens
+    * in DuckDbDialectSpec. Aggregates are SUM/COUNT over group frames —
+    * frame membership is group-based, so tie order cannot affect them.
+    * Returns (name, sparkSql, oracleSql). */
+  def groupsQueries(count: Int): Vector[(String, String, String)] =
+    (1 to count).map { i =>
+      val (s, o) = qGroupsFrame()
+      (f"fz_$i%04d_dgf", s, o)
+    }.toVector
+
+  private def qGroupsFrame(): (String, String) = {
+    val (t, part, key) = pick(Seq(
+      ("orders", "o_custkey", "o_orderkey"),
+      ("lineitem", "l_suppkey", "l_orderkey * 10 + l_linenumber"),
+      ("events", "user_id", "event_id")))
+    val tbl = tables.find(_.name == t).get
+    val v = pick(cols(tbl, IntK)).name
+    val sv = pick(cols(tbl, IntK)).name
+    val ov = s"($v % ${intLit(3, 9)})" // low-cardinality order key → real peer groups
+    // a frame bound as (sparkText, isNumeric); starts and ends drawn
+    // from the valid combinations only
+    val a = rnd.nextInt(4) match {
+      case 0 => ("UNBOUNDED PRECEDING", false)
+      case 1 => ("CURRENT ROW", false)
+      case _ => (s"${1 + rnd.nextInt(4)} PRECEDING", true)
+    }
+    val b =
+      if (a._1 == "CURRENT ROW") rnd.nextInt(2) match {
+        case 0 => ("UNBOUNDED FOLLOWING", false)
+        case _ => (s"${1 + rnd.nextInt(4)} FOLLOWING", true)
+      }
+      else rnd.nextInt(3) match {
+        case 0 => ("CURRENT ROW", false)
+        case 1 => ("UNBOUNDED FOLLOWING", false)
+        case _ => (s"${1 + rnd.nextInt(4)} FOLLOWING", true)
+      }
+    val numeric = a._2 || b._2
+    // single-bound shorthand sometimes, when the end is CURRENT ROW
+    val shorthand = b._1 == "CURRENT ROW" && rnd.nextInt(3) == 0
+    val gFrame =
+      if (shorthand) s"GROUPS ${a._1}" else s"GROUPS BETWEEN ${a._1} AND ${b._1}"
+    // the equivalent frame the ORACLE runs (RANGE over the order value
+    // for UNBOUNDED/CURRENT mixes; RANGE over a dense rank for offsets)
+    val oFrame =
+      if (numeric) s"RANGE BETWEEN ${a._1} AND ${b._1}"
+      else (a._1, b._1) match {
+        case ("UNBOUNDED PRECEDING", "UNBOUNDED FOLLOWING") =>
+          "ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING"
+        case (s, e) => s"RANGE BETWEEN $s AND $e"
+      }
+    val secondWindow = rnd.nextInt(4) == 0 // repeated-spec hoist stress
+    val where = s"$v IS NOT NULL AND $part IS NOT NULL AND ${pred(tbl, 1)}"
+    val tailCols = if (secondWindow) 4 else 3
+    val tail = s"${orderAll(tailCols)} ${limit()}"
+    val sSpec = s"PARTITION BY $part ORDER BY $ov ASC NULLS FIRST $gFrame"
+    val sparkSql =
+      s"SELECT $key AS c1, CAST($ov AS BIGINT) AS c2, " +
+        s"CAST(SUM($sv) OVER ($sSpec) AS BIGINT) AS c3" +
+        (if (secondWindow) s", CAST(COUNT(*) OVER ($sSpec) AS BIGINT) AS c4" else "") +
+        s" FROM $t WHERE $where $tail"
+    val oracleSql =
+      if (!numeric) {
+        val oSpec = s"PARTITION BY $part ORDER BY $ov ASC NULLS FIRST $oFrame"
+        s"SELECT $key AS c1, CAST($ov AS BIGINT) AS c2, " +
+          s"CAST(SUM($sv) OVER ($oSpec) AS BIGINT) AS c3" +
+          (if (secondWindow) s", CAST(COUNT(*) OVER ($oSpec) AS BIGINT) AS c4" else "") +
+          s" FROM $t WHERE $where $tail"
+      } else {
+        val oSpec = "PARTITION BY p ORDER BY g ASC NULLS FIRST " + oFrame
+        s"SELECT c1, c2, CAST(SUM(s) OVER ($oSpec) AS BIGINT) AS c3" +
+          (if (secondWindow) s", CAST(COUNT(*) OVER ($oSpec) AS BIGINT) AS c4" else "") +
+          s" FROM (SELECT $key AS c1, CAST($ov AS BIGINT) AS c2, $sv AS s, $part AS p, " +
+          s"DENSE_RANK() OVER (PARTITION BY $part ORDER BY $ov ASC NULLS FIRST) AS g " +
+          s"FROM $t WHERE $where) q $tail"
+      }
+    (sparkSql, oracleSql)
+  }
+
   def dialectQueries(count: Int): Vector[(String, String)] =
     (1 to count).map { i =>
       val (kind, sql) = rnd.nextInt(17) match {
@@ -1704,7 +1792,7 @@ final class SqlFuzzer(seed: Long) {
   * + errors.json) so `tools/check_oracle.py <outDir> <sfDir>` performs the
   * DuckDB side and the comparison.
   *
-  * Usage: runMain graft.tools.Fuzz <sfDir> <outDir> [count=500] [seed=12] [--nulls] [--dialect|--corr]
+  * Usage: runMain graft.tools.Fuzz <sfDir> <outDir> [count=500] [seed=12] [--nulls] [--dialect|--corr|--groups]
   *
   * `--corr`: correlated scalar subqueries (SELECT list + WHERE),
   * non-equi correlated EXISTS, correlated IN, and LATERAL derived
@@ -1799,15 +1887,21 @@ object Fuzz {
     // --dialect: generate DuckDB-dialect SQL; the oracle runs it
     // verbatim, Spark runs it through the gateway's dialect shim — a
     // differential test of engine.DuckDbDialect.rewrite itself.
-    val dialect = flags.contains("--dialect")
-    val suite =
-      if (dialect) new SqlFuzzer(seed).dialectQueries(count)
-      else if (flags.contains("--corr")) new SqlFuzzer(seed).corrQueries(count)
-      else new SqlFuzzer(seed).queries(count)
+    // --groups: GROUPS-frame differential — the one suite whose oracle
+    // text differs from the Spark text (DuckDB 1.0 cannot parse GROUPS;
+    // the generator templates the equivalent the oracle runs)
+    val groupsMode = flags.contains("--groups")
+    val dialect = flags.contains("--dialect") || groupsMode
+    val suite: Vector[(String, String, String)] =
+      if (groupsMode) new SqlFuzzer(seed).groupsQueries(count)
+      else (if (dialect) new SqlFuzzer(seed).dialectQueries(count)
+        else if (flags.contains("--corr")) new SqlFuzzer(seed).corrQueries(count)
+        else new SqlFuzzer(seed).queries(count))
+        .map { case (n, s) => (n, s, s) }
     new java.io.File(outDir).mkdirs()
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
     var done = 0
-    suite.foreach { case (name, sql) =>
+    suite.foreach { case (name, sql, _) =>
       // PIVOT/UNPIVOT are STATEMENTS: they go through the gateway's
       // runPivot/runUnpivot (the units under test), not the
       // SELECT-level dialect shim
@@ -1834,7 +1928,7 @@ object Fuzz {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
-    val json = suite.map { case (k, v) => s"${q(k)}: ${q(v)}" }
+    val json = suite.map { case (k, _, o) => s"${q(k)}: ${q(o)}" }
       .mkString("{", ",", "}")
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get(s"$outDir/oracle_sql.json"), json)
