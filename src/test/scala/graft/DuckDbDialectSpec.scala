@@ -487,6 +487,30 @@ class DuckDbDialectSpec extends AnyFunSuite {
     assert(sums("SELECT i, SUM(x) OVER w s FROM gft WINDOW w AS (ORDER BY o " +
       "GROUPS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) ORDER BY i")
       == Seq(3L, 3L, 7L, 63L, 63L, 63L, 127L))
+    // numeric offsets + EXCLUDE compose: the hoist keeps the EXCLUDE
+    // text in the rewritten RANGE spec and the exclusion pass then
+    // decomposes it; __grp peers ARE the original ORDER BY peers, so
+    // the row sets agree. Row i=4 (x=8, G3): 1 PRECEDING..CURRENT is
+    // G2+G3 = 60; EXCLUDE GROUP removes G3 (56) → 4; i=3 (G2):
+    // G1+G2 = 7 minus G2 (4) → 3; i=7 (G4): G3+G4 minus G4 → 56
+    val nex = spark.sql(DuckDbDialect.rewrite("SELECT i, SUM(x) OVER (ORDER BY o " +
+      "GROUPS BETWEEN 1 PRECEDING AND CURRENT ROW EXCLUDE GROUP) s " +
+      "FROM gft ORDER BY i")).collect()
+    assert(nex.map(r => Option(r.get(1)).map(_.asInstanceOf[Number].longValue)).toSeq
+      == Seq(None, None, Some(3L), Some(4L), Some(4L), Some(4L), Some(56L)), nex.mkString(","))
+    // the hoist is shuffle-free beyond the window's own partitioning:
+    // the dense-rank window and the frame window share PARTITION BY p,
+    // so the physical plan carries exactly ONE hash Exchange
+    val hoisted = spark.sql(DuckDbDialect.rewrite("SELECT i, SUM(x) OVER " +
+      "(PARTITION BY o ORDER BY x GROUPS BETWEEN 1 PRECEDING AND CURRENT ROW) s " +
+      "FROM gft"))
+    hoisted.collect()
+    // the AQE plan string prints Final and Initial sections — count
+    // exchanges in the final section only
+    val plan = hoisted.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    val nEx = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(nEx == 1, s"dense-rank hoist must reuse the window partitioning:\n$plan")
     // a plain column NAMED groups is not hijacked (no frame-bound shape)
     assert(spark.sql(DuckDbDialect.rewrite("SELECT max(groups) OVER (ORDER BY i) m " +
       "FROM (SELECT 1 AS i, 2 AS groups)")).head().getInt(0) == 2)

@@ -441,4 +441,28 @@ class PropertySpec extends AnyFunSuite {
     actual.foreach(t => assert(t._3 >= t._4,
       s"doc ${t._1}: bloom candidates ${t._3} < exact hits ${t._4}"))
   }
+
+  // BitSetContains (the round-16 bloom probe) ships its generated-code
+  // path through doGenCode and its interpreted path through
+  // nullSafeEval — force the interpreter and pin that the two agree on
+  // the whole bloom result (the codegen path is what the default run
+  // above exercised; a codegen/eval split is the classic custom-
+  // Expression bug class).
+  test("bloom probe: interpreted eval equals codegen") {
+    val viaCodegen = SparkEntry.queries("q_corpus_bloom_screen")(spark, TestSpark.Sf)
+      .collect().map(_.toString).sorted.toSeq
+    val prev = spark.conf.getOption("spark.sql.codegen.factoryMode")
+    spark.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+    try {
+      val viaEval = SparkEntry.queries("q_corpus_bloom_screen")(spark, TestSpark.Sf)
+        .collect().map(_.toString).sorted.toSeq
+      assert(viaEval == viaCodegen,
+        s"interpreted/codegen split: ${viaEval.size} vs ${viaCodegen.size} rows")
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set("spark.sql.codegen.factoryMode", v)
+        case None => spark.conf.unset("spark.sql.codegen.factoryMode")
+      }
+    }
+  }
 }
