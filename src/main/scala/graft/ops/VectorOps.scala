@@ -230,9 +230,19 @@ object VectorOps {
     * codebooks as literals — zero shuffles before the TakeOrdered
     * shortlist, exact cosine re-rank on the 50 candidates. Determinism:
     * md5-ordered sample, argmin ties to the lower codeword id, empty
-    * clusters keep their previous centroid. */
+    * clusters keep their previous centroid.
+    *
+    * `fitDistributed = true` (round 16) trains the same Lloyd over the
+    * FULL corpus instead of the sample: per iteration one map-side
+    * assign against the codebook literal + one m·k-group mean
+    * aggregation, decimal-accumulated so the fit is deterministic
+    * regardless of partition order. Sampling stays the default (it is
+    * the standard practice and one pass cheaper per iteration); the
+    * distributed path is the 100 TB fit for corpora a 16k-row sample
+    * cannot represent. */
   def pqProbe(e0: org.apache.spark.sql.DataFrame, m: Int = 4, k0: Int = 0,
-      iters: Int = 5, sampleN0: Int = 0): org.apache.spark.sql.DataFrame = {
+      iters: Int = 5, sampleN0: Int = 0,
+      fitDistributed: Boolean = false): org.apache.spark.sql.DataFrame = {
     // one combined (dim, count) scan, memoized per corpus (round 16) —
     // repeated probes of the same corpus skip it entirely
     val (dim, n) = dimAndCount(e0)
@@ -255,7 +265,53 @@ object VectorOps {
       while (i < a.length) { val d = a(i) - b(i); acc += d * d; i += 1 }
       acc
     }
-    val codebooks: Array[Array[Array[Double]]] = Array.tabulate(m) { s =>
+    // argmin codeword for a sub-vector column against codebook literals
+    // — shared by the scorer below and the distributed fit's assign step
+    val zero = struct(lit(Double.MaxValue).as("dist"), lit(-1).as("j"))
+    def codeExpr(vs: Column, cbLit: Column, ss: Column): Column =
+      aggregate(sequence(lit(0), lit(k - 1)), zero, (accJ, jj) => {
+        val cw = element_at(element_at(cbLit, ss + 1), jj + 1)
+        val dd = aggregate(zip_with(vs, cw, (x, c) => (x - c) * (x - c)),
+          lit(0.0), (a2, t) => a2 + t)
+        when(dd < accJ.getField("dist"),
+          struct(dd.as("dist"), jj.as("j"))).otherwise(accJ)
+      }).getField("j")
+    val codebooks: Array[Array[Array[Double]]] =
+      if (fitDistributed) {
+        // DISTRIBUTED Lloyd (round 16 — the 100 TB fit): per iteration,
+        // every (row, subspace) pair is assigned its nearest codeword
+        // map-side against the m×k codebook literal, and the new
+        // centroids come from ONE m·k-group aggregation (partial
+        // map-side combine; ≤256 groups collected). Means accumulate in
+        // DECIMAL, so the result is independent of partition order —
+        // the fit is bit-deterministic, like the sampled path. The
+        // sample path stays the default (sampling-based PQ training is
+        // the standard practice); this path is for when the sample
+        // can't represent the corpus.
+        var cent = Array.tabulate(m) { s =>
+          sample.take(k).map(v => java.util.Arrays.copyOfRange(v, s * sub, (s + 1) * sub))
+        }
+        (0 until iters).foreach { _ =>
+          val cbLit = typedLit(cent.map(_.map(_.toSeq).toSeq).toSeq)
+          val coded = e
+            .select(explode(sequence(lit(0), lit(m - 1))).as("ss"), col("v"))
+            .select(col("ss"), slice(col("v"), col("ss") * sub + 1, lit(sub)).as("vs"))
+            .withColumn("code", codeExpr(col("vs"), cbLit, col("ss")))
+          val meanCols = (0 until sub).map(d =>
+            (sum(element_at(col("vs"), d + 1).cast("decimal(38,12)")) /
+              count(lit(1))).cast("double").as(s"c$d"))
+          val rows = coded.groupBy("ss", "code")
+            .agg(meanCols.head, meanCols.tail: _*).collect()
+          val next = cent.map(_.map(_.clone)) // empty clusters keep centroids
+          rows.foreach { r =>
+            val s = r.getInt(0); val j = r.getInt(1)
+            if (j >= 0)
+              (0 until sub).foreach(d => next(s)(j)(d) = r.getDouble(2 + d))
+          }
+          cent = next
+        }
+        cent
+      } else Array.tabulate(m) { s =>
       val pts = sample.map(v => java.util.Arrays.copyOfRange(v, s * sub, (s + 1) * sub))
       var cent = pts.take(k).map(_.clone)
       (0 until iters).foreach { _ =>
@@ -289,17 +345,10 @@ object VectorOps {
     }
     val cbLit = typedLit(codebooks.map(_.map(_.toSeq).toSeq).toSeq)
     val tabLit = typedLit(tab)
-    val zero = struct(lit(Double.MaxValue).as("dist"), lit(-1).as("j"))
     val scored = e.select(col("vec_id"), col("v"),
       aggregate(sequence(lit(0), lit(m - 1)), lit(0.0), (acc, ss) => {
         val vs = slice(col("v"), ss * sub + 1, lit(sub))
-        val code = aggregate(sequence(lit(0), lit(k - 1)), zero, (accJ, jj) => {
-          val cw = element_at(element_at(cbLit, ss + 1), jj + 1)
-          val dd = aggregate(zip_with(vs, cw, (x, c) => (x - c) * (x - c)),
-            lit(0.0), (a2, t) => a2 + t)
-          when(dd < accJ.getField("dist"),
-            struct(dd.as("dist"), jj.as("j"))).otherwise(accJ)
-        }).getField("j")
+        val code = codeExpr(vs, cbLit, ss)
         acc + element_at(element_at(tabLit, ss + 1), code + 1)
       }).as("adist"))
     val qLit = typedLit(qv.toSeq)
