@@ -511,6 +511,25 @@ class DuckDbDialectSpec extends AnyFunSuite {
       .split("== Initial Plan ==")(0)
     val nEx = "Exchange hashpartitioning".r.findAllIn(plan).length
     assert(nEx == 1, s"dense-rank hoist must reuse the window partitioning:\n$plan")
+    // QUALIFY composes: the QUALIFY wrap runs first, the GROUPS hoist
+    // nests inside its head — golden sums Seq(3,3,7,60,60,60,120), so
+    // s > 10 keeps i=4..7
+    assert(spark.sql(DuckDbDialect.rewrite("SELECT i, SUM(x) OVER (ORDER BY o " +
+      "GROUPS BETWEEN 1 PRECEDING AND CURRENT ROW) s FROM gft QUALIFY s > 10 " +
+      "ORDER BY i")).collect().map(_.getAs[Number](0).longValue).toSeq
+      == Seq(4L, 5L, 6L, 7L))
+    // DISTINCT window + GROUPS composes: the collect_set decomposition
+    // splices the GROUPS spec 3x, each splice hoists its own identical
+    // dense rank (CollapseWindow merges them). Row i=8 duplicates x=8
+    // inside G3, so DISTINCT genuinely drops a value: plain SUM over
+    // G2+G3 would be 68, the distinct set {4,8,16,32} sums to 60
+    spark.sql("SELECT * FROM VALUES (1,1,1),(2,1,2),(3,2,4),(4,3,8)," +
+        "(5,3,16),(6,3,32),(7,5,64),(8,3,8) AS t(i,o,x)")
+      .createOrReplaceTempView("gfd")
+    assert(spark.sql(DuckDbDialect.rewrite("SELECT i, SUM(DISTINCT x) OVER " +
+      "(ORDER BY o GROUPS BETWEEN 1 PRECEDING AND CURRENT ROW) s FROM gfd " +
+      "ORDER BY i")).collect().map(_.getAs[Number](1).longValue).toSeq
+      == Seq(3L, 3L, 7L, 60L, 60L, 60L, 120L, 60L))
     // a plain column NAMED groups is not hijacked (no frame-bound shape)
     assert(spark.sql(DuckDbDialect.rewrite("SELECT max(groups) OVER (ORDER BY i) m " +
       "FROM (SELECT 1 AS i, 2 AS groups)")).head().getInt(0) == 2)
