@@ -1571,23 +1571,27 @@ final class SqlFuzzer(seed: Long) {
     val v = pick(cols(tbl, IntK)).name
     val sv = pick(cols(tbl, IntK)).name
     val ov = s"($v % ${intLit(3, 9)})" // low-cardinality order key → real peer groups
-    // a frame bound as (sparkText, isNumeric); starts and ends drawn
-    // from the valid combinations only
-    val a = rnd.nextInt(4) match {
-      case 0 => ("UNBOUNDED PRECEDING", false)
-      case 1 => ("CURRENT ROW", false)
-      case _ => (s"${1 + rnd.nextInt(4)} PRECEDING", true)
+    // (a, b) as (sparkText, isNumeric), drawn from the VALID combination
+    // space — including the off-frame both-PRECEDING / both-FOLLOWING
+    // shapes (round-16 widening) where the frame can miss the current
+    // row's group entirely
+    def nOff() = 1 + rnd.nextInt(4)
+    val (a, b) = rnd.nextInt(10) match {
+      case 0 => (("UNBOUNDED PRECEDING", false), ("CURRENT ROW", false))
+      case 1 => (("CURRENT ROW", false), ("UNBOUNDED FOLLOWING", false))
+      case 2 => (("UNBOUNDED PRECEDING", false), ("UNBOUNDED FOLLOWING", false))
+      case 3 => ((s"${nOff()} PRECEDING", true), ("CURRENT ROW", false))
+      case 4 => ((s"${nOff()} PRECEDING", true), (s"${nOff()} FOLLOWING", true))
+      case 5 => (("CURRENT ROW", false), (s"${nOff()} FOLLOWING", true))
+      case 6 => (("UNBOUNDED PRECEDING", false), (s"${nOff()} FOLLOWING", true))
+      case 7 => ((s"${nOff()} PRECEDING", true), ("UNBOUNDED FOLLOWING", false))
+      case 8 => // both-PRECEDING off-frame: start n ≥ end j
+        val n = 2 + rnd.nextInt(3); val j = 1 + rnd.nextInt(n - 1)
+        ((s"$n PRECEDING", true), (s"$j PRECEDING", true))
+      case _ => // both-FOLLOWING off-frame: start n ≤ end j
+        val n = 1 + rnd.nextInt(3); val j = n + rnd.nextInt(3)
+        ((s"$n FOLLOWING", true), (s"$j FOLLOWING", true))
     }
-    val b =
-      if (a._1 == "CURRENT ROW") rnd.nextInt(2) match {
-        case 0 => ("UNBOUNDED FOLLOWING", false)
-        case _ => (s"${1 + rnd.nextInt(4)} FOLLOWING", true)
-      }
-      else rnd.nextInt(3) match {
-        case 0 => ("CURRENT ROW", false)
-        case 1 => ("UNBOUNDED FOLLOWING", false)
-        case _ => (s"${1 + rnd.nextInt(4)} FOLLOWING", true)
-      }
     val numeric = a._2 || b._2
     // single-bound shorthand sometimes, when the end is CURRENT ROW
     val shorthand = b._1 == "CURRENT ROW" && rnd.nextInt(3) == 0
