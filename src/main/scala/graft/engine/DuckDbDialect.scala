@@ -69,6 +69,16 @@ package graft.engine
   *    so a pass-through was the silent off-by-one class. NULL at index
   *    0 / out of bounds / negative-from-end all measured and matched;
   *    slices `x[a:b]` throw (operand type unknowable from text).
+  *  - Function-surface twins (round 16, each measured equal on DuckDB
+  *    1.0): arg_max/arg_min → max_by/min_by; quantile_cont →
+  *    percentile (same linear interpolation, array-q included);
+  *    quantile_disc/quantile → percentile_disc WITHIN GROUP (value
+  *    equal, type widens to double); list_transform/list_filter →
+  *    transform/filter; list() → collect_list; select-list unnest →
+  *    explode; 3-arg date_diff/datediff → per-part BOUNDARY-CROSSING
+  *    arithmetic (calendar-part index difference, ISO-week truncation
+  *    difference, epoch floor for sub-day parts) — Spark's own 2-arg
+  *    datediff and unquoted-part spellings pass through untouched.
   *  - DISTINCT window aggregates (`COUNT/SUM/AVG/MIN/MAX(DISTINCT x)
   *    OVER …`, DuckDB-native, rejected outright by Spark) decompose
   *    over collect_set: COUNT = size(set), SUM = element-typed fold
@@ -118,6 +128,26 @@ object DuckDbDialect {
     "regexp_matches" -> "regexp_like",
     "epoch_ms" -> "unix_millis",
     "epoch_us" -> "unix_micros",
+    // round 16 — the measured-equal argument-order twins: arg_max/
+    // arg_min(x, y) IS max_by/min_by(x, y) (value of x at the extreme
+    // y; NULL y rows skipped by both); list lambdas map 1:1 (same `x ->`
+    // syntax); `list(x)` is the collect_list aggregate (ORDER BY inside
+    // the call surfaces Spark's parse error — loud, documented);
+    // quantile_cont(x, q) is Spark's `percentile(x, q)` — the same
+    // linear interpolation, measured, and the array-of-quantiles form
+    // carries over since percentile accepts an array too; a basic
+    // unnest(list) in the select list is explode (struct-unnest and
+    // DuckDB's multi-unnest zipping surface Spark's generator errors)
+    "arg_max" -> "max_by",
+    "arg_min" -> "min_by",
+    "argmax" -> "max_by",
+    "argmin" -> "min_by",
+    "list_transform" -> "transform",
+    "list_apply" -> "transform",
+    "list_filter" -> "filter",
+    "quantile_cont" -> "percentile",
+    "list" -> "collect_list",
+    "unnest" -> "explode",
     // star-exclusion: DuckDB `* EXCLUDE (c1, c2)` ↔ Spark `* EXCEPT (c1,
     // c2)`. Safe as a call-shaped rename: the '('-requirement leaves
     // DuckDB's window-frame `EXCLUDE CURRENT ROW` (no paren) untouched,
@@ -162,6 +192,10 @@ object DuckDbDialect {
     s = rewriteCalls(s, "strptime")(fmtCall("to_timestamp"))
     s = rewriteCalls(s, "time_bucket")(timeBucket)
     s = rewriteCalls(s, "epoch")(epochCall)
+    s = rewriteCalls(s, "quantile_disc")(quantileDiscCall)
+    s = rewriteCalls(s, "quantile")(quantileDiscCall) // DuckDB alias of _disc
+    s = rewriteCallsOpt(s, "date_diff")(dateDiffCall)
+    s = rewriteCallsOpt(s, "datediff")(dateDiffCall) // 3-arg alias; 2-arg passes
     renames.foreach { case (from, to) => s = renameFn(s, from, to) }
     s
   }
@@ -2274,7 +2308,130 @@ object DuckDbDialect {
     throw new IllegalArgumentException(s"$fname rewrite did not converge")
   }
 
+  /** [[rewriteCalls]] with PASS-THROUGH: the callback returns None to
+    * leave a call site untouched (scanning resumes after it). Needed
+    * for names BOTH dialects define with different arities — e.g.
+    * DuckDB's 3-arg date_diff('part', a, b) vs Spark's own 2-arg
+    * date_diff(end, start): the Spark spelling must survive
+    * byte-identical (the shim's standing pass-through contract). */
+  private def rewriteCallsOpt(sql: String, fname: String)(
+      f: Seq[String] => Option[String]): String = {
+    var s = sql
+    var from = 0
+    var guard = 0
+    while (guard < 200) {
+      guard += 1
+      val in = inString(s)
+      var i = from
+      var found = -1
+      while (found < 0 && i < s.length) {
+        if (!in(i) && s.regionMatches(true, i, fname, 0, fname.length) &&
+            (i == 0 || !isIdentChar(s(i - 1)))) {
+          var j = i + fname.length
+          while (j < s.length && s(j).isWhitespace) j += 1
+          if (j < s.length && s(j) == '(') found = i
+          else i += 1
+        } else i += 1
+      }
+      if (found < 0) return s
+      var j = s.indexOf('(', found + fname.length)
+      val argStart = j + 1
+      var depth = 1
+      var k = argStart
+      val splits = scala.collection.mutable.ArrayBuffer.empty[Int]
+      while (depth > 0 && k < s.length) {
+        val c = s(k)
+        if (in(k)) ()
+        else if (c == '(') depth += 1
+        else if (c == ')') depth -= 1
+        else if (c == ',' && depth == 1) splits += k
+        k += 1
+      }
+      if (depth != 0) throw new IllegalArgumentException(
+        s"$fname(: unbalanced parentheses in SQL")
+      val argEnd = k - 1
+      val bounds: Seq[Int] = (argStart +: splits.toSeq.map(_ + 1)) :+ argEnd
+      val args = bounds.sliding(2).map { w =>
+        s.substring(w(0), math.min(w(1), argEnd)).stripSuffix(",").trim
+      }.toSeq.filter(_.nonEmpty)
+      f(args) match {
+        case Some(repl) =>
+          s = s.substring(0, found) + repl + s.substring(argEnd + 1)
+          from = 0 // a replacement may expose nested rewritable calls
+        case None =>
+          from = found + fname.length // leave it; scan past
+      }
+    }
+    throw new IllegalArgumentException(s"$fname rewrite did not converge")
+  }
+
   // ---- specific translations ------------------------------------------
+
+  /** DuckDB quantile_disc(x, q) / its alias quantile(x, q): the
+    * discrete quantile — the smallest element whose cumulative
+    * distribution reaches q. Spark's spelling is the ANSI
+    * `percentile_disc(q) WITHIN GROUP (ORDER BY x)` (measured equal on
+    * DuckDB 1.0: quantile_disc over 1..4 gives 2 at 0.5 and 1 at 0.25,
+    * exactly percentile_disc's smallest-cum≥q element; the result TYPE
+    * widens to double where DuckDB keeps the element type — same
+    * element value, callers cast). The CONTINUOUS
+    * twin quantile_cont needs no structure — it is the renames-table
+    * map to Spark's `percentile(x, q)` (same linear interpolation,
+    * measured: 2.5/1.75 over 1..4 at 0.5/0.25), which also carries
+    * DuckDB's array-of-quantiles form for free. Array-q quantile_disc
+    * surfaces percentile_disc's loud arity error — documented bound. */
+  private def quantileDiscCall(args: Seq[String]): String = {
+    require(args.size == 2,
+      s"quantile_disc/quantile: expected (value, quantile), got ${args.size} arguments")
+    s"percentile_disc(${args(1)}) WITHIN GROUP (ORDER BY ${args(0)})"
+  }
+
+  /** DuckDB's 3-arg date_diff('part', start, end) / datediff alias:
+    * counts PART BOUNDARIES CROSSED between start and end (measured:
+    * month of Jan-31→Feb-01 is 1; Jan-01→Mar-31 is 2 — boundary
+    * crossings, NOT elapsed complete months), signed by direction.
+    * Spark has no boundary-crossing dateDiff, so each part becomes its
+    * boundary arithmetic: calendar parts difference their part index
+    * (year/quarter/month), week differences Monday-truncated dates
+    * (both engines' weeks are ISO-Monday), day is datediff, and
+    * sub-day parts difference the floor of the epoch in that unit.
+    * Results CAST BIGINT (DuckDB's type). The 2-arg Spark spelling and
+    * non-literal part expressions pass through untouched; an
+    * unsupported part name throws with the supported list. DuckDB's
+    * date_sub family (COMPLETE elapsed intervals, a different count) is
+    * NOT mapped — Spark's arity error surfaces, documented bound. */
+  private def dateDiffCall(args: Seq[String]): Option[String] = {
+    if (args.size != 3) return None
+    val lit = "(?s)^'([A-Za-z]+)'$".r
+    val part = args(0) match {
+      case lit(p) =>
+        val t = p.toLowerCase(java.util.Locale.ROOT)
+        if (t.endsWith("s")) t.dropRight(1) else t
+      case _ => return None
+    }
+    val s0 = args(1); val e0 = args(2)
+    def epochFloor(unitMicros: Long): String =
+      s"CAST(FLOOR(unix_micros(CAST($e0 AS TIMESTAMP)) / $unitMicros) - " +
+        s"FLOOR(unix_micros(CAST($s0 AS TIMESTAMP)) / $unitMicros) AS BIGINT)"
+    Some(part match {
+      case "year" => s"CAST(year($e0) - year($s0) AS BIGINT)"
+      case "quarter" =>
+        s"CAST((year($e0) * 4 + quarter($e0)) - (year($s0) * 4 + quarter($s0)) AS BIGINT)"
+      case "month" =>
+        s"CAST((year($e0) * 12 + month($e0)) - (year($s0) * 12 + month($s0)) AS BIGINT)"
+      case "week" =>
+        s"CAST(datediff(date_trunc('week', $e0), date_trunc('week', $s0)) / 7 AS BIGINT)"
+      case "day" => s"CAST(datediff($e0, $s0) AS BIGINT)"
+      case "hour" => epochFloor(3600000000L)
+      case "minute" => epochFloor(60000000L)
+      case "second" => epochFloor(1000000L)
+      case "millisecond" => epochFloor(1000L)
+      case "microsecond" => epochFloor(1L)
+      case other => throw new IllegalArgumentException(
+        s"date_diff part '$other' is not supported by the dialect shim " +
+          "(year/quarter/month/week/day/hour/minute/second/millisecond/microsecond)")
+    })
+  }
 
   /** strftime/strptime: identify the %-format literal among the two args
     * (DuckDB order (value, fmt); sqlite order (fmt, value)); convert it;

@@ -1634,9 +1634,74 @@ final class SqlFuzzer(seed: Long) {
     (sparkSql, oracleSql)
   }
 
+  /** Round-16 function-surface kind: the argument-order/name twins the
+    * shim now maps — arg_max/arg_min ↔ max_by/min_by, quantile_cont ↔
+    * percentile, quantile_disc/quantile ↔ percentile_disc WITHIN GROUP,
+    * 3-arg date_diff/datediff boundary arithmetic, list lambdas
+    * (list_transform/list_filter ↔ transform/filter), the list()
+    * aggregate ↔ collect_list (list_sort-normalized: neither engine
+    * orders the aggregate), and select-list unnest ↔ explode. DuckDB
+    * runs every query verbatim. */
+  private def qDialectFn2(): String = {
+    val t = pick(tables.filter(_.uniqueKey.nonEmpty))
+    val key = t.uniqueKey.get
+    val i1 = pick(cols(t, IntK)).name
+    val i2 = pick(cols(t, IntK)).name
+    val grp = s"($i1 % ${intLit(3, 9)})"
+    val q = pick(Seq("0.1", "0.25", "0.5", "0.75", "0.9"))
+    rnd.nextInt(6) match {
+      case 0 =>
+        // the BY expression is tie-broken with the unique key — a tied
+        // extreme would make arg_max's pick engine-arbitrary (found by
+        // this kind's own first soak: arg_min over a %-bucketed BY had
+        // whole-group ties)
+        val fn = pick(Seq("arg_max", "arg_min"))
+        s"SELECT $grp AS c1, CAST($fn($i2, ($i2 % 1000) * 1000000 + $key) AS BIGINT) AS c2 " +
+          s"FROM ${t.name} WHERE ${basePred(t)} AND $i1 IS NOT NULL AND $i2 IS NOT NULL " +
+          s"GROUP BY 1 ${orderAll(2)} ${limit()}"
+      case 1 =>
+        s"SELECT $grp AS c1, ROUND(quantile_cont($i2, $q), 6) AS c2 " +
+          s"FROM ${t.name} WHERE ${basePred(t)} AND $i1 IS NOT NULL " +
+          s"GROUP BY 1 ${orderAll(2)} ${limit()}"
+      case 2 =>
+        val fn = pick(Seq("quantile_disc", "quantile"))
+        s"SELECT $grp AS c1, CAST($fn($i2, $q) AS BIGINT) AS c2 " +
+          s"FROM ${t.name} WHERE ${basePred(t)} AND $i1 IS NOT NULL " +
+          s"GROUP BY 1 ${orderAll(2)} ${limit()}"
+      case 3 =>
+        val dcs = cols(t, TsK)
+        if (dcs.isEmpty) qDialectFn2()
+        else {
+          // a second timestamp derived by a fixed shift so the pair
+          // straddles part boundaries both ways
+          val d1 = pick(dcs).name
+          val d2 = s"($d1 + INTERVAL ${1 + rnd.nextInt(40)} DAY)"
+          val part = pick(Seq("year", "quarter", "month", "week", "day", "hour"))
+          val fn = pick(Seq("date_diff", "datediff"))
+          s"SELECT $key AS c1, $fn('$part', $d1, $d2) AS c2, " +
+            s"$fn('$part', $d2, $d1) AS c3 " +
+            s"FROM ${t.name} WHERE ${basePred(t)} AND $d1 IS NOT NULL " +
+            s"${orderAll(3)} ${limit()}"
+        }
+      case 4 =>
+        val lam = rnd.nextInt(3) match {
+          case 0 => s"list_transform([$i1 % 5, $i2 % 7, $i1 % 11], x -> x * 2 + 1)"
+          case 1 => s"list_filter([$i1 % 5, $i2 % 7, $i1 % 11], x -> x > 2)"
+          case _ => s"list_transform(list_filter([$i1 % 5, $i2 % 7], x -> x >= 0), x -> x + $i2 % 3)"
+        }
+        s"SELECT $key AS c1, $lam AS c2 FROM ${t.name} " +
+          s"WHERE ${basePred(t)} AND $i1 IS NOT NULL AND $i2 IS NOT NULL " +
+          s"${orderAll(1)} ${limit()}"
+      case _ =>
+        s"SELECT $key AS c1, unnest([$i1 % 5, $i2 % 9]) AS c2 FROM ${t.name} " +
+          s"WHERE ${basePred(t)} AND $i1 IS NOT NULL AND $i2 IS NOT NULL " +
+          s"${orderAll(2)} ${limit()}"
+    }
+  }
+
   def dialectQueries(count: Int): Vector[(String, String)] =
     (1 to count).map { i =>
-      val (kind, sql) = rnd.nextInt(17) match {
+      val (kind, sql) = rnd.nextInt(18) match {
         case 0 => ("dsel", qDialectProj())
         case 1 => ("dgrp", qDialectGroup())
         case 2 => ("dtb", qDialectBucket())
@@ -1653,6 +1718,7 @@ final class SqlFuzzer(seed: Long) {
         case 13 => ("dunpivot", qDialectUnpivot())
         case 14 => ("dfrom", qDialectFromFirst())
         case 15 => ("ddw", qDialectDistinctWindow())
+        case 16 => ("dfn2", qDialectFn2())
         case _ => ("ddiv", qDialectDivFilter())
       }
       (f"fz_$i%04d_$kind", sql)

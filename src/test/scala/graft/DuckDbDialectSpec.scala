@@ -550,6 +550,49 @@ class DuckDbDialectSpec extends AnyFunSuite {
       "FROM gft", "order by")
   }
 
+  test("function-surface twins: arg_max, quantiles, list lambdas, unnest, 3-arg date_diff (round 16)") {
+    val spark = TestSpark.spark
+    def one(sql: String) = spark.sql(DuckDbDialect.rewrite(sql)).head()
+    // goldens measured on DuckDB 1.0
+    spark.sql("SELECT * FROM VALUES (1, 10),(2, 30),(3, CAST(NULL AS INT)),(4, 20) AS t(x, y)")
+      .createOrReplaceTempView("fnt")
+    // arg_max/arg_min: value of x at the extreme y; NULL y skipped
+    assert(one("SELECT arg_max(x, y) FROM fnt").getInt(0) == 2)
+    assert(one("SELECT arg_min(x, y) FROM fnt").getInt(0) == 1)
+    // quantile_cont = linear interpolation (measured 2.5/1.75 over 1..4);
+    // the array-of-quantiles form carries over; quantile_disc/quantile =
+    // smallest element with cumulative distribution >= q (2 and 1)
+    assert(one("SELECT quantile_cont(x, 0.5) FROM fnt").getDouble(0) == 2.5)
+    assert(one("SELECT quantile_cont(x, [0.25, 0.75]) FROM fnt")
+      .getSeq[Double](0) == Seq(1.75, 3.25))
+    // result type widens to double (percentile_disc's type) where DuckDB
+    // keeps the element type — the VALUE is the same element (documented)
+    assert(one("SELECT quantile_disc(x, 0.5) FROM fnt").getDouble(0) == 2.0)
+    assert(one("SELECT quantile(x, 0.25) FROM fnt").getDouble(0) == 1.0)
+    // list lambdas + the list() aggregate (sorted: neither engine
+    // orders the aggregate) + select-list unnest
+    assert(one("SELECT list_transform([1,2,3], v -> v + 1)").getSeq[Int](0) == Seq(2, 3, 4))
+    assert(one("SELECT list_filter([1,2,3], v -> v > 1)").getSeq[Int](0) == Seq(2, 3))
+    assert(one("SELECT list_sort(list(x)) FROM fnt").getSeq[Int](0) == Seq(1, 2, 3, 4))
+    assert(spark.sql(DuckDbDialect.rewrite("SELECT unnest([7,8]) u"))
+      .collect().map(_.getInt(0)).toSeq == Seq(7, 8))
+    // 3-arg date_diff counts PART BOUNDARIES (measured: month of
+    // Jan-31 -> Feb-01 is 1; Jan-01 -> Mar-31 is 2), signed; the week
+    // part differences ISO-Monday truncations; sub-day parts floor the
+    // epoch. Spark's own 2-arg datediff and unquoted-part date_diff
+    // pass through untouched.
+    assert(one("SELECT date_diff('month', DATE '2024-01-31', DATE '2024-02-01')").getLong(0) == 1L)
+    assert(one("SELECT date_diff('months', DATE '2024-01-01', DATE '2024-03-31')").getLong(0) == 2L)
+    assert(one("SELECT datediff('day', DATE '2024-02-01', DATE '2024-01-31')").getLong(0) == -1L)
+    assert(one("SELECT date_diff('week', DATE '2024-01-01', DATE '2024-01-08')").getLong(0) == 1L)
+    assert(one("SELECT date_diff('hour', TIMESTAMP '2024-01-01 10:59:00', " +
+      "TIMESTAMP '2024-01-01 11:01:00')").getLong(0) == 1L)
+    assert(one("SELECT datediff(DATE '2024-02-01', DATE '2024-01-31')").getInt(0) == 1)
+    val ep = intercept[IllegalArgumentException](DuckDbDialect.rewrite(
+      "SELECT date_diff('fortnight', DATE '2024-01-01', DATE '2024-02-01')"))
+    assert(ep.getMessage.contains("not supported"), ep.getMessage)
+  }
+
   test("window frame EXCLUDE GROUP/TIES over ROWS and off-frame RANGE (round 15)") {
     val spark = TestSpark.spark
     // x is CONSTANT within each peer group so the per-group multiset of
