@@ -1189,6 +1189,183 @@ object DuckDbDialect {
     })
   }
 
+  // ---- COLUMNS('regex') star expansion -----------------------------------
+
+  /** DuckDB's `COLUMNS('regex')` star expansion (friendly SQL). It
+    * needs the FROM relation's SCHEMA, which the text shim does not
+    * have — so this pass takes a resolver and runs from the GATEWAY
+    * (SqlGateway.run), not from [[rewrite]]; a bare rewrite() leaves
+    * COLUMNS untouched (Spark's unresolved-routine error names it).
+    *
+    * Measured semantics (DuckDB 1.0): the regex matches PARTIALLY (RE2
+    * search — 'a' matches column 'abc') and case-sensitively; columns
+    * expand in relation order; ZERO matches is a binder error (kept: a
+    * silent empty expansion would change the projection arity); a
+    * COLUMNS inside an expression replicates the ENTIRE select-list
+    * item once per matching column, each output named by the BASE
+    * column (`SELECT min(COLUMNS('.*')) FROM t` → columns a, b — not
+    * min(a)).
+    *
+    * Bounds (named errors, never silently wrong): literal regex only;
+    * one COLUMNS per select-list item; no explicit alias on the item
+    * (the replicas are named by column); the FROM must list plain
+    * identifiers (joins supported — schemas concatenate in FROM order —
+    * but a derived-table FROM is rejected). Subquery-level COLUMNS
+    * reduces through the same query-block recursion as the GROUPS
+    * pass. */
+  def expandColumns(sql: String, schemaOf: String => Option[Seq[String]]): String = {
+    val in = inString(sql)
+    // locate the first COLUMNS( call outside strings
+    var i = 0; var found = -1
+    while (found < 0 && i < sql.length) {
+      if (!in(i) && sql.regionMatches(true, i, "columns", 0, 7) &&
+          (i == 0 || !isIdentChar(sql(i - 1)))) {
+        var j = i + 7
+        while (j < sql.length && sql(j).isWhitespace) j += 1
+        if (j < sql.length && sql(j) == '(') found = i else i += 1
+      } else i += 1
+    }
+    if (found < 0) return sql
+    // inside a subquery? recurse into the innermost QUERY-block paren
+    var enclosing = List.empty[Int]
+    i = 0
+    while (i < found) {
+      if (!in(i)) {
+        if (sql(i) == '(') enclosing ::= i
+        else if (sql(i) == ')') enclosing = enclosing.drop(1)
+      }
+      i += 1
+    }
+    enclosing.find { op =>
+      "(?is)^\\s*(select|from|with|values)\\b".r
+        .findFirstIn(sql.substring(op + 1)).isDefined
+    } match {
+      case Some(outer) =>
+        var d = 0; var end = outer
+        while (end < sql.length && {
+          if (!in(end)) {
+            if (sql(end) == '(') d += 1 else if (sql(end) == ')') d -= 1
+          }
+          d != 0
+        }) end += 1
+        require(end < sql.length, "COLUMNS: unbalanced parentheses")
+        val inner = expandColumns(sql.substring(outer + 1, end), schemaOf)
+        return expandColumns(
+          sql.substring(0, outer + 1) + inner + sql.substring(end), schemaOf)
+      case None => ()
+    }
+    // argument: a single quoted regex literal
+    val argOpen = sql.indexOf('(', found + 7)
+    var d2 = 1; var k = argOpen + 1
+    while (d2 > 0 && k < sql.length) {
+      if (!in(k)) {
+        if (sql(k) == '(') d2 += 1 else if (sql(k) == ')') d2 -= 1
+      }
+      k += 1
+    }
+    require(d2 == 0, "COLUMNS: unbalanced parentheses")
+    val colEnd = k - 1
+    val arg = sql.substring(argOpen + 1, colEnd).trim
+    val litRe = "(?s)^'((?:[^']|'')*)'$".r
+    val regex = arg match {
+      case litRe(r) => r.replace("''", "'")
+      case _ => throw new IllegalArgumentException(
+        "COLUMNS(...) supports a quoted regex literal only — the " +
+          "* EXCLUDE / lambda forms are outside the dialect shim")
+    }
+    // owning SELECT ... FROM of this block (COLUMNS is top-level here)
+    def wordAt(j: Int, w: String): Boolean =
+      !in(j) && sql.regionMatches(true, j, w, 0, w.length) &&
+        (j == 0 || !isIdentChar(sql(j - 1))) &&
+        (j + w.length >= sql.length || !isIdentChar(sql(j + w.length)))
+    var depth = 0; var selAt = -1; var fromAt = -1
+    var j2 = 0
+    while (j2 < sql.length && fromAt < 0) {
+      if (!in(j2)) {
+        val c = sql(j2)
+        if (c == '(') depth += 1
+        else if (c == ')') depth -= 1
+        else if (depth == 0) {
+          if (wordAt(j2, "select")) selAt = j2
+          else if (selAt >= 0 && wordAt(j2, "from")) fromAt = j2
+        }
+      }
+      j2 += 1
+    }
+    require(selAt >= 0 && selAt < found && fromAt > colEnd,
+      "COLUMNS: could not locate the owning SELECT ... FROM block")
+    // relation schema: plain identifiers after FROM and each JOIN,
+    // concatenated in order (DuckDB expands over the joined relation)
+    val cols = scala.collection.mutable.ArrayBuffer.empty[String]
+    var p = fromAt + 4
+    var expectTable = true
+    var stop = false
+    while (p < sql.length && !stop) {
+      if (!in(p)) {
+        val c = sql(p)
+        if (c == '(')
+          throw new IllegalArgumentException(
+            "COLUMNS over a derived-table FROM is outside the dialect shim — " +
+              "name the subquery's columns instead")
+        else if (expectTable && isIdentChar(c)) {
+          var e = p
+          while (e < sql.length && (isIdentChar(sql(e)) || sql(e) == '.')) e += 1
+          val name = sql.substring(p, e)
+          cols ++= schemaOf(name).getOrElse(throw new IllegalArgumentException(
+            s"COLUMNS: unknown relation '$name'"))
+          expectTable = false
+          p = e - 1
+        } else if (!expectTable && wordAt(p, "join")) { expectTable = true; p += 3 }
+        else if (!expectTable &&
+            (wordAt(p, "where") || wordAt(p, "group") || wordAt(p, "order") ||
+             wordAt(p, "limit") || wordAt(p, "having") || wordAt(p, "window") ||
+             wordAt(p, "qualify") || wordAt(p, "union") || wordAt(p, "intersect") ||
+             wordAt(p, "except"))) stop = true
+      }
+      p += 1
+    }
+    val pat = java.util.regex.Pattern.compile(regex)
+    val matched = cols.distinct.filter(c => pat.matcher(c).find())
+    if (matched.isEmpty)
+      throw new IllegalArgumentException(
+        s"""No matching columns found that match regex "$regex"""")
+    // the select-list ITEM containing COLUMNS: comma spans at depth 0
+    // within [selAt+6, fromAt)
+    var itemStart = selAt + "select".length
+    var itemEnd = fromAt
+    var dItem = 0; var q = selAt + "select".length
+    while (q < fromAt) {
+      if (!in(q)) {
+        val c = sql(q)
+        if (c == '(') dItem += 1
+        else if (c == ')') dItem -= 1
+        else if (c == ',' && dItem == 0) {
+          if (q < found) itemStart = q + 1
+          else if (q > colEnd && itemEnd == fromAt) itemEnd = q
+        }
+      }
+      q += 1
+    }
+    val item = sql.substring(itemStart, itemEnd)
+    val rel = found - itemStart
+    val relEnd = colEnd - itemStart + 1
+    if ("(?i)\\bcolumns\\b".r.findAllMatchIn(
+        item.substring(relEnd)).exists(m => !inString(item)(relEnd + m.start)))
+      throw new IllegalArgumentException(
+        "multiple COLUMNS(...) in one select-list item are outside the dialect shim")
+    val suffix = item.substring(relEnd)
+    if ("(?is)^\\s*(as\\s+)?[A-Za-z_][A-Za-z0-9_]*\\s*$".r.findFirstIn(suffix).isDefined
+        && suffix.trim.nonEmpty)
+      throw new IllegalArgumentException(
+        "COLUMNS(...) with an explicit item alias is outside the dialect shim — " +
+          "the replicas are named by the matched columns")
+    val prefix = item.substring(0, rel)
+    val replicas = matched.map(c => s"$prefix`$c`$suffix AS `$c`").mkString(", ")
+    expandColumns(
+      sql.substring(0, itemStart) + " " + replicas + " " + sql.substring(itemEnd),
+      schemaOf)
+  }
+
   // ---- GROUPS frames -----------------------------------------------------
 
   private val GroupsBound =

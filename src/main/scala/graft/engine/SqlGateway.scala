@@ -85,7 +85,14 @@ object SqlGateway {
       case _ if s0.matches("(?is)^pivot\\b.*") => runPivot(spark, s0)
       case _ if s0.matches("(?is)^unpivot\\b.*") => runUnpivot(spark, s0)
       case _ =>
-        val sql = DuckDbDialect.rewrite(s0)
+        // COLUMNS('regex') needs the relation schema — only the gateway
+        // has it, so the expansion runs here, before the text shim
+        val s1 =
+          if ("(?i)\\bcolumns\\s*\\(".r.findFirstIn(s0).isDefined)
+            DuckDbDialect.expandColumns(s0, name =>
+              scala.util.Try(spark.table(name).schema.fieldNames.toSeq).toOption)
+          else s0
+        val sql = DuckDbDialect.rewrite(s1)
         validate(spark, sql)
         spark.sql(sql)
     }

@@ -593,6 +593,48 @@ class DuckDbDialectSpec extends AnyFunSuite {
     assert(ep.getMessage.contains("not supported"), ep.getMessage)
   }
 
+  test("COLUMNS('regex') expands against the relation schema (round 16)") {
+    val spark = TestSpark.spark
+    // goldens measured on DuckDB 1.0: PARTIAL regex match ('a' matches
+    // abc), case-sensitive, relation order, binder error on zero
+    // matches, and a wrapped COLUMNS replicates the whole item named
+    // by the BASE column (min(COLUMNS('.*')) -> columns a, b)
+    spark.sql("SELECT 1 AS abc, 2 AS b, 3 AS Axe").createOrReplaceTempView("ct")
+    def gw(sql: String) = graft.engine.SqlGateway.run(spark, sql)
+    val bare = gw("SELECT COLUMNS('a') FROM ct")
+    assert(bare.columns.toSeq == Seq("abc"), bare.columns.mkString(","))
+    assert(bare.head().getInt(0) == 1)
+    // case-sensitive, several matches in relation order
+    val multi = gw("SELECT COLUMNS('b') FROM ct")
+    assert(multi.columns.toSeq == Seq("abc", "b"))
+    // wrapped call: item replicated per column, named by the column
+    val agg = gw("SELECT min(COLUMNS('.*')) FROM ct")
+    assert(agg.columns.toSeq == Seq("abc", "b", "Axe"), agg.columns.mkString(","))
+    assert(agg.head().toSeq == Seq(1, 2, 3))
+    // expression context + surrounding items survive
+    val mixed = gw("SELECT 'k' AS k, COLUMNS('^b$') + 10 FROM ct")
+    assert(mixed.columns.toSeq == Seq("k", "b") && mixed.head().getInt(1) == 12)
+    // join relation: schemas concatenate in FROM order
+    spark.sql("SELECT 4 AS bz").createOrReplaceTempView("ct2")
+    val joined = gw("SELECT COLUMNS('b') FROM ct JOIN ct2")
+    assert(joined.columns.toSeq == Seq("abc", "b", "bz"))
+    // zero matches: DuckDB's binder error, not a silent empty list
+    val ez = intercept[IllegalArgumentException](gw("SELECT COLUMNS('zz') FROM ct"))
+    assert(ez.getMessage.contains("No matching columns"), ez.getMessage)
+    // named bounds: non-literal arg, derived-table FROM, item alias
+    val en = intercept[IllegalArgumentException](gw("SELECT COLUMNS(x) FROM ct"))
+    assert(en.getMessage.contains("regex literal"), en.getMessage)
+    val ed = intercept[IllegalArgumentException](
+      gw("SELECT COLUMNS('a') FROM (SELECT 1 AS a)"))
+    assert(ed.getMessage.contains("derived-table"), ed.getMessage)
+    val ea = intercept[IllegalArgumentException](
+      gw("SELECT COLUMNS('a') AS z FROM ct"))
+    assert(ea.getMessage.contains("alias"), ea.getMessage)
+    // subquery-level COLUMNS reduces through the query-block recursion
+    val sub = gw("SELECT count(*) c FROM (SELECT COLUMNS('a') FROM ct) q")
+    assert(sub.head().getLong(0) == 1L)
+  }
+
   test("window frame EXCLUDE GROUP/TIES over ROWS and off-frame RANGE (round 15)") {
     val spark = TestSpark.spark
     // x is CONSTANT within each peer group so the per-group multiset of
