@@ -84,7 +84,11 @@ class FuzzSpec extends AnyFunSuite {
       "(DISTINCT ",
       // bracket list literals / 1-based indexing (round 15): the
       // bracket spelling itself is the DuckDB-ism
-      "[", "]")
+      "[", "]",
+      // function-surface twins (round 16, the dfn2 kind): each name is
+      // the DuckDB spelling the shim maps (list_ is covered above)
+      "arg_max(", "arg_min(", "quantile_cont(", "quantile_disc(",
+      "quantile(", "date_diff(", "datediff('", "unnest(")
     dial.foreach { case (name, sql) =>
       // PIVOT outputs are bounded by the pivot-key domain (≤ a few
       // dozen groups here), so LIMIT is optional for dpivot; the
