@@ -1699,9 +1699,55 @@ final class SqlFuzzer(seed: Long) {
     }
   }
 
+  /** COLUMNS('regex') star-expansion kind (round 16). DuckDB runs the
+    * spelling natively; the Spark side routes through SqlGateway.run
+    * (the expansion needs the relation schema, so the gateway — not the
+    * bare shim — owns it; the fuzz main routes any COLUMNS query there,
+    * the same special-casing as PIVOT statements). Regexes are drawn
+    * from each table's known column-prefix pools so the zero-match
+    * binder error never fires; wrapped forms exercise the whole-item
+    * replication; output columns are BASE column names on both engines,
+    * and check_oracle's name-sorted compare aligns them. */
+  private def qDialectColumns(): String = {
+    // row-level shapes (cases 0/2) order by the key ALONE, so they are
+    // restricted to tables with a genuinely UNIQUE single-column key —
+    // lineitem's (l_orderkey, l_linenumber) identity is NOT unique in
+    // the driver data (45832 distinct over 60000 rows), and key-only
+    // ORDER BY + LIMIT picked different tie rows per engine (found by
+    // this kind's first soak, 3/600); lineitem still appears in the
+    // aggregate shape, whose output carries no row identity
+    val (t, key, re) = pick(Seq(
+      ("orders", "o_orderkey",
+        pick(Seq("o_.*key", "o_total.*", "^o_order(key|status)$", "o_order.*"))),
+      ("customer", "c_custkey",
+        pick(Seq("c_.*key", "c_(name|address)", "^c_n", "c_acct.*"))),
+      ("part", "p_partkey",
+        pick(Seq("p_.*key", "p_(size|retailprice)", "^p_(name|brand)$")))))
+    val tbl = tables.find(_.name == t).get
+    rnd.nextInt(3) match {
+      case 0 => // bare projection
+        s"SELECT $key AS c0, COLUMNS('$re') FROM $t " +
+          s"WHERE ${basePred(tbl)} ORDER BY 1 ASC NULLS FIRST ${limit()}"
+      case 1 => // aggregate-wrapped: item replicated per column
+        val (aggT, aggRe) =
+          if (rnd.nextInt(2) == 0)
+            (tables.find(_.name == "lineitem").get,
+              pick(Seq("l_.*key", "l_.*price|l_quantity", "l_ship.*")))
+          else (tbl, re)
+        val fn = pick(Seq("min", "max", "count"))
+        s"SELECT $fn(COLUMNS('$aggRe')) FROM ${aggT.name} WHERE ${basePred(aggT)} " +
+          "ORDER BY 1 ASC NULLS FIRST LIMIT 10"
+      case _ => // expression context around the expansion
+        val i1 = pick(cols(tbl, IntK)).name
+        s"SELECT $key AS c0, COLUMNS('${tbl.name.charAt(0)}_.*key') % 97 FROM $t " +
+          s"WHERE ${basePred(tbl)} AND $i1 IS NOT NULL " +
+          s"ORDER BY 1 ASC NULLS FIRST ${limit()}"
+    }
+  }
+
   def dialectQueries(count: Int): Vector[(String, String)] =
     (1 to count).map { i =>
-      val (kind, sql) = rnd.nextInt(18) match {
+      val (kind, sql) = rnd.nextInt(19) match {
         case 0 => ("dsel", qDialectProj())
         case 1 => ("dgrp", qDialectGroup())
         case 2 => ("dtb", qDialectBucket())
@@ -1719,6 +1765,7 @@ final class SqlFuzzer(seed: Long) {
         case 14 => ("dfrom", qDialectFromFirst())
         case 15 => ("ddw", qDialectDistinctWindow())
         case 16 => ("dfn2", qDialectFn2())
+        case 17 => ("dcols", qDialectColumns())
         case _ => ("ddiv", qDialectDivFilter())
       }
       (f"fz_$i%04d_$kind", sql)
@@ -1977,7 +2024,8 @@ object Fuzz {
       // SELECT-level dialect shim
       def isStmt(kw: String) = sql.trim.regionMatches(true, 0, kw, 0, kw.length)
       def sparkDf() =
-        if (dialect && (isStmt("pivot") || isStmt("unpivot")))
+        if (dialect && (isStmt("pivot") || isStmt("unpivot") ||
+            "(?i)\\bcolumns\\s*\\(".r.findFirstIn(sql).isDefined))
           graft.engine.SqlGateway.run(spark, sql)
         else spark.sql(if (dialect) graft.engine.DuckDbDialect.rewrite(sql) else sql)
       try sparkDf().coalesce(1).write.mode("overwrite")

@@ -88,7 +88,9 @@ class FuzzSpec extends AnyFunSuite {
       // function-surface twins (round 16, the dfn2 kind): each name is
       // the DuckDB spelling the shim maps (list_ is covered above)
       "arg_max(", "arg_min(", "quantile_cont(", "quantile_disc(",
-      "quantile(", "date_diff(", "datediff('", "unnest(")
+      "quantile(", "date_diff(", "datediff('", "unnest(",
+      // COLUMNS star expansion (round 16, the dcols kind)
+      "COLUMNS(")
     dial.foreach { case (name, sql) =>
       // PIVOT outputs are bounded by the pivot-key domain (≤ a few
       // dozen groups here), so LIMIT is optional for dpivot; the
@@ -103,17 +105,20 @@ class FuzzSpec extends AnyFunSuite {
     }
     val spark = TestSpark.spark
     import graft.ops.Tables
-    Seq("orders", "lineitem", "documents", "customer", "part").foreach { t =>
+    Seq("region", "nation", "supplier", "orders", "lineitem", "documents",
+        "customer", "part").foreach { t =>
       Tables.t(spark, TestSpark.Sf, t).createOrReplaceTempView(t)
     }
     Tables.events(spark, TestSpark.Sf).createOrReplaceTempView("events")
     dial.zipWithIndex.collect { case (q, i) if i % 6 == 0 => q }
       .foreach { case (name, sql) =>
         try {
-          // PIVOT/UNPIVOT statements route through the gateway (Fuzz
-          // main does the same); everything else through the shim
+          // PIVOT/UNPIVOT statements and COLUMNS() queries route through
+          // the gateway (Fuzz main does the same — COLUMNS needs the
+          // gateway's schema resolver); everything else through the shim
           if (sql.trim.regionMatches(true, 0, "pivot", 0, 5) ||
-              sql.trim.regionMatches(true, 0, "unpivot", 0, 7))
+              sql.trim.regionMatches(true, 0, "unpivot", 0, 7) ||
+              "(?i)\\bcolumns\\s*\\(".r.findFirstIn(sql).isDefined)
             graft.engine.SqlGateway.run(spark, sql).collect()
           else {
             val rewritten = graft.engine.DuckDbDialect.rewrite(sql)
