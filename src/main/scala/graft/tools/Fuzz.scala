@@ -1649,7 +1649,7 @@ final class SqlFuzzer(seed: Long) {
     val i2 = pick(cols(t, IntK)).name
     val grp = s"($i1 % ${intLit(3, 9)})"
     val q = pick(Seq("0.1", "0.25", "0.5", "0.75", "0.9"))
-    rnd.nextInt(6) match {
+    rnd.nextInt(8) match {
       case 0 =>
         // the BY expression is tie-broken with the unique key — a tied
         // extreme would make arg_max's pick engine-arbitrary (found by
@@ -1692,8 +1692,30 @@ final class SqlFuzzer(seed: Long) {
         s"SELECT $key AS c1, $lam AS c2 FROM ${t.name} " +
           s"WHERE ${basePred(t)} AND $i1 IS NOT NULL AND $i2 IS NOT NULL " +
           s"${orderAll(1)} ${limit()}"
-      case _ =>
+      case 5 =>
         s"SELECT $key AS c1, unnest([$i1 % 5, $i2 % 9]) AS c2 FROM ${t.name} " +
+          s"WHERE ${basePred(t)} AND $i1 IS NOT NULL AND $i2 IS NOT NULL " +
+          s"${orderAll(2)} ${limit()}"
+      case 6 => // batch-2 string predicates/position over an ASCII column
+        val sc = cols(t, StrK)
+        if (sc.isEmpty) qDialectFn2()
+        else {
+          val c = pick(sc).name
+          val lit = pick(Seq("a", "e", "o", "1", "C"))
+          s"SELECT $key AS c1, starts_with($c, '$lit') AS c2, " +
+            s"ends_with($c, '$lit') AS c3, CAST(strpos($c, '$lit') AS BIGINT) AS c4 " +
+            s"FROM ${t.name} WHERE ${basePred(t)} AND $c IS NOT NULL " +
+            s"${orderAll(4)} ${limit()}"
+        }
+      case _ => // batch-2 list mutation/extract/unique/named-aggregate
+        val base = s"[$i1 % 7, $i2 % 5, $i1 % 3]"
+        val expr = rnd.nextInt(4) match {
+          case 0 => s"list_extract(list_prepend($i2 % 9, $base), ${1 + rnd.nextInt(4)})"
+          case 1 => s"CAST(list_unique($base) AS BIGINT)"
+          case 2 => s"CAST(list_aggregate($base, '${pick(Seq("min", "max", "count"))}') AS BIGINT)"
+          case _ => s"ROUND(list_aggregate($base, '${pick(Seq("sum", "avg"))}'), 6)"
+        }
+        s"SELECT $key AS c1, $expr AS c2 FROM ${t.name} " +
           s"WHERE ${basePred(t)} AND $i1 IS NOT NULL AND $i2 IS NOT NULL " +
           s"${orderAll(2)} ${limit()}"
     }

@@ -591,6 +591,40 @@ class DuckDbDialectSpec extends AnyFunSuite {
     val ep = intercept[IllegalArgumentException](DuckDbDialect.rewrite(
       "SELECT date_diff('fortnight', DATE '2024-01-01', DATE '2024-02-01')"))
     assert(ep.getMessage.contains("not supported"), ep.getMessage)
+    // --- second batch, all goldens measured on DuckDB 1.0 ---
+    // string predicates/position renames
+    assert(one("SELECT starts_with('hello','he'), ends_with('hello','lo'), " +
+      "prefix('hello','he'), suffix('hello','lo'), strpos('hello','ll')").toSeq
+      == Seq(true, true, true, true, 3))
+    // list mutation/indexing: list_prepend's REVERSED argument order,
+    // 1-based NULL-safe extract, reversal, length
+    val lst = one("SELECT list_prepend(0, [1,2]), list_reverse([1,2,3]), " +
+      "list_append([1,2], 3), array_length([1,2,3]), list_extract([1,2,3], 2), " +
+      "array_extract([1,2,3], 9)")
+    assert(lst.getSeq[Int](0) == Seq(0, 1, 2) && lst.getSeq[Int](1) == Seq(3, 2, 1))
+    assert(lst.getSeq[Int](2) == Seq(1, 2, 3) && lst.getInt(3) == 3)
+    assert(lst.getInt(4) == 2 && lst.isNullAt(5))
+    // list_unique counts DISTINCT NON-NULL (measured 3, not 4)
+    assert(one("SELECT list_unique([1,2,2,3,NULL])").getInt(0) == 3)
+    // list_aggregate by name; sums/avgs widen to double (documented) and
+    // skip NULL elements; empty list sums NULL
+    val la = one("SELECT list_aggregate([NULL,1,2], 'sum'), " +
+      "list_aggregate([1,2,3,NULL], 'avg'), list_aggregate([3,1,2], 'min'), " +
+      "list_aggregate([1,2,NULL], 'count'), " +
+      "list_aggregate(list_filter([1], v -> false), 'sum')")
+    assert(la.getDouble(0) == 3.0 && la.getDouble(1) == 2.0 &&
+      la.getInt(2) == 1 && la.getInt(3) == 2 && la.isNullAt(4))
+    val el = intercept[IllegalArgumentException](DuckDbDialect.rewrite(
+      "SELECT list_aggregate([1], 'median')"))
+    assert(el.getMessage.contains("sum/min/max/count/avg"), el.getMessage)
+    // struct_pack named fields
+    val sp = one("SELECT struct_pack(a := 1, b := 'x') s")
+    assert(sp.getStruct(0).getInt(0) == 1 && sp.getStruct(0).getString(1) == "x")
+    // regexp_extract: DuckDB's 2-arg form is the FULL MATCH (Spark's
+    // 2-arg default is group 1 and errors on group-free patterns);
+    // 3-arg agrees and passes through
+    assert(one("SELECT regexp_extract('abc123', '[0-9]+')").getString(0) == "123")
+    assert(one("SELECT regexp_extract('a1b2', '([a-z])([0-9])', 2)").getString(0) == "1")
   }
 
   test("COLUMNS('regex') expands against the relation schema (round 16)") {
