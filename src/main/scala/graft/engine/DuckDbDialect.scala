@@ -162,6 +162,10 @@ object DuckDbDialect {
     "array_length" -> "array_size",
     "list_extract" -> "try_element_at",
     "array_extract" -> "try_element_at",
+    // regex split: Spark's split IS regex-based — the names map 1:1
+    "string_split_regex" -> "split",
+    "str_split_regex" -> "split",
+    "regexp_split_to_array" -> "split",
     // star-exclusion: DuckDB `* EXCLUDE (c1, c2)` ↔ Spark `* EXCEPT (c1,
     // c2)`. Safe as a call-shaped rename: the '('-requirement leaves
     // DuckDB's window-frame `EXCLUDE CURRENT ROW` (no paren) untouched,
@@ -213,6 +217,10 @@ object DuckDbDialect {
     s = rewriteCalls(s, "list_prepend")(listPrependCall)
     s = rewriteCalls(s, "list_unique")(listUniqueCall)
     s = rewriteCalls(s, "list_aggregate")(listAggregateCall)
+    s = rewriteCalls(s, "list_has_any")(listHasAnyCall)
+    s = rewriteCalls(s, "list_has_all")(listHasAllCall)
+    s = rewriteCalls(s, "array_has_any")(listHasAnyCall)
+    s = rewriteCalls(s, "array_has_all")(listHasAllCall)
     s = rewriteCalls(s, "struct_pack")(structPackCall)
     s = rewriteCallsOpt(s, "regexp_extract")(regexpExtractCall)
     renames.foreach { case (from, to) => s = renameFn(s, from, to) }
@@ -2612,6 +2620,30 @@ object DuckDbDialect {
         s"list_aggregate name '$other' is not supported by the dialect shim " +
           "(sum/min/max/count/avg)")
     }
+  }
+
+  /** DuckDB list_has_any(a, b): TRUE when the lists share a NON-NULL
+    * element, FALSE otherwise — NULL elements never match and the
+    * result is never NULL (measured: has_any([1,NULL],[NULL]) = false).
+    * Spark's arrays_overlap is three-valued (NULL when no match but
+    * NULLs present), so the map pins it with coalesce. */
+  private def listHasAnyCall(args: Seq[String]): String = {
+    require(args.size == 2, s"list_has_any: expected 2 lists, got ${args.size}")
+    s"coalesce(arrays_overlap(${args(0)}, ${args(1)}), false)"
+  }
+
+  /** DuckDB list_has_all(l, sub): TRUE when every element of sub is in
+    * l — including NULL matching NULL (measured:
+    * has_all([1,NULL],[NULL]) = true; has_all(l, []) = true). Spark has
+    * no direct twin; forall + a NULL-aware membership test reproduces
+    * it exactly (bare array_contains is three-valued on NULL-bearing
+    * lists, hence the coalesce). */
+  private def listHasAllCall(args: Seq[String]): String = {
+    require(args.size == 2, s"list_has_all: expected 2 lists, got ${args.size}")
+    val (l, sub) = (args(0), args(1))
+    s"forall($sub, __ha_x -> CASE WHEN __ha_x IS NULL THEN " +
+      s"exists($l, __ha_y -> __ha_y IS NULL) " +
+      s"ELSE coalesce(array_contains($l, __ha_x), false) END)"
   }
 
   /** DuckDB struct_pack(a := 1, b := x): named-field struct literal —

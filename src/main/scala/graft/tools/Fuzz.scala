@@ -1707,13 +1707,15 @@ final class SqlFuzzer(seed: Long) {
             s"FROM ${t.name} WHERE ${basePred(t)} AND $c IS NOT NULL " +
             s"${orderAll(4)} ${limit()}"
         }
-      case _ => // batch-2 list mutation/extract/unique/named-aggregate
+      case _ => // batch-2/3 list mutation/extract/unique/aggregate/membership
         val base = s"[$i1 % 7, $i2 % 5, $i1 % 3]"
-        val expr = rnd.nextInt(4) match {
+        val expr = rnd.nextInt(6) match {
           case 0 => s"list_extract(list_prepend($i2 % 9, $base), ${1 + rnd.nextInt(4)})"
           case 1 => s"CAST(list_unique($base) AS BIGINT)"
           case 2 => s"CAST(list_aggregate($base, '${pick(Seq("min", "max", "count"))}') AS BIGINT)"
-          case _ => s"ROUND(list_aggregate($base, '${pick(Seq("sum", "avg"))}'), 6)"
+          case 3 => s"ROUND(list_aggregate($base, '${pick(Seq("sum", "avg"))}'), 6)"
+          case 4 => s"list_has_any($base, [$i2 % 5, ${rnd.nextInt(7)}])"
+          case _ => s"list_has_all($base, [$i1 % 3, ${rnd.nextInt(5)}])"
         }
         s"SELECT $key AS c1, $expr AS c2 FROM ${t.name} " +
           s"WHERE ${basePred(t)} AND $i1 IS NOT NULL AND $i2 IS NOT NULL " +

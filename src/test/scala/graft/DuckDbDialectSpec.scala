@@ -625,6 +625,21 @@ class DuckDbDialectSpec extends AnyFunSuite {
     // 3-arg agrees and passes through
     assert(one("SELECT regexp_extract('abc123', '[0-9]+')").getString(0) == "123")
     assert(one("SELECT regexp_extract('a1b2', '([a-z])([0-9])', 2)").getString(0) == "1")
+    // --- third batch ---
+    // regex split names map 1:1 (Spark's split IS regex-based)
+    assert(one("SELECT string_split_regex('a1b22c', '[0-9]+')")
+      .getSeq[String](0) == Seq("a", "b", "c"))
+    assert(one("SELECT regexp_split_to_array('a1b22c', '[0-9]+')")
+      .getSeq[String](0) == Seq("a", "b", "c"))
+    // list_has_any: never NULL, NULL elements never match (measured)
+    val ha = one("SELECT list_has_any([1,2],[2,3]), list_has_any([1],[3]), " +
+      "list_has_any([1,CAST(NULL AS INT)],[CAST(NULL AS INT)])")
+    assert(ha.toSeq == Seq(true, false, false), ha.toSeq.mkString(","))
+    // list_has_all: subset incl. NULL-matches-NULL; empty sub is TRUE
+    val hb = one("SELECT list_has_all([1,2,3],[2,3]), list_has_all([1,2],[2,9]), " +
+      "list_has_all([1,2], list_filter([1], v -> false)), " +
+      "list_has_all([1,CAST(NULL AS INT)],[CAST(NULL AS INT)])")
+    assert(hb.toSeq == Seq(true, false, true, true), hb.toSeq.mkString(","))
   }
 
   test("COLUMNS('regex') expands against the relation schema (round 16)") {
