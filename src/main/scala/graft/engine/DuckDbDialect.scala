@@ -1294,10 +1294,13 @@ object DuckDbDialect {
     val colEnd = k - 1
     val arg = sql.substring(argOpen + 1, colEnd).trim
     val litRe = "(?s)^'((?:[^']|'')*)'$".r
+    // COLUMNS(*) = every column (measured); a bare-star arg maps to the
+    // match-everything regex so the single code path serves both forms
     val regex = arg match {
+      case "*" => ""
       case litRe(r) => r.replace("''", "'")
       case _ => throw new IllegalArgumentException(
-        "COLUMNS(...) supports a quoted regex literal only — the " +
+        "COLUMNS(...) supports a quoted regex literal or * only — the " +
           "* EXCLUDE / lambda forms are outside the dialect shim")
     }
     // owning SELECT ... FROM of this block (COLUMNS is top-level here)

@@ -667,6 +667,10 @@ class DuckDbDialectSpec extends AnyFunSuite {
     spark.sql("SELECT 4 AS bz").createOrReplaceTempView("ct2")
     val joined = gw("SELECT COLUMNS('b') FROM ct JOIN ct2")
     assert(joined.columns.toSeq == Seq("abc", "b", "bz"))
+    // COLUMNS(*) = every column (measured)
+    val star2 = gw("SELECT max(COLUMNS(*)) FROM ct")
+    assert(star2.columns.toSeq == Seq("abc", "b", "Axe") &&
+      star2.head().toSeq == Seq(1, 2, 3))
     // zero matches: DuckDB's binder error, not a silent empty list
     val ez = intercept[IllegalArgumentException](gw("SELECT COLUMNS('zz') FROM ct"))
     assert(ez.getMessage.contains("No matching columns"), ez.getMessage)
