@@ -160,8 +160,6 @@ object DuckDbDialect {
     "array_reverse" -> "reverse",
     "list_append" -> "array_append",
     "array_length" -> "array_size",
-    "list_extract" -> "try_element_at",
-    "array_extract" -> "try_element_at",
     // regex split: Spark's split IS regex-based — the names map 1:1
     "string_split_regex" -> "split",
     "str_split_regex" -> "split",
@@ -217,6 +215,8 @@ object DuckDbDialect {
     s = rewriteCalls(s, "list_prepend")(listPrependCall)
     s = rewriteCalls(s, "list_unique")(listUniqueCall)
     s = rewriteCalls(s, "list_aggregate")(listAggregateCall)
+    s = rewriteCalls(s, "list_extract")(listExtractCall)
+    s = rewriteCalls(s, "array_extract")(listExtractCall)
     s = rewriteCalls(s, "list_has_any")(listHasAnyCall)
     s = rewriteCalls(s, "list_has_all")(listHasAllCall)
     s = rewriteCalls(s, "array_has_any")(listHasAnyCall)
@@ -1346,6 +1346,11 @@ object DuckDbDialect {
           expectTable = false
           p = e - 1
         } else if (!expectTable && wordAt(p, "join")) { expectTable = true; p += 3 }
+        // a depth-0 comma is a relation separator (comma cross join) —
+        // DuckDB expands COLUMNS over the WHOLE comma join (measured:
+        // COLUMNS('a|b') FROM t1, t2 yields both relations' columns),
+        // so the next identifier is a table again, not an alias
+        else if (!expectTable && c == ',') expectTable = true
         else if (!expectTable &&
             (wordAt(p, "where") || wordAt(p, "group") || wordAt(p, "order") ||
              wordAt(p, "limit") || wordAt(p, "having") || wordAt(p, "window") ||
@@ -2273,12 +2278,17 @@ object DuckDbDialect {
     *           no textual type guess — int/smallint seeds become
     *           BIGINT, matching native SUM's long accumulator instead
     *           of wrapping/ANSI-failing at the element type's range,
-    *           while double/decimal seeds keep their own type (+0L is
-    *           the identity there); the seed is added once more by the
-    *           fold and subtracted back; empty set → NULL seed → NULL,
-    *           DuckDB's empty-SUM. Residual bound vs DuckDB: DuckDB
-    *           sums integers in HUGEINT, so only totals beyond ±2^63
-    *           diverge — the same bound as Spark's native SUM)
+    *           and double seeds keep DOUBLE (+0L is the identity
+    *           there); the seed is added once more by the fold and
+    *           subtracted back; empty set → NULL seed → NULL, DuckDB's
+    *           empty-SUM. Bounds vs DuckDB: integer totals beyond
+    *           ±2^63 diverge (DuckDB sums in HUGEINT — same bound as
+    *           Spark's native SUM), and DECIMAL arguments remain
+    *           UNSUPPORTED: decimal + BIGINT widens the accumulator's
+    *           precision, the fold then grows precision per addition,
+    *           and Spark's lambda type check rejects the plan — a loud
+    *           analysis error, never a silent value; the fix would
+    *           need the element type, which a text shim doesn't have)
     *   AVG   → the SUM form / size(cs), NULL-guarded
     *   MIN/MAX → DISTINCT dropped (identical by definition)
     *
@@ -2625,28 +2635,56 @@ object DuckDbDialect {
     }
   }
 
+  /** DuckDB list_extract(l, i) / array_extract: 1-based, negative from
+    * the end, NULL for index 0 and out-of-bounds (all measured on
+    * DuckDB 1.0: extract([1,2,3], 0) = NULL, (-1) = 3, (9) = NULL).
+    * Spark's try_element_at matches everywhere EXCEPT index 0, which it
+    * rejects at runtime — the same nullif(idx, 0) guard the bracket
+    * rewrite uses pins that case to NULL. Bound: DuckDB also accepts a
+    * VARCHAR first argument (character extraction); Spark's element_at
+    * family is array/map-only, so string inputs surface Spark's type
+    * error (loud), same as the bracket rewrite's documented bound. */
+  private def listExtractCall(args: Seq[String]): String = {
+    require(args.size == 2, s"list_extract: expected (list, index), got ${args.size}")
+    s"try_element_at(${args(0)}, nullif(${args(1)}, 0))"
+  }
+
   /** DuckDB list_has_any(a, b): TRUE when the lists share a NON-NULL
-    * element, FALSE otherwise — NULL elements never match and the
-    * result is never NULL (measured: has_any([1,NULL],[NULL]) = false).
-    * Spark's arrays_overlap is three-valued (NULL when no match but
-    * NULLs present), so the map pins it with coalesce. */
+    * element, FALSE when both are non-NULL lists without a shared
+    * element — NULL elements never match (measured:
+    * has_any([1,NULL],[NULL]) = false) — and NULL when EITHER list
+    * argument is NULL (measured: has_any(NULL,[1,2]) = NULL, both
+    * positions). Spark's arrays_overlap is three-valued on NULL
+    * *elements* (NULL when no match but NULLs present), so the no-match
+    * case is pinned to false with coalesce — but only under non-NULL
+    * list arguments, so the whole-argument-NULL case still propagates
+    * NULL like DuckDB. The arguments are spliced twice each; they are
+    * deterministic expressions under the gateway (the documented
+    * duplication class of the other list-call guards). */
   private def listHasAnyCall(args: Seq[String]): String = {
     require(args.size == 2, s"list_has_any: expected 2 lists, got ${args.size}")
-    s"coalesce(arrays_overlap(${args(0)}, ${args(1)}), false)"
+    val (a, b) = (args(0), args(1))
+    s"(CASE WHEN ($a) IS NULL OR ($b) IS NULL THEN NULL " +
+      s"ELSE coalesce(arrays_overlap($a, $b), false) END)"
   }
 
   /** DuckDB list_has_all(l, sub): TRUE when every element of sub is in
     * l — including NULL matching NULL (measured:
-    * has_all([1,NULL],[NULL]) = true; has_all(l, []) = true). Spark has
-    * no direct twin; forall + a NULL-aware membership test reproduces
-    * it exactly (bare array_contains is three-valued on NULL-bearing
-    * lists, hence the coalesce). */
+    * has_all([1,NULL],[NULL]) = true; has_all(l, []) = true) — and NULL
+    * when either LIST argument is NULL (measured: has_all(NULL,[1]) =
+    * NULL, has_all([1],NULL) = NULL). Spark has no direct twin; forall
+    * + a NULL-aware membership test reproduces the element semantics
+    * exactly (bare array_contains is three-valued on NULL-bearing
+    * lists, hence the coalesce), and forall already propagates a NULL
+    * sub — the CASE adds the NULL-l half so a NULL list on either side
+    * yields NULL instead of a fabricated false. */
   private def listHasAllCall(args: Seq[String]): String = {
     require(args.size == 2, s"list_has_all: expected 2 lists, got ${args.size}")
     val (l, sub) = (args(0), args(1))
-    s"forall($sub, __ha_x -> CASE WHEN __ha_x IS NULL THEN " +
+    s"(CASE WHEN ($l) IS NULL THEN NULL ELSE " +
+      s"forall($sub, __ha_x -> CASE WHEN __ha_x IS NULL THEN " +
       s"exists($l, __ha_y -> __ha_y IS NULL) " +
-      s"ELSE coalesce(array_contains($l, __ha_x), false) END)"
+      s"ELSE coalesce(array_contains($l, __ha_x), false) END) END)"
   }
 
   /** DuckDB struct_pack(a := 1, b := x): named-field struct literal —
@@ -2697,7 +2735,15 @@ object DuckDbDialect {
     * boundary arithmetic: calendar parts difference their part index
     * (year/quarter/month), week differences Monday-truncated dates
     * (both engines' weeks are ISO-Monday), day is datediff, and
-    * sub-day parts difference the floor of the epoch in that unit.
+    * sub-day parts difference the SESSION-LOCAL part truncation
+    * (unix_micros of date_trunc), so boundary counts follow the local
+    * clock like DuckDB's naive timestamps even in half-hour-offset
+    * zones where a raw epoch floor lands mid-hour; both truncations
+    * sit on local part boundaries, so the micros delta is an exact
+    * unit multiple and `div` is exact. Residual bound: across a DST
+    * transition Spark's local clock skips/repeats an hour while
+    * DuckDB's naive timestamps do not — counts diverge inside the
+    * transition hour only (the gateway's sessions pin UTC).
     * Results CAST BIGINT (DuckDB's type). The 2-arg Spark spelling and
     * non-literal part expressions pass through untouched; an
     * unsupported part name throws with the supported list. DuckDB's
@@ -2713,9 +2759,9 @@ object DuckDbDialect {
       case _ => return None
     }
     val s0 = args(1); val e0 = args(2)
-    def epochFloor(unitMicros: Long): String =
-      s"CAST(FLOOR(unix_micros(CAST($e0 AS TIMESTAMP)) / $unitMicros) - " +
-        s"FLOOR(unix_micros(CAST($s0 AS TIMESTAMP)) / $unitMicros) AS BIGINT)"
+    def truncDiff(unit: String, unitMicros: Long): String =
+      s"((unix_micros(date_trunc('$unit', CAST($e0 AS TIMESTAMP))) - " +
+        s"unix_micros(date_trunc('$unit', CAST($s0 AS TIMESTAMP)))) div $unitMicros)"
     Some(part match {
       case "year" => s"CAST(year($e0) - year($s0) AS BIGINT)"
       case "quarter" =>
@@ -2725,11 +2771,11 @@ object DuckDbDialect {
       case "week" =>
         s"CAST(datediff(date_trunc('week', $e0), date_trunc('week', $s0)) / 7 AS BIGINT)"
       case "day" => s"CAST(datediff($e0, $s0) AS BIGINT)"
-      case "hour" => epochFloor(3600000000L)
-      case "minute" => epochFloor(60000000L)
-      case "second" => epochFloor(1000000L)
-      case "millisecond" => epochFloor(1000L)
-      case "microsecond" => epochFloor(1L)
+      case "hour" => truncDiff("hour", 3600000000L)
+      case "minute" => truncDiff("minute", 60000000L)
+      case "second" => truncDiff("second", 1000000L)
+      case "millisecond" => truncDiff("millisecond", 1000L)
+      case "microsecond" => truncDiff("microsecond", 1L)
       case other => throw new IllegalArgumentException(
         s"date_diff part '$other' is not supported by the dialect shim " +
           "(year/quarter/month/week/day/hour/minute/second/millisecond/microsecond)")

@@ -578,9 +578,9 @@ class DuckDbDialectSpec extends AnyFunSuite {
       .collect().map(_.getInt(0)).toSeq == Seq(7, 8))
     // 3-arg date_diff counts PART BOUNDARIES (measured: month of
     // Jan-31 -> Feb-01 is 1; Jan-01 -> Mar-31 is 2), signed; the week
-    // part differences ISO-Monday truncations; sub-day parts floor the
-    // epoch. Spark's own 2-arg datediff and unquoted-part date_diff
-    // pass through untouched.
+    // part differences ISO-Monday truncations; sub-day parts difference
+    // SESSION-LOCAL date_trunc. Spark's own 2-arg datediff and
+    // unquoted-part date_diff pass through untouched.
     assert(one("SELECT date_diff('month', DATE '2024-01-31', DATE '2024-02-01')").getLong(0) == 1L)
     assert(one("SELECT date_diff('months', DATE '2024-01-01', DATE '2024-03-31')").getLong(0) == 2L)
     assert(one("SELECT datediff('day', DATE '2024-02-01', DATE '2024-01-31')").getLong(0) == -1L)
@@ -588,6 +588,23 @@ class DuckDbDialectSpec extends AnyFunSuite {
     assert(one("SELECT date_diff('hour', TIMESTAMP '2024-01-01 10:59:00', " +
       "TIMESTAMP '2024-01-01 11:01:00')").getLong(0) == 1L)
     assert(one("SELECT datediff(DATE '2024-02-01', DATE '2024-01-31')").getInt(0) == 1)
+    // sub-day boundaries are timezone-independent for fixed-offset
+    // zones (DuckDB goldens: hour 10:59->12:01 = 2, minute across
+    // :00 = 1, second across a minute = 1) — a raw UTC epoch floor
+    // would land half-hour zones (+05:30) mid-hour; the trunc-diff
+    // form counts local-clock boundaries in ANY session zone
+    val tz0 = spark.conf.get("spark.sql.session.timeZone")
+    try {
+      for (z <- Seq(tz0, "Asia/Kolkata", "Australia/Eucla")) { // +05:30, +08:45
+        spark.conf.set("spark.sql.session.timeZone", z)
+        assert(one("SELECT date_diff('hour', TIMESTAMP '2024-01-01 10:59:00', " +
+          "TIMESTAMP '2024-01-01 12:01:00')").getLong(0) == 2L, z)
+        assert(one("SELECT date_diff('minute', TIMESTAMP '2024-01-01 10:59:30', " +
+          "TIMESTAMP '2024-01-01 11:00:10')").getLong(0) == 1L, z)
+        assert(one("SELECT date_diff('second', TIMESTAMP '2024-01-01 10:59:59.9', " +
+          "TIMESTAMP '2024-01-01 11:00:00.1')").getLong(0) == 1L, z)
+      }
+    } finally spark.conf.set("spark.sql.session.timeZone", tz0)
     val ep = intercept[IllegalArgumentException](DuckDbDialect.rewrite(
       "SELECT date_diff('fortnight', DATE '2024-01-01', DATE '2024-02-01')"))
     assert(ep.getMessage.contains("not supported"), ep.getMessage)
@@ -604,6 +621,12 @@ class DuckDbDialectSpec extends AnyFunSuite {
     assert(lst.getSeq[Int](0) == Seq(0, 1, 2) && lst.getSeq[Int](1) == Seq(3, 2, 1))
     assert(lst.getSeq[Int](2) == Seq(1, 2, 3) && lst.getInt(3) == 3)
     assert(lst.getInt(4) == 2 && lst.isNullAt(5))
+    // index 0 and negative indexes (measured: extract(l, 0) = NULL —
+    // Spark's try_element_at REJECTS 0, hence the nullif guard;
+    // extract(l, -1) = last element)
+    val lx = one("SELECT list_extract([1,2,3], 0), list_extract([1,2,3], -1), " +
+      "array_extract([1,2,3], i - i) FROM (SELECT 1 AS i)")
+    assert(lx.isNullAt(0) && lx.getInt(1) == 3 && lx.isNullAt(2), lx.toSeq)
     // list_unique counts DISTINCT NON-NULL (measured 3, not 4)
     assert(one("SELECT list_unique([1,2,2,3,NULL])").getInt(0) == 3)
     // list_aggregate by name; sums/avgs widen to double (documented) and
@@ -640,6 +663,14 @@ class DuckDbDialectSpec extends AnyFunSuite {
       "list_has_all([1,2], list_filter([1], v -> false)), " +
       "list_has_all([1,CAST(NULL AS INT)],[CAST(NULL AS INT)])")
     assert(hb.toSeq == Seq(true, false, true, true), hb.toSeq.mkString(","))
+    // whole-list NULL arguments propagate NULL (measured on DuckDB 1.0:
+    // has_any/has_all with a NULL LIST in either position = NULL — the
+    // coalesce pins only the NULL-ELEMENT no-match case)
+    val hn = one("SELECT list_has_any(CAST(NULL AS ARRAY<INT>), [1,2]), " +
+      "list_has_any([1,2], CAST(NULL AS ARRAY<INT>)), " +
+      "list_has_all(CAST(NULL AS ARRAY<INT>), [1]), " +
+      "list_has_all([1], CAST(NULL AS ARRAY<INT>))")
+    assert((0 to 3).forall(hn.isNullAt), hn.toSeq.mkString(","))
   }
 
   test("COLUMNS('regex') expands against the relation schema (round 16)") {
@@ -667,6 +698,14 @@ class DuckDbDialectSpec extends AnyFunSuite {
     spark.sql("SELECT 4 AS bz").createOrReplaceTempView("ct2")
     val joined = gw("SELECT COLUMNS('b') FROM ct JOIN ct2")
     assert(joined.columns.toSeq == Seq("abc", "b", "bz"))
+    // comma cross join: DuckDB expands over the WHOLE comma join
+    // (measured: COLUMNS('a|b') FROM t1, t2 yields both relations'
+    // columns) — a depth-0 comma resumes table scanning, with or
+    // without aliases in between
+    val comma = gw("SELECT COLUMNS('b') FROM ct, ct2")
+    assert(comma.columns.toSeq == Seq("abc", "b", "bz"), comma.columns.mkString(","))
+    val commaAl = gw("SELECT COLUMNS('bz') FROM ct AS x, ct2 AS y")
+    assert(commaAl.columns.toSeq == Seq("bz") && commaAl.head().getInt(0) == 4)
     // COLUMNS(*) = every column (measured)
     val star2 = gw("SELECT max(COLUMNS(*)) FROM ct")
     assert(star2.columns.toSeq == Seq("abc", "b", "Axe") &&
