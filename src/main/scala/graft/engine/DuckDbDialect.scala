@@ -1531,6 +1531,27 @@ object DuckDbDialect {
   }
 
   private def rewriteGroupsTop(sql0: String): String = {
+    // set-operation branches are independent window scopes (round 17):
+    // split at depth-0 UNION/INTERSECT/EXCEPT and rewrite each branch
+    // on its own — a hoist-wrapped branch is still a plain SELECT, so
+    // the set op survives, and a statement-level ORDER BY/LIMIT tail
+    // (which trails the LAST branch's text) stays outside that branch's
+    // wrap, i.e. keeps binding to the whole set operation.
+    val cuts = setOpCuts(sql0)
+    if (cuts.nonEmpty) {
+      val sb = new StringBuilder
+      var pos = 0
+      for ((s, e) <- cuts) {
+        val seg = rewriteGroupsTop(sql0.substring(pos, s))
+        sb.append(seg)
+        // a rewritten branch may have trimmed its boundary whitespace
+        if (seg.nonEmpty && !seg.last.isWhitespace) sb.append(' ')
+        sb.append(sql0.substring(s, e))
+        pos = e
+      }
+      sb.append(rewriteGroupsTop(sql0.substring(pos)))
+      return sb.toString
+    }
     var sql = sql0
     // alias → DENSE_RANK expr, collected across every numeric-offset
     // spec in this block so the wrap happens ONCE
@@ -1595,17 +1616,10 @@ object DuckDbDialect {
         case Some(mapped) =>
           sql = sql.substring(0, gPos) + mapped + sql.substring(gPos + frameLen)
         case None =>
-          // numeric offsets → dense-rank hoist. Named-window definitions
-          // (spec paren preceded by AS) would put the helper column out
-          // of the defining block's reach — bounded out.
-          var w = sp - 1
-          while (w >= 0 && sql(w).isWhitespace) w -= 1
-          var e = w
-          while (e >= 0 && isIdentChar(sql(e))) e -= 1
-          if (sql.substring(e + 1, w + 1).equalsIgnoreCase("as"))
-            throw new IllegalArgumentException(
-              "GROUPS frame with integer offsets inside a named WINDOW clause is " +
-                "outside the dialect shim's bounded support — inline the OVER spec")
+          // numeric offsets → dense-rank hoist. Works for inline OVER
+          // specs AND named-window definitions (round 17): the WINDOW
+          // clause stays in the wrapped block's OUTER select, where the
+          // helper column the wrap synthesizes IS in reach.
           val alias = s"__grp${hoists.size + 1}"
           val partitionClause = prefix.substring(0, orderAt).trim
           val orderClause = prefix.substring(orderAt).trim
@@ -1636,6 +1650,7 @@ object DuckDbDialect {
         (i == 0 || !isIdentChar(sql(i - 1))) &&
         (i + w.length >= sql.length || !isIdentChar(sql(i + w.length)))
     var depth = 0; var selAt = -1; var fromAt = -1; var tailAt = -1
+    var groupAt = -1; var windowAt = -1
     var j = 0
     while (j < sql.length) {
       if (!in2(j)) {
@@ -1643,24 +1658,15 @@ object DuckDbDialect {
         if (c == '(') depth += 1
         else if (c == ')') depth -= 1
         else if (depth == 0) {
-          if (wordAt(j, "union") || wordAt(j, "intersect") ||
-              (wordAt(j, "except") && {
-                var p = j - 1
-                while (p >= 0 && sql(p).isWhitespace) p -= 1
-                p < 0 || sql(p) != '*'
-              }))
-            throw new IllegalArgumentException(
-              "GROUPS frame with integer offsets in a set-operation branch is " +
-                "outside the dialect shim's bounded support — wrap the branch " +
-                "in a subquery")
-          else if (wordAt(j, "select")) { selAt = j; fromAt = -1; tailAt = -1 }
+          if (wordAt(j, "select")) {
+            selAt = j; fromAt = -1; tailAt = -1; groupAt = -1; windowAt = -1
+          }
           else if (selAt >= 0 && fromAt < 0 && wordAt(j, "from")) fromAt = j
-          else if (fromAt >= 0 &&
-              (wordAt(j, "group") || wordAt(j, "having") || wordAt(j, "window")))
-            throw new IllegalArgumentException(
-              "GROUPS frame with integer offsets over a grouped or named-window " +
-                "query is outside the dialect shim's bounded support — compute " +
-                "the aggregate in a subquery first")
+          else if (fromAt >= 0 && groupAt < 0 &&
+              (wordAt(j, "group") || wordAt(j, "having")))
+            groupAt = j
+          else if (fromAt >= 0 && windowAt < 0 && wordAt(j, "window"))
+            windowAt = j
           else if (fromAt >= 0 && tailAt < 0 &&
               (wordAt(j, "order") || wordAt(j, "limit") || wordAt(j, "offset")))
             tailAt = j
@@ -1670,6 +1676,15 @@ object DuckDbDialect {
     }
     require(selAt >= 0 && fromAt > selAt,
       "GROUPS frame: could not locate the SELECT ... FROM block to wrap")
+    if (groupAt >= 0) {
+      // grouped block (round 17): the wrap INVERTS — see groupedGroupsWrap
+      if (windowAt >= 0)
+        throw new IllegalArgumentException(
+          "GROUPS frame with integer offsets combining GROUP BY and a named " +
+            "WINDOW clause is outside the dialect shim's bounded support — " +
+            "inline the OVER spec")
+      return groupedGroupsWrap(sql, selAt, fromAt, tailAt, hoists.toSeq)
+    }
     val list0 = sql.substring(selAt + "select".length, fromAt)
     // star handling: a projection star must not leak the helper columns
     val listIn = inString(list0)
@@ -1703,12 +1718,237 @@ object DuckDbDialect {
               "the dialect shim's bounded support")
         list0.substring(0, starAt) + s"* EXCEPT ($aliases)" + afterStar
       }
-    val restEnd = if (tailAt < 0) sql.length else tailAt
+    // a named WINDOW clause stays in the OUTER select (its rewritten
+    // spec references the hoisted __grpN, defined by the wrap); WHERE
+    // stays inside (windows see filtered rows)
+    val restEnd =
+      if (windowAt >= 0) windowAt else if (tailAt < 0) sql.length else tailAt
     val body = sql.substring(fromAt + "from".length, restEnd).trim
-    val tail = if (tailAt < 0) "" else " " + sql.substring(tailAt).trim
+    val tail = if (restEnd >= sql.length) "" else " " + sql.substring(restEnd).trim
     val synth = hoists.map { case (al, ex) => s"$ex AS $al" }.mkString(", ")
     sql.substring(0, selAt) + "SELECT " + list.trim +
       s" FROM ( SELECT *, $synth FROM $body ) __groups" + tail
+  }
+
+  /** Depth-0 set-operation keyword spans (UNION/INTERSECT/EXCEPT — a
+    * star-EXCEPT projection is skipped), outside strings. */
+  private def setOpCuts(sql: String): List[(Int, Int)] = {
+    val in = inString(sql)
+    def wordAt(i: Int, w: String): Boolean =
+      !in(i) && sql.regionMatches(true, i, w, 0, w.length) &&
+        (i == 0 || !isIdentChar(sql(i - 1))) &&
+        (i + w.length >= sql.length || !isIdentChar(sql(i + w.length)))
+    val out = List.newBuilder[(Int, Int)]
+    var depth = 0; var i = 0
+    while (i < sql.length) {
+      if (!in(i)) {
+        val c = sql(i)
+        if (c == '(') depth += 1
+        else if (c == ')') depth -= 1
+        else if (depth == 0) {
+          if (wordAt(i, "union")) out += ((i, i + 5))
+          else if (wordAt(i, "intersect")) out += ((i, i + 9))
+          else if (wordAt(i, "except") && {
+            var p = i - 1
+            while (p >= 0 && sql(p).isWhitespace) p -= 1
+            p < 0 || sql(p) != '*'
+          }) out += ((i, i + 6))
+        }
+      }
+      i += 1
+    }
+    out.result()
+  }
+
+  /** Numeric-offset GROUPS frames over a grouped query block (round
+    * 17). Windows evaluate AFTER grouping, so the dense-rank helper
+    * must rank the GROUPED rows — the wrap therefore INVERTS relative
+    * to the plain case: the grouped query becomes the inner subquery
+    * (keeping FROM/WHERE/GROUP BY/HAVING and every non-window select
+    * item verbatim, so aggregates compute where their inputs live), and
+    * the GROUPS windows evaluate in the OUTER block over synthesized
+    * columns:
+    *   - each non-literal window ARGUMENT expression (an aggregate of
+    *     the grouped block, e.g. the inner SUM of SUM(SUM(x)) OVER …)
+    *     moves inner as `__waK`; the outer call reads the alias.
+    *     `COUNT(*)` needs nothing — it counts the grouped rows.
+    *   - each spec PARTITION BY expression moves inner as `__wpK`.
+    *   - the DENSE_RANK hoists (original partition/order text — grouped
+    *     expressions, valid inner) compute inner as `__grpN`; windows
+    *     in a grouped select list evaluate after the aggregation.
+    * Non-window items pass through by OUTPUT NAME: a trailing
+    * `AS alias` or a plain (qualified) identifier; anything else is
+    * bounded out loudly (alias it). GROUP BY ordinals and GROUP BY ALL
+    * are bounded out (positions/items shift through the wrap); ORDER BY
+    * ordinals in the statement tail are safe — the outer list preserves
+    * the original arity and order. A wrapper expression AROUND the
+    * window call that references other grouped values stays in the
+    * outer text: it resolves against the inner aliases when they exist
+    * and fails ANALYSIS (loudly, never silently) when they don't. */
+  private def groupedGroupsWrap(sql: String, selAt: Int, fromAt: Int,
+      tailAt: Int, hoists: Seq[(String, String)]): String = {
+    val list0 = sql.substring(selAt + "select".length, fromAt)
+    if ("(?is)^\\s*distinct\\b".r.findFirstIn(list0).isDefined)
+      throw new IllegalArgumentException(
+        "GROUPS frame with integer offsets over SELECT DISTINCT + GROUP BY " +
+          "is outside the dialect shim's bounded support")
+    val wrapEnd = if (tailAt < 0) sql.length else tailAt
+    val fromText = sql.substring(fromAt, wrapEnd).trim
+    val tail = if (tailAt < 0) "" else " " + sql.substring(tailAt).trim
+    // GROUP BY ordinals / ALL shift through the wrap — bound out
+    val ftIn = inString(fromText)
+    var gb = -1; var d0 = 0; var fi = 0
+    while (fi < fromText.length && gb < 0) {
+      if (!ftIn(fi)) {
+        val c = fromText(fi)
+        if (c == '(') d0 += 1 else if (c == ')') d0 -= 1
+        else if (d0 == 0 && fromText.regionMatches(true, fi, "group", 0, 5) &&
+            (fi == 0 || !isIdentChar(fromText(fi - 1))) &&
+            (fi + 5 >= fromText.length || !isIdentChar(fromText(fi + 5))))
+          gb = fi
+      }
+      fi += 1
+    }
+    if (gb >= 0) {
+      val gbTail = fromText.substring(gb)
+      val gbList = "(?is)^group\\s+by\\s+(.*)$".r.findFirstMatchIn(gbTail)
+        .map(_.group(1)).getOrElse("")
+      val gbEnd = "(?is)\\bhaving\\b".r.findFirstMatchIn(gbList)
+        .map(_.start).getOrElse(gbList.length)
+      val keys = splitTopLevel(gbList.substring(0, gbEnd), ',').map(_.trim)
+      if (keys.exists(k => k.matches("\\d+") || k.equalsIgnoreCase("all")))
+        throw new IllegalArgumentException(
+          "GROUPS frame with integer offsets over GROUP BY ordinals or " +
+            "GROUP BY ALL is outside the dialect shim's bounded support — " +
+            "name the grouping keys")
+    }
+    val innerItems = scala.collection.mutable.ArrayBuffer.empty[String]
+    val outerItems = scala.collection.mutable.ArrayBuffer.empty[String]
+    var waN = 0; var wpN = 0
+    val literalRe = "(?s)^\\s*(\\d+(\\.\\d+)?|'(?:[^']|'')*'|true|false|null)\\s*$"
+    for (item <- splitTopLevel(list0, ',')) {
+      if (!"(?i)__grp\\d".r.findFirstIn(item).isDefined) {
+        // passthrough: compute inner, project by output name
+        innerItems += item.trim
+        val asRe =
+          "(?is)^.*\\S\\s+as\\s+([A-Za-z_][A-Za-z0-9_]*|`[^`]+`)\\s*$".r
+        val identRe =
+          "(?s)^\\s*([A-Za-z_][A-Za-z0-9_]*(?:\\.[A-Za-z_][A-Za-z0-9_]*)*)\\s*$".r
+        item match {
+          case asRe(alias) => outerItems += alias
+          case identRe(path) => outerItems += path.split('.').last
+          case _ => throw new IllegalArgumentException(
+            "GROUPS frame with integer offsets over GROUP BY requires every " +
+              "other select item to be a plain column or carry an explicit " +
+              "alias (the item must pass through the hoist wrap by name): " +
+              item.trim)
+        }
+      } else {
+        // rewrite each hoisted window call left-to-right within the item
+        val sb = new StringBuilder
+        var cur = item
+        var guard = 0
+        while ("(?i)__grp\\d".r.findFirstIn(cur).isDefined && guard < 20) {
+          guard += 1
+          val curIn = inString(cur)
+          // the OVER ( … __grpN … ) span
+          var ov = -1; var oi = 0
+          while (oi < cur.length && ov < 0) {
+            if (!curIn(oi) && cur.regionMatches(true, oi, "over", 0, 4) &&
+                (oi == 0 || !isIdentChar(cur(oi - 1))) &&
+                (oi + 4 >= cur.length || !isIdentChar(cur(oi + 4)))) {
+              var k = oi + 4
+              while (k < cur.length && cur(k).isWhitespace) k += 1
+              if (k < cur.length && cur(k) == '(') {
+                var d = 1; var e = k + 1
+                while (d > 0 && e < cur.length) {
+                  if (!curIn(e)) {
+                    if (cur(e) == '(') d += 1 else if (cur(e) == ')') d -= 1
+                  }
+                  e += 1
+                }
+                val spec = cur.substring(k + 1, e - 1)
+                if ("(?i)__grp\\d".r.findFirstIn(spec).isDefined) ov = oi
+                else oi = e // skip a non-GROUPS window in the same item
+              }
+            }
+            if (ov < 0) oi += 1
+          }
+          require(ov >= 0, s"GROUPS hoist: lost the rewritten spec in: $item")
+          // the window call immediately before OVER: fn ( args )
+          var ce = ov - 1
+          while (ce >= 0 && cur(ce).isWhitespace) ce -= 1
+          require(ce >= 0 && cur(ce) == ')',
+            "GROUPS frame over GROUP BY: expected a window CALL before OVER")
+          var d2 = 1; var cs = ce - 1
+          while (cs >= 0 && d2 > 0) {
+            if (!curIn(cs)) {
+              if (cur(cs) == ')') d2 += 1 else if (cur(cs) == '(') d2 -= 1
+            }
+            if (d2 > 0) cs -= 1
+          }
+          var fs = cs - 1
+          while (fs >= 0 && isIdentChar(cur(fs))) fs -= 1
+          val fnName = cur.substring(fs + 1, cs)
+          require(fnName.nonEmpty,
+            "GROUPS frame over GROUP BY: expected a window CALL before OVER")
+          val argsTxt = cur.substring(cs + 1, ce)
+          val newArgs =
+            if (argsTxt.trim == "*") argsTxt
+            else splitTopLevel(argsTxt, ',').map { a =>
+              if (a.trim.isEmpty || a.trim.toLowerCase.matches(literalRe)) a
+              else {
+                waN += 1
+                innerItems += s"${a.trim} AS __wa$waN"
+                s"__wa$waN"
+              }
+            }.mkString(", ")
+          // spec partition exprs → inner aliases; ORDER BY __grpN stays
+          var specK = ov + 4
+          while (specK < cur.length && cur(specK).isWhitespace) specK += 1
+          val specStart = specK + 1
+          var d3 = 1; var specEnd = specStart
+          while (d3 > 0 && specEnd < cur.length) {
+            if (!curIn(specEnd)) {
+              if (cur(specEnd) == '(') d3 += 1
+              else if (cur(specEnd) == ')') d3 -= 1
+            }
+            specEnd += 1
+          }
+          val spec = cur.substring(specStart, specEnd - 1)
+          val obAt = "(?is)\\border\\s+by\\b".r.findFirstMatchIn(spec)
+            .map(_.start).getOrElse(
+              throw new IllegalArgumentException(
+                s"GROUPS hoist: rewritten spec lost its ORDER BY: $spec"))
+          val partTxt = spec.substring(0, obAt).trim
+          val newSpec =
+            if (partTxt.isEmpty) spec
+            else {
+              val exprs = "(?is)^partition\\s+by\\s+(.*)$".r
+                .findFirstMatchIn(partTxt).map(_.group(1)).getOrElse(
+                  throw new IllegalArgumentException(
+                    s"GROUPS hoist: unexpected spec prefix: $partTxt"))
+              val aliased = splitTopLevel(exprs, ',').map { p =>
+                wpN += 1
+                innerItems += s"${p.trim} AS __wp$wpN"
+                s"__wp$wpN"
+              }.mkString(", ")
+              s"PARTITION BY $aliased ${spec.substring(obAt)}"
+            }
+          sb.append(cur.substring(0, fs + 1))
+            .append(fnName).append('(').append(newArgs).append(") OVER (")
+            .append(newSpec).append(')')
+          cur = cur.substring(specEnd)
+        }
+        require(guard < 20, "GROUPS grouped wrap did not converge")
+        sb.append(cur)
+        outerItems += sb.toString.trim
+      }
+    }
+    val synth = hoists.map { case (al, ex) => s"$ex AS $al" }
+    val innerAll = (innerItems ++ synth).mkString(", ")
+    sql.substring(0, selAt) + "SELECT " + outerItems.mkString(", ") +
+      s" FROM ( SELECT $innerAll $fromText ) __groups" + tail
   }
 
   /** DuckDB window frames accept an ANSI frame-exclusion clause

@@ -1606,31 +1606,70 @@ final class SqlFuzzer(seed: Long) {
           "ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING"
         case (s, e) => s"RANGE BETWEEN $s AND $e"
       }
-    val secondWindow = rnd.nextInt(4) == 0 // repeated-spec hoist stress
+    // shape (round 17): 0–4 inline OVER spec, 5 named WINDOW clause,
+    // 6 set-operation branches, 7 grouped block — the three contexts
+    // the round-16 shim bounded out and round 17 closed
+    val shape = rnd.nextInt(8)
+    val secondWindow = shape <= 4 && rnd.nextInt(4) == 0 // repeated-spec hoist stress
     val where = s"$v IS NOT NULL AND $part IS NOT NULL AND ${pred(tbl, 1)}"
     val tailCols = if (secondWindow) 4 else 3
     val tail = s"${orderAll(tailCols)} ${limit()}"
     val sSpec = s"PARTITION BY $part ORDER BY $ov ASC NULLS FIRST $gFrame"
-    val sparkSql =
+    val oSpec = s"PARTITION BY $part ORDER BY $ov ASC NULLS FIRST $oFrame"
+    // the dense-rank subquery equivalent of one branch (numeric oracle)
+    def oracleHoisted(whereTxt: String): String = {
+      val spec = "PARTITION BY p ORDER BY g ASC NULLS FIRST " + oFrame
+      s"SELECT c1, c2, CAST(SUM(s) OVER ($spec) AS BIGINT) AS c3" +
+        (if (secondWindow) s", CAST(COUNT(*) OVER ($spec) AS BIGINT) AS c4" else "") +
+        s" FROM (SELECT $key AS c1, CAST($ov AS BIGINT) AS c2, $sv AS s, $part AS p, " +
+        s"DENSE_RANK() OVER (PARTITION BY $part ORDER BY $ov ASC NULLS FIRST) AS g " +
+        s"FROM $t WHERE $whereTxt) q"
+    }
+    def sparkBranch(whereTxt: String): String =
       s"SELECT $key AS c1, CAST($ov AS BIGINT) AS c2, " +
         s"CAST(SUM($sv) OVER ($sSpec) AS BIGINT) AS c3" +
         (if (secondWindow) s", CAST(COUNT(*) OVER ($sSpec) AS BIGINT) AS c4" else "") +
-        s" FROM $t WHERE $where $tail"
-    val oracleSql =
-      if (!numeric) {
-        val oSpec = s"PARTITION BY $part ORDER BY $ov ASC NULLS FIRST $oFrame"
+        s" FROM $t WHERE $whereTxt"
+    def oracleBranch(whereTxt: String): String =
+      if (!numeric)
         s"SELECT $key AS c1, CAST($ov AS BIGINT) AS c2, " +
           s"CAST(SUM($sv) OVER ($oSpec) AS BIGINT) AS c3" +
           (if (secondWindow) s", CAST(COUNT(*) OVER ($oSpec) AS BIGINT) AS c4" else "") +
-          s" FROM $t WHERE $where $tail"
-      } else {
-        val oSpec = "PARTITION BY p ORDER BY g ASC NULLS FIRST " + oFrame
-        s"SELECT c1, c2, CAST(SUM(s) OVER ($oSpec) AS BIGINT) AS c3" +
-          (if (secondWindow) s", CAST(COUNT(*) OVER ($oSpec) AS BIGINT) AS c4" else "") +
-          s" FROM (SELECT $key AS c1, CAST($ov AS BIGINT) AS c2, $sv AS s, $part AS p, " +
-          s"DENSE_RANK() OVER (PARTITION BY $part ORDER BY $ov ASC NULLS FIRST) AS g " +
-          s"FROM $t WHERE $where) q $tail"
-      }
+          s" FROM $t WHERE $whereTxt"
+      else oracleHoisted(whereTxt)
+    val (sparkSql, oracleSql) = shape match {
+      case 5 => // named WINDOW clause (round 17): hoist resolves outer
+        (s"SELECT $key AS c1, CAST($ov AS BIGINT) AS c2, " +
+          s"CAST(SUM($sv) OVER w AS BIGINT) AS c3 FROM $t WHERE $where " +
+          s"WINDOW w AS ($sSpec) $tail",
+          s"${oracleBranch(where)} $tail")
+      case 6 => // set-operation branches: each hoists/wraps on its own
+        val where2 = s"$v IS NOT NULL AND $part IS NOT NULL AND ${pred(tbl, 1)}"
+        (s"${sparkBranch(where)} UNION ALL ${sparkBranch(where2)} $tail",
+          s"${oracleBranch(where)} UNION ALL ${oracleBranch(where2)} $tail")
+      case 7 => // grouped block: the wrap inverts, windows rank groups
+        val k = intLit(3, 9)
+        val gov = s"($part % $k)"
+        val gTail = s"${orderAll(3)} ${limit()}"
+        val sq =
+          s"SELECT $part AS c1, CAST(SUM($sv) AS BIGINT) AS c2, " +
+            s"CAST(SUM(COUNT(*)) OVER (ORDER BY $gov ASC NULLS FIRST $gFrame) " +
+            s"AS BIGINT) AS c3 FROM $t WHERE $where GROUP BY $part $gTail"
+        val oq =
+          if (!numeric)
+            s"SELECT $part AS c1, CAST(SUM($sv) AS BIGINT) AS c2, " +
+              s"CAST(SUM(COUNT(*)) OVER (ORDER BY $gov ASC NULLS FIRST $oFrame) " +
+              s"AS BIGINT) AS c3 FROM $t WHERE $where GROUP BY $part $gTail"
+          else
+            s"SELECT c1, c2, CAST(SUM(cnt) OVER (ORDER BY g ASC NULLS FIRST " +
+              s"$oFrame) AS BIGINT) AS c3 FROM (SELECT $part AS c1, " +
+              s"CAST(SUM($sv) AS BIGINT) AS c2, COUNT(*) AS cnt, " +
+              s"DENSE_RANK() OVER (ORDER BY $gov ASC NULLS FIRST) AS g " +
+              s"FROM $t WHERE $where GROUP BY $part) q $gTail"
+        (sq, oq)
+      case _ =>
+        (s"${sparkBranch(where)} $tail", s"${oracleBranch(where)} $tail")
+    }
     (sparkSql, oracleSql)
   }
 

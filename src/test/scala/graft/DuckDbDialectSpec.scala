@@ -533,21 +533,57 @@ class DuckDbDialectSpec extends AnyFunSuite {
     // a plain column NAMED groups is not hijacked (no frame-bound shape)
     assert(spark.sql(DuckDbDialect.rewrite("SELECT max(groups) OVER (ORDER BY i) m " +
       "FROM (SELECT 1 AS i, 2 AS groups)")).head().getInt(0) == 2)
+    // named WINDOW clause with integer offsets (round 17): the clause
+    // stays in the wrapped block's outer select where __grp1 resolves
+    assert(sums("SELECT i, SUM(x) OVER w s FROM gft WINDOW w AS (ORDER BY o " +
+      "GROUPS BETWEEN 1 PRECEDING AND CURRENT ROW) ORDER BY i")
+      == Seq(3L, 3L, 7L, 60L, 60L, 60L, 120L))
+    // set-operation branches (round 17): each branch hoists and wraps
+    // independently; the statement tail keeps binding to the whole op.
+    // Branch 1 (i≤3): groups {1,2},{4} → 3,3,7; branch 2 (i≥6):
+    // singleton groups {32},{64} → 32,96
+    assert(sums("SELECT i, SUM(x) OVER (ORDER BY o GROUPS 1 PRECEDING) s " +
+      "FROM gft WHERE i <= 3 UNION ALL SELECT i, SUM(x) OVER (ORDER BY o " +
+      "GROUPS 1 PRECEDING) s FROM gft WHERE i >= 6 ORDER BY i")
+      == Seq(3L, 3L, 7L, 32L, 96L))
+    // grouped block (round 17): the wrap inverts — the grouped query is
+    // the inner subquery, the GROUPS window evaluates outside over the
+    // hoisted aggregate argument. Grouped rows (o→SUM(x)): (1,3),(2,4),
+    // (3,56),(5,64); o unique after grouping → singleton peer groups
+    assert(sums("SELECT o, SUM(SUM(x)) OVER (ORDER BY o GROUPS BETWEEN " +
+      "1 PRECEDING AND CURRENT ROW) s FROM gft GROUP BY o ORDER BY o")
+      == Seq(3L, 7L, 60L, 120L))
+    // grouped + PARTITION BY + aliases: partition exprs hoist as __wp,
+    // the window arg as __wa; per-p windows are the ungrouped golden
+    val gpart = spark.sql(DuckDbDialect.rewrite("SELECT p, o AS oo, " +
+      "CAST(SUM(SUM(x)) OVER (PARTITION BY p ORDER BY o GROUPS 1 PRECEDING) " +
+      "AS BIGINT) AS s FROM gft2 GROUP BY p, o ORDER BY p, oo")).collect()
+    assert(gpart.map(_.getAs[Number]("s").longValue).toSeq
+      == Seq(3L, 7L, 60L, 120L, 3L, 7L, 60L, 120L))
+    assert(gpart.map(_.getAs[Number]("oo").intValue).toSeq
+      == Seq(1, 2, 3, 5, 1, 2, 3, 5))
+    // grouped + HAVING stays inside the wrap: dropping the o=1 group
+    // BEFORE the window shifts o=2's preceding group away
+    assert(sums("SELECT o, SUM(SUM(x)) OVER (ORDER BY o GROUPS 1 PRECEDING) s " +
+      "FROM gft GROUP BY o HAVING SUM(x) > 3 ORDER BY o")
+      == Seq(4L, 60L, 120L))
     // bounded out, with the limitation named: expression offsets,
-    // numeric offsets over GROUP BY, in a named WINDOW clause, or
-    // missing the mandatory ORDER BY
+    // missing the mandatory ORDER BY, grouped+named-window combined,
+    // GROUP BY ordinals, and unaliased grouped expressions
     def named(q: String, frag: String): Unit = {
       val ex = intercept[IllegalArgumentException](DuckDbDialect.rewrite(q))
       assert(ex.getMessage.toLowerCase.contains(frag), ex.getMessage)
     }
     named("SELECT SUM(x) OVER (ORDER BY o GROUPS BETWEEN x PRECEDING AND " +
       "CURRENT ROW) FROM gft", "integer-literal")
-    named("SELECT o, SUM(SUM(x)) OVER (ORDER BY o GROUPS BETWEEN 1 PRECEDING AND " +
-      "CURRENT ROW) FROM gft GROUP BY o", "grouped")
-    named("SELECT SUM(x) OVER w FROM gft WINDOW w AS (ORDER BY o GROUPS " +
-      "BETWEEN 1 PRECEDING AND CURRENT ROW)", "named window")
     named("SELECT SUM(x) OVER (GROUPS BETWEEN 1 PRECEDING AND CURRENT ROW) " +
       "FROM gft", "order by")
+    named("SELECT o, SUM(SUM(x)) OVER w FROM gft GROUP BY o WINDOW w AS " +
+      "(ORDER BY o GROUPS 1 PRECEDING)", "named window")
+    named("SELECT o, SUM(SUM(x)) OVER (ORDER BY o GROUPS 1 PRECEDING) s " +
+      "FROM gft GROUP BY 1", "ordinals")
+    named("SELECT o, SUM(x) + 0, SUM(SUM(x)) OVER (ORDER BY o GROUPS " +
+      "1 PRECEDING) s FROM gft GROUP BY o", "alias")
   }
 
   test("function-surface twins: arg_max, quantiles, list lambdas, unnest, 3-arg date_diff (round 16)") {
