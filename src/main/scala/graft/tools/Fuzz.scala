@@ -2086,6 +2086,20 @@ object Fuzz {
       // runPivot/runUnpivot (the units under test), not the
       // SELECT-level dialect shim
       def isStmt(kw: String) = sql.trim.regionMatches(true, 0, kw, 0, kw.length)
+      // round-17 text properties, checked on every soak (DialectPropertySpec
+      // pins fixed seeds; this extends the guard to each fresh-seed run):
+      // the shim must be a byte-level no-op on ANSI-common statements and
+      // idempotent on its own output for dialect statements
+      if (!dialect) {
+        val r = graft.engine.DuckDbDialect.rewrite(sql)
+        if (r != sql)
+          errors(name) = s"IDENTITY violated — rewrite changed ANSI text to: ${r.take(300)}"
+      } else if (!isStmt("pivot") && !isStmt("unpivot")) {
+        val r1 = graft.engine.DuckDbDialect.rewrite(sql)
+        val r2 = graft.engine.DuckDbDialect.rewrite(r1)
+        if (r2 != r1)
+          errors(name) = s"IDEMPOTENCE violated — second rewrite produced: ${r2.take(300)}"
+      }
       def sparkDf() =
         if (dialect && (isStmt("pivot") || isStmt("unpivot") ||
             "(?i)\\bcolumns\\s*\\(".r.findFirstIn(sql).isDefined))
