@@ -94,7 +94,10 @@ object ScaleProbeNew {
     // ladders run only when unfiltered (the fixed-k=8 instance is the
     // documented-quadratic non-goal — not meaningful past small K)
     val named = ProbeHarness.qs(Named).filter(Named.contains)
-    val withSemantic = sys.env.get("GRAFT_PROBE_QS").isEmpty
+    // semantic-dedup rungs run unfiltered, or when the filter names
+    // them explicitly (round 17: the 256× extension targets them)
+    val withSemantic = sys.env.get("GRAFT_PROBE_QS")
+      .forall(_.contains("q_dedup_semantic"))
 
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
     val li = spark.read.parquet(s"$sfDir/lineitem.parquet")

@@ -100,5 +100,37 @@ object ScaleProbeVec {
         f"cells_used=${pop.getLong(2)} avg_pop=${pop.getDouble(0)}%.1f " +
         f"max_pop=${pop.getLong(1)} fixed4_pop=${n / 16}")
     }
+
+    // Round-17 distributed-PQ-fit rung (VERDICT r16 #6): the
+    // full-corpus Lloyd (fitDistributed=true) is spec-pinned at 1×
+    // only; run BOTH fit paths at the ladder's TOP rung and report
+    // wall + recall@10 against the brute-force cosine top-10, so the
+    // 100 TB fit path is measured at scale, not just typed. Each
+    // iteration is one corpus scan (map-side assign vs the codebook
+    // literal) + one ≤ m·k-group aggregation — the census above shows
+    // the corpus size this pays for.
+    val topK = ProbeHarness.ks(Seq(1, 4, 16, 64)).max
+    val dirTop = s"$outBase/k$topK"
+    val eTop = spark2.read.parquet(s"$dirTop/embeddings.parquet")
+    val qid = eTop.agg(min(col("vec_id"))).head().getLong(0)
+    val qv = eTop.filter(col("vec_id") === qid)
+      .select(transform(col("embedding"), x => x.cast("double")))
+      .head().getSeq[Double](0)
+    val brute = eTop.filter(col("vec_id") =!= qid)
+      .select(col("vec_id"), graft.functions.CosineSim.cosine_sim(
+        transform(col("embedding"), x => x.cast("double")),
+        typedLit(qv)).as("cs"))
+      .orderBy(col("cs").desc, col("vec_id")).limit(10)
+      .collect().map(_.getLong(0)).toSet
+    Seq(false, true).foreach { dist =>
+      val label = if (dist) "distributed" else "sampled"
+      val t0 = System.nanoTime()
+      val got = graft.ops.VectorOps.pqProbe(eTop, fitDistributed = dist)
+        .collect().map(_.getLong(0)).toSet
+      val wall = (System.nanoTime() - t0) / 1e9
+      val recall = got.count(brute.contains).toDouble / brute.size
+      System.err.println(f"[probe] pq-fit($label) @K=$topK: " +
+        f"wall=$wall%.2f s recall@10=$recall%.2f")
+    }
   }
 }
