@@ -14,7 +14,7 @@ import org.apache.spark.sql.types._
   * which is why the pre-round-16 bloom screen had to cap its filter at
   * 2^22 bits. A reference object is serialized once into the stage's
   * task binary (broadcast to each executor once), so the filter can
-  * grow with the holdout — 2^26 bits is an 8 MiB long[], negligible
+  * grow with the holdout — 2^27 bits is a 16 MiB long[], negligible
   * against a 100 TB probe side — while the probe itself stays a pure
   * codegen word-index + mask test inside WholeStageCodegen.
   *

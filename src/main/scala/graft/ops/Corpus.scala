@@ -458,16 +458,18 @@ object Corpus {
     // passed ~10k distinct shingles, driving the false-positive rate
     // toward 1 and pruned_frac to 0 — the screen degenerated into the
     // unscreened join): m = nextPow2(16 × |distinct holdout shingles|),
-    // floored at 2^16 and capped at 2^26 bits. Round 16 lifted the cap
+    // floored at 2^16 and capped at 2^27 bits (round 17 — the 2^26 cap
+    // bound at the 256x ladder's 33M-shingle holdout, fp 1.38%; one
+    // doubling restores fp <1% for a 16 MiB words array). Round 16 lifted the cap
     // 16× by building the filter DISTRIBUTED: each holdout partition
     // ORs its positions into a local bit array and a treeReduce ORs the
     // arrays (no driver collect of positions, no distinct shuffle), and
     // the probe ships the words as a codegen REFERENCE OBJECT
     // (functions/BitSetExprs) instead of a plan literal — the cap is
-    // now only the 8 MiB words array in the stage's task binary, not a
+    // now only the 16 MiB words array in the stage's task binary, not a
     // driver-literal budget. At 16 bits/element, k=4 gives
     // fpr ≈ (1 − e^(−1/4))^4 ≈ 0.2 % until the cap. The ORACLE derives
-    // the SAME m arithmetically (integers ≤ 2^26 and their powers of
+    // the SAME m arithmetically (integers ≤ 2^27 and their powers of
     // two are exact in doubles, so LOG2/CEILING/POWER round-trip), so
     // both engines screen identically. Train-side shingles are screened
     // MAP-SIDE by the bit array (pure codegen: word index + mask test,
@@ -482,7 +484,7 @@ object Corpus {
       s"""WITH sh AS (${Dedup.oracleShingles}),
          |te AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 2 = 1),
          |mv AS (SELECT LEAST(CAST(POWER(2, CEILING(LOG2(GREATEST(
-         |         16 * COUNT(*), 65536)))) AS BIGINT), 67108864) AS m FROM te),
+         |         16 * COUNT(*), 65536)))) AS BIGINT), 134217728) AS m FROM te),
          |tepos AS (
          |  SELECT CAST('0x' || substr(md5(shingle), 1, 8) AS BIGINT) % (SELECT m FROM mv) AS p FROM te
          |  UNION SELECT CAST('0x' || substr(md5(shingle), 9, 8) AS BIGINT) % (SELECT m FROM mv) FROM te
@@ -521,7 +523,7 @@ object Corpus {
       val mBits: Long = {
         val t = math.max(16L * nHold, 65536L)
         val p = if ((t & (t - 1)) == 0L) t else java.lang.Long.highestOneBit(t) << 1
-        math.min(p, 1L << 26)
+        math.min(p, 1L << 27)
       }
       def posEx(c: Column, off: Int) =
         conv(substring(md5(c), off, 8), 16, 10).cast("long") % mBits
