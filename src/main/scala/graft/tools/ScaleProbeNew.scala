@@ -133,16 +133,24 @@ object ScaleProbeNew {
         col("label"))
     }
 
+    // GRAFT_PROBE_REUSE=1 skips replica generation for a k-dir that
+    // already has all four tables (round 17 — rerunning one query on
+    // an existing 256x rung should not pay the 256-way union writes)
+    val reuse = sys.env.get("GRAFT_PROBE_REUSE").contains("1")
     kLadder.foreach { k =>
       val dir = s"$outBase/k$k"
-      (0 until k).map(docReplica).reduce(_ unionAll _)
-        .write.mode("overwrite").parquet(s"$dir/documents.parquet")
-      (0 until k).map(liReplica).reduce(_ unionAll _)
-        .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
-      (0 until k).map(embReplica).reduce(_ unionAll _)
-        .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
-      (0 until k).map(evReplica).reduce(_ unionAll _)
-        .write.mode("overwrite").parquet(s"$dir/events.parquet")
+      val present = Seq("documents", "lineitem", "embeddings", "events")
+        .forall(t => new java.io.File(s"$dir/$t.parquet/_SUCCESS").exists())
+      if (!(reuse && present)) {
+        (0 until k).map(docReplica).reduce(_ unionAll _)
+          .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+        (0 until k).map(liReplica).reduce(_ unionAll _)
+          .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+        (0 until k).map(embReplica).reduce(_ unionAll _)
+          .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+        (0 until k).map(evReplica).reduce(_ unionAll _)
+          .write.mode("overwrite").parquet(s"$dir/events.parquet")
+      }
     }
 
     def time(label: String, df: => DataFrame): Double = {
@@ -155,8 +163,14 @@ object ScaleProbeNew {
     // warmup at K=1 (codegen + JIT for the whole family)
     named.foreach(q => time(s"warmup $q",
       graft.SparkEntry.queries(q)(spark, s"$outBase/k${kLadder.head}")))
+    // under GRAFT_PROBE_SEM=scaled the warmup must use the SCALED k
+    // too — a fixed-k=8 warmup on a 256x head rung is the quadratic
+    // shape the flag exists to avoid
+    val warmK =
+      if (sys.env.get("GRAFT_PROBE_SEM").contains("scaled")) 8 * kLadder.head
+      else 8
     if (withSemantic) time("warmup semantic",
-      graft.ops.Dedup.semanticDedup(spark, s"$outBase/k${kLadder.head}", 8, 0.3))
+      graft.ops.Dedup.semanticDedup(spark, s"$outBase/k${kLadder.head}", warmK, 0.3))
 
     val rows = kLadder.map { k =>
       spark.sharedState.cacheManager.clearCache()
@@ -164,10 +178,15 @@ object ScaleProbeNew {
       val namedTimes = named.map(q =>
         q -> time(s"$q @K=$k", graft.SparkEntry.queries(q)(spark, dir)))
       val sem = if (!withSemantic) Nil else {
+        // GRAFT_PROBE_SEM=scaled skips the fixed-k=8 variant (round 17:
+        // it is the documented-quadratic non-goal — at 256x its pair
+        // work alone is ~hours, while the SCALED variants are the
+        // 100 TB path and stay linear)
+        val scaledOnly = sys.env.get("GRAFT_PROBE_SEM").contains("scaled")
         // fixed k=8 cells (documented non-goal past small K: pair work ~K²)
-        val semFixed = "q_dedup_semantic(k=8)" ->
+        val semFixed = if (scaledOnly) Nil else Seq("q_dedup_semantic(k=8)" ->
           time(s"semantic k=8 @K=$k",
-            graft.ops.Dedup.semanticDedup(spark, dir, 8, 0.3))
+            graft.ops.Dedup.semanticDedup(spark, dir, 8, 0.3)))
         // the scale path: cells grow with the corpus, cluster size constant
         val semScaled = s"q_dedup_semantic(k=8K)" ->
           time(s"semantic k=${8 * k} @K=$k",
@@ -178,7 +197,7 @@ object ScaleProbeNew {
         val semCoarse = s"q_dedup_semantic(k=8K,2lv)" ->
           time(s"semantic k=${8 * k} g=$g @K=$k",
             graft.ops.Dedup.semanticDedup(spark, dir, 8 * k, 0.3, Some(g)))
-        Seq(semFixed, semScaled, semCoarse)
+        semFixed ++ Seq(semScaled, semCoarse)
       }
       // round-15 bloom evidence: the ~r suffix grows the holdout's
       // distinct-shingle set linearly with K, so a FIXED m would
@@ -198,9 +217,11 @@ object ScaleProbeNew {
       k -> (namedTimes ++ sem).toMap
     }
 
-    val names = named ++ (if (withSemantic)
-      Seq("q_dedup_semantic(k=8)", "q_dedup_semantic(k=8K)",
-        "q_dedup_semantic(k=8K,2lv)") else Nil)
+    val names = named ++ (if (!withSemantic) Nil
+      else if (sys.env.get("GRAFT_PROBE_SEM").contains("scaled"))
+        Seq("q_dedup_semantic(k=8K)", "q_dedup_semantic(k=8K,2lv)")
+      else Seq("q_dedup_semantic(k=8)", "q_dedup_semantic(k=8K)",
+        "q_dedup_semantic(k=8K,2lv)"))
     println(f"${"query"}%-26s" + kLadder.map(k => f"K=$k%-8d").mkString)
     names.foreach { q =>
       println(f"$q%-26s" + rows.map { case (_, m) => f"${m(q)}%-8.2f" }.mkString)
