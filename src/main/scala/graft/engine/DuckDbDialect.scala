@@ -1483,12 +1483,23 @@ object DuckDbDialect {
     *    filtered rows, per evaluation order); ORDER BY/LIMIT tails stay
     *    outside; a bare `*` select list becomes `* EXCEPT (__grpN...)`.
     *
+    * Numeric offsets compose with top-level GROUP BY/HAVING (the wrap
+    * inverts — [[groupedGroupsWrap]], GROUP BY ordinals resolved to
+    * their item expressions), with set-operation branches (each branch
+    * re-enters the deep pass independently), and with a named WINDOW
+    * clause (the clause stays in the wrapped block's outer select).
+    *
     * Bounded (throws, names the limitation — never silently wrong):
-    * numeric offsets combined with top-level GROUP BY/HAVING, a set
-    * operation, a named WINDOW clause, or a qualified star (`t.*`);
-    * non-integer offset expressions; GROUPS without ORDER BY (rejected
-    * by both engines). The single-bound shorthand `GROUPS n PRECEDING`
-    * is BETWEEN n PRECEDING AND CURRENT ROW, as everywhere else. */
+    * GROUP BY and a named WINDOW clause COMBINED with numeric offsets;
+    * GROUP BY ALL with numeric offsets (both engines reject GROUP BY
+    * ALL + window functions outright — measured, the loud error is
+    * parity); grouped select items that are neither plain columns,
+    * aliased, nor simple calls with identifier/integer arguments;
+    * SELECT DISTINCT + GROUP BY; a qualified star (`t.*`); `* EXCEPT`
+    * alongside the hoist star; non-integer offset expressions; GROUPS
+    * without ORDER BY (rejected by both engines). The single-bound
+    * shorthand `GROUPS n PRECEDING` is BETWEEN n PRECEDING AND CURRENT
+    * ROW, as everywhere else. */
   private def rewriteGroupsDeep(sql: String): String = {
     findGroupsFrame(sql) match {
       case None => sql
@@ -1541,15 +1552,20 @@ object DuckDbDialect {
     if (cuts.nonEmpty) {
       val sb = new StringBuilder
       var pos = 0
+      // each branch re-enters the DEEP pass, not the top one: a frame
+      // nested in a subquery inside a branch must be rewritten (and
+      // wrapped) at ITS query block — hoisting it at branch level would
+      // reference __grpN inside the subquery while defining the helper
+      // outside it (unresolved-column AnalysisException)
       for ((s, e) <- cuts) {
-        val seg = rewriteGroupsTop(sql0.substring(pos, s))
+        val seg = rewriteGroupsDeep(sql0.substring(pos, s))
         sb.append(seg)
         // a rewritten branch may have trimmed its boundary whitespace
         if (seg.nonEmpty && !seg.last.isWhitespace) sb.append(' ')
         sb.append(sql0.substring(s, e))
         pos = e
       }
-      sb.append(rewriteGroupsTop(sql0.substring(pos)))
+      sb.append(rewriteGroupsDeep(sql0.substring(pos)))
       return sb.toString
     }
     var sql = sql0
@@ -1651,6 +1667,21 @@ object DuckDbDialect {
         (i + w.length >= sql.length || !isIdentChar(sql(i + w.length)))
     var depth = 0; var selAt = -1; var fromAt = -1; var tailAt = -1
     var groupAt = -1; var windowAt = -1
+    // a real named-WINDOW clause is `WINDOW <ident> AS (` — a column
+    // that happens to be NAMED window (e.g. `WHERE window > 5`) must
+    // not truncate the wrapped body at its reference (round-18 advice)
+    def isWindowClauseAt(i: Int): Boolean = {
+      var k = i + "window".length
+      while (k < sql.length && sql(k).isWhitespace) k += 1
+      val idStart = k
+      while (k < sql.length && isIdentChar(sql(k))) k += 1
+      if (k == idStart) return false
+      while (k < sql.length && sql(k).isWhitespace) k += 1
+      if (!sql.regionMatches(true, k, "as", 0, 2)) return false
+      k += 2
+      while (k < sql.length && sql(k).isWhitespace) k += 1
+      k < sql.length && sql(k) == '('
+    }
     var j = 0
     while (j < sql.length) {
       if (!in2(j)) {
@@ -1665,7 +1696,8 @@ object DuckDbDialect {
           else if (fromAt >= 0 && groupAt < 0 &&
               (wordAt(j, "group") || wordAt(j, "having")))
             groupAt = j
-          else if (fromAt >= 0 && windowAt < 0 && wordAt(j, "window"))
+          else if (fromAt >= 0 && windowAt < 0 && wordAt(j, "window") &&
+              isWindowClauseAt(j))
             windowAt = j
           else if (fromAt >= 0 && tailAt < 0 &&
               (wordAt(j, "order") || wordAt(j, "limit") || wordAt(j, "offset")))
@@ -1777,9 +1809,12 @@ object DuckDbDialect {
     *     expressions, valid inner) compute inner as `__grpN`; windows
     *     in a grouped select list evaluate after the aggregation.
     * Non-window items pass through by OUTPUT NAME: a trailing
-    * `AS alias` or a plain (qualified) identifier; anything else is
-    * bounded out loudly (alias it). GROUP BY ordinals and GROUP BY ALL
-    * are bounded out (positions/items shift through the wrap); ORDER BY
+    * `AS alias`, a plain (qualified) identifier, or a simple call whose
+    * auto-name both engines derive identically ([[derivedCallName]]);
+    * anything else is bounded out loudly (alias it). GROUP BY ordinals
+    * are resolved to their item expressions before the wrap (positions
+    * shift through it); GROUP BY ALL is bounded out — both engines
+    * reject ALL + window functions (measured round 18). ORDER BY
     * ordinals in the statement tail are safe — the outer list preserves
     * the original arity and order. A wrapper expression AROUND the
     * window call that references other grouped values stays in the
@@ -1809,6 +1844,7 @@ object DuckDbDialect {
       }
       fi += 1
     }
+    var fromTextR = fromText
     if (gb >= 0) {
       val gbTail = fromText.substring(gb)
       val gbList = "(?is)^group\\s+by\\s+(.*)$".r.findFirstMatchIn(gbTail)
@@ -1816,11 +1852,42 @@ object DuckDbDialect {
       val gbEnd = "(?is)\\bhaving\\b".r.findFirstMatchIn(gbList)
         .map(_.start).getOrElse(gbList.length)
       val keys = splitTopLevel(gbList.substring(0, gbEnd), ',').map(_.trim)
-      if (keys.exists(k => k.matches("\\d+") || k.equalsIgnoreCase("all")))
+      // GROUP BY ALL + window functions: BOTH engines reject the
+      // combination outright (measured round 18 — DuckDB 1.0 "Cannot
+      // mix aggregates with non-aggregated columns" / "Cannot group on
+      // a window clause"; Spark 4.1 UNSUPPORTED_EXPR_FOR_OPERATOR on
+      // the inferred window key) — so the shim's loud error IS parity
+      if (keys.exists(_.equalsIgnoreCase("all")))
         throw new IllegalArgumentException(
-          "GROUPS frame with integer offsets over GROUP BY ordinals or " +
-            "GROUP BY ALL is outside the dialect shim's bounded support — " +
-            "name the grouping keys")
+          "GROUPS frame with integer offsets over GROUP BY ALL: both " +
+            "engines reject GROUP BY ALL combined with window functions " +
+            "(measured: DuckDB 'Cannot mix aggregates with non-aggregated " +
+            "columns', Spark UNSUPPORTED_EXPR_FOR_OPERATOR) — name the " +
+            "grouping keys")
+      // GROUP BY ordinals (round 18): resolve each ordinal to the
+      // alias-stripped text of the referenced select item BEFORE the
+      // wrap — positions shift through the hoist (window items leave
+      // the inner list; __wa/__wp extracts join it), so the ordinal
+      // must be pinned to its expression here. An ordinal naming a
+      // window item resolves to the window text and fails analysis
+      // loudly (it was never a legal grouping key).
+      if (keys.exists(_.matches("\\d+"))) {
+        val items = splitTopLevel(list0, ',')
+        val resolved = keys.map { k =>
+          if (!k.matches("\\d+")) k
+          else {
+            val i = k.toInt
+            if (i < 1 || i > items.length)
+              throw new IllegalArgumentException(
+                s"GROUP BY ordinal $i out of range (${items.length} select items)")
+            stripTrailingAlias(items(i - 1)).trim
+          }
+        }
+        val gbHead = gbTail.substring(0, gbTail.length - gbList.length)
+        val having = gbList.substring(gbEnd).trim
+        fromTextR = fromText.substring(0, gb) + gbHead +
+          resolved.mkString(", ") + (if (having.nonEmpty) " " + having else "")
+      }
     }
     val innerItems = scala.collection.mutable.ArrayBuffer.empty[String]
     val outerItems = scala.collection.mutable.ArrayBuffer.empty[String]
@@ -1837,11 +1904,22 @@ object DuckDbDialect {
         item match {
           case asRe(alias) => outerItems += alias
           case identRe(path) => outerItems += path.split('.').last
-          case _ => throw new IllegalArgumentException(
-            "GROUPS frame with integer offsets over GROUP BY requires every " +
-              "other select item to be a plain column or carry an explicit " +
-              "alias (the item must pass through the hoist wrap by name): " +
-              item.trim)
+          case _ => derivedCallName(item) match {
+            // unaliased simple call (round 18): the inner block keeps
+            // the item verbatim, so Spark auto-names it with the same
+            // pretty-print DuckDB generates (measured on both engines:
+            // sum(x) → `sum(x)`, substr(s,1,2) → `substr(s, 1, 2)`);
+            // the outer projects that derived name. A shape the rule
+            // cannot derive stays bounded out; a wrong derivation fails
+            // ANALYSIS as an unresolved column — loud, never silent.
+            case Some(n) => outerItems += s"`$n`"
+            case None => throw new IllegalArgumentException(
+              "GROUPS frame with integer offsets over GROUP BY requires every " +
+                "other select item to be a plain column, a simple call " +
+                "(identifier/integer arguments), or carry an explicit " +
+                "alias (the item must pass through the hoist wrap by name): " +
+                item.trim)
+          }
         }
       } else {
         // rewrite each hoisted window call left-to-right within the item
@@ -1916,10 +1994,27 @@ object DuckDbDialect {
             specEnd += 1
           }
           val spec = cur.substring(specStart, specEnd - 1)
-          val obAt = "(?is)\\border\\s+by\\b".r.findFirstMatchIn(spec)
-            .map(_.start).getOrElse(
-              throw new IllegalArgumentException(
-                s"GROUPS hoist: rewritten spec lost its ORDER BY: $spec"))
+          // locate ORDER BY with the same depth/string-aware scan the
+          // top rewrite uses — a regex would split at an 'order by'
+          // substring inside a partition expression's string literal
+          // (e.g. PARTITION BY CASE WHEN c = 'order by' ...)
+          val specIn = inString(spec)
+          var obAt = -1; var obD = 0; var obI = 0
+          while (obI < spec.length && obAt < 0) {
+            if (!specIn(obI)) {
+              val c = spec(obI)
+              if (c == '(') obD += 1
+              else if (c == ')') obD -= 1
+              else if (obD == 0 && spec.regionMatches(true, obI, "order", 0, 5) &&
+                  (obI == 0 || !isIdentChar(spec(obI - 1))) &&
+                  (obI + 5 >= spec.length || !isIdentChar(spec(obI + 5))))
+                obAt = obI
+            }
+            obI += 1
+          }
+          if (obAt < 0)
+            throw new IllegalArgumentException(
+              s"GROUPS hoist: rewritten spec lost its ORDER BY: $spec")
           val partTxt = spec.substring(0, obAt).trim
           val newSpec =
             if (partTxt.isEmpty) spec
@@ -1948,7 +2043,50 @@ object DuckDbDialect {
     val synth = hoists.map { case (al, ex) => s"$ex AS $al" }
     val innerAll = (innerItems ++ synth).mkString(", ")
     sql.substring(0, selAt) + "SELECT " + outerItems.mkString(", ") +
-      s" FROM ( SELECT $innerAll $fromText ) __groups" + tail
+      s" FROM ( SELECT $innerAll $fromTextR ) __groups" + tail
+  }
+
+  /** The trailing `AS alias` stripped from a select item (for GROUP BY
+    * ordinal resolution — the ordinal groups by the item's EXPRESSION). */
+  private def stripTrailingAlias(item: String): String =
+    "(?is)^(.*\\S)\\s+as\\s+([A-Za-z_][A-Za-z0-9_]*|`[^`]+`)\\s*$".r
+      .findFirstMatchIn(item).map(_.group(1)).getOrElse(item)
+
+  /** The auto-generated column name of an unaliased select item, iff it
+    * is derivable EXACTLY: a single call `fn(a, b, ...)` whose top-level
+    * arguments are all plain (possibly qualified) identifiers or integer
+    * literals → lowercase fn, args joined with ", ", qualified idents
+    * reduced to their last segment. Measured round 18 to be the
+    * identical convention on both engines (Spark toPrettySQL, DuckDB):
+    * `SUM(x)` → `sum(x)`, `substr(s,1,2)` → `substr(s, 1, 2)`.
+    * Excluded (returns None → the caller's loud bound): `count(*)`
+    * (Spark names it count(1), DuckDB count_star()), DISTINCT/nested/
+    * string-literal arguments, anything trailing the call (operators,
+    * OVER). */
+  private def derivedCallName(item: String): Option[String] = {
+    "(?s)^\\s*([A-Za-z_][A-Za-z0-9_]*)\\s*\\((.*)\\)\\s*$".r
+      .findFirstMatchIn(item).flatMap { m =>
+        val argsTxt = m.group(2)
+        // greedy-to-last-')' capture: the parens inside must balance and
+        // never go negative, or the item is NOT one single call
+        var d = 0; var ok = true
+        argsTxt.foreach { c =>
+          if (c == '(') d += 1
+          else if (c == ')') { d -= 1; if (d < 0) ok = false }
+        }
+        if (!ok || d != 0) None
+        else if (argsTxt.trim.isEmpty)
+          Some(m.group(1).toLowerCase(java.util.Locale.ROOT) + "()")
+        else {
+          val args = splitTopLevel(argsTxt, ',').map(_.trim)
+          val identPat = "[A-Za-z_][A-Za-z0-9_]*(\\.[A-Za-z_][A-Za-z0-9_]*)*"
+          if (args.forall(a => a.matches(identPat) || a.matches("\\d+")))
+            Some(m.group(1).toLowerCase(java.util.Locale.ROOT) + "(" +
+              args.map(a =>
+                if (a.matches("\\d+")) a else a.split('.').last).mkString(", ") + ")")
+          else None
+        }
+      }
   }
 
   /** DuckDB window frames accept an ANSI frame-exclusion clause

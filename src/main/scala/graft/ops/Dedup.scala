@@ -862,34 +862,58 @@ object Dedup {
         .orderBy("doc_id")
     },
 
-    // Embedding near-dup: cosine ≥ 0.3 within label blocks (the testdata embeddings are near-orthogonal, so the threshold is set where candidate pairs exist) (IVF-style
-    // candidate pruning); exact-SQL twin on DuckDB list functions.
+    // Embedding near-dup: cosine ≥ 0.3 within label blocks (the testdata
+    // embeddings are near-orthogonal, so the threshold is set where
+    // candidate pairs exist). Round 18: the pair join is additionally
+    // banded on a PER-LABEL corpus-derived sign-prefix bucket so a
+    // skewed label block can never go quadratic — b =
+    // [[embedBucketBitsFor]](n_label) sign bits of the leading
+    // dimensions key each vector into one of 2^b buckets, and pairs are
+    // compared only within (label, bucket): within-block pair work is
+    // bounded by ~n_label·(cap=256) instead of n_label². b=0 whenever
+    // the block fits the cap, so the query is EXACT at every oracle
+    // scale (max block 218 at sf0.1) and the derivation is mirrored
+    // verbatim in the oracle's CASE ladder (the lshBitsFor pattern,
+    // VectorOps.scala:136). Beyond the cap the banding is the standard
+    // sign-LSH trade (a qualifying pair split across buckets is
+    // dropped; per-bit split probability θ/π) — the r17 sf10 wall was
+    // this query at 1417 s under verbatim-replicated labels, exactly
+    // the skew this stage bounds.
     OpQuery("q_dedup_embedding",
-      """SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-        |       ROUND(
-        |         list_dot_product(list_transform(a.embedding, x -> CAST(x AS DOUBLE)),
-        |                          list_transform(b.embedding, x -> CAST(x AS DOUBLE)))
-        |         / (sqrt(list_dot_product(list_transform(a.embedding, x -> CAST(x AS DOUBLE)),
-        |                                  list_transform(a.embedding, x -> CAST(x AS DOUBLE))))
-        |          * sqrt(list_dot_product(list_transform(b.embedding, x -> CAST(x AS DOUBLE)),
-        |                                  list_transform(b.embedding, x -> CAST(x AS DOUBLE))))), 6) AS cos_sim
-        |FROM embeddings a JOIN embeddings b
-        |  ON a.label = b.label AND a.vec_id < b.vec_id
-        |WHERE ROUND(
-        |         list_dot_product(list_transform(a.embedding, x -> CAST(x AS DOUBLE)),
-        |                          list_transform(b.embedding, x -> CAST(x AS DOUBLE)))
-        |         / (sqrt(list_dot_product(list_transform(a.embedding, x -> CAST(x AS DOUBLE)),
-        |                                  list_transform(a.embedding, x -> CAST(x AS DOUBLE))))
-        |          * sqrt(list_dot_product(list_transform(b.embedding, x -> CAST(x AS DOUBLE)),
-        |                                  list_transform(b.embedding, x -> CAST(x AS DOUBLE))))), 6) >= 0.3
+      s"""WITH e AS (
+        |  SELECT vec_id, label,
+        |         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings),
+        |en AS (SELECT vec_id, label, v,
+        |              sqrt(list_dot_product(v, v)) AS nv FROM e),
+        |lc AS (SELECT label, $EmbedBucketLadderSql AS bb
+        |       FROM e GROUP BY label),
+        |eb AS (SELECT en.vec_id, en.label, en.v, en.nv,
+        |              $EmbedBucketKeySql AS bucket
+        |       FROM en JOIN lc ON en.label = lc.label)
+        |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |       ROUND(list_dot_product(a.v, b.v) / (a.nv * b.nv), 6) AS cos_sim
+        |FROM eb a JOIN eb b
+        |  ON a.label = b.label AND a.bucket = b.bucket AND a.vec_id < b.vec_id
+        |WHERE ROUND(list_dot_product(a.v, b.v) / (a.nv * b.nv), 6) >= 0.3
         |ORDER BY id_a, id_b""".stripMargin) { (s, d) =>
-      val e = embeddings(s, d)
-        .select(col("vec_id"), col("label"), col("embedding").as("v"))
-        .withColumn("norm", sqrt(VectorOps.dot(col("v"), col("v"))))
+      val en = embeddings(s, d)
+        .select(col("vec_id"), col("label"),
+          expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
+        .withColumn("nv", sqrt(VectorOps.dot(col("v"), col("v"))))
+      // one row per label — joined (not broadcast: label cardinality is
+      // corpus-dependent) on the same label key the pair join shuffles on
+      val lc = en.groupBy("label")
+        .agg(embedBucketBitsFor(count(lit(1))).as("bb"))
+      val eb = en.join(lc, Seq("label"))
+        .withColumn("bucket", embedBucketKey(col("v"), col("bb")))
+        .select("label", "bucket", "vec_id", "v", "nv")
       val cos = round(
-        VectorOps.dot(col("a.v"), col("b.v")) / (col("a.norm") * col("b.norm")), 6)
-      e.as("a").join(e.as("b"),
-          col("a.label") === col("b.label") && col("a.vec_id") < col("b.vec_id"))
+        VectorOps.dot(col("a.v"), col("b.v")) / (col("a.nv") * col("b.nv")), 6)
+      eb.as("a").join(eb.as("b"),
+          col("a.label") === col("b.label") &&
+            col("a.bucket") === col("b.bucket") &&
+            col("a.vec_id") < col("b.vec_id"))
         .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"), cos.as("cos_sim"))
         .filter(col("cos_sim") >= 0.3)
         .orderBy("id_a", "id_b")
@@ -899,8 +923,9 @@ object Dedup {
     // embedding space, then near-dup only WITHIN clusters — the cluster
     // bounds the quadratic, the same role label-blocking plays in
     // q_dedup_embedding but LEARNED from the data instead of given.
-    // Deterministic mini-Lloyd: K=8 centroids seeded from the 8 lowest
-    // vec_ids, one assign → mean → re-assign refinement, means rounded
+    // Deterministic mini-Lloyd: K = [[semanticKFor]](n) centroids
+    // (corpus-derived, round 18 — 8 at oracle scales) seeded from the
+    // K lowest vec_ids, one assign → mean → re-assign refinement, means rounded
     // to 6 dp so both engines derive bit-identical centroids (the
     // rounding is the float-agg convention; every downstream cosine is
     // then a sequential 64-dim dot product, bit-equal across engines).
@@ -911,11 +936,13 @@ object Dedup {
     // scale K with the corpus (cells of ~constant size), which keeps the
     // within-cluster pair space bounded — exactly SemDeDup's argument.
     OpQuery("q_dedup_semantic",
-      """WITH v0 AS (
+      s"""WITH v0 AS (
         |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
         |  FROM embeddings),
+        |kv AS ($SemanticKLadderSql),
         |vn AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nv FROM v0),
-        |c0 AS (SELECT vec_id AS cid, v AS c FROM v0 WHERE vec_id < 8),
+        |c0 AS (SELECT vec_id AS cid, v AS c FROM v0
+        |       WHERE vec_id < (SELECT k FROM kv)),
         |a1 AS (
         |  SELECT vec_id, cid, ROW_NUMBER() OVER (
         |           PARTITION BY vec_id
@@ -946,7 +973,12 @@ object Dedup {
         |  JOIN vn vb ON vb.vec_id = b.vec_id
         |  WHERE ROUND(list_dot_product(va.v, vb.v) / (va.nv * vb.nv), 6) >= 0.3)
         |SELECT DISTINCT drop_id FROM p ORDER BY drop_id""".stripMargin) { (s, d) =>
-      semanticDedup(s, d, 8, 0.3)
+      // k is corpus-derived (round 18): [[semanticKFor]] on the memoized
+      // corpus count, mirrored by the oracle's kv CTE — 8 at the oracle
+      // scales (n ≤ 2048, bit-identical to the former pinned k), growing
+      // with the corpus so cells hold ~256 members at any scale
+      semanticDedup(s, d,
+        semanticKFor(VectorOps.corpusCount(embeddings(s, d))), 0.3)
     },
 
     // Incremental SEMANTIC admission — the continuous-ingestion twin of
@@ -958,13 +990,17 @@ object Dedup {
     // amortized across batches and the per-batch cost is
     // batch×k assignment dots + per-cell member comparisons.
     OpQuery("q_dedup_semantic_admit",
-      """WITH v0 AS (
+      s"""WITH v0 AS (
         |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
         |  FROM embeddings),
+        |kv AS ($SemanticKLadderSql),
         |vn AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nv FROM v0),
         |corpus AS (SELECT * FROM vn WHERE vec_id % 10 <> 7),
         |batch  AS (SELECT * FROM vn WHERE vec_id % 10 = 7),
-        |c0 AS (SELECT vec_id AS cid, v AS c FROM corpus WHERE vec_id < 9),
+        |c0 AS (SELECT vec_id AS cid, v AS c FROM (
+        |         SELECT vec_id, v, ROW_NUMBER() OVER (ORDER BY vec_id) AS rn
+        |         FROM corpus) sr
+        |       WHERE rn <= (SELECT k FROM kv)),
         |a1 AS (
         |  SELECT vec_id, cid, ROW_NUMBER() OVER (
         |           PARTITION BY vec_id
@@ -1012,7 +1048,13 @@ object Dedup {
       val vn = normedVectors(s, d)
       val corpus = vn.filter(pmod(col("vec_id"), lit(10)) =!= 7)
       val batch = vn.filter(pmod(col("vec_id"), lit(10)) === 7)
-      val c0 = corpus.filter(col("vec_id") < 9)
+      // k lowest CORPUS ids as seeds, k corpus-derived (round 18; the
+      // oracle's ROW_NUMBER ≤ k CTE). orderBy+limit is a distributed
+      // top-k (TakeOrdered), k rows total — no global window, and at
+      // the oracle scale (k=8) identical to the former `vec_id < 9`
+      // (corpus ids 0..8 minus the batch id 7)
+      val k = semanticKFor(VectorOps.corpusCount(embeddings(s, d)))
+      val c0 = corpus.orderBy("vec_id").limit(k)
         .select(col("vec_id").as("cid"), col("v").as("c"))
       val c1 = refineCentroids(assignBrute(corpus, c0))
       val mc = assignBrute(corpus, c1)
@@ -1028,6 +1070,59 @@ object Dedup {
         .orderBy("vec_id")
     }
   )
+
+  /** Corpus-derived cell count for the NAMED semantic-dedup queries
+    * (round 18 — the probe ladder already scaled k; the named queries
+    * pinned k=8, the r17 verdict's second `weak` flag): the smallest
+    * power of two with n ≤ 256·k, floored at 8 and capped at 4096 —
+    * cells hold ~256 members however large the corpus, which keeps the
+    * within-cell pair space linear in n (SemDeDup's own scaling
+    * argument, Abbas et al. 2023 §3). Mirrored verbatim by
+    * [[SemanticKLadderSql]] (the lshBitsFor/pqKFor convention). */
+  private[graft] def semanticKFor(n: Long): Int = {
+    val cells = math.max(8L, (n + 255L) / 256L)
+    val p = java.lang.Long.highestOneBit(cells)
+    math.min(4096L, if (p == cells) p else p << 1).toInt
+  }
+
+  /** The oracle-side spelling of [[semanticKFor]], as a 1-row CTE body
+    * over the embeddings table. */
+  private[graft] def SemanticKLadderSql: String =
+    "SELECT CASE WHEN COUNT(*) <= 2048 THEN 8 " +
+      (4 to 12).map(b => s"WHEN COUNT(*) <= ${256L << b} THEN ${1 << b}").mkString(" ") +
+      " ELSE 4096 END AS k FROM embeddings"
+
+  /** Corpus-derived per-label bucket width for [[queries q_dedup_embedding]]
+    * (round 18): the smallest b with n_label ≤ 256·2^b, clamped to 12 —
+    * i.e. 2^b sign-prefix buckets hold ~256 vectors each however deep
+    * the label block is. INTEGER thresholds only, mirrored verbatim by
+    * [[EmbedBucketLadderSql]] (the lshBitsFor convention — the engines
+    * cannot disagree at a power-of-two boundary). */
+  private[graft] def embedBucketBitsFor(n: Column): Column =
+    (1 to 11).foldLeft(when(n <= 256L, 0)) { (acc, b) =>
+      acc.when(n <= (256L << b), b)
+    }.otherwise(12)
+
+  /** The oracle-side spelling of [[embedBucketBitsFor]], over a grouped
+    * COUNT(*). */
+  private[graft] def EmbedBucketLadderSql: String =
+    "CASE WHEN COUNT(*) <= 256 THEN 0 " +
+      (1 to 11).map(b => s"WHEN COUNT(*) <= ${256L << b} THEN $b").mkString(" ") +
+      " ELSE 12 END"
+
+  /** Sign-prefix bucket key: bit i set iff dimension i+1 of the (double)
+    * vector is > 0 and i < bb. Raw float signs are carried bit-exactly
+    * through the DOUBLE cast on both engines, so the keys agree. */
+  private[graft] def embedBucketKey(v: Column, bb: Column): Column =
+    (0 until 12).map(i =>
+      when(lit(i) < bb && element_at(v, i + 1) > lit(0d), lit(1 << i))
+        .otherwise(lit(0))).reduce(_ + _)
+
+  /** [[embedBucketKey]] as oracle SQL over `en.v` / `lc.bb`. */
+  private[graft] def EmbedBucketKeySql: String =
+    (0 until 12).map(i =>
+      s"(CASE WHEN $i < lc.bb AND list_extract(en.v, ${i + 1}) > 0 " +
+        s"THEN ${1 << i} ELSE 0 END)").mkString(" + ")
 
   /** Embeddings as (vec_id, v: array<double>, nv: norm). */
   private def normedVectors(s: SparkSession, d: String): DataFrame =

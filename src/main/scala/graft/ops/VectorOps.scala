@@ -97,7 +97,7 @@ object VectorOps {
       df.queryExecution.analyzed.semanticHash()
     statsCache.synchronized { statsCache.computeIfAbsent(key, _ => compute) }
   }
-  private def corpusCount(e: org.apache.spark.sql.DataFrame): Long =
+  private[graft] def corpusCount(e: org.apache.spark.sql.DataFrame): Long =
     memoStats(e, "n")((e.count(), 0L))._1
   /** (max embedding width, row count) in one scan, memoized. */
   private def dimAndCount(e0: org.apache.spark.sql.DataFrame): (Int, Long) = {

@@ -1562,6 +1562,109 @@ final class SqlFuzzer(seed: Long) {
       (f"fz_$i%04d_dgf", s, o)
     }.toVector
 
+  /** Round-18 composed kind (--groupsx): every query combines a
+    * NUMERIC-offset GROUPS frame (the hoist-wrap path) with at least
+    * one of the OTHER wrapping passes — QUALIFY (wraps the head into a
+    * subquery BEFORE the groups pass sees it, and hoists the predicate
+    * window into the head's select list) or a DISTINCT window aggregate
+    * (decomposed inline over collect_set) — across the inline /
+    * named-WINDOW / grouped / set-op-subquery contexts. The round-17
+    * dgf kind covers each context singly; this kind pins the
+    * INTERACTIONS. The oracle replaces only the GROUPS window with its
+    * dense-rank equivalent; QUALIFY and DISTINCT-over are DuckDB-native
+    * and stay verbatim. */
+  def groupsComposedQueries(count: Int): Vector[(String, String, String)] =
+    (1 to count).map { i =>
+      val (s, o) = qGroupsComposed()
+      (f"fz_$i%04d_dgx", s, o)
+    }.toVector
+
+  private def qGroupsComposed(): (String, String) = {
+    val (t, part, key) = pick(Seq(
+      ("orders", "o_custkey", "o_orderkey"),
+      ("lineitem", "l_suppkey", "l_orderkey * 10 + l_linenumber"),
+      ("events", "user_id", "event_id")))
+    val tbl = tables.find(_.name == t).get
+    val v = pick(cols(tbl, IntK)).name
+    val sv = pick(cols(tbl, IntK)).name
+    val dv = pick(cols(tbl, IntK)).name // DISTINCT-window argument
+    val ov = s"($v % ${intLit(3, 9)})"
+    def nOff() = 1 + rnd.nextInt(4)
+    val (a, b) = rnd.nextInt(3) match {
+      case 0 => (s"${nOff()} PRECEDING", "CURRENT ROW")
+      case 1 => (s"${nOff()} PRECEDING", s"${nOff()} FOLLOWING")
+      case _ => ("CURRENT ROW", s"${nOff()} FOLLOWING")
+    }
+    val gFrame = s"GROUPS BETWEEN $a AND $b"
+    val rFrame = s"RANGE BETWEEN $a AND $b"
+    val where = s"$v IS NOT NULL AND $part IS NOT NULL AND ${pred(tbl, 1)}"
+    val qn = 2 + rnd.nextInt(4)
+    val sSpec = s"PARTITION BY $part ORDER BY $ov ASC NULLS FIRST $gFrame"
+    // the hoisted-dense-rank oracle body shared by all shapes: c3's
+    // window over g, plus the companion columns each shape adds
+    def hoistedFrom(extra: String): String =
+      s"(SELECT $key AS c1, CAST($ov AS BIGINT) AS c2, $sv AS s, " +
+        s"$part AS p$extra, " +
+        s"DENSE_RANK() OVER (PARTITION BY $part ORDER BY $ov ASC NULLS FIRST) AS g " +
+        s"FROM $t WHERE $where) q"
+    val oSpec = s"PARTITION BY p ORDER BY g ASC NULLS FIRST $rFrame"
+    rnd.nextInt(5) match {
+      case 0 => // inline GROUPS + QUALIFY
+        val tail = s"${orderAll(3)} ${limit()}"
+        (s"SELECT $key AS c1, CAST($ov AS BIGINT) AS c2, " +
+          s"CAST(SUM($sv) OVER ($sSpec) AS BIGINT) AS c3 FROM $t WHERE $where " +
+          s"QUALIFY ROW_NUMBER() OVER (PARTITION BY $part ORDER BY $key ASC) <= $qn $tail",
+          s"SELECT c1, c2, CAST(SUM(s) OVER ($oSpec) AS BIGINT) AS c3 " +
+            s"FROM ${hoistedFrom("")} " +
+            s"QUALIFY ROW_NUMBER() OVER (PARTITION BY p ORDER BY c1 ASC) <= $qn $tail")
+      case 1 => // inline GROUPS + DISTINCT window aggregate in the same list
+        val tail = s"${orderAll(4)} ${limit()}"
+        (s"SELECT $key AS c1, CAST($ov AS BIGINT) AS c2, " +
+          s"CAST(SUM($sv) OVER ($sSpec) AS BIGINT) AS c3, " +
+          s"CAST(COUNT(DISTINCT $dv) OVER (PARTITION BY $part) AS BIGINT) AS c4 " +
+          s"FROM $t WHERE $where $tail",
+          s"SELECT c1, c2, CAST(SUM(s) OVER ($oSpec) AS BIGINT) AS c3, " +
+            s"CAST(COUNT(DISTINCT d) OVER (PARTITION BY p) AS BIGINT) AS c4 " +
+            s"FROM ${hoistedFrom(s", $dv AS d")} $tail")
+      case 2 => // named WINDOW clause + QUALIFY
+        val tail = s"${orderAll(3)} ${limit()}"
+        (s"SELECT $key AS c1, CAST($ov AS BIGINT) AS c2, " +
+          s"CAST(SUM($sv) OVER w AS BIGINT) AS c3 FROM $t WHERE $where " +
+          s"WINDOW w AS ($sSpec) " +
+          s"QUALIFY ROW_NUMBER() OVER (PARTITION BY $part ORDER BY $key ASC) <= $qn $tail",
+          s"SELECT c1, c2, CAST(SUM(s) OVER ($oSpec) AS BIGINT) AS c3 " +
+            s"FROM ${hoistedFrom("")} " +
+            s"QUALIFY ROW_NUMBER() OVER (PARTITION BY p ORDER BY c1 ASC) <= $qn $tail")
+      case 3 => // grouped GROUPS block + QUALIFY over the grouped rows
+        val k = intLit(3, 9)
+        val gov = s"($part % $k)"
+        val tail = s"${orderAll(3)} ${limit()}"
+        (s"SELECT $part AS c1, CAST(SUM($sv) AS BIGINT) AS c2, " +
+          s"CAST(SUM(COUNT(*)) OVER (ORDER BY $gov ASC NULLS FIRST $gFrame) " +
+          s"AS BIGINT) AS c3 FROM $t WHERE $where GROUP BY $part " +
+          s"QUALIFY ROW_NUMBER() OVER (ORDER BY $part ASC) <= $qn $tail",
+          s"SELECT c1, c2, CAST(SUM(cnt) OVER (ORDER BY g ASC NULLS FIRST " +
+            s"$rFrame) AS BIGINT) AS c3 FROM (SELECT $part AS c1, " +
+            s"CAST(SUM($sv) AS BIGINT) AS c2, COUNT(*) AS cnt, " +
+            s"DENSE_RANK() OVER (ORDER BY $gov ASC NULLS FIRST) AS g " +
+            s"FROM $t WHERE $where GROUP BY $part) q " +
+            s"QUALIFY ROW_NUMBER() OVER (ORDER BY c1 ASC) <= $qn $tail")
+      case _ => // set op: GROUPS inside a branch SUBQUERY (the round-18
+        // deep-recursion fix) unioned with a DISTINCT-window branch
+        val tail = s"${orderAll(3)} ${limit()}"
+        (s"SELECT c1, c2, c3 FROM (SELECT $key AS c1, CAST($ov AS BIGINT) AS c2, " +
+          s"CAST(SUM($sv) OVER ($sSpec) AS BIGINT) AS c3 FROM $t WHERE $where) s1 " +
+          s"UNION ALL SELECT $key AS c1, CAST($ov AS BIGINT) AS c2, " +
+          s"CAST(COUNT(DISTINCT $dv) OVER (PARTITION BY $part) AS BIGINT) AS c3 " +
+          s"FROM $t WHERE $where $tail",
+          s"SELECT c1, c2, CAST(SUM(s) OVER ($oSpec) AS BIGINT) AS c3 " +
+            s"FROM ${hoistedFrom("")} " +
+            s"UNION ALL SELECT $key AS c1, CAST($ov AS BIGINT) AS c2, " +
+            s"CAST(COUNT(DISTINCT $dv) OVER (PARTITION BY $part) AS BIGINT) AS c3 " +
+            s"FROM $t WHERE $where $tail")
+    }
+  }
+
   private def qGroupsFrame(): (String, String) = {
     val (t, part, key) = pick(Seq(
       ("orders", "o_custkey", "o_orderkey"),
@@ -2070,10 +2173,14 @@ object Fuzz {
     // --groups: GROUPS-frame differential — the one suite whose oracle
     // text differs from the Spark text (DuckDB 1.0 cannot parse GROUPS;
     // the generator templates the equivalent the oracle runs)
+    // --groupsx: round-18 composed kind — GROUPS hoists × QUALIFY ×
+    // DISTINCT-window interactions (same oracle convention as --groups)
     val groupsMode = flags.contains("--groups")
-    val dialect = flags.contains("--dialect") || groupsMode
+    val groupsXMode = flags.contains("--groupsx")
+    val dialect = flags.contains("--dialect") || groupsMode || groupsXMode
     val suite: Vector[(String, String, String)] =
-      if (groupsMode) new SqlFuzzer(seed).groupsQueries(count)
+      if (groupsXMode) new SqlFuzzer(seed).groupsComposedQueries(count)
+      else if (groupsMode) new SqlFuzzer(seed).groupsQueries(count)
       else (if (dialect) new SqlFuzzer(seed).dialectQueries(count)
         else if (flags.contains("--corr")) new SqlFuzzer(seed).corrQueries(count)
         else new SqlFuzzer(seed).queries(count))

@@ -94,8 +94,15 @@ object MakeSf1 {
 
     val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
     val vOff = emb.agg(max(col("vec_id"))).head().getLong(0) + 1
+    // labels jitter per replica like every other key (round 18): a
+    // bigger corpus has MORE label blocks of corpus-realistic size, not
+    // the same 10 blocks K× deeper — verbatim labels made every
+    // label-blocked query (q_dedup_embedding) quadratic in K, a
+    // workload the real sf10 would not have (VERDICT r17 #1a)
+    val lOff = emb.agg(max(col("label"))).head().getInt(0) + 1
     (0 until k).map { r =>
       emb.withColumn("vec_id", col("vec_id") + lit(r * vOff))
+        .withColumn("label", (col("label") + lit(r * lOff)).cast("int"))
     }.reduce(_ unionAll _).write.mode("overwrite").parquet(s"$outDir/embeddings.parquet")
     println(s"[sf1] embeddings x$k done")
 

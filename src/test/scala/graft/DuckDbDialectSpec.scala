@@ -580,10 +580,63 @@ class DuckDbDialectSpec extends AnyFunSuite {
       "FROM gft", "order by")
     named("SELECT o, SUM(SUM(x)) OVER w FROM gft GROUP BY o WINDOW w AS " +
       "(ORDER BY o GROUPS 1 PRECEDING)", "named window")
-    named("SELECT o, SUM(SUM(x)) OVER (ORDER BY o GROUPS 1 PRECEDING) s " +
-      "FROM gft GROUP BY 1", "ordinals")
     named("SELECT o, SUM(x) + 0, SUM(SUM(x)) OVER (ORDER BY o GROUPS " +
       "1 PRECEDING) s FROM gft GROUP BY o", "alias")
+    // GROUP BY ALL + window: both engines reject it (measured round 18)
+    // — the shim's error is parity, and says so
+    named("SELECT o, SUM(SUM(x)) OVER (ORDER BY o GROUPS 1 PRECEDING) s " +
+      "FROM gft GROUP BY ALL", "both engines reject")
+    // round 18: GROUP BY ordinals resolve to the item expression (same
+    // golden as the named-key grouped case above)
+    assert(sums("SELECT o, SUM(SUM(x)) OVER (ORDER BY o GROUPS 1 PRECEDING) s " +
+      "FROM gft GROUP BY 1 ORDER BY o") == Seq(3L, 7L, 60L, 120L))
+    // round 18: an unaliased simple-call grouped item passes through
+    // with the engines' shared auto-name (sum(x)) — the ordinal resolves
+    // through its stripped alias text too
+    val un = spark.sql(DuckDbDialect.rewrite("SELECT o, SUM(x), " +
+      "CAST(SUM(SUM(x)) OVER (ORDER BY o GROUPS 1 PRECEDING) AS BIGINT) AS s " +
+      "FROM gft GROUP BY 1 ORDER BY o")).collect()
+    assert(un.map(_.getAs[Number]("s").longValue).toSeq == Seq(3L, 7L, 60L, 120L))
+    assert(spark.sql(DuckDbDialect.rewrite("SELECT o, SUM(x), " +
+      "SUM(SUM(x)) OVER (ORDER BY o GROUPS 1 PRECEDING) AS s " +
+      "FROM gft GROUP BY o ORDER BY o")).columns.toSeq
+      == Seq("o", "sum(x)", "s"))
+  }
+
+  test("GROUPS round-18 advice closures: set-op subqueries, window-named column, string-literal ORDER BY") {
+    val spark = TestSpark.spark
+    // a numeric-offset frame nested in a subquery INSIDE a set-op branch
+    // rewrites at ITS query block (round-18 advice: branch recursion
+    // goes through the deep pass, not the top one)
+    val setSub = spark.sql(DuckDbDialect.rewrite(
+      "SELECT CAST(s AS BIGINT) AS s FROM (SELECT SUM(x) OVER (ORDER BY o " +
+        "GROUPS 1 PRECEDING) AS s FROM gft) q1 " +
+        "UNION ALL SELECT * FROM (SELECT CAST(SUM(x) OVER (ORDER BY o " +
+        "GROUPS 1 PRECEDING) AS BIGINT) AS s FROM gft) q2"))
+      .collect().map(_.getLong(0)).sorted.toSeq
+    // per-row golden over gft: group sums by o are {3, 4, 56, 64}, and
+    // ORDER BY o GROUPS 1 PRECEDING sums the current o-group plus the
+    // one before it (the round-16 test's own golden), once per branch
+    val once = Seq(3L, 3L, 7L, 60L, 60L, 60L, 120L)
+    assert(setSub == (once ++ once).sorted)
+    // a column literally named `window` at depth 0 no longer truncates
+    // the wrap body (round-18 advice: only `WINDOW <ident> AS (` counts)
+    spark.sql("SELECT o, x, x AS window FROM gft").createOrReplaceTempView("gftw")
+    val wcol = spark.sql(DuckDbDialect.rewrite(
+      "SELECT CAST(SUM(x) OVER (ORDER BY o GROUPS 1 PRECEDING) AS BIGINT) " +
+        "AS s FROM gftw WHERE window > 1 ORDER BY s"))
+      .collect().map(_.getLong(0)).toSeq
+    // rows with x>1 regroup by o as {2, 4, 56, 64}; current+preceding
+    // group sums per row, ordered: 2, 6, 60×3, 120
+    assert(wcol == Seq(2L, 6L, 60L, 60L, 60L, 120L))
+    // a PARTITION BY expression containing the string literal 'order by'
+    // splits at the real ORDER BY keyword, not inside the literal
+    val lit = spark.sql(DuckDbDialect.rewrite(
+      "SELECT o, CAST(SUM(SUM(x)) OVER (PARTITION BY CASE WHEN 'order by' " +
+        "= 'x' THEN 0 ELSE 1 END ORDER BY o GROUPS 1 PRECEDING) AS BIGINT) " +
+        "AS s FROM gft GROUP BY o ORDER BY o"))
+      .collect().map(_.getAs[Number]("s").longValue).toSeq
+    assert(lit == Seq(3L, 7L, 60L, 120L))
   }
 
   test("function-surface twins: arg_max, quantiles, list lambdas, unnest, 3-arg date_diff (round 16)") {

@@ -79,7 +79,12 @@ def main():
             timeouts.append(name)
             print(f"{name}: TIMEOUT >= {timeout}s", file=sys.stderr, flush=True)
         else:
-            kind, val = q.get() if not q.empty() else ("err", "no result")
+            # q.empty() races the Queue feeder thread: after join() a fast
+            # child's result may not be visible yet — block briefly instead
+            try:
+                kind, val = q.get(timeout=5)
+            except Exception:
+                kind, val = ("err", "no result")
             if kind == "ok":
                 times[name] = val
             else:
