@@ -27,11 +27,13 @@ import org.apache.spark.sql.functions._
   *    stats frames stay broadcast-sized BY CONSTRUCTION (64 / 640
   *    rows) no matter how far the corpus scales;
   *  - labels are copied verbatim, so `q_dedup_embedding`'s label
-  *    blocks grow K× and its within-block pair join grows ~K² — that
-  *    query is the documented small/medium-corpus tool (the scale path
-  *    for embedding near-dup is the LSH/IVF bucketing above), so the
-  *    ladder caps it at K=16 (10 blocks × C(3200,2) ≈ 51 M scored
-  *    pairs) and holds it to completion-without-OOM, not linearity.
+  *    blocks grow K× — which since round 18 is exactly the skew its
+  *    per-label sign-prefix banding exists to bound: block size n_l
+  *    derives 2^b buckets of ~256 (embedBucketBitsFor), so within-block
+  *    pair work grows ~n_l·256, not n_l². The pre-banding query was
+  *    capped at K=16 here (~51 M scored pairs); the banded query runs
+  *    the full ladder and is expected LINEAR-ish (the replica jitter
+  *    spreads sign bits, so buckets populate evenly).
   *
   * The per-K cache hygiene matters here more than in the other probes:
   * the LSH/IVF assignment memo (VectorOps.ivfCache, LRU-8) pins one
@@ -74,11 +76,12 @@ object ScaleProbeVec {
             / lit(100000.0) - lit(0.005))).cast("float")).as("embedding"),
       col("label"))
 
+    // q_dedup_embedding uncapped since round 18: its per-label banding
+    // bounds the verbatim-label blocks this ladder grows (see header)
     ProbeHarness.run(spark, Queries,
       ProbeHarness.ks(Seq(1, 4, 16, 64)), outBase, (k, dir) =>
         (0 until k).map(replica).reduce(_ unionAll _)
-          .write.mode("overwrite").parquet(s"$dir/embeddings.parquet"),
-      maxKFor = Map("q_dedup_embedding" -> 16))
+          .write.mode("overwrite").parquet(s"$dir/embeddings.parquet"))
 
     // Round-15 cell census: per-cell candidate volume under the DERIVED
     // LSH width across the ladder — the verdict's fixed-parameter

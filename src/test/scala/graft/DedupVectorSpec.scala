@@ -262,6 +262,70 @@ class DedupVectorSpec extends AnyFunSuite {
       Set("admit", "dup_of_corpus", "dup_in_batch")))
   }
 
+  test("embed-bucket ladder boundaries and semanticKFor (round 18)") {
+    // integer power-of-two boundaries, exactly the thresholds the oracle
+    // CASE ladders are generated from (a drift is structurally
+    // impossible — both sides stringify 256L << b — but the CLAMPS and
+    // floor/ceil conventions are worth pinning)
+    def bitsOf(n: Long): Int =
+      spark.range(1).select(Dedup.embedBucketBitsFor(lit(n))).head().getInt(0)
+    assert(bitsOf(1) == 0 && bitsOf(256) == 0)
+    assert(bitsOf(257) == 1 && bitsOf(512) == 1)
+    assert(bitsOf(513) == 2 && bitsOf(1024) == 2)
+    assert(bitsOf(256L << 11) == 11 && bitsOf((256L << 11) + 1) == 12)
+    assert(bitsOf(Long.MaxValue / 4) == 12) // clamp
+    assert(Dedup.semanticKFor(1) == 8 && Dedup.semanticKFor(2048) == 8)
+    assert(Dedup.semanticKFor(2049) == 16 && Dedup.semanticKFor(4096) == 16)
+    assert(Dedup.semanticKFor(4097) == 32)
+    assert(Dedup.semanticKFor(256L * 4096) == 4096)
+    assert(Dedup.semanticKFor(Long.MaxValue / 4) == 4096) // cap
+  }
+
+  test("q_dedup_embedding banding: b>0 path equals the banded reference (round 18)") {
+    // the sf0.01/sf0.1 oracle pairs only ever exercise b=0 (every label
+    // block fits the 256 cap); this spec forces ONE 600-vector label
+    // (b=2, 4 sign-prefix buckets) and checks the banded semantics
+    // end-to-end: all same-bucket qualifying pairs reported, qualifying
+    // pairs split across buckets dropped (the documented sign-LSH trade)
+    val dim = 64
+    val rnd = new scala.util.Random(42)
+    def vec(): Array[Float] =
+      Array.fill(dim)((rnd.nextDouble() * 2 - 1).toFloat)
+    val base = Array.tabulate(600)(_ => vec())
+    // vec 101 := near-dup of 100 (same sign prefix -> same bucket)
+    base(101) = base(100).map(x => x + 0.001f)
+    // vec 201 := near-dup of 200 with dim0 sign flipped while |dim0| is
+    // tiny -> cosine ~1 but a DIFFERENT bucket (bit 0)
+    base(200)(0) = 0.01f
+    base(201) = base(200).clone(); base(201)(0) = -0.01f
+    val dir = java.nio.file.Files.createTempDirectory("graft_band").toString
+    val rows = base.zipWithIndex.map { case (v, i) =>
+      (i.toLong, v.toSeq, 1)
+    }.toSeq
+    spark.createDataFrame(rows).toDF("vec_id", "embedding", "label")
+      .select(col("vec_id"), col("embedding").cast("array<float>"), col("label"))
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val got = SparkEntry.queries("q_dedup_embedding")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // driver-side banded reference: b=2 for n=600, bucket = leading-2
+    // sign bits, brute force within buckets
+    def bucket(v: Array[Float]): Int =
+      (if (v(0) > 0f) 1 else 0) | (if (v(1) > 0f) 2 else 0)
+    def cos6(a: Array[Float], b: Array[Float]): Double = {
+      val ad = a.map(_.toDouble); val bd = b.map(_.toDouble)
+      val d = ad.zip(bd).map { case (x, y) => x * y }.sum
+      val c = d / (math.sqrt(ad.map(x => x * x).sum) * math.sqrt(bd.map(x => x * x).sum))
+      BigDecimal(c).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    val expected = (for {
+      i <- base.indices; j <- (i + 1) until base.length
+      if bucket(base(i)) == bucket(base(j)) && cos6(base(i), base(j)) >= 0.3
+    } yield (i.toLong, j.toLong)).toSet
+    assert(got == expected)
+    assert(got.contains((100L, 101L))) // same-bucket near-dup found
+    assert(cos6(base(200), base(201)) >= 0.3 && !got.contains((200L, 201L))) // cross-bucket dropped
+  }
+
   test("embedding quantization: codes in [0,255], error under one bucket width") {
     val rows = q("q_embed_quantize").collect()
     assert(rows.nonEmpty)
