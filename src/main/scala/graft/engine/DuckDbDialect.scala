@@ -1486,11 +1486,13 @@ object DuckDbDialect {
     * Numeric offsets compose with top-level GROUP BY/HAVING (the wrap
     * inverts — [[groupedGroupsWrap]], GROUP BY ordinals resolved to
     * their item expressions), with set-operation branches (each branch
-    * re-enters the deep pass independently), and with a named WINDOW
-    * clause (the clause stays in the wrapped block's outer select).
+    * re-enters the deep pass independently), with a named WINDOW
+    * clause (the clause stays in the wrapped block's outer select),
+    * and — round 18 — with GROUP BY and a named WINDOW clause
+    * COMBINED (the clause stays outer with its partition/order
+    * expressions hoisted into the grouped block as __wp/__wo).
     *
     * Bounded (throws, names the limitation — never silently wrong):
-    * GROUP BY and a named WINDOW clause COMBINED with numeric offsets;
     * GROUP BY ALL with numeric offsets (both engines reject GROUP BY
     * ALL + window functions outright — measured, the loud error is
     * parity); grouped select items that are neither plain columns,
@@ -1710,12 +1712,9 @@ object DuckDbDialect {
       "GROUPS frame: could not locate the SELECT ... FROM block to wrap")
     if (groupAt >= 0) {
       // grouped block (round 17): the wrap INVERTS — see groupedGroupsWrap
-      if (windowAt >= 0)
-        throw new IllegalArgumentException(
-          "GROUPS frame with integer offsets combining GROUP BY and a named " +
-            "WINDOW clause is outside the dialect shim's bounded support — " +
-            "inline the OVER spec")
-      return groupedGroupsWrap(sql, selAt, fromAt, tailAt, hoists.toSeq)
+      // (round 18: a named WINDOW clause composes — it stays in the
+      // outer select with its partition/order expressions hoisted inner)
+      return groupedGroupsWrap(sql, selAt, fromAt, tailAt, windowAt, hoists.toSeq)
     }
     val list0 = sql.substring(selAt + "select".length, fromAt)
     // star handling: a projection star must not leak the helper columns
@@ -1808,6 +1807,12 @@ object DuckDbDialect {
     *   - the DENSE_RANK hoists (original partition/order text — grouped
     *     expressions, valid inner) compute inner as `__grpN`; windows
     *     in a grouped select list evaluate after the aggregation.
+    *   - a named WINDOW clause (round 18) stays in the OUTER block:
+    *     every defined spec is rewritten for outer evaluation (GROUPS
+    *     specs keep ORDER BY __grpN; plain specs hoist their partition
+    *     AND order expressions as __wp/__wo, keeping direction tokens
+    *     and frame text), and every item referencing a defined name
+    *     keeps the reference with its call arguments hoisted as __waK.
     * Non-window items pass through by OUTPUT NAME: a trailing
     * `AS alias`, a plain (qualified) identifier, or a simple call whose
     * auto-name both engines derive identically ([[derivedCallName]]);
@@ -1821,13 +1826,14 @@ object DuckDbDialect {
     * outer text: it resolves against the inner aliases when they exist
     * and fails ANALYSIS (loudly, never silently) when they don't. */
   private def groupedGroupsWrap(sql: String, selAt: Int, fromAt: Int,
-      tailAt: Int, hoists: Seq[(String, String)]): String = {
+      tailAt: Int, windowAt: Int, hoists: Seq[(String, String)]): String = {
     val list0 = sql.substring(selAt + "select".length, fromAt)
     if ("(?is)^\\s*distinct\\b".r.findFirstIn(list0).isDefined)
       throw new IllegalArgumentException(
         "GROUPS frame with integer offsets over SELECT DISTINCT + GROUP BY " +
           "is outside the dialect shim's bounded support")
-    val wrapEnd = if (tailAt < 0) sql.length else tailAt
+    val wrapEnd =
+      if (windowAt >= 0) windowAt else if (tailAt < 0) sql.length else tailAt
     val fromText = sql.substring(fromAt, wrapEnd).trim
     val tail = if (tailAt < 0) "" else " " + sql.substring(tailAt).trim
     // GROUP BY ordinals / ALL shift through the wrap — bound out
@@ -1891,10 +1897,138 @@ object DuckDbDialect {
     }
     val innerItems = scala.collection.mutable.ArrayBuffer.empty[String]
     val outerItems = scala.collection.mutable.ArrayBuffer.empty[String]
-    var waN = 0; var wpN = 0
+    var waN = 0; var wpN = 0; var woN = 0
     val literalRe = "(?s)^\\s*(\\d+(\\.\\d+)?|'(?:[^']|'')*'|true|false|null)\\s*$"
+    // depth-0, out-of-string position of keyword `w` in `s0`, else -1
+    def kwAt(s0: String, w: String): Int = {
+      val in0 = inString(s0)
+      var at = -1; var d = 0; var i = 0
+      while (i < s0.length && at < 0) {
+        if (!in0(i)) {
+          val c = s0(i)
+          if (c == '(') d += 1
+          else if (c == ')') d -= 1
+          else if (d == 0 && s0.regionMatches(true, i, w, 0, w.length) &&
+              (i == 0 || !isIdentChar(s0(i - 1))) &&
+              (i + w.length >= s0.length || !isIdentChar(s0(i + w.length))))
+            at = i
+        }
+        i += 1
+      }
+      at
+    }
+    // window-call argument list → inner __wa aliases (shared by the
+    // inline-OVER and named-OVER paths)
+    def rewriteArgs(argsTxt: String): String =
+      if (argsTxt.trim == "*") argsTxt
+      else splitTopLevel(argsTxt, ',').map { a =>
+        if (a.trim.isEmpty || a.trim.toLowerCase.matches(literalRe)) a
+        else {
+          waN += 1
+          innerItems += s"${a.trim} AS __wa$waN"
+          s"__wa$waN"
+        }
+      }.mkString(", ")
+    // a window SPEC evaluated in the OUTER (post-wrap) block: partition
+    // and order EXPRESSIONS move inner as __wp/__wo aliases (grouped
+    // expressions are only computable inside the grouped block); an
+    // already-hoisted GROUPS spec keeps its ORDER BY __grpN + frame
+    // verbatim (the rank is synthesized inner); a frame over a plain
+    // order expr keeps its text (the alias carries the same values)
+    def rewriteSpecForOuter(spec: String): String = {
+      val obAt = kwAt(spec, "order")
+      val partTxt = (if (obAt < 0) spec else spec.substring(0, obAt)).trim
+      val partOut =
+        if (partTxt.isEmpty) ""
+        else {
+          val exprs = "(?is)^partition\\s+by\\s+(.*)$".r
+            .findFirstMatchIn(partTxt).map(_.group(1)).getOrElse(
+              throw new IllegalArgumentException(
+                s"GROUPS hoist: unexpected spec prefix: $partTxt"))
+          val aliased = splitTopLevel(exprs, ',').map { p =>
+            wpN += 1
+            innerItems += s"${p.trim} AS __wp$wpN"
+            s"__wp$wpN"
+          }.mkString(", ")
+          s"PARTITION BY $aliased "
+        }
+      if (obAt < 0) return partOut.trim
+      val obTail = spec.substring(obAt)
+      if ("(?i)__grp\\d".r.findFirstIn(obTail).isDefined)
+        return (partOut + obTail).trim
+      // plain spec: ORDER BY e1 [dir], e2 [dir] [frame]
+      val obBody = "(?is)^order\\s+by\\s+(.*)$".r
+        .findFirstMatchIn(obTail).map(_.group(1)).getOrElse(
+          throw new IllegalArgumentException(
+            s"GROUPS hoist: malformed window ORDER BY: $obTail"))
+      val frameAt = Seq("rows", "range", "groups").map(kwAt(obBody, _))
+        .filter(_ >= 0).sorted.headOption.getOrElse(obBody.length)
+      val frame = obBody.substring(frameAt).trim
+      val orderItems = splitTopLevel(obBody.substring(0, frameAt), ',').map { o =>
+        // split a trailing direction off the expression
+        var e = o.trim; var dir = ""
+        "(?is)\\s+nulls\\s+(first|last)\\s*$".r.findFirstMatchIn(e).foreach { m =>
+          dir = e.substring(m.start).trim; e = e.substring(0, m.start)
+        }
+        "(?is)\\s+(asc|desc)\\s*$".r.findFirstMatchIn(e).foreach { m =>
+          dir = (e.substring(m.start).trim + " " + dir).trim
+          e = e.substring(0, m.start)
+        }
+        woN += 1
+        innerItems += s"${e.trim} AS __wo$woN"
+        if (dir.isEmpty) s"__wo$woN" else s"__wo$woN $dir"
+      }
+      (partOut + "ORDER BY " + orderItems.mkString(", ") +
+        (if (frame.isEmpty) "" else " " + frame)).trim
+    }
+    // named WINDOW clause (round 18): the clause stays in the OUTER
+    // select — every defined spec is rewritten for outer evaluation,
+    // and every select item referencing a defined name has its call
+    // arguments hoisted inner like an inline item
+    var windowOuter = ""
+    var winNames = Set.empty[String]
+    if (windowAt >= 0) {
+      val winEnd = if (tailAt < 0) sql.length else tailAt
+      val defsTxt = "(?is)^window\\s+(.*)$".r
+        .findFirstMatchIn(sql.substring(windowAt, winEnd).trim).map(_.group(1))
+        .getOrElse(throw new IllegalArgumentException(
+          "GROUPS frame over GROUP BY: malformed WINDOW clause"))
+      val defRe = "(?is)^\\s*([A-Za-z_][A-Za-z0-9_]*)\\s+as\\s*\\((.*)\\)\\s*$".r
+      val defs = splitTopLevel(defsTxt, ',').map {
+        case defRe(nm, spec) => nm -> spec
+        case other => throw new IllegalArgumentException(
+          s"GROUPS frame over GROUP BY: unsupported WINDOW definition: $other")
+      }
+      winNames = defs.map(_._1.toLowerCase(java.util.Locale.ROOT)).toSet
+      windowOuter = " WINDOW " + defs.map { case (nm, spec) =>
+        s"$nm AS (${rewriteSpecForOuter(spec)})"
+      }.mkString(", ")
+    }
+    // does this item reference a defined window name (`OVER <name>`)?
+    def namedRefAt(s0: String, from: Int): Int = {
+      val in0 = inString(s0)
+      var i = from
+      while (i < s0.length) {
+        if (!in0(i) && s0.regionMatches(true, i, "over", 0, 4) &&
+            (i == 0 || !isIdentChar(s0(i - 1))) &&
+            (i + 4 >= s0.length || !isIdentChar(s0(i + 4)))) {
+          var k = i + 4
+          while (k < s0.length && s0(k).isWhitespace) k += 1
+          if (k < s0.length && s0(k) != '(') {
+            val st = k
+            while (k < s0.length && isIdentChar(s0(k))) k += 1
+            if (winNames.contains(
+                s0.substring(st, k).toLowerCase(java.util.Locale.ROOT)))
+              return i
+          }
+        }
+        i += 1
+      }
+      -1
+    }
     for (item <- splitTopLevel(list0, ',')) {
-      if (!"(?i)__grp\\d".r.findFirstIn(item).isDefined) {
+      if (!"(?i)__grp\\d".r.findFirstIn(item).isDefined &&
+          namedRefAt(item, 0) < 0) {
         // passthrough: compute inner, project by output name
         innerItems += item.trim
         val asRe =
@@ -1922,9 +2056,57 @@ object DuckDbDialect {
           }
         }
       } else {
-        // rewrite each hoisted window call left-to-right within the item
+        // the window CALL immediately before position `ovPos`: fn(args)
+        // → args hoisted inner; returns (callStart, rebuilt call text)
+        def rewriteCallBefore(cur: String, ovPos: Int,
+            curIn: Int => Boolean): (Int, String) = {
+          var ce = ovPos - 1
+          while (ce >= 0 && cur(ce).isWhitespace) ce -= 1
+          require(ce >= 0 && cur(ce) == ')',
+            "GROUPS frame over GROUP BY: expected a window CALL before OVER")
+          var d2 = 1; var cs = ce - 1
+          while (cs >= 0 && d2 > 0) {
+            if (!curIn(cs)) {
+              if (cur(cs) == ')') d2 += 1 else if (cur(cs) == '(') d2 -= 1
+            }
+            if (d2 > 0) cs -= 1
+          }
+          var fs = cs - 1
+          while (fs >= 0 && isIdentChar(cur(fs))) fs -= 1
+          val fnName = cur.substring(fs + 1, cs)
+          require(fnName.nonEmpty,
+            "GROUPS frame over GROUP BY: expected a window CALL before OVER")
+          (fs + 1, fnName + "(" + rewriteArgs(cur.substring(cs + 1, ce)) + ")")
+        }
+        // pre-pass: calls bound to DEFINED window names (`fn(...) OVER w`)
+        // keep their reference — the rewritten clause sits in the outer
+        // select — but their argument aggregates hoist inner
+        val sbN = new StringBuilder
+        var curN = item
+        var guardN = 0
+        while (namedRefAt(curN, 0) >= 0 && guardN < 20) {
+          guardN += 1
+          val ovPos = namedRefAt(curN, 0)
+          val curIn = inString(curN)
+          var k = ovPos + 4
+          while (k < curN.length && curN(k).isWhitespace) k += 1
+          while (k < curN.length && isIdentChar(curN(k))) k += 1 // past the name
+          val (callStart, callTxt) = rewriteCallBefore(curN, ovPos, curIn)
+          // end of the original call text (the ')' just before OVER)
+          val afterCall = {
+            var ce = ovPos - 1
+            while (ce >= 0 && curN(ce).isWhitespace) ce -= 1
+            ce + 1
+          }
+          sbN.append(curN.substring(0, callStart)).append(callTxt)
+            .append(curN.substring(afterCall, k)) // " OVER name" verbatim
+          curN = curN.substring(k)
+        }
+        require(guardN < 20, "GROUPS grouped wrap (named) did not converge")
+        sbN.append(curN)
+        // inline pass: rewrite each hoisted `OVER ( … __grpN … )` call
         val sb = new StringBuilder
-        var cur = item
+        var cur = sbN.toString
         var guard = 0
         while ("(?i)__grp\\d".r.findFirstIn(cur).isDefined && guard < 20) {
           guard += 1
@@ -1953,34 +2135,7 @@ object DuckDbDialect {
             if (ov < 0) oi += 1
           }
           require(ov >= 0, s"GROUPS hoist: lost the rewritten spec in: $item")
-          // the window call immediately before OVER: fn ( args )
-          var ce = ov - 1
-          while (ce >= 0 && cur(ce).isWhitespace) ce -= 1
-          require(ce >= 0 && cur(ce) == ')',
-            "GROUPS frame over GROUP BY: expected a window CALL before OVER")
-          var d2 = 1; var cs = ce - 1
-          while (cs >= 0 && d2 > 0) {
-            if (!curIn(cs)) {
-              if (cur(cs) == ')') d2 += 1 else if (cur(cs) == '(') d2 -= 1
-            }
-            if (d2 > 0) cs -= 1
-          }
-          var fs = cs - 1
-          while (fs >= 0 && isIdentChar(cur(fs))) fs -= 1
-          val fnName = cur.substring(fs + 1, cs)
-          require(fnName.nonEmpty,
-            "GROUPS frame over GROUP BY: expected a window CALL before OVER")
-          val argsTxt = cur.substring(cs + 1, ce)
-          val newArgs =
-            if (argsTxt.trim == "*") argsTxt
-            else splitTopLevel(argsTxt, ',').map { a =>
-              if (a.trim.isEmpty || a.trim.toLowerCase.matches(literalRe)) a
-              else {
-                waN += 1
-                innerItems += s"${a.trim} AS __wa$waN"
-                s"__wa$waN"
-              }
-            }.mkString(", ")
+          val (callStart, callTxt) = rewriteCallBefore(cur, ov, curIn)
           // spec partition exprs → inner aliases; ORDER BY __grpN stays
           var specK = ov + 4
           while (specK < cur.length && cur(specK).isWhitespace) specK += 1
@@ -1994,45 +2149,11 @@ object DuckDbDialect {
             specEnd += 1
           }
           val spec = cur.substring(specStart, specEnd - 1)
-          // locate ORDER BY with the same depth/string-aware scan the
-          // top rewrite uses — a regex would split at an 'order by'
-          // substring inside a partition expression's string literal
-          // (e.g. PARTITION BY CASE WHEN c = 'order by' ...)
-          val specIn = inString(spec)
-          var obAt = -1; var obD = 0; var obI = 0
-          while (obI < spec.length && obAt < 0) {
-            if (!specIn(obI)) {
-              val c = spec(obI)
-              if (c == '(') obD += 1
-              else if (c == ')') obD -= 1
-              else if (obD == 0 && spec.regionMatches(true, obI, "order", 0, 5) &&
-                  (obI == 0 || !isIdentChar(spec(obI - 1))) &&
-                  (obI + 5 >= spec.length || !isIdentChar(spec(obI + 5))))
-                obAt = obI
-            }
-            obI += 1
-          }
-          if (obAt < 0)
+          if (kwAt(spec, "order") < 0)
             throw new IllegalArgumentException(
               s"GROUPS hoist: rewritten spec lost its ORDER BY: $spec")
-          val partTxt = spec.substring(0, obAt).trim
-          val newSpec =
-            if (partTxt.isEmpty) spec
-            else {
-              val exprs = "(?is)^partition\\s+by\\s+(.*)$".r
-                .findFirstMatchIn(partTxt).map(_.group(1)).getOrElse(
-                  throw new IllegalArgumentException(
-                    s"GROUPS hoist: unexpected spec prefix: $partTxt"))
-              val aliased = splitTopLevel(exprs, ',').map { p =>
-                wpN += 1
-                innerItems += s"${p.trim} AS __wp$wpN"
-                s"__wp$wpN"
-              }.mkString(", ")
-              s"PARTITION BY $aliased ${spec.substring(obAt)}"
-            }
-          sb.append(cur.substring(0, fs + 1))
-            .append(fnName).append('(').append(newArgs).append(") OVER (")
-            .append(newSpec).append(')')
+          sb.append(cur.substring(0, callStart)).append(callTxt)
+            .append(" OVER (").append(rewriteSpecForOuter(spec)).append(')')
           cur = cur.substring(specEnd)
         }
         require(guard < 20, "GROUPS grouped wrap did not converge")
@@ -2043,7 +2164,7 @@ object DuckDbDialect {
     val synth = hoists.map { case (al, ex) => s"$ex AS $al" }
     val innerAll = (innerItems ++ synth).mkString(", ")
     sql.substring(0, selAt) + "SELECT " + outerItems.mkString(", ") +
-      s" FROM ( SELECT $innerAll $fromTextR ) __groups" + tail
+      s" FROM ( SELECT $innerAll $fromTextR ) __groups" + windowOuter + tail
   }
 
   /** The trailing `AS alias` stripped from a select item (for GROUP BY

@@ -940,17 +940,11 @@ object Dedup {
         |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
         |  FROM embeddings),
         |kv AS ($SemanticKLadderSql),
+        |gv AS ($SemanticGLadderSql),
         |vn AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nv FROM v0),
         |c0 AS (SELECT vec_id AS cid, v AS c FROM v0
         |       WHERE vec_id < (SELECT k FROM kv)),
-        |a1 AS (
-        |  SELECT vec_id, cid, ROW_NUMBER() OVER (
-        |           PARTITION BY vec_id
-        |           ORDER BY list_dot_product(vn.v, c0.c)
-        |                    / (vn.nv * sqrt(list_dot_product(c0.c, c0.c))) DESC,
-        |                    cid ASC) AS rn
-        |  FROM vn CROSS JOIN c0),
-        |m1 AS (SELECT vec_id, cid FROM a1 WHERE rn = 1),
+        |${coarseAssignSql("m1", "vn", "c0")},
         |mv AS (SELECT m1.cid, vn.v FROM m1 JOIN vn ON m1.vec_id = vn.vec_id),
         |cd AS (
         |  SELECT cid, u.i AS i,
@@ -958,14 +952,7 @@ object Dedup {
         |  FROM mv, UNNEST(range(1, 65)) AS u(i)
         |  GROUP BY cid, u.i),
         |c1 AS (SELECT cid, list(m ORDER BY i) AS c FROM cd GROUP BY cid),
-        |a2 AS (
-        |  SELECT vec_id, cid, ROW_NUMBER() OVER (
-        |           PARTITION BY vec_id
-        |           ORDER BY list_dot_product(vn.v, c1.c)
-        |                    / (vn.nv * sqrt(list_dot_product(c1.c, c1.c))) DESC,
-        |                    cid ASC) AS rn
-        |  FROM vn CROSS JOIN c1),
-        |m2 AS (SELECT vec_id, cid FROM a2 WHERE rn = 1),
+        |${coarseAssignSql("m2", "vn", "c1")},
         |p AS (
         |  SELECT b.vec_id AS drop_id
         |  FROM m2 a JOIN m2 b ON a.cid = b.cid AND a.vec_id < b.vec_id
@@ -976,9 +963,12 @@ object Dedup {
       // k is corpus-derived (round 18): [[semanticKFor]] on the memoized
       // corpus count, mirrored by the oracle's kv CTE — 8 at the oracle
       // scales (n ≤ 2048, bit-identical to the former pinned k), growing
-      // with the corpus so cells hold ~256 members at any scale
-      semanticDedup(s, d,
-        semanticKFor(VectorOps.corpusCount(embeddings(s, d))), 0.3)
+      // with the corpus so cells hold ~256 members at any scale. The
+      // assignment goes through the derived two-level path
+      // ([[semanticGFor]]; g=1 ≡ brute at oracle scales) on BOTH
+      // engines — brute assignment at corpus-derived k is n²/256.
+      val k = semanticKFor(VectorOps.corpusCount(embeddings(s, d)))
+      semanticDedup(s, d, k, 0.3, Some(semanticGFor(k)))
     },
 
     // Incremental SEMANTIC admission — the continuous-ingestion twin of
@@ -994,6 +984,7 @@ object Dedup {
         |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
         |  FROM embeddings),
         |kv AS ($SemanticKLadderSql),
+        |gv AS ($SemanticGLadderSql),
         |vn AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nv FROM v0),
         |corpus AS (SELECT * FROM vn WHERE vec_id % 10 <> 7),
         |batch  AS (SELECT * FROM vn WHERE vec_id % 10 = 7),
@@ -1001,14 +992,7 @@ object Dedup {
         |         SELECT vec_id, v, ROW_NUMBER() OVER (ORDER BY vec_id) AS rn
         |         FROM corpus) sr
         |       WHERE rn <= (SELECT k FROM kv)),
-        |a1 AS (
-        |  SELECT vec_id, cid, ROW_NUMBER() OVER (
-        |           PARTITION BY vec_id
-        |           ORDER BY list_dot_product(v, c)
-        |                    / (nv * sqrt(list_dot_product(c, c))) DESC,
-        |                    cid ASC) AS rn
-        |  FROM corpus CROSS JOIN c0),
-        |m1 AS (SELECT vec_id, cid FROM a1 WHERE rn = 1),
+        |${coarseAssignSql("m1", "corpus", "c0")},
         |mv AS (SELECT m1.cid, corpus.v FROM m1 JOIN corpus ON m1.vec_id = corpus.vec_id),
         |cd AS (
         |  SELECT cid, u.i AS i,
@@ -1016,22 +1000,8 @@ object Dedup {
         |  FROM mv, UNNEST(range(1, 65)) AS u(i)
         |  GROUP BY cid, u.i),
         |c1 AS (SELECT cid, list(m ORDER BY i) AS c FROM cd GROUP BY cid),
-        |ac AS (
-        |  SELECT vec_id, cid, ROW_NUMBER() OVER (
-        |           PARTITION BY vec_id
-        |           ORDER BY list_dot_product(v, c)
-        |                    / (nv * sqrt(list_dot_product(c, c))) DESC,
-        |                    cid ASC) AS rn
-        |  FROM corpus CROSS JOIN c1),
-        |mc AS (SELECT vec_id, cid FROM ac WHERE rn = 1),
-        |ab AS (
-        |  SELECT vec_id, cid, ROW_NUMBER() OVER (
-        |           PARTITION BY vec_id
-        |           ORDER BY list_dot_product(v, c)
-        |                    / (nv * sqrt(list_dot_product(c, c))) DESC,
-        |                    cid ASC) AS rn
-        |  FROM batch CROSS JOIN c1),
-        |mb AS (SELECT vec_id, cid FROM ab WHERE rn = 1),
+        |${coarseAssignSql("mc", "corpus", "c1")},
+        |${coarseAssignSql("mb", "batch", "c1")},
         |dup AS (
         |  SELECT mb.vec_id AS vec_id, MIN(mc.vec_id) AS dup_of
         |  FROM mb JOIN mc ON mb.cid = mc.cid
@@ -1052,14 +1022,20 @@ object Dedup {
       // oracle's ROW_NUMBER ≤ k CTE). orderBy+limit is a distributed
       // top-k (TakeOrdered), k rows total — no global window, and at
       // the oracle scale (k=8) identical to the former `vec_id < 9`
-      // (corpus ids 0..8 minus the batch id 7)
+      // (corpus ids 0..8 minus the batch id 7). Assignments route
+      // through the derived two-level path like q_dedup_semantic
+      // (g=1 ≡ brute at oracle scales, mirrored by the gv CTE).
       val k = semanticKFor(VectorOps.corpusCount(embeddings(s, d)))
+      val g = semanticGFor(k)
+      def assign(src: DataFrame, cent: DataFrame): DataFrame =
+        if (g >= 1 && g < k) assignCoarse(src, cent, g)
+        else assignBrute(src, cent)
       val c0 = corpus.orderBy("vec_id").limit(k)
         .select(col("vec_id").as("cid"), col("v").as("c"))
-      val c1 = refineCentroids(assignBrute(corpus, c0))
-      val mc = assignBrute(corpus, c1)
+      val c1 = refineCentroids(assign(corpus, c0))
+      val mc = assign(corpus, c1)
         .select(col("cid"), col("vec_id").as("cvid"), col("v").as("cv"), col("nv").as("cn"))
-      val mb = assignBrute(batch, c1)
+      val mb = assign(batch, c1)
       val dup = mb.join(mc, Seq("cid"))
         .filter(round(VectorOps.dot(col("v"), col("cv")) / (col("nv") * col("cn")), 6) >= 0.3)
         .groupBy("vec_id").agg(min(col("cvid")).as("dup_of"))
@@ -1091,6 +1067,60 @@ object Dedup {
     "SELECT CASE WHEN COUNT(*) <= 2048 THEN 8 " +
       (4 to 12).map(b => s"WHEN COUNT(*) <= ${256L << b} THEN ${1 << b}").mkString(" ") +
       " ELSE 4096 END AS k FROM embeddings"
+
+  /** Two-level assignment group count for k cells (round 18): 1 — i.e.
+    * EXACT, the coarse path degenerates to brute force (spec-pinned) —
+    * while k ≤ 64, else 2^⌈b/2⌉ ≈ √k for k = 2^b. Nearest-centroid
+    * assignment then costs n·(g + k/g) ≈ 2n√k dot products instead of
+    * n·k: with k corpus-derived (k ≈ n/256), brute assignment is
+    * n²/256 — quadratic, the r18 sf10 bench measured the named query
+    * at 490 s on exactly this — while two-level is n^1.5/16. Mirrored
+    * verbatim by [[SemanticGLadderSql]]; both engines run the SAME
+    * two-level formulation at every scale, so oracle parity holds by
+    * construction (g=1 at all driver-checked scales). */
+  private[graft] def semanticGFor(k: Int): Int =
+    if (k <= 64) 1
+    else 1 << ((31 - Integer.numberOfLeadingZeros(k) + 1) / 2)
+
+  /** The oracle-side spelling of [[semanticGFor]] over the kv CTE. */
+  private[graft] def SemanticGLadderSql: String = {
+    val cases = Seq(64, 256, 1024)
+      .map(th => s"WHEN k <= $th THEN ${semanticGFor(th)}").mkString(" ")
+    s"SELECT CASE $cases ELSE ${semanticGFor(4096)} END AS g FROM kv"
+  }
+
+  /** The oracle-side spelling of one two-level (coarse/fine) nearest-
+    * centroid assignment — the SQL twin of [[assignCoarse]] (and, at
+    * g=1, of [[assignBrute]]): super-centroids are the 6-dp rounded
+    * per-dimension means of each cid%g centroid group (the shared
+    * [[refineCentroids]] convention), stage 1 picks the nearest
+    * super-group, stage 2 ranks only that group's centroids. Emits a
+    * CTE chain whose FINAL name is `$p` (vec_id → cid); `src` must
+    * expose (vec_id, v, nv), `cent` (cid, c); requires the `gv` CTE. */
+  private def coarseAssignSql(p: String, src: String, cent: String): String =
+    s"""${p}sd AS (
+       |  SELECT cid % (SELECT g FROM gv) AS gid, u.i AS i,
+       |         ROUND(AVG(list_extract(c, CAST(u.i AS INT))), 6) AS m
+       |  FROM $cent, UNNEST(range(1, 65)) AS u(i)
+       |  GROUP BY 1, 2),
+       |${p}sc AS (SELECT gid, list(m ORDER BY i) AS sc FROM ${p}sd GROUP BY gid),
+       |${p}s1a AS (
+       |  SELECT $src.vec_id, gid, ROW_NUMBER() OVER (
+       |           PARTITION BY $src.vec_id
+       |           ORDER BY list_dot_product($src.v, sc)
+       |                    / ($src.nv * sqrt(list_dot_product(sc, sc))) DESC,
+       |                    gid ASC) AS rn
+       |  FROM $src CROSS JOIN ${p}sc),
+       |${p}s1 AS (SELECT vec_id, gid FROM ${p}s1a WHERE rn = 1),
+       |${p}aa AS (
+       |  SELECT s.vec_id, $cent.cid, ROW_NUMBER() OVER (
+       |           PARTITION BY s.vec_id
+       |           ORDER BY list_dot_product(v0.v, $cent.c)
+       |                    / (v0.nv * sqrt(list_dot_product($cent.c, $cent.c))) DESC,
+       |                    $cent.cid ASC) AS rn
+       |  FROM ${p}s1 s JOIN $src v0 ON s.vec_id = v0.vec_id
+       |  JOIN $cent ON $cent.cid % (SELECT g FROM gv) = s.gid),
+       |$p AS (SELECT vec_id, cid FROM ${p}aa WHERE rn = 1)""".stripMargin
 
   /** Corpus-derived per-label bucket width for [[queries q_dedup_embedding]]
     * (round 18): the smallest b with n_label ≤ 256·2^b, clamped to 12 —

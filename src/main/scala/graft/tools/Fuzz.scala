@@ -1608,7 +1608,28 @@ final class SqlFuzzer(seed: Long) {
         s"DENSE_RANK() OVER (PARTITION BY $part ORDER BY $ov ASC NULLS FIRST) AS g " +
         s"FROM $t WHERE $where) q"
     val oSpec = s"PARTITION BY p ORDER BY g ASC NULLS FIRST $rFrame"
-    rnd.nextInt(5) match {
+    rnd.nextInt(6) match {
+      case 5 => // grouped block + named WINDOW clause (round 18): the
+        // clause stays outer with partition/order exprs hoisted inner;
+        // a second PLAIN named window rides along in the same clause
+        val k = intLit(3, 9)
+        val gov = s"($part % $k)"
+        val tail = s"${orderAll(4)} ${limit()}"
+        (s"SELECT $part AS c1, CAST(SUM($sv) AS BIGINT) AS c2, " +
+          s"CAST(SUM(COUNT(*)) OVER w AS BIGINT) AS c3, " +
+          s"CAST(SUM(SUM($sv)) OVER v AS BIGINT) AS c4 " +
+          s"FROM $t WHERE $where GROUP BY $part " +
+          s"WINDOW w AS (ORDER BY $gov ASC NULLS FIRST $gFrame), " +
+          s"v AS (ORDER BY $gov ASC NULLS FIRST, $part ASC NULLS FIRST " +
+          s"ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) $tail",
+          s"SELECT c1, c2, CAST(SUM(cnt) OVER (ORDER BY g ASC NULLS FIRST " +
+            s"$rFrame) AS BIGINT) AS c3, " +
+            s"CAST(SUM(c2) OVER (ORDER BY gv ASC NULLS FIRST, c1 ASC NULLS FIRST " +
+            s"ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS c4 " +
+            s"FROM (SELECT $part AS c1, CAST(SUM($sv) AS BIGINT) AS c2, " +
+            s"COUNT(*) AS cnt, $gov AS gv, " +
+            s"DENSE_RANK() OVER (ORDER BY $gov ASC NULLS FIRST) AS g " +
+            s"FROM $t WHERE $where GROUP BY $part) q $tail")
       case 0 => // inline GROUPS + QUALIFY
         val tail = s"${orderAll(3)} ${limit()}"
         (s"SELECT $key AS c1, CAST($ov AS BIGINT) AS c2, " +

@@ -578,10 +578,35 @@ class DuckDbDialectSpec extends AnyFunSuite {
       "CURRENT ROW) FROM gft", "integer-literal")
     named("SELECT SUM(x) OVER (GROUPS BETWEEN 1 PRECEDING AND CURRENT ROW) " +
       "FROM gft", "order by")
-    named("SELECT o, SUM(SUM(x)) OVER w FROM gft GROUP BY o WINDOW w AS " +
-      "(ORDER BY o GROUPS 1 PRECEDING)", "named window")
     named("SELECT o, SUM(x) + 0, SUM(SUM(x)) OVER (ORDER BY o GROUPS " +
       "1 PRECEDING) s FROM gft GROUP BY o", "alias")
+    // round 18: GROUP BY + named WINDOW clause COMPOSES — the clause
+    // stays outer, partition/order exprs hoist inner (same goldens as
+    // the inline grouped cases above)
+    assert(spark.sql(DuckDbDialect.rewrite(
+      "SELECT o, CAST(SUM(SUM(x)) OVER w AS BIGINT) AS s FROM gft " +
+        "GROUP BY o WINDOW w AS (ORDER BY o GROUPS 1 PRECEDING) ORDER BY o"))
+      .collect().map(_.getAs[Number]("s").longValue).toSeq
+      == Seq(3L, 7L, 60L, 120L))
+    // combined: a GROUPS window name + a PLAIN named window over a
+    // grouped order expression, in one clause
+    val gnw = spark.sql(DuckDbDialect.rewrite(
+      "SELECT o, CAST(SUM(SUM(x)) OVER w AS BIGINT) AS s, " +
+        "CAST(SUM(SUM(x)) OVER v AS BIGINT) AS r FROM gft " +
+        "GROUP BY o WINDOW w AS (ORDER BY o GROUPS 1 PRECEDING), " +
+        "v AS (ORDER BY o DESC NULLS LAST ROWS BETWEEN UNBOUNDED " +
+        "PRECEDING AND CURRENT ROW) ORDER BY o")).collect()
+    assert(gnw.map(_.getAs[Number]("s").longValue).toSeq == Seq(3L, 7L, 60L, 120L))
+    // v: running sum over o DESC → o=5:64, o=3:120, o=2:124, o=1:127
+    assert(gnw.map(_.getAs[Number]("r").longValue).toSeq == Seq(127L, 124L, 120L, 64L))
+    // partitioned GROUPS named window over the grouped block (gft2 has
+    // two p-partitions with identical o-groups)
+    assert(spark.sql(DuckDbDialect.rewrite(
+      "SELECT p, o, CAST(SUM(SUM(x)) OVER w AS BIGINT) AS s FROM gft2 " +
+        "GROUP BY p, o WINDOW w AS (PARTITION BY p ORDER BY o " +
+        "GROUPS 1 PRECEDING) ORDER BY p, o"))
+      .collect().map(_.getAs[Number]("s").longValue).toSeq
+      == Seq(3L, 7L, 60L, 120L, 3L, 7L, 60L, 120L))
     // GROUP BY ALL + window: both engines reject it (measured round 18)
     // — the shim's error is parity, and says so
     named("SELECT o, SUM(SUM(x)) OVER (ORDER BY o GROUPS 1 PRECEDING) s " +
