@@ -42,7 +42,7 @@ class DialectPropertySpec extends AnyFunSuite {
     assert(checked == 1500)
   }
 
-  test("shim idempotence: rewrite(rewrite(s)) == rewrite(s) on 1,500 generated DuckDB-ism statements") {
+  test("shim idempotence: rewrite(rewrite(s)) == rewrite(s) on ~1,800 generated DuckDB-ism statements") {
     // PIVOT/UNPIVOT are gateway STATEMENTS, not SELECT-level shim
     // input — the gateway routes them before rewrite ever runs
     def stmt(sql: String) = {
@@ -52,7 +52,10 @@ class DialectPropertySpec extends AnyFunSuite {
     }
     val dialect = new SqlFuzzer(17003).dialectQueries(1000)
       .filterNot { case (_, s) => stmt(s) } ++
-      new SqlFuzzer(17004).groupsQueries(500).map { case (n, s, _) => (n, s) }
+      new SqlFuzzer(17004).groupsQueries(500).map { case (n, s, _) => (n, s) } ++
+      // round 18: the composed kind (GROUPS × QUALIFY × DISTINCT
+      // windows × grouped/named-WINDOW contexts) under the same pin
+      new SqlFuzzer(18001).groupsComposedQueries(300).map { case (n, s, _) => (n, s) }
     var checked = 0
     dialect.foreach { case (name, sql) =>
       val r1 = DuckDbDialect.rewrite(sql)
