@@ -115,6 +115,46 @@ object Quantiles {
     byF.select(outCols: _*)
   }
 
+  /** EXACT interpolated quantiles from a pre-aggregated value histogram
+    * (columns `g`, `v`, `c`): the cumulative-sum bracket formulation —
+    * one window plus one aggregate over the HISTOGRAM, never the raw
+    * rows. The right shape when the value domain is small relative to
+    * the corpus (integer token counts, ratings): the source is scanned
+    * ONCE to build (g, v, c) and never again, where [[groupQuantiles]]
+    * pays two passes over raw rows (bucket counts + candidate ranking).
+    * Same `1+(n-1)q` rank and `lo + frac·(hi−lo)` interpolation in the
+    * same association order, so the doubles are bit-identical to both
+    * [[groupQuantiles]] and the oracle's histogram-cumsum SQL.
+    * → one row per group: `g`, then a double column per measure
+    * `(name, q)`. NULL groups/values are excluded, matching SQL
+    * aggregate semantics. */
+  def histQuantiles(hist: DataFrame, measures: Seq[(String, Double)]): DataFrame = {
+    require(measures.nonEmpty && measures.map(_._1).distinct.size == measures.size,
+      "measures must be non-empty with unique names")
+    val byG = Window.partitionBy("g")
+    // cum rides the same tiny-table window partitioning as groupQuantiles'
+    // `located`: one exchange of the histogram locates every rank.
+    val cum = hist.filter(col("g").isNotNull && col("v").isNotNull)
+      .withColumn("cum", sum(col("c")).over(byG.orderBy("v")))
+      .withColumn("n", sum(col("c")).over(byG))
+    def rank(q: Double): Column =
+      lit(1.0) + (col("n") - 1).cast("double") * lit(q)
+    // a rank span [floor(i), ceil(i)] can straddle two adjacent values:
+    // lo = first value whose cum reaches floor(i), hi = first reaching
+    // ceil(i) — MIN(CASE …) over the cum rows, the oracle's br CTE.
+    val aggs = measures.flatMap { case (name, q) =>
+      Seq(min(when(col("cum") >= floor(rank(q)), col("v"))).as(s"__lo_$name"),
+          min(when(col("cum") >= ceil(rank(q)), col("v"))).as(s"__hi_$name"))
+    }
+    val br = cum.groupBy("g").agg(max(col("n")).as("n"), aggs: _*)
+    val outs = measures.map { case (name, q) =>
+      val i = lit(1.0) + (col("n") - 1).cast("double") * lit(q)
+      (col(s"__lo_$name") +
+        (i - floor(i)) * (col(s"__hi_$name") - col(s"__lo_$name"))).as(name)
+    }
+    br.select(col("g") +: outs: _*)
+  }
+
   /** per-row width chosen by measure tag. */
   private def widthOf(measures: Seq[Measure]): Column =
     measures.tail.foldLeft(when(col("m") === measures.head.name, measures.head.width)) {

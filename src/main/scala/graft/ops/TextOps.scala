@@ -222,12 +222,18 @@ object TextOps {
     },
 
     // Percentile-threshold length filtering (the C4/Gopher outlier-
-    // removal step): per-language p05/p95 token-count thresholds from
-    // the distributed bucket-prune quantile operator, then keep/drop
-    // counts per language. The thresholds frame is O(languages) —
-    // a bounded label domain (the q_events_anomaly argument) — and the
-    // interpolated doubles match the oracle bitwise because both
-    // engines run the identical histogram-cumsum formulation.
+    // removal step): per-language p05/p95 token-count thresholds, then
+    // keep/drop counts per language. Token counts are a SMALL INTEGER
+    // domain, so the whole query runs off one per-(lang, count)
+    // histogram — the corpus is scanned (and tokenized) ONCE; the
+    // round-17 shape paid that scan three times (bucket counts +
+    // candidate ranking inside groupQuantiles, then the keep-count
+    // re-scan), and at sf10 was the suite's second-slowest stream.
+    // The thresholds frame is O(languages) — a bounded label domain
+    // (the q_events_anomaly argument) — and the interpolated doubles
+    // match the oracle bitwise because both engines run the identical
+    // histogram-cumsum formulation (Quantiles.histQuantiles ≡ the
+    // oracle's cum/br/th CTE chain).
     OpQuery("q_text_length_filter",
       """WITH t AS (
         |  SELECT lang, CAST(len(string_split(text, ' ')) AS DOUBLE) AS nt
@@ -259,18 +265,21 @@ object TextOps {
         |FROM t JOIN th ON t.lang = th.g
         |GROUP BY t.lang, th.p05, th.p95
         |ORDER BY lang""".stripMargin) { (s, d) =>
-      val t = documents(s, d)
-        .select(col("lang"), size(split(col("text"), " ")).cast("double").as("nt"))
-      val th = Quantiles.groupQuantiles(
-        t.withColumnRenamed("lang", "g"), "g", Seq(
-          Quantiles.Measure("p05", "nt", 0.05, 1.0),
-          Quantiles.Measure("p95", "nt", 0.95, 1.0)))
-      t.join(broadcast(th), col("lang") === col("g"))
-        .groupBy("lang", "p05", "p95")
-        .agg(count(lit(1)).as("n_docs"),
-             sum(when(col("nt") >= col("p05") && col("nt") <= col("p95"), 1L)
-               .otherwise(0L)).as("n_kept"))
-        .select(col("lang"), col("n_docs"), col("n_kept"),
+      // cache(): O(languages × distinct lengths) rows — gives both the
+      // threshold branch and the keep-count branch the one materialized
+      // histogram (the bCounts convention in Quantiles.groupQuantiles),
+      // so `documents` is read once even without exchange reuse.
+      val h = documents(s, d)
+        .select(col("lang").as("g"),
+          size(split(col("text"), " ")).cast("double").as("v"))
+        .groupBy("g", "v").agg(count(lit(1)).as("c")).cache()
+      val th = Quantiles.histQuantiles(h, Seq("p05" -> 0.05, "p95" -> 0.95))
+      h.join(broadcast(th), Seq("g"))
+        .groupBy("g", "p05", "p95")
+        .agg(sum(col("c")).as("n_docs"),
+             sum(when(col("v") >= col("p05") && col("v") <= col("p95"),
+               col("c")).otherwise(0L)).as("n_kept"))
+        .select(col("g").as("lang"), col("n_docs"), col("n_kept"),
                 round(col("p05"), 4).as("p05"), round(col("p95"), 4).as("p95"))
         .orderBy("lang")
     },

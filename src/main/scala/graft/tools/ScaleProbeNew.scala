@@ -134,22 +134,24 @@ object ScaleProbeNew {
     }
 
     // GRAFT_PROBE_REUSE=1 skips replica generation for a k-dir that
-    // already has all four tables (round 17 — rerunning one query on
-    // an existing 256x rung should not pay the 256-way union writes)
+    // already has the needed tables (round 17 — rerunning one query on
+    // an existing 256x rung should not pay the 256-way union writes).
+    // A semantic-only run (GRAFT_PROBE_QS names just the semantic
+    // family) reads nothing but embeddings — generating the 256×
+    // lineitem/documents/events replicas for it would be ~10× the
+    // probe's own wall in union writes (round 18).
     val reuse = sys.env.get("GRAFT_PROBE_REUSE").contains("1")
+    val gens: Seq[(String, Int => DataFrame)] =
+      if (named.isEmpty && withSemantic) Seq("embeddings" -> embReplica _)
+      else Seq("documents" -> docReplica _, "lineitem" -> liReplica _,
+        "embeddings" -> embReplica _, "events" -> evReplica _)
     kLadder.foreach { k =>
       val dir = s"$outBase/k$k"
-      val present = Seq("documents", "lineitem", "embeddings", "events")
-        .forall(t => new java.io.File(s"$dir/$t.parquet/_SUCCESS").exists())
-      if (!(reuse && present)) {
-        (0 until k).map(docReplica).reduce(_ unionAll _)
-          .write.mode("overwrite").parquet(s"$dir/documents.parquet")
-        (0 until k).map(liReplica).reduce(_ unionAll _)
-          .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
-        (0 until k).map(embReplica).reduce(_ unionAll _)
-          .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
-        (0 until k).map(evReplica).reduce(_ unionAll _)
-          .write.mode("overwrite").parquet(s"$dir/events.parquet")
+      gens.foreach { case (t, rep) =>
+        val present = new java.io.File(s"$dir/$t.parquet/_SUCCESS").exists()
+        if (!(reuse && present))
+          (0 until k).map(rep).reduce(_ unionAll _)
+            .write.mode("overwrite").parquet(s"$dir/$t.parquet")
       }
     }
 

@@ -176,6 +176,28 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("histogram quantiles equal bucket-prune quantiles BITWISE on integer domains") {
+    import graft.ops.Quantiles
+    // integer value domain with heavy ties — the q_text_length_filter
+    // shape (token counts): histQuantiles runs off the (g, v, c)
+    // histogram, groupQuantiles off the raw rows; same rank and
+    // interpolation arithmetic, so == (not ±ε) is the contract
+    val gen = Gen.zip(
+      Gen.listOfN(90, Gen.zip(Gen.chooseNum(0, 2),
+        Gen.chooseNum(1, 12).map(_.toDouble))),
+      Gen.oneOf(0.0, 0.05, 0.5, 0.95, 1.0))
+    forAll(gen, 8) { case (rows, q) =>
+      val df = rows.toDF("g", "v")
+      val hist = df.groupBy("g", "v").agg(count(lit(1)).as("c"))
+      val got = Quantiles.histQuantiles(hist, Seq("qv" -> q))
+        .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
+      val want = Quantiles.groupQuantiles(df, "g",
+        Seq(Quantiles.Measure("qv", "v", q, 1.0)))
+        .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
+      assert(got == want, s"q=$q: $got vs $want")
+    }
+  }
+
   test("Json.str/getString round-trips arbitrary strings") {
     val tricky = Gen.oneOf(
       Gen.asciiStr, // includes control chars and quotes
