@@ -165,14 +165,25 @@ object ScaleProbeNew {
     // warmup at K=1 (codegen + JIT for the whole family)
     named.foreach(q => time(s"warmup $q",
       graft.SparkEntry.queries(q)(spark, s"$outBase/k${kLadder.head}")))
-    // under GRAFT_PROBE_SEM=scaled the warmup must use the SCALED k
-    // too — a fixed-k=8 warmup on a 256x head rung is the quadratic
-    // shape the flag exists to avoid
-    val warmK =
-      if (sys.env.get("GRAFT_PROBE_SEM").contains("scaled")) 8 * kLadder.head
-      else 8
+    // GRAFT_PROBE_SEM: "" runs all three variants, "scaled" skips the
+    // fixed-k=8 one, "2lv" runs ONLY the two-level corpus-derived
+    // variant — the named query's actual configuration, and the only
+    // one that is sub-quadratic: at 256x the ONE-level scaled
+    // assignment is n·k ≈ 2.1G dot products (the 490 s sf10 class,
+    // ~25x more), so the top rung records the two-level path alone.
+    val semMode = sys.env.getOrElse("GRAFT_PROBE_SEM", "")
+    // under scaled/2lv the warmup must use the SCALED k too — a
+    // fixed-k=8 warmup on a 256x head rung is the quadratic shape the
+    // flag exists to avoid
+    val warmK = if (semMode.nonEmpty) 8 * kLadder.head else 8
+    // the warmup must ALSO follow the selected assignment path: under
+    // 2lv a one-level warmup at the head rung's scaled k is exactly the
+    // n·k quadratic the mode excludes (at a 256x head rung it stalled
+    // the centroid broadcast past spark.sql.broadcastTimeout)
+    val warmG = if (semMode == "2lv")
+      Some(math.max(1, math.round(math.sqrt(warmK.toDouble)).toInt)) else None
     if (withSemantic) time("warmup semantic",
-      graft.ops.Dedup.semanticDedup(spark, s"$outBase/k${kLadder.head}", warmK, 0.3))
+      graft.ops.Dedup.semanticDedup(spark, s"$outBase/k${kLadder.head}", warmK, 0.3, warmG))
 
     val rows = kLadder.map { k =>
       spark.sharedState.cacheManager.clearCache()
@@ -180,26 +191,24 @@ object ScaleProbeNew {
       val namedTimes = named.map(q =>
         q -> time(s"$q @K=$k", graft.SparkEntry.queries(q)(spark, dir)))
       val sem = if (!withSemantic) Nil else {
-        // GRAFT_PROBE_SEM=scaled skips the fixed-k=8 variant (round 17:
-        // it is the documented-quadratic non-goal — at 256x its pair
-        // work alone is ~hours, while the SCALED variants are the
-        // 100 TB path and stay linear)
-        val scaledOnly = sys.env.get("GRAFT_PROBE_SEM").contains("scaled")
         // fixed k=8 cells (documented non-goal past small K: pair work ~K²)
-        val semFixed = if (scaledOnly) Nil else Seq("q_dedup_semantic(k=8)" ->
+        val semFixed = if (semMode.nonEmpty) Nil else Seq("q_dedup_semantic(k=8)" ->
           time(s"semantic k=8 @K=$k",
             graft.ops.Dedup.semanticDedup(spark, dir, 8, 0.3)))
-        // the scale path: cells grow with the corpus, cluster size constant
-        val semScaled = s"q_dedup_semantic(k=8K)" ->
+        // scaled k, ONE-level assignment: cells grow with the corpus so
+        // cluster size stays constant, but brute assignment is n·k —
+        // quadratic in K. Recorded at the lower rungs as the crossover
+        // evidence against the two-level path; skipped under 2lv.
+        val semScaled = if (semMode == "2lv") Nil else Seq(s"q_dedup_semantic(k=8K)" ->
           time(s"semantic k=${8 * k} @K=$k",
-            graft.ops.Dedup.semanticDedup(spark, dir, 8 * k, 0.3))
+            graft.ops.Dedup.semanticDedup(spark, dir, 8 * k, 0.3)))
         // same scaled k through the two-level coarse/fine assignment
-        // (g≈√k): N×(g + k/g) dots instead of N×k
+        // (g≈√k): N×(g + k/g) dots instead of N×k — the named query's path
         val g = math.max(1, math.round(math.sqrt(8.0 * k)).toInt)
         val semCoarse = s"q_dedup_semantic(k=8K,2lv)" ->
           time(s"semantic k=${8 * k} g=$g @K=$k",
             graft.ops.Dedup.semanticDedup(spark, dir, 8 * k, 0.3, Some(g)))
-        semFixed ++ Seq(semScaled, semCoarse)
+        semFixed ++ semScaled ++ Seq(semCoarse)
       }
       // round-15 bloom evidence: the ~r suffix grows the holdout's
       // distinct-shingle set linearly with K, so a FIXED m would
@@ -220,10 +229,12 @@ object ScaleProbeNew {
     }
 
     val names = named ++ (if (!withSemantic) Nil
-      else if (sys.env.get("GRAFT_PROBE_SEM").contains("scaled"))
-        Seq("q_dedup_semantic(k=8K)", "q_dedup_semantic(k=8K,2lv)")
-      else Seq("q_dedup_semantic(k=8)", "q_dedup_semantic(k=8K)",
-        "q_dedup_semantic(k=8K,2lv)"))
+      else semMode match {
+        case "2lv"    => Seq("q_dedup_semantic(k=8K,2lv)")
+        case "scaled" => Seq("q_dedup_semantic(k=8K)", "q_dedup_semantic(k=8K,2lv)")
+        case _        => Seq("q_dedup_semantic(k=8)", "q_dedup_semantic(k=8K)",
+          "q_dedup_semantic(k=8K,2lv)")
+      })
     println(f"${"query"}%-26s" + kLadder.map(k => f"K=$k%-8d").mkString)
     names.foreach { q =>
       println(f"$q%-26s" + rows.map { case (_, m) => f"${m(q)}%-8.2f" }.mkString)
