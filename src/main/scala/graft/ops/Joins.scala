@@ -162,55 +162,65 @@ object Joins {
         .orderBy("o_orderstatus")
     },
 
-    // Range (non-equi) join as a BUCKETIZED EQUI join. The naive shape
-    // (broadcast supplier + nested-loop band predicate) mandatorily
-    // broadcasts an O(SF) table — the same unbounded class removed from
-    // the customer joins — and a plain non-equi join degenerates to
-    // BroadcastNestedLoopJoin either way. Instead: bucket both sides by
-    // floor(acctbal / bandwidth); a supplier's ±500 band can only reach
-    // buckets b−1, b, b+1, so exploding the supplier side 3× and
-    // equi-joining on the bucket turns the band join into a shuffled
-    // hash/merge join that partitions and spills like any other — the
-    // standard interval-join bucketing a 100 TB band join needs. Each
-    // qualifying (customer, supplier) pair meets in exactly one bucket
-    // (the customer's), so no dedup is required.
+    // Band join whose downstream is a per-key COUNT — so the join never
+    // has to happen (round 18). n_cust(s) = #{c : |c.acctbal −
+    // s.acctbal| ≤ 500} is an ORDER STATISTIC of the customer acctbal
+    // distribution: F(s+500) − F⁻(s−500), with F the inclusive CDF and
+    // F⁻ the strictly-below one. The plan builds the acctbal histogram
+    // (one map-combinable aggregate), inserts every supplier band
+    // boundary into the value axis (boundaries are exact values in the
+    // same decimal domain, so the lookup is an EQUI join by
+    // construction — the inserted point is always present), prefix-sums
+    // customer mass once, and reads both boundary ranks per supplier.
+    // No pair is ever materialized.
     //
-    // The bucket alone is a BAD shuffle key: acctbal's domain is fixed
-    // ([-999.99, 9999.99]) at every SF, so there are only ~23 distinct
-    // buckets no matter how large the tables grow — every reducer
-    // key-group is O(SF) on both sides and parallelism is capped at 23.
-    // The key is therefore composited with a salt: customers carry
-    // pmod(hash(c_custkey), nSalt) and the (already 3×-exploded)
-    // supplier side explodes across all nSalt values, so each
-    // qualifying pair still meets exactly once (the customer's bucket
-    // AND salt) while the shuffle fans out over 23 × nSalt key-groups.
-    // nSalt tracks the session's shuffle parallelism but is CAPPED at 64:
-    // the salt only needs to break the ~23-bucket parallelism ceiling, so
-    // 23 × 64 ≈ 1.5k key-groups already saturates any realistic stage,
-    // while an uncapped nSalt would make the supplier replication
-    // (3 × nSalt) grow with cluster config — 600× at the default 200
-    // partitions, unbounded on a production cluster. The capped
-    // replication (≤192×) stays linear in |supplier| — the smaller
-    // side — and independent of both |customer| and cluster size.
+    // Why this matters at scale: the ±500 band's QUALIFYING PAIRS grow
+    // ~n² under replication (the r17 sf10 bench: ~19G candidate pairs,
+    // 342 s concurrent through the previous bucket+salt equi-join —
+    // DuckDB's IEJoin streamed the same pairs in 31 s). The CDF plan is
+    // O(n) + one prefix sum over the DOMAIN-BOUNDED histogram: acctbal
+    // has ≤1.1M distinct cent values at ANY scale factor, so the
+    // global-order window is a bounded frame, not an O(n) sort (were
+    // the domain unbounded, the same plan works with a range-partitioned
+    // two-pass prefix sum). The bucket(b−1,b,b+1)+salt equi-join this
+    // replaces (git history, r12–r17) remains the right shape when the
+    // PAIRS themselves are the output — here it was paying the full
+    // quadratic stream for counts the histogram already knew.
     OpQuery("q_join_range",
       """SELECT s_suppkey, CAST(COUNT(*) AS BIGINT) AS n_cust
         |FROM supplier JOIN customer
         |  ON c_acctbal BETWEEN s_acctbal - 500 AND s_acctbal + 500
         |GROUP BY s_suppkey ORDER BY s_suppkey""".stripMargin) { (s, d) =>
-      val nSalt = math.min(s.sessionState.conf.numShufflePartitions, 64)
-      val bs = floor(col("s_acctbal") / 500).cast("long")
-      val sup = supplier(s, d).select(col("s_suppkey"), col("s_acctbal"))
-        .select(col("s_suppkey"), col("s_acctbal"),
-          explode(array(bs - 1, bs, bs + 1)).as("b"))
-        .select(col("s_suppkey"), col("s_acctbal"), col("b"),
-          explode(sequence(lit(0), lit(nSalt - 1))).as("salt"))
-      val cust = customer(s, d)
-        .select(col("c_acctbal"), floor(col("c_acctbal") / 500).cast("long").as("b"),
-          pmod(hash(col("c_custkey")), lit(nSalt)).as("salt"))
-      cust.join(sup, Seq("b", "salt"))
-        .filter(col("c_acctbal").between(col("s_acctbal") - 500, col("s_acctbal") + 500))
+      // each supplier contributes two SIGNED boundary probes, so the
+      // CDF is built and joined exactly ONCE (two per-boundary joins
+      // would re-evaluate the whole histogram+window subtree)
+      val probes = supplier(s, d).select(col("s_suppkey"),
+        explode(array(
+          struct((col("s_acctbal") + 500).as("v"), lit(1L).as("sgn")),
+          struct((col("s_acctbal") - 500).as("v"), lit(-1L).as("sgn")))).as("p"))
+        .select(col("s_suppkey"), col("p.v").as("v"), col("p.sgn").as("sgn"))
+      val histC = customer(s, d).groupBy(col("c_acctbal").as("v"))
+        .agg(count(lit(1)).as("c"))
+      // value axis = customer values ∪ boundary probe values
+      val allV = histC.select("v")
+        .unionByName(probes.select("v").distinct()).distinct()
+      // one prefix sum over the domain-bounded axis: le = #customers ≤ v,
+      // lt = #customers < v (boundary points carry zero mass of their own)
+      val w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+      val cdf = allV.join(histC, Seq("v"), "left")
+        .select(col("v"), coalesce(col("c"), lit(0L)).as("c"))
+        .withColumn("le", sum(col("c")).over(w))
+        .withColumn("lt", col("le") - col("c"))
+        .select(col("v"), col("le"), col("lt"))
+      // the lookup is an equi join on the exact inserted probe value:
+      // n = le(s+500) − lt(s−500), folded as Σ sgn·rank
+      probes.join(cdf, Seq("v"))
         .groupBy("s_suppkey")
-        .agg(count(lit(1)).as("n_cust"))
+        .agg(sum(when(col("sgn") === 1L, col("le")).otherwise(-col("lt")))
+          .as("n_cust"))
+        // the oracle's INNER join emits no group for a pair-less
+        // supplier; counts are non-negative so sum>0 ⟺ some pair exists
+        .filter(col("n_cust") > 0)
         .orderBy("s_suppkey")
     },
 

@@ -99,13 +99,20 @@ object PlanAudit {
       // check pins the replacement shape)
       Check("q_dedup_minhash", "candidate restrictions are semi sort-merge joins",
         p => "SortMergeJoin.*LeftSemi".r.findAllIn(p).length >= 2),
-      // round-8: the band join's bucket key is composited with a salt
-      // (23 fixed buckets alone cap shuffle parallelism at any SF); the
-      // join-key check is threshold-independent — under the default
-      // threshold the tiny exploded supplier legitimately broadcasts,
-      // under -1 the same (b, salt) key feeds the shuffle
-      Check("q_join_range", "band-join key carries the salt",
-        p => "Left keys \\[2\\]: \\[b#\\d+L?, salt#".r.findFirstIn(p).isDefined),
+      // round-18: the band COUNT never materializes pairs — it reads
+      // two signed boundary probes per supplier off the customer-acctbal
+      // CDF (one Window prefix sum over the domain-bounded histogram,
+      // one single-key equi join on the inserted probe value). The
+      // bucket(b±1)+salt equi-join this replaced (r8–r17) paid the
+      // full ~n² qualifying-pair stream for counts the histogram
+      // already knew (sf10: 342 s → 3.3 s).
+      Check("q_join_range", "band count reads the acctbal CDF, not the pairs",
+        p => p.contains("Window") &&
+          "explode\\(array\\(struct\\(".r.findFirstIn(p).isDefined &&
+          // the probe lookup is a SINGLE-key equi join (double keys
+          // print wrapped in knownfloatingpointnormalized)
+          "Left keys \\[1\\]".r.findFirstIn(p).isDefined &&
+          !p.contains("salt#")),
       // round-13: the per-source cap's window must partition by source
       // (no global sort), and the hash-prefix prune must be a plain
       // Filter feeding it (the O(C·K)-per-source bound)
@@ -258,15 +265,19 @@ object PlanAudit {
       // stop-shingle) and the MinHash candidate-doc/pair restrictions
       // are merge-hinted semi joins (corpus-dependent sizes, so neither
       // broadcast nor a hash build is safe for them)
-      "q_dedup_semantic_admit" -> 4, // 8-row centroid tables (K fixed): seed +
-                                     // refined sets, each duplicated because
-                                     // corpus AND batch assignment reuse the
-                                     // refined-centroid subtree
-      "q_dedup_semantic" -> 4,      // 8-row centroid tables (K fixed by the
-                                    // operator): 2 assign passes × 2 because the
-                                    // within-cluster self-join duplicates the
-                                    // assignment subtree — all IdentityBroadcast
-                                    // of a K-bounded frame
+      "q_dedup_semantic_admit" -> 12, // centroid / super-centroid tables only:
+                                      // k is corpus-derived but CAPPED at 4096
+                                      // (semanticKFor), so every broadcast is
+                                      // ≤ 4096×64 doubles ≈ 2 MB; 12 sites since
+                                      // round 18's two-level assignment — each
+                                      // assign pass broadcasts supers (g rows)
+                                      // AND the grouped centroids (k rows), and
+                                      // corpus/batch admission reuse the subtrees
+      "q_dedup_semantic" -> 12,     // same bound: two-level assign ×2 passes
+                                    // (m1, m2) × (supers + grouped centroids),
+                                    // duplicated by the within-cluster self-join
+                                    // reusing the assignment subtree — all
+                                    // ≤ 2 MB by the semanticKFor 4096 cap
       "q_events_anomaly" -> 1,      // per-event-type stats: bounded type domain
       "q_join_multiway" -> 2,       // region + ASIA-nation dims: fixed 5/25 rows
       "q_media_learned_encoder" -> 1, // 1-row learned stats (9 longs)

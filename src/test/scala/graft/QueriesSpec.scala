@@ -37,11 +37,12 @@ class QueriesSpec extends AnyFunSuite {
     }
   }
 
-  // The bucketized band join replaced a broadcast nested loop (round 7);
-  // its correctness rests on bucket-boundary arithmetic (floor of
-  // negative balances, inclusive ±500 edges, one-meeting-bucket-per-pair).
-  // Cross-check the whole result against the definitionally-correct
-  // brute-force cross join at this SF.
+  // The CDF band count (round 18, replacing the r8 bucket+salt equi
+  // join) rests on order-statistics arithmetic: n = le(s+500) −
+  // lt(s−500) with inclusive edges, boundary probes inserted into the
+  // value axis carrying zero mass, and pair-less suppliers dropped like
+  // the oracle's inner join. Cross-check the whole result against the
+  // definitionally-correct brute-force cross join at this SF.
   test("q_join_range equals the brute-force band join") {
     import org.apache.spark.sql.functions._
     import graft.ops.Tables
