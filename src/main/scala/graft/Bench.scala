@@ -173,6 +173,10 @@ object Bench {
       }
       val rs = futures.map { case (n, f) => val (dt, ok) = f.get(); (n, dt, ok) }
       pool.shutdown()
+      // release the queries' registered intra-query caches between SUITE
+      // runs (not between the 12 concurrent streams' queries — an
+      // unpersist racing another stream's reader costs recompute time)
+      graft.ops.Caches.release()
       ((System.nanoTime() - wall0) / 1e9, rs)
     }
     // Steady-state-aware repetition: the driver benches minutes after its

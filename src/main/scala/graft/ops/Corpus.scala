@@ -889,12 +889,20 @@ object Corpus {
     // documents marks all its positions as cross-doc duplicated, and
     // each doc reports its duplicated-window fraction — the
     // "boilerplate/syndicated span" filter signal span-removal
-    // pipelines threshold on. Shape at scale: the window explode is
-    // map-side (n_tokens rows/doc); then three key-bounded shuffles —
-    // (hash,doc) distinct, per-hash doc counts, per-doc position
-    // counts — and a hash-keyed semi join that must NOT broadcast (the
-    // dup-hash set is corpus-sized). Within-doc repetition is
-    // deliberately not counted (q_text_repetition covers it).
+    // pipelines threshold on. Shape at scale (round 19 rewrite): the
+    // window hashes are run-length encoded PER DOC inside the scan
+    // stage (sort_array + boundary filter — all codegen higher-order
+    // functions, zero shuffle), so what leaves the map side is one
+    // (doc, hash, multiplicity) row per DISTINCT hash per doc, never
+    // the raw position stream. One hash-partitioned window then counts
+    // distinct docs per hash AND keeps the per-doc multiplicities in
+    // the same exchange — replacing the former three full-position
+    // shuffles ((hash,doc) distinct + a sort-merge semi join that
+    // re-sorted every position by hash + the per-doc count), the
+    // round-18 sf10 solo wall (28.7 s vs DuckDB 9.0). The dup-hash
+    // set stays corpus-sized: nothing here broadcasts. Within-doc
+    // repetition is deliberately not counted (q_text_repetition
+    // covers it).
     OpQuery("q_text_substring_dup",
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
         |w AS (
@@ -918,18 +926,36 @@ object Corpus {
       val W = 16
       val docs0 = documents(s, d)
         .select(col("doc_id"), split(col("text"), " ").as("toks"))
-      val win = docs0
+      // Per-doc run-length encoding of the SORTED window hashes: `bi`
+      // holds the 0-based start index of every distinct-value run plus
+      // an end sentinel, `pairs` reads (hash, run length) off the
+      // boundaries. All higher-order codegen expressions over one row —
+      // a doc never leaves its input partition before aggregation.
+      val rle = docs0
         .filter(size(col("toks")) >= W)
-        .select(col("doc_id"), explode(transform(
+        .withColumn("hs", sort_array(transform(
           sequence(lit(0), size(col("toks")) - W),
           i => conv(substring(md5(array_join(slice(col("toks"), i + 1, lit(W)), " ")),
-            1, 15), 16, 10).cast("long"))).as("h"))
-      val dup = win.select("h", "doc_id").distinct()
-        .groupBy("h").agg(count(lit(1)).as("nd"))
+            1, 15), 16, 10).cast("long"))))
+        .withColumn("bi", concat(
+          filter(sequence(lit(0), size(col("hs")) - 1),
+            i => i === 0 || element_at(col("hs"), i + 1) =!= element_at(col("hs"), i)),
+          array(size(col("hs")))))
+        .select(col("doc_id"), explode(transform(
+          sequence(lit(0), size(col("bi")) - 2),
+          k => struct(
+            element_at(col("hs"), element_at(col("bi"), k + 1) + 1).as("h"),
+            (element_at(col("bi"), k + 2) - element_at(col("bi"), k + 1))
+              .cast("long").as("c")))).as("p"))
+        .select(col("doc_id"), col("p.h").as("h"), col("p.c").as("c"))
+      // ONE exchange by hash: the window's partition count is the
+      // distinct-doc count per hash (rle has one row per (doc, hash)),
+      // and the per-doc duplicated-position total is Σ multiplicity
+      // over the surviving rows — no join back to the position stream.
+      val perDoc = rle
+        .withColumn("nd", count(lit(1)).over(Window.partitionBy("h")))
         .filter(col("nd") >= 2)
-        .select("h")
-      val perDoc = win.join(dup.hint("merge"), Seq("h"), "left_semi")
-        .groupBy("doc_id").agg(count(lit(1)).as("n_dup"))
+        .groupBy("doc_id").agg(sum(col("c")).as("n_dup"))
       docs0.select(col("doc_id"),
           greatest(size(col("toks")) - W + 1, lit(0)).cast("long").as("n_win"))
         .join(perDoc, Seq("doc_id"), "left")

@@ -53,8 +53,8 @@ object Quantiles {
       .select(col("f"), col("p.m").as("m"), col("p.v").as("v"))
       .filter(col("v").isNotNull)
       .withColumn("b", floor(col("v") / widthOf(measures)))
-    // cache(): ~(groups × measures × buckets) rows; materializing it
-    // gives the planner the table's real (tiny) size, so the probe
+    // Caches.cached: ~(groups × measures × buckets) rows; materializing
+    // it gives the planner the table's real (tiny) size, so the probe
     // join below broadcasts the bucket side by itself whenever it
     // actually fits — without the stats it mis-estimates and
     // broadcasts the O(input) side (observed), and a broadcast HINT
@@ -62,7 +62,8 @@ object Quantiles {
     // measures) table, the 100 TB OOM class removed from Dedup. (An
     // explicit shuffle-hash join measured 1.5× slower at sf0.1: it
     // re-shuffles the full probe side that broadcast leaves in place.)
-    val bCounts = vals.groupBy("f", "m", "b").agg(count(lit(1)).as("c")).cache()
+    // Registered with [[Caches]] so long-lived sessions release it.
+    val bCounts = Caches.cached(vals.groupBy("f", "m", "b").agg(count(lit(1)).as("c")))
     val qq = qOf(measures)
     // Prefix offset AND group total ride the same window partitioning —
     // one exchange of the tiny bucket table locates the target ranks,
@@ -154,6 +155,26 @@ object Quantiles {
     }
     br.select(col("g") +: outs: _*)
   }
+
+  /** [[histQuantiles]] straight off raw rows: builds the per-group value
+    * histogram `(g, v, c)` in ONE map-side-combinable hash-aggregate
+    * scan (the shuffle carries distinct values, not rows) and reads the
+    * quantiles off it. The right entry point when the measure column's
+    * value DOMAIN is bounded (decimal prices/quantities, integer token
+    * counts): [[groupQuantiles]] pays two passes over raw rows (bucket
+    * counts + candidate ranking) for the general unbounded-domain case,
+    * which the round-18 sf10 audit measured at 9–12× DuckDB on 60M-row
+    * lineitem, while this path's one histogram scan is the same shape
+    * as the oracle's h/cum/br CTE chain — doubles match bitwise (the
+    * `v.cast(double)` mirrors groupQuantiles' early cast; decimal→double
+    * is injective on these ≤2-dp, ≤1e6 domains, so grouping before or
+    * after the cast yields the same histogram). */
+  def histQuantilesOf(df: DataFrame, groupCol: String, valueCol: String,
+      measures: Seq[(String, Double)]): DataFrame =
+    histQuantiles(
+      df.groupBy(col(groupCol).as("g"), col(valueCol).cast("double").as("v"))
+        .agg(count(lit(1)).as("c")),
+      measures)
 
   /** per-row width chosen by measure tag. */
   private def widthOf(measures: Seq[Measure]): Column =

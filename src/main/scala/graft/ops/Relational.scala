@@ -340,12 +340,24 @@ object Relational {
         |       TRUE AS merged_ok
         |FROM br ORDER BY l_returnflag""".stripMargin) { (s, d) =>
       import graft.functions.SketchExprs
-      val exact = Quantiles.groupQuantiles(
-        lineitem(s, d).withColumnRenamed("l_returnflag", "f"), "f", Seq(
-          Quantiles.Measure("p50", "l_extendedprice", 0.5, 4096.0)))
-      val globalExact = Quantiles.groupQuantiles(
-        lineitem(s, d).withColumn("g", lit("ALL")), "g", Seq(
-          Quantiles.Measure("gp50", "l_extendedprice", 0.5, 4096.0)))
+      // ONE histogram scan feeds BOTH the per-group and the global exact
+      // median: the price domain is bounded (≤2-dp decimals), so the
+      // round-18 histQuantiles path applies (bit-identical to the
+      // oracle's h/cum/br chain), and the global histogram is the
+      // per-group one re-aggregated by value — lineitem's raw rows are
+      // never ranked and never scanned a second time for quantiles
+      // (groupQuantiles here measured 17.6 s vs DuckDB 1.71 at sf10
+      // solo; the sketch branch below is the only other raw scan).
+      val hist = Caches.cached(lineitem(s, d)
+        .groupBy(col("l_returnflag").as("g"),
+          col("l_extendedprice").cast("double").as("v"))
+        .agg(count(lit(1)).as("c")))
+      val exact = Quantiles.histQuantiles(hist, Seq("p50" -> 0.5))
+        .withColumnRenamed("g", "f")
+      val globalExact = Quantiles.histQuantiles(
+        hist.groupBy("v").agg(sum(col("c")).as("c"))
+          .select(lit("ALL").as("g"), col("v"), col("c")),
+        Seq("gp50" -> 0.5))
         .select("gp50")
       val merged = lineitem(s, d)
         .groupBy("l_returnflag")
@@ -432,14 +444,23 @@ object Relational {
         |               - floor(1.0 + CAST(n - 1 AS DOUBLE) * 0.99)) * (hi99 - lo99) AS p99,
         |       TRUE AS sketch_ok
         |FROM br ORDER BY l_returnflag""".stripMargin) { (s, d) =>
-      val exact = Quantiles.groupQuantiles(
-        lineitem(s, d).withColumnRenamed("l_returnflag", "f"), "f", Seq(
-          Quantiles.Measure("p50", "l_extendedprice", 0.5, 4096.0),
-          Quantiles.Measure("p99", "l_extendedprice", 0.99, 4096.0)))
+      // Exact side off the one-scan value histogram (bounded decimal
+      // domain — the round-18 histQuantiles argument): both fractions
+      // read the same histogram, raw rows are scanned once to build it
+      // and once more only for the sketch branch. groupQuantiles' two
+      // raw-row passes here measured 14.8 s vs DuckDB 1.25 at sf10 solo.
+      val exact = Quantiles.histQuantilesOf(
+        lineitem(s, d), "l_returnflag", "l_extendedprice",
+        Seq("p50" -> 0.5, "p99" -> 0.99))
+        .withColumnRenamed("g", "f")
+      // array form: ONE shared GK summary serves both fractions (two
+      // separate percentile_approx calls each maintain their own
+      // summary over the same 60M rows — probed 2× the cost at sf10)
       val sketch = lineitem(s, d)
         .groupBy(col("l_returnflag").as("f"))
-        .agg(percentile_approx(col("l_extendedprice"), lit(0.5), lit(1000)).as("a50"),
-             percentile_approx(col("l_extendedprice"), lit(0.99), lit(1000)).as("a99"))
+        .agg(percentile_approx(col("l_extendedprice"),
+          array(lit(0.5), lit(0.99)), lit(1000)).as("aq"))
+        .select(col("f"), col("aq")(0).as("a50"), col("aq")(1).as("a99"))
       exact.join(sketch, "f")
         .select(col("f").as("l_returnflag"), col("p50"), col("p99"),
           (abs(col("a50") - col("p50")) / col("p50") <= 0.05 &&
@@ -496,16 +517,24 @@ object Relational {
         |               - floor(1.0 + CAST(pa.nn - 1 AS DOUBLE) * 0.9)) * (p_hi - p_lo), 4) AS p90_price
         |FROM sv JOIN qa ON sv.f = qa.f JOIN pa ON sv.f = pa.f
         |ORDER BY l_returnflag""".stripMargin) { (s, d) =>
-      // Exact median/p90 via the distributed bucket-prune quantile
-      // operator (ops.Quantiles): both measures ride one long-format
-      // pass, no step sorts a full group — where Spark's
-      // value-buffering exact `percentile` measured 30× DuckDB and is
-      // memory-unbounded at scale. The operator interpolates in the
-      // oracle's exact association order, so doubles match bitwise.
-      val quantiles = Quantiles.groupQuantiles(
-        lineitem(s, d).withColumnRenamed("l_returnflag", "f"), "f", Seq(
-          Quantiles.Measure("med_qty", "l_quantity", 0.5, 2.0),
-          Quantiles.Measure("p90_price_raw", "l_extendedprice", 0.9, 4096.0)))
+      // Exact median/p90 via per-measure value histograms
+      // (Quantiles.histQuantilesOf): l_quantity and l_extendedprice are
+      // bounded decimal domains, so each quantile reads a one-scan
+      // map-combinable histogram — the identical h/cum/br formulation
+      // the oracle runs (doubles match bitwise), mirroring the oracle's
+      // own qh/ph split. The former groupQuantiles route paid two
+      // raw-row passes (bucket counts + candidate ranking) and measured
+      // 14.5 s vs DuckDB 1.54 at sf10 solo; three cheap aggregate scans
+      // (two histograms + sv below) match the oracle's scan count and
+      // shuffle only distinct values, the 100 TB shape.
+      val medQty = Quantiles.histQuantilesOf(
+          lineitem(s, d), "l_returnflag", "l_quantity", Seq("med_qty" -> 0.5))
+        .withColumnRenamed("g", "f")
+      val p90Price = Quantiles.histQuantilesOf(
+          lineitem(s, d), "l_returnflag", "l_extendedprice",
+          Seq("p90_price_raw" -> 0.9))
+        .withColumnRenamed("g", "f")
+      val quantiles = medQty.join(p90Price, "f")
       val sv = lineitem(s, d).groupBy(col("l_returnflag").as("f")).agg(
         round(stddev_samp(col("l_discount")), 6).as("sd_disc"),
         round(var_samp(col("l_discount")), 6).as("var_disc"))

@@ -238,7 +238,8 @@ object TextOps {
       """WITH t AS (
         |  SELECT lang, CAST(len(string_split(text, ' ')) AS DOUBLE) AS nt
         |  FROM documents),
-        |h AS (SELECT lang AS g, nt AS v, COUNT(*) AS c FROM t GROUP BY 1, 2),
+        |h AS (SELECT lang AS g, nt AS v, COUNT(*) AS c FROM t
+        |      WHERE nt IS NOT NULL GROUP BY 1, 2),
         |cum AS (
         |  SELECT g, v,
         |         CAST(SUM(c) OVER (PARTITION BY g ORDER BY v) AS BIGINT) AS cum,
@@ -265,14 +266,15 @@ object TextOps {
         |FROM t JOIN th ON t.lang = th.g
         |GROUP BY t.lang, th.p05, th.p95
         |ORDER BY lang""".stripMargin) { (s, d) =>
-      // cache(): O(languages × distinct lengths) rows — gives both the
-      // threshold branch and the keep-count branch the one materialized
-      // histogram (the bCounts convention in Quantiles.groupQuantiles),
-      // so `documents` is read once even without exchange reuse.
-      val h = documents(s, d)
+      // Caches.cached: O(languages × distinct lengths) rows — gives both
+      // the threshold branch and the keep-count branch the one
+      // materialized histogram (the bCounts convention in
+      // Quantiles.groupQuantiles), so `documents` is read once even
+      // without exchange reuse; registered for end-of-query release.
+      val h = Caches.cached(documents(s, d)
         .select(col("lang").as("g"),
           size(split(col("text"), " ")).cast("double").as("v"))
-        .groupBy("g", "v").agg(count(lit(1)).as("c")).cache()
+        .groupBy("g", "v").agg(count(lit(1)).as("c")))
       val th = Quantiles.histQuantiles(h, Seq("p05" -> 0.05, "p95" -> 0.95))
       h.join(broadcast(th), Seq("g"))
         .groupBy("g", "p05", "p95")

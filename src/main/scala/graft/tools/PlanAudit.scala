@@ -60,8 +60,15 @@ object PlanAudit {
         p => "row_number().*windowspecdefinition\\(b#".r.findFirstIn(p).isDefined),
       Check("q_window_range_frame", "running count partitioned by value bucket",
         p => "windowspecdefinition\\(b#".r.findFirstIn(p).isDefined),
-      Check("q_agg_stats", "no value-buffering percentile aggregate",
-        p => !p.contains("percentile")),
+      Check("q_agg_stats", "quantiles read per-group value histograms, not raw rows",
+        // round 19: no value-buffering percentile aggregate, AND no
+        // groupQuantiles raw-row second pass (its candidate ranking is
+        // a row_number over the located buckets; its long-format tag
+        // explode is explode(array(struct(...)))) — the medians come
+        // from histQuantiles' cum window over the (g, v, c) histogram
+        p => !p.contains("percentile") && !p.contains("row_number") &&
+          "explode\\(array\\(struct\\(".r.findFirstIn(p).isEmpty &&
+          "windowspecdefinition\\(g#".r.findFirstIn(p).isDefined),
       Check("q_vocab_topk", "rank applies after TakeOrderedAndProject",
         p => p.contains("TakeOrderedAndProject")),
       // round-4 additions
@@ -77,9 +84,12 @@ object PlanAudit {
       Check("q_topn_per_group", "top-N pruned map-side (partial WindowGroupLimit)",
         p => "\\(\\d+\\) WindowGroupLimit".r.findAllIn(p).length >= 2),
       // round-6 additions
-      Check("q_agg_approx_quantile", "exact side avoids value-buffering percentile",
+      Check("q_agg_approx_quantile", "exact side reads the value histogram; sketch is one shared GK summary",
         p => "[^_x]percentile\\(".r.findFirstIn(p).isEmpty &&
-          (p.contains("approx_percentile") || p.contains("percentile_approx"))),
+          (p.contains("approx_percentile") || p.contains("percentile_approx")) &&
+          // round 19: exact side off histQuantiles — no raw-row
+          // candidate-ranking pass (row_number) left in the plan
+          !p.contains("row_number")),
       Check("q_sim_ivf", "cell probe joins broadcast the bounded probe set",
         p => p.contains("BroadcastHashJoin") && !p.contains("CartesianProduct")),
       // round-7: the gap-fill dense grid must stay out of every exchange
@@ -112,7 +122,24 @@ object PlanAudit {
           // the probe lookup is a SINGLE-key equi join (double keys
           // print wrapped in knownfloatingpointnormalized)
           "Left keys \\[1\\]".r.findFirstIn(p).isDefined &&
-          !p.contains("salt#")),
+          !p.contains("salt#") &&
+          // round 19 (ADVICE): the predicates above alone could still
+          // pass a regression back to a pair-materializing join with a
+          // band residual — additionally require that NO band-residual
+          // comparison against s_acctbal survives anywhere (the r8–r17
+          // pair stream's post-join Filter was `c_acctbal >=/<=
+          // (s_acctbal ± 500)`; the CDF plan only ever ADDS ±500 inside
+          // the probe-struct Generate, never compares against it)
+          !p.contains(">= (s_acctbal") && !p.contains("<= (s_acctbal") &&
+          !p.contains(">= s_acctbal") && !p.contains("<= s_acctbal")),
+      // round 19: the substring-dup rewrite — window hashes are
+      // run-length encoded per doc INSIDE the scan stage, so the only
+      // hash-keyed operation is ONE window over (doc, hash,
+      // multiplicity) rows; the former shape's position-stream semi
+      // SortMergeJoin (28.7 s at sf10 solo) must never reappear
+      Check("q_text_substring_dup", "dup detection is one hash-window over per-doc RLE rows, no position-stream semi join",
+        p => "windowspecdefinition\\(h#".r.findFirstIn(p).isDefined &&
+          !p.contains("LeftSemi")),
       // round-13: the per-source cap's window must partition by source
       // (no global sort), and the hash-prefix prune must be a plain
       // Filter feeding it (the O(C·K)-per-source bound)

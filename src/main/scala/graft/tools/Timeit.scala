@@ -40,6 +40,7 @@ object Timeit {
       }
       once() // warm-up: table cache + codegen
       val ts = (1 to reps).map(_ => once()).sorted
+      graft.ops.Caches.release() // shared intra-query cache convention
       println(f"$n%-28s min=${ts.head}%.3f med=${ts(ts.size / 2)}%.3f s ($reps reps)")
     }
     spark.stop()

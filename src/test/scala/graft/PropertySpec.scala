@@ -198,6 +198,34 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("histQuantilesOf equals bucket-prune quantiles BITWISE on decimal (price) domains") {
+    import graft.ops.Quantiles
+    // 2-dp cent-grid DECIMAL values with ties — the l_extendedprice /
+    // l_quantity shape the round-19 trio rewrite routes through the
+    // raw-rows histogram entry point (histQuantilesOf builds the
+    // (g, v, c) histogram itself, including the early double cast);
+    // NULL values must be excluded identically by both paths. == (not
+    // ±ε) is the contract: same rank and interpolation arithmetic.
+    val gen = Gen.zip(
+      Gen.listOfN(90, Gen.zip(Gen.chooseNum(0, 2), Gen.oneOf(
+        Gen.chooseNum(100, 9999999).map(c => BigDecimal(c) / 100),
+        Gen.chooseNum(1, 8).map(k => BigDecimal(k * 3700) / 100), // heavy ties
+        Gen.const(null: BigDecimal)))),
+      Gen.oneOf(0.0, 0.5, 0.9, 0.99, 1.0))
+    forAll(gen, 8) { case (rows, q) =>
+      if (rows.exists(_._2 != null)) {
+        val df = rows.toDF("g", "v")
+          .withColumn("v", col("v").cast("decimal(12,2)"))
+        val got = Quantiles.histQuantilesOf(df, "g", "v", Seq("qv" -> q))
+          .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
+        val want = Quantiles.groupQuantiles(df, "g",
+          Seq(Quantiles.Measure("qv", "v", q, 4096.0)))
+          .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
+        assert(got == want, s"q=$q: $got vs $want")
+      }
+    }
+  }
+
   test("Json.str/getString round-trips arbitrary strings") {
     val tricky = Gen.oneOf(
       Gen.asciiStr, // includes control chars and quotes
