@@ -1403,13 +1403,69 @@ object DuckDbDialect {
 
   // ---- GROUPS frames -----------------------------------------------------
 
+  /** Constant integer offset EXPRESSIONS the shim folds at rewrite time
+    * (round 19): parenthesized +|−|* arithmetic over digit literals, or
+    * CAST(<digits> AS <int type>). Division is deliberately excluded —
+    * DuckDB's `/` is float division (5/2 = 2.5), so a shim-side integer
+    * fold could silently disagree with the engine the SQL targets. */
+  private val GroupsIntExpr =
+    "(?:\\((?:[\\d\\s+*\\-()])+\\)|cast\\s*\\(\\s*\\d+\\s+as\\s+\\w+\\s*\\))"
   private val GroupsBound =
-    "(?:unbounded\\s+(?:preceding|following)|current\\s+row|\\d+\\s+(?:preceding|following))"
+    s"(?:unbounded\\s+(?:preceding|following)|current\\s+row|(?:\\d+|$GroupsIntExpr)\\s+(?:preceding|following))"
   private val GroupsBetweenRe =
     s"(?is)^groups\\s+between\\s+($GroupsBound)\\s+and\\s+($GroupsBound)".r
   private val GroupsSingleRe = s"(?is)^groups\\s+($GroupsBound)".r
   private val GroupsShapeRe =
-    "(?is)^groups\\s+(between\\s|unbounded\\s+preceding|current\\s+row|\\d+\\s+(preceding|following))".r
+    s"(?is)^groups\\s+(between\\s|unbounded\\s+preceding|current\\s+row|(?:\\d+|$GroupsIntExpr)\\s+(preceding|following))".r
+
+  /** Folds the constant-integer offset grammar [[GroupsIntExpr]] admits
+    * into the literal Spark's RANGE bound requires. Throws (named, never
+    * silent) on anything non-constant, negative, or outside the +|−|*
+    * grammar. */
+  private def foldIntOffset(expr0: String): Long = {
+    val expr = expr0.trim
+    if (expr.nonEmpty && expr.forall(_.isDigit)) return expr.toLong
+    "(?is)^cast\\s*\\(\\s*(\\d+)\\s+as\\s+\\w+\\s*\\)$".r.findFirstMatchIn(expr) match {
+      case Some(m) => return m.group(1).toLong
+      case None => ()
+    }
+    var i = 0
+    def ws(): Unit = while (i < expr.length && expr(i).isWhitespace) i += 1
+    def fail(why: String): Nothing = throw new IllegalArgumentException(
+      s"GROUPS frame offset `$expr0`: $why — only constant integer " +
+        "+|-|* arithmetic and CAST(<int> AS <int type>) fold to the " +
+        "literal bound Spark's decomposition needs")
+    def atom(): Long = {
+      ws()
+      if (i < expr.length && expr(i) == '(') {
+        i += 1; val v = sum(); ws()
+        if (i >= expr.length || expr(i) != ')') fail("unbalanced parentheses")
+        i += 1; v
+      } else {
+        val st = i
+        while (i < expr.length && expr(i).isDigit) i += 1
+        if (i == st) fail(s"expected an integer at `${expr.substring(st)}`")
+        expr.substring(st, i).toLong
+      }
+    }
+    def prod(): Long = {
+      var v = atom(); ws()
+      while (i < expr.length && expr(i) == '*') { i += 1; v *= atom(); ws() }
+      v
+    }
+    def sum(): Long = {
+      var v = prod(); ws()
+      while (i < expr.length && (expr(i) == '+' || expr(i) == '-')) {
+        val op = expr(i); i += 1
+        val r = prod(); v = if (op == '+') v + r else v - r; ws()
+      }
+      v
+    }
+    val v = sum(); ws()
+    if (i != expr.length) fail(s"trailing `${expr.substring(i)}`")
+    if (v < 0) fail(s"folds to $v, but a frame offset must be non-negative")
+    v
+  }
 
   /** Locate the first frame-position GROUPS token: outside strings, at
     * depth 0 of a paren group whose content is a window SPEC (the word
@@ -1492,16 +1548,26 @@ object DuckDbDialect {
     * COMBINED (the clause stays outer with its partition/order
     * expressions hoisted into the grouped block as __wp/__wo).
     *
+    * Round 19 closed three former bounds: CONSTANT expression offsets
+    * ((1+1), CAST(2 AS INT) — folded to the literal by
+    * [[foldIntOffset]]; +|−|* only, division excluded because DuckDB's
+    * `/` is float division); a qualified star over a SINGLE-relation
+    * FROM (`SELECT t.*, … FROM tbl t` — there `t.*` ≡ `*`, so it
+    * normalizes into the hoist-star path); and `* EXCEPT (cols)`
+    * alongside the hoist star (the helper aliases merge into the
+    * existing exclusion list).
+    *
     * Bounded (throws, names the limitation — never silently wrong):
     * GROUP BY ALL with numeric offsets (both engines reject GROUP BY
     * ALL + window functions outright — measured, the loud error is
     * parity); grouped select items that are neither plain columns,
     * aliased, nor simple calls with identifier/integer arguments;
-    * SELECT DISTINCT + GROUP BY; a qualified star (`t.*`); `* EXCEPT`
-    * alongside the hoist star; non-integer offset expressions; GROUPS
-    * without ORDER BY (rejected by both engines). The single-bound
-    * shorthand `GROUPS n PRECEDING` is BETWEEN n PRECEDING AND CURRENT
-    * ROW, as everywhere else. */
+    * SELECT DISTINCT + GROUP BY; a qualified star over a
+    * MULTI-relation FROM (the wrap hides the alias and the column
+    * subset is unknowable from text); non-constant (column-dependent)
+    * offset expressions; GROUPS without ORDER BY (rejected by both
+    * engines). The single-bound shorthand `GROUPS n PRECEDING` is
+    * BETWEEN n PRECEDING AND CURRENT ROW, as everywhere else. */
   private def rewriteGroupsDeep(sql: String): String = {
     findGroupsFrame(sql) match {
       case None => sql
@@ -1586,8 +1652,9 @@ object DuckDbDialect {
         case None =>
           val m = GroupsSingleRe.findFirstMatchIn(rest).getOrElse(
             throw new IllegalArgumentException(
-              "GROUPS frame: only integer-literal and UNBOUNDED/CURRENT ROW " +
-                "bounds are supported by the dialect shim (expression offsets " +
+              "GROUPS frame: only integer-literal, constant-expression " +
+                "((1+1), CAST(2 AS INT)) and UNBOUNDED/CURRENT ROW bounds are " +
+                "supported by the dialect shim (a column-dependent offset " +
                 "cannot be hoisted into the dense-rank decomposition)"))
           (m.group(1), "current row", m.matched.length)
       }
@@ -1597,9 +1664,13 @@ object DuckDbDialect {
         else if (t == "unbounded following") (2, 0L)
         else if (t == "current row") (0, 0L)
         else {
-          val Array(n, dir) = t.split(" ")
-          val v = n.toLong
-          if (v == 0L) (0, 0L) else (if (dir == "following") 1 else -1, v)
+          // `<offset expr> preceding|following` — the offset is a digit
+          // literal or a constant expression the regex admitted; fold it
+          // (round 19: (1+1), CAST(2 AS INT) — loud error if non-constant)
+          val dir = if (t.endsWith("following")) 1 else -1
+          val v = foldIntOffset(
+            t.stripSuffix("following").stripSuffix("preceding").trim)
+          if (v == 0L) (0, 0L) else (dir, v)
         }
       }
       val a = classify(aTxt); val b = classify(bTxt)
@@ -1716,7 +1787,71 @@ object DuckDbDialect {
       // outer select with its partition/order expressions hoisted inner)
       return groupedGroupsWrap(sql, selAt, fromAt, tailAt, windowAt, hoists.toSeq)
     }
-    val list0 = sql.substring(selAt + "select".length, fromAt)
+    // a named WINDOW clause stays in the OUTER select (its rewritten
+    // spec references the hoisted __grpN, defined by the wrap); WHERE
+    // stays inside (windows see filtered rows)
+    val restEnd =
+      if (windowAt >= 0) windowAt else if (tailAt < 0) sql.length else tailAt
+    val body = sql.substring(fromAt + "from".length, restEnd).trim
+    // Round 19: when the block reads exactly ONE relation (`FROM name
+    // [AS] [alias] [WHERE …]` — no join, no comma, no subquery), a
+    // qualified star over that relation's alias (or base name) selects
+    // the same columns as a bare `*`, so `t.*` normalizes to `*` before
+    // the star handling below. Multi-relation FROMs stay bounded out:
+    // there the wrap hides the alias and the column subset is unknowable
+    // from text.
+    val singleRelNames: Set[String] =
+      "(?is)^([A-Za-z_][\\w.$]*|\"[^\"]+\"|`[^`]+`)(?:\\s+(?:as\\s+)?(?!where\\b|qualify\\b)([A-Za-z_]\\w*))?\\s*(?:where\\b.*)?$".r
+        .findFirstMatchIn(body) match {
+        case Some(m) =>
+          val base = m.group(1).split('.').last.replaceAll("[\"`]", "")
+            .toLowerCase(java.util.Locale.ROOT)
+          Option(m.group(2)) match {
+            // an explicit alias SHADOWS the base name (both engines)
+            case Some(al) => Set(al.toLowerCase(java.util.Locale.ROOT))
+            case None => Set(base)
+          }
+        case None => Set.empty
+      }
+    val list0 = {
+      val raw = sql.substring(selAt + "select".length, fromAt)
+      if (singleRelNames.isEmpty) raw
+      else {
+        // rewrite projection-position `alias.*` → `*` when the alias
+        // names the block's sole relation
+        val rawIn = inString(raw)
+        val sb = new StringBuilder
+        var d0 = 0; var k0 = 0; var last = 0
+        while (k0 < raw.length) {
+          if (!rawIn(k0)) {
+            val c = raw(k0)
+            if (c == '(') d0 += 1
+            else if (c == ')') d0 -= 1
+            else if (c == '*' && d0 == 0) {
+              var p = k0 - 1
+              while (p >= 0 && raw(p).isWhitespace) p -= 1
+              if (p >= 0 && raw(p) == '.') {
+                var q = p - 1
+                while (q >= 0 && raw(q).isWhitespace) q -= 1
+                val qe = q
+                while (q >= 0 && isIdentChar(raw(q))) q -= 1
+                val qual = raw.substring(q + 1, qe + 1)
+                var b = q
+                while (b >= 0 && raw(b).isWhitespace) b -= 1
+                val projectionPos = b < 0 || raw(b) == ','
+                if (projectionPos && qual.nonEmpty &&
+                    singleRelNames(qual.toLowerCase(java.util.Locale.ROOT))) {
+                  sb.append(raw.substring(last, q + 1)).append('*')
+                  last = k0 + 1
+                }
+              }
+            }
+          }
+          k0 += 1
+        }
+        sb.append(raw.substring(last)).toString
+      }
+    }
     // star handling: a projection star must not leak the helper columns
     val listIn = inString(list0)
     var ld = 0; var li = 0; var starAt = -1
@@ -1731,8 +1866,10 @@ object DuckDbDialect {
           if (p < 0 || list0(p) == ',') starAt = li // projection star
           else if (list0(p) == '.')
             throw new IllegalArgumentException(
-              "GROUPS frame with integer offsets and a qualified star (t.*) is " +
-                "outside the dialect shim's bounded support — name the columns")
+              "GROUPS frame with integer offsets and a qualified star (t.*) " +
+                "is only supported when the qualifier names the block's sole " +
+                "FROM relation (there t.* ≡ *); over a multi-relation FROM " +
+                "or a shadowed base name, name the columns")
         }
       }
       li += 1
@@ -1741,20 +1878,29 @@ object DuckDbDialect {
     val list =
       if (starAt < 0) list0
       else {
-        // `* EXCEPT` already present? extend would double-nest — bound out
         val afterStar = list0.substring(starAt + 1)
-        if ("(?is)^\\s*except\\b".r.findFirstIn(afterStar).isDefined)
-          throw new IllegalArgumentException(
-            "GROUPS frame with integer offsets alongside * EXCEPT is outside " +
-              "the dialect shim's bounded support")
-        list0.substring(0, starAt) + s"* EXCEPT ($aliases)" + afterStar
+        // EXCLUDE is matched too: the call-shaped EXCLUDE→EXCEPT rename
+        // runs AFTER this pass, so DuckDB spelling still reads EXCLUDE here
+        "(?is)^\\s*(?:except|exclude)\\s*\\(".r.findFirstMatchIn(afterStar) match {
+          case Some(m) =>
+            // round 19: `* EXCEPT (cols)` composes — merge the helper
+            // aliases into the existing exclusion list instead of
+            // double-nesting a second EXCEPT
+            val absOpen = starAt + 1 + m.matched.length - 1
+            var d2 = 1; var k2 = absOpen + 1
+            while (k2 < list0.length && d2 != 0) {
+              if (!listIn(k2)) {
+                if (list0(k2) == '(') d2 += 1
+                else if (list0(k2) == ')') d2 -= 1
+              }
+              k2 += 1
+            }
+            require(d2 == 0, "GROUPS frame: unbalanced * EXCEPT parentheses")
+            list0.substring(0, k2 - 1) + s", $aliases" + list0.substring(k2 - 1)
+          case None =>
+            list0.substring(0, starAt) + s"* EXCEPT ($aliases)" + afterStar
+        }
       }
-    // a named WINDOW clause stays in the OUTER select (its rewritten
-    // spec references the hoisted __grpN, defined by the wrap); WHERE
-    // stays inside (windows see filtered rows)
-    val restEnd =
-      if (windowAt >= 0) windowAt else if (tailAt < 0) sql.length else tailAt
-    val body = sql.substring(fromAt + "from".length, restEnd).trim
     val tail = if (restEnd >= sql.length) "" else " " + sql.substring(restEnd).trim
     val synth = hoists.map { case (al, ex) => s"$ex AS $al" }.mkString(", ")
     sql.substring(0, selAt) + "SELECT " + list.trim +

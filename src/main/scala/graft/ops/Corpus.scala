@@ -933,9 +933,13 @@ object Corpus {
       // a doc never leaves its input partition before aggregation.
       val rle = docs0
         .filter(size(col("toks")) >= W)
+        // concat_ws over W element_at lookups, not array_join(slice(…)):
+        // no per-window array allocation inside the O(n·W) lambda (the
+        // q_text_winnow micro-opt, 16s → 3.3s class at sf10)
         .withColumn("hs", sort_array(transform(
           sequence(lit(0), size(col("toks")) - W),
-          i => conv(substring(md5(array_join(slice(col("toks"), i + 1, lit(W)), " ")),
+          i => conv(substring(md5(concat_ws(" ",
+            (0 until W).map(o => element_at(col("toks"), i + 1 + o)): _*)),
             1, 15), 16, 10).cast("long"))))
         .withColumn("bi", concat(
           filter(sequence(lit(0), size(col("hs")) - 1),

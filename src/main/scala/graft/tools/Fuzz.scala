@@ -1608,7 +1608,58 @@ final class SqlFuzzer(seed: Long) {
         s"DENSE_RANK() OVER (PARTITION BY $part ORDER BY $ov ASC NULLS FIRST) AS g " +
         s"FROM $t WHERE $where) q"
     val oSpec = s"PARTITION BY p ORDER BY g ASC NULLS FIRST $rFrame"
-    rnd.nextInt(6) match {
+    rnd.nextInt(8) match {
+      case 6 => // round 19: quoted keywords inside the spec + constant-
+        // expression offsets. The named-window partition expression
+        // carries string literals spelling 'order by'/'rows between'
+        // (kwAt/splitTopLevel are string-masked — a mis-split would
+        // break the grouped hoist), and the GROUPS offsets are spelled
+        // as foldable arithmetic / CAST forms (foldIntOffset); the
+        // oracle runs the CASE verbatim and the offsets pre-folded.
+        val k = intLit(4, 9)
+        val gov = s"($part % $k)"
+        val qp = s"(CASE WHEN 'order by' = 'rows between' THEN 0 " +
+          s"ELSE ($part % 3) END)"
+        val n1 = 1 + rnd.nextInt(3)
+        val aE = if (rnd.nextBoolean()) s"($n1+0) PRECEDING"
+          else s"CAST($n1 AS INT) PRECEDING"
+        val n2 = 1 + rnd.nextInt(3)
+        val bE = s"((${n2}*2)-$n2) FOLLOWING"
+        val tail = s"${orderAll(3)} ${limit()}"
+        (s"SELECT $part AS c1, CAST(SUM($sv) AS BIGINT) AS c2, " +
+          s"CAST(SUM(COUNT(*)) OVER w AS BIGINT) AS c3 " +
+          s"FROM $t WHERE $where GROUP BY $part " +
+          s"WINDOW w AS (PARTITION BY $qp ORDER BY $gov ASC NULLS FIRST " +
+          s"GROUPS BETWEEN $aE AND $bE) $tail",
+          s"SELECT c1, c2, CAST(SUM(cnt) OVER (PARTITION BY qp ORDER BY g " +
+            s"ASC NULLS FIRST RANGE BETWEEN $n1 PRECEDING AND $n2 FOLLOWING) " +
+            s"AS BIGINT) AS c3 " +
+            s"FROM (SELECT $part AS c1, CAST(SUM($sv) AS BIGINT) AS c2, " +
+            s"COUNT(*) AS cnt, $qp AS qp, " +
+            s"DENSE_RANK() OVER (PARTITION BY $qp ORDER BY $gov ASC NULLS " +
+            s"FIRST) AS g FROM $t WHERE $where GROUP BY $part) q $tail")
+      case 7 => // round 19: `* EXCLUDE (cols)` alongside the hoist star —
+        // the shim must merge the helper alias into the existing
+        // exclusion list (a second nested EXCEPT is a Spark parse
+        // error); offsets again in constant-expression spelling. The
+        // derived table fixes the column set so the star is schema-
+        // stable for the hash compare.
+        val n1 = 1 + rnd.nextInt(3)
+        val tail = s"${orderAll(5)} ${limit()}"
+        (s"SELECT * EXCLUDE (x1), CAST(SUM(c4) OVER (PARTITION BY c5 " +
+          s"ORDER BY c2 ASC NULLS FIRST GROUPS BETWEEN ($n1+0) PRECEDING " +
+          s"AND CURRENT ROW) AS BIGINT) AS c3 " +
+          s"FROM (SELECT $key AS c1, CAST($ov AS BIGINT) AS c2, " +
+          s"$sv AS c4, $part AS c5, ($key % 7) AS x1 " +
+          s"FROM $t WHERE $where) q $tail",
+          s"SELECT * EXCLUDE (x1, g), CAST(SUM(c4) OVER (PARTITION BY c5 " +
+            s"ORDER BY g ASC NULLS FIRST RANGE BETWEEN $n1 PRECEDING AND " +
+            s"CURRENT ROW) AS BIGINT) AS c3 " +
+            s"FROM (SELECT $key AS c1, CAST($ov AS BIGINT) AS c2, " +
+            s"$sv AS c4, $part AS c5, ($key % 7) AS x1, " +
+            s"DENSE_RANK() OVER (PARTITION BY $part ORDER BY CAST($ov AS " +
+            s"BIGINT) ASC NULLS FIRST) AS g " +
+            s"FROM $t WHERE $where) q $tail")
       case 5 => // grouped block + named WINDOW clause (round 18): the
         // clause stays outer with partition/order exprs hoisted inner;
         // a second PLAIN named window rides along in the same clause

@@ -664,6 +664,93 @@ class DuckDbDialectSpec extends AnyFunSuite {
     assert(lit == Seq(3L, 7L, 60L, 120L))
   }
 
+  test("GROUPS round-19 closures: constant expression offsets, single-relation t.*, * EXCEPT merge") {
+    val spark = TestSpark.spark
+    // same gft fixture/goldens as the round-16 test: o-group sums are
+    // {3, 4, 56, 64}; 1 PRECEDING..CURRENT per row = 3,3,7,60,60,60,120
+    spark.sql("SELECT * FROM VALUES (1,1,1),(2,1,2),(3,2,4),(4,3,8)," +
+        "(5,3,16),(6,3,32),(7,5,64) AS t(i,o,x)").createOrReplaceTempView("gft")
+    def sums(q: String): Seq[Long] =
+      spark.sql(DuckDbDialect.rewrite(q)).collect()
+        .map(_.getAs[Number]("s").longValue).toSeq
+    val once = Seq(3L, 3L, 7L, 60L, 60L, 60L, 120L)
+    // constant expression offsets fold to the literal: (1+1) ≡ 2
+    // PRECEDING (adds G[c-2]: 3,3,7,63,63,63,124), CAST(1 AS INT) ≡ 1
+    // PRECEDING, (2*2-3) ≡ 1 PRECEDING, and (2-2) ≡ CURRENT ROW (the
+    // inline RANGE mapping — no hoist at all)
+    assert(sums("SELECT i, SUM(x) OVER (ORDER BY o GROUPS BETWEEN (1+1) " +
+      "PRECEDING AND CURRENT ROW) s FROM gft ORDER BY i")
+      == Seq(3L, 3L, 7L, 63L, 63L, 63L, 124L))
+    assert(sums("SELECT i, SUM(x) OVER (ORDER BY o GROUPS CAST(1 AS INT) " +
+      "PRECEDING) s FROM gft ORDER BY i") == once)
+    assert(sums("SELECT i, SUM(x) OVER (ORDER BY o GROUPS (2*2-3) " +
+      "PRECEDING) s FROM gft ORDER BY i") == once)
+    assert(sums("SELECT i, SUM(x) OVER (ORDER BY o GROUPS BETWEEN (2-2) " +
+      "PRECEDING AND CURRENT ROW) s FROM gft ORDER BY i")
+      == Seq(3L, 3L, 4L, 56L, 56L, 56L, 64L))
+    def named(q: String, frag: String): Unit = {
+      val ex = intercept[IllegalArgumentException](DuckDbDialect.rewrite(q))
+      assert(ex.getMessage.toLowerCase.contains(frag), ex.getMessage)
+    }
+    // division stays bounded out (DuckDB / is float division — folding
+    // would silently disagree), as does a negative fold
+    named("SELECT SUM(x) OVER (ORDER BY o GROUPS BETWEEN (4/2) PRECEDING " +
+      "AND CURRENT ROW) FROM gft", "constant-expression")
+    named("SELECT SUM(x) OVER (ORDER BY o GROUPS BETWEEN (1-2) PRECEDING " +
+      "AND CURRENT ROW) FROM gft", "non-negative")
+    // qualified star over the block's SOLE relation ≡ bare star: the
+    // helper column must not leak, alias and base-name forms both
+    val qs = spark.sql(DuckDbDialect.rewrite(
+      "SELECT g.*, CAST(SUM(x) OVER (ORDER BY o GROUPS 1 PRECEDING) AS " +
+        "BIGINT) AS s FROM gft g ORDER BY i"))
+    assert(qs.columns.toSeq == Seq("i", "o", "x", "s"))
+    assert(qs.collect().map(_.getAs[Number]("s").longValue).toSeq == once)
+    assert(spark.sql(DuckDbDialect.rewrite(
+      "SELECT gft.*, CAST(SUM(x) OVER (ORDER BY o GROUPS 1 PRECEDING) AS " +
+        "BIGINT) AS s FROM gft ORDER BY i")).columns.toSeq
+      == Seq("i", "o", "x", "s"))
+    // WHERE stays inside the wrap: windows see the filtered rows
+    assert(sums("SELECT g.*, CAST(SUM(x) OVER (ORDER BY o GROUPS 1 " +
+      "PRECEDING) AS BIGINT) AS s FROM gft g WHERE i >= 3 ORDER BY i")
+      == Seq(4L, 60L, 60L, 60L, 120L))
+    // an explicit alias SHADOWS the base name (both engines), and a
+    // multi-relation FROM stays bounded out with the limitation named
+    named("SELECT gft.*, SUM(x) OVER (ORDER BY o GROUPS 1 PRECEDING) s " +
+      "FROM gft g", "sole from relation")
+    named("SELECT a.*, SUM(a.x) OVER (ORDER BY a.o GROUPS 1 PRECEDING) s " +
+      "FROM gft a JOIN gft b ON a.i = b.i", "sole from relation")
+    // * EXCEPT (cols) merges the helper alias into the existing
+    // exclusion list (DuckDB's EXCLUDE arrives here already as EXCEPT)
+    val ex1 = spark.sql(DuckDbDialect.rewrite(
+      "SELECT * EXCEPT (i), CAST(SUM(x) OVER (ORDER BY o GROUPS 1 " +
+        "PRECEDING) AS BIGINT) AS s FROM gft ORDER BY o, x"))
+    assert(ex1.columns.toSeq == Seq("o", "x", "s"))
+    assert(ex1.collect().map(_.getAs[Number]("s").longValue).toSeq == once)
+    val ex2 = spark.sql(DuckDbDialect.rewrite(
+      "SELECT * EXCLUDE (i, x), CAST(SUM(x) OVER (ORDER BY o GROUPS 1 " +
+        "PRECEDING) AS BIGINT) AS s FROM gft ORDER BY o, x"))
+    assert(ex2.columns.toSeq == Seq("o", "s"))
+    // groupedGroupsWrap residual (round-19 advice): the PARTITION/ORDER
+    // split in rewriteSpecForOuter runs on the NAMED-window grouped
+    // path too — a string literal 'order by' inside the partition
+    // expression, a comma inside a partition literal, and an order
+    // expression whose literal suffix spells ' desc' must all split at
+    // the real keywords only (kwAt/splitTopLevel are string-masked; the
+    // anchored regexes run after them)
+    assert(spark.sql(DuckDbDialect.rewrite(
+      "SELECT o, CAST(SUM(SUM(x)) OVER w AS BIGINT) AS s FROM gft " +
+        "GROUP BY o WINDOW w AS (PARTITION BY CASE WHEN 'order by' = 'x' " +
+        "THEN 0 ELSE 1 END ORDER BY o GROUPS 1 PRECEDING) ORDER BY o"))
+      .collect().map(_.getAs[Number]("s").longValue).toSeq
+      == Seq(3L, 7L, 60L, 120L))
+    assert(sums("SELECT o, CAST(SUM(SUM(x)) OVER (PARTITION BY 'a,b' " +
+      "ORDER BY o GROUPS 1 PRECEDING) AS BIGINT) AS s FROM gft " +
+      "GROUP BY o ORDER BY o") == Seq(3L, 7L, 60L, 120L))
+    assert(sums("SELECT o, CAST(SUM(SUM(x)) OVER (ORDER BY (CAST(o AS " +
+      "STRING) || ' desc') GROUPS 1 PRECEDING) AS BIGINT) AS s FROM gft " +
+      "GROUP BY o ORDER BY o") == Seq(3L, 7L, 60L, 120L))
+  }
+
   test("function-surface twins: arg_max, quantiles, list lambdas, unnest, 3-arg date_diff (round 16)") {
     val spark = TestSpark.spark
     def one(sql: String) = spark.sql(DuckDbDialect.rewrite(sql)).head()
