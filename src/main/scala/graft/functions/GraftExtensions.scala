@@ -23,6 +23,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectFunction(GraftExtensions.kllMergeAgg)
     e.injectFunction(GraftExtensions.kllQuantile)
     e.injectFunction(GraftExtensions.scriptCounts)
+    e.injectFunction(GraftExtensions.bpeTokenCount)
     e.injectFunction(GraftExtensions.freqSketchAgg)
     e.injectFunction(GraftExtensions.freqMergeAgg)
     e.injectFunction(GraftExtensions.freqEstimate)
@@ -69,6 +70,11 @@ object GraftExtensions {
     info("script_counts", "script_counts(s) - [codepoints, latin, digits, cjk, spaces] in one pass"),
     (exprs: Seq[Expression]) => ScriptCounts(exprs.head))
 
+  val bpeTokenCount: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("bpe_token_count"),
+    info("bpe_token_count", "bpe_token_count(s) - GPT-2-ish pre-tokenizer match count in one byte walk"),
+    (exprs: Seq[Expression]) => BpeTokenCount(exprs.head))
+
   val freqSketchAgg: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
     FunctionIdentifier("freq_sketch_agg"),
     info("freq_sketch_agg", "freq_sketch_agg(v) - mergeable frequency (heavy-hitter) sketch of a bigint column"),
@@ -102,7 +108,8 @@ object GraftExtensions {
   /** Register on an already-built session (idempotent). */
   def register(spark: SparkSession): Unit =
     Seq(dotProduct, cosineSim, kllSketchAgg, kllMergeAgg, kllQuantile, scriptCounts,
-        freqSketchAgg, freqMergeAgg, freqEstimate, duckDiv, duckLen, arrayLength)
+        bpeTokenCount, freqSketchAgg, freqMergeAgg, freqEstimate, duckDiv, duckLen,
+        arrayLength)
       .foreach { case (id, i, builder) =>
         spark.sessionState.functionRegistry.registerFunction(id, i, builder)
       }

@@ -67,8 +67,78 @@ object ScriptCounts {
   }
 }
 
+/** One-pass GPT-2-style pre-tokenizer COUNT (round 19).
+  *
+  * `bpe_token_count(text)` counts the matches of the pre-tokenizer
+  * regex ` ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 ]+` without running a
+  * regex: a match starts exactly where a maximal run of one character
+  * class (letters / digits / other-non-space) begins — the optional
+  * leading space never changes the match COUNT, and spaces belong to
+  * no class — so the count is the number of class-run boundaries in
+  * one byte walk. Byte-level classification is exact here: the three
+  * classes are ASCII, and every byte ≥ 0x80 (lead or continuation of a
+  * multibyte codepoint) falls into the same `other` class, so
+  * multibyte runs merge exactly as the regex's `[^A-Za-z0-9 ]+` does.
+  *
+  * Why an Expression: the q_text_bpe_tokens regexp_extract_all
+  * formulation measured 9.8 s at sf10 solo vs DuckDB's RE2 at 1.2 s —
+  * java.util.regex alternation time, the same class the ScriptCounts
+  * kernel removed (43.7 s → 0.63 s). The codegen path is one static
+  * call, staying inside whole-stage codegen; the DuckDB oracle keeps
+  * the regex spelling.
+  */
+case class BpeTokenCount(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"bpe_token_count expects a STRING input, got ${child.dataType.simpleString}")
+
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = child.nullable
+
+  override def nullSafeEval(input: Any): Any =
+    BpeTokenCount.count(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.BpeTokenCount.count($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): BpeTokenCount =
+    copy(child = newChild)
+  override def prettyName: String = "bpe_token_count"
+}
+
+object BpeTokenCount {
+  /** Single byte walk; the static target of the codegen call.
+    * Classes: 1 = [A-Za-z], 2 = [0-9], 3 = other non-space (every
+    * byte ≥ 0x80 included), 0 = the space 0x20. A token starts at
+    * every non-space byte whose class differs from its predecessor's. */
+  def count(s: UTF8String): Long = {
+    val n = s.numBytes()
+    var cnt = 0L
+    var prev = 0
+    var i = 0
+    while (i < n) {
+      val b = s.getByte(i) & 0xff
+      val cls =
+        if (b == 0x20) 0
+        else if ((b >= 'A' && b <= 'Z') || (b >= 'a' && b <= 'z')) 1
+        else if (b >= '0' && b <= '9') 2
+        else 3
+      if (cls != 0 && cls != prev) cnt += 1
+      prev = cls
+      i += 1
+    }
+    cnt
+  }
+}
+
 object TextExprs {
   /** `[codepoints, latin, digits, cjk, spaces]` of a string column. */
   def scriptCounts(c: Column): Column =
     GraftShim.column(ScriptCounts(GraftShim.expression(c)))
+
+  /** Match count of the GPT-2-ish pre-tokenizer regex, regex-free. */
+  def bpeTokenCount(c: Column): Column =
+    GraftShim.column(BpeTokenCount(GraftShim.expression(c)))
 }

@@ -468,6 +468,31 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("bpe_token_count kernel equals the pre-tokenizer regex match count") {
+    // the GPT-2-ish alternation ` ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 ]+`:
+    // a match starts exactly at every class-run boundary, spaces attach
+    // but never split or create runs — the kernel counts boundaries in
+    // one byte walk, and multibyte codepoints (all bytes ≥ 0x80) merge
+    // into the `other` class exactly like the regex's complement class
+    val texts = Seq("", " ", "   ", "abc", " abc", "a5", "5a", "a.b",
+      "..a..", "a  b", ". .", "tab\there", "北京 hello 42", "emoji 😀!x",
+      "café au lait", "1,234.56", "-3", "a-b_c d", "\n\n", "x y") ++
+      samples(Gen.listOf(Gen.oneOf(
+        Gen.alphaNumChar, Gen.const(' '), Gen.const('.'), Gen.const(','),
+        Gen.const('北'), Gen.const('é'), Gen.const('\t'))
+      ).map(_.mkString), 40)
+    val df = texts.toDF("t")
+    val viaKernel = df.select(
+      graft.functions.TextExprs.bpeTokenCount(col("t")).as("c")).collect()
+      .map(_.getLong(0))
+    val viaRegex = df.select(size(regexp_extract_all(col("t"),
+        lit(" ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 ]+"), lit(0))).cast("long"))
+      .collect().map(_.getLong(0))
+    viaKernel.zip(viaRegex).zip(texts).foreach { case ((k, r), t) =>
+      assert(k == r, s"kernel/regex disagree on ${t.take(40)}: $k vs $r")
+    }
+  }
+
   // Bloom screen: n_exact must equal the driver-derived exact
   // containment (proving the map-side screen admitted every true hit),
   // and the bloom candidate count can only over-approximate it.
