@@ -1548,26 +1548,29 @@ object DuckDbDialect {
     * COMBINED (the clause stays outer with its partition/order
     * expressions hoisted into the grouped block as __wp/__wo).
     *
-    * Round 19 closed three former bounds: CONSTANT expression offsets
+    * Round 19 closed four former bounds: CONSTANT expression offsets
     * ((1+1), CAST(2 AS INT) — folded to the literal by
     * [[foldIntOffset]]; +|−|* only, division excluded because DuckDB's
     * `/` is float division); a qualified star over a SINGLE-relation
     * FROM (`SELECT t.*, … FROM tbl t` — there `t.*` ≡ `*`, so it
-    * normalizes into the hoist-star path); and `* EXCEPT (cols)`
-    * alongside the hoist star (the helper aliases merge into the
-    * existing exclusion list).
+    * normalizes into the hoist-star path); `* EXCEPT (cols)` alongside
+    * the hoist star (the helper aliases merge into the existing
+    * exclusion list); and SELECT DISTINCT + GROUP BY (windows evaluate
+    * before DISTINCT, so the keyword moves to the inverted wrap's
+    * OUTER select — the outer list preserves the original items, so
+    * the distinct key tuple is unchanged).
     *
     * Bounded (throws, names the limitation — never silently wrong):
     * GROUP BY ALL with numeric offsets (both engines reject GROUP BY
     * ALL + window functions outright — measured, the loud error is
     * parity); grouped select items that are neither plain columns,
     * aliased, nor simple calls with identifier/integer arguments;
-    * SELECT DISTINCT + GROUP BY; a qualified star over a
-    * MULTI-relation FROM (the wrap hides the alias and the column
-    * subset is unknowable from text); non-constant (column-dependent)
-    * offset expressions; GROUPS without ORDER BY (rejected by both
-    * engines). The single-bound shorthand `GROUPS n PRECEDING` is
-    * BETWEEN n PRECEDING AND CURRENT ROW, as everywhere else. */
+    * a qualified star over a MULTI-relation FROM (the wrap hides the
+    * alias and the column subset is unknowable from text);
+    * non-constant (column-dependent) offset expressions; GROUPS
+    * without ORDER BY (rejected by both engines). The single-bound
+    * shorthand `GROUPS n PRECEDING` is BETWEEN n PRECEDING AND CURRENT
+    * ROW, as everywhere else. */
   private def rewriteGroupsDeep(sql: String): String = {
     findGroupsFrame(sql) match {
       case None => sql
@@ -1870,6 +1873,18 @@ object DuckDbDialect {
                 "is only supported when the qualifier names the block's sole " +
                 "FROM relation (there t.* ≡ *); over a multi-relation FROM " +
                 "or a shadowed base name, name the columns")
+          else {
+            // `SELECT DISTINCT *` / `SELECT ALL *`: still the projection
+            // star (round 19 — without this the helper column leaked
+            // through the un-rewritten star into the DISTINCT output)
+            var q = p
+            while (q >= 0 && isIdentChar(list0(q))) q -= 1
+            val w = list0.substring(q + 1, p + 1)
+              .toLowerCase(java.util.Locale.ROOT)
+            if ((w == "distinct" || w == "all") &&
+                list0.substring(0, q + 1).trim.isEmpty)
+              starAt = li
+          }
         }
       }
       li += 1
@@ -1973,11 +1988,18 @@ object DuckDbDialect {
     * and fails ANALYSIS (loudly, never silently) when they don't. */
   private def groupedGroupsWrap(sql: String, selAt: Int, fromAt: Int,
       tailAt: Int, windowAt: Int, hoists: Seq[(String, String)]): String = {
-    val list0 = sql.substring(selAt + "select".length, fromAt)
-    if ("(?is)^\\s*distinct\\b".r.findFirstIn(list0).isDefined)
-      throw new IllegalArgumentException(
-        "GROUPS frame with integer offsets over SELECT DISTINCT + GROUP BY " +
-          "is outside the dialect shim's bounded support")
+    // SELECT DISTINCT composes (round 19, closing the r16 bound):
+    // windows evaluate BEFORE DISTINCT in both engines, so the keyword
+    // moves to the OUTER select of the inverted wrap — the outer list
+    // preserves the original items exactly (arity, order, names), so
+    // the distinct key tuple is unchanged; the INNER grouped block must
+    // NOT carry it (deduping grouped rows before the windows see them
+    // would change frame contents).
+    val rawList = sql.substring(selAt + "select".length, fromAt)
+    val distinctHead = "(?is)^\\s*distinct\\b".r.findFirstIn(rawList).isDefined
+    val list0 =
+      if (distinctHead) rawList.replaceFirst("(?is)^\\s*distinct\\b", " ")
+      else rawList
     val wrapEnd =
       if (windowAt >= 0) windowAt else if (tailAt < 0) sql.length else tailAt
     val fromText = sql.substring(fromAt, wrapEnd).trim
@@ -2309,7 +2331,8 @@ object DuckDbDialect {
     }
     val synth = hoists.map { case (al, ex) => s"$ex AS $al" }
     val innerAll = (innerItems ++ synth).mkString(", ")
-    sql.substring(0, selAt) + "SELECT " + outerItems.mkString(", ") +
+    sql.substring(0, selAt) + "SELECT " +
+      (if (distinctHead) "DISTINCT " else "") + outerItems.mkString(", ") +
       s" FROM ( SELECT $innerAll $fromTextR ) __groups" + windowOuter + tail
   }
 

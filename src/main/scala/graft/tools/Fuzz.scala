@@ -1608,7 +1608,24 @@ final class SqlFuzzer(seed: Long) {
         s"DENSE_RANK() OVER (PARTITION BY $part ORDER BY $ov ASC NULLS FIRST) AS g " +
         s"FROM $t WHERE $where) q"
     val oSpec = s"PARTITION BY p ORDER BY g ASC NULLS FIRST $rFrame"
-    rnd.nextInt(8) match {
+    rnd.nextInt(9) match {
+      case 8 => // round 19: SELECT DISTINCT over a grouped GROUPS block
+        // (the former r16 bound) — the keyword moves to the inverted
+        // wrap's outer select. c2 is constant within each order-value
+        // peer group (group-frame SUM), so DISTINCT collapses each
+        // order value to one row deterministically; the oracle applies
+        // the same DISTINCT over the dense-rank formulation.
+        val k = intLit(3, 9)
+        val gov = s"($part % $k)"
+        val tail = s"${orderAll(2)} ${limit()}"
+        (s"SELECT DISTINCT $gov AS c1, CAST(SUM(COUNT(*)) OVER (ORDER BY " +
+          s"$gov ASC NULLS FIRST $gFrame) AS BIGINT) AS c2 " +
+          s"FROM $t WHERE $where GROUP BY $part $tail",
+          s"SELECT DISTINCT gv AS c1, CAST(SUM(cnt) OVER (ORDER BY g ASC " +
+            s"NULLS FIRST $rFrame) AS BIGINT) AS c2 " +
+            s"FROM (SELECT $gov AS gv, COUNT(*) AS cnt, " +
+            s"DENSE_RANK() OVER (ORDER BY $gov ASC NULLS FIRST) AS g " +
+            s"FROM $t WHERE $where GROUP BY $part) q $tail")
       case 6 => // round 19: quoted keywords inside the spec + constant-
         // expression offsets. The named-window partition expression
         // carries string literals spelling 'order by'/'rows between'

@@ -749,6 +749,27 @@ class DuckDbDialectSpec extends AnyFunSuite {
     assert(sums("SELECT o, CAST(SUM(SUM(x)) OVER (ORDER BY (CAST(o AS " +
       "STRING) || ' desc') GROUPS 1 PRECEDING) AS BIGINT) AS s FROM gft " +
       "GROUP BY o ORDER BY o") == Seq(3L, 7L, 60L, 120L))
+    // SELECT DISTINCT + GROUP BY + GROUPS composes (round 19): windows
+    // evaluate before DISTINCT, so the keyword moves to the inverted
+    // wrap's outer select and dedups the WINDOWED output rows
+    val dg = spark.sql(DuckDbDialect.rewrite(
+      "SELECT DISTINCT (o % 2) AS p, CAST(SUM(SUM(x)) OVER (ORDER BY " +
+        "(o % 2) GROUPS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS " +
+        "BIGINT) AS s FROM gft GROUP BY o ORDER BY p, s"))
+      .collect().map(r => (r.getInt(0), r.getLong(1))).toSeq
+    // grouped sums by o: {1:3, 2:4, 3:56, 5:64}; parity p: 1,0,1,1 →
+    // peer groups by p: p0 {4}, p1 {3,56,64}; running group-frame sum:
+    // p0 rows → 4, p1 rows → 4+123 = 127 (all three p1 rows identical
+    // after windowing) → DISTINCT leaves (0,4) and (1,127)
+    assert(dg == Seq((0, 4L), (1, 127L)))
+    // SELECT DISTINCT * (ungrouped) + GROUPS: the star after the
+    // DISTINCT keyword is still the projection star — the dense-rank
+    // helper must not leak through it into the distinct key
+    val ds = spark.sql(DuckDbDialect.rewrite(
+      "SELECT DISTINCT *, CAST(SUM(x) OVER (ORDER BY o GROUPS 1 " +
+        "PRECEDING) AS BIGINT) AS s FROM gft ORDER BY i"))
+    assert(ds.columns.toSeq == Seq("i", "o", "x", "s"))
+    assert(ds.collect().map(_.getAs[Number]("s").longValue).toSeq == once)
   }
 
   test("function-surface twins: arg_max, quantiles, list lambdas, unnest, 3-arg date_diff (round 16)") {
