@@ -316,12 +316,24 @@ object TextOps {
         |  FROM scored)
         |SELECT doc_id, tok AS term, score, CAST(rn AS BIGINT) AS rn
         |FROM ranked WHERE rn <= 3 ORDER BY doc_id, rn""".stripMargin) { (s, d) =>
-      val tf = documents(s, d)
+      // Caches.cached(tf): the token histogram feeds THREE consumers
+      // (df, the scored join's probe side, and conceptually n) whose
+      // aggregate subtrees differ, so exchange reuse never applies and
+      // the un-cached plan tokenized + shuffled the corpus three times
+      // (measured: 3 separate token exchanges; sf10 solo 10.3 s).
+      // Materializing it mirrors the oracle's tf CTE; DataFrame cache
+      // spills to disk, so the corpus-sized frame is safe at scale.
+      // n short-circuits to the document count: split() yields ≥1
+      // element for EVERY string (an empty text still produces [""]),
+      // so every doc has ≥1 tf row and COUNT(DISTINCT doc_id) FROM tf
+      // ≡ COUNT(DISTINCT doc_id) FROM documents — no token pass needed.
+      val tf = Caches.cached(documents(s, d)
         .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
         .groupBy("doc_id", "tok")
-        .agg(count(lit(1)).as("tf"))
+        .agg(count(lit(1)).as("tf")))
       val df = tf.groupBy("tok").agg(count(lit(1)).as("df"))
-      val n = tf.agg(countDistinct(col("doc_id")).cast("double").as("n"))
+      val n = documents(s, d)
+        .agg(countDistinct(col("doc_id")).cast("double").as("n"))
       val scored = tf.join(df, "tok").crossJoin(broadcast(n))
         .select(col("doc_id"), col("tok"),
           round(col("tf") * log(col("n") / col("df")), 6).as("score"))
