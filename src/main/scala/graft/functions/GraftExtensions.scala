@@ -27,6 +27,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectFunction(GraftExtensions.freqSketchAgg)
     e.injectFunction(GraftExtensions.freqMergeAgg)
     e.injectFunction(GraftExtensions.freqEstimate)
+    e.injectFunction(GraftExtensions.freqLower)
+    e.injectFunction(GraftExtensions.freqUpper)
     e.injectFunction(GraftExtensions.duckDiv)
     e.injectFunction(GraftExtensions.duckLen)
     e.injectFunction(GraftExtensions.arrayLength)
@@ -90,6 +92,16 @@ object GraftExtensions {
     info("freq_sketch_estimate", "freq_sketch_estimate(sk, item) - frequency estimate for an item"),
     (exprs: Seq[Expression]) => FreqEstimate(exprs(0), exprs(1)))
 
+  val freqLower: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("freq_sketch_lower"),
+    info("freq_sketch_lower", "freq_sketch_lower(sk, item) - deterministic Misra-Gries lower bound"),
+    (exprs: Seq[Expression]) => FreqLowerBound(exprs(0), exprs(1)))
+
+  val freqUpper: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("freq_sketch_upper"),
+    info("freq_sketch_upper", "freq_sketch_upper(sk, item) - deterministic Misra-Gries upper bound"),
+    (exprs: Seq[Expression]) => FreqUpperBound(exprs(0), exprs(1)))
+
   val duckDiv: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
     FunctionIdentifier("duck_div"),
     info("duck_div", "duck_div(a, b) - DuckDB // semantics: truncating int division / plain float division, 0 divisor -> NULL"),
@@ -108,8 +120,8 @@ object GraftExtensions {
   /** Register on an already-built session (idempotent). */
   def register(spark: SparkSession): Unit =
     Seq(dotProduct, cosineSim, kllSketchAgg, kllMergeAgg, kllQuantile, scriptCounts,
-        bpeTokenCount, freqSketchAgg, freqMergeAgg, freqEstimate, duckDiv, duckLen,
-        arrayLength)
+        bpeTokenCount, freqSketchAgg, freqMergeAgg, freqEstimate, freqLower,
+        freqUpper, duckDiv, duckLen, arrayLength)
       .foreach { case (id, i, builder) =>
         spark.sessionState.functionRegistry.registerFunction(id, i, builder)
       }

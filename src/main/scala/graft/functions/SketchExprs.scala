@@ -159,11 +159,14 @@ case class KllQuantile(left: Expression, right: Expression)
 /** Frequency (heavy-hitter) sketch aggregate over LONG items —
   * Datasketches LongsSketch, the Misra-Gries-family summary. Unlike
   * KLL it is fully DETERMINISTIC: while the item domain stays under
-  * the map capacity no eviction occurs and every estimate is EXACT,
-  * which is what lets the operator query hash-match its oracle; above
-  * capacity the guarantee degrades gracefully to ±n/maxMapSize bounds.
-  * Completes the mergeable-sketch triad (HLL distinct / KLL quantile /
-  * frequency). */
+  * the map capacity no eviction occurs and every estimate is EXACT;
+  * above capacity the guarantee degrades gracefully to the
+  * [[FreqLowerBound]]/[[FreqUpperBound]] envelope (±n/maxMapSize),
+  * which ALWAYS brackets the true frequency — the property the
+  * operator query pins (round 19: the former exact-equality pin held
+  * only below capacity — sf0.01's 100 suppliers — and was measured
+  * FALSE at sf0.1's 1000). Completes the mergeable-sketch triad (HLL
+  * distinct / KLL quantile / frequency). */
 case class FreqSketchAgg(
     child: Expression,
     mutableAggBufferOffset: Int = 0,
@@ -279,6 +282,59 @@ case class FreqEstimate(left: Expression, right: Expression)
   override def prettyName: String = "freq_sketch_estimate"
 }
 
+/** Deterministic Misra-Gries LOWER bound for an item's true frequency:
+  * `lower ≤ trueFreq ≤ upper` holds at EVERY scale, eviction or not —
+  * the scale-robust agreement pin (round 19: the former exact-equality
+  * pin in q_agg_freq_merge was measured FALSE at sf0.1, where the
+  * 1000-supplier domain exceeds the 512-entry map and eviction begins;
+  * the sf0.01 driver gate's 100-supplier domain had hidden it). */
+case class FreqLowerBound(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (left.dataType == BinaryType && right.dataType == LongType)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      "freq_sketch_lower expects (BINARY, BIGINT), got " +
+        s"${left.dataType.simpleString} / ${right.dataType.simpleString}")
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+
+  override def nullSafeEval(bytes: Any, item: Any): Any =
+    org.apache.datasketches.frequencies.LongsSketch
+      .getInstance(Memory.wrap(bytes.asInstanceOf[Array[Byte]]))
+      .getLowerBound(item.asInstanceOf[Long])
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): FreqLowerBound =
+    copy(left = newLeft, right = newRight)
+  override def prettyName: String = "freq_sketch_lower"
+}
+
+/** Deterministic Misra-Gries UPPER bound — see [[FreqLowerBound]]. */
+case class FreqUpperBound(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (left.dataType == BinaryType && right.dataType == LongType)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      "freq_sketch_upper expects (BINARY, BIGINT), got " +
+        s"${left.dataType.simpleString} / ${right.dataType.simpleString}")
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+
+  override def nullSafeEval(bytes: Any, item: Any): Any =
+    org.apache.datasketches.frequencies.LongsSketch
+      .getInstance(Memory.wrap(bytes.asInstanceOf[Array[Byte]]))
+      .getUpperBound(item.asInstanceOf[Long])
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): FreqUpperBound =
+    copy(left = newLeft, right = newRight)
+  override def prettyName: String = "freq_sketch_upper"
+}
+
 /** Column-API entry points (the operator library path; the SQL names are
   * registered by [[GraftExtensions]] for the gateway surface). */
 object SketchExprs {
@@ -297,4 +353,8 @@ object SketchExprs {
     GraftShim.column(FreqMergeAgg(GraftShim.expression(c)).toAggregateExpression())
   def freqEstimate(sk: Column, item: Column): Column =
     GraftShim.column(FreqEstimate(GraftShim.expression(sk), GraftShim.expression(item)))
+  def freqLowerBound(sk: Column, item: Column): Column =
+    GraftShim.column(FreqLowerBound(GraftShim.expression(sk), GraftShim.expression(item)))
+  def freqUpperBound(sk: Column, item: Column): Column =
+    GraftShim.column(FreqUpperBound(GraftShim.expression(sk), GraftShim.expression(item)))
 }

@@ -170,6 +170,23 @@ class StatsSpec extends AnyFunSuite {
     val n = 5800L
     assert(est >= trueN - n / 512 && est <= trueN + n / 512,
       s"estimate $est outside [${trueN - n / 512}, ${trueN + n / 512}]")
+    // the DETERMINISTIC bound pair brackets the true count in BOTH
+    // regimes (the q_agg_freq_merge agreement pin since round 19 —
+    // exact equality was measured FALSE once the domain evicts):
+    // below capacity the bounds collapse onto the exact count
+    val sb = skS.select(SketchExprs.freqLowerBound($"sk", lit(7L)),
+      SketchExprs.freqUpperBound($"sk", lit(7L))).head()
+    assert(sb.getLong(0) == 50 && sb.getLong(1) == 50)
+    // above capacity they bracket it (and stay within the envelope)
+    val hb = heavy.agg(SketchExprs.freqSketchAgg($"v").as("sk"))
+      .select(SketchExprs.freqLowerBound($"sk", lit(42L)),
+        SketchExprs.freqUpperBound($"sk", lit(42L))).head()
+    assert(hb.getLong(0) <= trueN && trueN <= hb.getLong(1),
+      s"bounds [${hb.getLong(0)}, ${hb.getLong(1)}] miss $trueN")
+    // SQL surface of the bound pair
+    assert(spark.sql("SELECT freq_sketch_lower(freq_sketch_agg(v), 7L), " +
+        "freq_sketch_upper(freq_sketch_agg(v), 7L) FROM freq_t")
+      .head().toSeq == Seq(50L, 50L))
   }
 
   test("KLL sketch images round-trip through parquet and re-aggregate") {
