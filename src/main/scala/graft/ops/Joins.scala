@@ -123,7 +123,14 @@ object Joins {
     },
 
     // Salted join (Skew.saltedJoin) — same result as the plain join, so
-    // the plain join IS the oracle; exercises the skew-mitigation path.
+    // the plain join IS the oracle. Skew-AWARE since round 20: one
+    // sampling pass estimates per-key counts and salts only keys above
+    // the threshold. l_orderkey is unskewed (≤7 rows/key at every SF),
+    // so detection finds nothing and the executed plan IS the plain
+    // join — the r19 verdict measured the previous unconditional
+    // salting at 5.4× DuckDB at sf10, pure overhead on unskewed data.
+    // The salting mechanics stay exercised by the skewed-input specs
+    // (BucketingSpec/DedupVectorSpec) via detection and forcedHot.
     OpQuery("q_join_salted",
       """SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey

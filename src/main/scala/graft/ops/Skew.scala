@@ -10,21 +10,87 @@ import org.apache.spark.sql.functions._
   */
 object Skew {
 
-  /** Equi-join with the left side's hot keys spread over `salts`
-    * sub-partitions. The left row's salt is derived deterministically
-    * from a discriminator column; the right side is replicated `salts`
-    * times so every (key, salt) pair finds its match. Result is
-    * row-identical to the plain equi-join.
+  /** Hot-key detection by sampling: keys of `df(key)` whose estimated
+    * full-table row count is ≥ `hotThreshold`. One cheap pass over the
+    * key column only (a Bernoulli sample never reads the payload
+    * columns); the estimate `sampledCount / fraction ≥ threshold` folds
+    * to `sampledCount ≥ threshold·fraction`, so no division happens on
+    * data. Driver-bounded by construction: at most `cap` keys come
+    * back (hot keys are few by definition — a join with 10⁴ hot keys
+    * has a different problem), heaviest first, and NULL keys are
+    * dropped (they never match an equi-join anyway).
+    *
+    * At 100 TB: fraction 1e-3 of a 10¹¹-row table samples 10⁸ rows —
+    * one distributed scan + a partial-aggregated count, the same cost
+    * class as Spark's own range-exchange boundary sampling. The
+    * threshold is detection resolution: a key must carry ≥ ~1/fraction
+    * rows to even appear in the sample, so thresholds far above
+    * 1/fraction are statistically solid.
+    */
+  def sampleHotKeys(df: DataFrame, key: String, hotThreshold: Long,
+      sampleFraction: Double, cap: Int = 1024, seed: Long = 42L): Seq[Any] = {
+    val minSampled = math.max(1L, math.ceil(hotThreshold * sampleFraction).toLong)
+    df.select(key).na.drop(Seq(key))
+      .sample(withReplacement = false, sampleFraction, seed)
+      .groupBy(key).count()
+      .filter(col("count") >= minSampled)
+      .orderBy(col("count").desc, col(key))
+      .limit(cap)
+      .collect().map(_.get(0)).toSeq
+  }
+
+  /** Skew-aware equi-join. Samples the left (probe) side's key counts
+    * and salts ONLY keys above `hotThreshold`; everything else joins
+    * plain. Result is row-identical to `left.join(right, leftKey ===
+    * rightKey)` in every case:
+    *
+    *  - no hot keys detected → the literal plain equi-join (zero
+    *    overhead beyond the one sampling scan; the r19 verdict measured
+    *    the previous UNCONDITIONAL salting at 5.4× DuckDB on unskewed
+    *    sf10 data — pure overhead, since salts=4 exploded the build
+    *    side 4× for nothing);
+    *  - hot keys detected → a hot row spreads over `salts`
+    *    sub-partitions via a deterministic hash of the discriminator
+    *    column, and ONLY the hot build rows replicate `salts`×; cold
+    *    rows on both sides carry the constant salt 0, so the join
+    *    output is exactly the plain join's.
+    *
+    * `forcedHot` bypasses detection (tests of the salting mechanics;
+    * production callers who already know their hot keys). Membership
+    * is an `isin` literal set — ≤ `hotKeyCap` values, codegen'd to a
+    * hash-set probe, never a join.
+    *
+    * The sampling job runs eagerly at plan-construction time (one
+    * bounded collect); the returned plan is static. That is the honest
+    * trade: AQE's OptimizeSkewedJoin does the same detection from
+    * runtime shuffle statistics with no extra scan, and is this repo's
+    * default answer (BucketingSpec pins it row-identical); static
+    * salting remains for the cases AQE can't split — e.g. a skewed
+    * BUILD side that must replicate, or engines/stages where AQE is
+    * off.
     */
   def saltedJoin(left: DataFrame, right: DataFrame, leftKey: String,
-      rightKey: String, discriminator: String, salts: Int): DataFrame = {
-    val salted = left.withColumn("_salt",
-      pmod(xxhash64(col(leftKey), col(discriminator)), lit(salts.toLong)))
-    val replicated = right
-      .withColumn("_salt", explode(sequence(lit(0L), lit(salts.toLong - 1))))
-    salted.join(replicated,
-        salted("_salt") === replicated("_salt") &&
-          salted(leftKey) === replicated(rightKey))
-      .drop("_salt")
+      rightKey: String, discriminator: String, salts: Int,
+      hotThreshold: Long = 1000000L, sampleFraction: Double = 0.001,
+      hotKeyCap: Int = 1024, seed: Long = 42L,
+      forcedHot: Option[Seq[Any]] = None): DataFrame = {
+    val hot = forcedHot.getOrElse(
+      sampleHotKeys(left, leftKey, hotThreshold, sampleFraction, hotKeyCap, seed))
+    if (hot.isEmpty)
+      left.join(right, left(leftKey) === right(rightKey))
+    else {
+      val salted = left.withColumn("_salt",
+        when(col(leftKey).isin(hot: _*),
+            pmod(xxhash64(col(leftKey), col(discriminator)), lit(salts.toLong)))
+          .otherwise(lit(0L)))
+      val replicated = right.withColumn("_salt",
+        explode(when(col(rightKey).isin(hot: _*),
+            sequence(lit(0L), lit(salts.toLong - 1)))
+          .otherwise(array(lit(0L)))))
+      salted.join(replicated,
+          salted("_salt") === replicated("_salt") &&
+            salted(leftKey) === replicated(rightKey))
+        .drop("_salt")
+    }
   }
 }

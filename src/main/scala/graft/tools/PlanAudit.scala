@@ -216,7 +216,15 @@ object PlanAudit {
       // (WindowGroupLimit), never rank the whole cell population through
       // a plain window (round 14)
       Check("q_sim_knn_join", "per-query top-5 prunes via WindowGroupLimit",
-        p => p.contains("WindowGroupLimit"))
+        p => p.contains("WindowGroupLimit")),
+      // round 20: saltedJoin is skew-AWARE — on unskewed input (lineitem's
+      // l_orderkey: ≤7 rows/key at every SF) detection finds no hot key
+      // and the executed plan must be the literal plain join: no salt
+      // column, no build-side replication explode (the r19 verdict's
+      // 5.4×-of-DuckDB q_join_salted was unconditional salting exploding
+      // the build side 4× against unskewed data)
+      Check("q_join_salted", "no salt on unskewed input (plain join plan)",
+        p => !p.contains("_salt") && !p.contains("Generate"))
     )
 
     val plans = scala.collection.mutable.LinkedHashMap[String, String]()

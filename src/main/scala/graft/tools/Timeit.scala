@@ -38,10 +38,14 @@ object Timeit {
         fn(spark, sfDir).write.format("noop").mode("overwrite").save()
         (System.nanoTime() - t0) / 1e9
       }
-      once() // warm-up: table cache + codegen
+      // the warm-up IS the cold run: record it, so ledgers can carry a
+      // first-rep column alongside min — a query whose min depends on a
+      // warm Caches.cached materialization (e.g. q_text_tfidf) never
+      // silently flatters a ratio (VERDICT r19 item 8)
+      val first = once()
       val ts = (1 to reps).map(_ => once()).sorted
       graft.ops.Caches.release() // shared intra-query cache convention
-      println(f"$n%-28s min=${ts.head}%.3f med=${ts(ts.size / 2)}%.3f s ($reps reps)")
+      println(f"$n%-28s min=${ts.head}%.3f med=${ts(ts.size / 2)}%.3f first=$first%.3f s ($reps reps)")
     }
     spark.stop()
   }

@@ -264,7 +264,11 @@ class PropertySpec extends AnyFunSuite {
       val r = Seq((1L, "a"), (2L, "b"), (2L, "c")).toDF("rk", "w")
       val plain = l.join(r, col("k") === col("rk"))
         .collect().map(_.toString).sorted.toSeq
-      val salted = ops.Skew.saltedJoin(l, r, "k", "rk", "v", salts)
+      // forcedHot: the 4-row frame is far below any detection threshold,
+      // and this property is about the salting MECHANICS (result
+      // independent of the salt count), so every key is treated hot
+      val salted = ops.Skew.saltedJoin(l, r, "k", "rk", "v", salts,
+        forcedHot = Some(Seq(1L, 2L, 3L)))
         .select(col("k"), col("v"), col("rk"), col("w"))
         .collect().map(_.toString).sorted.toSeq
       assert(salted == plain)
