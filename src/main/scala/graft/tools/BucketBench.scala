@@ -85,7 +85,21 @@ object BucketBench {
         .join(cust.select("c_custkey", "c_name"), col("o_custkey") === col("c_custkey"))
         .select("c_name", "o_orderkey", "o_orderdate", "o_totalprice", "q")
         .orderBy(col("o_totalprice").desc, col("o_orderkey")).limit(100)
-      Seq("multiway" -> multiway, "q3" -> q3, "q18" -> q18)
+      // Q12 shape (round 20): the 5.4×-of-DuckDB entry of the r19 solo
+      // ledger — ONE lineitem⋈orders join on the bucket key, so the
+      // bucketed layout removes its only fact/fact exchange entirely
+      val hi = col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+      val q12 = li.filter(col("l_returnflag").isin("A", "R") &&
+          col("l_shipdate") >= to_timestamp(lit("1997-01-01")) &&
+          col("l_shipdate") < to_timestamp(lit("1998-01-01")))
+        .select("l_orderkey", "l_linestatus")
+        .join(ord.select("o_orderkey", "o_orderpriority"),
+          col("o_orderkey") === col("l_orderkey"))
+        .groupBy("l_linestatus")
+        .agg(sum(when(hi, 1L).otherwise(0L)).as("high_line_count"),
+          sum(when(hi, 0L).otherwise(1L)).as("low_line_count"))
+        .orderBy("l_linestatus")
+      Seq("multiway" -> multiway, "q3" -> q3, "q18" -> q18, "q12" -> q12)
     }
 
     // the write executes its OWN QueryExecution — df.queryExecution is

@@ -95,6 +95,43 @@ class BucketingSpec extends AnyFunSuite {
     }
   }
 
+  test("register-time bucketing opt-in: gateway SQL join over co-bucketed tables is shuffle-free") {
+    // the user-facing path (VERDICT r19 #1b): register through
+    // Catalog.registerBucketed — the shell's --bucket=col[:N] hook —
+    // then query through the SELECT-only gateway; the fact/fact
+    // equi-join on the bucket key must plan with ZERO exchanges
+    Catalog.registerBucketed(spark,
+      Tables.orders(spark, TestSpark.Sf).select("o_orderkey", "o_totalprice"),
+      "ord_reg_bkt", "o_orderkey", 4)
+    Catalog.registerBucketed(spark,
+      Tables.lineitem(spark, TestSpark.Sf).select("l_orderkey", "l_quantity"),
+      "li_reg_bkt", "l_orderkey", 4)
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val df = engine.SqlGateway.run(spark,
+        "SELECT l_orderkey, l_quantity, o_totalprice FROM li_reg_bkt " +
+          "JOIN ord_reg_bkt ON l_orderkey = o_orderkey")
+      val plan = df.queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin"), s"expected SMJ:\n$plan")
+      assert(!plan.contains("Exchange"), s"co-bucketed gateway join must not shuffle:\n$plan")
+      assert(df.count() == Tables.lineitem(spark, TestSpark.Sf)
+        .join(Tables.orders(spark, TestSpark.Sf),
+          col("l_orderkey") === col("o_orderkey")).count())
+      // re-register under the same name must not throw (drops the old
+      // table + warehouse dir first) and must pick up the new data
+      Catalog.registerBucketed(spark,
+        Tables.orders(spark, TestSpark.Sf).select("o_orderkey").limit(10),
+        "ord_reg_bkt", "o_orderkey", 4)
+      assert(spark.table("ord_reg_bkt").count() == 10)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
+  test("Cli --bucket flag parses col and optional bucket count") {
+    assert(Cli.parseBucket("--bucket=o_orderkey") == ("o_orderkey", 16))
+    assert(Cli.parseBucket("--bucket=l_orderkey:32") == ("l_orderkey", 32))
+  }
+
   test("skew-aware saltedJoin: detection finds the hot key, salts it, and misses cold keys") {
     val hot = spark.range(30000).select(lit(7L).as("k"), col("id").as("v"))
     val cold = spark.range(1000).select((col("id") % 20 + 100).as("k"), col("id").as("v"))
