@@ -181,6 +181,23 @@ object DuckDbDialect {
     'b' -> "MMM", 'B' -> "MMMM", 'f' -> "SSSSSS", 'g' -> "SSS",
     'G' -> "yyyy", 'n' -> "M", 'e' -> "d", '%' -> "%")
 
+  /** Schema resolver for schema-dependent rewrites (round 20: the
+    * GROUPS wrap's multi-relation qualified star + outer-reference
+    * dequalification), installed per-call by [[rewriteWithSchema]] —
+    * the same information source [[expandColumns]] takes as an
+    * argument, but threaded implicitly because the GROUPS pass sits
+    * many private calls deep. Direct [[rewrite]] callers have none and
+    * keep the named bounded errors. */
+  private val schemaResolver = new ThreadLocal[String => Option[Seq[String]]]
+
+  /** [[rewrite]] with relation schemas available (the gateway path):
+    * closes the text-only bounds that are schema-resolvable. */
+  def rewriteWithSchema(sql: String,
+      schemaOf: String => Option[Seq[String]]): String = {
+    schemaResolver.set(schemaOf)
+    try rewrite(sql) finally schemaResolver.remove()
+  }
+
   def rewrite(sql: String): String = {
     var s = sql
     s = rewriteFromFirst(s)
@@ -1560,13 +1577,22 @@ object DuckDbDialect {
     * OUTER select — the outer list preserves the original items, so
     * the distinct key tuple is unchanged).
     *
+    * Round 20 closed the multi-relation qualified star THROUGH THE
+    * GATEWAY: [[rewriteWithSchema]] installs a relation-schema
+    * resolver (the same source as COLUMNS expansion), and the wrap's
+    * outer text resolves `t.*` to the relation's columns and
+    * dequalifies `t.col` references to bare names — each emitted name
+    * verified unique across the joined relations' schemas (shared
+    * names throw, named, since the wrap hides the aliases). Direct
+    * rewrite() callers (no schema source) keep the bounded error.
+    *
     * Bounded (throws, names the limitation — never silently wrong):
     * GROUP BY ALL with numeric offsets (both engines reject GROUP BY
     * ALL + window functions outright — measured, the loud error is
     * parity); grouped select items that are neither plain columns,
     * aliased, nor simple calls with identifier/integer arguments;
-    * a qualified star over a MULTI-relation FROM (the wrap hides the
-    * alias and the column subset is unknowable from text);
+    * a qualified star over a MULTI-relation FROM without a schema
+    * resolver, or whose bare names would collide post-wrap;
     * non-constant (column-dependent) offset expressions; GROUPS
     * without ORDER BY (rejected by both engines). The single-bound
     * shorthand `GROUPS n PRECEDING` is BETWEEN n PRECEDING AND CURRENT
@@ -1816,7 +1842,7 @@ object DuckDbDialect {
           }
         case None => Set.empty
       }
-    val list0 = {
+    val list00 = {
       val raw = sql.substring(selAt + "select".length, fromAt)
       if (singleRelNames.isEmpty) raw
       else {
@@ -1855,6 +1881,16 @@ object DuckDbDialect {
         sb.append(raw.substring(last)).toString
       }
     }
+    // Round 20: with the gateway's schema resolver installed, a
+    // REMAINING projection-position qualified star (multi-relation
+    // FROM) expands to its relation's column names, and qualified
+    // column references in the outer text (select list + statement
+    // tail — both evaluate OUTSIDE the wrap, where the relation
+    // aliases are hidden) dequalify to bare names; both steps verify
+    // each bare name is unique across the joined relations. A direct
+    // rewrite() caller has no resolver and keeps the named bounded
+    // error below.
+    val list0 = resolveOuterQualifiers(list00, body)
     // star handling: a projection star must not leak the helper columns
     val listIn = inString(list0)
     var ld = 0; var li = 0; var starAt = -1
@@ -1872,7 +1908,8 @@ object DuckDbDialect {
               "GROUPS frame with integer offsets and a qualified star (t.*) " +
                 "is only supported when the qualifier names the block's sole " +
                 "FROM relation (there t.* ≡ *); over a multi-relation FROM " +
-                "or a shadowed base name, name the columns")
+                "or a shadowed base name, run through the SQL gateway (which " +
+                "resolves relation schemas, round 20) or name the columns")
           else {
             // `SELECT DISTINCT *` / `SELECT ALL *`: still the projection
             // star (round 19 — without this the helper column leaked
@@ -1916,10 +1953,174 @@ object DuckDbDialect {
             list0.substring(0, starAt) + s"* EXCEPT ($aliases)" + afterStar
         }
       }
-    val tail = if (restEnd >= sql.length) "" else " " + sql.substring(restEnd).trim
+    val tail = if (restEnd >= sql.length) ""
+      else " " + resolveOuterQualifiers(sql.substring(restEnd).trim, body)
     val synth = hoists.map { case (al, ex) => s"$ex AS $al" }.mkString(", ")
     sql.substring(0, selAt) + "SELECT " + list.trim +
       s" FROM ( SELECT *, $synth FROM $body ) __groups" + tail
+  }
+
+  /** Relations of a FROM body (`a [AS] x JOIN b y ON … [, c z]`) as
+    * (aliasLower, tableNameText) in order — identifier relations only;
+    * a derived table throws (named — the caller's qualified-star
+    * expansion cannot know a subquery's columns from text). The body
+    * may carry a WHERE/QUALIFY tail; ON/USING expressions are skipped
+    * (only the word JOIN or a depth-0 comma re-arms table
+    * expectation). */
+  private def groupsFromRelations(body: String): Seq[(String, String)] = {
+    val in = inString(body)
+    def wordAt(j: Int, w: String): Boolean =
+      !in(j) && body.regionMatches(true, j, w, 0, w.length) &&
+        (j == 0 || !isIdentChar(body(j - 1))) &&
+        (j + w.length >= body.length || !isIdentChar(body(j + w.length)))
+    val aliasStop = Set("on", "using", "join", "inner", "left", "right",
+      "full", "cross", "natural", "asof", "anti", "semi", "lateral",
+      "where", "qualify", "group", "order", "limit", "offset", "union",
+      "intersect", "except", "window", "having")
+    val out = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    var expectTable = true
+    var depth = 0
+    var i = 0; var stop = false
+    while (i < body.length && !stop) {
+      if (!in(i)) {
+        val c = body(i)
+        if (expectTable && c == '(')
+          throw new IllegalArgumentException(
+            "GROUPS frame: qualified-star/reference resolution over a " +
+              "derived-table FROM is outside the dialect shim — name the " +
+              "columns")
+        else if (expectTable && isIdentChar(c)) {
+          var e = i
+          while (e < body.length && (isIdentChar(body(e)) || body(e) == '.')) e += 1
+          val table = body.substring(i, e)
+          var alias = table.split('.').last.toLowerCase(java.util.Locale.ROOT)
+          var k = e
+          while (k < body.length && body(k).isWhitespace) k += 1
+          if (k < body.length && isIdentChar(body(k)) && !in(k)) {
+            var e2 = k
+            while (e2 < body.length && isIdentChar(body(e2))) e2 += 1
+            val w = body.substring(k, e2).toLowerCase(java.util.Locale.ROOT)
+            if (w == "as") {
+              var k2 = e2
+              while (k2 < body.length && body(k2).isWhitespace) k2 += 1
+              var e3 = k2
+              while (e3 < body.length && isIdentChar(body(e3))) e3 += 1
+              require(e3 > k2, "GROUPS frame: dangling AS in FROM")
+              alias = body.substring(k2, e3).toLowerCase(java.util.Locale.ROOT)
+              e = e3
+            } else if (!aliasStop(w)) { alias = w; e = e2 }
+          }
+          out += ((alias, table))
+          expectTable = false
+          i = e - 1
+        } else if (!expectTable) {
+          if (c == '(') depth += 1
+          else if (c == ')') depth -= 1
+          else if (depth == 0 && c == ',') expectTable = true
+          else if (depth == 0 && wordAt(i, "join")) { expectTable = true; i += 3 }
+          else if (depth == 0 && (wordAt(i, "where") || wordAt(i, "qualify")))
+            stop = true
+        }
+      }
+      i += 1
+    }
+    out.toSeq
+  }
+
+  /** Round 20: schema-resolvable handling of qualified names in the
+    * GROUPS wrap's OUTER text (select list / statement tail), where the
+    * FROM aliases are hidden behind the `__groups` subquery. With the
+    * gateway resolver installed ([[rewriteWithSchema]]):
+    *  - a projection-position `alias.*` expands to the relation's
+    *    column names (bare, backticked);
+    *  - any `alias.col` reference dequalifies to bare `col`;
+    * and in BOTH cases every emitted bare name is verified unique
+    * across the OTHER joined relations' schemas (the inner `SELECT *`
+    * exposes all relations' columns, so a shared name would be
+    * ambiguous — thrown, named, never silently wrong). Unknown
+    * qualifiers pass through untouched (struct fields, map access —
+    * the engine resolves or rejects them itself). Without a resolver
+    * the text is returned unchanged, so the existing bounded error
+    * fires for multi-relation stars exactly as before. */
+  private def resolveOuterQualifiers(text: String, body: String): String = {
+    val resolver = schemaResolver.get()
+    if (resolver == null || !text.contains(".")) return text
+    // an unparseable FROM (derived table) yields NO relations: every
+    // qualified candidate then passes through untouched — exactly the
+    // pre-round-20 behavior (struct-field access over a derived FROM
+    // keeps working; a multi-relation star still hits the bounded
+    // error downstream)
+    lazy val rels: Seq[(String, String)] =
+      scala.util.Try(groupsFromRelations(body)).getOrElse(Seq.empty)
+    def lc(s: String) = s.toLowerCase(java.util.Locale.ROOT)
+    def colsOf(alias: String): Option[Seq[String]] =
+      rels.find(_._1 == alias).flatMap { case (_, tab) => resolver(tab) }
+    def assertUnique(alias: String, col: String): Unit =
+      rels.filter(_._1 != alias).foreach { case (oal, otab) =>
+        resolver(otab) match {
+          case Some(ocols) if ocols.exists(c => lc(c) == lc(col)) =>
+            throw new IllegalArgumentException(
+              s"GROUPS frame: column `$col` of '$alias' also exists in " +
+                s"'$oal' — the wrapped subquery hides the relation " +
+                "aliases, so the shared name would be ambiguous; project " +
+                "and alias it before the window")
+          case Some(_) => ()
+          case None => throw new IllegalArgumentException(
+            s"GROUPS frame: cannot verify `$alias.$col` is unambiguous — " +
+              s"relation '$otab' has no resolvable schema")
+        }
+      }
+    val in = inString(text)
+    val sb = new StringBuilder
+    var i = 0
+    while (i < text.length) {
+      val c = text(i)
+      var consumed = false
+      if (!in(i) && isIdentChar(c) && (i == 0 ||
+          (!isIdentChar(text(i - 1)) && text(i - 1) != '.'))) {
+        var e = i
+        while (e < text.length && isIdentChar(text(e))) e += 1
+        var k = e
+        while (k < text.length && text(k).isWhitespace) k += 1
+        if (k < text.length && text(k) == '.') {
+          k += 1
+          while (k < text.length && text(k).isWhitespace) k += 1
+          val qual = lc(text.substring(i, e))
+          if (rels.exists(_._1 == qual)) {
+            if (k < text.length && text(k) == '*') {
+              // `alias.*` — expand to the relation's columns
+              val cols = colsOf(qual).getOrElse(
+                throw new IllegalArgumentException(
+                  s"GROUPS frame: relation of qualified star " +
+                    s"`${text.substring(i, e)}.*` has no resolvable schema"))
+              cols.foreach(assertUnique(qual, _))
+              sb.append(cols.map(cc => s"`$cc`").mkString(", "))
+              i = k + 1
+              consumed = true
+            } else if (k < text.length && isIdentChar(text(k))) {
+              var e2 = k
+              while (e2 < text.length && isIdentChar(text(e2))) e2 += 1
+              // 3-part names (db.tbl.col) pass through untouched
+              val afterIsDot = {
+                var k2 = e2
+                while (k2 < text.length && text(k2).isWhitespace) k2 += 1
+                k2 < text.length && text(k2) == '.'
+              }
+              val col = text.substring(k, e2)
+              val known = colsOf(qual).exists(_.exists(cc => lc(cc) == lc(col)))
+              if (!afterIsDot && known) {
+                assertUnique(qual, col)
+                sb.append(s"`$col`")
+                i = e2
+                consumed = true
+              }
+            }
+          }
+        }
+      }
+      if (!consumed) { sb.append(c); i += 1 }
+    }
+    sb.toString
   }
 
   /** Depth-0 set-operation keyword spans (UNION/INTERSECT/EXCEPT — a

@@ -87,12 +87,16 @@ object SqlGateway {
       case _ =>
         // COLUMNS('regex') needs the relation schema — only the gateway
         // has it, so the expansion runs here, before the text shim
+        val schemaOf: String => Option[Seq[String]] = name =>
+          scala.util.Try(spark.table(name).schema.fieldNames.toSeq).toOption
         val s1 =
           if ("(?i)\\bcolumns\\s*\\(".r.findFirstIn(s0).isDefined)
-            DuckDbDialect.expandColumns(s0, name =>
-              scala.util.Try(spark.table(name).schema.fieldNames.toSeq).toOption)
+            DuckDbDialect.expandColumns(s0, schemaOf)
           else s0
-        val sql = DuckDbDialect.rewrite(s1)
+        // schema-aware rewrite (round 20): the GROUPS wrap resolves
+        // multi-relation qualified stars/references through the same
+        // relation-schema source as COLUMNS expansion above
+        val sql = DuckDbDialect.rewriteWithSchema(s1, schemaOf)
         validate(spark, sql)
         spark.sql(sql)
     }

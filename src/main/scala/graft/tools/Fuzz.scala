@@ -1608,7 +1608,30 @@ final class SqlFuzzer(seed: Long) {
         s"DENSE_RANK() OVER (PARTITION BY $part ORDER BY $ov ASC NULLS FIRST) AS g " +
         s"FROM $t WHERE $where) q"
     val oSpec = s"PARTITION BY p ORDER BY g ASC NULLS FIRST $rFrame"
-    rnd.nextInt(9) match {
+    rnd.nextInt(10) match {
+      case 9 => // round 20: multi-relation qualified star + qualified
+        // OUTER references, resolved through the GATEWAY's schema
+        // resolver (the leading /*dgq*/ marker routes this query
+        // through SqlGateway.run — a direct rewrite() has no schema
+        // source and keeps the bounded error). supplier ⋈ nation have
+        // disjoint FIXED parquet schemas, so s.* is schema-stable for
+        // the hash compare and every dequalified bare name is unique.
+        val k9 = intLit(3, 9)
+        val n9 = 1 + rnd.nextInt(3)
+        val sv9 = if (rnd.nextBoolean()) "s_suppkey" else "s_nationkey"
+        val ov9 = s"(s.s_suppkey % $k9)"
+        val tail9 = s"${orderAll(6)} ${limit()}"
+        val join9 = "FROM supplier s JOIN nation n " +
+          "ON s.s_nationkey = n.n_nationkey WHERE s.s_acctbal IS NOT NULL"
+        (s"/*dgq*/SELECT s.*, n.n_name, CAST(SUM(s.$sv9) OVER (PARTITION BY " +
+          s"s.s_nationkey ORDER BY $ov9 ASC NULLS FIRST GROUPS BETWEEN $n9 " +
+          s"PRECEDING AND CURRENT ROW) AS BIGINT) AS c6 $join9 $tail9",
+          s"SELECT s_suppkey, s_name, s_nationkey, s_acctbal, n_name, " +
+            s"CAST(SUM(sv) OVER (PARTITION BY p ORDER BY g ASC NULLS FIRST " +
+            s"RANGE BETWEEN $n9 PRECEDING AND CURRENT ROW) AS BIGINT) AS c6 " +
+            s"FROM (SELECT s.*, n.n_name, s.$sv9 AS sv, s.s_nationkey AS p, " +
+            s"DENSE_RANK() OVER (PARTITION BY s.s_nationkey ORDER BY $ov9 " +
+            s"ASC NULLS FIRST) AS g $join9) q $tail9")
       case 8 => // round 19: SELECT DISTINCT over a grouped GROUPS block
         // (the former r16 bound) — the keyword moves to the inverted
         // wrap's outer select. c2 is constant within each order-value
@@ -2291,14 +2314,24 @@ object Fuzz {
         if (r != sql)
           errors(name) = s"IDENTITY violated — rewrite changed ANSI text to: ${r.take(300)}"
       } else if (!isStmt("pivot") && !isStmt("unpivot")) {
-        val r1 = graft.engine.DuckDbDialect.rewrite(sql)
-        val r2 = graft.engine.DuckDbDialect.rewrite(r1)
+        // /*dgq*/ queries are schema-dependent: the idempotence check
+        // must rewrite them the way the gateway does (resolver installed)
+        val rw: String => String =
+          if (sql.startsWith("/*dgq*/"))
+            s => graft.engine.DuckDbDialect.rewriteWithSchema(s, name =>
+              scala.util.Try(spark.table(name).schema.fieldNames.toSeq).toOption)
+          else graft.engine.DuckDbDialect.rewrite
+        val r1 = rw(sql)
+        val r2 = rw(r1)
         if (r2 != r1)
           errors(name) = s"IDEMPOTENCE violated — second rewrite produced: ${r2.take(300)}"
       }
       def sparkDf() =
         if (dialect && (isStmt("pivot") || isStmt("unpivot") ||
-            "(?i)\\bcolumns\\s*\\(".r.findFirstIn(sql).isDefined))
+            "(?i)\\bcolumns\\s*\\(".r.findFirstIn(sql).isDefined ||
+            // round 20: schema-dependent GROUPS queries (multi-relation
+            // qualified star) need the gateway's relation resolver
+            sql.startsWith("/*dgq*/")))
           graft.engine.SqlGateway.run(spark, sql)
         else spark.sql(if (dialect) graft.engine.DuckDbDialect.rewrite(sql) else sql)
       try sparkDf().coalesce(1).write.mode("overwrite")

@@ -1736,4 +1736,52 @@ class DuckDbDialectSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](DuckDbDialect.rewrite(
       "SELECT SUM(b) OVER (ORDER BY d EXCLUDE GROUP) FROM t"))
   }
+
+  test("GROUPS round-20: multi-relation qualified star resolves through the gateway schema") {
+    val spark = TestSpark.spark
+    spark.sql("SELECT * FROM VALUES (1,1,1),(2,1,2),(3,2,4),(4,3,8)," +
+      "(5,3,16),(6,3,32),(7,5,64) AS t(i,o,x)").createOrReplaceTempView("gft")
+    spark.sql("SELECT * FROM VALUES (1,'a'),(2,'b'),(3,'c'),(4,'d'),(5,'e')," +
+      "(6,'f'),(7,'g') AS t(ref,tag)").createOrReplaceTempView("gfr")
+    val once = Seq(3L, 3L, 7L, 60L, 60L, 60L, 120L)
+    // a.* over a TWO-relation FROM: the gateway installs the schema
+    // resolver, so the star expands to gft's columns (names unique
+    // against gfr's), qualified outer references (the window args and
+    // the ORDER BY tail) dequalify, and the goldens match the
+    // single-relation form's
+    val qs = engine.SqlGateway.run(spark,
+      "SELECT a.*, CAST(SUM(a.x) OVER (ORDER BY a.o GROUPS 1 PRECEDING) " +
+        "AS BIGINT) AS s FROM gft a JOIN gfr b ON a.i = b.ref ORDER BY a.i")
+    assert(qs.columns.toSeq == Seq("i", "o", "x", "s"))
+    assert(qs.collect().map(_.getAs[Number]("s").longValue).toSeq == once)
+    // mixed qualified references from BOTH relations, no star
+    val mixed = engine.SqlGateway.run(spark,
+      "SELECT a.i, b.tag, CAST(SUM(a.x) OVER (ORDER BY a.o GROUPS 1 " +
+        "PRECEDING) AS BIGINT) AS s FROM gft a JOIN gfr b ON a.i = b.ref " +
+        "ORDER BY a.i")
+    assert(mixed.columns.toSeq == Seq("i", "tag", "s"))
+    assert(mixed.collect().map(r => (r.getInt(0), r.getString(1))).toSeq ==
+      Seq(1 -> "a", 2 -> "b", 3 -> "c", 4 -> "d", 5 -> "e", 6 -> "f", 7 -> "g"))
+    // a shared bare name post-wrap is ambiguous — thrown, named (the
+    // self-join makes every gft column collide)
+    val amb = intercept[IllegalArgumentException](engine.SqlGateway.run(spark,
+      "SELECT a.*, SUM(a.x) OVER (ORDER BY a.o GROUPS 1 PRECEDING) AS s " +
+        "FROM gft a JOIN gft b ON a.i = b.i"))
+    assert(amb.getMessage.contains("also exists"), amb.getMessage)
+    // a DIRECT rewrite() has no schema source: the named bounded error
+    // stays (parity with every pre-round-20 caller)
+    val direct = intercept[IllegalArgumentException](DuckDbDialect.rewrite(
+      "SELECT a.*, SUM(a.x) OVER (ORDER BY a.o GROUPS 1 PRECEDING) AS s " +
+        "FROM gft a JOIN gfr b ON a.i = b.ref"))
+    assert(direct.getMessage.contains("sole FROM relation"), direct.getMessage)
+    // an unknown qualifier (struct access shape) passes through
+    // untouched rather than being mangled: gateway run still resolves
+    // it against the inner star output
+    spark.sql("SELECT i, o, x, named_struct('f', i) AS st FROM gft")
+      .createOrReplaceTempView("gfs")
+    val st = engine.SqlGateway.run(spark,
+      "SELECT st.f AS f, CAST(SUM(x) OVER (ORDER BY o GROUPS 1 PRECEDING) " +
+        "AS BIGINT) AS s FROM gfs ORDER BY f")
+    assert(st.collect().map(_.getAs[Number]("s").longValue).toSeq == once)
+  }
 }
