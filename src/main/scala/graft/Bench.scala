@@ -279,7 +279,14 @@ object Bench {
       finally w.close()
     } catch { case _: Throwable => () }
     val head = jmap(headline.flatMap(n => okLatency.get(n).map(n -> _)))
-    val line = s"""{"metric":"total","value":${num(wall)},"unit":"sec","queries":$head,"sf":"$sfDir","sum_sec":${num(sum)},"parallelism":$par,"n_queries":${results.size},"n_failed":${failed.size},"failed":$failedJson,"solo_rerun":$soloJson,"wall_runs":$wallsJson,"steady_state":$steadyState,$contentionJson}"""
+    // protocol self-description (VERDICT r19 item 5): the DuckDB
+    // comparison number varies ~1.7× by HOW the baseline is run
+    // (in-process warm vs per-process cold) — naming this run's own
+    // protocol in the artifact forces every committed ratio to be
+    // like-for-like (pair with tools/bench_duckdb.py run WITH a
+    // timeout arg = per-process, the conservative protocol)
+    val protocol = s""""protocol":"spark local[$cpus] $par-stream concurrent suite, best of ${walls.size} runs, table cache warm; compare to DuckDB per-process sequential (tools/bench_duckdb.py with timeout arg)""""
+    val line = s"""{"metric":"total","value":${num(wall)},"unit":"sec","queries":$head,"sf":"$sfDir","sum_sec":${num(sum)},"parallelism":$par,"n_queries":${results.size},"n_failed":${failed.size},"failed":$failedJson,"solo_rerun":$soloJson,"wall_runs":$wallsJson,"steady_state":$steadyState,$contentionJson,$protocol}"""
     println(line)
     spark.stop()
     // re-print after spark.stop(): guarantees the JSON is the last

@@ -46,12 +46,41 @@ object Windows {
         |FROM orders
         |WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice, o_orderkey)
         |ORDER BY o_orderkey""".stripMargin) { (s, d) =>
-      val w = Window.partitionBy(col("o_orderstatus"))
-        .orderBy(col("o_totalprice"), col("o_orderkey"))
-      orders(s, d)
+      // Decomposed (round 20): PARTITION BY o_orderstatus has ≤3
+      // distinct values at EVERY SF, so the native window funnels the
+      // whole table into ≤3 tasks — the full-ledger sweep measured
+      // 27.6 s solo at sf10, the suite's slowest entry, and at 1000
+      // executors 3 tasks is a non-plan. Same decomposition as
+      // q_window_ntile: range-bucket totalprice within each status,
+      // per-bucket counts → prefix offsets over the SMALL
+      // (status × bucket) table (broadcast), global rank = offset +
+      // local row_number over the (status, bucket) partition —
+      // parallelism O(statuses × buckets), no data-sized sort anywhere.
+      // o_orderkey makes the window order total (no ties), so rank ≡
+      // row_number and percent_rank = (r−1)/(n−1), cume_dist = r/n —
+      // the exact integer divisions both engines evaluate natively
+      // (bit-identical doubles); n = 1 yields 0 in both engines.
+      val o = orders(s, d)
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+        .withColumn("b", floor(col("o_totalprice") / lit(16384.0)))
+      val bc = o.groupBy("o_orderstatus", "b").agg(count(lit(1)).as("c"))
+      val off = bc
+        .withColumn("off", coalesce(sum(col("c")).over(
+          Window.partitionBy("o_orderstatus").orderBy("b")
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        .withColumn("n", sum(col("c")).over(Window.partitionBy("o_orderstatus")))
+        .select(col("o_orderstatus").as("st"), col("b").as("bb"),
+          col("off"), col("n"))
+      o.join(broadcast(off),
+          col("o_orderstatus") === col("st") && col("b") === col("bb"))
+        .withColumn("r", col("off") + row_number().over(
+          Window.partitionBy("o_orderstatus", "b")
+            .orderBy(col("o_totalprice"), col("o_orderkey"))))
         .select(col("o_orderkey"),
-          percent_rank().over(w).as("pr"),
-          cume_dist().over(w).as("cd"))
+          when(col("n") === 1, lit(0.0))
+            .otherwise((col("r") - 1).cast("double") /
+              (col("n") - 1).cast("double")).as("pr"),
+          (col("r").cast("double") / col("n").cast("double")).as("cd"))
         .orderBy("o_orderkey")
     },
 

@@ -60,6 +60,14 @@ object PlanAudit {
         p => "row_number().*windowspecdefinition\\(b#".r.findFirstIn(p).isDefined),
       Check("q_window_range_frame", "running count partitioned by value bucket",
         p => "windowspecdefinition\\(b#".r.findFirstIn(p).isDefined),
+      // round 20: percent_rank/cume_dist decomposed like ntile — the
+      // data-sized window partitions by (status, value bucket), never by
+      // the ≤3-value status alone (the 3-task funnel the full sf10
+      // ledger exposed at 27.6 s), and no native percent_rank/cume_dist
+      // single-partition pass remains
+      Check("q_window_percent_rank", "rank window partitioned by (status, value bucket)",
+        p => "windowspecdefinition\\(o_orderstatus#\\d+, b#".r.findFirstIn(p).isDefined &&
+          !p.contains("percent_rank(") && !p.contains("cume_dist(")),
       Check("q_agg_stats", "quantiles read per-group value histograms, not raw rows",
         // round 19: no value-buffering percentile aggregate, AND no
         // groupQuantiles raw-row second pass (its candidate ranking is
@@ -353,6 +361,7 @@ object PlanAudit {
       "q_tpch_q7_shape" -> 2,       // two 2-row nation-pair dims (both ≤25 at every SF)
       "q_tpch_q20_shape" -> 1,      // one-nation dim: fixed ≤25 rows at every SF
       "q_window_ntile" -> 1,        // O(value buckets) offset table
+      "q_window_percent_rank" -> 1, // O(status × value buckets) offset table
       "q_window_range_frame" -> 1)  // O(value buckets) offset table
     var sweepBad = List.empty[String]
     var cartBad = List.empty[String]
