@@ -9,7 +9,7 @@ import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
 import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
-import org.apache.spark.sql.catalyst.trees.UnaryLike
+import org.apache.spark.sql.catalyst.trees.{BinaryLike, UnaryLike}
 import org.apache.spark.sql.types._
 
 /** Mergeable KLL quantile sketches (Datasketches) as native Catalyst
@@ -212,6 +212,64 @@ case class FreqSketchAgg(
   override def prettyName: String = "freq_sketch_agg"
 }
 
+/** Weighted frequency-sketch build (round 20): updates the LongsSketch
+  * with (item, weight) pairs — `update(v, w)` — so a sketch can be fed
+  * from an ALREADY-AGGREGATED histogram instead of re-scanning raw
+  * rows. Misra-Gries' deterministic guarantee (lowerBound ≤ true ≤
+  * upperBound after any update sequence, weighted or not) is exactly
+  * the property the operator queries pin, so building from the
+  * histogram keeps every pinned output identical while removing a full
+  * raw-row pass. Null item or null/≤0 weight contributes nothing
+  * (matching the unweighted agg's null skip). */
+case class FreqSketchAggW(
+    left: Expression,
+    right: Expression,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[org.apache.datasketches.frequencies.LongsSketch]
+  with BinaryLike[Expression] {
+
+  private type FSketch = org.apache.datasketches.frequencies.LongsSketch
+
+  private val MaxMapSize = 512
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (left.dataType == LongType && right.dataType == LongType)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"freq_sketch_agg_w expects (BIGINT item, BIGINT weight), got " +
+        s"${left.dataType.simpleString} / ${right.dataType.simpleString}")
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = false
+
+  override def createAggregationBuffer(): FSketch =
+    new org.apache.datasketches.frequencies.LongsSketch(MaxMapSize)
+
+  override def update(buffer: FSketch, input: InternalRow): FSketch = {
+    val v = left.eval(input)
+    val w = right.eval(input)
+    if (v != null && w != null && w.asInstanceOf[Long] > 0L)
+      buffer.update(v.asInstanceOf[Long], w.asInstanceOf[Long])
+    buffer
+  }
+
+  override def merge(buffer: FSketch, other: FSketch): FSketch =
+    buffer.merge(other)
+
+  override def eval(buffer: FSketch): Any = buffer.toByteArray
+  override def serialize(buffer: FSketch): Array[Byte] = buffer.toByteArray
+  override def deserialize(storage: Array[Byte]): FSketch =
+    org.apache.datasketches.frequencies.LongsSketch.getInstance(Memory.wrap(storage))
+
+  override def withNewMutableAggBufferOffset(n: Int): FreqSketchAggW =
+    copy(mutableAggBufferOffset = n)
+  override def withNewInputAggBufferOffset(n: Int): FreqSketchAggW =
+    copy(inputAggBufferOffset = n)
+  override protected def withNewChildrenInternal(
+      l: Expression, r: Expression): FreqSketchAggW = copy(left = l, right = r)
+  override def prettyName: String = "freq_sketch_agg_w"
+}
+
 /** Union of serialized frequency sketches — the rollup step. */
 case class FreqMergeAgg(
     child: Expression,
@@ -349,6 +407,9 @@ object SketchExprs {
     GraftShim.column(KllQuantile(GraftShim.expression(c), Literal(p)))
   def freqSketchAgg(c: Column): Column =
     GraftShim.column(FreqSketchAgg(GraftShim.expression(c)).toAggregateExpression())
+  def freqSketchAggW(item: Column, weight: Column): Column =
+    GraftShim.column(FreqSketchAggW(GraftShim.expression(item),
+      GraftShim.expression(weight)).toAggregateExpression())
   def freqMergeAgg(c: Column): Column =
     GraftShim.column(FreqMergeAgg(GraftShim.expression(c)).toAggregateExpression())
   def freqEstimate(sk: Column, item: Column): Column =

@@ -810,8 +810,13 @@ object Dedup {
           col("x.bkey") === col("y.bkey") && col("x.doc_id") < col("y.doc_id"))
         .select(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"),
           bit_count(col("x.simhash").bitwiseXOR(col("y.simhash"))).cast("long").as("hamming"))
-        .distinct()
+        // hamming ≤ 3 BEFORE the dedup exchange (round 20): hamming is
+        // a function of the pair, so filtering first is row-identical,
+        // and it drops every random band-key collision map-side — the
+        // distinct then shuffles O(true near-dups × ≤20 copies) instead
+        // of the whole candidate stream.
         .filter(col("hamming") <= 3)
+        .distinct()
         .orderBy("id_a", "id_b")
     },
 

@@ -239,9 +239,21 @@ object Relational {
         |       CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n_orders,
         |       TRUE AS hll_ok
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin) { (s, d) =>
+      // Round 20: both aggregates run over the DISTINCT (flag, orderkey)
+      // pairs instead of raw rows. HyperLogLog++ registers are max() of
+      // per-value hash statistics, so the sketch over the distinct
+      // support is BIT-IDENTICAL to the sketch over the multiset — and
+      // countDistinct over raw rows ≡ count over the distinct pairs.
+      // What it removes: Spark's one-distinct aggregate plan kept an
+      // HLL++ buffer per (flag, orderkey) group through two stages
+      // (15M buffers at sf10 — 5.9 s solo); the distinct-pairs
+      // aggregate carries no sketch state at all, then 3 group buffers
+      // sketch the 15M pairs.
       lineitem(s, d)
+        .select(col("l_returnflag"), col("l_orderkey"))
+        .distinct()
         .groupBy("l_returnflag")
-        .agg(countDistinct(col("l_orderkey")).as("n_orders"),
+        .agg(count(col("l_orderkey")).as("n_orders"),
              approx_count_distinct(col("l_orderkey")).as("a"))
         .select(col("l_returnflag"), col("n_orders"),
           (abs(col("a") - col("n_orders")).cast("double") / col("n_orders") <= 0.1)
@@ -264,13 +276,27 @@ object Relational {
         |       CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS n_parts,
         |       TRUE AS merged_ok
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin) { (s, d) =>
-      val perGroup = lineitem(s, d)
+      // Round 20: every branch now reads the DISTINCT (flag, partkey)
+      // pairs instead of raw lineitem — countDistinct over raw ≡ count
+      // over the pairs (exact outputs unchanged bitwise), and the HLL
+      // sketch over the distinct support sees the same value set. The
+      // sketch ESTIMATE can shift ~0.5% (Datasketches' HIP estimator is
+      // insertion-order sensitive — PropertySpec pins this), far inside
+      // the 5% envelope merged_ok pins, so the output row is unchanged.
+      // What it removes: the one-distinct aggregate plan carried an HLL
+      // buffer per (flag, partkey) group through two stages; now no
+      // sketch state rides the wide exchange and the distinct subtree
+      // is shared by both consumers (AQE stage reuse).
+      val pairs = lineitem(s, d)
+        .select(col("l_returnflag"), col("l_partkey"))
+        .distinct()
+      val perGroup = pairs
         .groupBy("l_returnflag")
-        .agg(countDistinct(col("l_partkey")).as("n_parts"),
+        .agg(count(col("l_partkey")).as("n_parts"),
              expr("hll_sketch_agg(l_partkey)").as("sk"))
       val global = perGroup
         .agg(expr("hll_sketch_estimate(hll_union_agg(sk))").as("est"))
-        .crossJoin(broadcast(lineitem(s, d).agg(countDistinct(col("l_partkey")).as("exact"))))
+        .crossJoin(broadcast(pairs.agg(countDistinct(col("l_partkey")).as("exact"))))
         .select((abs(col("est") - col("exact")).cast("double") / col("exact") <= 0.05)
           .as("merged_ok"))
       perGroup.select("l_returnflag", "n_parts")
@@ -401,9 +427,16 @@ object Relational {
         .agg(max_by(col("l_suppkey"),
             col("c") * 100000 + (lit(99999) - col("l_suppkey"))).cast("long").as("top_supp"),
           max(col("c")).cast("long").as("top_n"))
-      // the sketch path: per-group sketches → merged global summary
-      val merged = lineitem(s, d).groupBy("l_returnflag")
-        .agg(SketchExprs.freqSketchAgg(col("l_suppkey")).as("sk"))
+      // the sketch path: per-group sketches → merged global summary.
+      // Round 20: fed WEIGHTED from the (flag, suppkey) histogram `h`
+      // (LongsSketch.update(item, count)) instead of a second raw-row
+      // scan — Misra-Gries' deterministic envelope (lower ≤ exact ≤
+      // upper, the property freq_ok pins) holds for any update
+      // sequence, weighted or not, so the pinned output is unchanged
+      // while lineitem is scanned ONCE (h's exchange subtree is shared
+      // by all three consumers).
+      val merged = h.groupBy("l_returnflag")
+        .agg(SketchExprs.freqSketchAggW(col("l_suppkey"), col("c")).as("sk"))
         .agg(SketchExprs.freqMergeAgg(col("sk")).as("g"))
       val globalTop = h.groupBy("l_suppkey").agg(sum("c").as("n"))
         .agg(max_by(col("l_suppkey"),

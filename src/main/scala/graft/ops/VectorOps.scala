@@ -758,14 +758,20 @@ object VectorOps {
       val kPq = pqKFor(dn.getLong(1))
       require(dim % m == 0, s"q_sim_pq: corpus dimension $dim is not divisible by m=$m")
       val sub = dim / m
-      val e = e0.select(col("vec_id"),
-        transform(col("embedding"), x => x.cast("double")).as("v"))
+      // Round 20: the corpus-wide float→double ArrayTransform is gone —
+      // raw embeddings flow into the PqAdc kernel (which widens floats
+      // exactly, element by element, so the arithmetic is unchanged)
+      // and the double cast materializes only AFTER each limit: k
+      // training rows, 1 query row, 50 shortlist rows.
+      val toV = transform(col("embedding"), x => x.cast("double"))
+      val eRaw = e0.select(col("vec_id"), col("embedding"))
       // k md5-sampled training vectors: orderBy+limit plans as a
       // distributed TakeOrdered; the row_number window then runs over
       // k rows only (never a corpus-wide single-partition sort)
       val h = md5(col("vec_id").cast("string"))
-      val train = e.select(col("vec_id"), col("v"), h.as("h"))
+      val train = eRaw.select(col("vec_id"), col("embedding"), h.as("h"))
         .orderBy(col("h"), col("vec_id")).limit(kPq)
+        .withColumn("v", toV)
         .withColumn("j", row_number().over(
           org.apache.spark.sql.expressions.Window.orderBy(col("h"), col("vec_id"))) - 1)
       // one-row nested codebook cbn[s+1][j+1] = codeword — O(m·16·sub)
@@ -784,8 +790,8 @@ object VectorOps {
       def l2m(a: Column, b: Column): Column =
         floor(aggregate(zip_with(a, b, (x, c) => (x - c) * (x - c)),
           lit(0.0), (acc, t) => acc + t) * 1000000.0 + 0.5).cast("long")
-      val q = e.orderBy(col("vec_id")).limit(1)
-        .select(col("vec_id").as("qid"), col("v").as("qv"))
+      val q = eRaw.orderBy(col("vec_id")).limit(1)
+        .select(col("vec_id").as("qid"), toV.as("qv"))
       // one-row ADC table tabn[s+1][j+1] = micro-L2(query subvector, cw)
       val tab = q.crossJoin(broadcast(cbn))
         .select(col("qid"),
@@ -794,22 +800,20 @@ object VectorOps {
             .as("tabn"))
       // encode + ADC in ONE map-side projection: per subspace, argmin
       // over the kPq broadcast codewords (ties → smaller j), then the
-      // exact integer sum of the 4 table lookups
-      val zero = struct(lit(Long.MaxValue).as("dist"), lit(-1).as("j"))
-      val scored = e.crossJoin(broadcast(cbn)).crossJoin(broadcast(tab))
-        .select(col("vec_id"), col("v"), col("qid"),
-          aggregate(sequence(lit(0), lit(m - 1)), lit(0L), (acc, ss) => {
-            val vs = slice(col("v"), ss * sub + 1, lit(sub))
-            val code = aggregate(sequence(lit(0), lit(kPq - 1)), zero, (accJ, jj) => {
-              val dd = l2m(vs, element_at(element_at(col("cbn"), ss + 1), jj + 1))
-              when(dd < accJ.getField("dist"),
-                struct(dd.as("dist"), jj.as("j"))).otherwise(accJ)
-            }).getField("j")
-            acc + element_at(element_at(col("tabn"), ss + 1), code + 1)
-          }).as("adm"))
+      // exact integer sum of the 4 table lookups. The PqAdc codegen
+      // kernel (round 20, functions/VectorExprs) runs the identical
+      // arithmetic — dimension-order double accumulation, the same
+      // floor(·1e6 + 0.5) micro-scaling, strict-< ties — as a single
+      // JIT-compiled loop instead of the interpreted
+      // aggregate/zip_with lambda tree it replaces (42.6 → see
+      // OPTIMIZATION_r20.md; PropertySpec pins kernel ≡ composed form).
+      val scored = eRaw.crossJoin(broadcast(cbn)).crossJoin(broadcast(tab))
+        .select(col("vec_id"), col("embedding"), col("qid"),
+          graft.functions.VectorExprs.pq_adc(
+            col("embedding"), col("cbn"), col("tabn")).as("adm"))
       val short = scored.filter(col("vec_id") =!= col("qid"))
         .orderBy(col("adm"), col("vec_id")).limit(50)
-        .select(col("vec_id"), col("v"),
+        .select(col("vec_id"), toV.as("v"),
           (col("adm").cast("double") / 1000000.0).as("approx_dist"))
       short.crossJoin(broadcast(q))
         .select(col("vec_id"), col("approx_dist"),

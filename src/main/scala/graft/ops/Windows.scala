@@ -27,13 +27,37 @@ object Windows {
         |FROM orders
         |WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice DESC, o_orderkey)
         |ORDER BY o_orderstatus, rn""".stripMargin) { (s, d) =>
-      val w = Window.partitionBy(col("o_orderstatus"))
-        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
-      orders(s, d)
+      // Decomposed (round 20, the q_window_percent_rank precedent):
+      // PARTITION BY o_orderstatus has ≤3 distinct values at EVERY SF,
+      // so the native window funneled the whole orders table into ≤3
+      // tasks with full sorts — 26.9 s solo at sf10, the second-slowest
+      // suite entry, and a non-plan at 1000 executors. The window order
+      // (o_totalprice DESC, o_orderkey) is TOTAL (o_orderkey is unique),
+      // so rank ≡ dense_rank ≡ row_number and all three outputs are the
+      // one global position r. Compute r bucketed: range-bucket
+      // totalprice (floor(/16384), bounded domain), per-bucket counts →
+      // descending prefix offsets over the SMALL (status × bucket)
+      // table (broadcast), r = offset + local row_number over the
+      // (status, bucket) partition. Buckets respect the DESC order
+      // (b1 > b2 ⟹ every price in b1 > every price in b2), so
+      // offset + local position ≡ the global position the native
+      // window assigns — hash-identical output, parallelism
+      // O(statuses × buckets) instead of ≤3.
+      val o = orders(s, d)
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+        .withColumn("b", floor(col("o_totalprice") / lit(16384.0)))
+      val off = o.groupBy("o_orderstatus", "b").agg(count(lit(1)).as("c"))
+        .withColumn("off", coalesce(sum(col("c")).over(
+          Window.partitionBy("o_orderstatus").orderBy(col("b").desc)
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        .select(col("o_orderstatus").as("st"), col("b").as("bb"), col("off"))
+      o.join(broadcast(off),
+          col("o_orderstatus") === col("st") && col("b") === col("bb"))
+        .withColumn("r", col("off") + row_number().over(
+          Window.partitionBy("o_orderstatus", "b")
+            .orderBy(col("o_totalprice").desc, col("o_orderkey"))))
         .select(col("o_orderkey"), col("o_orderstatus"),
-          row_number().over(w).cast("long").as("rn"),
-          rank().over(w).cast("long").as("rk"),
-          dense_rank().over(w).cast("long").as("drk"))
+          col("r").as("rn"), col("r").as("rk"), col("r").as("drk"))
         .orderBy("o_orderstatus", "rn")
     },
 

@@ -544,4 +544,160 @@ class PropertySpec extends AnyFunSuite {
       }
     }
   }
+
+  // Round 20: the PqAdc kernel (q_sim_pq's encode+ADC pass) must equal
+  // the composed HOF formulation it replaced — same dimension-order
+  // double accumulation, same floor(·1e6 + 0.5) micro-scaling, same
+  // strict-< tie to the smaller codeword id — on random float vectors
+  // and codebooks, through BOTH the codegen and interpreted paths.
+  test("pq_adc kernel equals the composed aggregate/zip_with formulation") {
+    val m = 4; val sub = 4; val dim = m * sub; val k = 5
+    val rnd = new scala.util.Random(20L)
+    def vec(): Seq[Float] = Seq.fill(dim)((rnd.nextInt(41) - 20) / 8.0f)
+    val rows = Seq.fill(60)(vec())
+    // duplicate-codeword codebook entries force argmin TIES — the
+    // smaller j must win on both paths
+    val cw0 = Seq.fill(sub)(0.125)
+    val cbn: Seq[Seq[Seq[Double]]] = Seq.fill(m)(
+      cw0 +: cw0 +: Seq.fill(k - 2)(Seq.fill(sub)((rnd.nextInt(41) - 20) / 8.0)))
+    val tabn: Seq[Seq[Long]] = Seq.fill(m)(Seq.fill(k)(rnd.nextInt(1000000).toLong))
+    val df = rows.toDF("emb")
+      .withColumn("v", transform(col("emb"), x => x.cast("double")))
+      .withColumn("cbn", typedLit(cbn))
+      .withColumn("tabn", typedLit(tabn))
+    def l2m(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+      floor(aggregate(zip_with(a, b, (x, c) => (x - c) * (x - c)),
+        lit(0.0), (acc, t) => acc + t) * 1000000.0 + 0.5).cast("long")
+    val zero = struct(lit(Long.MaxValue).as("dist"), lit(-1).as("j"))
+    val composed = df.select(
+      aggregate(sequence(lit(0), lit(m - 1)), lit(0L), (acc, ss) => {
+        val vs = slice(col("v"), ss * sub + 1, lit(sub))
+        val code = aggregate(sequence(lit(0), lit(k - 1)), zero, (accJ, jj) => {
+          val dd = l2m(vs, element_at(element_at(col("cbn"), ss + 1), jj + 1))
+          when(dd < accJ.getField("dist"),
+            struct(dd.as("dist"), jj.as("j"))).otherwise(accJ)
+        }).getField("j")
+        acc + element_at(element_at(col("tabn"), ss + 1), code + 1)
+      }).as("adm")).collect().map(_.getLong(0)).toSeq
+    def kernelRun(): Seq[Long] = df.select(
+      graft.functions.VectorExprs.pq_adc(col("emb"), col("cbn"), col("tabn"))
+        .as("adm")).collect().map(_.getLong(0)).toSeq
+    assert(kernelRun() == composed, "codegen kernel != composed form")
+    // float input widened in-kernel ≡ pre-cast double input
+    val viaDouble = df.select(
+      graft.functions.VectorExprs.pq_adc(col("v"), col("cbn"), col("tabn"))
+        .as("adm")).collect().map(_.getLong(0)).toSeq
+    assert(viaDouble == composed, "double-input kernel != composed form")
+    val prev = spark.conf.getOption("spark.sql.codegen.factoryMode")
+    spark.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+    try assert(kernelRun() == composed, "interpreted kernel != composed form")
+    finally prev match {
+      case Some(v) => spark.conf.set("spark.sql.codegen.factoryMode", v)
+      case None => spark.conf.unset("spark.sql.codegen.factoryMode")
+    }
+  }
+
+  // Round 20: q_window_rank's bucketed decomposition must reproduce the
+  // native ≤3-partition window exactly (the window order is total, so
+  // rank ≡ dense_rank ≡ row_number ≡ the decomposed global position).
+  test("q_window_rank decomposition equals the native window") {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("o_orderstatus"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    val native = ops.Tables.orders(spark, TestSpark.Sf)
+      .select(col("o_orderkey"), col("o_orderstatus"),
+        row_number().over(w).cast("long").as("rn"),
+        rank().over(w).cast("long").as("rk"),
+        dense_rank().over(w).cast("long").as("drk"))
+      .orderBy("o_orderstatus", "rn")
+      .collect().map(_.toString).toSeq
+    val decomposed = SparkEntry.queries("q_window_rank")(spark, TestSpark.Sf)
+      .collect().map(_.toString).toSeq
+    assert(decomposed == native)
+  }
+
+  // Round 20: q_tpch_q21_shape's window decorrelation must equal the
+  // semi/anti self-join formulation it replaced, row for row.
+  test("q21 window decorrelation equals the semi/anti self-join formulation") {
+    val li = ops.Tables.lineitem(spark, TestSpark.Sf)
+    val l1 = li.select(col("l_orderkey"), col("l_suppkey"), col("l_shipdate"))
+    val l2 = li.select(col("l_orderkey").as("k2"), col("l_suppkey").as("sk2"))
+    val l3 = li.select(col("l_orderkey").as("k3"), col("l_suppkey").as("sk3"),
+      col("l_shipdate").as("sd3"))
+    val reference = l1
+      .join(ops.Tables.orders(spark, TestSpark.Sf)
+          .filter(col("o_orderstatus") === "F"),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(l2, col("k2") === col("l_orderkey") &&
+        col("sk2") =!= col("l_suppkey"), "left_semi")
+      .join(l3, col("k3") === col("l_orderkey") &&
+        col("sk3") =!= col("l_suppkey") &&
+        col("sd3") > col("l_shipdate"), "left_anti")
+      .join(ops.Tables.supplier(spark, TestSpark.Sf),
+        col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(ops.Tables.nation(spark, TestSpark.Sf)
+          .filter(col("n_name") === "NATION_12")),
+        col("s_nationkey") === col("n_nationkey"))
+      .groupBy("s_name").agg(count(lit(1)).as("numwait"))
+      .orderBy(col("numwait").desc, col("s_name"))
+      .collect().map(_.toString).toSeq
+    val windowed = SparkEntry.queries("q_tpch_q21_shape")(spark, TestSpark.Sf)
+      .collect().map(_.toString).toSeq
+    assert(windowed == reference)
+  }
+
+  // Round 20: the weighted frequency sketch (histogram-fed) must keep
+  // the deterministic Misra-Gries envelope the operator queries pin —
+  // lower ≤ exact ≤ upper for every item — and collapse to exact
+  // counts below map capacity, exactly like row-at-a-time updates.
+  test("weighted freq sketch keeps the exact-below-capacity envelope") {
+    import graft.functions.SketchExprs
+    val rnd = new scala.util.Random(7L)
+    val hist = (1 to 200).map(i => (i.toLong, (rnd.nextInt(1000) + 1).toLong))
+    val df = hist.toDF("item", "c")
+    val sk = df.agg(SketchExprs.freqSketchAggW(col("item"), col("c")).as("sk"))
+    val checked = sk.crossJoin(df)
+      .select(col("item"), col("c"),
+        SketchExprs.freqLowerBound(col("sk"), col("item")).as("lo"),
+        SketchExprs.freqUpperBound(col("sk"), col("item")).as("hi"))
+      .collect()
+    checked.foreach { r =>
+      val (item, c, lo, hi) = (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(lo <= c && c <= hi, s"envelope broken for $item: $lo ≤ $c ≤ $hi")
+      // 200 items < 512-entry map capacity → no eviction → exact
+      assert(lo == c && hi == c, s"below capacity not exact for $item")
+    }
+  }
+
+  // Round 20: the property that lets q_agg_approx_distinct /
+  // q_agg_hll_merge sketch the DISTINCT pairs instead of raw rows.
+  // Two different strengths, pinned separately:
+  //  - Spark's approx_count_distinct (HLL++) keeps only max-based
+  //    registers → BIT-IDENTICAL over the distinct support vs the
+  //    multiset (q_agg_approx_distinct's hll_ok input is unchanged
+  //    exactly).
+  //  - Datasketches hll_sketch_agg adds an HIP estimator that is
+  //    sensitive to the INSERTION ORDER of novel values (measured
+  //    ~0.5% shift when the feed order changes), so its estimate is
+  //    only envelope-stable — which is precisely what q_agg_hll_merge
+  //    pins (est within 5% of exact, TRUE either way).
+  test("HLL over distinct support: HLL++ bitwise, Datasketches inside the pinned envelope") {
+    val li = ops.Tables.lineitem(spark, TestSpark.Sf)
+      .select(col("l_returnflag"), col("l_orderkey"))
+    def run(src: org.apache.spark.sql.DataFrame) = src.groupBy("l_returnflag")
+      .agg(approx_count_distinct(col("l_orderkey")).as("a"),
+        countDistinct(col("l_orderkey")).as("n"),
+        expr("hll_sketch_estimate(hll_sketch_agg(l_orderkey))").as("e"))
+      .orderBy("l_returnflag").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3).toDouble)).toSeq
+    val raw = run(li)
+    val dedup = run(li.distinct())
+    assert(raw.map(t => (t._1, t._2)) == dedup.map(t => (t._1, t._2)),
+      "HLL++ (approx_count_distinct) must be bitwise dedup-invariant")
+    (raw ++ dedup).foreach { case (f, _, n, e) =>
+      assert(math.abs(e - n) / n <= 0.05,
+        s"Datasketches estimate outside the pinned envelope for $f: $e vs $n")
+    }
+  }
 }
