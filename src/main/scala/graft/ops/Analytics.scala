@@ -357,9 +357,15 @@ object Analytics {
         .join(broadcast(region(s, d).filter(col("r_name") === "ASIA")),
           col("n_regionkey") === col("r_regionkey"))
         .select("l_partkey", "l_suppkey", "cost", "s_name", "n_name")
-      val minCost = psr.groupBy("l_partkey").agg(min(col("cost")).as("min_cost"))
-      psr.join(minCost, Seq("l_partkey"))
-        .filter(col("cost") === col("min_cost"))
+      // Round 20: the correlated MIN subquery as a per-partkey window
+      // min + filter, instead of psr ⋈ (psr grouped): the self-join
+      // planned psr's whole subtree (60M-row scan + aggregate + joins)
+      // TWICE; the window computes the same min over one exchange of
+      // the ~|part×supp| psr rows. cost = min ⟺ the subquery
+      // equality, ties (all rows at the min) keep identical rows.
+      .withColumn("min_cost", min(col("cost")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("l_partkey")))
+      psr.filter(col("cost") === col("min_cost"))
         .join(part(s, d).filter(col("p_size") <= 15),
           col("l_partkey") === col("p_partkey"))
         .select(col("p_partkey"), col("s_name"), col("n_name"), col("cost"))

@@ -68,6 +68,13 @@ object PlanAudit {
       Check("q_window_percent_rank", "rank window partitioned by (status, value bucket)",
         p => "windowspecdefinition\\(o_orderstatus#\\d+, b#".r.findFirstIn(p).isDefined &&
           !p.contains("percent_rank(") && !p.contains("cume_dist(")),
+      // round 20: q_window_rank decomposed the same way — local
+      // row_number over (status, bucket), never a rank/dense_rank (or
+      // any window) over the ≤3-partition status-only spec
+      Check("q_window_rank", "rank window partitioned by (status, value bucket)",
+        p => "windowspecdefinition\\(o_orderstatus#\\d+, b#".r.findFirstIn(p).isDefined &&
+          "windowspecdefinition\\(o_orderstatus#\\d+, o_totalprice".r.findFirstIn(p).isEmpty &&
+          !p.contains("dense_rank(")),
       Check("q_agg_stats", "quantiles read per-group value histograms, not raw rows",
         // round 19: no value-buffering percentile aggregate, AND no
         // groupQuantiles raw-row second pass (its candidate ranking is
@@ -188,8 +195,14 @@ object PlanAudit {
       Check("q_tpch_q2_shape", "correlated-min rewrite stays equi-join (no NL join)",
         p => !p.contains("BroadcastNestedLoopJoin") &&
           !p.contains("CartesianProduct")),
-      Check("q_tpch_q21_shape", "EXISTS/NOT EXISTS plan as semi + anti self-joins",
-        p => p.contains("LeftSemi") && p.contains("LeftAnti")),
+      // round 20: the EXISTS/NOT EXISTS self-joins are decorrelated
+      // into window aggregates over ONE l_orderkey exchange — the plan
+      // must carry the per-(order, supplier) and per-order window
+      // specs and NO semi/anti self-join of lineitem (three full-size
+      // shuffles collapsed to one)
+      Check("q_tpch_q21_shape", "EXISTS/NOT EXISTS decorrelated into windows over one exchange",
+        p => "windowspecdefinition\\(l_orderkey#\\d+L?, l_suppkey#".r.findFirstIn(p).isDefined &&
+          !p.contains("LeftSemi") && !p.contains("LeftAnti")),
       // round-13c TPC-H completions: Q4's EXISTS is a LeftSemi on the
       // order key; Q16's NOT IN is a LeftAnti (never a null-aware NL
       // join — l_suppkey is non-nullable); Q17's correlated-average
@@ -347,10 +360,10 @@ object PlanAudit {
                                     // not the corpus
       "q_text_tfidf" -> 1,          // 1-row corpus doc count (the IDF N)
       "q_tpch_q10_shape" -> 1,      // nation: fixed 25 rows
-      "q_tpch_q2_shape" -> 4,       // nation + one-region dims (fixed 25/5 rows),
-                                    // ×2 because the per-part MIN reuses the
-                                    // region-scoped cost subtree — both sites
-                                    // broadcast only the bounded dims
+      "q_tpch_q2_shape" -> 2,       // nation + one-region dims (fixed 25/5 rows);
+                                    // round 20: the per-part MIN is a window,
+                                    // so the cost subtree (and its dim
+                                    // broadcasts) exists ONCE, not twice
       "q_tpch_q21_shape" -> 1,      // one-nation dim: fixed ≤25 rows
       "q_tpch_q8_shape" -> 3,       // two nation dims + one-region dim (≤25/5 rows)
       "q_tpch_q9_shape" -> 1,       // nation: fixed 25 rows
@@ -362,6 +375,8 @@ object PlanAudit {
       "q_tpch_q20_shape" -> 1,      // one-nation dim: fixed ≤25 rows at every SF
       "q_window_ntile" -> 1,        // O(value buckets) offset table
       "q_window_percent_rank" -> 1, // O(status × value buckets) offset table
+      "q_window_rank" -> 1,         // O(status × value buckets) offset table
+                                    // (round-20 decomposition, same shape)
       "q_window_range_frame" -> 1)  // O(value buckets) offset table
     var sweepBad = List.empty[String]
     var cartBad = List.empty[String]
