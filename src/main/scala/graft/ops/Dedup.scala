@@ -1037,7 +1037,11 @@ object Dedup {
         else assignBrute(src, cent)
       val c0 = corpus.orderBy("vec_id").limit(k)
         .select(col("vec_id").as("cid"), col("v").as("c"))
-      val c1 = refineCentroids(assign(corpus, c0))
+      // Round 20: materialize the k-row refined-centroid table once —
+      // FOUR broadcast sites consume it here (super-centroids + grouped
+      // centroids, for the corpus AND the batch assignment), each
+      // otherwise re-deriving the corpus-assignment chain's tail.
+      val c1 = Caches.cached(refineCentroids(assign(corpus, c0)))
       val mc = assign(corpus, c1)
         .select(col("cid"), col("vec_id").as("cvid"), col("v").as("cv"), col("nv").as("cn"))
       val mb = assign(batch, c1)
@@ -1248,6 +1252,12 @@ object Dedup {
       case _                          => assignBrute(vn, cent)
     }
     val m1 = assign(c0)
+    // Round 20 probe: Caches.cached(c1) here measured WORSE at sf10
+    // (11.9 → 14.2 s same-box A/B while the control got faster) — with
+    // only two c1 consumer sites, AQE's runtime stage reuse already
+    // dedups the chain, and the cache materialization serializes the
+    // critical path. The same cache is a clear win in
+    // q_dedup_semantic_admit (four consumer sites) — kept there only.
     val c1 = refineCentroids(m1)
     val m2 = assign(c1)
     val a = m2.select(col("cid"), col("vec_id").as("ida"), col("v").as("va"), col("nv").as("na"))
