@@ -19,8 +19,14 @@ import org.apache.spark.sql.DataFrame
 object Caches {
   private val reg = new java.util.concurrent.ConcurrentLinkedQueue[DataFrame]()
 
-  /** cache + register for the next [[release]]. Returns the same frame. */
-  def cached(df: DataFrame): DataFrame = { df.cache(); reg.add(df); df }
+  /** cache + register for the next [[release]]. Returns the same frame.
+    * Honors the `graft.no.cache` kill-switch (round-20 ADVICE):
+    * PlanAudit/ExplainDump set it to pin cache-free plan shapes, and a
+    * `Caches.cached` site must not embed an InMemoryRelation in the
+    * audited plan (mirrors [[Tables]]' handling of the same flag). */
+  def cached(df: DataFrame): DataFrame =
+    if (sys.props.contains("graft.no.cache")) df
+    else { df.cache(); reg.add(df); df }
 
   /** Unpersist every frame registered since the last release. */
   def release(): Unit = {

@@ -365,7 +365,6 @@ object Relational {
         |               - floor(1.0 + CAST(n - 1 AS DOUBLE) * 0.5)) * (hi50 - lo50) AS p50,
         |       TRUE AS merged_ok
         |FROM br ORDER BY l_returnflag""".stripMargin) { (s, d) =>
-      import graft.functions.SketchExprs
       // ONE histogram scan feeds BOTH the per-group and the global exact
       // median: the price domain is bounded (≤2-dp decimals), so the
       // round-18 histQuantiles path applies (bit-identical to the
@@ -373,11 +372,20 @@ object Relational {
       // per-group one re-aggregated by value — lineitem's raw rows are
       // never ranked and never scanned a second time for quantiles
       // (groupQuantiles here measured 17.6 s vs DuckDB 1.71 at sf10
-      // solo; the sketch branch below is the only other raw scan).
-      val hist = Caches.cached(lineitem(s, d)
+      // solo). Round 21: no longer Caches.cached — the three consumers
+      // (per-group exact, global exact, weighted sketch) share the
+      // identical exchange via runtime exchange reuse, and a probe
+      // measured the cache materialization barrier ~0.5 s slower cold
+      // at sf0.1 (the q_dedup_semantic probe-and-revert lesson). The
+      // null pre-filter mirrors histQuantiles' own (pushed-down) filter
+      // so all consumers' subtrees canonicalize EQUAL — without it the
+      // sketch consumer scans without isnotnull and reuse does not fire
+      // (PlanPeek-verified on q_agg_approx_quantile).
+      val hist = lineitem(s, d)
+        .filter(col("l_returnflag").isNotNull && col("l_extendedprice").isNotNull)
         .groupBy(col("l_returnflag").as("g"),
           col("l_extendedprice").cast("double").as("v"))
-        .agg(count(lit(1)).as("c")))
+        .agg(count(lit(1)).as("c"))
       val exact = Quantiles.histQuantiles(hist, Seq("p50" -> 0.5))
         .withColumnRenamed("g", "f")
       val globalExact = Quantiles.histQuantiles(
@@ -385,10 +393,23 @@ object Relational {
           .select(lit("ALL").as("g"), col("v"), col("c")),
         Seq("gp50" -> 0.5))
         .select("gp50")
-      val merged = lineitem(s, d)
-        .groupBy("l_returnflag")
-        .agg(SketchExprs.kllSketchAgg(col("l_extendedprice")).as("sk"))
-        .agg(SketchExprs.kllQuantile(SketchExprs.kllMergeAgg(col("sk")), 0.5).as("est"))
+      // Round 21: the sketch branch rides the SAME histogram as the
+      // exact side via the weighted-insert quantile summary
+      // (functions/WeightedQuantile — the FreqSketchAggW precedent;
+      // Datasketches KLL exposes no weighted update). Before: a second
+      // full raw-row pass fed per-group KLL sketches one row at a time
+      // (60M TypedImperativeAggregate updates at sf10); now the sketch
+      // sees |distinct (flag, price)| weighted updates off the cached
+      // histogram, which SATURATES with the bounded price domain — at
+      // 100 TB the sketch branch is O(domain), not O(rows). The pinned
+      // output (exact p50 + merged_ok within 5%) is unchanged: the
+      // summary's normalized rank error (≲0.5% at 2048 entries) is
+      // tighter than the K=200 KLL it replaces (~1.65%).
+      val merged = hist
+        .groupBy(col("g"))
+        .agg(graft.functions.WeightedQuantile.wqSketchAgg(col("v"), col("c")).as("sk"))
+        .agg(graft.functions.WeightedQuantile.wqQuantile(
+          graft.functions.WeightedQuantile.wqMergeAgg(col("sk")), 0.5).as("est"))
       val ok = merged.crossJoin(broadcast(globalExact))
         .select((abs(col("est") - col("gp50")) / col("gp50") <= 0.05).as("merged_ok"))
       exact.select(col("f").as("l_returnflag"), col("p50"))
@@ -484,21 +505,49 @@ object Relational {
         |FROM br ORDER BY l_returnflag""".stripMargin) { (s, d) =>
       // Exact side off the one-scan value histogram (bounded decimal
       // domain — the round-18 histQuantiles argument): both fractions
-      // read the same histogram, raw rows are scanned once to build it
-      // and once more only for the sketch branch. groupQuantiles' two
-      // raw-row passes here measured 14.8 s vs DuckDB 1.25 at sf10 solo.
-      val exact = Quantiles.histQuantilesOf(
-        lineitem(s, d), "l_returnflag", "l_extendedprice",
+      // read the same histogram. groupQuantiles' two raw-row passes
+      // here measured 14.8 s vs DuckDB 1.25 at sf10 solo.
+      // Round 21: the sketch branch rides the SAME histogram through
+      // the weighted-insert quantile summary (functions/
+      // WeightedQuantile), so lineitem is scanned ONCE total — the
+      // former percentile_approx branch was a second full raw pass
+      // feeding a GK summary one row at a time (60M ObjectHashAggregate
+      // updates at sf10, where the histogram holds ~1M distinct
+      // values and saturates with the bounded price domain). The
+      // pinned output (exact p50/p99 + sketch_ok within 5%) is
+      // unchanged: the summary's rank error (≲0.5% at 2048 entries)
+      // is tighter than percentile_approx(accuracy=1000)'s 1/1000·2
+      // envelope, per-group.
+      // NOT Caches.cached: the histogram subtree is consumed twice
+      // (exact + sketch) with an IDENTICAL exchange, which Spark's
+      // exchange reuse dedups at runtime — a probe measured the cache
+      // materialization barrier costing ~0.4 s cold at sf0.1 vs the
+      // reused exchange (the q_dedup_semantic probe-and-revert lesson).
+      // The null pre-filter matches the one histQuantiles applies (and
+      // Catalyst pushes below the agg) on the exact side: WITHOUT it
+      // the sketch consumer's subtree canonicalizes differently (no
+      // isnotnull in its scan) and exchange reuse does NOT fire — the
+      // plan then carries two full scans (PlanPeek-verified). Null
+      // group/value rows are excluded by both consumers anyway (SQL
+      // aggregate semantics / the sketch's null skip), so the filter
+      // changes nothing semantically.
+      val hist = lineitem(s, d)
+        .filter(col("l_returnflag").isNotNull && col("l_extendedprice").isNotNull)
+        .groupBy(col("l_returnflag").as("g"),
+          col("l_extendedprice").cast("double").as("v"))
+        .agg(count(lit(1)).as("c"))
+      val exact = Quantiles.histQuantiles(hist,
         Seq("p50" -> 0.5, "p99" -> 0.99))
         .withColumnRenamed("g", "f")
-      // array form: ONE shared GK summary serves both fractions (two
-      // separate percentile_approx calls each maintain their own
-      // summary over the same 60M rows — probed 2× the cost at sf10)
-      val sketch = lineitem(s, d)
-        .groupBy(col("l_returnflag").as("f"))
-        .agg(percentile_approx(col("l_extendedprice"),
-          array(lit(0.5), lit(0.99)), lit(1000)).as("aq"))
-        .select(col("f"), col("aq")(0).as("a50"), col("aq")(1).as("a99"))
+      // ONE shared weighted summary serves both fractions (two separate
+      // sketch aggregates would each maintain their own summary over
+      // the same histogram)
+      val wq = graft.functions.WeightedQuantile
+      val sketch = hist
+        .groupBy(col("g").as("f"))
+        .agg(wq.wqSketchAgg(col("v"), col("c")).as("sk"))
+        .select(col("f"), wq.wqQuantile(col("sk"), 0.5).as("a50"),
+          wq.wqQuantile(col("sk"), 0.99).as("a99"))
       exact.join(sketch, "f")
         .select(col("f").as("l_returnflag"), col("p50"), col("p99"),
           (abs(col("a50") - col("p50")) / col("p50") <= 0.05 &&
@@ -555,16 +604,23 @@ object Relational {
         |               - floor(1.0 + CAST(pa.nn - 1 AS DOUBLE) * 0.9)) * (p_hi - p_lo), 4) AS p90_price
         |FROM sv JOIN qa ON sv.f = qa.f JOIN pa ON sv.f = pa.f
         |ORDER BY l_returnflag""".stripMargin) { (s, d) =>
-      // Exact median/p90 via per-measure value histograms
-      // (Quantiles.histQuantilesOf): l_quantity and l_extendedprice are
-      // bounded decimal domains, so each quantile reads a one-scan
-      // map-combinable histogram — the identical h/cum/br formulation
-      // the oracle runs (doubles match bitwise), mirroring the oracle's
-      // own qh/ph split. The former groupQuantiles route paid two
-      // raw-row passes (bucket counts + candidate ranking) and measured
-      // 14.5 s vs DuckDB 1.54 at sf10 solo; three cheap aggregate scans
-      // (two histograms + sv below) match the oracle's scan count and
-      // shuffle only distinct values, the 100 TB shape.
+      // Exact median/p90 via per-measure value histograms: l_quantity
+      // and l_extendedprice are bounded decimal domains, so each
+      // quantile reads a map-combinable histogram — the identical
+      // h/cum/br formulation the oracle runs (doubles match bitwise),
+      // mirroring the oracle's own qh/ph split. The former
+      // groupQuantiles route paid two raw-row passes per measure and
+      // measured 14.5 s vs DuckDB 1.54 at sf10 solo.
+      // Round 21 probe-and-revert: a combined (flag, qty, price)
+      // histogram feeding both measures (one raw scan instead of two)
+      // measured WORSE at both scales in the interleaved A/B
+      // (sf0.1 1.88→2.24 s, sf10 4.07→5.66 s min): the combined
+      // histogram must be exchanged AND regrouped-exchanged again for
+      // the price measure (~2× the dominant 594k-row exchange), while
+      // the raw scan it saves reads the warm table cache. Kept the
+      // independent one-scan-per-measure histograms (ProbeR21 has the
+      // numbers; three cheap aggregate scans match the oracle's scan
+      // count and shuffle only distinct values, the 100 TB shape).
       val medQty = Quantiles.histQuantilesOf(
           lineitem(s, d), "l_returnflag", "l_quantity", Seq("med_qty" -> 0.5))
         .withColumnRenamed("g", "f")

@@ -99,9 +99,13 @@ object PlanAudit {
       Check("q_topn_per_group", "top-N pruned map-side (partial WindowGroupLimit)",
         p => "\\(\\d+\\) WindowGroupLimit".r.findAllIn(p).length >= 2),
       // round-6 additions
-      Check("q_agg_approx_quantile", "exact side reads the value histogram; sketch is one shared GK summary",
+      Check("q_agg_approx_quantile", "exact side reads the value histogram; sketch is the weighted summary fed from it",
         p => "[^_x]percentile\\(".r.findFirstIn(p).isEmpty &&
-          (p.contains("approx_percentile") || p.contains("percentile_approx")) &&
+          // round 21: the sketch branch is the weighted-insert quantile
+          // summary riding the histogram — Spark's raw-row GK aggregate
+          // (percentile_approx) must be gone entirely
+          !p.contains("approx_percentile") && !p.contains("percentile_approx") &&
+          p.contains("wq_sketch_agg") &&
           // round 19: exact side off histQuantiles — no raw-row
           // candidate-ranking pass (row_number) left in the plan
           !p.contains("row_number")),

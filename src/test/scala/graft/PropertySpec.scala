@@ -700,4 +700,96 @@ class PropertySpec extends AnyFunSuite {
         s"Datasketches estimate outside the pinned envelope for $f: $e vs $n")
     }
   }
+
+  // Round 21: the weighted-insert quantile summary that lets
+  // q_agg_approx_quantile / q_agg_kll_merge feed their sketch branch
+  // from the value histogram the exact side already builds (the
+  // FreqSketchAggW precedent applied to quantiles). Two strengths:
+  //  - below capacity (≤ MaxEntries distinct values, no compaction)
+  //    the estimate is EXACTLY the inclusive-rank weighted quantile;
+  //  - above capacity, through merge trees and compactions, the
+  //    estimate's true normalized rank stays within 2% of the target —
+  //    far inside the 5% VALUE envelope the operator queries pin.
+  test("weighted quantile summary: exact below capacity, rank-bounded above") {
+    import graft.functions.WqSummary
+    def exactQ(hist: Seq[(Double, Long)], q: Double): Double = {
+      val sorted = hist.sortBy(_._1)
+      val total = sorted.map(_._2).sum
+      val target = math.max(1L, math.ceil(q * total).toLong)
+      var cum = 0L
+      sorted.find { case (_, w) => cum += w; cum >= target }.get._1
+    }
+    // normalized true-rank window of an estimate within the multiset
+    def rankWindow(hist: Seq[(Double, Long)], est: Double): (Double, Double) = {
+      val total = hist.map(_._2).sum.toDouble
+      val below = hist.collect { case (v, w) if v < est => w }.sum.toDouble
+      val atOrBelow = below + hist.collect { case (v, w) if v == est => w }.sum
+      (below / total, atOrBelow / total)
+    }
+    val rnd = new scala.util.Random(11L)
+    val dists: Seq[(String, Seq[(Double, Long)])] = Seq(
+      "uniform" -> (1 to 20000).map(_ => (rnd.nextDouble() * 1e6, rnd.nextInt(50) + 1L)),
+      "zipf-heavy" -> (1 to 20000).map(i => (i.toDouble, 200000L / i + 1L)),
+      "sorted" -> (1 to 30000).map(i => (i.toDouble, 3L)),
+      "reverse-sorted" -> (30000 to 1 by -1).map(i => (i.toDouble, 7L)),
+      "few-distinct" -> (1 to 40).map(i => (i.toDouble, rnd.nextInt(100000) + 1L)),
+      "constant" -> Seq((42.0, 1000000L)))
+    for ((name, hist) <- dists; q <- Seq(0.01, 0.5, 0.9, 0.99)) {
+      // exercise the merge path the way Spark's combiner tree does:
+      // 7 partial summaries merged pairwise
+      val parts = hist.grouped(math.max(1, hist.size / 7 + 1)).map { chunk =>
+        val s = new WqSummary
+        chunk.foreach { case (v, w) => s.add(v, w) }
+        s
+      }.toSeq
+      val merged = parts.reduce(_ mergeInPlace _)
+      val est = merged.quantile(q).asInstanceOf[Double]
+      if (hist.map(_._1).distinct.size <= WqSummary.MaxEntries && parts.size == 1) {
+        assert(est == exactQ(hist, q), s"$name q=$q: below capacity must be exact")
+      }
+      val (lo, hi) = rankWindow(hist, est)
+      assert(lo - 0.02 <= q && q <= hi + 0.02,
+        s"$name q=$q: estimate $est has true rank window [$lo, $hi], " +
+          "outside the 2% envelope")
+    }
+    // single-summary below-capacity exactness, explicitly
+    val small = (1 to 40).map(i => (i.toDouble, (i * 13 % 97 + 1).toLong))
+    val s = new WqSummary
+    small.foreach { case (v, w) => s.add(v, w) }
+    Seq(0.0, 0.25, 0.5, 0.75, 1.0).foreach { q =>
+      assert(s.quantile(q) == exactQ(small, q))
+    }
+  }
+
+  // Round 21: the DataFrame surface — per-group weighted summaries off
+  // a (group, value, count) histogram, rolled up with wq_merge_agg,
+  // stay inside the 5% VALUE envelope the operator queries pin, on the
+  // repo's own lineitem distribution (the exact workload shape).
+  test("wq sketch aggregates track histogram quantiles within the pinned envelope") {
+    import graft.functions.{WeightedQuantile => WQ}
+    val hist = ops.Tables.lineitem(spark, TestSpark.Sf)
+      .groupBy(col("l_returnflag").as("g"),
+        col("l_extendedprice").cast("double").as("v"))
+      .agg(count(lit(1)).as("c"))
+    val exact = ops.Quantiles.histQuantiles(hist,
+      Seq("p50" -> 0.5, "p99" -> 0.99))
+    val sk = hist.groupBy("g")
+      .agg(WQ.wqSketchAgg(col("v"), col("c")).as("sk"))
+    val est = sk.select(col("g"),
+      WQ.wqQuantile(col("sk"), 0.5).as("a50"),
+      WQ.wqQuantile(col("sk"), 0.99).as("a99"))
+    est.join(exact, "g").collect().foreach { r =>
+      val (a50, a99) = (r.getDouble(1), r.getDouble(2))
+      val (p50, p99) = (r.getDouble(3), r.getDouble(4))
+      assert(math.abs(a50 - p50) / p50 <= 0.05, s"${r.getString(0)} p50: $a50 vs $p50")
+      assert(math.abs(a99 - p99) / p99 <= 0.05, s"${r.getString(0)} p99: $a99 vs $p99")
+    }
+    // rollup: merged global summary vs the global histogram quantile
+    val gexact = ops.Quantiles.histQuantiles(
+      hist.groupBy("v").agg(sum(col("c")).as("c")).select(lit("ALL").as("g"), col("v"), col("c")),
+      Seq("gp50" -> 0.5)).select("gp50").head().getDouble(0)
+    val gest = sk.agg(WQ.wqQuantile(WQ.wqMergeAgg(col("sk")), 0.5).as("est"))
+      .head().getDouble(0)
+    assert(math.abs(gest - gexact) / gexact <= 0.05, s"merged: $gest vs $gexact")
+  }
 }
