@@ -219,7 +219,7 @@ object Bench {
       v.asInstanceOf[AnyRef])
     def jmap(entries: Seq[(String, Double)]): String =
       entries.map { case (k, v) => "\"" + k + "\":" + num(v) }.mkString("{", ",", "}")
-    // Solo re-runs of the 3 slowest concurrent-phase queries: under 12
+    // Solo re-runs of the 8 slowest concurrent-phase queries: under 12
     // concurrent streams a heavy query's recorded latency includes
     // machine contention (round 2: 70 s recorded vs 3.5 s real). The solo
     // numbers make that skew visible in the artifact itself. Min of 3
@@ -230,7 +230,12 @@ object Bench {
     // (e.g. a transient write error) records its time-to-fail, and an
     // unguarded min() would report that as the query's solo latency.
     // All-reps-failed emits the -1.0 sentinel (never a plausible time).
-    val solo = results.filter(_._3).sortBy(-_._2).take(3).map { case (n, _, _) =>
+    // take(8) since round 21 (was 3): the r20 driver bench landed in a
+    // contended window and its 16-query headline latencies drifted 0.6-
+    // 0.9× with zero code change; eight solo rows put contention-free
+    // numbers for every heavy operator in the artifact itself
+    // (additions-only: the solo_rerun map just gains entries).
+    val solo = results.filter(_._3).sortBy(-_._2).take(8).map { case (n, _, _) =>
       val fn = SparkEntry.queries(n)
       val reps = (1 to 3).map { _ =>
         val t0 = System.nanoTime()

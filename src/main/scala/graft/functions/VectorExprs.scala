@@ -192,6 +192,110 @@ object PqAdc {
   }
 }
 
+/** Nearest-centroid-by-cosine in one kernel (round 21): argmax of
+  * dot(v,c)/(nv·nc) over a broadcast centroid table, ties to the
+  * smaller id — the semantic-dedup assignment step as a MAP-ONLY
+  * projection. Replaces the crossJoin-explode + max_by(id, struct(cos,
+  * -id)) groupBy formulation, which shuffled the corpus VECTORS through
+  * an N-row exchange per assignment stage (4 exchanges per semantic
+  * query; guide §2.3 "shuffle keys, not payloads" — here not even keys
+  * need to move). Numerically IDENTICAL to the composed form: the dot
+  * accumulates in dimension order (DotProduct's loop), cos compares via
+  * SQLOrderingUtil.compareDoubles — the exact comparator Spark's struct
+  * ordering applies inside max_by (NaN greatest, -0.0 = 0.0) — and
+  * equal cos resolves to the smaller id like the struct's -id key.
+  *
+  * Children: v array<double>, nv double, gid bigint (< 0 = consider
+  * every entry; ≥ 0 = only entries whose gid matches — the two-level
+  * coarse assignment's stage 2), cents array<struct<gid:long, id:long,
+  * nc:double, c:array<double>>>. Null v/nv/gid/cents → null (the
+  * composed form emits no assignment for such rows either); an empty
+  * or non-matching centroid table, or a dimension mismatch, throws —
+  * malformed inputs fail loudly (round-20 ADVICE convention).
+  */
+case class NearestCid(first: Expression, second: Expression,
+    third: Expression, fourth: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.QuaternaryExpression {
+
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    val vOk = first.dataType match {
+      case ArrayType(DoubleType, _) => true
+      case _ => false
+    }
+    val centsOk = fourth.dataType match {
+      case ArrayType(StructType(fs), _) if fs.length == 4 =>
+        fs(0).dataType == LongType && fs(1).dataType == LongType &&
+          fs(2).dataType == DoubleType &&
+          (fs(3).dataType match {
+            case ArrayType(DoubleType, _) => true
+            case _ => false
+          })
+      case _ => false
+    }
+    if (vOk && second.dataType == DoubleType && third.dataType == LongType && centsOk)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        "nearest_cid expects (array<double>, double, bigint, " +
+          "array<struct<gid:bigint,id:bigint,nc:double,c:array<double>>>), got " +
+          Seq(first, second, third, fourth).map(_.dataType.simpleString).mkString(" / "))
+  }
+
+  override def nullSafeEval(v: Any, nv: Any, gid: Any, cents: Any): Any =
+    NearestCid.nearest(v.asInstanceOf[ArrayData], nv.asInstanceOf[Double],
+      gid.asInstanceOf[Long], cents.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (v, nv, gid, cents) => {
+      s"${ev.value} = graft.functions.NearestCid.nearest($v, $nv, $gid, $cents);"
+    })
+
+  override protected def withNewChildrenInternal(
+      f: Expression, s: Expression, t: Expression, q: Expression): Expression =
+    copy(first = f, second = s, third = t, fourth = q)
+  override def prettyName: String = "nearest_cid"
+}
+
+object NearestCid {
+  /** The loop the generated code and the interpreted eval both call. */
+  def nearest(v: ArrayData, nv: Double, gid: Long, cents: ArrayData): Long = {
+    val n = cents.numElements()
+    val dim = v.numElements()
+    var found = false
+    var bestCos = 0.0
+    var bestId = 0L
+    var i = 0
+    while (i < n) {
+      val e = cents.getStruct(i, 4)
+      if (gid < 0L || e.getLong(0) == gid) {
+        val id = e.getLong(1)
+        val nc = e.getDouble(2)
+        val c = e.getArray(3)
+        if (c.numElements() != dim)
+          throw new IllegalStateException(
+            s"nearest_cid: centroid $id has ${c.numElements()} dims, vector has $dim")
+        var acc = 0.0
+        var j = 0
+        while (j < dim) { acc += v.getDouble(j) * c.getDouble(j); j += 1 }
+        val cos = acc / (nv * nc)
+        val cmp =
+          if (!found) 1
+          else org.apache.spark.sql.catalyst.util.SQLOrderingUtil.compareDoubles(cos, bestCos)
+        if (cmp > 0 || (cmp == 0 && id < bestId)) {
+          bestCos = cos; bestId = id; found = true
+        }
+      }
+      i += 1
+    }
+    if (!found)
+      throw new IllegalStateException(s"nearest_cid: no centroid matches gid $gid")
+    bestId
+  }
+}
+
 object VectorExprs {
   /** Double dot product of two array<float>/array<double> columns. */
   def dot_product(a: Column, b: Column): Column =
@@ -201,4 +305,9 @@ object VectorExprs {
   def pq_adc(v: Column, cbn: Column, tabn: Column): Column =
     GraftShim.column(PqAdc(GraftShim.expression(v),
       GraftShim.expression(cbn), GraftShim.expression(tabn)))
+
+  /** Nearest centroid id by cosine against a broadcast centroid table. */
+  def nearest_cid(v: Column, nv: Column, gid: Column, cents: Column): Column =
+    GraftShim.column(NearestCid(GraftShim.expression(v), GraftShim.expression(nv),
+      GraftShim.expression(gid), GraftShim.expression(cents)))
 }

@@ -732,15 +732,21 @@ object Dedup {
     OpQuery("q_dedup_minhash", minhashOracle) { (s, d) =>
       val sh = shingleTable(s, d)
       // 4 salted md5 per shingle; chunk j/4,j%4 → permutation hash j.
-      // Each md5 is computed once per row (subexpression elimination)
-      // and sliced four times.
-      def h(j: Int): Column =
-        conv(substring(md5(concat(lit(s"${j / 4}:"), col("shingle"))),
-          (j % 4) * 8 + 1, 8), 16, 10).cast("long")
-      val sigCols = (0 until NumPerm).map(j => min(h(j)).as(s"s$j"))
+      // Round 21: the digests are read as BYTES by the Md5Chunks kernel
+      // — the former conv(substring(md5(...), a, 8), 16, 10) spelling
+      // materialized a 32-char hex string per digest and re-parsed four
+      // slices of it through conv's string→decimal→long path, all pure
+      // overhead on the per-shingle hot loop (bit-identical by
+      // construction: hex char i = digest nibble i; PropertySpec-pinned
+      // against the composed spelling, oracle twin unchanged).
+      val withChunks = sh.select(col("doc_id") +: (0 until NumPerm / 4).map(g =>
+        graft.functions.HashFns.md5_chunks(
+          concat(lit(s"$g:"), col("shingle"))).as(s"c$g")): _*)
+      val sigCols = (0 until NumPerm).map(j =>
+        min(element_at(col(s"c${j / 4}"), j % 4 + 1)).as(s"s$j"))
       // one signature row per doc; cached — the banding union re-reads
       // it instead of re-running the 16-hash aggregation
-      val sigs = sh.groupBy("doc_id").agg(sigCols.head, sigCols.tail: _*).cache()
+      val sigs = withChunks.groupBy("doc_id").agg(sigCols.head, sigCols.tail: _*).cache()
       val rowsPerBand = NumPerm / Bands
       def bandSide(idName: String) = (0 until Bands).map { b =>
         val ks = (0 until rowsPerBand).map(r => col(s"s${b * rowsPerBand + r}").as(s"k$r"))
@@ -770,7 +776,11 @@ object Dedup {
         .select(col("doc_id"),
           explode(array_distinct(split(col("text"), " "))).as("tok"))
         .filter(col("tok") =!= "")
-        .withColumn("h", conv(substring(md5(col("tok")), 1, 15), 16, 10).cast("long"))
+        // Round 21: Md5Prefix60 kernel — the digest's first 60 bits
+        // read as bytes; ≡ conv(substring(md5(tok), 1, 15), 16, 10)
+        // without the 32-char hex string materialize + re-parse per
+        // token (PropertySpec-pinned; oracle twin unchanged)
+        .withColumn("h", graft.functions.HashFns.md5_prefix60(col("tok")))
       // 60 per-bit popcounts packed 4-per-long (16-bit saturating-free
       // slots: per-doc token counts are far below 2^16, so slot sums
       // never carry). 15 narrow aggregates instead of 60 keeps the
@@ -1169,22 +1179,33 @@ object Dedup {
       expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
       .withColumn("nv", sqrt(VectorOps.dot(col("v"), col("v"))))
 
-  /** Nearest centroid by cosine, ties to the lowest cid. max_by over
-    * (cos, -cid) is a map-side-combinable aggregate — the oracle's
-    * ROW_NUMBER()=1 formulation without the N×K window sort. The
-    * vector and its norm ride along (first() is well-defined: every
-    * row of a vec_id group carries the identical v/nv), so the
-    * centroid recompute and the pair join need NO re-join back to
-    * the vector table — one N-row shuffle per assign, total, which
-    * is the shape that matters when N is the corpus. */
-  private def assignBrute(vn: DataFrame, cent: DataFrame): DataFrame = {
-    val cc = cent.withColumn("nc", sqrt(VectorOps.dot(col("c"), col("c"))))
-    vn.crossJoin(broadcast(cc))
-      .withColumn("cos", VectorOps.dot(col("v"), col("c")) / (col("nv") * col("nc")))
-      .groupBy("vec_id")
-      .agg(max_by(col("cid"), struct(col("cos"), -col("cid"))).as("cid"),
-           first(col("v")).as("v"), first(col("nv")).as("nv"))
-  }
+  /** The k-row centroid table rolled into ONE row holding an
+    * array<struct<gid,id,nc,c>> — the broadcast literal the
+    * [[graft.functions.NearestCid]] kernel scans per input row. */
+  private def centTable(cent: DataFrame, gid: Column, id: Column): DataFrame =
+    cent.agg(collect_list(struct(
+      gid.cast("long").as("gid"), id.cast("long").as("id"),
+      sqrt(VectorOps.dot(col("c"), col("c"))).as("nc"),
+      col("c"))).as("cents"))
+
+  /** Nearest centroid by cosine, ties to the lowest cid. Round 21:
+    * the crossJoin-explode + max_by(cid, struct(cos, -cid)) groupBy
+    * became the map-only [[graft.functions.NearestCid]] kernel over a
+    * one-row broadcast of the centroid table — the N×k exploded rows
+    * and the N-row exchange (which carried the VECTORS as max_by's
+    * first() payload) are gone; an assignment is now a projection
+    * (guide §2: the best shuffle is no shuffle). Argmax arithmetic and
+    * tie-breaking are bit-identical to the composed form (spec-pinned):
+    * dimension-order double dot, SQLOrderingUtil double compare — the
+    * comparator struct ordering applies inside max_by — ties to the
+    * smaller cid like the struct's -cid key; argmax over a total order
+    * is also invariant to collect_list's element order. */
+  private def assignBrute(vn: DataFrame, cent: DataFrame): DataFrame =
+    vn.crossJoin(broadcast(centTable(cent, lit(0L), col("cid"))))
+      .select(col("vec_id"),
+        graft.functions.VectorExprs.nearest_cid(
+          col("v"), col("nv"), lit(-1L), col("cents")).as("cid"),
+        col("v"), col("nv"))
 
   /** Two-level: centroids grouped by cid % g; super-centroid = rounded
     * per-dimension mean of its group's centroids (deterministic — the
@@ -1199,19 +1220,24 @@ object Dedup {
     // convention drift here would break the spec-pinned g=1 ≡ brute)
     val supers = refineCentroids(
         grouped.select(col("gid").as("cid"), col("c").as("v")))
-      .select(col("cid").as("gid"), col("c").as("sc"))
-      .withColumn("nsc", sqrt(VectorOps.dot(col("sc"), col("sc"))))
-    val stage1 = vn.crossJoin(broadcast(supers))
-      .withColumn("cos", VectorOps.dot(col("v"), col("sc")) / (col("nv") * col("nsc")))
-      .groupBy("vec_id")
-      .agg(max_by(col("gid"), struct(col("cos"), -col("gid"))).as("gid"),
-           first(col("v")).as("v"), first(col("nv")).as("nv"))
-    val cc = grouped.withColumn("nc", sqrt(VectorOps.dot(col("c"), col("c"))))
-    stage1.join(broadcast(cc), Seq("gid"))
-      .withColumn("cos", VectorOps.dot(col("v"), col("c")) / (col("nv") * col("nc")))
-      .groupBy("vec_id")
-      .agg(max_by(col("cid"), struct(col("cos"), -col("cid"))).as("cid"),
-           first(col("v")).as("v"), first(col("nv")).as("nv"))
+    // Round 21: both stages are NearestCid kernel projections (see
+    // assignBrute) — stage 1 picks the super-group over the g-row
+    // table, stage 2 ranks only the rows of the k-row table whose gid
+    // field matches (the kernel's gid≥0 filter replaces the former
+    // broadcast hash join on gid). Zero exchanges where the composed
+    // form paid two N-row groupBy shuffles carrying the vectors.
+    val stage1 = vn
+      .crossJoin(broadcast(centTable(supers, lit(0L), col("cid"))))
+      .select(col("vec_id"),
+        graft.functions.VectorExprs.nearest_cid(
+          col("v"), col("nv"), lit(-1L), col("cents")).as("gid"),
+        col("v"), col("nv"))
+    stage1
+      .crossJoin(broadcast(centTable(grouped, col("gid"), col("cid"))))
+      .select(col("vec_id"),
+        graft.functions.VectorExprs.nearest_cid(
+          col("v"), col("nv"), col("gid"), col("cents")).as("cid"),
+        col("v"), col("nv"))
   }
 
   /** One Lloyd refinement: per-(cell, dimension) mean of the members,

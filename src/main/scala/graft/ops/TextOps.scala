@@ -796,11 +796,13 @@ object TextOps {
         .filter(size(col("toks")) >= K + Wn - 1)
         .select(col("doc_id"), transform(
           sequence(lit(0), size(col("toks")) - K),
-          i => conv(substring(md5(concat_ws(" ",
+          // Round 21: Md5Prefix60 kernel ≡ the former
+          // conv(substring(md5(..), 1, 15), 16, 10) without the hex
+          // string round-trip per trigram (PropertySpec-pinned)
+          i => graft.functions.HashFns.md5_prefix60(concat_ws(" ",
             element_at(col("toks"), i + 1),
             element_at(col("toks"), i + 2),
-            element_at(col("toks"), i + 3))),
-            1, 15), 16, 10).cast("long")).as("gh"))
+            element_at(col("toks"), i + 3)))).as("gh"))
         .select(col("doc_id"), array_sort(array_distinct(transform(
           sequence(lit(0), size(col("gh")) - Wn),
           j => least(

@@ -111,6 +111,15 @@ object PlanAudit {
           !p.contains("row_number")),
       Check("q_sim_ivf", "cell probe joins broadcast the bounded probe set",
         p => p.contains("BroadcastHashJoin") && !p.contains("CartesianProduct")),
+      // round-21: semantic-dedup nearest-centroid assignment is the
+      // map-only NearestCid kernel over a one-row broadcast centroid
+      // table — the crossJoin-explode + max_by groupBy (which shuffled
+      // the corpus VECTORS through an N-row exchange per assignment
+      // stage) must stay gone
+      Check("q_dedup_semantic", "assignment is a map-only kernel projection",
+        p => p.contains("nearest_cid") && !p.contains("max_by")),
+      Check("q_dedup_semantic_admit", "assignment is a map-only kernel projection",
+        p => p.contains("nearest_cid") && !p.contains("max_by")),
       // round-7: the gap-fill dense grid must stay out of every exchange
       // and sort — the whole plan carries exactly two exchanges (hourly
       // hash agg + sparse range repartition by user) and one sort (the

@@ -1,6 +1,6 @@
 package graft.tools
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.ops.{Quantiles, Tables}
@@ -99,10 +99,188 @@ object ProbeR21 {
 
     def newQ(name: String)(): DataFrame = graft.SparkEntry.queries(name)(spark, sfDir)
 
+    // ---- OLD semantic-dedup assignment: the round-20 crossJoin-explode
+    // + max_by(id, struct(cos, -id)) groupBy formulation (frozen copies
+    // of assignBrute/assignCoarse/refineCentroids/normedVectors before
+    // the NearestCid kernel replaced the first two).
+    import graft.ops.VectorOps
+    def oldNormed(): DataFrame =
+      Tables.embeddings(spark, sfDir).select(col("vec_id"),
+        expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
+        .withColumn("nv", sqrt(VectorOps.dot(col("v"), col("v"))))
+    def oldRefine(members: DataFrame): DataFrame =
+      members
+        .select(col("cid"), posexplode(col("v")).as(Seq("p", "x")))
+        .groupBy("cid", "p")
+        .agg(round(avg("x"), 6).as("m"))
+        .groupBy("cid")
+        .agg(array_sort(collect_list(struct(col("p"), col("m")))).as("dm"))
+        .select(col("cid"), expr("transform(dm, y -> y.m)").as("c"))
+    def oldAssignBrute(vn: DataFrame, cent: DataFrame): DataFrame = {
+      val cc = cent.withColumn("nc", sqrt(VectorOps.dot(col("c"), col("c"))))
+      vn.crossJoin(broadcast(cc))
+        .withColumn("cos", VectorOps.dot(col("v"), col("c")) / (col("nv") * col("nc")))
+        .groupBy("vec_id")
+        .agg(max_by(col("cid"), struct(col("cos"), -col("cid"))).as("cid"),
+             first(col("v")).as("v"), first(col("nv")).as("nv"))
+    }
+    def oldAssignCoarse(vn: DataFrame, cent: DataFrame, g: Int): DataFrame = {
+      val grouped = cent.withColumn("gid", pmod(col("cid"), lit(g)))
+      val supers = oldRefine(
+          grouped.select(col("gid").as("cid"), col("c").as("v")))
+        .select(col("cid").as("gid"), col("c").as("sc"))
+        .withColumn("nsc", sqrt(VectorOps.dot(col("sc"), col("sc"))))
+      val stage1 = vn.crossJoin(broadcast(supers))
+        .withColumn("cos", VectorOps.dot(col("v"), col("sc")) / (col("nv") * col("nsc")))
+        .groupBy("vec_id")
+        .agg(max_by(col("gid"), struct(col("cos"), -col("gid"))).as("gid"),
+             first(col("v")).as("v"), first(col("nv")).as("nv"))
+      val cc = grouped.withColumn("nc", sqrt(VectorOps.dot(col("c"), col("c"))))
+      stage1.join(broadcast(cc), Seq("gid"))
+        .withColumn("cos", VectorOps.dot(col("v"), col("c")) / (col("nv") * col("nc")))
+        .groupBy("vec_id")
+        .agg(max_by(col("cid"), struct(col("cos"), -col("cid"))).as("cid"),
+             first(col("v")).as("v"), first(col("nv")).as("nv"))
+    }
+    def oldSemantic(): DataFrame = {
+      import graft.ops.Dedup.{semanticKFor, semanticGFor}
+      val k = semanticKFor(VectorOps.corpusCount(Tables.embeddings(spark, sfDir)))
+      val g = semanticGFor(k)
+      val vn = oldNormed()
+      def assign(cent: DataFrame) =
+        if (g >= 1 && g < k) oldAssignCoarse(vn, cent, g) else oldAssignBrute(vn, cent)
+      val c0 = vn.filter(col("vec_id") < k)
+        .select(col("vec_id").as("cid"), col("v").as("c"))
+      val m2 = assign(oldRefine(assign(c0)))
+      val a = m2.select(col("cid"), col("vec_id").as("ida"), col("v").as("va"), col("nv").as("na"))
+      val b = m2.select(col("cid"), col("vec_id").as("idb"), col("v").as("vb"), col("nv").as("nb"))
+      a.join(b, Seq("cid"))
+        .filter(col("ida") < col("idb") &&
+          round(VectorOps.dot(col("va"), col("vb")) / (col("na") * col("nb")), 6) >= 0.3)
+        .select(col("idb").as("drop_id")).distinct()
+        .orderBy("drop_id")
+    }
+    def oldSemanticAdmit(): DataFrame = {
+      import graft.ops.Dedup.{semanticKFor, semanticGFor}
+      val vn = oldNormed()
+      val corpus = vn.filter(pmod(col("vec_id"), lit(10)) =!= 7)
+      val batch = vn.filter(pmod(col("vec_id"), lit(10)) === 7)
+      val k = semanticKFor(VectorOps.corpusCount(Tables.embeddings(spark, sfDir)))
+      val g = semanticGFor(k)
+      def assign(src: DataFrame, cent: DataFrame): DataFrame =
+        if (g >= 1 && g < k) oldAssignCoarse(src, cent, g)
+        else oldAssignBrute(src, cent)
+      val c0 = corpus.orderBy("vec_id").limit(k)
+        .select(col("vec_id").as("cid"), col("v").as("c"))
+      val c1 = graft.ops.Caches.cached(oldRefine(assign(corpus, c0)))
+      val mc = assign(corpus, c1)
+        .select(col("cid"), col("vec_id").as("cvid"), col("v").as("cv"), col("nv").as("cn"))
+      val mb = assign(batch, c1)
+      val dup = mb.join(mc, Seq("cid"))
+        .filter(round(VectorOps.dot(col("v"), col("cv")) / (col("nv") * col("cn")), 6) >= 0.3)
+        .groupBy("vec_id").agg(min(col("cvid")).as("dup_of"))
+      batch.select("vec_id").join(dup, Seq("vec_id"), "left")
+        .select(col("vec_id"),
+          when(col("dup_of").isNotNull, "dup_of_corpus").otherwise("admit").as("decision"),
+          col("dup_of"))
+        .orderBy("vec_id")
+    }
+
+    // ---- OLD signature hashes: the round-20 conv(substring(md5(x)))
+    // hex round-trip spellings of simhash / minhash / winnow (frozen
+    // before the Md5Prefix60/Md5Chunks byte kernels replaced them).
+    import graft.ops.Dedup.{NumPerm, Bands, JaccardThreshold}
+    def oldSimhash(): DataFrame = {
+      val toks = Tables.documents(spark, sfDir)
+        .select(col("doc_id"),
+          explode(array_distinct(split(col("text"), " "))).as("tok"))
+        .filter(col("tok") =!= "")
+        .withColumn("h", conv(substring(md5(col("tok")), 1, 15), 16, 10).cast("long"))
+      val packedSums = (0 until 15).map { j =>
+        sum((0 until 4).map { k =>
+          shiftleft(shiftright(col("h"), 4 * j + k).bitwiseAND(1), 16 * k)
+        }.reduce(_ + _)).as(s"p$j")
+      }
+      val nTok = count(lit(1)).as("n_tok")
+      val sig = toks.groupBy("doc_id").agg(packedSums.head, packedSums.tail :+ nTok: _*)
+        .select(col("doc_id"),
+          (0 until 60).map { i =>
+            val (j, k) = (i / 4, i % 4)
+            val ones = shiftright(col(s"p$j"), 16 * k).bitwiseAND(0xFFFFL)
+            when(ones * 2 > col("n_tok"), lit(1L << i)).otherwise(0L)
+          }.reduce(_ + _).as("simhash"))
+        .cache()
+      val chunked = sig.select(col("doc_id"), col("simhash"),
+        explode(array(graft.ops.Dedup.simhashBlockKeys(col("simhash")): _*)).as("bkey"))
+      chunked.as("x").join(chunked.as("y"),
+          col("x.bkey") === col("y.bkey") && col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"),
+          bit_count(col("x.simhash").bitwiseXOR(col("y.simhash"))).cast("long").as("hamming"))
+        .filter(col("hamming") <= 3)
+        .distinct()
+        .orderBy("id_a", "id_b")
+    }
+    def oldMinhash(): DataFrame = {
+      val sh = graft.ops.Dedup.shingleTable(spark, sfDir)
+      def h(j: Int): Column =
+        conv(substring(md5(concat(lit(s"${j / 4}:"), col("shingle"))),
+          (j % 4) * 8 + 1, 8), 16, 10).cast("long")
+      val sigCols = (0 until NumPerm).map(j => min(h(j)).as(s"s$j"))
+      val sigs = sh.groupBy("doc_id").agg(sigCols.head, sigCols.tail: _*).cache()
+      val rowsPerBand = NumPerm / Bands
+      def bandSide(idName: String) = (0 until Bands).map { b =>
+        val ks = (0 until rowsPerBand).map(r => col(s"s${b * rowsPerBand + r}").as(s"k$r"))
+        sigs.select(col("doc_id").as(idName) +: lit(b).as("band") +: ks: _*)
+      }.reduce(_ unionAll _)
+      val candidates = bandSide("id_a").join(bandSide("id_b"),
+          Seq("band") ++ (0 until rowsPerBand).map(r => s"k$r"))
+        .filter(col("id_a") < col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+        .cache()
+      graft.ops.Dedup.jaccardPairs(sh, graft.ops.Dedup.capFor(spark, sfDir), Some(candidates))
+        .filter(col("jac") >= JaccardThreshold)
+        .orderBy("id_a", "id_b")
+    }
+    def oldWinnow(): DataFrame = {
+      val (kk, wn) = (3, 4)
+      Tables.documents(spark, sfDir)
+        .select(col("doc_id"), col("text"))
+        .repartitionByRange(col("doc_id"))
+        .select(col("doc_id"), split(col("text"), " ").as("toks"))
+        .filter(size(col("toks")) >= kk + wn - 1)
+        .select(col("doc_id"), transform(
+          sequence(lit(0), size(col("toks")) - kk),
+          i => conv(substring(md5(concat_ws(" ",
+            element_at(col("toks"), i + 1),
+            element_at(col("toks"), i + 2),
+            element_at(col("toks"), i + 3))),
+            1, 15), 16, 10).cast("long")).as("gh"))
+        .select(col("doc_id"), array_sort(array_distinct(transform(
+          sequence(lit(0), size(col("gh")) - wn),
+          j => least(
+            element_at(col("gh"), j + 1),
+            element_at(col("gh"), j + 2),
+            element_at(col("gh"), j + 3),
+            element_at(col("gh"), j + 4))))).as("fps"))
+        .select(col("doc_id"),
+          size(col("fps")).cast("long").as("n_fp"),
+          md5(array_join(transform(col("fps"), x => x.cast("string")), ",")).as("fp_digest"))
+        .sortWithinPartitions("doc_id")
+    }
+
     val pairs: Seq[(String, () => DataFrame, () => DataFrame)] = Seq(
       ("q_agg_stats", () => oldStats(), newQ("q_agg_stats") _),
       ("q_agg_approx_quantile", () => oldApproxQuantile(), newQ("q_agg_approx_quantile") _),
-      ("q_agg_kll_merge", () => oldKllMerge(), newQ("q_agg_kll_merge") _))
+      ("q_agg_kll_merge", () => oldKllMerge(), newQ("q_agg_kll_merge") _),
+      ("q_dedup_semantic", () => oldSemantic(), newQ("q_dedup_semantic") _),
+      ("q_dedup_semantic_admit", () => oldSemanticAdmit(), newQ("q_dedup_semantic_admit") _),
+      ("q_dedup_simhash", () => oldSimhash(), newQ("q_dedup_simhash") _),
+      ("q_dedup_minhash", () => oldMinhash(), newQ("q_dedup_minhash") _),
+      ("q_text_winnow", () => oldWinnow(), newQ("q_text_winnow") _))
+
+    val only = sys.env.get("PROBE_ONLY").map(_.split(",").toSet)
+    val run = only.fold(pairs)(f => pairs.filter(p => f(p._1)))
 
     def time(df: DataFrame): Double = {
       val t0 = System.nanoTime()
@@ -110,7 +288,7 @@ object ProbeR21 {
       (System.nanoTime() - t0) / 1e9
     }
 
-    pairs.foreach { case (name, oldF, newF) =>
+    run.foreach { case (name, oldF, newF) =>
       // warm both once (codegen/JIT), then alternate old/new
       time(oldF()); time(newF()); graft.ops.Caches.release()
       val olds = scala.collection.mutable.ArrayBuffer.empty[Double]

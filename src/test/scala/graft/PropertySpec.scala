@@ -792,4 +792,78 @@ class PropertySpec extends AnyFunSuite {
       .head().getDouble(0)
     assert(math.abs(gest - gexact) / gexact <= 0.05, s"merged: $gest vs $gexact")
   }
+
+  // Round 21: the NearestCid kernel that turned semantic dedup's
+  // nearest-centroid assignment into a map-only projection must
+  // reproduce the composed crossJoin + max_by(id, struct(cos, -id))
+  // formulation EXACTLY — same dot (dimension-order double accum),
+  // same double comparator (SQLOrderingUtil, the one struct ordering
+  // applies inside max_by), ties to the smaller id — on the repo's own
+  // embeddings, for both the consider-all path (gid = -1) and the
+  // gid-filtered two-level path.
+  test("nearest_cid kernel equals the composed crossJoin/max_by argmax") {
+    import graft.functions.VectorExprs
+    val g = 3
+    val vn = ops.Tables.embeddings(spark, TestSpark.Sf)
+      .select(col("vec_id"), expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
+      .withColumn("nv", sqrt(VectorExprs.dot_product(col("v"), col("v"))))
+    val cent = vn.filter(col("vec_id") < 16)
+      .select(col("vec_id").as("cid"), col("v").as("c"),
+        pmod(col("vec_id"), lit(g)).cast("long").as("gid"))
+      .withColumn("nc", sqrt(VectorExprs.dot_product(col("c"), col("c"))))
+    // composed, consider-all: argmax over every centroid
+    val composedAll = vn.crossJoin(broadcast(cent))
+      .withColumn("cos", VectorExprs.dot_product(col("v"), col("c")) / (col("nv") * col("nc")))
+      .groupBy("vec_id")
+      .agg(max_by(col("cid"), struct(col("cos"), -col("cid"))).as("cid"))
+    // composed, gid-filtered: vec_id % g picks the group, argmax within
+    val composedGid = vn.withColumn("gid", pmod(col("vec_id"), lit(g)).cast("long"))
+      .join(broadcast(cent), Seq("gid"))
+      .withColumn("cos", VectorExprs.dot_product(col("v"), col("c")) / (col("nv") * col("nc")))
+      .groupBy("vec_id")
+      .agg(max_by(col("cid"), struct(col("cos"), -col("cid"))).as("cid"))
+    val tbl = cent.agg(collect_list(struct(
+      col("gid"), col("cid").as("id"), col("nc"), col("c"))).as("cents"))
+    val kernelAll = vn.crossJoin(broadcast(tbl))
+      .select(col("vec_id"),
+        VectorExprs.nearest_cid(col("v"), col("nv"), lit(-1L), col("cents")).as("cid"))
+    val kernelGid = vn.crossJoin(broadcast(tbl))
+      .select(col("vec_id"),
+        VectorExprs.nearest_cid(col("v"), col("nv"),
+          pmod(col("vec_id"), lit(g)).cast("long"), col("cents")).as("cid"))
+    def m(df: org.apache.spark.sql.DataFrame): Map[Long, Long] =
+      df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val (ca, ka) = (m(composedAll), m(kernelAll))
+    assert(ca == ka, s"consider-all diverged on ${ca.keySet.filter(k => ca(k) != ka(k)).take(5)}")
+    val (cg, kg) = (m(composedGid), m(kernelGid))
+    assert(cg == kg, s"gid-filtered diverged on ${cg.keySet.filter(k => cg(k) != kg(k)).take(5)}")
+  }
+
+  // Round 21: the md5 byte-readers that replaced the
+  // conv(substring(md5(x), a, b), 16, 10) hex round-trip on the
+  // signature hot paths (simhash tokens, minhash shingles, winnow
+  // trigrams) must be bit-identical to the composed spelling — on the
+  // repo's own token stream plus adversarial strings (empty, unicode,
+  // digits that leading-zero the hex).
+  test("md5_prefix60 / md5_chunks equal the conv(substring(md5)) spelling") {
+    import graft.functions.HashFns
+    val toks = ops.Tables.documents(spark, TestSpark.Sf)
+      .select(explode(split(col("text"), " ")).as("tok"))
+      .filter(col("tok") =!= "").limit(20000)
+      .unionAll(Seq("", "a", "é漢", "0000", "ﬀ", "").toDF("tok"))
+    val cmp60 = toks.select(
+      conv(substring(md5(col("tok")), 1, 15), 16, 10).cast("long").as("composed"),
+      HashFns.md5_prefix60(col("tok")).as("kernel"))
+      .filter(col("composed") =!= col("kernel") ||
+        col("composed").isNull =!= col("kernel").isNull)
+    assert(cmp60.count() == 0, "md5_prefix60 diverged from the composed spelling")
+    val cmpCh = toks.select(col("tok"),
+      HashFns.md5_chunks(concat(lit("2:"), col("tok"))).as("ch"))
+      .select((0 until 4).map(j =>
+        (element_at(col("ch"), j + 1) =!=
+          conv(substring(md5(concat(lit("2:"), col("tok"))), j * 8 + 1, 8), 16, 10)
+            .cast("long")).as(s"d$j")): _*)
+      .filter((0 until 4).map(j => col(s"d$j")).reduce(_ || _))
+    assert(cmpCh.count() == 0, "md5_chunks diverged from the composed spelling")
+  }
 }
