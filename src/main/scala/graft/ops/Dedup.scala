@@ -1241,15 +1241,21 @@ object Dedup {
   }
 
   /** One Lloyd refinement: per-(cell, dimension) mean of the members,
-    * rounded to 6 dp (engine-identical), reassembled into arrays. */
+    * rounded to 6 dp (engine-identical), reassembled into arrays.
+    * Round 21: one codegen'd groupBy(cid) with 64 avg columns — the
+    * former posexplode → groupBy(cid, p) → collect_list/array_sort
+    * chain materialized 64× the member rows through a Generate and
+    * paid TWO exchanges per refinement site (and each semantic query
+    * has 3-5 sites: c1 over the corpus + the super-centroid tables of
+    * every two-level assign). The embedding width is the corpus
+    * contract the oracle pins with its hardcoded `range(1, 65)` CTE,
+    * so the 64 element_at columns read exactly the dims the explode
+    * emitted; per-dim avg-of-double semantics (partial per partition,
+    * merged) and the 6-dp round are unchanged. */
   private def refineCentroids(members: DataFrame): DataFrame =
-    members
-      .select(col("cid"), posexplode(col("v")).as(Seq("p", "x")))
-      .groupBy("cid", "p")
-      .agg(round(avg("x"), 6).as("m"))
-      .groupBy("cid")
-      .agg(array_sort(collect_list(struct(col("p"), col("m")))).as("dm"))
-      .select(col("cid"), expr("transform(dm, y -> y.m)").as("c"))
+    members.groupBy("cid")
+      .agg(array((1 to 64).map(i =>
+        round(avg(element_at(col("v"), i)), 6)): _*).as("c"))
 
   /** SemDeDup-style semantic dedup, parameterized: `k` cluster seeds
     * (the lowest `k` vec_ids), cosine threshold `tau`. The number of
@@ -1282,9 +1288,13 @@ object Dedup {
     // (11.9 → 14.2 s same-box A/B while the control got faster) — with
     // only two c1 consumer sites, AQE's runtime stage reuse already
     // dedups the chain, and the cache materialization serializes the
-    // critical path. The same cache is a clear win in
-    // q_dedup_semantic_admit (four consumer sites) — kept there only.
-    val c1 = refineCentroids(m1)
+    // critical path. Round 21 RE-probe after the NearestCid rewrite
+    // (the kernel made assignment map-only, so c1's chain now hangs
+    // under every centroid-table broadcast): cached measured BETTER at
+    // both scales — sf0.1 med 2.16 → 1.94 s, sf10 med 7.73 → 6.34 s
+    // interleaved, jobs 52 → 33 (ProbeJobs) — so the k-row (≤4096)
+    // table is now materialized here like in q_dedup_semantic_admit.
+    val c1 = Caches.cached(refineCentroids(m1))
     val m2 = assign(c1)
     val a = m2.select(col("cid"), col("vec_id").as("ida"), col("v").as("va"), col("nv").as("na"))
     val b = m2.select(col("cid"), col("vec_id").as("idb"), col("v").as("vb"), col("nv").as("nb"))
