@@ -333,12 +333,26 @@ object Corpus {
           array_join(slice(col("tk"), col("i") * 8 + 1, lit(8)), " ").as("seg"))
       val keyed = segs.withColumn("k", col("doc_id") * lit(1000000L) + col("seg_idx"))
       val firsts = keyed.groupBy("seg").agg(min("k").as("fk"))
-      val kept = keyed.join(firsts, Seq("seg"))
-        .groupBy("doc_id")
-        .agg(count(lit(1)).as("n_segs"),
-          sum(when(col("k") === col("fk"), 1).otherwise(0)).as("n_kept"))
-      val dd = gated.join(kept, Seq("doc_id"))
-        .filter(col("n_kept").cast("double") / col("n_segs") >= 0.6)
+      // Round 21: the first-occurrence key already ENCODES the owning
+      // doc (k = doc_id·10⁶ + seg_idx), so per-doc kept counts come
+      // straight off `firsts` (fk DIV 10⁶) — the former keyed⋈firsts
+      // join exchanged EVERY segment row with its 8-token STRING on
+      // both sides (SMJ on seg) and re-aggregated all segments by doc;
+      // now only the distinct-segment keys shuffle (guide §2.3: shuffle
+      // keys, not payloads). n_segs per doc is the same arithmetic that
+      // generated the explode (greatest(1, ceil(nt/8))), so the
+      // segment rows themselves never shuffle at all. Exactly one row
+      // per seg group has k = fk, so COUNT per owning doc ≡ the old
+      // SUM(k = fk); a doc whose every segment occurred earlier gets no
+      // firsts row → coalesce 0 → dropped by the 0.6 gate like before
+      // (oracle-verified at 3 SFs).
+      val keptCnt = firsts
+        .select(expr("fk DIV 1000000").as("doc_id"))
+        .groupBy("doc_id").agg(count(lit(1)).as("n_kept"))
+      val dd = gated
+        .withColumn("n_segs", greatest(lit(1), ceil(size(toks) / lit(8.0))).cast("long"))
+        .join(keptCnt, Seq("doc_id"), "left")
+        .filter(coalesce(col("n_kept"), lit(0L)).cast("double") / col("n_segs") >= 0.6)
         .select("doc_id", "source", "nt")
       val capped = dd
         .withColumn("rn", row_number().over(
@@ -440,14 +454,32 @@ object Corpus {
           array_join(slice(col("tk"), col("i") * 8 + 1, lit(8)), " ").as("seg"))
       val keyed = segs.withColumn("k", col("doc_id") * lit(1000000L) + col("seg_idx"))
       val firsts = keyed.groupBy("seg").agg(min("k").as("fk"))
-      keyed.join(firsts, Seq("seg"))
-        .withColumn("keep", col("k") === col("fk"))
+      // Round 21: a surviving segment IS its firsts row — fk unpacks to
+      // (owner doc = fk DIV 10⁶, seg_idx = fk % 10⁶) — so the document
+      // reassembly reads ONLY the distinct segments instead of joining
+      // every segment row back to its group's winner (the former
+      // keyed⋈firsts SMJ exchanged the full segment stream with its
+      // 8-token strings on both sides, then re-aggregated ALL segments
+      // by doc; now dup segments never leave the map side of the
+      // firsts groupBy — guide §2.3). n_segs is the explode's own
+      // arithmetic off documents; docs whose every segment occurred
+      // earlier reassemble to '' via the left join, the old
+      // collect_list(when(keep, ..))'s null-skip semantics
+      // (oracle-verified at 3 SFs, Σ n_kept invariant pin unchanged).
+      val perDoc = firsts
+        .select(expr("fk DIV 1000000").as("doc_id"),
+          expr("fk % 1000000").as("seg_idx"), col("seg"))
         .groupBy("doc_id")
-        .agg(count(lit(1)).cast("long").as("n_segs"),
-          sum(when(col("keep"), 1).otherwise(0)).cast("long").as("n_kept"),
+        .agg(count(lit(1)).cast("long").as("n_kept"),
           array_join(transform(
-            array_sort(collect_list(when(col("keep"), struct(col("seg_idx"), col("seg"))))),
+            array_sort(collect_list(struct(col("seg_idx"), col("seg")))),
             x => x.getField("seg")), " ").as("cleaned_text"))
+      documents(s, d)
+        .select(col("doc_id"), nseg.cast("long").as("n_segs"))
+        .join(perDoc, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_segs"),
+          coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+          coalesce(col("cleaned_text"), lit("")).as("cleaned_text"))
         .orderBy("doc_id")
     },
 

@@ -417,12 +417,32 @@ object VectorOps {
       // MAX over the corpus, exactly like the oracle's planes CTE —
       // head()-derived width would silently diverge from the oracle on
       // a ragged-dimension corpus (plan-dependent which row comes first).
-      // One agg pass also carries the corpus count for the derived bits.
-      val dn = e0.agg(max(size(col("embedding"))), count(lit(1))).head()
+      // One agg pass also carries the corpus count for the derived bits
+      // and (round 21) the query row — MIN(vec_id) and its embedding
+      // via min_by, the oracle's q CTE — so the former separate min-id
+      // aggregate job, its broadcast join, and the two q-subtree
+      // broadcast builds are all gone at ZERO extra jobs (the dn
+      // aggregate already existed; an earlier probe that fetched qv
+      // with a separate filter+head() measured 0.1 s WORSE at sf0.1 —
+      // the extra synchronous job barrier cost more than the broadcasts
+      // it replaced; ProbeR21 notes).
+      val dn = e0.agg(max(size(col("embedding"))), count(lit(1)),
+        min(col("vec_id")), min_by(col("embedding"), col("vec_id"))).head()
       val dim = dn.getInt(0)
-      // corpus side, centroid input and query side share the memoized
-      // LRU-evicted assignment frame (no unbounded per-corpus pinning)
+      val qid = dn.getLong(2)
+      // corpus side and centroid input share the memoized LRU-evicted
+      // assignment frame (no unbounded per-corpus pinning)
       val e = lshAssigned(e0, dim, bits = lshBitsFor(dn.getLong(1)))
+      // the query VECTOR as a literal — the same float→double cast the
+      // assignment frame applies (bit-identical values)
+      val qLit = typedLit(dn.getSeq[Float](3).map(_.toDouble))
+      // Round-21 probe-and-revert: a single wide groupBy(cell) with dim
+      // exact-decimal sum columns (1 exchange, no Generate) measured
+      // WORSE than this 2-step chain (ProbeCv interleaved at sf0.1:
+      // 0.46 vs 0.31 s med — 64 decimal agg buffers per group lose to
+      // the explode + narrow decimal agg; a double-sum variant wins at
+      // 0.27 s but double addition is order-dependent and the exact
+      // DECIMAL(20,8) sum is the r18 cross-engine convention). Kept.
       val cent = e
         .select(col("cell"), posexplode(col("v")).as(Seq("dim", "x")))
         .groupBy("cell", "dim")
@@ -432,20 +452,16 @@ object VectorOps {
       val cv = cent.groupBy("cell")
         .agg(transform(array_sort(collect_list(struct(col("dim"), col("c")))),
           sc => sc.getField("c")).as("cv"))
-      val minId = e.agg(min(col("vec_id")).as("min_id"))
-      val q = e.join(broadcast(minId), col("vec_id") === col("min_id"))
-        .select(col("v").as("qv"), col("min_id"))
-      val probe = cv.crossJoin(broadcast(q))
+      val probe = cv
         .select(col("cell"),
-          round(graft.functions.CosineSim.cosine_sim(col("cv"), col("qv")), 6).as("cscore"))
+          round(graft.functions.CosineSim.cosine_sim(col("cv"), qLit), 6).as("cscore"))
         .orderBy(col("cscore").desc, col("cell"))
         .limit(4)
         .select("cell")
       e.join(broadcast(probe), "cell")
-        .crossJoin(broadcast(q))
-        .filter(col("vec_id") =!= col("min_id"))
+        .filter(col("vec_id") =!= qid)
         .select(col("vec_id"),
-          round(graft.functions.CosineSim.cosine_sim(col("v"), col("qv")), 6).as("cos_sim"))
+          round(graft.functions.CosineSim.cosine_sim(col("v"), qLit), 6).as("cos_sim"))
         .orderBy(col("cos_sim").desc, col("vec_id"))
         .limit(10)
     },

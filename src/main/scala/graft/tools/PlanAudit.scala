@@ -354,7 +354,9 @@ object PlanAudit {
       "q_pipeline_pretrain" -> 1,   // 1-row mixture-denominator frame
       "q_sim_ann_lsh" -> 2,         // 1-row min-id + 1-row query vector
       "q_sim_cosine_topk" -> 2,     // 1-row min-id + 1-row query vector
-      "q_sim_ivf" -> 5,             // 1-row min-id/query (x2 uses) + 4-row probe-cell set
+      "q_sim_ivf" -> 1,             // 4-row probe-cell set only (round 21: the
+                                    // min-id/query frame became a literal read
+                                    // off the existing 1-row stats aggregate)
       "q_sim_knn_join" -> 1,        // 8-row query-vector frame (bounded by the
                                     // batch size, not the corpus)
       "q_sim_pq" -> 4,              // 1-row nested codebook (4×16×16 doubles,

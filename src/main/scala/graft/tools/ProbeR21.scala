@@ -269,7 +269,109 @@ object ProbeR21 {
         .sortWithinPartitions("doc_id")
     }
 
+    // ---- OLD q_sim_ivf: the round-20 shape — separate min-id
+    // aggregate broadcast-joined for the query vector, q carried as a
+    // broadcast subtree into probe ranking AND candidate scoring, and
+    // the centroid chain as posexplode → groupBy(cell,dim) →
+    // collect_list (two exchanges + a 64× Generate). Assignment frame
+    // cached once here like the live memoized one.
+    lazy val oldIvfAssigned: DataFrame = {
+      val e0 = Tables.embeddings(spark, sfDir)
+      val dn = e0.agg(max(size(col("embedding"))), count(lit(1))).head()
+      val bits = {
+        val n = dn.getLong(1); val cells = math.max(1L, (n - 1) / 256)
+        math.min(12, math.max(4, 64 - java.lang.Long.numberOfLeadingZeros(cells)))
+      }
+      e0.select(col("vec_id"), expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
+        .withColumn("cell", VectorOps.lshSignature(col("v"), dn.getInt(0), bits))
+        .cache()
+    }
+    def oldIvf(): DataFrame = {
+      val e = oldIvfAssigned
+      val cent = e
+        .select(col("cell"), posexplode(col("v")).as(Seq("dim", "x")))
+        .groupBy("cell", "dim")
+        .agg((sum(col("x").cast("decimal(20,8)")).cast("double") / count(lit(1))).as("c"))
+      val cv = cent.groupBy("cell")
+        .agg(transform(array_sort(collect_list(struct(col("dim"), col("c")))),
+          sc => sc.getField("c")).as("cv"))
+      val minId = e.agg(min(col("vec_id")).as("min_id"))
+      val q = e.join(broadcast(minId), col("vec_id") === col("min_id"))
+        .select(col("v").as("qv"), col("min_id"))
+      val probe = cv.crossJoin(broadcast(q))
+        .select(col("cell"),
+          round(graft.functions.CosineSim.cosine_sim(col("cv"), col("qv")), 6).as("cscore"))
+        .orderBy(col("cscore").desc, col("cell"))
+        .limit(4)
+        .select("cell")
+      e.join(broadcast(probe), "cell")
+        .crossJoin(broadcast(q))
+        .filter(col("vec_id") =!= col("min_id"))
+        .select(col("vec_id"),
+          round(graft.functions.CosineSim.cosine_sim(col("v"), col("qv")), 6).as("cos_sim"))
+        .orderBy(col("cos_sim").desc, col("vec_id"))
+        .limit(10)
+    }
+
+    // ---- OLD segment dedup family: the round-20 keyed⋈firsts SMJ on
+    // the 8-token segment string + full-segment re-aggregation by doc.
+    def oldSegs(src: DataFrame): (DataFrame, DataFrame) = {
+      val toks = split(col("text"), " ")
+      val nseg = greatest(lit(1), ceil(size(toks) / lit(8.0))).cast("int")
+      val segs = src
+        .select(col("doc_id"), toks.as("tk"),
+          explode(sequence(lit(0), nseg - 1)).as("i"))
+        .select(col("doc_id"), col("i").cast("long").as("seg_idx"),
+          array_join(slice(col("tk"), col("i") * 8 + 1, lit(8)), " ").as("seg"))
+      val keyed = segs.withColumn("k", col("doc_id") * lit(1000000L) + col("seg_idx"))
+      (keyed, keyed.groupBy("seg").agg(min("k").as("fk")))
+    }
+    def oldSegmentDedup(): DataFrame = {
+      val (keyed, firsts) = oldSegs(Tables.documents(spark, sfDir))
+      keyed.join(firsts, Seq("seg"))
+        .withColumn("keep", col("k") === col("fk"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).cast("long").as("n_segs"),
+          sum(when(col("keep"), 1).otherwise(0)).cast("long").as("n_kept"),
+          array_join(transform(
+            array_sort(collect_list(when(col("keep"), struct(col("seg_idx"), col("seg"))))),
+            x => x.getField("seg")), " ").as("cleaned_text"))
+        .orderBy("doc_id")
+    }
+    def oldPretrain(): DataFrame = {
+      import org.apache.spark.sql.expressions.Window
+      val toks = split(col("text"), " ")
+      val gated = Tables.documents(spark, sfDir)
+        .withColumn("nt", size(toks).cast("long"))
+        .filter(col("nt").between(25, 80))
+        .select("doc_id", "source", "text", "nt")
+      val (keyed, firsts) = oldSegs(gated)
+      val kept = keyed.join(firsts, Seq("seg"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_segs"),
+          sum(when(col("k") === col("fk"), 1).otherwise(0)).as("n_kept"))
+      val dd = gated.join(kept, Seq("doc_id"))
+        .filter(col("n_kept").cast("double") / col("n_segs") >= 0.6)
+        .select("doc_id", "source", "nt")
+      val capped = dd
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("source")
+            .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))))
+        .filter(col("rn") <= 8)
+      val agg = capped.groupBy("source")
+        .agg(count(lit(1)).as("n_docs"), sum(col("nt")).as("n_tokens"))
+        .withColumn("w", sqrt(col("n_tokens").cast("double")).cast("decimal(18,6)"))
+      val total = agg.agg(sum(col("w")).as("tw"))
+      agg.crossJoin(broadcast(total))
+        .select(col("source"), col("n_docs"), col("n_tokens"),
+          round(col("w").cast("double") / col("tw").cast("double"), 6).as("mix_weight"))
+        .orderBy("source")
+    }
+
     val pairs: Seq[(String, () => DataFrame, () => DataFrame)] = Seq(
+      ("q_sim_ivf", () => oldIvf(), newQ("q_sim_ivf") _),
+      ("q_pipeline_pretrain", () => oldPretrain(), newQ("q_pipeline_pretrain") _),
+      ("q_text_segment_dedup", () => oldSegmentDedup(), newQ("q_text_segment_dedup") _),
       ("q_agg_stats", () => oldStats(), newQ("q_agg_stats") _),
       ("q_agg_approx_quantile", () => oldApproxQuantile(), newQ("q_agg_approx_quantile") _),
       ("q_agg_kll_merge", () => oldKllMerge(), newQ("q_agg_kll_merge") _),
