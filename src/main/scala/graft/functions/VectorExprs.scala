@@ -132,11 +132,24 @@ case class PqAdc(first: Expression, second: Expression, third: Expression)
       case ArrayType(FloatType, _) | ArrayType(DoubleType, _) => true
       case _ => false
     }
-    if (vOk)
+    // round-21 (r20 ADVICE): validate the codebook and table children
+    // too — a misuse should fail at analysis, not as an opaque
+    // ClassCastException at execution
+    val cbOk = second.dataType match {
+      case ArrayType(ArrayType(ArrayType(DoubleType, _), _), _) => true
+      case _ => false
+    }
+    val tabOk = third.dataType match {
+      case ArrayType(ArrayType(LongType, _), _) => true
+      case _ => false
+    }
+    if (vOk && cbOk && tabOk)
       org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
     else
       org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
-        s"pq_adc expects array<float|double> vector, got ${first.dataType.simpleString}")
+        "pq_adc expects (array<float|double>, array<array<array<double>>>, " +
+          "array<array<bigint>>), got " +
+          Seq(first, second, third).map(_.dataType.simpleString).mkString(" / "))
   }
 
   private def vIsFloat: Boolean =
@@ -160,6 +173,16 @@ object PqAdc {
   /** The loop the generated code and the interpreted eval both call. */
   def adc(v: ArrayData, vIsFloat: Boolean, cbn: ArrayData, tabn: ArrayData): Long = {
     val m = cbn.numElements()
+    // round-21 (r20 ADVICE): the composed form sliced with the
+    // corpus-max-derived width while this kernel derives sub from the
+    // ROW's own length — on a ragged corpus they would silently read
+    // different subvector boundaries, so reject any row whose length
+    // is not an exact m-multiple (the upstream require checks only the
+    // corpus max); an empty codebook subspace would otherwise surface
+    // as an AIOOBE at the table lookup.
+    if (m == 0 || v.numElements() % m != 0)
+      throw new IllegalStateException(
+        s"pq_adc: vector length ${v.numElements()} is not a multiple of m=$m")
     val sub = v.numElements() / m
     var adm = 0L
     var s = 0
@@ -167,6 +190,8 @@ object PqAdc {
       val cws = cbn.getArray(s)
       val tab = tabn.getArray(s)
       val k = cws.numElements()
+      if (k == 0)
+        throw new IllegalStateException(s"pq_adc: empty codebook subspace $s")
       var bestD = Long.MaxValue
       var bestJ = -1
       var j = 0

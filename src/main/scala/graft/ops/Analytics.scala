@@ -435,7 +435,13 @@ object Analytics {
           when(col("ms") < col("mx1"), col("mx1"))
             .when(col("amin") =!= col("amax"), col("mx1"))
             .otherwise(col("mx2")))
-        .filter(col("l_shipdate") >= col("m2"))       // NOT EXISTS later other
+        // NOT EXISTS later other. The null legs make the decorrelation
+        // hold on a NULLABLE shipdate too (r20 ADVICE — on the null-free
+        // testdata they are no-ops, plan and results identical):
+        // t null ⇒ sd3 > null is never true ⇒ NOT EXISTS holds;
+        // m2 null ⇒ every OTHER supplier's ms is null ⇒ no sd3 > t.
+        .filter(col("l_shipdate").isNull || col("m2").isNull ||
+          col("l_shipdate") >= col("m2"))
         .select(col("l_orderkey"), col("l_suppkey"))
       li.join(orders(s, d).filter(col("o_orderstatus") === "F"),
           col("l_orderkey") === col("o_orderkey"))

@@ -814,6 +814,21 @@ object Dedup {
       // superlinear (~2.1×/doubling, BENCH_NOTES.md), and at a
       // 100 TB-corpus 5M docs the 15-bit scheme generates ~3e9
       // candidate pairs where this one stays O(true near-dups + 20N).
+      // Round-21 probe-and-revert (ProbeSimhash/ProbeBkey have the
+      // numbers): a SIGNATURE-level pairing — distinct signatures
+      // through the same 20-key blocking (21M candidates vs 298M at
+      // doc level; 376k distinct sigs of 500k docs at sf10), then
+      // member expansion joins — produced the identical pair set and
+      // ran the pre-sort pipeline at 9.7 s vs 17.8 s… but the query's
+      // pinned global ORDER BY then cost MORE than it saved: the range
+      // exchange samples its child, and with the expansion JOINS (not
+      // the old distinct's exchange) directly under the sort, the
+      // boundary pass re-executed them (22.6 s total; a repartition
+      // shim to materialize before sampling still 19.2 s — the two
+      // output-scale expansion exchanges out-cost the 298M map-side
+      // candidate stream they replace, which never shuffles). The
+      // 37.6M-row globally-sorted sf10 OUTPUT is ~60% of this query's
+      // cost and is the pinned result itself. Kept the doc-level join.
       val chunked = sig.select(col("doc_id"), col("simhash"),
         explode(array(simhashBlockKeys(col("simhash")): _*)).as("bkey"))
       chunked.as("x").join(chunked.as("y"),

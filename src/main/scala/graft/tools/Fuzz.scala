@@ -2182,6 +2182,17 @@ final class SqlFuzzer(seed: Long) {
     }.toVector
 }
 
+object SqlFuzzer {
+  /** The two fixed parquet schemas every generated `/*dgq*/` query
+    * resolves against (qGroups case 9: supplier ⋈ nation). Exposed so
+    * DialectPropertySpec's idempotence pin resolves with THE SAME
+    * column lists the soak path sees via spark.table — a hand-copied
+    * map there could silently drift from the generator (r20 ADVICE). */
+  val DgqSchemas: Map[String, Seq[String]] = Map(
+    "supplier" -> Seq("s_suppkey", "s_name", "s_nationkey", "s_acctbal"),
+    "nation" -> Seq("n_nationkey", "n_name", "n_regionkey"))
+}
+
 /** Differential-fuzz driver: generate, run through Spark, dump the same
   * artifact shape as [[graft.Verify]] (per-query parquet + oracle_sql.json
   * + errors.json) so `tools/check_oracle.py <outDir> <sfDir>` performs the

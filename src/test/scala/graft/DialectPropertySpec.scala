@@ -60,11 +60,11 @@ class DialectPropertySpec extends AnyFunSuite {
     // installs a relation-schema resolver before rewriting them, and a
     // bare rewrite() deliberately throws its bounded error. The
     // idempotence pin therefore runs them the way the gateway does,
-    // with the generator's two fixed parquet schemas (the same ones
-    // Fuzz resolves via spark.table at soak time).
-    val dgqSchemas = Map(
-      "supplier" -> Seq("s_suppkey", "s_name", "s_nationkey", "s_acctbal"),
-      "nation" -> Seq("n_nationkey", "n_name", "n_regionkey"))
+    // with the generator's two fixed parquet schemas — the SHARED
+    // constant (SqlFuzzer.DgqSchemas, round 21 per the r20 advice), so
+    // this pin can never silently resolve against different columns
+    // than the soak path.
+    val dgqSchemas = graft.tools.SqlFuzzer.DgqSchemas
     var checked = 0
     dialect.foreach { case (name, sql) =>
       val rw: String => String =
